@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash -> CORRECTNESS_r{N}.json).
+
+Operator ids (W2, A1, F3, ...) refer to SURVEY.md §2.  Geo kernels (X6 cell
+ids, A2 KDE, J1 kNN, J4 PIP) are non-SQL-expressible: their queries have no
+oracle entry (rows-only check) and are instead golden-tested in tests/.
+
+Float-output discipline: every non-exact aggregate is ROUND(_, 6) on BOTH
+sides; exact float ops (epoch differences, least/greatest) are left raw.
+All integer outputs are cast to BIGINT on both sides so schemas line up.
 """
 
 from __future__ import annotations
@@ -12,27 +19,396 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from engine import ops, trace_prep
+from engine.config import DEFAULT
+from engine.datagen import web_pages_from_events
+from engine.functions import epoch_s
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _sessionized(ev: DataFrame) -> DataFrame:
+    return ops.sessionize(ev, ["user_id"], "ts", 3600.0,
+                          order=["ts", "event_id"])
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: web_pages (derived from events @ sf0.001) -> trace-prep
+    pipeline -> per-host observed-time session summary (SURVEY.md §7.3)."""
+    events = _t(spark, "/root/testdata/sf0.001", "events")
+    pages = web_pages_from_events(events)
+    gp = trace_prep.geopoints(pages, DEFAULT)
+    return (gp.groupBy("host", "subset_id")
+            .agg(F.count(F.lit(1)).alias("n_points"),
+                 F.round(F.sum("weight_s"), 6).alias("observed_s"),
+                 F.min("warc_ts").alias("start_ts"),
+                 F.max("warc_ts").alias("end_ts"))
+            .orderBy("host", "subset_id"))
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_w2_sessionize(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    s = _sessionized(ev)
+    return (s.groupBy("user_id", F.col("subset_id").cast("long").alias("subset_id"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.max(epoch_s(F.col("ts")))
+                         - F.min(epoch_s(F.col("ts"))), 6).alias("span_s")))
+
+
+def q_a1_time_weights(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    s = _sessionized(ev)
+    w = ops.time_weights(s, ["user_id", "subset_id"], "ts",
+                         order=["ts", "event_id"])
+    return w.select("event_id", F.round("weight_s", 6).alias("weight_s"))
+
+
+def q_f3_seq_dedup(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    d = ops.seq_dedup(ev, ["user_id"], ["ts", "event_id"], ["value"])
+    return d.select("event_id", "user_id", "value")
+
+
+def q_w3_change_segments(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    seg = ops.change_segments(ev, ["user_id"], ["ts", "event_id"], "event_type")
+    spans = ops.segment_spans(seg, ["user_id"], "segment_id", "ts", "event_type")
+    return spans.select(
+        "user_id", F.col("segment_id").cast("long").alias("segment_id"),
+        epoch_s(F.col("start_ts")).alias("start_s"),
+        epoch_s(F.col("end_ts")).alias("end_s"),
+        "event_type", F.col("n_rows").cast("long").alias("n_rows"))
+
+
+def q_j3_interval_overlap(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    seg = ops.change_segments(ev, ["user_id"], ["ts", "event_id"], "event_type")
+    spans = (ops.segment_spans(seg, ["user_id"], "segment_id", "ts", "event_type")
+             .select("user_id", "segment_id", "start_ts", "end_ts"))
+    ses = (_sessionized(ev).groupBy("user_id", "subset_id")
+           .agg(F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts")))
+    j = ops.interval_overlap_join(spans, ses, ["user_id"])
+    return j.select("user_id",
+                    F.col("segment_id").cast("long").alias("segment_id"),
+                    F.col("subset_id").cast("long").alias("subset_id"),
+                    F.round("overlap_s", 6).alias("overlap_s"))
+
+
+def q_a6_group_totals(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("user_id", "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 6).alias("total_value"),
+                 F.round(F.avg("value"), 6).alias("avg_value")))
+
+
+def q_a7_daily_summary(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    kinds = ["click", "view", "purchase", "error", "signup"]
+    aggs = [F.sum(F.when(F.col("event_type") == k, 1).otherwise(0))
+            .cast("long").alias(f"n_{k}") for k in kinds]
+    return (ev.groupBy("user_id", day)
+            .agg(*aggs, F.round(F.sum("value"), 6).alias("total_value")))
+
+
+def q_a9_distinct(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("n_users"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
+def q_o2_topk(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    top = ops.topk_per_group(ev.select("user_id", "event_id", "value"),
+                             ["user_id"], "value", 3, tiebreak=["event_id"])
+    return top.select("user_id", "event_id", "value")
+
+
+def q_j6_asof_last_signup(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    sig = (ev.filter(F.col("event_type") == "signup")
+           .groupBy("user_id", "ts").agg(F.max("value").alias("sig_value")))
+    j = ops.asof_join(ev.select("user_id", "event_id", "ts"), sig,
+                      ["user_id"], "ts", "ts", ["sig_value"])
+    return j.select("event_id", F.round("sig_value", 6).alias("sig_value"))
+
+
+def q_x5_extract_geopoints(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    pts = trace_prep.extract_points(web_pages_from_events(ev), DEFAULT)
+    return pts.select("url", "host", "lat", "lon", "acc_m")
+
+
+def q_tpch_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6)
+                 .alias("sum_disc_price"),
+                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                               * (1 + F.col("l_tax"))), 6).alias("sum_charge"),
+                 F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+                 F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+def q_dedup_exact(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.groupBy("text")
+            .agg(F.min("doc_id").alias("doc_id"),
+                 F.count(F.lit(1)).alias("n_copies"))
+            .select("doc_id", "n_copies"))
+
+
+# non-SQL-expressible (rows-only check): the geo pipeline itself
+def q_geo_sessions(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    gp = trace_prep.geopoints(web_pages_from_events(ev), DEFAULT)
+    return (gp.groupBy("host", F.col("subset_id").cast("long").alias("subset_id"))
+            .agg(F.count(F.lit(1)).alias("n_points"),
+                 F.round(F.sum("weight_s"), 6).alias("observed_s")))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "w2_sessionize": q_w2_sessionize,
+        "a1_time_weights": q_a1_time_weights,
+        "f3_seq_dedup": q_f3_seq_dedup,
+        "w3_change_segments": q_w3_change_segments,
+        "j3_interval_overlap": q_j3_interval_overlap,
+        "a6_group_totals": q_a6_group_totals,
+        "a7_daily_summary": q_a7_daily_summary,
+        "a9_distinct": q_a9_distinct,
+        "o2_topk": q_o2_topk,
+        "j6_asof_last_signup": q_j6_asof_last_signup,
+        "x5_extract_geopoints": q_x5_extract_geopoints,
+        "tpch_q1": q_tpch_q1,
+        "dedup_exact": q_dedup_exact,
+        "geo_sessions": q_geo_sessions,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect; views pre-registered by the driver)
+# ---------------------------------------------------------------------------
+
+_SESSION_CTE = """
+flags AS (
+  SELECT user_id, event_id, ts, value, event_type,
+         CASE WHEN lag(epoch(ts)) OVER w IS NULL
+                   OR epoch(ts) - lag(epoch(ts)) OVER w > 3600.0
+              THEN 1 ELSE 0 END AS newf
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_id, ts, value, event_type,
+         SUM(newf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+           AS subset_id
+  FROM flags
+)
+"""
+
+_SEGMENTS_CTE = """
+chg AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS newf
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+seg AS (
+  SELECT user_id, event_id, ts, event_type,
+         SUM(newf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+           AS segment_id
+  FROM chg
+),
+spans AS (
+  SELECT user_id, segment_id, MIN(ts) AS start_ts, MAX(ts) AS last_ts,
+         MIN(event_type) AS event_type, COUNT(*) AS n_rows
+  FROM seg GROUP BY user_id, segment_id
+),
+spans2 AS (
+  SELECT user_id, segment_id, start_ts, event_type, n_rows,
+         COALESCE(lead(start_ts) OVER (PARTITION BY user_id ORDER BY start_ts),
+                  last_ts) AS end_ts
+  FROM spans
+)
+"""
+
+# web_pages generation from events, mirrored arithmetic (see
+# engine/datagen.py::web_pages_from_events — integer-arith PRN only)
+_PAGES_CTE = """
+gen AS (
+  SELECT event_id, user_id, ts, event_type,
+         ((CAST(user_id AS BIGINT) * 2654435761
+           + ((CAST(floor(epoch(ts) / 7200.0) AS BIGINT) % 3 + 3) % 3) * 40503
+           + 17) % 120000001) / 1e6 - 60.0 AS glat,
+         ((CAST(user_id AS BIGINT) * 2654435761
+           + ((CAST(floor(epoch(ts) / 7200.0) AS BIGINT) % 3 + 3) % 3) * 40503
+           + 9176) % 350000001) / 1e6 - 175.0 AS glon,
+         ((CAST(event_id AS BIGINT) * 48271 + 11) % 301 - 150) * 1e-6 AS jlat,
+         ((CAST(event_id AS BIGINT) * 48271 + 523) % 301 - 150) * 1e-6 AS jlon,
+         ((CAST(event_id AS BIGINT) * 69621 + 5) % 1200) / 10.0 AS acc,
+         (CAST(event_id AS BIGINT) * 16807 + 3) % 100 < 5 AS no_token,
+         (CAST(event_id AS BIGINT) * 7919 + 1) % 10 AS lang_code
+  FROM events
+),
+pages AS (
+  SELECT printf('https://host%04d.example/p/%09d',
+                CAST(user_id % 10000 AS INT), CAST(event_id AS INT)) AS url,
+         ts AS warc_ts,
+         'Event ' || event_type || ' recorded.' ||
+         CASE WHEN no_token THEN ''
+              ELSE ' [geo:' || printf('%.6f', glat + jlat) || ','
+                   || printf('%.6f', glon + jlon) || ';acc='
+                   || printf('%.1f', acc) || ']' END AS text,
+         CASE WHEN lang_code <= 6 THEN 'en' WHEN lang_code = 7 THEN 'fr'
+              WHEN lang_code = 8 THEN 'de' ELSE 'zz' END AS lang
+  FROM gen
+)
+"""
+
+_GEOTAG_RE_SQL = r"\[geo:(-?\d+\.\d{6}),(-?\d+\.\d{6});acc=(\d+\.\d)\]"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "w2_sessionize": f"""
+WITH {_SESSION_CTE}
+SELECT user_id, CAST(subset_id AS BIGINT) AS subset_id,
+       COUNT(*) AS n_events,
+       ROUND(MAX(epoch(ts)) - MIN(epoch(ts)), 6) AS span_s
+FROM sess GROUP BY user_id, subset_id
+""",
+        "a1_time_weights": f"""
+WITH {_SESSION_CTE}
+SELECT event_id,
+       ROUND(COALESCE(epoch(ts) - lag(epoch(ts)) OVER w, 0) / 2.0
+             + COALESCE(lead(epoch(ts)) OVER w - epoch(ts), 0) / 2.0, 6)
+         AS weight_s
+FROM sess
+WINDOW w AS (PARTITION BY user_id, subset_id ORDER BY ts, event_id)
+""",
+        "f3_seq_dedup": """
+SELECT event_id, user_id, value FROM (
+  SELECT event_id, user_id, value,
+         lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv
+  FROM events
+) WHERE pv IS DISTINCT FROM value OR pv IS NULL
+""",
+        "w3_change_segments": f"""
+WITH {_SEGMENTS_CTE}
+SELECT user_id, CAST(segment_id AS BIGINT) AS segment_id,
+       epoch(start_ts) AS start_s, epoch(end_ts) AS end_s,
+       event_type, CAST(n_rows AS BIGINT) AS n_rows
+FROM spans2
+""",
+        "j3_interval_overlap": f"""
+WITH {_SEGMENTS_CTE},
+{_SESSION_CTE.strip().lstrip()}
+, ses AS (
+  SELECT user_id, subset_id, MIN(ts) AS b_start, MAX(ts) AS b_end
+  FROM sess GROUP BY user_id, subset_id
+)
+SELECT a.user_id, CAST(a.segment_id AS BIGINT) AS segment_id,
+       CAST(b.subset_id AS BIGINT) AS subset_id,
+       ROUND(LEAST(epoch(a.end_ts), epoch(b.b_end))
+             - GREATEST(epoch(a.start_ts), epoch(b.b_start)), 6) AS overlap_s
+FROM spans2 a JOIN ses b USING (user_id)
+WHERE epoch(a.start_ts) < epoch(b.b_end)
+  AND epoch(b.b_start) < epoch(a.end_ts)
+""",
+        "a6_group_totals": """
+SELECT user_id, event_type, COUNT(*) AS n,
+       ROUND(SUM(value), 6) AS total_value,
+       ROUND(AVG(value), 6) AS avg_value
+FROM events GROUP BY user_id, event_type
+""",
+        "a7_daily_summary": """
+SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       ROUND(SUM(value), 6) AS total_value
+FROM events GROUP BY user_id, strftime(ts, '%Y-%m-%d')
+""",
+        "a9_distinct": """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+FROM events GROUP BY event_type
+""",
+        "o2_topk": """
+SELECT user_id, event_id, value FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id) AS rk
+  FROM events
+) WHERE rk <= 3
+""",
+        "j6_asof_last_signup": """
+WITH sig AS (
+  SELECT user_id, ts, MAX(value) AS sig_value
+  FROM events WHERE event_type = 'signup' GROUP BY user_id, ts
+),
+u AS (
+  SELECT user_id, ts AS ats, 0 AS side, NULL AS event_id, sig_value FROM sig
+  UNION ALL
+  SELECT user_id, ts AS ats, 1 AS side, event_id, NULL AS sig_value FROM events
+)
+SELECT event_id,
+       ROUND(last_value(sig_value IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ats, side
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+         AS sig_value
+FROM u QUALIFY side = 1
+""",
+        "x5_extract_geopoints": f"""
+WITH {_PAGES_CTE}
+SELECT url,
+       regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host,
+       TRY_CAST(regexp_extract(text, '{_GEOTAG_RE_SQL}', 1) AS DOUBLE) AS lat,
+       TRY_CAST(regexp_extract(text, '{_GEOTAG_RE_SQL}', 2) AS DOUBLE) AS lon,
+       TRY_CAST(regexp_extract(text, '{_GEOTAG_RE_SQL}', 3) AS DOUBLE) AS acc_m
+FROM pages
+WHERE lang IN ('en', 'fr', 'de')
+  AND TRY_CAST(regexp_extract(text, '{_GEOTAG_RE_SQL}', 1) AS DOUBLE) IS NOT NULL
+  AND TRY_CAST(regexp_extract(text, '{_GEOTAG_RE_SQL}', 3) AS DOUBLE) <= 100.0
+""",
+        "tpch_q1": """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 6) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 6) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+       ROUND(AVG(l_quantity), 6) AS avg_qty,
+       ROUND(AVG(l_discount), 6) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "dedup_exact": """
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY text
+""",
+    }

@@ -1,0 +1,164 @@
+"""Generic reusable DataFrame operators (SURVEY.md §2.2-2.6).
+
+Each is a pure DataFrame->DataFrame combinator built from native window /
+join / agg expressions — fully SQL-expressible, so every one of them has a
+DuckDB oracle twin in __spark_entry__.py.  The production geopoint pipeline
+fuses the per-host ones into a single Arrow kernel (engine/trace_prep.py);
+these standalone forms are the semantic contract and are cross-checked
+against the fused kernel in tests.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .functions import epoch_s
+
+
+def _w(part: Sequence[str], order: Sequence[str | Column]):
+    return Window.partitionBy(*part).orderBy(*order)
+
+
+def seq_dedup(df: DataFrame, part: Sequence[str], order: Sequence[str],
+              value_cols: Sequence[str]) -> DataFrame:
+    """F3 — drop rows whose `value_cols` all equal the previous row's
+    (per-partition, in `order`).  Order-dependent: NOT dropDuplicates.
+    Reference: REF trace.py::Trace.remove_sequential_duplicates [M]."""
+    w = _w(part, order)
+    same = F.lit(True)
+    for c in value_cols:
+        same = same & F.lag(F.col(c)).over(w).eqNullSafe(F.col(c))
+    return (df.withColumn("_dup", F.coalesce(same, F.lit(False)))
+              .filter(~F.col("_dup")).drop("_dup"))
+
+
+def sessionize(df: DataFrame, part: Sequence[str], ts_col: str, gap_s: float,
+               out: str = "subset_id",
+               order: Sequence[str] | None = None) -> DataFrame:
+    """W2 — observation-gap sessionization: new session when the gap to the
+    previous row exceeds `gap_s`.  The classic lag + cumsum pattern.
+    `order` adds tiebreak columns after ts for a total order.
+    Reference: REF trace.py::Trace.make_known_subsets [M]."""
+    w = _w(part, list(order) if order else [ts_col])
+    gap = epoch_s(F.col(ts_col)) - F.lag(epoch_s(F.col(ts_col))).over(w)
+    new = F.when(gap.isNull() | (gap > gap_s), F.lit(1)).otherwise(F.lit(0))
+    return df.withColumn(
+        out,
+        F.sum(new).over(w.rowsBetween(Window.unboundedPreceding, 0)) - F.lit(1))
+
+
+def time_weights(df: DataFrame, part: Sequence[str], ts_col: str,
+                 out: str = "weight_s",
+                 order: Sequence[str] | None = None) -> DataFrame:
+    """A1 — per-row time weight: half the gap to the previous row plus half
+    the gap to the next row, within the partition (usually host+subset).
+    Sum of weights == observed span of the partition.
+    Reference: REF point.py::Point.weight [M]."""
+    w = _w(part, list(order) if order else [ts_col])
+    ts = epoch_s(F.col(ts_col))
+    prev_gap = ts - F.lag(ts).over(w)
+    next_gap = F.lead(ts).over(w) - ts
+    return df.withColumn(
+        out,
+        F.coalesce(prev_gap, F.lit(0.0)) / 2.0 + F.coalesce(next_gap, F.lit(0.0)) / 2.0)
+
+
+def change_segments(df: DataFrame, part: Sequence[str], order: Sequence[str],
+                    label_col: str, out: str = "segment_id") -> DataFrame:
+    """W3 — run-length segmentation: new segment whenever `label_col` changes
+    (null-safe), per partition in `order`.  Same cumsum pattern as W2."""
+    w = _w(part, order)
+    changed = ~F.lag(F.col(label_col)).over(w).eqNullSafe(F.col(label_col))
+    new = F.when(changed.isNull() | changed, F.lit(1)).otherwise(F.lit(0))
+    return df.withColumn(
+        out,
+        F.sum(new).over(w.rowsBetween(Window.unboundedPreceding, 0)) - F.lit(1))
+
+
+def segment_spans(df: DataFrame, part: Sequence[str], seg_col: str,
+                  ts_col: str, label_col: str) -> DataFrame:
+    """W4 — collapse segments to (start, end, label, n) spans; a segment's
+    end is the next segment's start (last segment ends at its last row)."""
+    agg = (df.groupBy(*part, seg_col)
+             .agg(F.min(ts_col).alias("start_ts"),
+                  F.max(ts_col).alias("last_ts"),
+                  F.first(label_col).alias(label_col),
+                  F.count(F.lit(1)).alias("n_rows")))
+    w = _w(part, ["start_ts"])
+    return agg.withColumn("end_ts",
+                          F.coalesce(F.lead("start_ts").over(w), F.col("last_ts")))
+
+
+def interval_overlap_join(a: DataFrame, b: DataFrame, keys: Sequence[str],
+                          a_start: str = "start_ts", a_end: str = "end_ts",
+                          b_start: str = "start_ts", b_end: str = "end_ts",
+                          overlap_col: str = "overlap_s") -> DataFrame:
+    """J3 — per-key interval intersection: a.start < b.end AND b.start < a.end,
+    with overlap seconds = least(ends) - greatest(starts).
+    Reference: REF compare.py [M] (ground-truth episode alignment)."""
+    bb = b
+    for c in (b_start, b_end):
+        bb = bb.withColumnRenamed(c, f"b_{c}")
+    joined = a.join(bb, list(keys), "inner").filter(
+        (epoch_s(F.col(a_start)) < epoch_s(F.col(f"b_{b_end}")))
+        & (epoch_s(F.col(f"b_{b_start}")) < epoch_s(F.col(a_end))))
+    return joined.withColumn(
+        overlap_col,
+        F.least(epoch_s(F.col(a_end)), epoch_s(F.col(f"b_{b_end}")))
+        - F.greatest(epoch_s(F.col(a_start)), epoch_s(F.col(f"b_{b_start}"))))
+
+
+def topk_per_group(df: DataFrame, part: Sequence[str], order_col: str,
+                   k: int, desc: bool = True,
+                   tiebreak: Sequence[str] = ()) -> DataFrame:
+    """O2 — top-k rows per group (rank by `order_col`, then `tiebreak`
+    ascending for a deterministic total order)."""
+    order = [F.col(order_col).desc() if desc else F.col(order_col).asc()]
+    order += [F.col(c).asc() for c in tiebreak]
+    w = _w(part, order)
+    return (df.withColumn("_rk", F.row_number().over(w))
+              .filter(F.col("_rk") <= k).drop("_rk"))
+
+
+def asof_join(left: DataFrame, right: DataFrame, keys: Sequence[str],
+              left_ts: str, right_ts: str,
+              value_cols: Sequence[str]) -> DataFrame:
+    """J6 — as-of join: for each left row, the latest right row with
+    right_ts <= left_ts (per key).  Union-merge + last(ignoreNulls) running
+    window — no per-row Python, single shuffle on (keys).
+    """
+    lt = left.withColumn("_side", F.lit(1)).withColumn("_ats", F.col(left_ts))
+    rt = (right.select(*keys, F.col(right_ts).alias("_ats"),
+                       *[F.col(c) for c in value_cols])
+               .withColumn("_side", F.lit(0)))
+    for c in left.columns:
+        if c not in rt.columns:
+            rt = rt.withColumn(c, F.lit(None))
+    for c in value_cols:
+        if c not in lt.columns:
+            lt = lt.withColumn(c, F.lit(None))
+    u = lt.select(*lt.columns).unionByName(rt.select(*lt.columns))
+    w = (Window.partitionBy(*keys).orderBy("_ats", "_side")
+               .rowsBetween(Window.unboundedPreceding, 0))
+    for c in value_cols:
+        u = u.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+    return u.filter(F.col("_side") == 1).drop("_side", "_ats")
+
+
+def salted_join(big: DataFrame, small: DataFrame, key: str, salt: int,
+                how: str = "inner") -> DataFrame:
+    """Skew-safe equi-join (SURVEY.md §4.2, BASELINE.json:6 'salted
+    repartitioning for hot-cell skew'): the big side gets a random-ish salt
+    derived from a stable hash of its other columns; the small side is
+    exploded x`salt`.  Use when one join key dominates (hot cell / mega-host)
+    and the small side is too big to broadcast outright.
+    """
+    big_s = big.withColumn("_salt", F.pmod(F.xxhash64(*big.columns), F.lit(salt)))
+    small_s = (small.withColumn("_salt",
+                                F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+                    .withColumn("_salt", F.col("_salt").cast("long")))
+    out = big_s.join(small_s, [key, "_salt"], how)
+    return out.drop("_salt")

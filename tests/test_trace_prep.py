@@ -1,0 +1,110 @@
+"""Trace-prep pipeline tests (SURVEY.md §5.2): fused-kernel vs window-expr
+contract, mass conservation, partitioning invariance, plan shape."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from engine import ops, trace_prep
+from engine.config import DEFAULT
+
+
+def test_extract_points_basic(unit_pages_sdf, unit_pages):
+    pts = trace_prep.extract_points(unit_pages_sdf)
+    pdf = pts.toPandas()
+    assert len(pdf) > 0
+    # all extracted accuracies pass F2
+    assert (pdf["acc_m"] <= DEFAULT.min_accuracy_m).all()
+    # host parsed from url
+    assert pdf["host"].str.match(r"host\d{4}\.example").all()
+    # byte-stability (X5): re-parsing the printed token reproduces the floats
+    raw = unit_pages[0].set_index("url")["text"]
+    sample = pdf.sample(50, random_state=1)
+    for _, r in sample.iterrows():
+        assert f"[geo:{r.lat:.6f},{r.lon:.6f};acc={r.acc_m:.1f}]" in raw[r.url]
+
+
+def test_fused_kernel_matches_window_ops(spark, unit_pages_sdf):
+    """The Arrow kernel (F3+G1+W2+A1) must agree with the declarative
+    window-expression forms in engine/ops.py on the rows it keeps."""
+    raw = trace_prep.extract_points(unit_pages_sdf)
+    fused = trace_prep.prep_points(raw).cache()
+
+    surviving = fused.select("url")
+    via_ops = (raw.join(surviving, "url", "left_semi"))
+    via_ops = ops.sessionize(via_ops, ["host"], "warc_ts", DEFAULT.gap_s)
+    via_ops = ops.time_weights(via_ops, ["host", "subset_id"], "warc_ts")
+
+    a = fused.select("url", "subset_id", "weight_s").toPandas().set_index("url").sort_index()
+    b = via_ops.select("url", "subset_id", "weight_s").toPandas().set_index("url").sort_index()
+    assert len(a) == len(b)
+    pd.testing.assert_series_equal(a["subset_id"].astype("int64"),
+                                   b["subset_id"].astype("int64"))
+    np.testing.assert_allclose(a["weight_s"], b["weight_s"], atol=1e-6)
+
+
+def test_seq_dedup_and_jump_removal(spark, unit_pages_sdf):
+    raw = trace_prep.extract_points(unit_pages_sdf)
+    fused = trace_prep.prep_points(raw).toPandas()
+    # F3: no surviving consecutive duplicates per host
+    for _, g in fused.sort_values(["host", "warc_ts", "url"]).groupby("host"):
+        lat, lon = g["lat"].to_numpy(), g["lon"].to_numpy()
+        dup = (lat[1:] == lat[:-1]) & (lon[1:] == lon[:-1])
+        assert not dup.any()
+    # G1: no surviving interior point with implausible speed on both sides
+    from engine.geo import haversine_m
+    for _, g in fused.sort_values(["host", "warc_ts", "url"]).groupby("host"):
+        t = g["warc_ts"].to_numpy("datetime64[us]").astype(np.int64) / 1e6
+        d = haversine_m(g["lat"].to_numpy()[:-1], g["lon"].to_numpy()[:-1],
+                        g["lat"].to_numpy()[1:], g["lon"].to_numpy()[1:])
+        speed = d / np.maximum(np.diff(t), 1e-9)
+        fast = speed > DEFAULT.max_speed_ms
+        assert not (fast[:-1] & fast[1:]).any()
+
+
+def test_weights_sum_to_observed_span(spark, unit_pages_sdf):
+    fused = trace_prep.prep_points(trace_prep.extract_points(unit_pages_sdf))
+    agg = (fused.groupBy("host", "subset_id")
+           .agg(F.sum("weight_s").alias("w"),
+                (F.max(F.col("warc_ts").cast("double"))
+                 - F.min(F.col("warc_ts").cast("double"))).alias("span"))
+           .toPandas())
+    np.testing.assert_allclose(agg["w"], agg["span"], atol=1e-6)
+
+
+def test_interpolation_mass_conservation(spark, unit_pages_sdf):
+    fused = trace_prep.prep_points(trace_prep.extract_points(unit_pages_sdf))
+    sites = trace_prep.interpolate_sites(fused)
+    m = (sites.groupBy("host", "subset_id").agg(F.sum("mass_s").alias("mass"))
+         .toPandas().set_index(["host", "subset_id"]).sort_index())
+    span = (fused.groupBy("host", "subset_id")
+            .agg((F.max(F.col("warc_ts").cast("double"))
+                  - F.min(F.col("warc_ts").cast("double"))).alias("span"))
+            .filter(F.col("span") > 0)
+            .toPandas().set_index(["host", "subset_id"]).sort_index())
+    joined = span.join(m, how="left")
+    np.testing.assert_allclose(joined["mass"], joined["span"], atol=1e-6)
+
+
+def test_partitioning_invariance(spark, unit_pages_sdf):
+    """Output identical at 1 vs 8 shuffle partitions (SURVEY.md §5.2.3)."""
+    outs = []
+    for in_parts, shuf in ((2, 2), (16, 8)):
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuf))
+        df = trace_prep.geopoints(unit_pages_sdf.repartition(in_parts))
+        outs.append(df.toPandas().sort_values("url").reset_index(drop=True)
+                    [["url", "subset_id", "weight_s", "cell_id"]])
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_geopoints_cell_level(spark, unit_pages_sdf):
+    from engine import geo
+    gp = trace_prep.geopoints(unit_pages_sdf).limit(200).toPandas()
+    assert (geo.cell_level(gp["cell_id"].to_numpy(np.int64))
+            == DEFAULT.cell_level).all()
+    # cell centers are near the points
+    clat, clon = geo.cell_center_latlng(gp["cell_id"].to_numpy(np.int64),
+                                        DEFAULT.cell_level)
+    d = geo.haversine_m(gp["lat"], gp["lon"], clat, clon)
+    assert d.max() < 2 * geo.cell_edge_m(DEFAULT.cell_level)
