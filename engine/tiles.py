@@ -1,0 +1,230 @@
+"""Raster<->vector KDE tiling + point-in-polygon join + skew utilities.
+
+SURVEY.md §2.8 (graft-mandated tiling), §2.3 J4 (PIP join), §4.2 (hot-cell
+salting).  This is the GLOBAL (cross-host) twin of the per-host KDE kernel:
+
+  raster:  cell_density    groupBy(cell).sum(mass)        — 1 shuffle
+           kring_smooth    Gaussian ring-stencil join      — 1 shuffle
+           rollup_pyramid  groupBy(parent(cell)) per level — native bit math,
+                                                             1 shuffle/level
+  vector:  extract_components  threshold + connected components via
+                               iterative min-label propagation (ring-1
+                               equi-join, O(log diameter) rounds)
+  J4:      pip_join        two-phase: equi-join on exploded polygon cell
+                           cover (cheap prefilter) then exact vectorized
+                           ray-casting refine per polygon group.
+
+All cell ops are level-tagged int64 ids from engine.geo; parent is a native
+column expression (no UDF), so pyramid rollups stay in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import geo
+from .config import DEFAULT, EngineConfig
+from .functions import (make_cell_encode_udf, make_cell_neighbors_udf,
+                        parent_cell_col)
+
+
+def site_cells(sites: DataFrame, cfg: EngineConfig = DEFAULT,
+               level: int | None = None) -> DataFrame:
+    """Attach cell ids to KDE mass sites (trace_prep.interpolate_sites)."""
+    lvl = level if level is not None else cfg.cell_level
+    enc = make_cell_encode_udf(lvl)
+    return sites.withColumn("cell_id", enc(F.col("site_lat"), F.col("site_lon")))
+
+
+def cell_density(sites: DataFrame, cfg: EngineConfig = DEFAULT,
+                 level: int | None = None,
+                 by_host: bool = False) -> DataFrame:
+    """A2-global raster: total dwell-seconds per cell (optionally per host)."""
+    df = site_cells(sites, cfg, level)
+    keys = (["host", "cell_id"] if by_host else ["cell_id"])
+    return df.groupBy(*keys).agg(F.sum("mass_s").alias("mass_s"))
+
+
+def _ring_weights(k: int, sigma_cells: float) -> list[float]:
+    off = np.arange(-k, k + 1, dtype=np.float64)
+    g1 = np.exp(-0.5 * (off / sigma_cells) ** 2)
+    g2 = np.outer(g1, g1)  # row-major matches cell_neighbors offset order
+    g2 /= g2.sum()
+    return [float(v) for v in g2.ravel()]
+
+
+def kring_smooth(density: DataFrame, cfg: EngineConfig = DEFAULT,
+                 level: int | None = None, k: int = 1,
+                 sigma_cells: float = 1.0) -> DataFrame:
+    """Gaussian ring-stencil smoothing of a cell raster (one shuffle).
+
+    Each cell scatters its mass into its (2k+1)^2 neighborhood with
+    normalized Gaussian weights; total mass is conserved.  The neighbor
+    array from engine.geo.cell_neighbors is offset-ordered row-major, which
+    is exactly the weight order produced here.
+    """
+    lvl = level if level is not None else cfg.cell_level
+    neigh = make_cell_neighbors_udf(lvl, k=k)
+    w = F.lit(_ring_weights(k, sigma_cells))
+    exploded = (density
+                .select("mass_s", F.posexplode(neigh(F.col("cell_id")))
+                        .alias("pos", "ncell"))
+                .select(F.col("ncell").alias("cell_id"),
+                        (F.col("mass_s")
+                         * F.element_at(w, F.col("pos") + 1)).alias("m")))
+    return exploded.groupBy("cell_id").agg(F.sum("m").alias("mass_s"))
+
+
+def rollup_pyramid(density: DataFrame, cfg: EngineConfig = DEFAULT,
+                   levels: tuple[int, ...] | None = None,
+                   base_level: int | None = None) -> DataFrame:
+    """Tile pyramid: union of per-level rollups (level, cell_id, mass_s).
+
+    Parent ids are pure bit math (parent_cell_col) — stays in codegen; each
+    level is one partial-aggregated shuffle of the already-small raster.
+    """
+    lvls = levels if levels is not None else cfg.tile_levels
+    base = base_level if base_level is not None else cfg.cell_level
+    out = None
+    for lvl in lvls:
+        if lvl == base:
+            d = density.select(F.lit(lvl).alias("level"), "cell_id", "mass_s")
+        else:
+            d = (density
+                 .groupBy(parent_cell_col(F.col("cell_id"), lvl).alias("cell_id"))
+                 .agg(F.sum("mass_s").alias("mass_s"))
+                 .select(F.lit(lvl).alias("level"), "cell_id", "mass_s"))
+        out = d if out is None else out.unionByName(d)
+    return out
+
+
+def extract_components(density: DataFrame, threshold_s: float,
+                       cfg: EngineConfig = DEFAULT,
+                       level: int | None = None,
+                       max_iters: int = 12) -> DataFrame:
+    """Vector extraction: super-threshold cells -> connected components
+    (ring-1 adjacency) via iterative min-label propagation.
+
+    Converges in O(log component-diameter) rounds with path doubling through
+    the label table; bounded by max_iters (12 covers diameter 4096 tiles).
+    Returns (component_id, cell_id, mass_s).
+    """
+    lvl = level if level is not None else cfg.cell_level
+    neigh = make_cell_neighbors_udf(lvl, k=1)
+    hot = (density.filter(F.col("mass_s") >= F.lit(threshold_s))
+           .select("cell_id", "mass_s")
+           .withColumn("label", F.col("cell_id")))
+    hot = hot.cache()
+    hot.count()
+    edges = (hot.select("cell_id", F.explode(F.array_distinct(
+        neigh(F.col("cell_id")))).alias("ncell"))
+        .filter(F.col("cell_id") != F.col("ncell")))
+    # keep only edges between two hot cells
+    edges = (edges.join(hot.select(F.col("cell_id").alias("ncell")), "ncell",
+                        "left_semi")).cache()
+    cur = hot.select("cell_id", "label")
+    for _ in range(max_iters):
+        nbr_min = (edges.join(cur.withColumnRenamed("cell_id", "ncell")
+                              .withColumnRenamed("label", "nlabel"), "ncell")
+                   .groupBy("cell_id").agg(F.min("nlabel").alias("nbr_label")))
+        nxt = (cur.join(nbr_min, "cell_id", "left")
+               .select("cell_id",
+                       F.least(F.col("label"),
+                               F.coalesce(F.col("nbr_label"), F.col("label")))
+                       .alias("label")))
+        nxt = nxt.cache()
+        changed = (nxt.join(cur.withColumnRenamed("label", "old"), "cell_id")
+                   .filter(F.col("label") != F.col("old")).limit(1).count())
+        cur = nxt
+        if changed == 0:
+            break
+    return (hot.select("cell_id", "mass_s")
+            .join(cur.withColumnRenamed("label", "component_id"), "cell_id"))
+
+
+# ---------------------------------------------------------------------------
+# J4 — point-in-polygon join
+# ---------------------------------------------------------------------------
+
+def with_cell_cover(polygons: DataFrame, cfg: EngineConfig = DEFAULT,
+                    level: int | None = None) -> DataFrame:
+    """Attach the superset cell cover (array<long>) to each polygon.
+
+    Batched per Arrow chunk; the per-polygon cover computation itself is
+    vectorized numpy (engine.geo.polygon_cell_cover).  Polygons are the
+    small side of J4, so this runs once over a small table.
+    """
+    lvl = level if level is not None else cfg.cell_level
+    schema = T.StructType(polygons.schema.fields
+                          + [T.StructField("cell_cover",
+                                           T.ArrayType(T.LongType()))])
+
+    def add_cover(it):
+        for pdf in it:
+            covers = [geo.polygon_cell_cover(np.array(list(ring), dtype=np.float64),
+                                             lvl).tolist()
+                      for ring in pdf["ring"]]
+            yield pdf.assign(cell_cover=covers)
+
+    return polygons.mapInPandas(add_cover, schema=schema)
+
+
+def pip_join(points: DataFrame, polygons_with_cover: DataFrame,
+             cfg: EngineConfig = DEFAULT,
+             broadcast_polygons: bool = True) -> DataFrame:
+    """J4 — (point, polygon) pairs where the point lies inside the polygon.
+
+    Phase 1: equi-join point.cell_id against the exploded polygon cover
+    (broadcast by default — the polygon side is small).
+    Phase 2: exact ray-casting refine, vectorized per polygon group.
+    Points must carry (url, lat, lon, cell_id) at cfg.cell_level.
+    """
+    cover = (polygons_with_cover
+             .select("polygon_id", "ring",
+                     F.explode("cell_cover").alias("cell_id")))
+    if broadcast_polygons:
+        cover = F.broadcast(cover)
+    cand = points.select("url", "lat", "lon", "cell_id").join(cover, "cell_id")
+
+    def refine(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame({"url": pd.Series(dtype=str),
+                                 "polygon_id": pd.Series(dtype="int64")})
+        ring = np.array(list(pdf["ring"].iloc[0]), dtype=np.float64)
+        inside = geo.points_in_ring(pdf["lon"].to_numpy(np.float64),
+                                    pdf["lat"].to_numpy(np.float64), ring)
+        out = pdf.loc[inside, ["url", "polygon_id"]]
+        return out
+
+    return (cand.groupBy("polygon_id")
+            .applyInPandas(refine, schema="url string, polygon_id long"))
+
+
+# ---------------------------------------------------------------------------
+# skew: hot-cell detection + salted aggregation
+# ---------------------------------------------------------------------------
+
+def hot_keys(df: DataFrame, key: str, threshold: int) -> DataFrame:
+    """Heavy-hitter keys by exact count (cheap: partial-agg count shuffle)."""
+    return (df.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= threshold).select(key, "n"))
+
+
+def salted_cell_density(sites: DataFrame, cfg: EngineConfig = DEFAULT,
+                        level: int | None = None) -> DataFrame:
+    """cell_density with two-stage (salted) aggregation: partial sums on
+    (cell_id, salt) then final on cell_id.  Use when a handful of cells
+    dominate (BASELINE.json:6 hot-cell skew).  Same result, bounded
+    per-task key volume.
+    """
+    df = site_cells(sites, cfg, level)
+    salted = df.withColumn("_salt", F.pmod(F.xxhash64("site_lat", "site_lon",
+                                                      "mass_s"),
+                                           F.lit(cfg.salt_buckets)))
+    partial = (salted.groupBy("cell_id", "_salt")
+               .agg(F.sum("mass_s").alias("m")))
+    return partial.groupBy("cell_id").agg(F.sum("m").alias("mass_s"))

@@ -1,0 +1,136 @@
+"""Tiling engine + PIP join tests (SURVEY.md §2.8, §2.3 J4)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from engine import geo, ops, tiles, trace_prep
+from engine.config import DEFAULT
+from engine.datagen import gen_activity_polygons
+
+
+@pytest.fixture(scope="module")
+def sites(spark, unit_pages_sdf):
+    gp = trace_prep.prep_points(trace_prep.extract_points(unit_pages_sdf))
+    return trace_prep.interpolate_sites(gp).cache()
+
+
+@pytest.fixture(scope="module")
+def geopoints(spark, unit_pages_sdf):
+    return trace_prep.geopoints(unit_pages_sdf).cache()
+
+
+def test_cell_density_mass_conservation(sites):
+    total_sites = sites.agg(F.sum("mass_s")).collect()[0][0]
+    dens = tiles.cell_density(sites)
+    total_cells = dens.agg(F.sum("mass_s")).collect()[0][0]
+    assert abs(total_sites - total_cells) < 1e-6
+    # cells are level-tagged correctly
+    cells = dens.limit(100).toPandas()["cell_id"].to_numpy(np.int64)
+    assert (geo.cell_level(cells) == DEFAULT.cell_level).all()
+
+
+def test_kring_smooth_conserves_mass(sites):
+    dens = tiles.cell_density(sites)
+    sm = tiles.kring_smooth(dens)
+    a = dens.agg(F.sum("mass_s")).collect()[0][0]
+    b = sm.agg(F.sum("mass_s")).collect()[0][0]
+    assert abs(a - b) / a < 1e-9
+
+
+def test_rollup_pyramid_levels(sites):
+    dens = tiles.cell_density(sites).cache()
+    pyr = tiles.rollup_pyramid(dens).cache()
+    pdf = (pyr.groupBy("level").agg(F.sum("mass_s").alias("m"),
+                                    F.count(F.lit(1)).alias("n"))
+           .toPandas().set_index("level").sort_index())
+    # mass conserved at every level; coarser level -> fewer cells
+    base = pdf["m"].iloc[-1]
+    assert np.allclose(pdf["m"], base, atol=1e-5)
+    assert (pdf["n"].diff().dropna() > 0).all()  # 10 < 12 < 14 < 16 cells
+    # parent consistency: every level-14 cell is the bit-math parent of its
+    # level-16 children
+    c16 = pyr.filter(F.col("level") == 16).select("cell_id").toPandas()
+    c14 = set(pyr.filter(F.col("level") == 14).select("cell_id")
+              .toPandas()["cell_id"])
+    parents = geo.cell_parent(c16["cell_id"].to_numpy(np.int64), 14)
+    assert set(parents.tolist()) == c14
+
+
+def test_extract_components_near_stops(spark, sites, unit_pages):
+    _, stops, _ = unit_pages
+    dens = tiles.cell_density(sites)
+    comp = tiles.extract_components(dens, DEFAULT.kde_time_threshold_s).cache()
+    pdf = comp.toPandas()
+    assert len(pdf) > 0
+    # every component's mass-weighted center is within ~200 m of a planted stop
+    lat, lon = geo.cell_center_latlng(pdf["cell_id"].to_numpy(np.int64),
+                                      DEFAULT.cell_level)
+    pdf["lat"], pdf["lon"] = lat, lon
+    agg = pdf.groupby("component_id").apply(
+        lambda g: pd.Series({
+            "lat": (g["lat"] * g["mass_s"]).sum() / g["mass_s"].sum(),
+            "lon": (g["lon"] * g["mass_s"]).sum() / g["mass_s"].sum()}),
+        include_groups=False)
+    for _, r in agg.iterrows():
+        d = geo.haversine_m(r["lat"], r["lon"], stops["lat"], stops["lon"])
+        assert d.min() < 200.0
+    # labels are stable cell ids: components disjoint
+    assert pdf.groupby("cell_id").size().max() == 1
+
+
+def _polygons_sdf(spark, unit_pages):
+    _, stops, _ = unit_pages
+    polys = gen_activity_polygons(stops)
+    schema = T.StructType([
+        T.StructField("polygon_id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("ring", T.ArrayType(T.ArrayType(T.DoubleType()))),
+    ])
+    return spark.createDataFrame(polys, schema=schema)
+
+
+def test_pip_join_matches_bruteforce(spark, geopoints, unit_pages):
+    polys = _polygons_sdf(spark, unit_pages)
+    covered = tiles.with_cell_cover(polys).cache()
+    got = (tiles.pip_join(geopoints, covered)
+           .toPandas().sort_values(["url", "polygon_id"]).reset_index(drop=True))
+
+    # brute force oracle: every point against every polygon ring
+    pts = geopoints.select("url", "lat", "lon").toPandas()
+    polys_pd = covered.select("polygon_id", "ring").toPandas()
+    rows = []
+    for _, pr in polys_pd.iterrows():
+        ring = np.array(list(pr["ring"]), dtype=np.float64)
+        inside = geo.points_in_ring(pts["lon"].to_numpy(),
+                                    pts["lat"].to_numpy(), ring)
+        for u in pts.loc[inside, "url"]:
+            rows.append((u, pr["polygon_id"]))
+    want = (pd.DataFrame(rows, columns=["url", "polygon_id"])
+            .sort_values(["url", "polygon_id"]).reset_index(drop=True))
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_salted_join_equals_plain_join(spark, geopoints):
+    dim = spark.createDataFrame(
+        pd.DataFrame({"host": [f"host{h:04d}.example" for h in range(8)],
+                      "grp": list("ABABABAB")}))
+    big = geopoints.select("host", "url")
+    plain = big.join(dim, "host").select("url", "grp")
+    salted = ops.salted_join(big, dim, "host", salt=4).select("url", "grp")
+    a = plain.toPandas().sort_values(["url", "grp"]).reset_index(drop=True)
+    b = salted.toPandas().sort_values(["url", "grp"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_salted_cell_density_equals_plain(sites):
+    a = (tiles.cell_density(sites).toPandas()
+         .sort_values("cell_id").reset_index(drop=True))
+    b = (tiles.salted_cell_density(sites).toPandas()
+         .sort_values("cell_id").reset_index(drop=True))
+    assert len(a) == len(b)
+    np.testing.assert_array_equal(a["cell_id"], b["cell_id"])
+    np.testing.assert_allclose(a["mass_s"], b["mass_s"], atol=1e-6)
