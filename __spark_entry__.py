@@ -185,6 +185,139 @@ def q_geo_sessions(spark, sf_dir):
                  F.round(F.sum("weight_s"), 6).alias("observed_s")))
 
 
+def _event_locations(spark, sf_dir):
+    """Per-user stop centers as a locations table (host, location_id,
+    lat, lon) — same integer arithmetic as web_pages_from_events so the
+    DuckDB oracle reproduces it exactly."""
+    ev = _t(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("long")
+    stop = F.col("location_id").cast("long")
+    base = (ev.select("user_id").distinct()
+            .crossJoin(spark.range(3).select(F.col("id").cast("int")
+                                             .alias("location_id"))))
+    lat = (F.pmod(uid * F.lit(2654435761) + stop * F.lit(40503) + F.lit(17),
+                  F.lit(120000001)).cast("double") / 1e6 - 60.0)
+    lon = (F.pmod(uid * F.lit(2654435761) + stop * F.lit(40503) + F.lit(9176),
+                  F.lit(350000001)).cast("double") / 1e6 - 175.0)
+    return base.select(
+        F.format_string("host%04d.example",
+                        F.pmod(uid, F.lit(10000)).cast("int")).alias("host"),
+        "location_id", lat.alias("lat"), lon.alias("lon"))
+
+
+def q_j1_knn_assign(spark, sf_dir):
+    """J1 via the engine's cell-index kNN join; oracle is brute-force
+    SQL haversine — a REAL check that the ring-1 candidate join finds the
+    true nearest neighbor."""
+    from engine.episodes import knn_assign
+    ev = _t(spark, sf_dir, "events")
+    pts = trace_prep.with_cell(
+        trace_prep.extract_points(web_pages_from_events(ev), DEFAULT), DEFAULT)
+    locs = _event_locations(spark, sf_dir)
+    out = knn_assign(pts, locs, DEFAULT, broadcast_locations=True)
+    return out.select("url", F.col("location_id").cast("long")
+                      .alias("location_id"))
+
+
+def q_text_token_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    from engine.text import token_stats
+    return token_stats(docs).select("doc_id", "n_ws_tokens", "n_word_tokens")
+
+
+def q_text_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    from engine.text import quality_score
+    return quality_score(docs).select(
+        "doc_id", "digit_ratio", "punct_ratio", "upper_ratio",
+        "stop_ratio", "mean_word_len", "quality")
+
+
+def q_lang_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    from engine.text import lang_id
+    return lang_id(docs).select("doc_id", "lang_guess")
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    from engine.text import ngram_jaccard_pairs
+    return ngram_jaccard_pairs(docs, threshold=0.2).select("a", "b", "jaccard")
+
+
+def q_ann_topk_bruteforce(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    from engine.similarity import cosine_topk_bruteforce
+    out = cosine_topk_bruteforce(emb, k=3)
+    return out.select("a", "b", F.col("rk").cast("long").alias("rk"))
+
+
+# rows-only (LSH internals use engine-specific hashing)
+def q_dedup_minhash_lsh(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    from engine.text import dedup_minhash
+    return dedup_minhash(docs, threshold=0.5)
+
+
+def q_simhash_near_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    from engine.text import simhash, simhash_near_pairs
+    return simhash_near_pairs(simhash(docs), max_hamming=8)
+
+
+def q_ann_topk_lsh(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    from engine.similarity import ann_cosine_topk
+    return ann_cosine_topk(emb, k=3, dim=64, bits=12, bands=6)
+
+
+def q_tiles_pyramid(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    from engine import tiles
+    gp = trace_prep.prep_points(
+        trace_prep.extract_points(web_pages_from_events(ev), DEFAULT), DEFAULT)
+    sites = trace_prep.interpolate_sites(gp, DEFAULT)
+    dens = tiles.cell_density(sites, DEFAULT)
+    pyr = tiles.rollup_pyramid(dens, DEFAULT)
+    return pyr.select("level", "cell_id", F.round("mass_s", 4).alias("mass_s"))
+
+
+def q_j4_pip(spark, sf_dir):
+    """J4 over hexagonal polygons planted around each stop center."""
+    from engine import tiles
+    ev = _t(spark, sf_dir, "events")
+    pts = trace_prep.with_cell(
+        trace_prep.extract_points(web_pages_from_events(ev), DEFAULT), DEFAULT)
+    locs = _event_locations(spark, sf_dir)
+    hexes = spark.range(6).select((F.col("id").cast("double") * (3.14159265358979
+                                   / 3.0)).alias("ang"))
+    polys = (locs.crossJoin(hexes)
+             .select((F.col("host")), (F.col("location_id")),
+                     (F.col("lat") + 120.0 / 111320.0 * F.sin("ang")).alias("vlat"),
+                     (F.col("lon") + 120.0 / 111320.0 * F.cos("ang")
+                      / F.cos(F.radians("lat"))).alias("vlon"), "ang")
+             .groupBy("host", "location_id")
+             .agg(F.sort_array(F.collect_list(F.struct("ang", "vlon", "vlat")))
+                  .alias("verts"))
+             .select((F.xxhash64("host", "location_id")).alias("polygon_id"),
+                     F.concat(F.transform("verts", lambda v:
+                                          F.array(v["vlon"], v["vlat"])),
+                              F.transform(F.slice("verts", 1, 1), lambda v:
+                                          F.array(v["vlon"], v["vlat"])))
+                     .alias("ring")))
+    covered = tiles.with_cell_cover(polys, DEFAULT)
+    return tiles.pip_join(pts, covered, DEFAULT)
+
+
+def q_media_decode(spark, sf_dir):
+    from engine import multimodal
+    ev = _t(spark, sf_dir, "events")
+    pages = web_pages_from_events(ev).limit(500)
+    feats = multimodal.decode_features(multimodal.attach_media(pages))
+    return feats.select("url", F.round(F.element_at("features", 1), 6)
+                        .alias("f0"), "decode_error")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "w2_sessionize": q_w2_sessionize,
@@ -201,6 +334,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "dedup_exact": q_dedup_exact,
         "geo_sessions": q_geo_sessions,
+        "j1_knn_assign": q_j1_knn_assign,
+        "text_token_stats": q_text_token_stats,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "ann_topk_bruteforce": q_ann_topk_bruteforce,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "simhash_near_pairs": q_simhash_near_pairs,
+        "ann_topk_lsh": q_ann_topk_lsh,
+        "tiles_pyramid": q_tiles_pyramid,
+        "j4_pip": q_j4_pip,
+        "media_decode": q_media_decode,
     }
 
 
@@ -410,5 +555,146 @@ GROUP BY l_returnflag, l_linestatus
         "dedup_exact": """
 SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
 FROM documents GROUP BY text
+""",
+        "j1_knn_assign": f"""
+WITH {_PAGES_CTE},
+pts AS (
+  SELECT url,
+         regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host,
+         TRY_CAST(regexp_extract(text, '{_GEOTAG_RE_SQL}', 1) AS DOUBLE) AS lat,
+         TRY_CAST(regexp_extract(text, '{_GEOTAG_RE_SQL}', 2) AS DOUBLE) AS lon
+  FROM pages
+  WHERE lang IN ('en', 'fr', 'de')
+    AND TRY_CAST(regexp_extract(text, '{_GEOTAG_RE_SQL}', 1) AS DOUBLE) IS NOT NULL
+    AND TRY_CAST(regexp_extract(text, '{_GEOTAG_RE_SQL}', 3) AS DOUBLE) <= 100.0
+),
+locs AS (
+  SELECT printf('host%04d.example', CAST(user_id %% 10000 AS INT)) AS host,
+         s.location_id,
+         ((CAST(user_id AS BIGINT) * 2654435761 + s.location_id * 40503 + 17)
+          %% 120000001) / 1e6 - 60.0 AS lat,
+         ((CAST(user_id AS BIGINT) * 2654435761 + s.location_id * 40503 + 9176)
+          %% 350000001) / 1e6 - 175.0 AS lon
+  FROM (SELECT DISTINCT user_id FROM events)
+  CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS location_id) s
+),
+cand AS (
+  SELECT p.url, l.location_id,
+         2.0 * 6371008.8 * asin(sqrt(least(greatest(
+           pow(sin((radians(l.lat) - radians(p.lat)) / 2.0), 2)
+           + cos(radians(p.lat)) * cos(radians(l.lat))
+             * pow(sin((radians(l.lon) - radians(p.lon)) / 2.0), 2),
+           0.0), 1.0))) AS d
+  FROM pts p JOIN locs l USING (host)
+),
+best AS (
+  SELECT url, location_id,
+         row_number() OVER (PARTITION BY url ORDER BY d, location_id) AS rk
+  FROM cand WHERE d <= 100.0
+)
+SELECT p.url, CAST(b.location_id AS BIGINT) AS location_id
+FROM pts p LEFT JOIN (SELECT url, location_id FROM best WHERE rk = 1) b
+USING (url)
+""".replace("%%", "%"),
+        "text_token_stats": r"""
+SELECT doc_id,
+       CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                            x -> x <> '')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(list_filter(regexp_split_to_array(lower(text), '\W+'),
+                            x -> x <> '')) AS BIGINT) AS n_word_tokens
+FROM documents
+""",
+        "text_quality": r"""
+WITH base AS (
+  SELECT doc_id, CAST(length(text) AS DOUBLE) AS n,
+         list_filter(regexp_split_to_array(lower(text), '\W+'),
+                     x -> x <> '') AS toks,
+         CAST(length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS nd,
+         CAST(length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE) AS np,
+         CAST(length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) AS nu
+  FROM documents
+),
+ratios AS (
+  SELECT doc_id, n, toks,
+         ROUND((n - nd) / greatest(n, 1.0), 6) AS digit_ratio,
+         ROUND((n - np) / greatest(n, 1.0), 6) AS punct_ratio,
+         ROUND((n - nu) / greatest(n, 1.0), 6) AS upper_ratio,
+         CAST(len(toks) AS DOUBLE) AS nw,
+         CAST(len(list_intersect(list_distinct(toks),
+              ['the','and','of','to','is','was','for'])) AS DOUBLE) AS stop_n
+  FROM base
+),
+r2 AS (
+  SELECT doc_id, digit_ratio, punct_ratio, upper_ratio, nw,
+         ROUND(stop_n / greatest(nw, 1.0), 6) AS stop_ratio,
+         ROUND(CAST(list_sum(list_transform(toks, x -> length(x)))
+                    AS DOUBLE) / greatest(nw, 1.0), 6) AS mean_word_len
+  FROM ratios
+)
+SELECT doc_id, digit_ratio, punct_ratio, upper_ratio, stop_ratio,
+       COALESCE(mean_word_len, 0.0) AS mean_word_len,
+       ROUND((1.0 - least(digit_ratio * 4, 1.0)) * 0.25
+             + (1.0 - least(punct_ratio * 4, 1.0)) * 0.25
+             + least(stop_ratio * 10, 1.0) * 0.25
+             + least(nw / 100.0, 1.0) * 0.25, 6) AS quality
+FROM r2
+""",
+        "lang_id": r"""
+WITH toks AS (
+  SELECT doc_id, list_distinct(list_filter(
+           regexp_split_to_array(lower(text), '\W+'), x -> x <> '')) AS t
+  FROM documents
+),
+sc AS (
+  SELECT doc_id,
+    len(list_intersect(t, ['the','and','of','to','is','was','for'])) AS s_en,
+    len(list_intersect(t, ['le','la','les','et','est','une','pour'])) AS s_fr,
+    len(list_intersect(t, ['der','die','das','und','ist','ein','nicht'])) AS s_de,
+    len(list_intersect(t, ['el','los','las','es','una','para','por'])) AS s_es
+  FROM toks
+)
+SELECT doc_id,
+  CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
+       WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+       WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+       WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+       ELSE 'fr' END AS lang_guess
+FROM sc
+""",
+        "dedup_ngram_jaccard": r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'),
+                             x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(t) - 2, 0) + 1),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+  FROM toks
+),
+pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b,
+         ROUND(CASE WHEN len(list_distinct(list_concat(a.s, b.s))) > 0
+               THEN CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.s, b.s)))
+               ELSE 0.0 END, 6) AS jaccard
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT a, b, jaccard FROM pairs WHERE jaccard >= 0.2
+""",
+        "ann_topk_bruteforce": """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nr FROM v),
+p AS (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         list_dot_product(a.e, b.e) / (a.nr * b.nr) AS sim
+  FROM n a CROSS JOIN n b WHERE a.vec_id <> b.vec_id
+)
+SELECT a, b, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY sim DESC, b) AS rk
+  FROM p
+) WHERE rk <= 3
 """,
     }

@@ -1,0 +1,117 @@
+"""Embedding similarity search over `embeddings(vec_id, embedding, label)`.
+
+Two paths (SURVEY-mandated scale posture):
+  * brute-force cosine top-k — exact baseline, native array exprs
+    (zip_with + aggregate, JVM-side), O(n^2) pairs: correctness oracle and
+    small-side path;
+  * LSH-bucketed ANN — random-hyperplane sign bits -> bucket equi-join on
+    (table, band) keys, exact cosine refine on candidates only.  The scale
+    path: shuffle on short keys, no cross join.
+Plus embedding-cosine near-dup pairs (sim >= threshold) on the same LSH.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return (df.withColumn("_v", v)
+            .withColumn("_norm", F.sqrt(_dot(F.col("_v"), F.col("_v")))))
+
+
+def cosine_topk_bruteforce(df: DataFrame, k: int = 5,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k cosine neighbors per vector (self-join).  Native exprs
+    only; use on small/filtered sides or as the recall oracle for ANN."""
+    n = with_norm(df, vec_col).select(F.col(id_col), "_v", "_norm")
+    a = n.select(F.col(id_col).alias("a"), F.col("_v").alias("va"),
+                 F.col("_norm").alias("na"))
+    b = n.select(F.col(id_col).alias("b"), F.col("_v").alias("vb"),
+                 F.col("_norm").alias("nb"))
+    pairs = (a.crossJoin(b).filter(F.col("a") != F.col("b"))
+             .withColumn("sim", _dot(F.col("va"), F.col("vb"))
+                         / (F.col("na") * F.col("nb"))))
+    w = Window.partitionBy("a").orderBy(F.col("sim").desc(), F.col("b").asc())
+    return (pairs.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("a", "b", F.round("sim", 4).alias("sim"), "rk"))
+
+
+def _hyperplanes(dim: int, bits: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((dim, bits))
+
+
+def lsh_sign_buckets(df: DataFrame, dim: int, bits: int = 16, bands: int = 4,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     seed: int = 42) -> DataFrame:
+    """Random-hyperplane LSH: `bits`-bit sign sketch split into `bands`
+    bucket keys.  One Arrow kernel (matrix multiply per batch)."""
+    H = _hyperplanes(dim, bits, seed)
+    r = bits // bands
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def bucket_udf(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        signs = ((M @ H) > 0).astype(np.int64)            # (n, bits)
+        pw = np.int64(1) << np.arange(r, dtype=np.int64)  # bucket key per band
+        keys = signs.reshape(len(M), bands, r) @ pw       # (n, bands)
+        return pd.Series(list(keys))
+
+    return df.withColumn("_buckets", bucket_udf(F.col(vec_col)))
+
+
+def _lsh_candidate_sims(df: DataFrame, dim: int, bits: int, bands: int,
+                        id_col: str, vec_col: str, seed: int) -> DataFrame:
+    """LSH candidate pairs (shared >= 1 band bucket) with exact cosine."""
+    b = lsh_sign_buckets(df, dim, bits, bands, id_col, vec_col, seed)
+    n = with_norm(b, vec_col).select(F.col(id_col), "_v", "_norm", "_buckets")
+    exploded = n.select(
+        F.col(id_col), "_v", "_norm",
+        F.posexplode("_buckets").alias("band", "bucket"))
+    l = exploded.select(F.col(id_col).alias("a"), F.col("_v").alias("va"),
+                        F.col("_norm").alias("na"), "band", "bucket")
+    r = exploded.select(F.col(id_col).alias("b"), F.col("_v").alias("vb"),
+                        F.col("_norm").alias("nb"), "band", "bucket")
+    cand = (l.join(r, ["band", "bucket"]).filter(F.col("a") != F.col("b"))
+            .select("a", "b", "va", "vb", "na", "nb").distinct())
+    return cand.withColumn("sim", _dot(F.col("va"), F.col("vb"))
+                           / (F.col("na") * F.col("nb")))
+
+
+def ann_cosine_topk(df: DataFrame, k: int = 5, dim: int = 64,
+                    bits: int = 16, bands: int = 4,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    seed: int = 42) -> DataFrame:
+    """ANN top-k: hyperplane-LSH candidates (union over bands) + exact
+    cosine refine.  Recall vs brute force is property-tested."""
+    sims = _lsh_candidate_sims(df, dim, bits, bands, id_col, vec_col, seed)
+    w = Window.partitionBy("a").orderBy(F.col("sim").desc(), F.col("b").asc())
+    return (sims.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("a", "b", F.round("sim", 4).alias("sim"), "rk"))
+
+
+def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
+                          dim: int = 64, bits: int = 16, bands: int = 4,
+                          id_col: str = "vec_id", vec_col: str = "embedding",
+                          seed: int = 42) -> DataFrame:
+    """Embedding-cosine near-dup pairs (a < b, sim >= threshold) via LSH
+    candidates + exact refine."""
+    sims = _lsh_candidate_sims(df, dim, bits, bands, id_col, vec_col, seed)
+    return (sims.filter((F.col("sim") >= threshold) & (F.col("a") < F.col("b")))
+            .select("a", "b", F.round("sim", 4).alias("sim")))

@@ -1,0 +1,322 @@
+"""Web-text operators for training-data pipelines over `documents`/web_pages.
+
+Graft-mandated beyond the reference's own inventory: deduplication (exact,
+MinHash+LSH, SimHash, n-gram Jaccard), language-ID heuristic, quality
+scoring, token counting, winnowing fingerprints.  Design rule: candidate
+GENERATION is native/LSH (scales to 10^12 docs: band-bucket equi-joins, no
+O(n^2)); exact VERIFICATION runs only on candidate pairs.
+
+Tokenization contract (shared by the DuckDB oracles in __spark_entry__.py):
+tokens = non-empty pieces of lower(text) split on \\W+.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# tokenization / shingles (native)
+# ---------------------------------------------------------------------------
+
+def tokens_col(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), r"\W+"), lambda t: t != "")
+
+
+def shingles_col(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as array<string> (native exprs).
+    NB: Spark's sequence(1, 0) counts DOWN, so texts shorter than n words
+    need the explicit empty-array guard."""
+    toks = tokens_col(text)
+    k = F.size(toks)
+    idx = F.when(k >= n, F.sequence(F.lit(1), k - (n - 1))) \
+           .otherwise(F.array().cast("array<int>"))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.array_distinct(sh)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def dedup_exact(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Hash-groupBy exact dedup: one representative (min id) per distinct
+    text + duplicate count.  At scale, group on xxhash64(text) first so the
+    shuffle moves 8-byte keys, then tie-break rare collisions on the text."""
+    return (df.groupBy(F.xxhash64(F.col(text_col)).alias("_h"), text_col)
+            .agg(F.min(id_col).alias(id_col),
+                 F.count(F.lit(1)).alias("n_copies"))
+            .select(id_col, "n_copies"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _perm_params(k: int, seed: int = 42):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=k, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, size=k, dtype=np.int64)
+    return a, b
+
+
+def minhash_signature(df: DataFrame, text_col: str = "text",
+                      num_hashes: int = 64, shingle_n: int = 3,
+                      seed: int = 42) -> DataFrame:
+    """Adds `sig` (array<long>, length num_hashes) per row.
+
+    Base shingle hashes are native xxhash64; the K permutation mins are one
+    Arrow kernel ((a_k * h + b_k) mod 2^61-1, vectorized numpy)."""
+    a, b = _perm_params(num_hashes, seed)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig_udf(hashes: pd.Series) -> pd.Series:
+        out = []
+        am = a.astype(np.uint64)
+        bm = b.astype(np.uint64)
+        p = np.uint64(_MERSENNE)
+        for hs in hashes:
+            if hs is None or len(hs) == 0:
+                out.append(np.full(num_hashes, _MERSENNE, dtype=np.int64))
+                continue
+            h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+            # (a*h + b) mod p, per permutation; uint64 wrap-around is fine
+            # as a hash family (consistent across rows)
+            vals = (am[None, :] * h[:, None] + bm[None, :]) % p
+            out.append(vals.min(axis=0).astype(np.int64))
+        return pd.Series(out)
+
+    base = F.transform(shingles_col(F.col(text_col), shingle_n),
+                       lambda s: F.xxhash64(s))
+    return df.withColumn("sig", sig_udf(base))
+
+
+def lsh_candidate_pairs(signed: DataFrame, id_col: str = "doc_id",
+                        bands: int = 16) -> DataFrame:
+    """Band the signature, bucket-join: pairs sharing >= 1 band bucket.
+    Returns distinct (a, b) with a < b.  This is the scale path: a shuffle
+    on (band, bucket_hash), never an O(n^2) cross join."""
+    sigs = signed.select(id_col, "sig")
+    r = F.floor(F.size("sig") / bands).cast("int")
+    banded = (sigs.select(
+        id_col,
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda bnd: F.hash(F.slice(F.col("sig"), bnd * r + 1, r), bnd)))
+        .alias("band", "bucket")))
+    a = banded.select(F.col(id_col).alias("a"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("b"), "band", "bucket")
+    return (a.join(b, ["band", "bucket"])
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b").distinct())
+
+
+def jaccard_verify(df: DataFrame, pairs: DataFrame,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   shingle_n: int = 3) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs (native array ops)."""
+    sh = df.select(F.col(id_col), shingles_col(F.col(text_col), shingle_n)
+                   .alias("sh"))
+    j = (pairs
+         .join(sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sa")), "a")
+         .join(sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sb")), "b"))
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    union = F.size(F.array_union("sa", "sb")).cast("double")
+    return j.select("a", "b",
+                    F.round(F.when(union > 0, inter / union)
+                            .otherwise(F.lit(0.0)), 6).alias("jaccard"))
+
+
+def dedup_minhash(df: DataFrame, threshold: float = 0.5,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  num_hashes: int = 64, bands: int = 16) -> DataFrame:
+    """Near-dup pairs with exact Jaccard >= threshold, found via MinHash LSH
+    candidates + exact verify (precision 1.0; recall tested in tests/)."""
+    signed = minhash_signature(df, text_col, num_hashes)
+    cand = lsh_candidate_pairs(signed, id_col, bands)
+    return (jaccard_verify(df, cand, text_col, id_col)
+            .filter(F.col("jaccard") >= threshold))
+
+
+def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        shingle_n: int = 3) -> DataFrame:
+    """EXACT all-pairs n-gram Jaccard >= threshold (self-join; the oracle
+    twin of dedup_minhash for small inputs and the correctness gate)."""
+    sh = df.select(F.col(id_col), shingles_col(F.col(text_col), shingle_n)
+                   .alias("sh"))
+    pairs = (sh.alias("x").select(F.col(f"x.{id_col}").alias("a"),
+                                  F.col("x.sh").alias("sa"))
+             .crossJoin(sh.alias("y").select(F.col(f"y.{id_col}").alias("b"),
+                                             F.col("y.sh").alias("sb")))
+             .filter(F.col("a") < F.col("b")))
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    union = F.size(F.array_union("sa", "sb")).cast("double")
+    return (pairs.select("a", "b",
+                         F.round(F.when(union > 0, inter / union)
+                                 .otherwise(F.lit(0.0)), 6).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over token xxhash64s (one Arrow kernel)."""
+
+    @F.pandas_udf(T.LongType())
+    def simhash_udf(hashes: pd.Series) -> pd.Series:
+        out = np.zeros(len(hashes), dtype=np.int64)
+        for i, hs in enumerate(hashes):
+            if hs is None or len(hs) == 0:
+                continue
+            h = np.asarray(hs, dtype=np.int64).view(np.uint64)
+            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                    & np.uint64(1)).astype(np.int64)
+            score = (2 * bits - 1).sum(axis=0)
+            v = np.uint64(0)
+            for bpos in np.where(score > 0)[0]:
+                v |= np.uint64(1) << np.uint64(bpos)
+            out[i] = np.int64(v.astype(np.int64))
+        return pd.Series(out)
+
+    base = F.transform(tokens_col(F.col(text_col)), lambda t: F.xxhash64(t))
+    return df.withColumn("simhash", simhash_udf(base))
+
+
+def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
+                       id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64 bits into 4x16-bit keys
+    (pigeonhole: hamming<=3 pairs share >=1 exact band), bucket-join, then
+    exact popcount verify — native bit ops end to end."""
+    bands = [(F.shiftrightunsigned(F.col("simhash"), b * 16)
+              .bitwiseAND(F.lit(0xFFFF))).alias(f"b{b}") for b in range(4)]
+    sh = df.select(F.col(id_col), "simhash", *bands)
+    cands = None
+    for b in range(4):
+        l = sh.select(F.col(id_col).alias("a"), F.col("simhash").alias("ha"),
+                      F.col(f"b{b}").alias("k"))
+        r = sh.select(F.col(id_col).alias("b"), F.col("simhash").alias("hb"),
+                      F.col(f"b{b}").alias("k"))
+        c = l.join(r, "k").filter(F.col("a") < F.col("b")).drop("k")
+        cands = c if cands is None else cands.unionByName(c)
+    cands = cands.distinct()
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (cands.withColumn("hamming", ham)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("a", "b", "hamming"))
+
+
+# ---------------------------------------------------------------------------
+# language id / quality / token stats (native; SQL-oracle-mirrorable)
+# ---------------------------------------------------------------------------
+
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is", "was", "for"],
+    "fr": ["le", "la", "les", "et", "est", "une", "pour"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "nicht"],
+    "es": ["el", "los", "las", "es", "una", "para", "por"],
+}
+
+
+def lang_id(df: DataFrame, text_col: str = "text",
+            out: str = "lang_guess") -> DataFrame:
+    """Marker-word language heuristic: count marker hits per language on the
+    token set, pick argmax (ties: language code asc; no hits: 'und')."""
+    toks = tokens_col(F.col(text_col))
+    scores = [F.size(F.array_intersect(
+        F.array_distinct(toks), F.array(*[F.lit(w) for w in ws])))
+        .alias(f"_s_{lang}") for lang, ws in _LANG_MARKERS.items()]
+    scored = df.select("*", *scores)
+    best = F.greatest(*[F.col(f"_s_{lang}") for lang in _LANG_MARKERS])
+    guess = F.when(best <= 0, F.lit("und"))
+    for lang in sorted(_LANG_MARKERS):
+        guess = guess.when(F.col(f"_s_{lang}") == best, F.lit(lang))
+    return (scored.withColumn(out, guess)
+            .drop(*[f"_s_{lang}" for lang in _LANG_MARKERS]))
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace + regex ("BPE-ish" word/punct pieces) token counts."""
+    ws = F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != ""))
+    bpe = F.size(F.filter(F.split(F.col(text_col), r"(?<=\W)|(?=\W)"),
+                          lambda t: (t != "") & (t != " ")))
+    return df.withColumn("n_ws_tokens", ws.cast("long")) \
+             .withColumn("n_word_tokens",
+                         F.size(tokens_col(F.col(text_col))).cast("long")) \
+             .withColumn("n_pieces", bpe.cast("long"))
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Cheap quality signals: char-class ratios + mean word length +
+    stopword ratio; composite score in [0, 1] (monotone heuristics)."""
+    n = F.length(F.col(text_col)).cast("double")
+    def ratio(pattern):
+        return (F.length(F.regexp_replace(F.col(text_col), pattern, ""))
+                .cast("double"))
+    digit_ratio = F.round((n - ratio(r"[0-9]")) / F.greatest(n, F.lit(1.0)), 6)
+    punct_ratio = F.round((n - ratio(r"[^\w\s]")) / F.greatest(n, F.lit(1.0)), 6)
+    upper_ratio = F.round((n - ratio(r"[A-Z]")) / F.greatest(n, F.lit(1.0)), 6)
+    toks = tokens_col(F.col(text_col))
+    nw = F.size(toks).cast("double")
+    stop = F.size(F.array_intersect(
+        F.array_distinct(toks),
+        F.array(*[F.lit(w) for w in _LANG_MARKERS["en"]]))).cast("double")
+    stop_ratio = F.round(stop / F.greatest(nw, F.lit(1.0)), 6)
+    mean_wl = F.round(
+        F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t))
+        / F.greatest(nw, F.lit(1.0)), 6)
+    score = F.round(
+        (F.lit(1.0) - F.least(digit_ratio * 4, F.lit(1.0))) * 0.25
+        + (F.lit(1.0) - F.least(punct_ratio * 4, F.lit(1.0))) * 0.25
+        + F.least(stop_ratio * 10, F.lit(1.0)) * 0.25
+        + F.least(nw / 100.0, F.lit(1.0)) * 0.25, 6)
+    return (df.withColumn("digit_ratio", digit_ratio)
+            .withColumn("punct_ratio", punct_ratio)
+            .withColumn("upper_ratio", upper_ratio)
+            .withColumn("stop_ratio", stop_ratio)
+            .withColumn("mean_word_len", mean_wl)
+            .withColumn("quality", score))
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints
+# ---------------------------------------------------------------------------
+
+def winnow_fingerprints(df: DataFrame, text_col: str = "text",
+                        k: int = 5, window: int = 4) -> DataFrame:
+    """Document fingerprints: k-gram rolling hashes, winnowed (min per
+    sliding window, rightmost tie) — the classic MOSS scheme.  One Arrow
+    kernel over native k-gram hashes."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def winnow_udf(hashes: pd.Series) -> pd.Series:
+        out = []
+        for hs in hashes:
+            if hs is None or len(hs) == 0:
+                out.append([])
+                continue
+            h = np.asarray(hs, dtype=np.int64)
+            if len(h) <= window:
+                out.append([int(h.min())])
+                continue
+            from numpy.lib.stride_tricks import sliding_window_view
+            wins = sliding_window_view(h, window)
+            out.append(np.unique(wins.min(axis=1)).tolist())
+        return pd.Series(out)
+
+    toks = tokens_col(F.col(text_col))
+    nt = F.size(toks)
+    idx = F.when(nt >= k, F.sequence(F.lit(1), nt - (k - 1))) \
+           .otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.xxhash64(
+        F.concat_ws(" ", F.slice(toks, i, k))))
+    return df.withColumn("fingerprints", winnow_udf(grams))
