@@ -1,0 +1,154 @@
+"""Iceberg-emulated storage + resumable stages (SURVEY.md §7.6).
+
+The real Iceberg runtime jar is absent offline (SURVEY.md §0), so the
+Iceberg semantics the engine actually relies on are emulated with
+partitioned parquet plus a JSON manifest:
+
+  * hidden partitioning  — pages: (ts_day, url_bucket = pmod(xxhash64(url),
+    B)); derived tables: host_bucket = pmod(xxhash64(host), B) so per-host
+    stages are bucket-local (a bucket is a self-contained unit of work);
+  * snapshots            — monotonically numbered manifest entries with
+    schema + row counts;
+  * per-partition lineage + metrics + resume — a stage commits bucket
+    chunks; a re-run anti-joins planned vs committed buckets and reprocesses
+    only the rest (outputs are deterministic, so overwriting a
+    half-written chunk is idempotent).
+
+Swapping in real Iceberg is config-only: read_table/write_* keep a
+`spark.read.table`-shaped surface.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST = "_manifest.json"
+
+
+class Manifest:
+    def __init__(self, path: str | Path):
+        self.dir = Path(path)
+        self.file = self.dir / MANIFEST
+        if self.file.exists():
+            self.data = json.loads(self.file.read_text())
+        else:
+            self.data = {"snapshots": [], "partitions": {}, "lineage": {}}
+
+    def save(self) -> None:
+        self.dir.mkdir(parents=True, exist_ok=True)
+        tmp = self.file.with_suffix(".json.tmp")
+        tmp.write_text(json.dumps(self.data, indent=1, sort_keys=True))
+        tmp.replace(self.file)
+
+    def new_snapshot(self, **meta) -> int:
+        sid = (self.data["snapshots"][-1]["id"] + 1
+               if self.data["snapshots"] else 0)
+        self.data["snapshots"].append({"id": sid, **meta})
+        return sid
+
+    @property
+    def current_snapshot(self) -> int | None:
+        return self.data["snapshots"][-1]["id"] if self.data["snapshots"] else None
+
+    def committed(self) -> set[str]:
+        return set(self.data["partitions"])
+
+    def commit_partitions(self, parts: dict[str, dict]) -> None:
+        self.data["partitions"].update(parts)
+        self.save()
+
+
+def write_pages_table(pages: DataFrame, path: str | Path,
+                      buckets: int = 16) -> Manifest:
+    """Ingest web_pages with Iceberg-style hidden partitioning
+    (days(warc_ts) x bucket(url)) — Catalyst prunes on both."""
+    df = (pages
+          .withColumn("ts_day", F.date_format("warc_ts", "yyyy-MM-dd"))
+          .withColumn("url_bucket", F.pmod(F.xxhash64("url"), F.lit(buckets))))
+    df.write.mode("overwrite").partitionBy("ts_day", "url_bucket") \
+        .parquet(str(path))
+    man = Manifest(path)
+    counts = {f"{r['ts_day']}/{r['url_bucket']}": {"rows": r["n"]}
+              for r in df.groupBy("ts_day", "url_bucket")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    sid = man.new_snapshot(table="web_pages", op="ingest",
+                           partition_spec=["days(warc_ts)",
+                                           f"bucket({buckets}, url)"],
+                           schema=pages.schema.simpleString(),
+                           rows=int(sum(c["rows"] for c in counts.values())))
+    man.data["partitions"] = counts
+    man.data["lineage"] = {"stage": "ingest", "snapshot": sid}
+    man.save()
+    return man
+
+
+def read_table(spark: SparkSession, path: str | Path) -> DataFrame:
+    return spark.read.parquet(str(path))
+
+
+def run_bucketed_stage(spark: SparkSession, stage: str,
+                       in_path: str | Path, out_path: str | Path,
+                       fn: Callable[[DataFrame], DataFrame],
+                       bucket_col: str = "host_bucket",
+                       n_buckets: int = 16,
+                       chunk: int = 4,
+                       key_col: str = "host",
+                       key_expr=None,
+                       fail_after_chunks: int | None = None) -> Manifest:
+    """Resumable bucketed stage: fn maps a bucket-closed input slice to its
+    output slice; commits per chunk of buckets; re-runs skip committed
+    buckets (per-partition checkpoint + lineage, north_rule).
+
+    The bucket key MUST close over fn's grouping key (host), so per-host
+    kernels see complete hosts inside a chunk.  When the input isn't already
+    bucketed on it (e.g. raw pages partitioned by ts_day/url_bucket), pass
+    `key_expr` (a Column deriving the key) — each chunk then re-scans the
+    input with only the needed columns (html stays pruned); at cluster
+    scale, make the first stage a one-shuffle re-bucket and checkpoint that.
+
+    `fail_after_chunks` injects a crash for resume tests.
+    """
+    src = read_table(spark, in_path)
+    if bucket_col not in src.columns:
+        key = key_expr if key_expr is not None else F.col(key_col)
+        src = src.withColumn(bucket_col,
+                             F.pmod(F.xxhash64(key), F.lit(n_buckets)))
+    man = Manifest(out_path)
+    done = man.committed()
+    todo = [b for b in range(n_buckets) if str(b) not in done]
+    if not todo:
+        return man
+    in_man = Manifest(in_path)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    chunks = [todo[i:i + chunk] for i in range(0, len(todo), chunk)]
+    for ci, bucket_ids in enumerate(chunks):
+        if fail_after_chunks is not None and ci >= fail_after_chunks:
+            raise RuntimeError(f"injected failure before chunk {ci}")
+        sl = src.filter(F.col(bucket_col).isin(bucket_ids))
+        out = fn(sl)
+        if bucket_col not in out.columns:
+            out = out.withColumn(bucket_col,
+                                 F.pmod(F.xxhash64(key_col), F.lit(n_buckets)))
+        out = out.persist()
+        metrics = {str(r[bucket_col]): {"rows": r["n"]}
+                   for r in out.groupBy(bucket_col)
+                   .agg(F.count(F.lit(1)).alias("n")).collect()}
+        for b in bucket_ids:          # empty buckets still count as done
+            metrics.setdefault(str(b), {"rows": 0})
+        (out.write.mode("overwrite").partitionBy(bucket_col)
+         .parquet(str(out_path)))
+        out.unpersist()
+        man.commit_partitions(metrics)
+    man.new_snapshot(table=stage, op="stage",
+                     lineage={"input": str(in_path),
+                              "input_snapshot": in_man.current_snapshot,
+                              "stage": stage})
+    man.data["lineage"] = {"stage": stage, "input": str(in_path),
+                           "input_snapshot": in_man.current_snapshot}
+    man.save()
+    return man

@@ -1,0 +1,78 @@
+"""Streaming twins vs batch operators (SURVEY.md §2.8): session windows ==
+batch sessionization; stateful episode machine == batch W3 runs."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from engine import ops, streaming, trace_prep
+from engine.config import DEFAULT
+
+
+@pytest.fixture(scope="module")
+def geopoints_parquet(spark, unit_pages_sdf, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("stream") / "gp")
+    gp = trace_prep.prep_points(trace_prep.extract_points(unit_pages_sdf))
+    gp.select("host", "url", "warc_ts", "lat", "lon").coalesce(4) \
+      .write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_stream_sessionize_matches_batch(spark, geopoints_parquet):
+    schema = spark.read.parquet(geopoints_parquet).schema
+    stream = spark.readStream.schema(schema).parquet(geopoints_parquet)
+    q = (streaming.stream_sessionize(stream)
+         .writeStream.outputMode("append").format("memory")
+         .queryName("sessions_out").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM sessions_out").toPandas()
+
+    batch = spark.read.parquet(geopoints_parquet)
+    want = (ops.sessionize(batch, ["host"], "warc_ts", DEFAULT.gap_s,
+                           order=["warc_ts", "url"])
+            .groupBy("host", "subset_id")
+            .agg(F.count(F.lit(1)).alias("n_points"),
+                 F.min("warc_ts").alias("start_ts"))
+            .toPandas())
+    # watermark: sessions whose close isn't past the final watermark are
+    # withheld in append mode — compare the emitted subset
+    g = got.sort_values(["host", "start_ts"]).reset_index(drop=True)
+    w = want.sort_values(["host", "start_ts"]).reset_index(drop=True)
+    merged = g.merge(w, on=["host", "start_ts"], suffixes=("_s", "_b"))
+    assert len(merged) == len(g)  # every emitted session exists in batch
+    assert len(g) >= 0.8 * len(w)  # and nearly all sessions were emitted
+    np.testing.assert_array_equal(merged["n_points_s"], merged["n_points_b"])
+
+
+def test_stream_episodes_matches_batch_runs(spark, tmp_path_factory):
+    # deterministic toy stream: one host, runs A A B B _gap_ A
+    base = pd.Timestamp("2024-01-01")
+    pdf = pd.DataFrame({
+        "host": "h1",
+        "url": [f"u{i}" for i in range(6)],
+        "warc_ts": [base + pd.Timedelta(seconds=s)
+                    for s in [0, 60, 120, 180, 8000, 8060]],
+        "location_id": pd.array([0, 0, 1, 1, 0, 0], dtype="Int32"),
+    })
+    path = str(tmp_path_factory.mktemp("stream") / "assigned")
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(path)
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    q = (streaming.stream_episodes(stream)
+         .writeStream.outputMode("append").format("memory")
+         .queryName("eps_out").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = (spark.sql("SELECT * FROM eps_out").toPandas()
+           .sort_values("start_ts").reset_index(drop=True))
+    # emitted: [0s..120s) loc 0 (2 pts), [120s..8000s-gap->180s] loc 1;
+    # the final run (loc 0 after the gap) is still open in state
+    assert list(got["location_id"]) == [0, 1]
+    assert list(got["n_points"]) == [2, 2]
+    assert got.loc[0, "start_ts"] == base
