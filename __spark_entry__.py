@@ -405,10 +405,10 @@ _PAGES_CTE = """
 gen AS (
   SELECT event_id, user_id, ts, event_type,
          ((CAST(user_id AS BIGINT) * 2654435761
-           + ((CAST(floor(epoch(ts) / 7200.0) AS BIGINT) % 3 + 3) % 3) * 40503
+           + ((CAST(floor(epoch(ts) / 21600.0) AS BIGINT) % 3 + 3) % 3) * 40503
            + 17) % 120000001) / 1e6 - 60.0 AS glat,
          ((CAST(user_id AS BIGINT) * 2654435761
-           + ((CAST(floor(epoch(ts) / 7200.0) AS BIGINT) % 3 + 3) % 3) * 40503
+           + ((CAST(floor(epoch(ts) / 21600.0) AS BIGINT) % 3 + 3) % 3) * 40503
            + 9176) % 350000001) / 1e6 - 175.0 AS glon,
          ((CAST(event_id AS BIGINT) * 48271 + 11) % 301 - 150) * 1e-6 AS jlat,
          ((CAST(event_id AS BIGINT) * 48271 + 523) % 301 - 150) * 1e-6 AS jlon,

@@ -213,7 +213,8 @@ def pages_to_spark(spark, pages: pd.DataFrame):
 # web_pages derived from the driver's `events` table (portable arithmetic)
 # ---------------------------------------------------------------------------
 
-def web_pages_from_events(events, n_stops: int = 3, stop_switch_s: int = 7200):
+def web_pages_from_events(events, n_stops: int = 3, stop_switch_s: int = 21600,
+                          time_compress: int = 30):
     """Deterministic `web_pages` built from the driver's events table with
     integer-arithmetic pseudo-randomness ONLY (no hash functions), so the
     exact same construction is expressible in DuckDB SQL for oracle parity.
@@ -222,11 +223,22 @@ def web_pages_from_events(events, n_stops: int = 3, stop_switch_s: int = 7200):
     the active stop switches every `stop_switch_s` seconds of event time, so
     per-host event streams show dwell clusters with transitions — giving the
     KDE/episode operators real structure at any driver scale factor.
+
+    `time_compress` shrinks event time 30x around 2024-01-01 (micros are
+    integer-divided, exact in both engines): the driver's events span ~30
+    days at ~1 h mean gaps, which sessionization (gap_s = 1 h) would shred
+    into single-point subsets; compressed, traces are dense (~2 min gaps)
+    with ~12 min dwells per 6 h-switch visit, so KDE locations, kNN and
+    episodes all get real work at any sf.
     """
     from pyspark.sql import functions as F
     uid = F.col("user_id").cast("long")
     eid = F.col("event_id").cast("long")
     tsd = F.col("ts").cast("timestamp").cast("double")
+    base_us = 1704067200000000  # 2024-01-01T00:00:00Z in epoch micros
+    warc_ts = F.timestamp_micros(
+        ((F.unix_micros(F.col("ts").cast("timestamp")) - F.lit(base_us))
+         / F.lit(time_compress)).cast("long") + F.lit(base_us))
     stop = F.pmod(F.floor(tsd / F.lit(float(stop_switch_s))).cast("long"),
                   F.lit(n_stops))
     stop_lat = (F.pmod(uid * F.lit(2654435761) + stop * F.lit(40503) + F.lit(17),
@@ -258,7 +270,7 @@ def web_pages_from_events(events, n_stops: int = 3, stop_switch_s: int = 7200):
         F.format_string("https://host%04d.example/p/%09d",
                         F.pmod(uid, F.lit(10000)).cast("int"),
                         eid.cast("int")).alias("url"),
-        F.col("ts").alias("warc_ts"),
+        warc_ts.alias("warc_ts"),
         F.encode(F.concat(F.lit("<html><head><meta charset=\"utf-8\"/></head>"
                                 "<body><p>"), text, F.lit("</p></body></html>")),
                  "utf-8").alias("html"),

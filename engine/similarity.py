@@ -75,6 +75,19 @@ def lsh_sign_buckets(df: DataFrame, dim: int, bits: int = 16, bands: int = 4,
     return df.withColumn("_buckets", bucket_udf(F.col(vec_col)))
 
 
+@F.pandas_udf(T.DoubleType())
+def _cosine_batch(va: pd.Series, vb: pd.Series, na: pd.Series,
+                  nb: pd.Series) -> pd.Series:
+    """Arrow cosine refine: ~100x the interpreted higher-order-function
+    exprs on large candidate sets (aggregate/zip_with are not codegen'd)."""
+    if len(va) == 0:
+        return pd.Series([], dtype="float64")
+    A = np.stack([np.asarray(v, dtype=np.float64) for v in va])
+    B = np.stack([np.asarray(v, dtype=np.float64) for v in vb])
+    return pd.Series(np.einsum("ij,ij->i", A, B)
+                     / (na.to_numpy(np.float64) * nb.to_numpy(np.float64)))
+
+
 def _lsh_candidate_sims(df: DataFrame, dim: int, bits: int, bands: int,
                         id_col: str, vec_col: str, seed: int) -> DataFrame:
     """LSH candidate pairs (shared >= 1 band bucket) with exact cosine."""
@@ -89,8 +102,8 @@ def _lsh_candidate_sims(df: DataFrame, dim: int, bits: int, bands: int,
                         F.col("_norm").alias("nb"), "band", "bucket")
     cand = (l.join(r, ["band", "bucket"]).filter(F.col("a") != F.col("b"))
             .select("a", "b", "va", "vb", "na", "nb").distinct())
-    return cand.withColumn("sim", _dot(F.col("va"), F.col("vb"))
-                           / (F.col("na") * F.col("nb")))
+    return cand.withColumn("sim", _cosine_batch(F.col("va"), F.col("vb"),
+                                                F.col("na"), F.col("nb")))
 
 
 def ann_cosine_topk(df: DataFrame, k: int = 5, dim: int = 64,

@@ -1,0 +1,75 @@
+"""Plan-shape tests (SURVEY.md §5.2.4): the physical plans that make the
+10^12-row posture credible — html never read, filters pushed to parquet,
+broadcast where requested, single shuffle in trace prep."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from engine import episodes as ep
+from engine import trace_prep
+from engine.config import DEFAULT
+
+
+def plan_str(df, mode: str = "formatted") -> str:
+    return df.sparkSession._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode)
+
+
+@pytest.fixture(scope="module")
+def pages_parquet(spark, unit_pages_sdf, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plan") / "pages")
+    unit_pages_sdf.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def test_html_column_pruned(pages_parquet):
+    """The single biggest 10^12-row win (SURVEY.md §4.2): the binary html
+    column must never reach the scan for the geo pipeline."""
+    pts = trace_prep.extract_points(pages_parquet, DEFAULT)
+    plan = plan_str(pts)
+    scan = plan[plan.index("ReadSchema"):].splitlines()[0]
+    assert "html" not in scan, scan
+    assert "text" in scan  # needed for geotag extraction
+
+
+def test_lang_filter_pushed_to_scan(pages_parquet):
+    pts = trace_prep.extract_points(pages_parquet, DEFAULT)
+    plan = plan_str(pts)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed, plan
+    assert "In(lang" in pushed[0] or "EqualTo(lang" in pushed[0], pushed[0]
+
+
+def test_knn_broadcast_requested(spark, pages_parquet):
+    gp = trace_prep.geopoints(pages_parquet, DEFAULT)
+    locs = spark.createDataFrame(
+        [("host0000.example", 0, 43.0, -79.0)],
+        "host string, location_id int, lat double, lon double")
+    out = ep.knn_assign(gp, locs, DEFAULT, broadcast_locations=True)
+    assert "BroadcastHashJoin" in plan_str(out)
+
+
+def test_trace_prep_single_shuffle(pages_parquet):
+    """extract (narrow) + fused per-host kernel: exactly ONE exchange
+    (hash by host); regression guard against accidental extra shuffles."""
+    gp = trace_prep.prep_points(trace_prep.extract_points(pages_parquet,
+                                                          DEFAULT), DEFAULT)
+    plan = plan_str(gp, "simple")
+    n_exchanges = plan.count("Exchange")
+    assert n_exchanges == 1, f"{n_exchanges} exchanges:\n{plan}"
+    assert "hashpartitioning(host" in plan
+
+
+def test_cell_encode_stays_narrow(pages_parquet):
+    """X6 after the kernel adds no shuffle."""
+    gp = trace_prep.geopoints(pages_parquet, DEFAULT)
+    plan = plan_str(gp, "simple")
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_interpolation_stays_narrow(pages_parquet):
+    gp = trace_prep.prep_points(trace_prep.extract_points(pages_parquet,
+                                                          DEFAULT), DEFAULT)
+    sites = trace_prep.interpolate_sites(gp, DEFAULT)
+    plan = plan_str(sites, "simple")
+    assert plan.count("Exchange") == 1, plan
