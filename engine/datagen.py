@@ -153,16 +153,31 @@ def zipf_page_counts(n_hosts: int, total_pages: int, exponent: float = 1.2):
     return counts
 
 
-def gen_web_pages(n_hosts: int = 40, total_pages: int = 10_000, seed: int = 42):
-    """Returns (pages_df, truth_stops_df, truth_visits_df)."""
+def gen_web_pages(n_hosts: int = 40, total_pages: int = 10_000, seed: int = 42,
+                  processes: int = 1):
+    """Returns (pages_df, truth_stops_df, truth_visits_df).
+
+    `processes > 1` parallelizes host generation (hosts are independent,
+    seeded per host, results concatenated in host order — output identical
+    to the serial path)."""
     counts = zipf_page_counts(n_hosts, total_pages)
-    pages, stops, visits = [], [], []
-    for h in range(n_hosts):
-        p, s, v = _gen_host(h, int(counts[h]), seed)
-        pages.append(p); stops.append(s); visits.append(v)
+    args = [(h, int(counts[h]), seed) for h in range(n_hosts)]
+    if processes > 1:
+        from concurrent.futures import ProcessPoolExecutor
+        with ProcessPoolExecutor(max_workers=processes) as ex:
+            results = list(ex.map(_gen_host_args, args, chunksize=8))
+    else:
+        results = [_gen_host(*a) for a in args]
+    pages = [r[0] for r in results]
+    stops = [r[1] for r in results]
+    visits = [r[2] for r in results]
     return (pd.concat(pages, ignore_index=True),
             pd.concat(stops, ignore_index=True),
             pd.concat(visits, ignore_index=True))
+
+
+def _gen_host_args(a):
+    return _gen_host(*a)
 
 
 def gen_activity_polygons(truth_stops: pd.DataFrame, seed: int = 42):

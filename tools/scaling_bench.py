@@ -72,10 +72,12 @@ def ensure_corpus(rows: int, hosts: int) -> Path:
     sys.path.insert(0, str(REPO))
     from engine.datagen import gen_web_pages, pages_to_spark
     from engine.session import get_spark
-    pages, _, _ = gen_web_pages(n_hosts=hosts, total_pages=rows, seed=42)
+    pages, _, _ = gen_web_pages(n_hosts=hosts, total_pages=rows, seed=42,
+                                processes=16)
     spark = get_spark("corpus-gen", master="local[32]")
     sdf = pages_to_spark(spark, pages)
-    (sdf.repartition(64).write.mode("overwrite").parquet(str(out)))
+    (sdf.repartition(max(64, rows // 62_500))
+     .write.mode("overwrite").parquet(str(out)))
     spark.stop()
     return out
 
