@@ -41,17 +41,17 @@ def _sessionized(ev: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: web_pages (derived from events @ sf0.001) -> trace-prep
-    pipeline -> per-host observed-time session summary (SURVEY.md §7.3)."""
+    """Flagship: web_pages (derived from events @ sf0.001) -> full pipeline
+    (trace prep -> KDE locations -> kNN assignment -> episode segmentation);
+    returns the episode table (SURVEY.md §3.2 E1')."""
+    from engine.episodes import build_episodes, knn_assign
+    from engine.locations import detect_locations
     events = _t(spark, "/root/testdata/sf0.001", "events")
     pages = web_pages_from_events(events)
-    gp = trace_prep.geopoints(pages, DEFAULT)
-    return (gp.groupBy("host", "subset_id")
-            .agg(F.count(F.lit(1)).alias("n_points"),
-                 F.round(F.sum("weight_s"), 6).alias("observed_s"),
-                 F.min("warc_ts").alias("start_ts"),
-                 F.max("warc_ts").alias("end_ts"))
-            .orderBy("host", "subset_id"))
+    gp = trace_prep.geopoints(pages, DEFAULT).persist()
+    locs = detect_locations(gp, DEFAULT)
+    eps = build_episodes(knn_assign(gp, locs, DEFAULT), DEFAULT)
+    return eps.orderBy("host", "seq")
 
 
 # ---------------------------------------------------------------------------
@@ -309,6 +309,74 @@ def q_j4_pip(spark, sf_dir):
     return tiles.pip_join(pts, covered, DEFAULT)
 
 
+def q_a9_cube(spark, sf_dir):
+    """A9 — CUBE rollup over lineitem (grouping-set coverage)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.cube("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+def q_o3_setops(spark, sf_dir):
+    """O3 — intersect/except: users with purchases but no errors, and
+    users with both."""
+    ev = _t(spark, sf_dir, "events")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    erring = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    only_buy = buyers.exceptAll(erring).withColumn("cohort", F.lit("buy_no_err"))
+    both = buyers.intersect(erring).withColumn("cohort", F.lit("buy_and_err"))
+    return only_buy.unionByName(both)
+
+
+def q_x7_props_json(spark, sf_dir):
+    """X7 — JSON extraction from the events props column."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"))
+
+
+def q_geo_locations(spark, sf_dir):
+    """A2-A5 over the events-derived corpus (rows-only; golden-tested vs the
+    independent oracle on the datagen fixture in tests/)."""
+    from engine.locations import detect_locations
+    ev = _t(spark, sf_dir, "events")
+    gp = trace_prep.geopoints(web_pages_from_events(ev), DEFAULT)
+    locs = detect_locations(gp, DEFAULT)
+    return locs.select("host", F.col("location_id").cast("long").alias("location_id"),
+                       F.round("lat", 6).alias("lat"),
+                       F.round("lon", 6).alias("lon"),
+                       F.round("dwell_s", 3).alias("dwell_s"),
+                       F.col("n_cells").cast("long").alias("n_cells"))
+
+
+def q_geo_episodes(spark, sf_dir):
+    """J1 + W3-W5 end to end (rows-only)."""
+    from engine.episodes import build_episodes, knn_assign
+    from engine.locations import detect_locations
+    ev = _t(spark, sf_dir, "events")
+    gp = trace_prep.geopoints(web_pages_from_events(ev), DEFAULT).persist()
+    locs = detect_locations(gp, DEFAULT)
+    eps = build_episodes(knn_assign(gp, locs, DEFAULT), DEFAULT)
+    return eps.select("host", F.col("seq").cast("long").alias("seq"),
+                      epoch_s(F.col("start_ts")).alias("start_s"),
+                      epoch_s(F.col("end_ts")).alias("end_s"),
+                      "kind",
+                      F.col("location_id").cast("long").alias("location_id"))
+
+
+def q_a7_day_summary_episodes(spark, sf_dir):
+    """A7 over episodes (REF day.py analog; rows-only)."""
+    from engine.episodes import build_episodes, knn_assign
+    from engine.locations import detect_locations
+    from engine.sinks import day_summary
+    ev = _t(spark, sf_dir, "events")
+    gp = trace_prep.geopoints(web_pages_from_events(ev), DEFAULT).persist()
+    locs = detect_locations(gp, DEFAULT)
+    eps = build_episodes(knn_assign(gp, locs, DEFAULT), DEFAULT)
+    return day_summary(eps)
+
+
 def q_media_decode(spark, sf_dir):
     from engine import multimodal
     ev = _t(spark, sf_dir, "events")
@@ -346,6 +414,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tiles_pyramid": q_tiles_pyramid,
         "j4_pip": q_j4_pip,
         "media_decode": q_media_decode,
+        "geo_locations": q_geo_locations,
+        "geo_episodes": q_geo_episodes,
+        "a7_day_summary_episodes": q_a7_day_summary_episodes,
+        "a9_cube": q_a9_cube,
+        "o3_setops": q_o3_setops,
+        "x7_props_json": q_x7_props_json,
     }
 
 
@@ -683,6 +757,25 @@ pairs AS (
   FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 )
 SELECT a, b, jaccard FROM pairs WHERE jaccard >= 0.2
+""",
+        "a9_cube": """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 6) AS sum_qty, COUNT(*) AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+        "o3_setops": """
+WITH buyers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+erring AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+SELECT user_id, 'buy_no_err' AS cohort FROM (
+  SELECT user_id FROM buyers EXCEPT ALL SELECT user_id FROM erring)
+UNION ALL
+SELECT user_id, 'buy_and_err' AS cohort FROM (
+  SELECT user_id FROM buyers INTERSECT SELECT user_id FROM erring)
+""",
+        "x7_props_json": """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events
 """,
         "ann_topk_bruteforce": """
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

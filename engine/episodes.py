@@ -109,19 +109,25 @@ def episodes_numpy(t_us: np.ndarray, subset: np.ndarray, loc: np.ndarray,
     """
     out_start, out_end, out_kind, out_loc = [], [], [], []
     min_dwell_us = int(cfg.min_dwell_s * 1e6)
+    # W3: vectorized run boundaries over the whole host (per-point python
+    # loops serialized a 1.5M-point mega-host task; run counts are small)
+    n_all = len(t_us)
+    if n_all == 0:
+        return [], [], [], []
+    same_lab = ((loc[1:] == loc[:-1])
+                | (np.isnan(loc[1:]) & np.isnan(loc[:-1])))
+    same_run = same_lab & (subset[1:] == subset[:-1])
+    run_starts = np.r_[0, np.flatnonzero(~same_run) + 1]
+    # per-subset last timestamp (subsets are contiguous, ascending)
+    sub_change = np.r_[np.flatnonzero(subset[1:] != subset[:-1]), n_all - 1]
+    sub_last = {int(subset[i]): int(t_us[i]) for i in sub_change}
+    run_subset = subset[run_starts]
     for sid in np.unique(subset):
-        m = subset == sid
-        ts = t_us[m]
-        lv = loc[m]
-        # W3: run-compress (NaN-safe labels)
-        labels: list[float] = []
-        starts: list[int] = []
-        for i in range(len(ts)):
-            cur = lv[i]
-            if not labels or not _same(labels[-1], cur):
-                labels.append(cur)
-                starts.append(int(ts[i]))
-        ends = [starts[k + 1] for k in range(len(starts) - 1)] + [int(ts[-1])]
+        rsel = run_subset == sid
+        labels = [float(v) for v in loc[run_starts[rsel]]]
+        starts = [int(v) for v in t_us[run_starts[rsel]]]
+        last_ts = sub_last[int(sid)]
+        ends = [starts[k + 1] for k in range(len(starts) - 1)] + [last_ts]
         # W5: demote short activity runs to travel, re-merge, fixpoint
         while True:
             demote = [k for k in range(len(labels))
@@ -142,7 +148,7 @@ def episodes_numpy(t_us: np.ndarray, subset: np.ndarray, loc: np.ndarray,
                     nl.append(labels[k])
                     ns.append(starts[k])
             labels, starts = nl, ns
-            ends = [starts[k + 1] for k in range(len(starts) - 1)] + [int(ts[-1])]
+            ends = [starts[k + 1] for k in range(len(starts) - 1)] + [last_ts]
         for k in range(len(labels)):
             out_start.append(starts[k])
             out_end.append(ends[k])

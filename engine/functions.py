@@ -69,6 +69,25 @@ def host_from_url(url: Column) -> Column:
 GEOTAG_RE = r"\[geo:(-?\d+\.\d{6}),(-?\d+\.\d{6});acc=(\d+\.\d)\]"
 
 
+def geotag_token(text: Column) -> Column:
+    """The whole matched geotag token ('' if absent) — ONE regex pass."""
+    return F.regexp_extract(text, GEOTAG_RE, 0)
+
+
+def geotag_cols_from_token(tok: Column) -> tuple[Column, Column, Column]:
+    """(lat, lon, acc_m) parsed from a matched token with cheap substring
+    ops (no further regex).  Token grammar is fixed (FIXTURES.md §1):
+    [geo:<lat>,<lon>;acc=<m>] — values byte-identical to the 3-group regex
+    parse, so the DuckDB oracles (which use regexp groups) agree exactly."""
+    # strip "[geo:" (5 chars) and the trailing "]"
+    body = F.substring(tok, F.lit(6), F.length(tok) - 6)
+    lat = F.nullif(F.substring_index(body, ",", 1), F.lit("")).cast("double")
+    rest = F.substring_index(body, ",", -1)
+    lon = F.nullif(F.substring_index(rest, ";", 1), F.lit("")).cast("double")
+    acc = F.nullif(F.substring_index(rest, "=", -1), F.lit("")).cast("double")
+    return lat, lon, acc
+
+
 def geotag_cols(text: Column) -> tuple[Column, Column, Column]:
     """(lat, lon, acc_m) doubles extracted from `text`; null if no token."""
     lat = F.nullif(F.regexp_extract(text, GEOTAG_RE, 1), F.lit("")).cast("double")

@@ -72,6 +72,62 @@ def _gauss_stencil(bandwidth_m: float, cell_m: float):
     return di.ravel(), dj.ravel(), g2.ravel()
 
 
+def _gauss_1d(bandwidth_m: float, cell_m: float):
+    """Normalized 1-D kernel; outer(g1, g1) == the normalized 2-D stencil,
+    so two separable passes equal the 2-D convolution exactly (up to float
+    associativity)."""
+    sigma = bandwidth_m / cell_m
+    r = int(np.ceil(3.0 * sigma))
+    k = np.arange(-r, r + 1)
+    g = np.exp(-0.5 * (k / sigma) ** 2)
+    return g / g.sum()
+
+
+def _unpack(keys):
+    x = np.asarray(keys) >> np.int64(32)
+    y = ((np.asarray(keys) & np.int64(0xFFFFFFFF)) << np.int64(32)) >> np.int64(32)
+    return x, y
+
+
+def _cluster_buckets(keys: np.ndarray) -> np.ndarray:
+    """8-adjacency connected-component labels for sorted unique bucket keys."""
+    bx, by = _unpack(keys)
+    pos = {int(k): i for i, k in enumerate(keys.tolist())}
+    labels = np.full(len(keys), -1, dtype=np.int64)
+    nxt = 0
+    for i in range(len(keys)):
+        if labels[i] != -1:
+            continue
+        labels[i] = nxt
+        stack = [i]
+        while stack:
+            j = stack.pop()
+            for a in (-1, 0, 1):
+                for b in (-1, 0, 1):
+                    nk = int(((bx[j] + a) << np.int64(32))
+                             ^ ((by[j] + b) & np.int64(0xFFFFFFFF)))
+                    t = pos.get(nk)
+                    if t is not None and labels[t] == -1:
+                        labels[t] = nxt
+                        stack.append(t)
+        nxt += 1
+    return labels
+
+
+def _sparse_smooth_threshold(ix, iy, m, bandwidth_m, cell_m, thr):
+    """Fallback sparse scatter smoothing for degenerate sprawling regions."""
+    di, dj, gw = _gauss_stencil(bandwidth_m, cell_m)
+    tix = (ix[:, None] + di[None, :]).ravel()
+    tiy = (iy[:, None] + dj[None, :]).ravel()
+    tm = (m[:, None] * gw[None, :]).ravel()
+    tkey = (tix << np.int64(32)) ^ (tiy & np.int64(0xFFFFFFFF))
+    uk, inv = np.unique(tkey, return_inverse=True)
+    dens = np.bincount(inv, weights=tm)
+    hot = dens >= thr
+    hx, hy = _unpack(uk[hot])
+    return hx, hy, dens[hot]
+
+
 def kde_locations_numpy(lat, lon, nlat, nlon, ndt, cfg: EngineConfig):
     """Sparse-grid KDE + clustering for ONE host.  Returns
     (loc_lat, loc_lon, dwell_s, n_cells) arrays ordered by location id."""
@@ -130,46 +186,94 @@ def kde_locations_numpy(lat, lon, nlat, nlon, ndt, cfg: EngineConfig):
          for a in (-1, 0, 1) for b in (-1, 0, 1)]))
     keep = np.isin(ck, dil, assume_unique=False)
     uix, uiy, m0 = uix[keep], uiy[keep], m0[keep]
+    ckk = ck[keep]
 
-    # Gaussian smoothing: scatter each surviving cell into its stencil
-    di, dj, gw = _gauss_stencil(cfg.kernel_bandwidth_m, cell)
-    tix = (uix[:, None] + di[None, :]).ravel()
-    tiy = (uiy[:, None] + dj[None, :]).ravel()
-    tm = (m0[:, None] * gw[None, :]).ravel()
-    tkey = (tix << np.int64(32)) ^ (tiy & np.int64(0xFFFFFFFF))
-    ok2, inv2 = np.unique(tkey, return_inverse=True)
-    dens = np.bincount(inv2, weights=tm)
-
-    # A3: threshold in dwell-seconds
-    hot = dens >= cfg.kde_time_threshold_s
-    if not hot.any():
+    # Gaussian smoothing on DENSE per-region blocks: cluster the dilated
+    # candidate buckets (8-adjacency BFS), then one small dense grid +
+    # separable 1-D convolutions per region.  Regions are >= 1 empty bucket
+    # (16 cells > stencil radius 6) apart, so no cross-region mass — exact.
+    # A dense region grid is O(region bbox); the sparse 169-point scatter is
+    # O(kept_cells x 169) and melts down when corridors go hot (a 1.4M-point
+    # host kept 1.2M cells -> 210M scatter entries; this path is ~1000x less
+    # traffic).  Degenerate huge-bbox regions (continent-spanning) fall back
+    # to the sparse scatter per region.
+    g1 = _gauss_1d(cfg.kernel_bandwidth_m, cell)
+    r = (len(g1) - 1) // 2
+    labels = _cluster_buckets(dil)  # aligned to sorted `dil`
+    cell_region = labels[np.searchsorted(dil, ckk)]
+    hix_l, hiy_l, hd_l = [], [], []
+    for reg in np.unique(cell_region):
+        sel = cell_region == reg
+        rix, riy, rm = uix[sel], uiy[sel], m0[sel]
+        x0, x1 = int(rix.min()) - r, int(rix.max()) + r
+        y0, y1 = int(riy.min()) - r, int(riy.max()) + r
+        h, w = x1 - x0 + 1, y1 - y0 + 1
+        if h * w > 20_000_000:  # degenerate sprawl: sparse fallback
+            hx, hy, hv = _sparse_smooth_threshold(
+                rix, riy, rm, cfg.kernel_bandwidth_m, cell,
+                cfg.kde_time_threshold_s)
+        else:
+            grid = np.zeros((h, w))
+            np.add.at(grid, (rix - x0, riy - y0), rm)
+            from numpy.lib.stride_tricks import sliding_window_view
+            pad = np.pad(grid, ((r, r), (0, 0)))
+            grid = np.ascontiguousarray(
+                sliding_window_view(pad, len(g1), axis=0)[:, :, :] @ g1)
+            pad = np.pad(grid, ((0, 0), (r, r)))
+            grid = sliding_window_view(pad, len(g1), axis=1) @ g1
+            gx, gy = np.nonzero(grid >= cfg.kde_time_threshold_s)
+            hx, hy, hv = gx + x0, gy + y0, grid[gx, gy]
+        hix_l.append(hx)
+        hiy_l.append(hy)
+        hd_l.append(hv)
+    hix = np.concatenate(hix_l).astype(np.float64)
+    hiy = np.concatenate(hiy_l).astype(np.float64)
+    hd = np.concatenate(hd_l)
+    if len(hix) == 0:
         return (np.empty(0), np.empty(0), np.empty(0),
                 np.empty(0, dtype=np.int64))
-    hix = (ok2[hot] >> np.int64(32)).astype(np.float64)
-    hiy = (((ok2[hot] & np.int64(0xFFFFFFFF)) << np.int64(32))
-           >> np.int64(32)).astype(np.float64)
-    hd = dens[hot]
 
-    # A4: union-find over super-threshold cells within cluster_distance
+    # A4: connected components over super-threshold cells within
+    # cluster_distance (exact Euclidean on cell centers).  Bucket-indexed
+    # BFS: candidates come only from the 3x3 neighborhood of R-sized
+    # buckets, so cost is O(k x local-density) — the naive pairwise
+    # union-find is O(k^2) and stalls when dense corridors go hot
+    # (tens of thousands of hot cells on a mega-host).
     cx = (hix + 0.5) * cell
     cy = (hiy + 0.5) * cell
     k = len(cx)
-    parent = np.arange(k)
-
-    def find(a):
-        while parent[a] != a:
-            parent[a] = parent[parent[a]]
-            a = parent[a]
-        return a
-
     rmax2 = cfg.cluster_distance_m ** 2
-    for i in range(k):
-        d2 = (cx - cx[i]) ** 2 + (cy - cy[i]) ** 2
-        for j in np.where(d2 <= rmax2)[0]:
-            ri, rj = find(i), find(int(j))
-            if ri != rj:
-                parent[max(ri, rj)] = min(ri, rj)
-    roots = np.array([find(i) for i in range(k)])
+    rcells = int(np.ceil(cfg.cluster_distance_m / cell))
+    bx = np.floor(hix / rcells).astype(np.int64)
+    by = np.floor(hiy / rcells).astype(np.int64)
+    buckets: dict[tuple[int, int], np.ndarray] = {}
+    order = np.lexsort((by, bx))
+    sb = np.stack([bx[order], by[order]], axis=1)
+    cuts = np.flatnonzero(np.any(np.diff(sb, axis=0) != 0, axis=1)) + 1
+    for grp in np.split(order, cuts):
+        buckets[(int(bx[grp[0]]), int(by[grp[0]]))] = grp
+    roots = np.full(k, -1, dtype=np.int64)
+    for seed in range(k):
+        if roots[seed] != -1:
+            continue
+        roots[seed] = seed
+        stack = [seed]
+        while stack:
+            i = stack.pop()
+            bi, bj = int(bx[i]), int(by[i])
+            for db in range(-1, 2):
+                for dj in range(-1, 2):
+                    grp = buckets.get((bi + db, bj + dj))
+                    if grp is None:
+                        continue
+                    cand = grp[roots[grp] == -1]
+                    if len(cand) == 0:
+                        continue
+                    d2 = (cx[cand] - cx[i]) ** 2 + (cy[cand] - cy[i]) ** 2
+                    hit = cand[d2 <= rmax2]
+                    if len(hit):
+                        roots[hit] = seed
+                        stack.extend(hit.tolist())
 
     # A5: centroid + dwell per cluster
     labels = np.unique(roots)

@@ -42,14 +42,22 @@ GEOPOINT_SCHEMA = ("host string, url string, warc_ts timestamp, lat double, "
 
 
 def extract_points(pages: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
-    """F1 + F5 + X5 + F2 — native expressions only (scan-pushable)."""
-    lat, lon, acc = geotag_cols(F.col("text"))
+    """F1 + F5 + X5 + F2 — native expressions only (scan-pushable).
+
+    The geotag regex runs ONCE per row (whole-token match); lat/lon/acc are
+    then parsed with substring ops — at 8M rows the naive per-group
+    regexp_extract x5 was the dominant extract cost."""
+    from .functions import geotag_cols_from_token, geotag_token
+    tok = geotag_token(F.col("text"))
     return (pages
             .filter(F.col("lang").isin(*cfg.lang_allowlist))          # F5
             .select(host_from_url(F.col("url")).alias("host"),
-                    "url", "warc_ts",
-                    lat.alias("lat"), lon.alias("lon"), acc.alias("acc_m"))
-            .filter(F.col("lat").isNotNull())                         # F5 (token)
+                    "url", "warc_ts", tok.alias("_tok"))
+            .filter(F.col("_tok") != "")                              # F5 (token)
+            .select("host", "url", "warc_ts",
+                    *[c.alias(n) for c, n in
+                      zip(geotag_cols_from_token(F.col("_tok")),
+                          ("lat", "lon", "acc_m"))])
             .filter(F.col("acc_m") <= F.lit(cfg.min_accuracy_m)))     # F2
 
 
@@ -59,7 +67,12 @@ def _prep_kernel(cfg: EngineConfig):
     max_speed = cfg.max_speed_ms
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["warc_ts", "url"], kind="mergesort")
+        # Copy discipline: ONE sort take + ONE final row take.  A mega-host
+        # group is >1M rows with string columns, and this VM pays ~5 s/GB on
+        # first-touch allocations — repeated pandas frame filters were the
+        # dominant straggler cost (profiled ~19 s of take/copy per call).
+        pdf = pdf.sort_values(["warc_ts", "url"], kind="mergesort",
+                              ignore_index=True)
         t = pdf["warc_ts"].to_numpy("datetime64[us]").astype(np.int64) / 1e6
         lat = pdf["lat"].to_numpy(np.float64)
         lon = pdf["lon"].to_numpy(np.float64)
@@ -68,14 +81,15 @@ def _prep_kernel(cfg: EngineConfig):
         keep = np.ones(len(pdf), dtype=bool)
         if len(pdf) > 1:
             keep[1:] = ~((lat[1:] == lat[:-1]) & (lon[1:] == lon[:-1]))
-        pdf, t, lat, lon = pdf[keep], t[keep], lat[keep], lon[keep]
+        t, lat, lon = t[keep], lat[keep], lon[keep]
+        sel = np.flatnonzero(keep)  # row ids into the sorted pdf
 
         # --- G1: positional-jump removal, fixpoint (SURVEY.md §2.2 G1).
         # Drop interior points whose BOTH adjacent implied speeds exceed
         # max_speed; endpoints dropped when their single adjacent speed is
         # implausible and the neighbor is not itself the outlier.
         from .geo import haversine_m
-        alive = np.ones(len(pdf), dtype=bool)
+        alive = np.ones(len(sel), dtype=bool)
         for _ in range(16):  # fixpoint bound; real data converges in <=3
             idx = np.where(alive)[0]
             if len(idx) < 2:
@@ -95,7 +109,8 @@ def _prep_kernel(cfg: EngineConfig):
             if not bad.any():
                 break
             alive[idx[bad]] = False
-        pdf, t, lat, lon = pdf[alive], t[alive], lat[alive], lon[alive]
+        t, lat, lon = t[alive], lat[alive], lon[alive]
+        pdf = pdf.take(sel[alive])  # the single surviving-row take
 
         # --- W2: observation-gap sessionization
         n = len(pdf)
@@ -131,16 +146,16 @@ def _prep_kernel(cfg: EngineConfig):
             nlon[:-1] = np.where(same_prev, lon[1:], np.nan)
             ndt[:-1] = np.where(same_prev, t[1:] - t[:-1], np.nan)
 
-        out = pdf.copy()
-        out["seq"] = np.arange(n, dtype=np.int32)
-        out["subset_id"] = subset.astype(np.int32)
-        out["weight_s"] = weight
-        out["next_lat"] = nlat
-        out["next_lon"] = nlon
-        out["next_dt_s"] = ndt
-        return out[["host", "url", "warc_ts", "lat", "lon", "acc_m", "seq",
-                    "subset_id", "weight_s", "next_lat", "next_lon",
-                    "next_dt_s"]]
+        # build output without another frame copy (pdf is already a fresh
+        # take; column assignment is in-place on it)
+        return pd.DataFrame({
+            "host": pdf["host"].to_numpy(), "url": pdf["url"].to_numpy(),
+            "warc_ts": pdf["warc_ts"].to_numpy(), "lat": lat, "lon": lon,
+            "acc_m": pdf["acc_m"].to_numpy(),
+            "seq": np.arange(n, dtype=np.int32),
+            "subset_id": subset.astype(np.int32), "weight_s": weight,
+            "next_lat": nlat, "next_lon": nlon, "next_dt_s": ndt,
+        })
 
     return kernel
 
