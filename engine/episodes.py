@@ -12,10 +12,12 @@ Spark shape:
   knn_assign        — distributed cell-index kNN join: candidate pairs via
                       equi-join of point cell ids against the exploded ring-1
                       neighbor cover of each location's cell (per host), then
-                      exact haversine refine + row_number pick.  The index
-                      level is chosen so one ring-1 neighborhood always
-                      covers `radius` (edge(level) >= radius) — the coverage
-                      guarantee is property-tested in tests/test_geo.py.
+                      exact haversine refine + min(struct(dist, loc_id))
+                      aggregation pick (map-side combinable; no sort
+                      exchange).  The index level is chosen so one ring-1
+                      neighborhood always covers `radius` even at the MINIMUM
+                      quadratic-ST cell edge — property-tested near face
+                      corners in tests/test_geo.py.
   build_episodes    — per-host Arrow kernel: W3 run-compress, W4 spans, W5
                       short-dwell demotion to fixpoint, 'unknown' gap
                       episodes; fully deterministic ordering.
@@ -25,7 +27,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from . import geo
@@ -37,9 +39,20 @@ EPISODE_SCHEMA = ("host string, seq int, start_ts timestamp, end_ts timestamp, "
                   "kind string, location_id int")
 
 
+# Quadratic-ST cells are not uniform: the shortest cell edge is ~0.6x the
+# (pi/2)/2^level nominal edge (S2 quadratic metrics: kMinEdge/kMaxEdge).
+# Sizing the kNN index by the nominal edge let points ~radius apart fall
+# outside each other's ring-1 neighborhood near face corners (verified
+# adversarially: 7/261k pairs at level 16 / 100 m).  The ring-1 cover
+# guarantee must hold for the MINIMUM edge.
+MIN_EDGE_FRAC = 0.6
+
+
 def level_for_radius(radius_m: float) -> int:
-    """Finest level whose cell edge still covers radius_m (ring-1 guarantee)."""
-    level = int(np.floor(np.log2((np.pi / 2.0) * geo.EARTH_RADIUS_M / radius_m)))
+    """Finest level whose MINIMUM cell edge still covers radius_m (ring-1
+    cover guarantee; property-tested near face corners in tests/test_geo.py)."""
+    level = int(np.floor(np.log2(
+        MIN_EDGE_FRAC * (np.pi / 2.0) * geo.EARTH_RADIUS_M / radius_m)))
     return max(0, min(level, geo.MAX_LEVEL))
 
 
@@ -77,22 +90,25 @@ def knn_assign(points: DataFrame, locations: DataFrame,
         pcell = enc(F.col("lat"), F.col("lon"))
     pts = points.withColumn("_pcell", pcell)
 
-    cand = pts.join(loc, (pts["host"] == loc["_lhost"])
-                    & (pts["_pcell"] == loc["_jcell"]), "left")
+    # Narrow candidate stream: only the point key + coords ride the candidate
+    # exchange (not the full point row), best candidate is picked with a
+    # map-side-combinable min(struct(dist, loc_id)) aggregation (no sort
+    # exchange of wide candidate rows), then joined back once.  warc_ts is in
+    # the key so re-crawled urls (same url, different ts) keep one row each.
+    key = ["host", "url", "warc_ts"]
+    cand = (pts.select(*key, "lat", "lon", "_pcell")
+            .join(loc, (F.col("host") == F.col("_lhost"))
+                  & (F.col("_pcell") == F.col("_jcell")), "inner"))
     dist = haversine_m_col(F.col("lat"), F.col("lon"),
                            F.col("_llat"), F.col("_llon"))
-    cand = cand.withColumn("_dist", dist).withColumn(
-        "_loc_id",
-        F.when(F.col("_dist") <= F.lit(radius), F.col("_loc_id")))
-    cand = cand.withColumn(
-        "_dist", F.when(F.col("_loc_id").isNotNull(), F.col("_dist")))
-    w = Window.partitionBy("host", "url").orderBy(
-        F.col("_dist").asc_nulls_last(), F.col("_loc_id").asc_nulls_last())
-    best = (cand.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") == 1))
-    return (best.drop("_rk", "_pcell", "_jcell", "_lhost", "_llat", "_llon")
-            .withColumnRenamed("_loc_id", "location_id")
-            .withColumnRenamed("_dist", "loc_dist_m"))
+    best = (cand.withColumn("_dist", dist)
+            .filter(F.col("_dist") <= F.lit(radius))
+            .groupBy(*key)
+            .agg(F.min(F.struct(F.col("_dist"), F.col("_loc_id"))).alias("_best")))
+    return (pts.join(best, key, "left")
+            .withColumn("location_id", F.col("_best._loc_id"))
+            .withColumn("loc_dist_m", F.col("_best._dist"))
+            .drop("_best", "_pcell"))
 
 
 # ---------------------------------------------------------------------------

@@ -90,20 +90,31 @@ def _cosine_batch(va: pd.Series, vb: pd.Series, na: pd.Series,
 
 def _lsh_candidate_sims(df: DataFrame, dim: int, bits: int, bands: int,
                         id_col: str, vec_col: str, seed: int) -> DataFrame:
-    """LSH candidate pairs (shared >= 1 band bucket) with exact cosine."""
-    b = lsh_sign_buckets(df, dim, bits, bands, id_col, vec_col, seed)
-    n = with_norm(b, vec_col).select(F.col(id_col), "_v", "_norm", "_buckets")
-    exploded = n.select(
-        F.col(id_col), "_v", "_norm",
-        F.posexplode("_buckets").alias("band", "bucket"))
-    l = exploded.select(F.col(id_col).alias("a"), F.col("_v").alias("va"),
-                        F.col("_norm").alias("na"), "band", "bucket")
-    r = exploded.select(F.col(id_col).alias("b"), F.col("_v").alias("vb"),
-                        F.col("_norm").alias("nb"), "band", "bucket")
-    cand = (l.join(r, ["band", "bucket"]).filter(F.col("a") != F.col("b"))
-            .select("a", "b", "va", "vb", "na", "nb").distinct())
-    return cand.withColumn("sim", _cosine_batch(F.col("va"), F.col("vb"),
-                                                F.col("na"), F.col("nb")))
+    """LSH candidate pairs (shared >= 1 band bucket) with exact cosine.
+
+    Scale shape: the band bucket-join and the candidate dedup move BARE ids
+    (16 B/pair) — vectors are joined back exactly once per side AFTER the
+    distinct.  Shipping the ~1 KB embeddings through the bands-fold
+    duplicated exchange + distinct was the single heaviest shuffle in the
+    round-1 bench (ann_topk 124 s; 2.2x the whole geo pipeline).
+    """
+    bk = lsh_sign_buckets(df.select(id_col, vec_col), dim, bits, bands,
+                          id_col, vec_col, seed)
+    exploded = bk.select(
+        F.col(id_col), F.posexplode("_buckets").alias("band", "bucket"))
+    l = exploded.select(F.col(id_col).alias("a"), "band", "bucket")
+    r = exploded.select(F.col(id_col).alias("b"), "band", "bucket")
+    pairs = (l.join(r, ["band", "bucket"]).filter(F.col("a") != F.col("b"))
+             .select("a", "b").distinct())
+    nn = with_norm(df, vec_col).select(F.col(id_col), "_v", "_norm")
+    va = nn.select(F.col(id_col).alias("a"), F.col("_v").alias("va"),
+                   F.col("_norm").alias("na"))
+    vb = nn.select(F.col(id_col).alias("b"), F.col("_v").alias("vb"),
+                   F.col("_norm").alias("nb"))
+    cand = pairs.join(va, "a").join(vb, "b")
+    return (cand.withColumn("sim", _cosine_batch(F.col("va"), F.col("vb"),
+                                                 F.col("na"), F.col("nb")))
+            .drop("va", "vb", "na", "nb"))
 
 
 def ann_cosine_topk(df: DataFrame, k: int = 5, dim: int = 64,

@@ -107,10 +107,15 @@ def extract_components(density: DataFrame, threshold_s: float,
                        level: int | None = None,
                        max_iters: int = 12) -> DataFrame:
     """Vector extraction: super-threshold cells -> connected components
-    (ring-1 adjacency) via iterative min-label propagation.
+    (ring-1 adjacency) via min-label propagation WITH pointer jumping.
 
-    Converges in O(log component-diameter) rounds with path doubling through
-    the label table; bounded by max_iters (12 covers diameter 4096 tiles).
+    Each round does (a) a 1-hop neighbor-min and (b) a pointer jump
+    label <- label(label) through the current label table, so convergence is
+    O(log component-diameter) rounds (plain 1-hop propagation alone is
+    O(diameter)).  Raises RuntimeError if max_iters rounds don't reach a
+    fixpoint instead of silently splitting components.  Superseded iteration
+    caches are unpersisted each round (the final label table stays cached —
+    the returned DataFrame reads from it).
     Returns (component_id, cell_id, mass_s).
     """
     lvl = level if level is not None else cfg.cell_level
@@ -127,21 +132,41 @@ def extract_components(density: DataFrame, threshold_s: float,
     edges = (edges.join(hot.select(F.col("cell_id").alias("ncell")), "ncell",
                         "left_semi")).cache()
     cur = hot.select("cell_id", "label")
+    prev_cached: DataFrame | None = None
+    converged = False
     for _ in range(max_iters):
-        nbr_min = (edges.join(cur.withColumnRenamed("cell_id", "ncell")
-                              .withColumnRenamed("label", "nlabel"), "ncell")
+        nbr_min = (edges.join(cur.select(F.col("cell_id").alias("ncell"),
+                                         F.col("label").alias("nlabel")),
+                              "ncell")
                    .groupBy("cell_id").agg(F.min("nlabel").alias("nbr_label")))
-        nxt = (cur.join(nbr_min, "cell_id", "left")
+        mined = (cur.join(nbr_min, "cell_id", "left")
+                 .select("cell_id",
+                         F.least(F.col("label"),
+                                 F.coalesce(F.col("nbr_label"), F.col("label")))
+                         .alias("label")))
+        # pointer jump: label <- label(label) via the pre-round label table
+        jump = cur.select(F.col("cell_id").alias("label"),
+                          F.col("label").alias("_jlabel"))
+        nxt = (mined.join(jump, "label", "left")
                .select("cell_id",
                        F.least(F.col("label"),
-                               F.coalesce(F.col("nbr_label"), F.col("label")))
-                       .alias("label")))
-        nxt = nxt.cache()
+                               F.coalesce(F.col("_jlabel"), F.col("label")))
+                       .alias("label"))).cache()
+        # full count (not limit(1)) so nxt is fully materialized into its
+        # cache before the previous round's cache is dropped
         changed = (nxt.join(cur.withColumnRenamed("label", "old"), "cell_id")
-                   .filter(F.col("label") != F.col("old")).limit(1).count())
+                   .filter(F.col("label") != F.col("old")).count())
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        prev_cached = nxt
         cur = nxt
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"extract_components: no fixpoint after {max_iters} pointer-"
+            f"jumping rounds (component diameter > 2^{max_iters})")
     return (hot.select("cell_id", "mass_s")
             .join(cur.withColumnRenamed("label", "component_id"), "cell_id"))
 
@@ -190,18 +215,28 @@ def pip_join(points: DataFrame, polygons_with_cover: DataFrame,
         cover = F.broadcast(cover)
     cand = points.select("url", "lat", "lon", "cell_id").join(cover, "cell_id")
 
-    def refine(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) == 0:
-            return pd.DataFrame({"url": pd.Series(dtype=str),
-                                 "polygon_id": pd.Series(dtype="int64")})
-        ring = np.array(list(pdf["ring"].iloc[0]), dtype=np.float64)
-        inside = geo.points_in_ring(pdf["lon"].to_numpy(np.float64),
-                                    pdf["lat"].to_numpy(np.float64), ring)
-        out = pdf.loc[inside, ["url", "polygon_id"]]
-        return out
+    # Refine is row-independent and the ring rides on every candidate row,
+    # so it runs as mapInPandas over the candidate stream (grouped by ring
+    # only WITHIN each Arrow batch) — no shuffle, and a hot polygon
+    # (downtown) spreads across tasks instead of serializing into one
+    # groupBy(polygon_id) task.
+    empty = pd.DataFrame({"url": pd.Series(dtype=str),
+                          "polygon_id": pd.Series(dtype="int64")})
 
-    return (cand.groupBy("polygon_id")
-            .applyInPandas(refine, schema="url string, polygon_id long"))
+    def refine(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield empty
+                continue
+            outs = []
+            for _, g in pdf.groupby("polygon_id", sort=False):
+                ring = np.array(list(g["ring"].iloc[0]), dtype=np.float64)
+                inside = geo.points_in_ring(g["lon"].to_numpy(np.float64),
+                                            g["lat"].to_numpy(np.float64), ring)
+                outs.append(g.loc[inside, ["url", "polygon_id"]])
+            yield pd.concat(outs) if outs else empty
+
+    return cand.mapInPandas(refine, schema="url string, polygon_id long")
 
 
 # ---------------------------------------------------------------------------
