@@ -169,11 +169,31 @@ def q_tpch_q1(spark, sf_dir):
 
 
 def q_dedup_exact(spark, sf_dir):
+    """Exercises engine.text.dedup_exact (hash-keyed shuffle); the oracle
+    groups by raw text — identical output barring a 2^-190 hash collision."""
     docs = _t(spark, sf_dir, "documents")
-    return (docs.groupBy("text")
-            .agg(F.min("doc_id").alias("doc_id"),
-                 F.count(F.lit(1)).alias("n_copies"))
-            .select("doc_id", "n_copies"))
+    from engine.text import dedup_exact
+    return dedup_exact(docs)
+
+
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing (MOSS) document fingerprints — rows-only (fingerprints are
+    engine xxhash64-based; no DuckDB twin), golden-tested in tests/."""
+    docs = _t(spark, sf_dir, "documents")
+    from engine.text import winnow_fingerprints
+    out = winnow_fingerprints(docs)
+    return out.select("doc_id",
+                      F.size("fingerprints").cast("long").alias("n_fp"),
+                      F.array_min("fingerprints").alias("fp_min"),
+                      F.array_max("fingerprints").alias("fp_max"))
+
+
+def q_cosine_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via LSH candidates + exact refine —
+    rows-only (LSH recall < 1 by design; precision property-tested)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    from engine.similarity import cosine_near_dup_pairs
+    return cosine_near_dup_pairs(emb, threshold=0.35, dim=64, bits=12, bands=6)
 
 
 # non-SQL-expressible (rows-only check): the geo pipeline itself
@@ -377,6 +397,26 @@ def q_a7_day_summary_episodes(spark, sf_dir):
     return day_summary(eps)
 
 
+def q_geo_agreement(spark, sf_dir):
+    """E3/A8 — runnable compare path: algorithm episodes vs a deterministic
+    'ground truth' (same episodes with every 5th activity flipped to travel),
+    so agreement lands strictly in (0, 1) per host.  Rows-only (episodes are
+    kernel-derived); the metric itself is golden-tested in tests/."""
+    from engine.episodes import build_episodes, knn_assign
+    from engine.locations import detect_locations
+    from engine.sinks import compare_to_ground_truth
+    ev = _t(spark, sf_dir, "events")
+    gp = trace_prep.geopoints(web_pages_from_events(ev), DEFAULT).persist()
+    locs = detect_locations(gp, DEFAULT)
+    eps = build_episodes(knn_assign(gp, locs, DEFAULT), DEFAULT).persist()
+    truth = eps.withColumn(
+        "kind",
+        F.when((F.col("kind") == "activity") & (F.col("seq") % 5 == 0),
+               F.lit("travel")).otherwise(F.col("kind")))
+    return compare_to_ground_truth(eps, truth).select(
+        "host", "agreement", "overlap_total_s")
+
+
 def q_media_decode(spark, sf_dir):
     from engine import multimodal
     ev = _t(spark, sf_dir, "events")
@@ -401,6 +441,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x5_extract_geopoints": q_x5_extract_geopoints,
         "tpch_q1": q_tpch_q1,
         "dedup_exact": q_dedup_exact,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "cosine_near_dup": q_cosine_near_dup,
         "geo_sessions": q_geo_sessions,
         "j1_knn_assign": q_j1_knn_assign,
         "text_token_stats": q_text_token_stats,
@@ -417,6 +459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_locations": q_geo_locations,
         "geo_episodes": q_geo_episodes,
         "a7_day_summary_episodes": q_a7_day_summary_episodes,
+        "geo_agreement": q_geo_agreement,
         "a9_cube": q_a9_cube,
         "o3_setops": q_o3_setops,
         "x7_props_json": q_x7_props_json,
@@ -448,7 +491,8 @@ sess AS (
 _SEGMENTS_CTE = """
 chg AS (
   SELECT user_id, event_id, ts, event_type,
-         CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+         CASE WHEN row_number() OVER w = 1
+                   OR lag(event_type) OVER w IS DISTINCT FROM event_type
               THEN 1 ELSE 0 END AS newf
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

@@ -67,7 +67,8 @@ def main() -> int:
         n_eps = episodes.count()
     with stage("tiles_pyramid"):
         sites = trace_prep.interpolate_sites(gp, DEFAULT)
-        pyr = tiles.rollup_pyramid(tiles.cell_density(sites, DEFAULT), DEFAULT)
+        pyr = tiles.rollup_pyramid(
+            tiles.cell_density(sites, DEFAULT, salted=True), DEFAULT)
         n_tiles = pyr.count()
     geo_secs = time.perf_counter() - t_geo0
 

@@ -69,10 +69,14 @@ def time_weights(df: DataFrame, part: Sequence[str], ts_col: str,
 def change_segments(df: DataFrame, part: Sequence[str], order: Sequence[str],
                     label_col: str, out: str = "segment_id") -> DataFrame:
     """W3 — run-length segmentation: new segment whenever `label_col` changes
-    (null-safe), per partition in `order`.  Same cumsum pattern as W2."""
+    (null-safe), per partition in `order`.  Same cumsum pattern as W2.
+    The first row is flagged explicitly (not via the lag-null trick), so a
+    partition whose first label is NULL still starts at segment 0 —
+    eqNullSafe(NULL, NULL) is true, which would otherwise yield -1."""
     w = _w(part, order)
+    first = F.row_number().over(w) == 1
     changed = ~F.lag(F.col(label_col)).over(w).eqNullSafe(F.col(label_col))
-    new = F.when(changed.isNull() | changed, F.lit(1)).otherwise(F.lit(0))
+    new = F.when(first | changed, F.lit(1)).otherwise(F.lit(0))
     return df.withColumn(
         out,
         F.sum(new).over(w.rowsBetween(Window.unboundedPreceding, 0)) - F.lit(1))

@@ -52,6 +52,31 @@ def write_points(assigned: DataFrame, path: str | Path) -> None:
     assigned.select(*cols).write.mode("overwrite").parquet(str(path))
 
 
+GROUND_TRUTH_SCHEMA = ("host string, start_ts timestamp, end_ts timestamp, "
+                       "kind string, location_id int")
+
+
+def read_ground_truth(spark, path: str | Path) -> DataFrame:
+    """S3 — ground-truth episode scan for the compare path (REF compare.py
+    reads a hand-labeled CSV [M]).  Explicit schema, header'd CSV; rows with
+    unparsable timestamps are dropped (PERMISSIVE -> null filter) so a
+    partially-labeled file still compares."""
+    df = (spark.read.option("header", True).option("mode", "PERMISSIVE")
+          .schema(GROUND_TRUTH_SCHEMA).csv(str(path)))
+    return df.filter(F.col("start_ts").isNotNull()
+                     & F.col("end_ts").isNotNull())
+
+
+def compare_to_ground_truth(algo: DataFrame, truth: DataFrame) -> DataFrame:
+    """E3 — runnable compare entry: agreement metrics (A8) of algorithm
+    episodes vs a ground-truth table (from read_ground_truth or any DF with
+    host/start_ts/end_ts/kind/location_id)."""
+    from .episodes import agreement_metrics
+    return agreement_metrics(
+        algo.select("host", "start_ts", "end_ts", "kind", "location_id"),
+        truth.select("host", "start_ts", "end_ts", "kind", "location_id"))
+
+
 def label_locations(locations: DataFrame, known: DataFrame,
                     cfg: EngineConfig = DEFAULT,
                     radius_m: float | None = None) -> DataFrame:

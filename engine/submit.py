@@ -74,7 +74,8 @@ def main(argv: list[str] | None = None) -> int:
         episodes_stage, n_buckets=args.buckets)
     sites_den = tiles.cell_density(
         trace_prep.interpolate_sites(
-            catalog.read_table(spark, wd / "geopoints"), DEFAULT), DEFAULT)
+            catalog.read_table(spark, wd / "geopoints"), DEFAULT), DEFAULT,
+        salted=True)  # hot-cell skew guard (BASELINE.json mandate)
     pyr = tiles.rollup_pyramid(sites_den, DEFAULT)
     pyr.write.mode("overwrite").partitionBy("level").parquet(str(wd / "tiles"))
     print("pipeline complete:", {p.name: True for p in wd.iterdir()})

@@ -42,11 +42,26 @@ def site_cells(sites: DataFrame, cfg: EngineConfig = DEFAULT,
 
 def cell_density(sites: DataFrame, cfg: EngineConfig = DEFAULT,
                  level: int | None = None,
-                 by_host: bool = False) -> DataFrame:
-    """A2-global raster: total dwell-seconds per cell (optionally per host)."""
+                 by_host: bool = False,
+                 salted: bool = False) -> DataFrame:
+    """A2-global raster: total dwell-seconds per cell (optionally per host).
+
+    With salted=True (BASELINE.json 'salted repartitioning for hot-cell
+    skew'; used by the production pipeline in submit.py/bench.py) the sum
+    runs as a two-stage aggregation: partial sums on (keys..., salt) then
+    final on keys.  This bounds any single reduce task to ~1/salt_buckets of
+    a hot cell's rows even when hash partial-aggregation falls back to
+    sort-spill on a dominant key.
+    """
     df = site_cells(sites, cfg, level)
     keys = (["host", "cell_id"] if by_host else ["cell_id"])
-    return df.groupBy(*keys).agg(F.sum("mass_s").alias("mass_s"))
+    if not salted:
+        return df.groupBy(*keys).agg(F.sum("mass_s").alias("mass_s"))
+    salt = F.pmod(F.xxhash64("site_lat", "site_lon", "mass_s"),
+                  F.lit(cfg.salt_buckets))
+    partial = (df.withColumn("_salt", salt)
+               .groupBy(*keys, "_salt").agg(F.sum("mass_s").alias("_m")))
+    return partial.groupBy(*keys).agg(F.sum("_m").alias("mass_s"))
 
 
 def _ring_weights(k: int, sigma_cells: float) -> list[float]:
@@ -251,15 +266,5 @@ def hot_keys(df: DataFrame, key: str, threshold: int) -> DataFrame:
 
 def salted_cell_density(sites: DataFrame, cfg: EngineConfig = DEFAULT,
                         level: int | None = None) -> DataFrame:
-    """cell_density with two-stage (salted) aggregation: partial sums on
-    (cell_id, salt) then final on cell_id.  Use when a handful of cells
-    dominate (BASELINE.json:6 hot-cell skew).  Same result, bounded
-    per-task key volume.
-    """
-    df = site_cells(sites, cfg, level)
-    salted = df.withColumn("_salt", F.pmod(F.xxhash64("site_lat", "site_lon",
-                                                      "mass_s"),
-                                           F.lit(cfg.salt_buckets)))
-    partial = (salted.groupBy("cell_id", "_salt")
-               .agg(F.sum("mass_s").alias("m")))
-    return partial.groupBy("cell_id").agg(F.sum("m").alias("mass_s"))
+    """Back-compat alias for cell_density(..., salted=True)."""
+    return cell_density(sites, cfg, level, salted=True)

@@ -85,3 +85,24 @@ def test_agreement_metrics_detects_disagreement(spark, pipeline_out):
     # hosts with travel episodes must drop below 1.0
     assert (m["agreement"] < 1.0).any()
     assert (m["agreement"] <= 1.0 + 1e-9).all()
+
+
+def test_ground_truth_csv_roundtrip_compare(spark, pipeline_out, tmp_path):
+    """S3/E3: episodes written as a labeled CSV read back via
+    read_ground_truth and compared — self-agreement 1.0; a malformed row is
+    dropped, not fatal."""
+    from engine import sinks
+    _, _, _, episodes = pipeline_out
+    p = tmp_path / "truth_csv"
+    (episodes.select("host", "start_ts", "end_ts", "kind", "location_id")
+     .coalesce(1).write.mode("overwrite").option("header", True).csv(str(p)))
+    # append a malformed line to the part file
+    part = next(p.glob("part-*.csv"))
+    with open(part, "a") as fh:
+        fh.write("hostX,not-a-ts,also-not,activity,1\n")
+    for crc in p.glob(".*.crc"):  # stale hadoop checksums after the append
+        crc.unlink()
+    truth = sinks.read_ground_truth(spark, p)
+    assert truth.count() == episodes.count()  # malformed row dropped
+    m = sinks.compare_to_ground_truth(episodes, truth).toPandas()
+    assert np.allclose(m["agreement"], 1.0)

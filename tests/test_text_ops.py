@@ -68,6 +68,41 @@ def test_simhash_near_pairs(spark):
     assert (1, 3) not in got and (2, 3) not in got
 
 
+def test_simhash_banding_recall_guarantee(spark):
+    """Pigeonhole property: with bands = max_hamming + 1 (the default),
+    EVERY pair within max_hamming bits is found — including pairs whose
+    differing bits spread one-per-band (the round-1 4x16 banding missed
+    hamming 4-8 pairs exactly this way)."""
+    rng = np.random.default_rng(11)
+    max_h = 8
+    rows, expected = [], set()
+    did = 0
+    for k in (1, 3, 4, 6, 8):
+        for _ in range(8):
+            h = int(rng.integers(0, 2**64, dtype=np.uint64))
+            # adversarial spread: one flipped bit per band chunk
+            from engine.text import _simhash_band_bounds
+            chunks = _simhash_band_bounds(max_h + 1)
+            pos = [int(lo + rng.integers(0, w)) for lo, w in chunks[:k]]
+            h2 = h
+            for p in pos:
+                h2 ^= 1 << p
+            def signed(v):
+                return (v & (2**63 - 1)) - (v & 2**63)
+            rows.append((did, signed(h)))
+            rows.append((did + 1, signed(h2)))
+            expected.add((did, did + 1))
+            did += 2
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "simhash"]))
+    out = text.simhash_near_pairs(df, max_hamming=max_h).toPandas()
+    got = set(zip(out["a"], out["b"]))
+    missing = expected - got
+    assert not missing, f"pigeonhole recall violated: {sorted(missing)[:5]}"
+    assert (out["hamming"] <= max_h).all()
+    with pytest.raises(ValueError):
+        text.simhash_near_pairs(df, max_hamming=8, bands=4)
+
+
 def test_lang_id(spark):
     pdf = pd.DataFrame({
         "doc_id": [1, 2, 3, 4],
@@ -120,6 +155,33 @@ def test_ann_recall_vs_bruteforce(spark, emb):
     # matches brute force where both report it
     merged = ann.merge(bf, on=["a", "b"], suffixes=("_ann", "_bf"))
     assert np.allclose(merged["sim_ann"], merged["sim_bf"], atol=1e-9)
+
+
+def test_cosine_near_dup_pairs_planted(spark):
+    """Plant near-duplicate embeddings (tiny perturbation, cosine ~0.999)
+    among random vectors: every planted pair must be found and every
+    reported pair's sim is exact (refine step) and >= threshold."""
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((20, 64))
+    rows, expected = [], set()
+    vid = 0
+    for i in range(20):
+        rows.append((vid, base[i].tolist()))
+        a = vid
+        vid += 1
+        if i < 5:
+            v2 = base[i] + 0.03 * rng.standard_normal(64)
+            rows.append((vid, v2.tolist()))
+            expected.add((a, vid))
+            vid += 1
+    df = spark.createDataFrame(pd.DataFrame(rows,
+                                            columns=["vec_id", "embedding"]))
+    out = similarity.cosine_near_dup_pairs(df, threshold=0.95, dim=64).toPandas()
+    got = set(zip(out["a"], out["b"]))
+    assert expected <= got, f"missed planted pairs: {expected - got}"
+    assert (out["sim"] >= 0.95).all()
+    # random non-planted vectors are ~orthogonal: no false 0.95+ pairs
+    assert got <= expected
 
 
 def test_multimodal_decode_plumbing(spark, unit_pages_sdf):

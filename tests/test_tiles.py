@@ -126,6 +126,43 @@ def test_salted_join_equals_plain_join(spark, geopoints):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_salted_cell_density_hot_cell(spark):
+    """Plant a hot cell (one coordinate dominating 95% of rows) and assert
+    the salted two-stage aggregation produces the same densities as the
+    plain path, with the partial stage bounded per (cell, salt) key."""
+    n_hot, n_cold = 20_000, 1_000
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame({
+        "host": ["h.example"] * (n_hot + n_cold),
+        "subset_id": np.zeros(n_hot + n_cold, dtype=np.int32),
+        "site_lat": np.r_[np.full(n_hot, 43.6532),
+                          43.6532 + rng.uniform(-0.5, 0.5, n_cold)],
+        "site_lon": np.r_[np.full(n_hot, -79.3832),
+                          -79.3832 + rng.uniform(-0.5, 0.5, n_cold)],
+        "mass_s": rng.integers(1, 100, n_hot + n_cold).astype(np.float64),
+    })
+    sdf = spark.createDataFrame(pdf)
+    a = (tiles.cell_density(sdf).toPandas()
+         .sort_values("cell_id").reset_index(drop=True))
+    b = (tiles.cell_density(sdf, salted=True).toPandas()
+         .sort_values("cell_id").reset_index(drop=True))
+    np.testing.assert_array_equal(a["cell_id"], b["cell_id"])
+    np.testing.assert_allclose(a["mass_s"], b["mass_s"], rtol=1e-12)
+    # the hot cell really is hot
+    assert a["mass_s"].max() / a["mass_s"].sum() > 0.9
+    # partial stage fan-out: hot cell splits across salt buckets
+    from engine.tiles import site_cells
+    parts = (site_cells(sdf)
+             .withColumn("_salt", F.pmod(F.xxhash64("site_lat", "site_lon",
+                                                    "mass_s"),
+                                         F.lit(DEFAULT.salt_buckets)))
+             .groupBy("cell_id", "_salt").count())
+    hot_cell = a.loc[a["mass_s"].idxmax(), "cell_id"]
+    hot_parts = parts.filter(F.col("cell_id") == int(hot_cell)).toPandas()
+    assert len(hot_parts) == DEFAULT.salt_buckets
+    assert hot_parts["count"].max() < n_hot  # no single-bucket collapse
+
+
 def test_salted_cell_density_equals_plain(sites):
     a = (tiles.cell_density(sites).toPandas()
          .sort_values("cell_id").reset_index(drop=True))

@@ -108,3 +108,21 @@ def test_geopoints_cell_level(spark, unit_pages_sdf):
                                         DEFAULT.cell_level)
     d = geo.haversine_m(gp["lat"], gp["lon"], clat, clon)
     assert d.max() < 2 * geo.cell_edge_m(DEFAULT.cell_level)
+
+
+def test_change_segments_null_first_label(spark):
+    """W3 contract: segment ids are 0-based even when a partition's FIRST
+    label is NULL (the lag-null + eqNullSafe trick alone yields -1 there)."""
+    import pandas as pd
+    from engine import ops
+    pdf = pd.DataFrame({
+        "g": ["x"] * 4 + ["y"] * 2,
+        "ts": pd.to_datetime(
+            ["2024-01-01 00:00", "2024-01-01 00:01", "2024-01-01 00:02",
+             "2024-01-01 00:03", "2024-01-01 00:00", "2024-01-01 00:01"]),
+        "lab": pd.array([None, None, "a", None, "b", "b"], dtype="string"),
+    })
+    out = (ops.change_segments(spark.createDataFrame(pdf), ["g"], ["ts"], "lab")
+           .toPandas().sort_values(["g", "ts"]))
+    assert list(out[out["g"] == "x"]["segment_id"]) == [0, 0, 1, 2]
+    assert list(out[out["g"] == "y"]["segment_id"]) == [0, 0]
