@@ -115,78 +115,36 @@ def knn_assign(points: DataFrame, locations: DataFrame,
 # episodes
 # ---------------------------------------------------------------------------
 
-def episodes_numpy(t_us: np.ndarray, subset: np.ndarray, loc: np.ndarray,
-                   cfg: EngineConfig):
-    """W3-W5 for one host.  t_us: int64 microseconds; loc: float with NaN for
-    unassigned.  Returns (start_us, end_us, kind, location_id) lists.
-    Episodes partition each subset's [first_ts, last_ts]; 'unknown'
-    episodes span inter-subset gaps.  Fixpoint: activity runs shorter than
-    min_dwell_s are demoted to travel and runs re-merged until stable.
-    """
-    out_start, out_end, out_kind, out_loc = [], [], [], []
-    min_dwell_us = int(cfg.min_dwell_s * 1e6)
-    # W3: vectorized run boundaries over the whole host (per-point python
-    # loops serialized a 1.5M-point mega-host task; run counts are small)
-    n_all = len(t_us)
-    if n_all == 0:
-        return [], [], [], []
+def _subset_runs(t_us: np.ndarray, loc: np.ndarray, min_dwell_us: int):
+    """W3 + W4 + W5 for ONE subset (time-ordered input).  Run-compress the
+    label stream, demote activity runs shorter than min_dwell to travel,
+    re-merge adjacent equal labels, repeat to fixpoint.  Returns
+    (starts_us, ends_us, labels) lists; labels are float with NaN = travel.
+    Episodes partition [t[0], t[-1]] exactly."""
     same_lab = ((loc[1:] == loc[:-1])
                 | (np.isnan(loc[1:]) & np.isnan(loc[:-1])))
-    same_run = same_lab & (subset[1:] == subset[:-1])
-    run_starts = np.r_[0, np.flatnonzero(~same_run) + 1]
-    # per-subset last timestamp (subsets are contiguous, ascending)
-    sub_change = np.r_[np.flatnonzero(subset[1:] != subset[:-1]), n_all - 1]
-    sub_last = {int(subset[i]): int(t_us[i]) for i in sub_change}
-    run_subset = subset[run_starts]
-    for sid in np.unique(subset):
-        rsel = run_subset == sid
-        labels = [float(v) for v in loc[run_starts[rsel]]]
-        starts = [int(v) for v in t_us[run_starts[rsel]]]
-        last_ts = sub_last[int(sid)]
-        ends = [starts[k + 1] for k in range(len(starts) - 1)] + [last_ts]
-        # W5: demote short activity runs to travel, re-merge, fixpoint
-        while True:
-            demote = [k for k in range(len(labels))
-                      if not np.isnan(labels[k])
-                      and ends[k] - starts[k] < min_dwell_us]
-            if not demote:
-                break
-            for k in demote:
-                labels[k] = float("nan")
-            # merge adjacent equal labels
-            nl, ns = [], []
-            for k in range(len(labels)):
-                if nl and _same(nl[-1], labels[k]):
-                    continue_start = False
-                else:
-                    continue_start = True
-                if continue_start:
-                    nl.append(labels[k])
-                    ns.append(starts[k])
-            labels, starts = nl, ns
-            ends = [starts[k + 1] for k in range(len(starts) - 1)] + [last_ts]
+    run_starts = np.r_[0, np.flatnonzero(~same_lab) + 1]
+    labels = [float(v) for v in loc[run_starts]]
+    starts = [int(v) for v in t_us[run_starts]]
+    last_ts = int(t_us[-1])
+    ends = [starts[k + 1] for k in range(len(starts) - 1)] + [last_ts]
+    while True:
+        demote = [k for k in range(len(labels))
+                  if not np.isnan(labels[k])
+                  and ends[k] - starts[k] < min_dwell_us]
+        if not demote:
+            break
+        for k in demote:
+            labels[k] = float("nan")
+        nl, ns = [], []
         for k in range(len(labels)):
-            out_start.append(starts[k])
-            out_end.append(ends[k])
-            if np.isnan(labels[k]):
-                out_kind.append("travel")
-                out_loc.append(None)
-            else:
-                out_kind.append("activity")
-                out_loc.append(int(labels[k]))
-    # 'unknown' episodes across observation gaps (between subsets)
-    order = np.argsort(np.array(out_start, dtype=np.int64), kind="stable")
-    s = [out_start[i] for i in order]
-    e = [out_end[i] for i in order]
-    kk = [out_kind[i] for i in order]
-    ll = [out_loc[i] for i in order]
-    fs, fe, fk, fl = [], [], [], []
-    for i in range(len(s)):
-        if i > 0 and s[i] > e[i - 1]:
-            fs.append(e[i - 1]); fe.append(s[i])
-            fk.append("unknown"); fl.append(None)
-        fs.append(s[i]); fe.append(e[i]); fk.append(kk[i]); fl.append(ll[i])
-    return fs, fe, fk, fl
+            if nl and _same(nl[-1], labels[k]):
+                continue
+            nl.append(labels[k])
+            ns.append(starts[k])
+        labels, starts = nl, ns
+        ends = [starts[k + 1] for k in range(len(starts) - 1)] + [last_ts]
+    return starts, ends, labels
 
 
 def _same(a, b) -> bool:
@@ -197,38 +155,103 @@ def _same(a, b) -> bool:
     return a == b
 
 
-def _episode_kernel(cfg: EngineConfig):
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) == 0:
-            return pd.DataFrame({"host": pd.Series(dtype=str),
-                                 "seq": pd.Series(dtype="int32"),
-                                 "start_ts": pd.Series(dtype="datetime64[us]"),
-                                 "end_ts": pd.Series(dtype="datetime64[us]"),
-                                 "kind": pd.Series(dtype=str),
-                                 "location_id": pd.Series(dtype="float64")})
-        pdf = pdf.sort_values(["warc_ts", "url"], kind="mergesort")
-        t = pdf["warc_ts"].to_numpy("datetime64[us]").astype(np.int64)
-        subset = pdf["subset_id"].to_numpy(np.int64)
-        loc = pdf["location_id"].to_numpy(np.float64)
-        fs, fe, fk, fl = episodes_numpy(t, subset, loc, cfg)
+_PER_SUBSET_SCHEMA = ("host string, start_ts timestamp, end_ts timestamp, "
+                      "kind string, location_id int, ridx int")
+
+
+def _episode_stream(cfg: EngineConfig):
+    """mapInPandas stream over a (host, subset_id, seq)-sorted partition:
+    each contiguous (host, subset) run goes through _subset_runs; one output
+    frame per Arrow batch.  `ridx` is the within-subset emission index —
+    build_episodes uses it as the deterministic tiebreak for zero-length
+    runs at equal timestamps."""
+    min_dwell_us = int(cfg.min_dwell_s * 1e6)
+
+    def flush(buf: list[pd.DataFrame]) -> pd.DataFrame:
+        g = pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
+        order = np.argsort(g["seq"].to_numpy(np.int64), kind="stable")
+        t = g["warc_ts"].to_numpy("datetime64[us]").astype(np.int64)[order]
+        loc = g["location_id"].to_numpy(np.float64)[order]
+        starts, ends, labels = _subset_runs(t, loc, min_dwell_us)
         return pd.DataFrame({
-            "host": pdf["host"].iloc[0],
-            "seq": np.arange(len(fs), dtype=np.int32),
-            "start_ts": np.array(fs, dtype="datetime64[us]"),
-            "end_ts": np.array(fe, dtype="datetime64[us]"),
-            "kind": fk,
-            "location_id": pd.array([l if l is not None else pd.NA for l in fl],
-                                    dtype="Int32"),
+            "host": g["host"].iloc[0],
+            "start_ts": np.array(starts, dtype="datetime64[us]"),
+            "end_ts": np.array(ends, dtype="datetime64[us]"),
+            "kind": ["travel" if np.isnan(l) else "activity" for l in labels],
+            "location_id": pd.array(
+                [pd.NA if np.isnan(l) else int(l) for l in labels],
+                dtype="Int32"),
+            "ridx": np.arange(len(starts), dtype=np.int32),
         })
 
-    return kernel
+    def stream(batches):
+        buf: list[pd.DataFrame] = []
+        cur = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            hosts = pdf["host"].to_numpy()
+            subs = pdf["subset_id"].to_numpy(np.int64)
+            change = (hosts[1:] != hosts[:-1]) | (subs[1:] != subs[:-1])
+            cut = np.flatnonzero(change) + 1
+            starts = np.r_[0, cut]
+            ends = np.r_[cut, len(pdf)]
+            outs = []
+            for s, e in zip(starts, ends):
+                key = (hosts[s], int(subs[s]))
+                g = pdf.iloc[int(s):int(e)]
+                if cur is None or key == cur:
+                    buf.append(g)
+                    cur = key
+                else:
+                    outs.append(flush(buf))
+                    buf = [g]
+                    cur = key
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+        if buf:
+            yield flush(buf)
+
+    return stream
 
 
 def build_episodes(assigned: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
-    """W3-W5 + unknown gaps: assigned points -> episodes DF."""
-    cols = ["host", "url", "warc_ts", "subset_id", "location_id"]
-    return (assigned.select(*cols).groupBy("host")
-            .applyInPandas(_episode_kernel(cfg), schema=EPISODE_SCHEMA))
+    """W3-W5 + unknown gaps: assigned points -> episodes DF.
+
+    Scale shape (SURVEY.md §4.2, cfg.max_points_per_kernel): the kernel is
+    chunked by (host, subset_id) — W3-W5 are subset-local by definition —
+    so the Zipf mega-host parallelizes across its thousands of subsets
+    instead of serializing into one task.  The only cross-subset pieces,
+    'unknown' gap episodes and the global seq numbering, are NATIVE window
+    expressions over the per-subset episode table (orders of magnitude
+    smaller than the point stream).  Ships only (host, subset_id, seq,
+    warc_ts, location_id) through Arrow — urls stay JVM-side.
+
+    Determinism: within a host, episode (start_ts, end_ts) pairs repeat only
+    for zero-length runs at duplicated timestamps inside ONE subset, where
+    `ridx` (within-subset emission index) reproduces the emission order;
+    subsets are disjoint in time, so cross-subset ties cannot occur.
+    """
+    from pyspark.sql import Window
+    pts = (assigned.select("host", "subset_id", "seq", "warc_ts", "location_id")
+           .repartition(F.col("host"), F.col("subset_id"))
+           .sortWithinPartitions("host", "subset_id", "seq"))
+    per = pts.mapInPandas(_episode_stream(cfg), schema=_PER_SUBSET_SCHEMA)
+    w = Window.partitionBy("host").orderBy("start_ts", "end_ts", "ridx")
+    base = per.withColumn("_pe", F.lag("end_ts").over(w))
+    gaps = (base.filter(F.col("_pe").isNotNull()
+                        & (F.col("start_ts") > F.col("_pe")))
+            .select("host", F.col("_pe").alias("start_ts"),
+                    F.col("start_ts").alias("end_ts"),
+                    F.lit("unknown").alias("kind"),
+                    F.lit(None).cast("int").alias("location_id"),
+                    F.lit(2147483647).alias("ridx")))
+    allep = base.drop("_pe").unionByName(gaps)
+    w2 = Window.partitionBy("host").orderBy("start_ts", "end_ts", "ridx")
+    return (allep
+            .withColumn("seq", (F.row_number().over(w2) - 1).cast("int"))
+            .select("host", "seq", "start_ts", "end_ts", "kind",
+                    "location_id"))
 
 
 # ---------------------------------------------------------------------------

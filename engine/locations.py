@@ -128,15 +128,19 @@ def _sparse_smooth_threshold(ix, iy, m, bandwidth_m, cell_m, thr):
     return hx, hy, dens[hot]
 
 
-def kde_locations_numpy(lat, lon, nlat, nlon, ndt, cfg: EngineConfig):
+def kde_locations_numpy(lat, lon, nlat, nlon, ndt, cfg: EngineConfig,
+                        anchor: tuple[float, float] | None = None):
     """Sparse-grid KDE + clustering for ONE host.  Returns
-    (loc_lat, loc_lon, dwell_s, n_cells) arrays ordered by location id."""
+    (loc_lat, loc_lon, dwell_s, n_cells) arrays ordered by location id.
+    `anchor` (lat0, lon0) is the host's FIRST point; defaults to row 0 for
+    time-ordered input."""
     slat, slon, mass = _sites_numpy(lat, lon, nlat, nlon, ndt,
                                     cfg.interpolation_step_m)
     if len(slat) == 0:
         return (np.empty(0), np.empty(0), np.empty(0),
                 np.empty(0, dtype=np.int64))
-    lat0, lon0 = float(lat[0]), float(lon[0])  # anchor: host's first point
+    # anchor: host's first point
+    lat0, lon0 = anchor if anchor is not None else (float(lat[0]), float(lon[0]))
     x, y = geo.equirect_project(slat, slon, lat0, lon0)
     cell = cfg.grid_cell_m
     ix = np.floor(x / cell).astype(np.int64)
@@ -299,12 +303,22 @@ def kde_locations_numpy(lat, lon, nlat, nlon, ndt, cfg: EngineConfig):
 
 def _location_kernel(cfg: EngineConfig):
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["warc_ts", "url"], kind="mergesort")
+        # The KDE is order-independent (segments ride on each row as
+        # next_* links); only the projection anchor needs the host's FIRST
+        # point, located by integer argmin(seq) — no string sort of the
+        # whole group (the mega-host's pandas mergesort on (warc_ts, url)
+        # was pure straggler overhead).
+        lat = pdf["lat"].to_numpy(np.float64)
+        lon = pdf["lon"].to_numpy(np.float64)
+        anchor = None
+        if len(pdf):
+            a = int(np.argmin(pdf["seq"].to_numpy(np.int64)))
+            anchor = (float(lat[a]), float(lon[a]))
         la, lo, dw, nc = kde_locations_numpy(
-            pdf["lat"].to_numpy(np.float64), pdf["lon"].to_numpy(np.float64),
+            lat, lon,
             pdf["next_lat"].to_numpy(np.float64),
             pdf["next_lon"].to_numpy(np.float64),
-            pdf["next_dt_s"].to_numpy(np.float64), cfg)
+            pdf["next_dt_s"].to_numpy(np.float64), cfg, anchor=anchor)
         return pd.DataFrame({
             "host": pdf["host"].iloc[0] if len(pdf) else "",
             "location_id": np.arange(len(la), dtype=np.int32),
@@ -316,8 +330,12 @@ def _location_kernel(cfg: EngineConfig):
 
 
 def detect_locations(points: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
-    """A2-A5: geopoints (from trace_prep.prep_points) -> locations DF."""
-    cols = ["host", "url", "warc_ts", "lat", "lon",
+    """A2-A5: geopoints (from trace_prep.prep_points) -> locations DF.
+
+    Column pruning matters at scale: the kernel ships only (host, seq,
+    coords, segment links) through Arrow — urls/timestamps stay JVM-side.
+    """
+    cols = ["host", "seq", "lat", "lon",
             "next_lat", "next_lon", "next_dt_s"]
     return (points.select(*cols).groupBy("host")
             .applyInPandas(_location_kernel(cfg), schema=LOCATION_SCHEMA))

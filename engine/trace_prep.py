@@ -5,12 +5,14 @@ SURVEY.md §7.3 / §3.2 E1'.  Stage map (operator ids from SURVEY.md §2):
   extract_points   F1 projection + F5 lang/geotag predicate + X5 extraction +
                    F2 accuracy filter — all native expressions, pushed to the
                    parquet scan by Catalyst (html is never read).
-  prep_points      one shuffle (repartition by host) then ONE Arrow kernel
-                   fusing the per-host ordered passes: F3 sequential dedup,
-                   G1 positional-jump fixpoint, W2 gap sessionization, A1
-                   time weights.  Fusing keeps it at a single exchange; the
-                   window-expression forms in engine/ops.py are the semantic
-                   contract and are cross-checked in tests.
+  prep_points      one shuffle (hash repartition by host) + native partition
+                   sort, then ONE streaming Arrow kernel fusing the per-host
+                   ordered passes: F3 sequential dedup, G1 positional-jump
+                   fixpoint, W2 gap sessionization, A1 time weights.  Fusing
+                   keeps it at a single exchange and the sort stays in
+                   whole-stage codegen; the window-expression forms in
+                   engine/ops.py are the semantic contract and are
+                   cross-checked in tests.
   with_cell        X6 cell encode (narrow Arrow UDF, no shuffle).
   interpolate_sites X3 path interpolation — pure native exprs (sequence +
                    posexplode), narrow, no shuffle.  Output is the KDE mass
@@ -61,109 +63,145 @@ def extract_points(pages: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
             .filter(F.col("acc_m") <= F.lit(cfg.min_accuracy_m)))     # F2
 
 
-def _prep_kernel(cfg: EngineConfig):
-    """Per-host fused kernel: F3 + G1 + W2 + A1 (vectorized numpy)."""
+def _prep_host_sorted(pdf: pd.DataFrame, cfg: EngineConfig) -> pd.DataFrame:
+    """Fused F3 + G1 + W2 + A1 for ONE host, input already sorted by
+    (warc_ts, url) — the sort lives in Spark's codegen'd partition sort
+    (prep_points), NOT in pandas.  Copy discipline: ONE surviving-row take.
+    A mega-host group is >1M rows with string columns and this VM pays
+    ~5 s/GB on first-touch allocations."""
     gap_s = cfg.gap_s
     max_speed = cfg.max_speed_ms
+    t = pdf["warc_ts"].to_numpy("datetime64[us]").astype(np.int64) / 1e6
+    lat = pdf["lat"].to_numpy(np.float64)
+    lon = pdf["lon"].to_numpy(np.float64)
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        # Copy discipline: ONE sort take + ONE final row take.  A mega-host
-        # group is >1M rows with string columns, and this VM pays ~5 s/GB on
-        # first-touch allocations — repeated pandas frame filters were the
-        # dominant straggler cost (profiled ~19 s of take/copy per call).
-        pdf = pdf.sort_values(["warc_ts", "url"], kind="mergesort",
-                              ignore_index=True)
-        t = pdf["warc_ts"].to_numpy("datetime64[us]").astype(np.int64) / 1e6
-        lat = pdf["lat"].to_numpy(np.float64)
-        lon = pdf["lon"].to_numpy(np.float64)
+    # --- F3: sequential duplicate removal (compare to previous raw row)
+    keep = np.ones(len(pdf), dtype=bool)
+    if len(pdf) > 1:
+        keep[1:] = ~((lat[1:] == lat[:-1]) & (lon[1:] == lon[:-1]))
+    t, lat, lon = t[keep], lat[keep], lon[keep]
+    sel = np.flatnonzero(keep)  # row ids into the sorted pdf
 
-        # --- F3: sequential duplicate removal (compare to previous raw row)
-        keep = np.ones(len(pdf), dtype=bool)
-        if len(pdf) > 1:
-            keep[1:] = ~((lat[1:] == lat[:-1]) & (lon[1:] == lon[:-1]))
-        t, lat, lon = t[keep], lat[keep], lon[keep]
-        sel = np.flatnonzero(keep)  # row ids into the sorted pdf
+    # --- G1: positional-jump removal, fixpoint (SURVEY.md §2.2 G1).
+    # Drop interior points whose BOTH adjacent implied speeds exceed
+    # max_speed; endpoints dropped when their single adjacent speed is
+    # implausible and the neighbor is not itself the outlier.
+    from .geo import haversine_m
+    alive = np.ones(len(sel), dtype=bool)
+    for _ in range(16):  # fixpoint bound; real data converges in <=3
+        idx = np.where(alive)[0]
+        if len(idx) < 2:
+            break
+        d = haversine_m(lat[idx[:-1]], lon[idx[:-1]], lat[idx[1:]], lon[idx[1:]])
+        dt = np.maximum(t[idx[1:]] - t[idx[:-1]], 1e-9)
+        fast = d / dt > max_speed            # per adjacent pair
+        bad = np.zeros(len(idx), dtype=bool)
+        if len(idx) > 2:
+            bad[1:-1] = fast[:-1] & fast[1:]
+        # endpoints: implausible edge speed and inner neighbor is clean
+        if len(idx) >= 3:
+            bad[0] = fast[0] & ~(fast[0] & fast[1])
+            bad[-1] = fast[-1] & ~(fast[-2] & fast[-1])
+        elif len(idx) == 2 and fast[0]:
+            bad[1] = True  # ambiguous pair: keep the earlier fix
+        if not bad.any():
+            break
+        alive[idx[bad]] = False
+    t, lat, lon = t[alive], lat[alive], lon[alive]
+    pdf = pdf.take(sel[alive])  # the single surviving-row take
 
-        # --- G1: positional-jump removal, fixpoint (SURVEY.md §2.2 G1).
-        # Drop interior points whose BOTH adjacent implied speeds exceed
-        # max_speed; endpoints dropped when their single adjacent speed is
-        # implausible and the neighbor is not itself the outlier.
-        from .geo import haversine_m
-        alive = np.ones(len(sel), dtype=bool)
-        for _ in range(16):  # fixpoint bound; real data converges in <=3
-            idx = np.where(alive)[0]
-            if len(idx) < 2:
-                break
-            d = haversine_m(lat[idx[:-1]], lon[idx[:-1]], lat[idx[1:]], lon[idx[1:]])
-            dt = np.maximum(t[idx[1:]] - t[idx[:-1]], 1e-9)
-            fast = d / dt > max_speed            # per adjacent pair
-            bad = np.zeros(len(idx), dtype=bool)
-            if len(idx) > 2:
-                bad[1:-1] = fast[:-1] & fast[1:]
-            # endpoints: implausible edge speed and inner neighbor is clean
-            if len(idx) >= 3:
-                bad[0] = fast[0] & ~(fast[0] & fast[1])
-                bad[-1] = fast[-1] & ~(fast[-2] & fast[-1])
-            elif len(idx) == 2 and fast[0]:
-                bad[1] = True  # ambiguous pair: keep the earlier fix
-            if not bad.any():
-                break
-            alive[idx[bad]] = False
-        t, lat, lon = t[alive], lat[alive], lon[alive]
-        pdf = pdf.take(sel[alive])  # the single surviving-row take
+    # --- W2: observation-gap sessionization
+    n = len(pdf)
+    if n == 0:
+        out = pdf.copy()
+        out["seq"] = pd.Series([], dtype="int32")
+        out["subset_id"] = pd.Series([], dtype="int32")
+        for c in ("weight_s", "next_lat", "next_lon", "next_dt_s"):
+            out[c] = pd.Series([], dtype="float64")
+        return out[["host", "url", "warc_ts", "lat", "lon", "acc_m", "seq",
+                    "subset_id", "weight_s", "next_lat", "next_lon",
+                    "next_dt_s"]]
+    new_subset = np.ones(n, dtype=np.int64)
+    if n > 1:
+        new_subset[1:] = (t[1:] - t[:-1] > gap_s).astype(np.int64)
+    subset = np.cumsum(new_subset) - 1
 
-        # --- W2: observation-gap sessionization
-        n = len(pdf)
-        if n == 0:
-            out = pdf.copy()
-            out["seq"] = pd.Series([], dtype="int32")
-            out["subset_id"] = pd.Series([], dtype="int32")
-            for c in ("weight_s", "next_lat", "next_lon", "next_dt_s"):
-                out[c] = pd.Series([], dtype="float64")
-            return out[["host", "url", "warc_ts", "lat", "lon", "acc_m", "seq",
-                        "subset_id", "weight_s", "next_lat", "next_lon",
-                        "next_dt_s"]]
-        new_subset = np.ones(n, dtype=np.int64)
-        if n > 1:
-            new_subset[1:] = (t[1:] - t[:-1] > gap_s).astype(np.int64)
-        subset = np.cumsum(new_subset) - 1
+    # --- A1: time weights (half-gap each side, within subset)
+    prev_gap = np.zeros(n)
+    next_gap = np.zeros(n)
+    if n > 1:
+        same_prev = subset[1:] == subset[:-1]
+        prev_gap[1:] = np.where(same_prev, t[1:] - t[:-1], 0.0)
+        next_gap[:-1] = np.where(same_prev, t[1:] - t[:-1], 0.0)
+    weight = prev_gap / 2.0 + next_gap / 2.0
 
-        # --- A1: time weights (half-gap each side, within subset)
-        prev_gap = np.zeros(n)
-        next_gap = np.zeros(n)
-        if n > 1:
-            same_prev = subset[1:] == subset[:-1]
-            prev_gap[1:] = np.where(same_prev, t[1:] - t[:-1], 0.0)
-            next_gap[:-1] = np.where(same_prev, t[1:] - t[:-1], 0.0)
-        weight = prev_gap / 2.0 + next_gap / 2.0
+    # --- segment info for X3 (next point within same subset)
+    nlat = np.full(n, np.nan)
+    nlon = np.full(n, np.nan)
+    ndt = np.full(n, np.nan)
+    if n > 1:
+        nlat[:-1] = np.where(same_prev, lat[1:], np.nan)
+        nlon[:-1] = np.where(same_prev, lon[1:], np.nan)
+        ndt[:-1] = np.where(same_prev, t[1:] - t[:-1], np.nan)
 
-        # --- segment info for X3 (next point within same subset)
-        nlat = np.full(n, np.nan)
-        nlon = np.full(n, np.nan)
-        ndt = np.full(n, np.nan)
-        if n > 1:
-            nlat[:-1] = np.where(same_prev, lat[1:], np.nan)
-            nlon[:-1] = np.where(same_prev, lon[1:], np.nan)
-            ndt[:-1] = np.where(same_prev, t[1:] - t[:-1], np.nan)
+    # build output without another frame copy (pdf is already a fresh
+    # take; column assignment is in-place on it)
+    return pd.DataFrame({
+        "host": pdf["host"].to_numpy(), "url": pdf["url"].to_numpy(),
+        "warc_ts": pdf["warc_ts"].to_numpy(), "lat": lat, "lon": lon,
+        "acc_m": pdf["acc_m"].to_numpy(),
+        "seq": np.arange(n, dtype=np.int32),
+        "subset_id": subset.astype(np.int32), "weight_s": weight,
+        "next_lat": nlat, "next_lon": nlon, "next_dt_s": ndt,
+    })
 
-        # build output without another frame copy (pdf is already a fresh
-        # take; column assignment is in-place on it)
-        return pd.DataFrame({
-            "host": pdf["host"].to_numpy(), "url": pdf["url"].to_numpy(),
-            "warc_ts": pdf["warc_ts"].to_numpy(), "lat": lat, "lon": lon,
-            "acc_m": pdf["acc_m"].to_numpy(),
-            "seq": np.arange(n, dtype=np.int32),
-            "subset_id": subset.astype(np.int32), "weight_s": weight,
-            "next_lat": nlat, "next_lon": nlon, "next_dt_s": ndt,
-        })
 
-    return kernel
+def _prep_stream(cfg: EngineConfig):
+    """mapInPandas stream over a (host, warc_ts, url)-sorted partition:
+    buffers exactly one host at a time (hosts are contiguous runs), flushes
+    each completed host through _prep_host_sorted.  Peak Python memory is
+    one host's rows, never the partition."""
+
+    def stream(batches):
+        buf: list[pd.DataFrame] = []
+        cur = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            hosts = pdf["host"].to_numpy()
+            cut = np.flatnonzero(hosts[1:] != hosts[:-1]) + 1
+            starts = np.r_[0, cut]
+            ends = np.r_[cut, len(pdf)]
+            for s, e in zip(starts, ends):
+                h = hosts[s]
+                g = pdf.iloc[int(s):int(e)]
+                if cur is None or h == cur:
+                    buf.append(g)
+                    cur = h
+                else:
+                    yield _prep_host_sorted(
+                        pd.concat(buf, ignore_index=True), cfg)
+                    buf = [g]
+                    cur = h
+        if buf:
+            yield _prep_host_sorted(pd.concat(buf, ignore_index=True), cfg)
+
+    return stream
 
 
 def prep_points(points: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
-    """One shuffle (hash by host), then the fused per-host kernel."""
-    return points.groupBy("host").applyInPandas(_prep_kernel(cfg),
-                                                schema=GEOPOINT_SCHEMA)
+    """ONE shuffle (hash repartition by host) + Spark-native sort within
+    partitions on (host, warc_ts, url), then a STREAMING fused kernel
+    (mapInPandas) over the sorted stream.
+
+    vs groupBy().applyInPandas this (a) moves the per-host (warc_ts, url)
+    string sort out of pandas into Spark's codegen'd partition sort — the
+    mega-host's in-Python mergesort was the dominant straggler cost — and
+    (b) keeps the exchange count at exactly one (asserted in
+    tests/test_plan_shape.py)."""
+    pts = (points.repartition(F.col("host"))
+           .sortWithinPartitions("host", "warc_ts", "url"))
+    return pts.mapInPandas(_prep_stream(cfg), schema=GEOPOINT_SCHEMA)
 
 
 def with_cell(points: DataFrame, cfg: EngineConfig = DEFAULT,
