@@ -239,14 +239,24 @@ def build_episodes(assigned: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFram
     per = pts.mapInPandas(_episode_stream(cfg), schema=_PER_SUBSET_SCHEMA)
     w = Window.partitionBy("host").orderBy("start_ts", "end_ts", "ridx")
     base = per.withColumn("_pe", F.lag("end_ts").over(w))
-    gaps = (base.filter(F.col("_pe").isNotNull()
-                        & (F.col("start_ts") > F.col("_pe")))
-            .select("host", F.col("_pe").alias("start_ts"),
-                    F.col("start_ts").alias("end_ts"),
-                    F.lit("unknown").alias("kind"),
-                    F.lit(None).cast("int").alias("location_id"),
-                    F.lit(2147483647).alias("ridx")))
-    allep = base.drop("_pe").unionByName(gaps)
+    # Single-pass gap emission: each episode row explodes into [gap?, itself].
+    # A self-union of `base` would run the kernel AND its whole upstream
+    # (the kNN join + repartition) twice — ReuseExchange does not dedupe
+    # subtrees above a mapInPandas.  Gap rows carry ridx=MAX so the final
+    # (start_ts, end_ts, ridx) ordering is identical to the union form.
+    self_row = F.struct(F.col("start_ts"), F.col("end_ts"), F.col("kind"),
+                        F.col("location_id"), F.col("ridx"))
+    gap_row = F.struct(
+        F.col("_pe").alias("start_ts"), F.col("start_ts").alias("end_ts"),
+        F.lit("unknown").alias("kind"),
+        F.lit(None).cast("int").alias("location_id"),
+        F.lit(2147483647).alias("ridx"))
+    has_gap = F.col("_pe").isNotNull() & (F.col("start_ts") > F.col("_pe"))
+    allep = (base.select(
+        "host",
+        F.explode(F.when(has_gap, F.array(gap_row, self_row))
+                  .otherwise(F.array(self_row))).alias("_e"))
+        .select("host", "_e.*"))
     w2 = Window.partitionBy("host").orderBy("start_ts", "end_ts", "ridx")
     return (allep
             .withColumn("seq", (F.row_number().over(w2) - 1).cast("int"))
