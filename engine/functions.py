@@ -97,6 +97,124 @@ def geotag_cols(text: Column) -> tuple[Column, Column, Column]:
 
 
 # ---------------------------------------------------------------------------
+# native (whole-stage-codegen) cell encode — X6 hot path
+# ---------------------------------------------------------------------------
+
+def _hilbert_nibble_table():
+    """1024-entry lookup for the Hilbert FSM: index = state*256 + i4*16 + j4,
+    value = (8 d-bits << 2) | next_state.  State = swap | (complement << 1);
+    the per-bit transform group {I, swap, comp, swap*comp} is abelian, so the
+    loop form of geo.hilbert_xy2d (which flips/swaps the whole remainder)
+    composes to exactly this per-bit flag machine (equality property-tested
+    in tests/test_geo.py)."""
+    import numpy as np
+    tab = np.zeros(1024, dtype=np.int64)
+    for state in range(4):
+        for i4 in range(16):
+            for j4 in range(16):
+                s, c = state & 1, (state >> 1) & 1
+                d8 = 0
+                for bit in (3, 2, 1, 0):
+                    bx = ((i4 >> bit) & 1) ^ c
+                    by = ((j4 >> bit) & 1) ^ c
+                    rx, ry = (by, bx) if s else (bx, by)
+                    d8 = (d8 << 2) | ((3 * rx) ^ ry)
+                    if ry == 0:
+                        s ^= 1
+                        c ^= rx
+                tab[state * 256 + i4 * 16 + j4] = (d8 << 2) | (s | (c << 1))
+    return tab
+
+
+def encode_cell_native(df, lat_col: str, lon_col: str, out: str,
+                       level: int):
+    """Attach `out` = cell id at `level` — PURE native expressions, no UDF.
+
+    Bit-exact twin of engine.geo.cell_encode (property-tested in
+    tests/test_geo.py), structured as a chain of projections so the Hilbert
+    rotation state (x, y, d) stays in whole-stage-codegen locals instead of
+    re-inlined expression trees.  This is the 100-TB path: the interpolated
+    site table is ~7x the point table and routing it through an Arrow UDF
+    made the encode memory-bandwidth-bound (fresh numpy temporaries per
+    batch) — codegen reuses its buffers and never leaves the JVM.
+
+    Caveat: NaN coordinates take Spark's NaN-ordering semantics (NaN >
+    everything) instead of numpy's all-false comparisons, so NaN rows may
+    differ from the UDF — upstream filters F2/F5 drop them before any
+    encode, and both paths are deterministic.
+    """
+    n = 1 << level
+    # --- lat/lon -> unit XYZ -> cube face + (u, v)
+    lon_n = F.pmod(F.col(lon_col) + F.lit(180.0), F.lit(360.0)) - F.lit(180.0)
+    latr = F.radians(F.col(lat_col))
+    lonr = F.radians(lon_n)
+    df = df.withColumns({
+        "_ex": F.cos(latr) * F.cos(lonr),
+        "_ey": F.cos(latr) * F.sin(lonr),
+        "_ez": F.sin(latr),
+    })
+    x, y, z = F.col("_ex"), F.col("_ey"), F.col("_ez")
+    ax, ay, az = F.abs(x), F.abs(y), F.abs(z)
+    face0 = (F.when(ax >= ay, F.when(ax >= az, 0).otherwise(2))
+             .otherwise(F.when(ay >= az, 1).otherwise(2)))
+    major = (F.when(face0 == 0, x).when(face0 == 1, y).otherwise(z))
+    df = df.withColumn(
+        "_face", F.when(major < 0, face0 + 3).otherwise(face0).cast("long"))
+    fc = F.col("_face")
+    u = (F.when(fc == 0, y / x).when(fc == 1, -x / y).when(fc == 2, -x / z)
+         .when(fc == 3, z / x).when(fc == 4, z / y).otherwise(-y / z))
+    v = (F.when(fc == 0, z / x).when(fc == 1, z / y).when(fc == 2, -y / z)
+         .when(fc == 3, y / x).when(fc == 4, -x / y).otherwise(-x / z))
+
+    def uv_to_st(c):
+        return (F.when(c >= 0.0, 0.5 * F.sqrt(1.0 + 3.0 * c))
+                .otherwise(1.0 - 0.5 * F.sqrt(1.0 - 3.0 * c)))
+
+    def st_to_ij(c):
+        # numpy `.astype(int64)` truncates toward zero, as does Spark's cast
+        raw = (c * F.lit(float(n))).cast("long")
+        return F.greatest(F.lit(0), F.least(F.lit(n - 1), raw))
+
+    # --- Hilbert xy2d via the 4-bit lookup FSM (S2's ijToPos technique):
+    # level/4 table rounds instead of `level` bit rounds keeps the codegen
+    # method small (a per-bit projection chain blows past the JIT's huge-
+    # method limit and falls back to interpreted eval — measured 15x slower).
+    # Padding to a multiple of 4 bits prepends (0,0) bit planes, each of
+    # which only toggles the FSM's swap flag — compensated by pre-swapping
+    # the inputs when the pad is odd.
+    rounds = (level + 3) // 4
+    pad = 4 * rounds - level
+    si, sj = (uv_to_st(v), uv_to_st(u)) if pad % 2 else \
+             (uv_to_st(u), uv_to_st(v))
+    df = (df.withColumns({"_hx": st_to_ij(si),
+                          "_hy": st_to_ij(sj),
+                          "_hd": F.lit(0).cast("long"),
+                          "_hs": F.lit(0)})
+          .drop("_ex", "_ey", "_ez"))
+    table = F.lit([int(t) for t in _hilbert_nibble_table()])
+    for r in range(rounds - 1, -1, -1):
+        hx, hy = F.col("_hx"), F.col("_hy")
+        idx = (F.col("_hs") * 256
+               + F.shiftright(hx, 4 * r).bitwiseAND(F.lit(15)) * 16
+               + F.shiftright(hy, 4 * r).bitwiseAND(F.lit(15)))
+        df = df.withColumn("_hv", F.element_at(table, (idx + 1).cast("int")))
+        df = df.withColumns({
+            "_hd": F.shiftleft(F.col("_hd"), 8)
+                    .bitwiseOR(F.shiftright(F.col("_hv"), 2).cast("long")),
+            "_hs": F.col("_hv").bitwiseAND(F.lit(3)),
+        })
+    # pad rounds' top digits are always zero — _hd already equals xy2d(level)
+    df = df.drop("_hv", "_hs")
+
+    # --- pack: face(3 bits) | d(2*level bits) | sentinel | zeros
+    shift = 2 * (geo.MAX_LEVEL - level)
+    cid = (F.shiftleft(F.col("_face"), geo._FACE_SHIFT)
+           .bitwiseOR(F.shiftleft(F.col("_hd"), shift + 1))
+           .bitwiseOR(F.lit(1 << shift)))
+    return df.withColumn(out, cid).drop("_face", "_hx", "_hy", "_hd")
+
+
+# ---------------------------------------------------------------------------
 # Arrow-vectorized UDFs (the sanctioned slow path: numpy cell math only)
 # ---------------------------------------------------------------------------
 

@@ -36,8 +36,8 @@ def site_cells(sites: DataFrame, cfg: EngineConfig = DEFAULT,
                level: int | None = None) -> DataFrame:
     """Attach cell ids to KDE mass sites (trace_prep.interpolate_sites)."""
     lvl = level if level is not None else cfg.cell_level
-    enc = make_cell_encode_udf(lvl)
-    return sites.withColumn("cell_id", enc(F.col("site_lat"), F.col("site_lon")))
+    from .functions import encode_cell_native
+    return encode_cell_native(sites, "site_lat", "site_lon", "cell_id", lvl)
 
 
 def cell_density(sites: DataFrame, cfg: EngineConfig = DEFAULT,

@@ -207,9 +207,10 @@ def prep_points(points: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
 def with_cell(points: DataFrame, cfg: EngineConfig = DEFAULT,
               lat_col: str = "lat", lon_col: str = "lon",
               out: str = "cell_id") -> DataFrame:
-    """X6 — narrow Arrow-vectorized cell encode at cfg.cell_level."""
-    enc = make_cell_encode_udf(cfg.cell_level)
-    return points.withColumn(out, enc(F.col(lat_col), F.col(lon_col)))
+    """X6 — narrow native (whole-stage-codegen) cell encode at
+    cfg.cell_level; bit-exact twin of the numpy kernel (tests/test_geo.py)."""
+    from .functions import encode_cell_native
+    return encode_cell_native(points, lat_col, lon_col, out, cfg.cell_level)
 
 
 def interpolate_sites(points: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:

@@ -76,3 +76,50 @@ def test_stream_episodes_matches_batch_runs(spark, tmp_path_factory):
     assert list(got["location_id"]) == [0, 1]
     assert list(got["n_points"]) == [2, 2]
     assert got.loc[0, "start_ts"] == base
+
+
+def test_stream_episodes_full_matches_batch(spark, unit_pages_sdf,
+                                            tmp_path_factory):
+    """stream_episodes_full == batch build_episodes (modulo seq) for every
+    subset the final watermark closes — full W3+W5 parity on real data."""
+    from engine import episodes as E
+    from engine import locations as L
+
+    gp = trace_prep.geopoints(unit_pages_sdf, DEFAULT).persist()
+    locs = L.detect_locations(gp, DEFAULT).persist()
+    assigned = E.knn_assign(gp, locs, DEFAULT)
+
+    path = str(tmp_path_factory.mktemp("stream") / "assigned_full")
+    (assigned.select("host", "warc_ts", "location_id")
+     .coalesce(4).write.mode("overwrite").parquet(path))
+
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    q = (streaming.stream_episodes_full(stream, DEFAULT)
+         .writeStream.outputMode("append").format("memory")
+         .queryName("eps_full_out").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = (spark.sql("SELECT * FROM eps_full_out").toPandas()
+           .sort_values(["host", "start_ts", "end_ts"])
+           .reset_index(drop=True))
+
+    want = (E.build_episodes(assigned, DEFAULT)
+            .drop("seq").toPandas()
+            .sort_values(["host", "start_ts", "end_ts"])
+            .reset_index(drop=True))
+
+    # append mode withholds subsets not yet closed by the final watermark:
+    # every emitted row must exist in batch, and coverage must be high
+    assert len(got) > 0
+    key = ["host", "start_ts", "end_ts", "kind"]
+    merged = got.merge(want, on=key, how="left", indicator=True,
+                       suffixes=("_s", "_b"))
+    assert (merged["_merge"] == "both").all(), \
+        merged[merged["_merge"] != "both"].head()
+    lg = merged["location_id_s"].astype("float64")
+    lb = merged["location_id_b"].astype("float64")
+    assert ((lg == lb) | (lg.isna() & lb.isna())).all()
+    assert len(got) >= 0.8 * len(want)
