@@ -160,57 +160,95 @@ _PER_SUBSET_SCHEMA = ("host string, start_ts timestamp, end_ts timestamp, "
 
 
 def _episode_stream(cfg: EngineConfig):
-    """mapInPandas stream over a (host, subset_id, seq)-sorted partition:
+    """mapInArrow stream over a (host, subset_id, seq)-sorted partition:
     each contiguous (host, subset) run goes through _subset_runs; one output
-    frame per Arrow batch.  `ridx` is the within-subset emission index —
-    build_episodes uses it as the deterministic tiebreak for zero-length
-    runs at equal timestamps."""
+    batch per input Arrow batch.  `ridx` is the within-subset emission
+    index — build_episodes uses it as the deterministic tiebreak for
+    zero-length runs at equal timestamps.  Arrow-native I/O: only the
+    numeric columns become numpy; the host string is read ONCE per
+    (host, subset) group, never per point."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     min_dwell_us = int(cfg.min_dwell_s * 1e6)
 
-    def flush(buf: list[pd.DataFrame]) -> pd.DataFrame:
-        g = pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
-        order = np.argsort(g["seq"].to_numpy(np.int64), kind="stable")
-        t = g["warc_ts"].to_numpy("datetime64[us]").astype(np.int64)[order]
-        loc = g["location_id"].to_numpy(np.float64)[order]
-        starts, ends, labels = _subset_runs(t, loc, min_dwell_us)
-        return pd.DataFrame({
-            "host": g["host"].iloc[0],
-            "start_ts": np.array(starts, dtype="datetime64[us]"),
-            "end_ts": np.array(ends, dtype="datetime64[us]"),
-            "kind": ["travel" if np.isnan(l) else "activity" for l in labels],
-            "location_id": pd.array(
-                [pd.NA if np.isnan(l) else int(l) for l in labels],
-                dtype="Int32"),
-            "ridx": np.arange(len(starts), dtype=np.int32),
-        })
+    def flush(host: str, t_parts, loc_parts, seq_parts, acc):
+        seq = np.concatenate(seq_parts) if len(seq_parts) > 1 else seq_parts[0]
+        t = np.concatenate(t_parts) if len(t_parts) > 1 else t_parts[0]
+        loc = np.concatenate(loc_parts) if len(loc_parts) > 1 else loc_parts[0]
+        order = np.argsort(seq, kind="stable")
+        starts, ends, labels = _subset_runs(t[order], loc[order], min_dwell_us)
+        acc["host"].extend([host] * len(starts))
+        acc["start"].extend(starts)
+        acc["end"].extend(ends)
+        acc["lab"].extend(labels)
+
+    def emit(acc):
+        labs = acc["lab"]
+        ridx = np.empty(len(labs), dtype=np.int32)
+        # ridx restarts at each flush boundary recorded in acc["cuts"]
+        prev = 0
+        for c in acc["cuts"]:
+            ridx[prev:c] = np.arange(c - prev, dtype=np.int32)
+            prev = c
+        return pa.record_batch([
+            pa.array(acc["host"], type=pa.string()),
+            pa.array(np.asarray(acc["start"], dtype="datetime64[us]")),
+            pa.array(np.asarray(acc["end"], dtype="datetime64[us]")),
+            pa.array(["travel" if np.isnan(l) else "activity" for l in labs],
+                     type=pa.string()),
+            pa.array([None if np.isnan(l) else int(l) for l in labs],
+                     type=pa.int32()),
+            pa.array(ridx),
+        ], names=["host", "start_ts", "end_ts", "kind", "location_id",
+                  "ridx"])
 
     def stream(batches):
-        buf: list[pd.DataFrame] = []
-        cur = None
-        for pdf in batches:
-            if len(pdf) == 0:
+        t_parts: list = []
+        loc_parts: list = []
+        seq_parts: list = []
+        cur = None  # (host, subset_id)
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            hosts = pdf["host"].to_numpy()
-            subs = pdf["subset_id"].to_numpy(np.int64)
-            change = (hosts[1:] != hosts[:-1]) | (subs[1:] != subs[:-1])
-            cut = np.flatnonzero(change) + 1
-            starts = np.r_[0, cut]
-            ends = np.r_[cut, len(pdf)]
-            outs = []
-            for s, e in zip(starts, ends):
-                key = (hosts[s], int(subs[s]))
-                g = pdf.iloc[int(s):int(e)]
+            tbl = pa.Table.from_batches([rb])
+            h = tbl["host"].combine_chunks()
+            subs = tbl["subset_id"].to_numpy(zero_copy_only=False)
+            n = len(h)
+            if n > 1:
+                hneq = pc.not_equal(h.slice(1), h.slice(0, n - 1)) \
+                    .to_numpy(zero_copy_only=False)
+                change = hneq | (subs[1:] != subs[:-1])
+                cut = np.flatnonzero(change) + 1
+            else:
+                cut = np.empty(0, dtype=np.int64)
+            gstarts = np.r_[0, cut]
+            gends = np.r_[cut, n]
+            t_all = (tbl["warc_ts"].to_numpy(zero_copy_only=False)
+                     .astype(np.int64))
+            loc_all = (tbl["location_id"].cast(pa.float64())
+                       .to_numpy(zero_copy_only=False))
+            seq_all = tbl["seq"].to_numpy(zero_copy_only=False)
+            acc = {"host": [], "start": [], "end": [], "lab": [], "cuts": []}
+            for s, e in zip(gstarts, gends):
+                key = (h[int(s)].as_py(), int(subs[s]))
                 if cur is None or key == cur:
-                    buf.append(g)
-                    cur = key
+                    pass
                 else:
-                    outs.append(flush(buf))
-                    buf = [g]
-                    cur = key
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
-        if buf:
-            yield flush(buf)
+                    flush(cur[0], t_parts, loc_parts, seq_parts, acc)
+                    acc["cuts"].append(len(acc["lab"]))
+                    t_parts, loc_parts, seq_parts = [], [], []
+                cur = key
+                t_parts.append(t_all[s:e])
+                loc_parts.append(loc_all[s:e])
+                seq_parts.append(seq_all[s:e])
+            if acc["lab"]:
+                yield emit(acc)
+        if t_parts:
+            acc = {"host": [], "start": [], "end": [], "lab": [], "cuts": []}
+            flush(cur[0], t_parts, loc_parts, seq_parts, acc)
+            acc["cuts"].append(len(acc["lab"]))
+            yield emit(acc)
 
     return stream
 
@@ -236,7 +274,7 @@ def build_episodes(assigned: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFram
     pts = (assigned.select("host", "subset_id", "seq", "warc_ts", "location_id")
            .repartition(F.col("host"), F.col("subset_id"))
            .sortWithinPartitions("host", "subset_id", "seq"))
-    per = pts.mapInPandas(_episode_stream(cfg), schema=_PER_SUBSET_SCHEMA)
+    per = pts.mapInArrow(_episode_stream(cfg), schema=_PER_SUBSET_SCHEMA)
     w = Window.partitionBy("host").orderBy("start_ts", "end_ts", "ridx")
     base = per.withColumn("_pe", F.lag("end_ts").over(w))
     # Single-pass gap emission: each episode row explodes into [gap?, itself].

@@ -28,8 +28,7 @@ from pyspark.sql import types as T
 
 from . import geo
 from .config import DEFAULT, EngineConfig
-from .functions import (make_cell_encode_udf, make_cell_neighbors_udf,
-                        parent_cell_col)
+from .functions import make_cell_neighbors_udf, parent_cell_col
 
 
 def site_cells(sites: DataFrame, cfg: EngineConfig = DEFAULT,

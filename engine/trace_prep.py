@@ -13,7 +13,7 @@ SURVEY.md §7.3 / §3.2 E1'.  Stage map (operator ids from SURVEY.md §2):
                    whole-stage codegen; the window-expression forms in
                    engine/ops.py are the semantic contract and are
                    cross-checked in tests.
-  with_cell        X6 cell encode (narrow Arrow UDF, no shuffle).
+  with_cell        X6 cell encode (native codegen exprs, no shuffle).
   interpolate_sites X3 path interpolation — pure native exprs (sequence +
                    posexplode), narrow, no shuffle.  Output is the KDE mass
                    model: each inter-fix segment's duration is spread
@@ -34,8 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .config import DEFAULT, EngineConfig
-from .functions import (geotag_cols, haversine_m_col, host_from_url,
-                        make_cell_encode_udf)
+from .functions import geotag_cols, haversine_m_col, host_from_url
 
 GEOPOINT_SCHEMA = ("host string, url string, warc_ts timestamp, lat double, "
                    "lon double, acc_m double, seq int, subset_id int, "
@@ -63,24 +62,29 @@ def extract_points(pages: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
             .filter(F.col("acc_m") <= F.lit(cfg.min_accuracy_m)))     # F2
 
 
-def _prep_host_sorted(pdf: pd.DataFrame, cfg: EngineConfig) -> pd.DataFrame:
-    """Fused F3 + G1 + W2 + A1 for ONE host, input already sorted by
-    (warc_ts, url) — the sort lives in Spark's codegen'd partition sort
-    (prep_points), NOT in pandas.  Copy discipline: ONE surviving-row take.
-    A mega-host group is >1M rows with string columns and this VM pays
-    ~5 s/GB on first-touch allocations."""
+def _prep_host_sorted(tbl, cfg: EngineConfig):
+    """Fused F3 + G1 + W2 + A1 for ONE host's pyarrow Table, input already
+    sorted by (warc_ts, url) — the sort lives in Spark's codegen'd partition
+    sort (prep_points), NOT in Python.  The kernel is Arrow-native end to
+    end: host/url stay Arrow string buffers (C++ `take` for the surviving
+    rows) and are NEVER materialized as Python objects — at 8M rows the
+    pandas object-string conversion was the pipeline's dominant cost
+    (executor threads blocked on Python with ~20% CPU).
+    Copy discipline: ONE surviving-row take."""
+    import pyarrow as pa
+
     gap_s = cfg.gap_s
     max_speed = cfg.max_speed_ms
-    t = pdf["warc_ts"].to_numpy("datetime64[us]").astype(np.int64) / 1e6
-    lat = pdf["lat"].to_numpy(np.float64)
-    lon = pdf["lon"].to_numpy(np.float64)
+    t = tbl["warc_ts"].to_numpy(zero_copy_only=False).astype(np.int64) / 1e6
+    lat = tbl["lat"].to_numpy(zero_copy_only=False)
+    lon = tbl["lon"].to_numpy(zero_copy_only=False)
 
     # --- F3: sequential duplicate removal (compare to previous raw row)
-    keep = np.ones(len(pdf), dtype=bool)
-    if len(pdf) > 1:
+    keep = np.ones(len(tbl), dtype=bool)
+    if len(tbl) > 1:
         keep[1:] = ~((lat[1:] == lat[:-1]) & (lon[1:] == lon[:-1]))
     t, lat, lon = t[keep], lat[keep], lon[keep]
-    sel = np.flatnonzero(keep)  # row ids into the sorted pdf
+    sel = np.flatnonzero(keep)  # row ids into the sorted table
 
     # --- G1: positional-jump removal, fixpoint (SURVEY.md §2.2 G1).
     # Drop interior points whose BOTH adjacent implied speeds exceed
@@ -108,19 +112,13 @@ def _prep_host_sorted(pdf: pd.DataFrame, cfg: EngineConfig) -> pd.DataFrame:
             break
         alive[idx[bad]] = False
     t, lat, lon = t[alive], lat[alive], lon[alive]
-    pdf = pdf.take(sel[alive])  # the single surviving-row take
+    # the single surviving-row take (Arrow C++; strings never hit Python)
+    sub = tbl.take(pa.array(sel[alive]))
 
     # --- W2: observation-gap sessionization
-    n = len(pdf)
+    n = len(sub)
     if n == 0:
-        out = pdf.copy()
-        out["seq"] = pd.Series([], dtype="int32")
-        out["subset_id"] = pd.Series([], dtype="int32")
-        for c in ("weight_s", "next_lat", "next_lon", "next_dt_s"):
-            out[c] = pd.Series([], dtype="float64")
-        return out[["host", "url", "warc_ts", "lat", "lon", "acc_m", "seq",
-                    "subset_id", "weight_s", "next_lat", "next_lon",
-                    "next_dt_s"]]
+        return None
     new_subset = np.ones(n, dtype=np.int64)
     if n > 1:
         new_subset[1:] = (t[1:] - t[:-1] > gap_s).astype(np.int64)
@@ -144,64 +142,84 @@ def _prep_host_sorted(pdf: pd.DataFrame, cfg: EngineConfig) -> pd.DataFrame:
         nlon[:-1] = np.where(same_prev, lon[1:], np.nan)
         ndt[:-1] = np.where(same_prev, t[1:] - t[:-1], np.nan)
 
-    # build output without another frame copy (pdf is already a fresh
-    # take; column assignment is in-place on it)
-    return pd.DataFrame({
-        "host": pdf["host"].to_numpy(), "url": pdf["url"].to_numpy(),
-        "warc_ts": pdf["warc_ts"].to_numpy(), "lat": lat, "lon": lon,
-        "acc_m": pdf["acc_m"].to_numpy(),
-        "seq": np.arange(n, dtype=np.int32),
-        "subset_id": subset.astype(np.int32), "weight_s": weight,
-        "next_lat": nlat, "next_lon": nlon, "next_dt_s": ndt,
-    })
+    # output batch: surviving Arrow columns verbatim + numpy-derived columns
+    # (NaN -> null for the next_* segment columns, matching the pandas
+    # mapInPandas convention that downstream isNotNull filters rely on)
+    return pa.record_batch([
+        sub["host"].combine_chunks(), sub["url"].combine_chunks(),
+        sub["warc_ts"].combine_chunks(),
+        pa.array(lat), pa.array(lon), sub["acc_m"].combine_chunks(),
+        pa.array(np.arange(n, dtype=np.int32)),
+        pa.array(subset.astype(np.int32)),
+        pa.array(weight),
+        pa.array(nlat, from_pandas=True),
+        pa.array(nlon, from_pandas=True),
+        pa.array(ndt, from_pandas=True),
+    ], names=["host", "url", "warc_ts", "lat", "lon", "acc_m", "seq",
+              "subset_id", "weight_s", "next_lat", "next_lon", "next_dt_s"])
 
 
 def _prep_stream(cfg: EngineConfig):
-    """mapInPandas stream over a (host, warc_ts, url)-sorted partition:
+    """mapInArrow stream over a (host, warc_ts, url)-sorted partition:
     buffers exactly one host at a time (hosts are contiguous runs), flushes
     each completed host through _prep_host_sorted.  Peak Python memory is
-    one host's rows, never the partition."""
+    one host's rows, never the partition — and only numeric columns ever
+    become numpy; strings live in Arrow buffers throughout."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
     def stream(batches):
-        buf: list[pd.DataFrame] = []
-        cur = None
-        for pdf in batches:
-            if len(pdf) == 0:
+        buf: list[pa.Table] = []
+        cur: str | None = None
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            hosts = pdf["host"].to_numpy()
-            cut = np.flatnonzero(hosts[1:] != hosts[:-1]) + 1
+            tbl = pa.Table.from_batches([rb])
+            h = tbl["host"].combine_chunks()
+            n = len(h)
+            if n > 1:
+                neq = pc.not_equal(h.slice(1), h.slice(0, n - 1))
+                cut = np.flatnonzero(neq.to_numpy(zero_copy_only=False)) + 1
+            else:
+                cut = np.empty(0, dtype=np.int64)
             starts = np.r_[0, cut]
-            ends = np.r_[cut, len(pdf)]
+            ends = np.r_[cut, n]
             for s, e in zip(starts, ends):
-                h = hosts[s]
-                g = pdf.iloc[int(s):int(e)]
-                if cur is None or h == cur:
+                run_host = h[int(s)].as_py()  # one scalar per host-run
+                g = tbl.slice(int(s), int(e - s))
+                if cur is None or run_host == cur:
                     buf.append(g)
-                    cur = h
+                    cur = run_host
                 else:
-                    yield _prep_host_sorted(
-                        pd.concat(buf, ignore_index=True), cfg)
+                    out = _prep_host_sorted(
+                        pa.concat_tables(buf).combine_chunks(), cfg)
+                    if out is not None:
+                        yield out
                     buf = [g]
-                    cur = h
+                    cur = run_host
         if buf:
-            yield _prep_host_sorted(pd.concat(buf, ignore_index=True), cfg)
+            out = _prep_host_sorted(
+                pa.concat_tables(buf).combine_chunks(), cfg)
+            if out is not None:
+                yield out
 
     return stream
 
 
 def prep_points(points: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
     """ONE shuffle (hash repartition by host) + Spark-native sort within
-    partitions on (host, warc_ts, url), then a STREAMING fused kernel
-    (mapInPandas) over the sorted stream.
+    partitions on (host, warc_ts, url), then a STREAMING fused Arrow kernel
+    (mapInArrow) over the sorted stream.
 
     vs groupBy().applyInPandas this (a) moves the per-host (warc_ts, url)
-    string sort out of pandas into Spark's codegen'd partition sort — the
+    string sort out of Python into Spark's codegen'd partition sort — the
     mega-host's in-Python mergesort was the dominant straggler cost — and
     (b) keeps the exchange count at exactly one (asserted in
-    tests/test_plan_shape.py)."""
+    tests/test_plan_shape.py).  mapInArrow (not mapInPandas) because the
+    pandas bridge materializes every host/url string as a Python object."""
     pts = (points.repartition(F.col("host"))
            .sortWithinPartitions("host", "warc_ts", "url"))
-    return pts.mapInPandas(_prep_stream(cfg), schema=GEOPOINT_SCHEMA)
+    return pts.mapInArrow(_prep_stream(cfg), schema=GEOPOINT_SCHEMA)
 
 
 def with_cell(points: DataFrame, cfg: EngineConfig = DEFAULT,
