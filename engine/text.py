@@ -86,20 +86,35 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sig_udf(hashes: pd.Series) -> pd.Series:
-        out = []
         am = a.astype(np.uint64)
         bm = b.astype(np.uint64)
         p = np.uint64(_MERSENNE)
-        for hs in hashes:
-            if hs is None or len(hs) == 0:
-                out.append(np.full(num_hashes, _MERSENNE, dtype=np.int64))
-                continue
-            h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
-            # (a*h + b) mod p, per permutation; uint64 wrap-around is fine
-            # as a hash family (consistent across rows)
-            vals = (am[None, :] * h[:, None] + bm[None, :]) % p
-            out.append(vals.min(axis=0).astype(np.int64))
-        return pd.Series(out)
+        n = len(hashes)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        # Vectorize across the WHOLE batch: one flat shingle-hash array +
+        # per-doc offsets, then one (a_k*h + b_k) mod p pass per permutation
+        # into a REUSED buffer with per-doc minima via minimum.reduceat.
+        # The per-row loop allocated a fresh (n_shingles x K) matrix per doc
+        # (~1 GB churn per batch) — on this VM allocation rate is the cost.
+        lens = np.fromiter((0 if hs is None else len(hs) for hs in hashes),
+                           dtype=np.int64, count=n)
+        sig = np.full((n, num_hashes), _MERSENNE, dtype=np.int64)
+        nz = np.flatnonzero(lens)
+        if len(nz):
+            flat = np.concatenate([
+                np.asarray(hashes.iloc[i], dtype=np.int64) for i in nz
+            ]).astype(np.uint64)
+            starts = np.concatenate([[0], np.cumsum(lens[nz])[:-1]])
+            v = np.empty_like(flat)
+            tmp = np.empty_like(flat)
+            for k in range(num_hashes):
+                np.multiply(flat, am[k], out=v)
+                np.add(v, bm[k], out=v)
+                np.mod(v, p, out=tmp)
+                sig[nz, k] = np.minimum.reduceat(
+                    tmp.view(np.int64), starts)
+        return pd.Series(list(sig))
 
     base = F.transform(shingles_col(F.col(text_col), shingle_n),
                        lambda s: F.xxhash64(s))
