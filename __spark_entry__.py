@@ -291,6 +291,18 @@ def q_ann_topk_lsh(spark, sf_dir):
     return ann_cosine_topk(emb, k=3, dim=64, bits=12, bands=6)
 
 
+def q_ann_topk_ivf(spark, sf_dir):
+    """IVF ANN in exhaustive mode (nprobe == n_centroids): probing every
+    cell makes the search exact, so the full IVF machinery — centroid
+    training, cell assignment, cogrouped per-cell matmul refine, global
+    top-k merge — is oracle-checked against plain SQL top-k.  The
+    nprobe << n_centroids regime is recall-property-tested in pytest."""
+    emb = _t(spark, sf_dir, "embeddings")
+    from engine.similarity import ivf_cosine_topk
+    out = ivf_cosine_topk(emb, k=3, n_centroids=8, nprobe=8, dim=64)
+    return out.select("a", "b", F.col("rk").cast("long").alias("rk"))
+
+
 def q_tiles_pyramid(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     from engine import tiles
@@ -453,6 +465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "simhash_near_pairs": q_simhash_near_pairs,
         "ann_topk_lsh": q_ann_topk_lsh,
+        "ann_topk_ivf": q_ann_topk_ivf,
         "tiles_pyramid": q_tiles_pyramid,
         "j4_pip": q_j4_pip,
         "media_decode": q_media_decode,
@@ -822,6 +835,19 @@ SELECT event_id,
 FROM events
 """,
         "ann_topk_bruteforce": """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nr FROM v),
+p AS (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         list_dot_product(a.e, b.e) / (a.nr * b.nr) AS sim
+  FROM n a CROSS JOIN n b WHERE a.vec_id <> b.vec_id
+)
+SELECT a, b, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY sim DESC, b) AS rk
+  FROM p
+) WHERE rk <= 3
+""",
+        "ann_topk_ivf": """
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
 n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nr FROM v),
 p AS (

@@ -81,6 +81,9 @@ def run_suite(spark, sf_dir: str) -> tuple[dict, dict, float]:
     with stage("ann_topk"):
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         similarity.ann_cosine_topk(emb, k=5, dim=64, bits=12, bands=6).count()
+    with stage("ann_topk_ivf"):
+        similarity.ivf_cosine_topk(emb, k=5, n_centroids=32, nprobe=8,
+                                   dim=64).count()
     return timings, counts, geo_secs
 
 

@@ -5,8 +5,12 @@ get_activity_locations + REF location.py [M] — time-weighted Gaussian KDE
 over a user's (here: host's) trajectory, thresholded in dwell-seconds,
 peaks agglomerated into activity locations.
 
-Spark shape: ONE `groupBy(host).applyInPandas` kernel per host.  Inside the
-kernel everything is vectorized numpy on a SPARSE grid:
+Spark shape (detect_locations): chunk-parallel — a mapInArrow binning
+kernel over arbitrary partitions (O(sites), embarrassingly parallel),
+a native groupBy(host, cell).sum merge, then ONE per-host kernel on the
+merged occupied-cell grid (O(cells)).  The single-kernel-per-host variant
+is kept as detect_locations_wholehost (parity oracle).  Inside the kernels
+everything is vectorized numpy on a SPARSE grid:
 
   1. X3   — segment interpolation (identical math to
             trace_prep.interpolate_sites; parity is tested),
@@ -31,6 +35,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from . import geo
 from .config import DEFAULT, EngineConfig
@@ -152,7 +157,17 @@ def kde_locations_numpy(lat, lon, nlat, nlon, ndt, cfg: EngineConfig,
     m0 = np.bincount(inv, weights=mass)
     uix = uk >> np.int64(32)
     uiy = ((uk & np.int64(0xFFFFFFFF)) << np.int64(32)) >> np.int64(32)  # sign-extend
+    return _kde_from_grid(uix, uiy, m0, lat0, lon0, cfg)
 
+
+def _kde_from_grid(uix, uiy, m0, lat0, lon0, cfg: EngineConfig):
+    """A2(smooth)-A5 on an already-binned sparse grid: UNIQUE occupied
+    cells (uix, uiy) carrying aggregated dwell mass m0, in the host-local
+    equirectangular frame anchored at (lat0, lon0).  Shared by the
+    whole-host kernel (kde_locations_numpy) and the chunk-parallel
+    detect_locations merge kernel — cost is O(occupied cells), independent
+    of the host's point count."""
+    cell = cfg.grid_cell_m
     # EXACT threshold-aware pruning before smoothing: the stencil sums to 1,
     # so density(c) <= total mass within c +- r cells <= the 3x3 coarse-
     # bucket (16-cell = 200 m) neighborhood mass of c's bucket.  Only cells
@@ -329,13 +344,221 @@ def _location_kernel(cfg: EngineConfig):
     return kernel
 
 
-def detect_locations(points: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
-    """A2-A5: geopoints (from trace_prep.prep_points) -> locations DF.
+def detect_locations_wholehost(points: DataFrame,
+                               cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """Single-kernel-per-host variant (round-1 design).
 
-    Column pruning matters at scale: the kernel ships only (host, seq,
-    coords, segment links) through Arrow — urls/timestamps stay JVM-side.
-    """
+    Correct, but the whole O(sites) interpolate+bin phase runs as ONE task
+    per host, so the Zipf mega-host is a serial floor that caps scaling at
+    every parallelism level (measured: the locations stage pinned at ~22 s
+    from local[2] through local[32] on the 8M-doc corpus).  Kept as the
+    parity oracle for detect_locations' chunk-parallel path."""
     cols = ["host", "seq", "lat", "lon",
             "next_lat", "next_lon", "next_dt_s"]
     return (points.select(*cols).groupBy("host")
             .applyInPandas(_location_kernel(cfg), schema=LOCATION_SCHEMA))
+
+
+_PARTIAL_SCHEMA = ("host string, ix long, iy long, mass double, "
+                   "alat double, alon double")
+
+
+def _bin_stream(cfg: EngineConfig):
+    """mapInArrow kernel for the O(sites) phase of the KDE, over ARBITRARY
+    partitions (no pre-shuffle): per batch, interpolate every segment into
+    sites, project into the host-local frame (per-site anchors ride on the
+    row), bin to grid cells, and emit per-(host, cell) partial masses.
+
+    Fully vectorized across hosts within a batch: host strings are
+    dictionary-encoded and the dictionary code is packed into the cell key
+    (code << 46 | (ix+2^22) << 23 | (iy+2^22)), so one np.unique/bincount
+    bins the whole batch.  |x|,|y| <= 2*pi*R ~ 40,075 km < 2^22 * 12.5 m,
+    and a batch holds < 2^17 distinct hosts, so the packing is collision-
+    free."""
+    import pyarrow as pa
+
+    cell = cfg.grid_cell_m
+    step = cfg.interpolation_step_m
+    OFF = np.int64(1 << 22)
+    M23 = np.int64((1 << 23) - 1)
+    schema = pa.schema([("host", pa.string()), ("ix", pa.int64()),
+                        ("iy", pa.int64()), ("mass", pa.float64()),
+                        ("alat", pa.float64()), ("alon", pa.float64())])
+
+    def stream(batches):
+        # Coalesce input batches (Spark's Arrow default is 10k rows) to
+        # ~256k rows before binning: one np.unique per big batch dedups
+        # cells ~25x better, so the partial-mass shuffle shrinks by the
+        # same factor and per-batch kernel overhead amortizes.
+        buf: list = []
+        buffered = 0
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            buf.append(rb)
+            buffered += rb.num_rows
+            if buffered >= 262_144:
+                yield from _bin_table(pa.Table.from_batches(buf))
+                buf, buffered = [], 0
+        if buf:
+            yield from _bin_table(pa.Table.from_batches(buf))
+
+    def _bin_table(tbl):
+        ndt = tbl["next_dt_s"].to_numpy(zero_copy_only=False)
+        seg = ~np.isnan(ndt)
+        if not bool(seg.any()):
+            return
+        denc = tbl["host"].combine_chunks().dictionary_encode()
+        codes = (denc.indices.to_numpy(zero_copy_only=False)
+                 .astype(np.int64))
+        dic = denc.dictionary
+        lat = tbl["lat"].to_numpy(zero_copy_only=False)
+        lon = tbl["lon"].to_numpy(zero_copy_only=False)
+        nlat = tbl["next_lat"].to_numpy(zero_copy_only=False)
+        nlon = tbl["next_lon"].to_numpy(zero_copy_only=False)
+        alat = tbl["alat"].to_numpy(zero_copy_only=False)
+        alon = tbl["alon"].to_numpy(zero_copy_only=False)
+        a_lat, a_lon = lat[seg], lon[seg]
+        b_lat, b_lon, dt = nlat[seg], nlon[seg], ndt[seg]
+        c_seg = codes[seg]
+        an_lat, an_lon = alat[seg], alon[seg]
+        # X3 twin — identical arithmetic to _sites_numpy
+        d = geo.haversine_m(a_lat, a_lon, b_lat, b_lon)
+        n = np.maximum(1, np.ceil(d / step)).astype(np.int64)
+        total = int(n.sum())
+        sidx = np.repeat(np.arange(len(n)), n)
+        starts = np.concatenate([[0], np.cumsum(n)[:-1]])
+        k = np.arange(total) - starts[sidx]
+        frac = (k + 0.5) / n[sidx]
+        slat = a_lat[sidx] + frac * (b_lat - a_lat)[sidx]
+        slon = a_lon[sidx] + frac * (b_lon - a_lon)[sidx]
+        mass = (dt / n)[sidx]
+        x, y = geo.equirect_project(slat, slon,
+                                    an_lat[sidx], an_lon[sidx])
+        ix = np.floor(x / cell).astype(np.int64)
+        iy = np.floor(y / cell).astype(np.int64)
+        key = ((c_seg[sidx] << np.int64(46))
+               | ((ix + OFF) << np.int64(23)) | (iy + OFF))
+        uk, inv = np.unique(key, return_inverse=True)
+        m0 = np.bincount(inv, weights=mass)
+        ucode = (uk >> np.int64(46)).astype(np.int32)
+        uix = ((uk >> np.int64(23)) & M23) - OFF
+        uiy = (uk & M23) - OFF
+        alat_by = np.empty(len(dic))
+        alon_by = np.empty(len(dic))
+        alat_by[codes] = alat          # constant per host
+        alon_by[codes] = alon
+        yield pa.record_batch([
+            dic.take(pa.array(ucode, type=pa.int32())),
+            pa.array(uix), pa.array(uiy), pa.array(m0),
+            pa.array(alat_by[ucode]), pa.array(alon_by[ucode]),
+        ], schema=schema)
+
+    return stream
+
+
+def _grid_kernel(cfg: EngineConfig):
+    """Per-host A2(smooth)-A5 on the MERGED sparse grid (one row per
+    occupied cell) — O(cells), independent of point count.  Cells are
+    lexsorted so every float accumulation below runs in a deterministic
+    order regardless of shuffle arrival order."""
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame({"host": [], "location_id": [], "lat": [],
+                                 "lon": [], "dwell_s": [], "n_cells": []})
+        ix = pdf["ix"].to_numpy(np.int64)
+        iy = pdf["iy"].to_numpy(np.int64)
+        m = pdf["mass"].to_numpy(np.float64)
+        order = np.lexsort((iy, ix))
+        la, lo, dw, nc = _kde_from_grid(
+            ix[order], iy[order], m[order],
+            float(pdf["alat"].iloc[0]), float(pdf["alon"].iloc[0]), cfg)
+        return pd.DataFrame({
+            "host": pdf["host"].iloc[0],
+            "location_id": np.arange(len(la), dtype=np.int32),
+            "lat": la, "lon": lo, "dwell_s": dw,
+            "n_cells": nc.astype(np.int32),
+        })
+
+    return kernel
+
+
+def detect_locations(points: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """A2-A5: geopoints (from trace_prep.prep_points) -> locations DF.
+
+    Chunk-parallel shape (the whole-host variant is kept above as the
+    parity oracle):
+
+      1. per-host anchor = coords of the min-seq point (tiny agg, joined
+         back — AQE broadcasts it at bench scale; at cluster scale it is a
+         plain equi-join on host);
+      2. `_bin_stream` (mapInArrow, NO pre-shuffle): interpolate + project
+         + bin each arbitrary partition into per-(host, cell) partial
+         masses — the O(sites) work, embarrassingly parallel, so the Zipf
+         mega-host spreads across all cores instead of serializing;
+      3. `groupBy(host, ix, iy).sum` merges partials natively (map-side
+         combine, 24 B keys — no vectors/strings beyond the host key);
+      4. `_grid_kernel` per host runs smoothing/threshold/clustering on
+         the merged OCCUPIED-CELL grid — orders of magnitude smaller than
+         the point stream (the corridor-heavy mega-host at 8M docs is ~1M
+         cells vs ~100M sites).
+
+    Float note: cross-chunk merge order of partial masses is not the
+    whole-host site order, so cell masses can differ from the whole-host
+    kernel by ulps (goldens compare with atol; parity test asserts
+    equality to 1e-9).  If byte-exact cross-run stability of the merge is
+    ever required, quantize partial masses to int64 nanoseconds in
+    _bin_stream."""
+    anchors = (points.groupBy("host")
+               .agg(F.min_by("lat", "seq").alias("alat"),
+                    F.min_by("lon", "seq").alias("alon")))
+    cols = ["host", "subset_id", "lat", "lon",
+            "next_lat", "next_lon", "next_dt_s"]
+    pts = points.select(*cols).join(anchors, "host")
+    # Cluster partitions by (host, subset_id % salt_buckets): a host's
+    # corridor cells repeat across its subsets, so host-homogeneous batches
+    # dedup them at the bin step (arbitrary partitions re-emit the same
+    # cells from every chunk and bloat the merge shuffle ~10x), while the
+    # pmod salt still spreads the Zipf mega-host over salt_buckets parallel
+    # tasks instead of serializing it.
+    pts = pts.repartition(F.col("host"),
+                          F.pmod(F.col("subset_id"), F.lit(cfg.salt_buckets)))
+    partial = pts.mapInArrow(_bin_stream(cfg), schema=_PARTIAL_SCHEMA)
+    partial = partial.persist()  # read twice: bucket masses + kept cells
+    # Distributed twin of _kde_from_grid's threshold-aware prune, applied
+    # BEFORE the merge shuffle: only cells inside the 1-bucket dilation of
+    # coarse buckets whose 3x3 neighborhood holds >= kde_time_threshold_s
+    # can influence a super-threshold output cell (stencil sums to 1).  On
+    # the 8M-doc corpus this drops the 20M corridor cells to ~1M around
+    # real stops; the kernel's internal prune re-derives the SAME candidate
+    # set from the kept cells (all neighbors of a candidate bucket are in
+    # the dilation, so its neighborhood mass is complete), hence the result
+    # is exactly the unpruned one.  The dilated-candidate table is tiny —
+    # AQE turns the semi-join into a broadcast at runtime.
+    r_cells = int(np.ceil(3.0 * cfg.kernel_bandwidth_m / cfg.grid_cell_m))
+    bshift = int(max(4, int(np.ceil(np.log2(r_cells + 1)))))
+    part_b = (partial
+              .withColumn("bx", F.shiftright("ix", bshift))
+              .withColumn("by", F.shiftright("iy", bshift)))
+    bucket = part_b.groupBy("host", "bx", "by").agg(F.sum("mass").alias("bm"))
+    offs = [(a, b) for a in (-1, 0, 1) for b in (-1, 0, 1)]
+
+    def explode9(df, val=None):
+        arr = F.array(*[F.struct((F.col("bx") + a).alias("bx"),
+                                 (F.col("by") + b).alias("by"))
+                        for a, b in offs])
+        cols = ["host", F.explode(arr).alias("o")] + ([val] if val else [])
+        return df.select(*cols).select("host", "o.bx", "o.by",
+                                       *([val] if val else []))
+
+    nbh = (explode9(bucket, "bm").groupBy("host", "bx", "by")
+           .agg(F.sum("bm").alias("nbm")))
+    cand = nbh.filter(F.col("nbm") >= F.lit(cfg.kde_time_threshold_s))
+    dil = explode9(cand.select("host", "bx", "by")).distinct()
+    kept = part_b.join(dil, ["host", "bx", "by"], "left_semi")
+    grid = (kept.groupBy("host", "ix", "iy")
+            .agg(F.sum("mass").alias("mass"),
+                 F.first("alat").alias("alat"),
+                 F.first("alon").alias("alon")))
+    return (grid.groupBy("host")
+            .applyInPandas(_grid_kernel(cfg), schema=LOCATION_SCHEMA))

@@ -139,3 +139,125 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
     sims = _lsh_candidate_sims(df, dim, bits, bands, id_col, vec_col, seed)
     return (sims.filter((F.col("sim") >= threshold) & (F.col("a") < F.col("b")))
             .select("a", "b", F.round("sim", 4).alias("sim")))
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) cosine ANN — the coarse-quantizer scale path.
+#
+# Complements the hyperplane-LSH path above with the FAISS-IVF shape
+# (public: Johnson, Douze, Jegou, "Billion-scale similarity search with
+# GPUs", 2017): train C centroids on a bounded sample, index every database
+# vector in its single nearest cell, probe the nprobe nearest cells per
+# query, and refine with one dense matmul PER CELL inside a cogrouped Arrow
+# kernel.  Scale posture vs the LSH path:
+#   * candidate pairs NEVER materialize as shuffled rows — they exist only
+#     inside the per-cell matmul;
+#   * each database vector crosses the exchange exactly once (its cell),
+#     each query vector at most nprobe times;
+#   * shuffle keys are 4-byte cell ids; cell sizes are k-means-balanced, and
+#     a hot cell splits via AQE skew handling on the cogroup exchange.
+# At 10^9 vectors / 2^16 cells a cell holds ~15k vectors -> a (nq x 15k)
+# matmul per probe, which is the intended regime.
+
+
+def _train_centroids(df: DataFrame, n_centroids: int, dim: int,
+                     id_col: str, vec_col: str, seed: int,
+                     sample_rows: int = 20_000, iters: int = 8) -> np.ndarray:
+    """Deterministic spherical k-means on a bounded driver sample.
+
+    The sample is taken by hash-ordered TakeOrdered (top-k per partition,
+    merge on driver — no full sort, no full collect), so it is deterministic
+    for a given input regardless of partition count.  Lloyd iterations run
+    in numpy on <= sample_rows vectors; centroids are L2-normalized so
+    assignment is argmax dot == argmin angular distance.
+    """
+    samp = (df.select(F.col(vec_col).alias("v"),
+                      F.xxhash64(F.col(id_col)).alias("_h"))
+            .orderBy("_h").limit(sample_rows).toPandas())
+    M = np.stack([np.asarray(v, dtype=np.float64) for v in samp["v"]])
+    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    k = min(n_centroids, len(M))
+    rng = np.random.default_rng(seed)
+    C = M[rng.choice(len(M), size=k, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(M @ C.T, axis=1)                  # (n,)
+        for j in range(k):
+            members = M[assign == j]
+            if len(members):
+                C[j] = members.sum(axis=0)
+        C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    return C
+
+
+def ivf_cosine_topk(df: DataFrame, k: int = 5, n_centroids: int = 32,
+                    nprobe: int = 8, dim: int = 64,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    seed: int = 42) -> DataFrame:
+    """IVF ANN top-k cosine self-search over `df`.
+
+    Output schema matches ann_cosine_topk: (a, b, sim, rk).  Recall vs the
+    brute-force oracle is property-tested (tests/test_similarity.py); exact
+    for clustered corpora when nprobe covers the query's true cell
+    neighborhood.
+    """
+    C = _train_centroids(df, n_centroids, dim, id_col, vec_col, seed)
+    nprobe_eff = min(nprobe, len(C))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        sims = M @ C.T                                        # (n, k)
+        idx = np.argsort(-sims, axis=1)[:, :nprobe_eff].astype(np.int32)
+        return pd.Series(list(idx))
+
+    base = (df.select(F.col(id_col).alias("vid"),
+                      F.col(vec_col).alias("vec"))
+            .withColumn("_cells", probe_cells(F.col("vec"))))
+    # database side: each vector lives in exactly ONE cell (element 0)
+    db = base.select(F.col("vid"), F.col("vec"),
+                     F.element_at("_cells", 1).alias("cell"))
+    # query side: ids + probed cells only — vectors ride the db side once
+    # and the query side nprobe times; nothing else crosses the exchange
+    q = base.select(F.col("vid"), F.col("vec"),
+                    F.explode("_cells").alias("cell"))
+
+    out_schema = T.StructType([
+        T.StructField("a", T.LongType()),
+        T.StructField("b", T.LongType()),
+        T.StructField("sim", T.DoubleType()),
+    ])
+
+    def cell_refine(key, qpdf: pd.DataFrame, dpdf: pd.DataFrame) \
+            -> pd.DataFrame:
+        if qpdf.empty or dpdf.empty:
+            return pd.DataFrame({"a": [], "b": [], "sim": []})
+        Q = np.stack([np.asarray(v, dtype=np.float64) for v in qpdf["vec"]])
+        D = np.stack([np.asarray(v, dtype=np.float64) for v in dpdf["vec"]])
+        Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+        Dn = D / np.maximum(np.linalg.norm(D, axis=1, keepdims=True), 1e-12)
+        S = Qn @ Dn.T                                         # (nq, nd)
+        qa = qpdf["vid"].to_numpy()
+        db_ids = dpdf["vid"].to_numpy()
+        S[qa[:, None] == db_ids[None, :]] = -np.inf           # drop self
+        kk = min(k, S.shape[1])
+        top = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+        rows_a = np.repeat(qa, kk)
+        rows_b = db_ids[top.ravel()]
+        rows_s = np.take_along_axis(S, top, axis=1).ravel()
+        keep = np.isfinite(rows_s)
+        return pd.DataFrame({"a": rows_a[keep], "b": rows_b[keep],
+                             "sim": rows_s[keep]})
+
+    partial = (q.groupBy("cell").cogroup(db.groupBy("cell"))
+               .applyInPandas(cell_refine, out_schema))
+    # global merge: per-cell partial top-k -> exact top-k over probed cells.
+    # A query meets a db vector in at most one cell per probe, but the SAME
+    # (a, b) can surface from two probes when b's cell is probed twice —
+    # impossible here (cells are distinct per query), so no dedup needed.
+    w = Window.partitionBy("a").orderBy(F.col("sim").desc(), F.col("b").asc())
+    return (partial.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("a", "b", F.round("sim", 4).alias("sim"), "rk"))

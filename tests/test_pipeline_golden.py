@@ -111,3 +111,22 @@ def test_episode_time_partition_property(engine_out):
         e = g["end_ts"].to_numpy("datetime64[us]")
         assert (s[1:] == e[:-1]).all(), host  # contiguous, incl. unknown gaps
         assert (e >= s).all()
+
+
+def test_detect_locations_chunked_matches_wholehost(spark, unit_pages_sdf):
+    """The chunk-parallel detect_locations (mapInArrow bin -> native merge
+    -> grid kernel) must reproduce the whole-host kernel to float-merge
+    tolerance: same locations, same cell counts, centroids/dwell equal to
+    1e-9/1e-6."""
+    gp = trace_prep.geopoints(unit_pages_sdf, DEFAULT).cache()
+    a = (loc.detect_locations(gp, DEFAULT).toPandas()
+         .sort_values(["host", "location_id"]).reset_index(drop=True))
+    b = (loc.detect_locations_wholehost(gp, DEFAULT).toPandas()
+         .sort_values(["host", "location_id"]).reset_index(drop=True))
+    assert len(a) == len(b)
+    assert (a["host"] == b["host"]).all()
+    np.testing.assert_array_equal(a["location_id"], b["location_id"])
+    np.testing.assert_array_equal(a["n_cells"], b["n_cells"])
+    np.testing.assert_allclose(a["lat"], b["lat"], atol=1e-9)
+    np.testing.assert_allclose(a["lon"], b["lon"], atol=1e-9)
+    np.testing.assert_allclose(a["dwell_s"], b["dwell_s"], atol=1e-6)

@@ -219,3 +219,35 @@ def test_frame_sample_offsets(spark, unit_pages_sdf):
         assert 1 <= len(offs) <= 8
         assert all(0 <= o < r["n_bytes"] for o in offs)
         assert offs == sorted(offs)
+
+
+def test_ivf_exact_when_probing_all_cells(spark, emb):
+    """With nprobe == n_centroids every cell is probed, so IVF degenerates
+    to exhaustive search and must reproduce brute force exactly."""
+    bf = similarity.cosine_topk_bruteforce(emb, k=5).toPandas()
+    ivf = similarity.ivf_cosine_topk(emb, k=5, n_centroids=8, nprobe=8,
+                                     dim=64).toPandas()
+    assert set(zip(bf["a"], bf["b"])) == set(zip(ivf["a"], ivf["b"]))
+    merged = ivf.merge(bf, on=["a", "b"], suffixes=("_ivf", "_bf"))
+    assert np.allclose(merged["sim_ivf"], merged["sim_bf"], atol=1e-3)
+
+
+def test_ivf_recall_clustered(spark):
+    """IVF's intended regime: clustered corpus, nprobe << n_centroids.
+    10 planted clusters; true top-5 neighbors are in-cluster, so probing 4
+    of 16 cells recovers them."""
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((10, 64)) * 4.0
+    vecs = np.concatenate([c + rng.standard_normal((30, 64)) * 0.3
+                           for c in centers])
+    pdf = pd.DataFrame({"vec_id": np.arange(len(vecs), dtype=np.int64),
+                        "embedding": [v.astype(np.float32).tolist()
+                                      for v in vecs]})
+    df = spark.createDataFrame(pdf)
+    bf = similarity.cosine_topk_bruteforce(df, k=5).toPandas()
+    ivf = similarity.ivf_cosine_topk(df, k=5, n_centroids=16, nprobe=4,
+                                     dim=64).toPandas()
+    bf_pairs = set(zip(bf["a"], bf["b"]))
+    ivf_pairs = set(zip(ivf["a"], ivf["b"]))
+    recall = len(bf_pairs & ivf_pairs) / len(bf_pairs)
+    assert recall >= 0.9, recall
