@@ -5,7 +5,7 @@ Runs the SAME geo pipeline job on the SAME synthetic web_pages corpus
 ("N executors") and local[32] ("4N executors"), each in a fresh JVM via
 subprocess, and writes BENCH/BASELINE.md.
 
-Each run executes the pipeline 3x and takes the best iteration: this VM
+Each run executes the pipeline 5x and takes the best iteration: this VM
 (microVM on a shared host) faults first-touch memory at ~200 MB/s, reclaims
 freed pages between runs, and shows up to 2x run-to-run CPU variance —
 best-of-N isolates the engine's scaling from the host's weather.  All
@@ -76,7 +76,7 @@ def run_once():
     gp.unpersist(); locs.unpersist()
     return secs, n_eps, n_tiles, digest
 
-iters = [run_once() for _ in range(3)]
+iters = [run_once() for _ in range(5)]
 digests = {{it[3] for it in iters}}
 assert len(digests) == 1, "non-deterministic episode output"
 secs = [it[0] for it in iters]
@@ -222,7 +222,7 @@ def main() -> int:
 
 Same job (web_pages -> trace prep -> KDE locations -> kNN episodes -> tile
 pyramid), same input ({a['n_docs']:,} docs, Zipf-1.2 hosts, >= 64 parquet
-splits), two parallelism levels, fresh JVM each, best of 3 iterations
+splits), two parallelism levels, fresh JVM each, best of 5 iterations
 (tools/scaling_bench.py):
 
 | run | master | best wall (s) | docs/sec | iterations (s) |
@@ -258,7 +258,7 @@ Measurement notes:
   ceiling per run); the pair is chosen so the HOST can physically supply
   ~4x the resources, which is what a 4x-larger real cluster does — each
   added executor node brings its own memory bandwidth.
-* Best-of-3 per level, fresh JVM per level: the VM faults first-touch
+* Best-of-5 per level, fresh JVM per level: the VM faults first-touch
   memory at ~200 MB/s, reclaims freed pages between runs, and shows
   run-to-run CPU variance up to 2x.  Best-of-N isolates the engine's
   scaling from the host's weather.
