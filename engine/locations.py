@@ -458,10 +458,13 @@ def _bin_stream(cfg: EngineConfig):
 
 
 def _grid_kernel(cfg: EngineConfig):
-    """Per-host A2(smooth)-A5 on the MERGED sparse grid (one row per
-    occupied cell) — O(cells), independent of point count.  Cells are
-    lexsorted so every float accumulation below runs in a deterministic
-    order regardless of shuffle arrival order."""
+    """Per-host A2(smooth)-A5 on the host's pruned partial-mass rows:
+    merges per-chunk partials itself (sorted np.unique + bincount — one
+    kernel instead of a groupBy(host, ix, iy) merge shuffle followed by a
+    groupBy(host) shuffle), then runs _kde_from_grid — O(cells),
+    independent of point count.  Rows are lexsorted first so every float
+    accumulation runs in a deterministic order regardless of shuffle
+    arrival order."""
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) == 0:
             return pd.DataFrame({"host": [], "location_id": [], "lat": [],
@@ -469,9 +472,15 @@ def _grid_kernel(cfg: EngineConfig):
         ix = pdf["ix"].to_numpy(np.int64)
         iy = pdf["iy"].to_numpy(np.int64)
         m = pdf["mass"].to_numpy(np.float64)
-        order = np.lexsort((iy, ix))
+        order = np.lexsort((m, iy, ix))
+        ix, iy, m = ix[order], iy[order], m[order]
+        key = (ix << np.int64(23)) | (iy + np.int64(1 << 22))
+        uk, inv = np.unique(key, return_inverse=True)
+        m0 = np.bincount(inv, weights=m)
+        uix = uk >> np.int64(23)
+        uiy = (uk & np.int64((1 << 23) - 1)) - np.int64(1 << 22)
         la, lo, dw, nc = _kde_from_grid(
-            ix[order], iy[order], m[order],
+            uix, uiy, m0,
             float(pdf["alat"].iloc[0]), float(pdf["alon"].iloc[0]), cfg)
         return pd.DataFrame({
             "host": pdf["host"].iloc[0],
@@ -496,12 +505,14 @@ def detect_locations(points: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFram
          + bin each arbitrary partition into per-(host, cell) partial
          masses — the O(sites) work, embarrassingly parallel, so the Zipf
          mega-host spreads across all cores instead of serializing;
-      3. `groupBy(host, ix, iy).sum` merges partials natively (map-side
-         combine, 24 B keys — no vectors/strings beyond the host key);
-      4. `_grid_kernel` per host runs smoothing/threshold/clustering on
-         the merged OCCUPIED-CELL grid — orders of magnitude smaller than
-         the point stream (the corridor-heavy mega-host at 8M docs is ~1M
-         cells vs ~100M sites).
+      3. a distributed twin of the kernel's threshold-aware bucket prune
+         drops ~95% of corridor cells before any wide shuffle (see inline
+         comment — provably exact);
+      4. `_grid_kernel` per host merges the surviving partials (sorted
+         unique+bincount) and runs smoothing/threshold/clustering on the
+         OCCUPIED-CELL grid — orders of magnitude smaller than the point
+         stream (the corridor-heavy mega-host at 8M docs is ~1M cells vs
+         ~100M sites).
 
     Float note: cross-chunk merge order of partial masses is not the
     whole-host site order, so cell masses can differ from the whole-host
@@ -555,10 +566,7 @@ def detect_locations(points: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFram
            .agg(F.sum("bm").alias("nbm")))
     cand = nbh.filter(F.col("nbm") >= F.lit(cfg.kde_time_threshold_s))
     dil = explode9(cand.select("host", "bx", "by")).distinct()
-    kept = part_b.join(dil, ["host", "bx", "by"], "left_semi")
-    grid = (kept.groupBy("host", "ix", "iy")
-            .agg(F.sum("mass").alias("mass"),
-                 F.first("alat").alias("alat"),
-                 F.first("alon").alias("alon")))
-    return (grid.groupBy("host")
+    kept = (part_b.join(dil, ["host", "bx", "by"], "left_semi")
+            .drop("bx", "by"))
+    return (kept.groupBy("host")
             .applyInPandas(_grid_kernel(cfg), schema=LOCATION_SCHEMA))
