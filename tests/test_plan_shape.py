@@ -73,3 +73,22 @@ def test_interpolation_stays_narrow(pages_parquet):
     sites = trace_prep.interpolate_sites(gp, DEFAULT)
     plan = plan_str(sites, "simple")
     assert plan.count("Exchange") == 1, plan
+
+
+def test_locations_prune_semijoin_and_single_wide_exchange(pages_parquet):
+    """Chunk-parallel KDE plan shape: the partial-mass stream reaches the
+    per-host grid kernel through a LeftSemi prune join (threshold-aware
+    bucket prune), and the only wide exchanges on the point stream are the
+    chunk repartition and the per-host grouping — the merge happens inside
+    the kernel, not as an extra groupBy(host, ix, iy) shuffle."""
+    from engine import locations as loc
+    gp = trace_prep.geopoints(pages_parquet, DEFAULT)
+    out = loc.detect_locations(gp, DEFAULT)
+    plan = plan_str(out, "simple")
+    assert "LeftSemi" in plan, plan
+    # no exchange keyed by the full (host, ix, iy) cell tuple: the cell
+    # merge must NOT be a separate shuffle stage
+    assert "hashpartitioning(host#" in plan
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln and "ix#" in ln and "iy#" in ln:
+            raise AssertionError(f"unexpected cell-merge exchange: {ln}")
