@@ -50,7 +50,8 @@ def entry(spark: SparkSession) -> DataFrame:
     pages = web_pages_from_events(events)
     gp = trace_prep.geopoints(pages, DEFAULT).persist()
     locs = detect_locations(gp, DEFAULT)
-    eps = build_episodes(knn_assign(gp, locs, DEFAULT), DEFAULT)
+    eps = build_episodes(knn_assign(gp, locs, DEFAULT,
+                                    broadcast_locations=True), DEFAULT)
     return eps.orderBy("host", "seq")
 
 
@@ -151,6 +152,36 @@ def q_x5_extract_geopoints(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     pts = trace_prep.extract_points(web_pages_from_events(ev), DEFAULT)
     return pts.select("url", "host", "lat", "lon", "acc_m")
+
+
+def q_x3_interp_grid(spark, sf_dir):
+    """X3 path interpolation + global raster binning, hash-checked end to
+    end: consecutive same-host geopoints (<= gap_s apart) are interpolated
+    into equal-mass sites every interpolation_step_m
+    (trace_prep.interpolate_sites — the exact operator the tile pyramid
+    consumes), then binned to a 0.002-degree lat/lon grid.  The grid key is
+    plain floor() math so DuckDB can replay it exactly; the Hilbert-cell
+    raster twin (tiles.cell_density) is golden-tested instead.  Output is
+    integer site counts — exact across engines (site coords are pure IEEE
+    +-*/ chains; n only depends on haversine via a ceil that sits ulps away
+    from integer boundaries)."""
+    from pyspark.sql import Window
+    ev = _t(spark, sf_dir, "events")
+    pts = trace_prep.extract_points(web_pages_from_events(ev), DEFAULT)
+    w = Window.partitionBy("host").orderBy("warc_ts", "url")
+    dt = epoch_s(F.lead("warc_ts").over(w)) - epoch_s(F.col("warc_ts"))
+    nxt = pts.select(
+        "host", "lat", "lon",
+        F.lead("lat").over(w).alias("next_lat"),
+        F.lead("lon").over(w).alias("next_lon"),
+        F.when(dt <= F.lit(DEFAULT.gap_s), dt).alias("next_dt_s"),
+        F.lit(0).alias("subset_id"))
+    sites = trace_prep.interpolate_sites(nxt, DEFAULT)
+    g = F.lit(0.002)
+    return (sites.groupBy(
+        F.floor(F.col("site_lat") / g).cast("long").alias("gx"),
+        F.floor(F.col("site_lon") / g).cast("long").alias("gy"))
+        .agg(F.count(F.lit(1)).alias("n_sites")))
 
 
 def q_tpch_q1(spark, sf_dir):
@@ -389,7 +420,8 @@ def q_geo_episodes(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     gp = trace_prep.geopoints(web_pages_from_events(ev), DEFAULT).persist()
     locs = detect_locations(gp, DEFAULT)
-    eps = build_episodes(knn_assign(gp, locs, DEFAULT), DEFAULT)
+    eps = build_episodes(knn_assign(gp, locs, DEFAULT,
+                                    broadcast_locations=True), DEFAULT)
     return eps.select("host", F.col("seq").cast("long").alias("seq"),
                       epoch_s(F.col("start_ts")).alias("start_s"),
                       epoch_s(F.col("end_ts")).alias("end_s"),
@@ -405,7 +437,8 @@ def q_a7_day_summary_episodes(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     gp = trace_prep.geopoints(web_pages_from_events(ev), DEFAULT).persist()
     locs = detect_locations(gp, DEFAULT)
-    eps = build_episodes(knn_assign(gp, locs, DEFAULT), DEFAULT)
+    eps = build_episodes(knn_assign(gp, locs, DEFAULT,
+                                    broadcast_locations=True), DEFAULT)
     return day_summary(eps)
 
 
@@ -420,7 +453,8 @@ def q_geo_agreement(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     gp = trace_prep.geopoints(web_pages_from_events(ev), DEFAULT).persist()
     locs = detect_locations(gp, DEFAULT)
-    eps = build_episodes(knn_assign(gp, locs, DEFAULT), DEFAULT).persist()
+    eps = build_episodes(knn_assign(gp, locs, DEFAULT,
+                                    broadcast_locations=True), DEFAULT).persist()
     truth = eps.withColumn(
         "kind",
         F.when((F.col("kind") == "activity") & (F.col("seq") % 5 == 0),
@@ -451,6 +485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o2_topk": q_o2_topk,
         "j6_asof_last_signup": q_j6_asof_last_signup,
         "x5_extract_geopoints": q_x5_extract_geopoints,
+        "x3_interp_grid": q_x3_interp_grid,
         "tpch_q1": q_tpch_q1,
         "dedup_exact": q_dedup_exact,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -669,6 +704,57 @@ FROM pages
 WHERE lang IN ('en', 'fr', 'de')
   AND TRY_CAST(regexp_extract(text, '{_GEOTAG_RE_SQL}', 1) AS DOUBLE) IS NOT NULL
   AND TRY_CAST(regexp_extract(text, '{_GEOTAG_RE_SQL}', 3) AS DOUBLE) <= 100.0
+""",
+        "x3_interp_grid": f"""
+WITH {_PAGES_CTE},
+pts AS (
+  SELECT url,
+         regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host,
+         warc_ts,
+         TRY_CAST(regexp_extract(text, '{_GEOTAG_RE_SQL}', 1) AS DOUBLE) AS lat,
+         TRY_CAST(regexp_extract(text, '{_GEOTAG_RE_SQL}', 2) AS DOUBLE) AS lon
+  FROM pages
+  WHERE lang IN ('en', 'fr', 'de')
+    AND TRY_CAST(regexp_extract(text, '{_GEOTAG_RE_SQL}', 1) AS DOUBLE) IS NOT NULL
+    AND TRY_CAST(regexp_extract(text, '{_GEOTAG_RE_SQL}', 3) AS DOUBLE) <= 100.0
+),
+nxt AS (
+  -- warc_ts is 30x-compressed in web_pages_from_events (integer micros,
+  -- truncated division) — replicate exactly, then epoch seconds = us/1e6
+  SELECT host, lat, lon,
+         lead(lat) OVER w AS nlat,
+         lead(lon) OVER w AS nlon,
+         lead(ce) OVER w - ce AS dt
+  FROM (
+    SELECT *,
+           (CAST(TRUNC((epoch_us(warc_ts) - 1704067200000000) / 30) AS BIGINT)
+            + 1704067200000000) / 1000000.0 AS ce
+    FROM pts
+  )
+  WINDOW w AS (PARTITION BY host ORDER BY ce, url)
+),
+seg AS (
+  SELECT lat, lon, nlat, nlon,
+         GREATEST(1, CAST(CEIL(
+           2.0 * 6371008.8 * asin(sqrt(least(greatest(
+             pow(sin((radians(nlat) - radians(lat)) / 2.0), 2)
+             + cos(radians(lat)) * cos(radians(nlat))
+               * pow(sin((radians(nlon) - radians(lon)) / 2.0), 2),
+           0.0), 1.0))) / 30.0) AS BIGINT)) AS n
+  FROM nxt WHERE dt IS NOT NULL AND dt <= 3600.0
+),
+expanded AS (
+  SELECT lat, lon, nlat, nlon, n, UNNEST(range(n)) AS k FROM seg
+),
+sites AS (
+  SELECT lat + ((k + 0.5) / n) * (nlat - lat) AS slat,
+         lon + ((k + 0.5) / n) * (nlon - lon) AS slon
+  FROM expanded
+)
+SELECT CAST(FLOOR(slat / 0.002) AS BIGINT) AS gx,
+       CAST(FLOOR(slon / 0.002) AS BIGINT) AS gy,
+       COUNT(*) AS n_sites
+FROM sites GROUP BY gx, gy
 """,
         "tpch_q1": """
 SELECT l_returnflag, l_linestatus,

@@ -63,7 +63,10 @@ def run_suite(spark, sf_dir: str) -> tuple[dict, dict, float]:
         locations.persist()
         counts["n_locations"] = locations.count()
     with stage("knn_episodes"):
-        assigned = ep.knn_assign(gp, locations, DEFAULT)
+        # locations (A4 output) is orders of magnitude smaller than points:
+        # broadcast it so the candidate join never shuffles the point set.
+        assigned = ep.knn_assign(gp, locations, DEFAULT,
+                                 broadcast_locations=True)
         episodes = ep.build_episodes(assigned, DEFAULT)
         counts["n_episodes"] = episodes.count()
     with stage("tiles_pyramid"):

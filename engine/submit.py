@@ -67,7 +67,8 @@ def main(argv: list[str] | None = None) -> int:
         n_buckets=args.buckets)
     def episodes_stage(gp):
         locs = catalog.read_table(spark, wd / "locations")
-        assigned = ep.knn_assign(gp, locs, DEFAULT)
+        # per-run locations are tiny vs points — broadcast the cover join
+        assigned = ep.knn_assign(gp, locs, DEFAULT, broadcast_locations=True)
         return ep.build_episodes(assigned, DEFAULT)
     catalog.run_bucketed_stage(
         spark, "episodes", wd / "geopoints", wd / "episodes",
