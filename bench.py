@@ -64,9 +64,10 @@ def run_suite(spark, sf_dir: str) -> tuple[dict, dict, float]:
         counts["n_locations"] = locations.count()
     with stage("knn_episodes"):
         # locations (A4 output) is orders of magnitude smaller than points:
-        # broadcast it so the candidate join never shuffles the point set.
-        assigned = ep.knn_assign(gp, locations, DEFAULT,
-                                 broadcast_locations=True)
+        # closure-broadcast index -> ZERO point-set exchanges for the kNN
+        # (the cell-cover join form stays available for unbounded location
+        # tables; parity is tested).
+        assigned = ep.knn_assign_collected(gp, locations, DEFAULT)
         episodes = ep.build_episodes(assigned, DEFAULT)
         counts["n_episodes"] = episodes.count()
     with stage("tiles_pyramid"):

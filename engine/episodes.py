@@ -111,6 +111,83 @@ def knn_assign(points: DataFrame, locations: DataFrame,
             .drop("_best", "_pcell"))
 
 
+def knn_assign_collected(points: DataFrame, locations: DataFrame,
+                         cfg: EngineConfig = DEFAULT,
+                         radius_m: float | None = None) -> DataFrame:
+    """J1 via a driver-collected location index captured in an Arrow-kernel
+    closure: ZERO exchanges of the point set (the join form moves it up to
+    three times — candidate join, best-pick aggregation, join-back).
+
+    Semantically identical to knn_assign: nearest location within radius,
+    ties broken by smallest location_id (the index is sorted by location_id
+    per host, so np.argmin returns the first = smallest id among exact
+    ties).  Exact brute force per host — the per-host location count is
+    small by construction (A4 peaks), so no cell cover is needed.
+
+    Scale envelope: requires the locations TABLE (not the points) to fit on
+    the driver + one executor broadcast (~50 B/row; 10^7 rows = 500 MB is
+    the practical ceiling).  For corpora whose location table exceeds that,
+    use knn_assign (cell-cover equi-join) — same output contract.
+    """
+    radius = radius_m if radius_m is not None else cfg.cluster_distance_m
+    rows = (locations.select("host", "location_id", "lat", "lon")
+            .orderBy("host", "location_id").collect())
+    index: dict[str, tuple] = {}
+    by_host: dict[str, list] = {}
+    for r in rows:
+        by_host.setdefault(r["host"], []).append(
+            (r["location_id"], r["lat"], r["lon"]))
+    for h, ls in by_host.items():  # already sorted by location_id
+        ids = np.array([l[0] for l in ls], dtype=np.int64)
+        lla = np.array([l[1] for l in ls])
+        llo = np.array([l[2] for l in ls])
+        index[h] = (ids, lla, llo)
+    bc = points.sparkSession.sparkContext.broadcast(index)
+
+    from pyspark.sql import types as T
+
+    out_type = T.StructType([
+        T.StructField("location_id", T.IntegerType()),
+        T.StructField("loc_dist_m", T.DoubleType()),
+    ])
+
+    @F.pandas_udf(out_type)
+    def assign(host: pd.Series, lat: pd.Series, lon: pd.Series) -> pd.DataFrame:
+        idx = bc.value
+        n = len(host)
+        out_id = np.full(n, np.nan)
+        out_d = np.full(n, np.nan)
+        if n:
+            la = lat.to_numpy(np.float64)
+            lo = lon.to_numpy(np.float64)
+            codes, uniq = pd.factorize(host, sort=False)
+            for ci, h in enumerate(uniq):
+                loc = idx.get(h)
+                if loc is None:
+                    continue
+                ids, lla, llo = loc
+                sel = np.flatnonzero(codes == ci)
+                d = geo.haversine_m(la[sel][:, None], lo[sel][:, None],
+                                    lla[None, :], llo[None, :])
+                j = np.argmin(d, axis=1)
+                dm = d[np.arange(len(sel)), j]
+                ok = dm <= radius
+                out_id[sel[ok]] = ids[j[ok]]
+                out_d[sel[ok]] = dm[ok]
+        return pd.DataFrame({
+            "location_id": pd.array(
+                [None if np.isnan(v) else int(v) for v in out_id],
+                dtype="Int32"),
+            "loc_dist_m": out_d,
+        })
+
+    res = points.withColumn("_a", assign(F.col("host"), F.col("lat"),
+                                         F.col("lon")))
+    return (res.withColumn("location_id", F.col("_a.location_id"))
+            .withColumn("loc_dist_m", F.col("_a.loc_dist_m"))
+            .drop("_a"))
+
+
 # ---------------------------------------------------------------------------
 # episodes
 # ---------------------------------------------------------------------------

@@ -36,6 +36,12 @@ def get_spark(app_name: str = "spark-trip-tiler",
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE's RUNTIME size stats convert shuffle joins to broadcast up
+        # to 64 MB (default 10 MB is tuned for tiny executors): the KDE
+        # prune's dilated-candidate table (~15 MB at 8M docs) otherwise
+        # forces a full shuffle of the 20M-row partial-mass stream.  Safe at
+        # any scale — AQE only broadcasts what it has MEASURED to be small.
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")

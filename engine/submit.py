@@ -67,8 +67,9 @@ def main(argv: list[str] | None = None) -> int:
         n_buckets=args.buckets)
     def episodes_stage(gp):
         locs = catalog.read_table(spark, wd / "locations")
-        # per-run locations are tiny vs points — broadcast the cover join
-        assigned = ep.knn_assign(gp, locs, DEFAULT, broadcast_locations=True)
+        # per-run locations are tiny vs points — closure-broadcast kNN
+        # (zero point-set exchanges; join form for unbounded location tables)
+        assigned = ep.knn_assign_collected(gp, locs, DEFAULT)
         return ep.build_episodes(assigned, DEFAULT)
     catalog.run_bucketed_stage(
         spark, "episodes", wd / "geopoints", wd / "episodes",

@@ -130,3 +130,28 @@ def test_detect_locations_chunked_matches_wholehost(spark, unit_pages_sdf):
     np.testing.assert_allclose(a["lat"], b["lat"], atol=1e-9)
     np.testing.assert_allclose(a["lon"], b["lon"], atol=1e-9)
     np.testing.assert_allclose(a["dwell_s"], b["dwell_s"], atol=1e-6)
+
+
+def test_knn_collected_matches_join_form(spark, unit_pages_sdf):
+    """knn_assign_collected (driver-collected closure index, zero point-set
+    exchanges) must reproduce knn_assign (cell-cover join) exactly:
+    same location_id per point, distances equal to float tolerance (the two
+    paths compute haversine in JVM exprs vs numpy)."""
+    gp = trace_prep.geopoints(unit_pages_sdf, DEFAULT).cache()
+    locations = loc.detect_locations(gp, DEFAULT).cache()
+    a = (ep.knn_assign(gp, locations, DEFAULT)
+         .select("url", "location_id", "loc_dist_m")
+         .toPandas().sort_values("url").reset_index(drop=True))
+    b = (ep.knn_assign_collected(gp, locations, DEFAULT)
+         .select("url", "location_id", "loc_dist_m")
+         .toPandas().sort_values("url").reset_index(drop=True))
+    assert len(a) == len(b)
+    la = a["location_id"].to_numpy("float64")
+    lb = b["location_id"].astype("float64").to_numpy()
+    nn = np.isnan(la) & np.isnan(lb)
+    assert (nn | (la == lb)).all(), (
+        f"{int((~(nn | (la == lb))).sum())} assignment mismatches")
+    da = a["loc_dist_m"].to_numpy("float64")
+    db = b["loc_dist_m"].to_numpy("float64")
+    nn = np.isnan(da) & np.isnan(db)
+    np.testing.assert_allclose(da[~nn], db[~nn], atol=1e-6)

@@ -61,7 +61,7 @@ def run_once():
     gp.count()
     locs = L.detect_locations(gp, DEFAULT).persist()
     locs.count()
-    assigned = E.knn_assign(gp, locs, DEFAULT, broadcast_locations=True)
+    assigned = E.knn_assign_collected(gp, locs, DEFAULT)
     eps = E.build_episodes(assigned, DEFAULT)
     sites = trace_prep.interpolate_sites(gp, DEFAULT)
     pyr = tiles.rollup_pyramid(tiles.cell_density(sites, DEFAULT), DEFAULT)

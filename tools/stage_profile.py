@@ -46,7 +46,7 @@ def once():
     t["locations"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    assigned = E.knn_assign(gp, locs, DEFAULT)
+    assigned = E.knn_assign_collected(gp, locs, DEFAULT)
     eps = E.build_episodes(assigned, DEFAULT).persist()
     eps.count()
     t["episodes"] = time.perf_counter() - t0
