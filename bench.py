@@ -59,7 +59,8 @@ def run_suite(spark, sf_dir: str) -> tuple[dict, dict, float]:
         gp.persist()
         counts["n_geopoints"] = gp.count()
     with stage("locations_kde"):
-        locations = loc.detect_locations(gp, DEFAULT)
+        locations = loc.detect_locations(
+            gp, DEFAULT, n_points_hint=counts["n_geopoints"])
         locations.persist()
         counts["n_locations"] = locations.count()
     with stage("knn_episodes"):

@@ -40,6 +40,10 @@ class EngineConfig:
     salt_buckets: int = 8               # hot-key salting fan-out
     hot_cell_threshold: int = 2_000_000  # rows/cell before salting kicks in
     max_points_per_kernel: int = 2_000_000  # per-host kernel memory bound
+    # below this point count the chunk-parallel KDE's ~12 extra stages of
+    # scheduling overhead dominate and detect_locations(auto) uses the
+    # single-stage whole-host kernel instead (parity-tested to 1e-9)
+    kde_chunked_min_points: int = 1_000_000
 
 
 DEFAULT = EngineConfig()

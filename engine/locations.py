@@ -492,8 +492,19 @@ def _grid_kernel(cfg: EngineConfig):
     return kernel
 
 
-def detect_locations(points: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
+def detect_locations(points: DataFrame, cfg: EngineConfig = DEFAULT,
+                     strategy: str = "auto",
+                     n_points_hint: int | None = None) -> DataFrame:
     """A2-A5: geopoints (from trace_prep.prep_points) -> locations DF.
+
+    Strategy (cost-based, like Spark's own join-strategy pick): the
+    chunk-parallel path costs ~12 extra stages of scheduling overhead that
+    dominate below ~1M points, where the whole-host kernel (one exchange,
+    one stage) is strictly faster AND skew-safe (the biggest host is tiny).
+    ``auto`` picks whole-host when ``n_points_hint`` (a count the caller
+    already has, e.g. from a persisted upstream) is under
+    cfg.kde_chunked_min_points; with no hint it assumes scale and goes
+    chunk-parallel.  Both paths are parity-tested to 1e-9.
 
     Chunk-parallel shape (the whole-host variant is kept above as the
     parity oracle):
@@ -520,6 +531,13 @@ def detect_locations(points: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFram
     equality to 1e-9).  If byte-exact cross-run stability of the merge is
     ever required, quantize partial masses to int64 nanoseconds in
     _bin_stream."""
+    if strategy == "auto":
+        strategy = ("wholehost"
+                    if (n_points_hint is not None
+                        and n_points_hint <= cfg.kde_chunked_min_points)
+                    else "chunked")
+    if strategy == "wholehost":
+        return detect_locations_wholehost(points, cfg)
     anchors = (points.groupBy("host")
                .agg(F.min_by("lat", "seq").alias("alat"),
                     F.min_by("lon", "seq").alias("alon")))
