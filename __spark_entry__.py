@@ -207,6 +207,14 @@ def q_dedup_exact(spark, sf_dir):
     return dedup_exact(docs)
 
 
+def q_boilerplate_tokens(spark, sf_dir):
+    """Corpus-level boilerplate pruning (document-frequency > 50% tokens
+    dropped, map-only rewrite) — exact SQL oracle on the cleaned strings."""
+    docs = _t(spark, sf_dir, "documents")
+    from engine.text import remove_boilerplate_tokens
+    return remove_boilerplate_tokens(docs, threshold=0.7)
+
+
 def q_winnow_fingerprints(spark, sf_dir):
     """Winnowing (MOSS) document fingerprints — rows-only (fingerprints are
     engine xxhash64-based; no DuckDB twin), golden-tested in tests/."""
@@ -362,7 +370,10 @@ def q_j4_pip(spark, sf_dir):
              .groupBy("host", "location_id")
              .agg(F.sort_array(F.collect_list(F.struct("ang", "vlon", "vlat")))
                   .alias("verts"))
-             .select((F.xxhash64("host", "location_id")).alias("polygon_id"),
+             # arithmetic polygon id (hostnum*3 + stop) so the DuckDB oracle
+             # can reproduce it (xxhash64 is not available there)
+             .select((F.substring("host", 5, 4).cast("long") * F.lit(3)
+                      + F.col("location_id")).alias("polygon_id"),
                      F.concat(F.transform("verts", lambda v:
                                           F.array(v["vlon"], v["vlat"])),
                               F.transform(F.slice("verts", 1, 1), lambda v:
@@ -488,6 +499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x3_interp_grid": q_x3_interp_grid,
         "tpch_q1": q_tpch_q1,
         "dedup_exact": q_dedup_exact,
+        "boilerplate_tokens": q_boilerplate_tokens,
         "winnow_fingerprints": q_winnow_fingerprints,
         "cosine_near_dup": q_cosine_near_dup,
         "geo_sessions": q_geo_sessions,
@@ -705,6 +717,74 @@ WHERE lang IN ('en', 'fr', 'de')
   AND TRY_CAST(regexp_extract(text, '{_GEOTAG_RE_SQL}', 1) AS DOUBLE) IS NOT NULL
   AND TRY_CAST(regexp_extract(text, '{_GEOTAG_RE_SQL}', 3) AS DOUBLE) <= 100.0
 """,
+        "j4_pip": f"""
+WITH {_PAGES_CTE},
+pts AS (
+  SELECT url,
+         regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host,
+         TRY_CAST(regexp_extract(text, '{_GEOTAG_RE_SQL}', 1) AS DOUBLE) AS lat,
+         TRY_CAST(regexp_extract(text, '{_GEOTAG_RE_SQL}', 2) AS DOUBLE) AS lon
+  FROM pages
+  WHERE lang IN ('en', 'fr', 'de')
+    AND TRY_CAST(regexp_extract(text, '{_GEOTAG_RE_SQL}', 1) AS DOUBLE) IS NOT NULL
+    AND TRY_CAST(regexp_extract(text, '{_GEOTAG_RE_SQL}', 3) AS DOUBLE) <= 100.0
+),
+locs AS (
+  SELECT printf('host%04d.example', CAST(user_id %% 10000 AS INT)) AS host,
+         s.location_id,
+         ((CAST(user_id AS BIGINT) * 2654435761 + s.location_id * 40503 + 17)
+          %% 120000001) / 1e6 - 60.0 AS lat,
+         ((CAST(user_id AS BIGINT) * 2654435761 + s.location_id * 40503 + 9176)
+          %% 350000001) / 1e6 - 175.0 AS lon
+  FROM (SELECT DISTINCT user_id FROM events)
+  CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS location_id) s
+),
+-- hexagon vertices, same float op order as the Spark query
+verts AS (
+  SELECT host, location_id, k,
+         lat + (120.0 / 111320.0) * sin(k * (3.14159265358979 / 3.0)) AS vlat,
+         lon + ((120.0 / 111320.0) * cos(k * (3.14159265358979 / 3.0)))
+           / cos(radians(lat)) AS vlon
+  FROM locs, (SELECT UNNEST(range(6)) AS k)
+),
+-- engine ring: verts 0..5 + closing copy of vertex 0, lons unwrapped as
+-- lon0 + ((lon - lon0 + 180) mod 360) - 180 for indices >= 1 (closure
+-- becomes (lon0 + 180) - 180, replicated exactly)
+unw AS (
+  SELECT host, location_id, k, vlat,
+         CASE WHEN k = 0 THEN vlon
+              ELSE (v0 + (((vlon - v0) + 180.0) %% 360.0)) - 180.0 END AS ulon,
+         v0, y0f
+  FROM (
+    SELECT *,
+           first_value(vlon) OVER w AS v0,
+           first_value(vlat) OVER w AS y0f
+    FROM verts
+    WINDOW w AS (PARTITION BY host, location_id ORDER BY k)
+  )
+),
+edges AS (
+  SELECT host, location_id, v0,
+         ulon AS x0, vlat AS y0,
+         COALESCE(lead(ulon) OVER w, (v0 + 180.0) - 180.0) AS x1,
+         COALESCE(lead(vlat) OVER w, y0f) AS y1
+  FROM unw
+  WINDOW w AS (PARTITION BY host, location_id ORDER BY k)
+),
+hits AS (
+  SELECT p.url,
+         CAST(substring(e.host, 5, 4) AS BIGINT) * 3 + e.location_id
+           AS polygon_id,
+         SUM(CASE WHEN ((e.y0 > p.lat) <> (e.y1 > p.lat))
+                   AND ((e.v0 + (((p.lon - e.v0) + 180.0) %% 360.0)) - 180.0
+                        < e.x0 + ((p.lat - e.y0) * (e.x1 - e.x0))
+                                 / NULLIF(e.y1 - e.y0, 0.0))
+                  THEN 1 ELSE 0 END) AS crossings
+  FROM pts p JOIN edges e USING (host)
+  GROUP BY p.url, e.host, e.location_id
+)
+SELECT url, polygon_id FROM hits WHERE crossings %% 2 = 1
+""".replace("%%", "%"),
         "x3_interp_grid": f"""
 WITH {_PAGES_CTE},
 pts AS (
@@ -772,6 +852,28 @@ GROUP BY l_returnflag, l_linestatus
         "dedup_exact": """
 SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
 FROM documents GROUP BY text
+""",
+        "boilerplate_tokens": """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+),
+dfreq AS (
+  SELECT tok, COUNT(DISTINCT doc_id) AS n
+  FROM (SELECT doc_id, UNNEST(l) AS tok FROM toks) GROUP BY tok
+),
+hot AS (
+  SELECT COALESCE(list(tok), []) AS stop FROM dfreq
+  WHERE n > 0.7 * (SELECT COUNT(DISTINCT doc_id) FROM documents)
+),
+kept AS (
+  SELECT doc_id, l,
+         list_filter(l, x -> NOT list_contains(h.stop, x)) AS kl
+  FROM toks CROSS JOIN hot h
+)
+SELECT doc_id, COALESCE(array_to_string(kl, ' '), '') AS cleaned,
+       CAST(len(kl) AS BIGINT) AS n_kept,
+       CAST(len(l) - len(kl) AS BIGINT) AS n_removed
+FROM kept
 """,
         "j1_knn_assign": f"""
 WITH {_PAGES_CTE},

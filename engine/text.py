@@ -369,3 +369,42 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
     grams = F.transform(idx, lambda i: F.xxhash64(
         F.concat_ws(" ", F.slice(toks, i, k))))
     return df.withColumn("fingerprints", winnow_udf(grams))
+
+
+def remove_boilerplate_tokens(docs: DataFrame, threshold: float = 0.5,
+                              text_col: str = "text",
+                              id_col: str = "doc_id") -> DataFrame:
+    """Corpus-level boilerplate pruning: drop tokens whose DOCUMENT
+    frequency exceeds `threshold` (fraction of docs containing the token) —
+    the classic web-pipeline cleanup for navigation chrome / legal footers
+    that repeat across a crawl.
+
+    Scale shape (the 100-TB-correct two-pass plan):
+      pass 1 — document-frequency aggregation over DISTINCT tokens per doc
+               (map-side combinable groupBy on short token keys; output is
+               at most the vocabulary, and the >threshold subset is tiny by
+               definition — a token in >50% of a 10^12-doc crawl is chrome);
+      pass 2 — MAP-ONLY rewrite: the hot set rides into a native
+               higher-order-function filter as an array literal, so the
+               corpus is never re-shuffled and the rewrite stays in
+               whole-stage codegen.  No posexplode/reassemble round trip.
+
+    Output: (id_col, cleaned, n_kept, n_removed) with token order
+    preserved; deterministic for a given corpus.
+    """
+    toks = F.split(F.col(text_col), " ")
+    ex = docs.select(id_col, F.explode(F.array_distinct(toks)).alias("tok"))
+    tot = docs.select(F.countDistinct(id_col).alias("t")).collect()[0]["t"]
+    hot_rows = (ex.groupBy("tok").agg(F.countDistinct(id_col).alias("n"))
+                .filter(F.col("n") > F.lit(float(threshold) * tot)).collect())
+    hot = sorted(r["tok"] for r in hot_rows)
+    if hot:
+        hot_arr = F.array(*[F.lit(t) for t in hot])
+        kept = F.filter(toks, lambda x: ~F.array_contains(hot_arr, x))
+    else:
+        kept = toks
+    return docs.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias("cleaned"),
+        F.size(kept).cast("long").alias("n_kept"),
+        (F.size(toks) - F.size(kept)).cast("long").alias("n_removed"))

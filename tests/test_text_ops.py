@@ -251,3 +251,28 @@ def test_ivf_recall_clustered(spark):
     ivf_pairs = set(zip(ivf["a"], ivf["b"]))
     recall = len(bf_pairs & ivf_pairs) / len(bf_pairs)
     assert recall >= 0.9, recall
+
+
+def test_remove_boilerplate_tokens(spark):
+    """DF-threshold pruning: tokens in > threshold fraction of docs are
+    dropped everywhere, order preserved, counts consistent; tokens at or
+    below the threshold survive."""
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["nav a b nav", "nav c d", "nav e a", "f g h"],
+    })
+    df = spark.createDataFrame(pdf)
+    out = (text.remove_boilerplate_tokens(df, threshold=0.5)
+           .toPandas().sort_values("doc_id").reset_index(drop=True))
+    # 'nav' df=3/4 > 0.5 -> dropped; 'a' df=2/4 <= 0.5 -> kept
+    assert out["cleaned"].tolist() == ["a b", "c d", "e a", "f g h"]
+    assert out["n_removed"].tolist() == [2, 1, 1, 0]
+    assert out["n_kept"].tolist() == [2, 2, 2, 3]
+
+
+def test_remove_boilerplate_none_hot(spark):
+    pdf = pd.DataFrame({"doc_id": [0, 1], "text": ["a b", "c d"]})
+    out = (text.remove_boilerplate_tokens(spark.createDataFrame(pdf), 0.9)
+           .toPandas().sort_values("doc_id"))
+    assert out["cleaned"].tolist() == ["a b", "c d"]
+    assert out["n_removed"].tolist() == [0, 0]
