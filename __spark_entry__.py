@@ -613,6 +613,65 @@ pages AS (
 _GEOTAG_RE_SQL = r"\[geo:(-?\d+\.\d{6}),(-?\d+\.\d{6});acc=(\d+\.\d)\]"
 
 
+def _hav_sql(lat1, lon1, lat2, lon2):
+    """Haversine meters with the engine's exact float op order/clamping."""
+    return (f"2.0 * 6371008.8 * asin(sqrt(least(greatest("
+            f"pow(sin((radians({lat2}) - radians({lat1})) / 2.0), 2) "
+            f"+ cos(radians({lat1})) * cos(radians({lat2})) "
+            f"* pow(sin((radians({lon2}) - radians({lon1})) / 2.0), 2), "
+            f"0.0), 1.0)))")
+
+
+def _g1_chain_sql(n_iters: int = 16, src: str = "g0") -> str:
+    """G1 positional-jump fixpoint as `n_iters` chained SQL filter rounds —
+    the exact drop rule of trace_prep._prep_host_sorted (interior: both
+    adjacent implied speeds > max_speed; endpoints: implausible edge speed
+    with a clean inner neighbor; ambiguous fast pair: keep the earlier
+    fix).  The engine caps at 16 rounds and converges in <= 3 on real data;
+    16 chained rounds therefore reproduce it exactly (extra rounds are
+    no-ops at fixpoint)."""
+    hav_prev = _hav_sql("plat", "plon", "lat", "lon")
+    hav_next = _hav_sql("lat", "lon", "nlat2", "nlon2")
+    parts = []
+    prev = src
+    for i in range(1, n_iters + 1):
+        parts.append(f"""g{i}a AS (
+  SELECT *, lag(lat) OVER w AS plat, lag(lon) OVER w AS plon,
+         lag(ce) OVER w AS pce,
+         lead(lat) OVER w AS nlat2, lead(lon) OVER w AS nlon2,
+         lead(ce) OVER w AS nce,
+         COUNT(*) OVER (PARTITION BY host) AS cnt,
+         row_number() OVER w AS rn
+  FROM {prev}
+  WINDOW w AS (PARTITION BY host ORDER BY ce, url)
+),
+g{i}b AS (
+  SELECT *,
+         CASE WHEN pce IS NULL THEN NULL
+              ELSE {hav_prev} / GREATEST(ce - pce, 1e-9) END > 110.0 AS fprev,
+         CASE WHEN nce IS NULL THEN NULL
+              ELSE {hav_next} / GREATEST(nce - ce, 1e-9) END > 110.0 AS fnext
+  FROM g{i}a
+),
+g{i}c AS (
+  SELECT *, lead(fnext) OVER w AS fnext2, lag(fprev) OVER w AS fprev2
+  FROM g{i}b
+  WINDOW w AS (PARTITION BY host ORDER BY ce, url)
+),
+g{i} AS (
+  SELECT host, url, ce, lat, lon FROM g{i}c
+  WHERE NOT COALESCE(
+    CASE WHEN cnt < 2 THEN FALSE
+         WHEN cnt = 2 THEN (rn = 2 AND fprev)
+         WHEN rn = 1 THEN fnext AND NOT (fnext AND fnext2)
+         WHEN rn = cnt THEN fprev AND NOT (fprev2 AND fprev)
+         ELSE fprev AND fnext
+    END, FALSE)
+)""")
+        prev = f"g{i}"
+    return ",\n".join(parts)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "w2_sessionize": f"""
@@ -716,6 +775,54 @@ FROM pages
 WHERE lang IN ('en', 'fr', 'de')
   AND TRY_CAST(regexp_extract(text, '{_GEOTAG_RE_SQL}', 1) AS DOUBLE) IS NOT NULL
   AND TRY_CAST(regexp_extract(text, '{_GEOTAG_RE_SQL}', 3) AS DOUBLE) <= 100.0
+""",
+        "geo_sessions": f"""
+WITH {_PAGES_CTE},
+pts AS (
+  SELECT url,
+         regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host,
+         (CAST(TRUNC((epoch_us(warc_ts) - 1704067200000000) / 30) AS BIGINT)
+          + 1704067200000000) / 1000000.0 AS ce,
+         TRY_CAST(regexp_extract(text, '{_GEOTAG_RE_SQL}', 1) AS DOUBLE) AS lat,
+         TRY_CAST(regexp_extract(text, '{_GEOTAG_RE_SQL}', 2) AS DOUBLE) AS lon
+  FROM pages
+  WHERE lang IN ('en', 'fr', 'de')
+    AND TRY_CAST(regexp_extract(text, '{_GEOTAG_RE_SQL}', 1) AS DOUBLE) IS NOT NULL
+    AND TRY_CAST(regexp_extract(text, '{_GEOTAG_RE_SQL}', 3) AS DOUBLE) <= 100.0
+),
+-- F3: drop rows whose coords equal the previous row's (per host, time order)
+g0 AS (
+  SELECT host, url, ce, lat, lon FROM (
+    SELECT *, lag(lat) OVER w AS plat, lag(lon) OVER w AS plon
+    FROM pts
+    WINDOW w AS (PARTITION BY host ORDER BY ce, url)
+  ) WHERE plat IS NULL OR NOT (lat = plat AND lon = plon)
+),
+{_g1_chain_sql(16)},
+-- W2: observation-gap sessionization on the G1 survivors
+w2 AS (
+  SELECT *, CASE WHEN pce IS NULL OR ce - pce > 3600.0 THEN 1 ELSE 0 END AS nf
+  FROM (SELECT *, lag(ce) OVER w AS pce FROM g16
+        WINDOW w AS (PARTITION BY host ORDER BY ce, url))
+),
+w3 AS (
+  SELECT *, SUM(nf) OVER (PARTITION BY host ORDER BY ce, url
+                          ROWS UNBOUNDED PRECEDING) - 1 AS subset_id
+  FROM w2
+),
+-- A1: half-gap time weights within subset
+a1 AS (
+  SELECT host, subset_id,
+         COALESCE(CASE WHEN lag(subset_id) OVER w = subset_id
+                       THEN ce - lag(ce) OVER w END, 0) / 2.0
+       + COALESCE(CASE WHEN lead(subset_id) OVER w = subset_id
+                       THEN lead(ce) OVER w - ce END, 0) / 2.0 AS weight_s
+  FROM w3
+  WINDOW w AS (PARTITION BY host ORDER BY ce, url)
+)
+SELECT host, CAST(subset_id AS BIGINT) AS subset_id,
+       COUNT(*) AS n_points, ROUND(SUM(weight_s), 6) AS observed_s
+FROM a1 GROUP BY host, subset_id
 """,
         "j4_pip": f"""
 WITH {_PAGES_CTE},
