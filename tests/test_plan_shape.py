@@ -92,3 +92,27 @@ def test_locations_prune_semijoin_and_single_wide_exchange(pages_parquet):
     for ln in plan.splitlines():
         if "Exchange hashpartitioning" in ln and "ix#" in ln and "iy#" in ln:
             raise AssertionError(f"unexpected cell-merge exchange: {ln}")
+
+
+def test_knn_collected_adds_no_exchange(spark, pages_parquet):
+    """Closure-broadcast kNN is MAP-ONLY: assigning locations must add zero
+    exchanges over the geopoint stream (trace prep's single host shuffle is
+    the only one in the plan)."""
+    gp = trace_prep.geopoints(pages_parquet, DEFAULT)
+    locs = spark.createDataFrame(
+        [("host0000.example", 0, 43.0, -79.0)],
+        "host string, location_id int, lat double, lon double")
+    out = ep.knn_assign_collected(gp, locs, DEFAULT)
+    plan = plan_str(out, "simple")
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_kde_strategy_pick(spark, pages_parquet):
+    """Cost-based KDE strategy: small hint -> single-stage whole-host plan
+    (no semi-join prune chain); large hint -> chunk-parallel plan."""
+    from engine import locations as loc
+    gp = trace_prep.geopoints(pages_parquet, DEFAULT)
+    small = loc.detect_locations(gp, DEFAULT, n_points_hint=10_000)
+    assert "LeftSemi" not in plan_str(small, "simple")
+    big = loc.detect_locations(gp, DEFAULT, n_points_hint=50_000_000)
+    assert "LeftSemi" in plan_str(big, "simple")
