@@ -199,6 +199,46 @@ def q_tpch_q1(spark, sf_dir):
                  F.count(F.lit(1)).alias("count_order")))
 
 
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 (shipping-priority variant): 3-way join + agg + top-10 —
+    exercises broadcast/SMJ strategy pick and deterministic top-k."""
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
+    j = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+         .join(c, o["o_custkey"] == c["c_custkey"]))
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (j.groupBy("l_orderkey",
+                      F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"))
+            .agg(F.round(rev, 6).alias("revenue"))
+            .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+            .limit(10))
+
+
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 (local-supplier volume): 6-way join with the
+    customer-nation == supplier-nation equality — join-reordering smoke."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")))
+    li = _t(spark, sf_dir, "lineitem")
+    j = (c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+         .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+         .join(s, (F.col("l_suppkey") == F.col("s_suppkey"))
+               & (F.col("c_nationkey") == F.col("s_nationkey")))
+         .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+         .join(r, F.col("n_regionkey") == F.col("r_regionkey")))
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return j.groupBy("n_name").agg(F.round(rev, 6).alias("revenue"))
+
+
 def q_dedup_exact(spark, sf_dir):
     """Exercises engine.text.dedup_exact (hash-keyed shuffle); the oracle
     groups by raw text — identical output barring a 2^-190 hash collision."""
@@ -498,6 +538,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x5_extract_geopoints": q_x5_extract_geopoints,
         "x3_interp_grid": q_x3_interp_grid,
         "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
         "dedup_exact": q_dedup_exact,
         "boilerplate_tokens": q_boilerplate_tokens,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -955,6 +997,33 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
+""",
+        "tpch_q3": """
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS revenue
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+""",
+        "tpch_q5": """
+SELECT n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
 """,
         "dedup_exact": """
 SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
