@@ -5,9 +5,13 @@ The driver's verify runs ``entry(spark)`` as a smoke check, runs each
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
 value-hash -> CORRECTNESS_r{N}.json).
 
-Operator ids (W2, A1, F3, ...) refer to SURVEY.md §2.  Geo kernels (X6 cell
-ids, A2 KDE, J1 kNN, J4 PIP) are non-SQL-expressible: their queries have no
-oracle entry (rows-only check) and are instead golden-tested in tests/.
+Operator ids (W2, A1, F3, ...) refer to SURVEY.md §2.  Queries whose math
+DuckDB can replay exactly carry oracles — including the J4 ray-cast PIP
+join, the X3 interpolation grid, and the fused F3+G1+W2+A1 prep kernel
+(G1's jump fixpoint unrolled as 16 chained SQL filter rounds).  The truly
+non-SQL-expressible kernels (X6 Hilbert cells, A2 KDE, W5 episode fixpoint,
+xxhash/rng-seeded sketches) are rows-only here and golden-tested in tests/
+against an independent single-threaded oracle.
 
 Float-output discipline: every non-exact aggregate is ROUND(_, 6) on BOTH
 sides; exact float ops (epoch differences, least/greatest) are left raw.
