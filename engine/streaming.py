@@ -227,3 +227,47 @@ def stream_episodes_full(assigned_stream: DataFrame,
                                     stateStructType=_FULL_STATE_SCHEMA,
                                     outputMode="append",
                                     timeoutConf=GroupStateTimeout.EventTimeTimeout))
+
+
+def stream_cell_density(points_stream: DataFrame,
+                        cfg: EngineConfig = DEFAULT,
+                        window: str = "10 minutes",
+                        watermark: str = "30 minutes") -> DataFrame:
+    """Streaming twin of the tiles raster path: geopoints stream ->
+    interpolated KDE mass sites -> cell encode -> time-windowed cell
+    density (a rolling heat map).
+
+    All pre-aggregation ops are stateless/narrow (the same native exprs as
+    batch interpolate_sites + encode_cell_native), so the only stateful
+    operator is the windowed sum; the watermark on warc_ts bounds its
+    state and admits late crawl records up to `watermark`.  Sites inherit
+    their segment's start timestamp — identical semantics to running the
+    batch raster per time window.  Output: (window, cell_id, mass_s),
+    append mode.
+    """
+    from . import trace_prep
+    sites = trace_prep.interpolate_sites(points_stream, cfg,
+                                         carry_cols=("warc_ts",))
+    from .functions import encode_cell_native
+    cells = encode_cell_native(sites, "site_lat", "site_lon", "cell_id",
+                               cfg.cell_level)
+    return (cells
+            .withWatermark("warc_ts", watermark)
+            .groupBy(F.window("warc_ts", window).alias("window"), "cell_id")
+            .agg(F.sum("mass_s").alias("mass_s")))
+
+
+def batch_windowed_cell_density(points: DataFrame,
+                                cfg: EngineConfig = DEFAULT,
+                                window: str = "10 minutes") -> DataFrame:
+    """Batch parity twin of stream_cell_density (same plan minus the
+    watermark) — used by tests to assert streaming == batch."""
+    from . import trace_prep
+    from .functions import encode_cell_native
+    sites = trace_prep.interpolate_sites(points, cfg,
+                                         carry_cols=("warc_ts",))
+    cells = encode_cell_native(sites, "site_lat", "site_lon", "cell_id",
+                               cfg.cell_level)
+    return (cells.groupBy(F.window("warc_ts", window).alias("window"),
+                          "cell_id")
+            .agg(F.sum("mass_s").alias("mass_s")))

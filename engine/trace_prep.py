@@ -231,7 +231,8 @@ def with_cell(points: DataFrame, cfg: EngineConfig = DEFAULT,
     return encode_cell_native(points, lat_col, lon_col, out, cfg.cell_level)
 
 
-def interpolate_sites(points: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
+def interpolate_sites(points: DataFrame, cfg: EngineConfig = DEFAULT,
+                      carry_cols: tuple[str, ...] = ()) -> DataFrame:
     """X3 — KDE mass sites, pure native exprs (no shuffle, no UDF).
 
     Each segment (point -> next point within subset, duration next_dt_s,
@@ -246,12 +247,13 @@ def interpolate_sites(points: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFra
     n = F.greatest(F.lit(1), F.ceil(d / F.lit(cfg.interpolation_step_m))).cast("int")
     seg = seg.withColumn("_n", n)
     frac = (F.col("pos").cast("double") + 0.5) / F.col("_n").cast("double")
+    extra = list(carry_cols)
     return (seg.select(
         "host", "subset_id", "_n", "lat", "lon", "next_lat", "next_lon",
-        "next_dt_s",
+        "next_dt_s", *extra,
         F.posexplode(F.sequence(F.lit(0), F.col("_n") - 1)).alias("pos", "_k"))
         .select(
-            "host", "subset_id",
+            "host", "subset_id", *extra,
             (F.col("lat") + frac * (F.col("next_lat") - F.col("lat"))).alias("site_lat"),
             (F.col("lon") + frac * (F.col("next_lon") - F.col("lon"))).alias("site_lon"),
             (F.col("next_dt_s") / F.col("_n").cast("double")).alias("mass_s")))

@@ -123,3 +123,36 @@ def test_stream_episodes_full_matches_batch(spark, unit_pages_sdf,
     lb = merged["location_id_b"].astype("float64")
     assert ((lg == lb) | (lg.isna() & lb.isna())).all()
     assert len(got) >= 0.8 * len(want)
+
+
+def test_stream_cell_density_matches_batch(spark, unit_pages_sdf,
+                                           tmp_path_factory):
+    """Rolling raster: windowed cell density over the stream must agree
+    with the batch twin on every emitted (window, cell) — append-mode
+    withholds only windows not yet past the final watermark."""
+    path = str(tmp_path_factory.mktemp("stream") / "gp_full")
+    gp = trace_prep.geopoints(unit_pages_sdf, DEFAULT)
+    gp.coalesce(4).write.mode("overwrite").parquet(path)
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    q = (streaming.stream_cell_density(stream, DEFAULT)
+         .writeStream.outputMode("append").format("memory")
+         .queryName("density_out").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql(
+        "SELECT window.start AS ws, cell_id, mass_s FROM density_out"
+    ).toPandas()
+
+    batch = streaming.batch_windowed_cell_density(
+        spark.read.parquet(path), DEFAULT)
+    want = batch.select(F.col("window.start").alias("ws"), "cell_id",
+                        "mass_s").toPandas()
+    assert len(got) > 0
+    merged = got.merge(want, on=["ws", "cell_id"], suffixes=("_s", "_b"))
+    assert len(merged) == len(got)  # every emitted row exists in batch
+    assert len(got) >= 0.5 * len(want)  # and a solid share was emitted
+    np.testing.assert_allclose(merged["mass_s_s"], merged["mass_s_b"],
+                               rtol=1e-9)
