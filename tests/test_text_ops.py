@@ -276,3 +276,29 @@ def test_remove_boilerplate_none_hot(spark):
            .toPandas().sort_values("doc_id"))
     assert out["cleaned"].tolist() == ["a b", "c d"]
     assert out["n_removed"].tolist() == [0, 0]
+
+
+def test_boilerplate_properties(spark):
+    """Property check on a generated corpus: kept tokens all have document
+    frequency <= threshold, removed mass accounts for the rest, and each
+    cleaned text is an order-preserving subsequence of the original."""
+    rng = np.random.default_rng(11)
+    vocab = [f"t{i}" for i in range(20)]
+    docs = [" ".join(rng.choice(vocab, size=rng.integers(3, 15)))
+            for _ in range(40)]
+    pdf = pd.DataFrame({"doc_id": range(40), "text": docs})
+    thr = 0.4
+    out = (text.remove_boilerplate_tokens(spark.createDataFrame(pdf), thr)
+           .toPandas().sort_values("doc_id").reset_index(drop=True))
+    # independent df computation
+    df_count = {}
+    for d in docs:
+        for t in set(d.split(" ")):
+            df_count[t] = df_count.get(t, 0) + 1
+    hot = {t for t, n in df_count.items() if n > thr * 40}
+    for i, d in enumerate(docs):
+        toks = d.split(" ")
+        expect = [t for t in toks if t not in hot]
+        assert out.loc[i, "cleaned"] == " ".join(expect)
+        assert out.loc[i, "n_kept"] == len(expect)
+        assert out.loc[i, "n_removed"] == len(toks) - len(expect)
