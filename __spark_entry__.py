@@ -668,14 +668,16 @@ def _hav_sql(lat1, lon1, lat2, lon2):
             f"0.0), 1.0)))")
 
 
-def _g1_chain_sql(n_iters: int = 16, src: str = "g0") -> str:
+def _g1_chain_sql(n_iters: int = trace_prep.G1_ROUNDS, src: str = "g0") -> str:
     """G1 positional-jump fixpoint as `n_iters` chained SQL filter rounds —
     the exact drop rule of trace_prep._prep_host_sorted (interior: both
     adjacent implied speeds > max_speed; endpoints: implausible edge speed
     with a clean inner neighbor; ambiguous fast pair: keep the earlier
-    fix).  The engine caps at 16 rounds and converges in <= 3 on real data;
-    16 chained rounds therefore reproduce it exactly (extra rounds are
-    no-ops at fixpoint)."""
+    fix).  The engine caps at trace_prep.G1_ROUNDS rounds (one source of
+    truth for both sides) and converges in <= 3 on real data; chaining the
+    full cap therefore reproduces it exactly (extra rounds are no-ops at
+    fixpoint).  Threshold constants interpolate from engine.config.DEFAULT
+    so a config change cannot silently desync the oracle."""
     hav_prev = _hav_sql("plat", "plon", "lat", "lon")
     hav_next = _hav_sql("lat", "lon", "nlat2", "nlon2")
     parts = []
@@ -694,9 +696,11 @@ def _g1_chain_sql(n_iters: int = 16, src: str = "g0") -> str:
 g{i}b AS (
   SELECT *,
          CASE WHEN pce IS NULL THEN NULL
-              ELSE {hav_prev} / GREATEST(ce - pce, 1e-9) END > 110.0 AS fprev,
+              ELSE {hav_prev} / GREATEST(ce - pce, 1e-9) END
+           > {DEFAULT.max_speed_ms} AS fprev,
          CASE WHEN nce IS NULL THEN NULL
-              ELSE {hav_next} / GREATEST(nce - ce, 1e-9) END > 110.0 AS fnext
+              ELSE {hav_next} / GREATEST(nce - ce, 1e-9) END
+           > {DEFAULT.max_speed_ms} AS fnext
   FROM g{i}a
 ),
 g{i}c AS (
@@ -820,7 +824,7 @@ SELECT url,
 FROM pages
 WHERE lang IN ('en', 'fr', 'de')
   AND TRY_CAST(regexp_extract(text, '{_GEOTAG_RE_SQL}', 1) AS DOUBLE) IS NOT NULL
-  AND TRY_CAST(regexp_extract(text, '{_GEOTAG_RE_SQL}', 3) AS DOUBLE) <= 100.0
+  AND TRY_CAST(regexp_extract(text, '{_GEOTAG_RE_SQL}', 3) AS DOUBLE) <= {DEFAULT.min_accuracy_m}
 """,
         "geo_sessions": f"""
 WITH {_PAGES_CTE},
@@ -834,7 +838,7 @@ pts AS (
   FROM pages
   WHERE lang IN ('en', 'fr', 'de')
     AND TRY_CAST(regexp_extract(text, '{_GEOTAG_RE_SQL}', 1) AS DOUBLE) IS NOT NULL
-    AND TRY_CAST(regexp_extract(text, '{_GEOTAG_RE_SQL}', 3) AS DOUBLE) <= 100.0
+    AND TRY_CAST(regexp_extract(text, '{_GEOTAG_RE_SQL}', 3) AS DOUBLE) <= {DEFAULT.min_accuracy_m}
 ),
 -- F3: drop rows whose coords equal the previous row's (per host, time order)
 g0 AS (
@@ -844,11 +848,12 @@ g0 AS (
     WINDOW w AS (PARTITION BY host ORDER BY ce, url)
   ) WHERE plat IS NULL OR NOT (lat = plat AND lon = plon)
 ),
-{_g1_chain_sql(16)},
+{_g1_chain_sql()},
 -- W2: observation-gap sessionization on the G1 survivors
 w2 AS (
-  SELECT *, CASE WHEN pce IS NULL OR ce - pce > 3600.0 THEN 1 ELSE 0 END AS nf
-  FROM (SELECT *, lag(ce) OVER w AS pce FROM g16
+  SELECT *, CASE WHEN pce IS NULL OR ce - pce > {DEFAULT.gap_s}
+                 THEN 1 ELSE 0 END AS nf
+  FROM (SELECT *, lag(ce) OVER w AS pce FROM g{trace_prep.G1_ROUNDS}
         WINDOW w AS (PARTITION BY host ORDER BY ce, url))
 ),
 w3 AS (
@@ -880,7 +885,7 @@ pts AS (
   FROM pages
   WHERE lang IN ('en', 'fr', 'de')
     AND TRY_CAST(regexp_extract(text, '{_GEOTAG_RE_SQL}', 1) AS DOUBLE) IS NOT NULL
-    AND TRY_CAST(regexp_extract(text, '{_GEOTAG_RE_SQL}', 3) AS DOUBLE) <= 100.0
+    AND TRY_CAST(regexp_extract(text, '{_GEOTAG_RE_SQL}', 3) AS DOUBLE) <= {DEFAULT.min_accuracy_m}
 ),
 locs AS (
   SELECT printf('host%04d.example', CAST(user_id %% 10000 AS INT)) AS host,
@@ -949,7 +954,7 @@ pts AS (
   FROM pages
   WHERE lang IN ('en', 'fr', 'de')
     AND TRY_CAST(regexp_extract(text, '{_GEOTAG_RE_SQL}', 1) AS DOUBLE) IS NOT NULL
-    AND TRY_CAST(regexp_extract(text, '{_GEOTAG_RE_SQL}', 3) AS DOUBLE) <= 100.0
+    AND TRY_CAST(regexp_extract(text, '{_GEOTAG_RE_SQL}', 3) AS DOUBLE) <= {DEFAULT.min_accuracy_m}
 ),
 nxt AS (
   -- warc_ts is 30x-compressed in web_pages_from_events (integer micros,
@@ -973,8 +978,8 @@ seg AS (
              pow(sin((radians(nlat) - radians(lat)) / 2.0), 2)
              + cos(radians(lat)) * cos(radians(nlat))
                * pow(sin((radians(nlon) - radians(lon)) / 2.0), 2),
-           0.0), 1.0))) / 30.0) AS BIGINT)) AS n
-  FROM nxt WHERE dt IS NOT NULL AND dt <= 3600.0
+           0.0), 1.0))) / {DEFAULT.interpolation_step_m}) AS BIGINT)) AS n
+  FROM nxt WHERE dt IS NOT NULL AND dt <= {DEFAULT.gap_s}
 ),
 expanded AS (
   SELECT lat, lon, nlat, nlon, n, UNNEST(range(n)) AS k FROM seg
@@ -1065,7 +1070,7 @@ pts AS (
   FROM pages
   WHERE lang IN ('en', 'fr', 'de')
     AND TRY_CAST(regexp_extract(text, '{_GEOTAG_RE_SQL}', 1) AS DOUBLE) IS NOT NULL
-    AND TRY_CAST(regexp_extract(text, '{_GEOTAG_RE_SQL}', 3) AS DOUBLE) <= 100.0
+    AND TRY_CAST(regexp_extract(text, '{_GEOTAG_RE_SQL}', 3) AS DOUBLE) <= {DEFAULT.min_accuracy_m}
 ),
 locs AS (
   SELECT printf('host%04d.example', CAST(user_id %% 10000 AS INT)) AS host,
@@ -1089,7 +1094,7 @@ cand AS (
 best AS (
   SELECT url, location_id,
          row_number() OVER (PARTITION BY url ORDER BY d, location_id) AS rk
-  FROM cand WHERE d <= 100.0
+  FROM cand WHERE d <= {DEFAULT.cluster_distance_m}
 )
 SELECT p.url, CAST(b.location_id AS BIGINT) AS location_id
 FROM pts p LEFT JOIN (SELECT url, location_id FROM best WHERE rk = 1) b

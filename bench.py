@@ -64,12 +64,15 @@ def run_suite(spark, sf_dir: str) -> tuple[dict, dict, float]:
         locations.persist()
         counts["n_locations"] = locations.count()
     with stage("knn_episodes"):
-        # locations (A4 output) is orders of magnitude smaller than points:
-        # closure-broadcast index -> ZERO point-set exchanges for the kNN
-        # (the cell-cover join form stays available for unbounded location
-        # tables; parity is tested).
-        assigned = ep.knn_assign_collected(gp, locations, DEFAULT)
-        episodes = ep.build_episodes(assigned, DEFAULT)
+        # auto strategy pick: closure-broadcast index (ZERO point-set
+        # exchanges) while the location table fits the broadcast envelope,
+        # cell-cover join past it (parity is tested).  n_locations is
+        # already counted above, so the pick costs nothing.
+        assigned = ep.knn_assign_auto(gp, locations, DEFAULT,
+                                      n_locations_hint=counts["n_locations"])
+        episodes = ep.build_episodes(
+            assigned, DEFAULT,
+            presorted=assigned.knn_strategy == "collected")
         counts["n_episodes"] = episodes.count()
     with stage("tiles_pyramid"):
         sites = trace_prep.interpolate_sites(gp, DEFAULT)

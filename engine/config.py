@@ -44,6 +44,11 @@ class EngineConfig:
     # scheduling overhead dominate and detect_locations(auto) uses the
     # single-stage whole-host kernel instead (parity-tested to 1e-9)
     kde_chunked_min_points: int = 1_000_000
+    # knn_assign_auto strategy ceiling: location tables at or under this row
+    # count use the driver-collected closure-broadcast index (~50 B/row ->
+    # ~500 MB at the ceiling); larger tables use the cell-cover equi-join
+    # (same output contract, parity-tested)
+    knn_broadcast_max_locations: int = 10_000_000
 
 
 DEFAULT = EngineConfig()

@@ -111,9 +111,38 @@ def knn_assign(points: DataFrame, locations: DataFrame,
             .drop("_best", "_pcell"))
 
 
+def knn_assign_auto(points: DataFrame, locations: DataFrame,
+                    cfg: EngineConfig = DEFAULT,
+                    radius_m: float | None = None,
+                    n_locations_hint: int | None = None) -> DataFrame:
+    """J1 strategy pick (mirrors detect_locations' cost-based auto): the
+    closure-broadcast index (knn_assign_collected — ZERO point-set
+    exchanges) when the location table fits the documented driver/broadcast
+    envelope (cfg.knn_broadcast_max_locations, ~50 B/row), else the
+    cell-cover equi-join (knn_assign — unbounded location tables, same
+    output contract; parity-tested).
+
+    ``n_locations_hint`` skips the count when the caller already has one
+    (e.g. from a persisted upstream).  Without a hint the count runs on the
+    locations table — orders of magnitude smaller than the points, so the
+    extra job is cheap relative to either strategy.
+    """
+    n = (n_locations_hint if n_locations_hint is not None
+         else locations.count())
+    if n <= cfg.knn_broadcast_max_locations:
+        out = knn_assign_collected(points, locations, cfg, radius_m,
+                                   n_locations_hint=n)
+        out.knn_strategy = "collected"  # map-only: preserves partitioning
+    else:
+        out = knn_assign(points, locations, cfg, radius_m)
+        out.knn_strategy = "join"
+    return out
+
+
 def knn_assign_collected(points: DataFrame, locations: DataFrame,
                          cfg: EngineConfig = DEFAULT,
-                         radius_m: float | None = None) -> DataFrame:
+                         radius_m: float | None = None,
+                         n_locations_hint: int | None = None) -> DataFrame:
     """J1 via a driver-collected location index captured in an Arrow-kernel
     closure: ZERO exchanges of the point set (the join form moves it up to
     three times — candidate join, best-pick aggregation, join-back).
@@ -126,12 +155,29 @@ def knn_assign_collected(points: DataFrame, locations: DataFrame,
 
     Scale envelope: requires the locations TABLE (not the points) to fit on
     the driver + one executor broadcast (~50 B/row; 10^7 rows = 500 MB is
-    the practical ceiling).  For corpora whose location table exceeds that,
-    use knn_assign (cell-cover equi-join) — same output contract.
+    the practical ceiling).  The envelope is ENFORCED: the collect is capped
+    at cfg.knn_broadcast_max_locations rows and raises past it (use
+    knn_assign_auto to fall back to the join form instead of erroring).
+
+    Broadcast lifetime: the broadcast variable is captured in the returned
+    DataFrame's UDF closure; Spark's ContextCleaner reclaims it once the
+    DataFrame (and its plan) is garbage-collected.  Long-lived sessions that
+    materialize-and-drop many assignments (engine/submit.py stages) can
+    destroy it eagerly via the `destroy_knn_broadcast` attribute attached to
+    the returned DataFrame.
     """
     radius = radius_m if radius_m is not None else cfg.cluster_distance_m
-    rows = (locations.select("host", "location_id", "lat", "lon")
-            .orderBy("host", "location_id").collect())
+    ceiling = cfg.knn_broadcast_max_locations
+    sel = locations.select("host", "location_id", "lat", "lon")
+    # enforce the envelope; without a hint, probe at most ceiling+1 rows
+    n = (n_locations_hint if n_locations_hint is not None
+         else sel.limit(ceiling + 1).count())
+    if n > ceiling:
+        raise ValueError(
+            f"locations table exceeds knn_broadcast_max_locations="
+            f"{ceiling}; use knn_assign_auto/knn_assign (cell-cover "
+            f"join) for unbounded location tables")
+    rows = sel.orderBy("host", "location_id").collect()
     index: dict[str, tuple] = {}
     by_host: dict[str, list] = {}
     for r in rows:
@@ -183,9 +229,12 @@ def knn_assign_collected(points: DataFrame, locations: DataFrame,
 
     res = points.withColumn("_a", assign(F.col("host"), F.col("lat"),
                                          F.col("lon")))
-    return (res.withColumn("location_id", F.col("_a.location_id"))
-            .withColumn("loc_dist_m", F.col("_a.loc_dist_m"))
-            .drop("_a"))
+    out = (res.withColumn("location_id", F.col("_a.location_id"))
+           .withColumn("loc_dist_m", F.col("_a.loc_dist_m"))
+           .drop("_a"))
+    # eager-cleanup hook for long-lived sessions (see docstring)
+    out.destroy_knn_broadcast = lambda: bc.destroy()
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -330,17 +379,31 @@ def _episode_stream(cfg: EngineConfig):
     return stream
 
 
-def build_episodes(assigned: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
+def build_episodes(assigned: DataFrame, cfg: EngineConfig = DEFAULT,
+                   presorted: bool = False) -> DataFrame:
     """W3-W5 + unknown gaps: assigned points -> episodes DF.
 
     Scale shape (SURVEY.md §4.2, cfg.max_points_per_kernel): the kernel is
     chunked by (host, subset_id) — W3-W5 are subset-local by definition —
     so the Zipf mega-host parallelizes across its thousands of subsets
     instead of serializing into one task.  The only cross-subset pieces,
-    'unknown' gap episodes and the global seq numbering, are NATIVE window
-    expressions over the per-subset episode table (orders of magnitude
+    'unknown' gap episodes and the global seq numbering, run in ONE native
+    window pass over the per-subset episode table (orders of magnitude
     smaller than the point stream).  Ships only (host, subset_id, seq,
     warc_ts, location_id) through Arrow — urls stay JVM-side.
+
+    ``presorted``: skips the point-stream repartition+sort entirely when
+    the input is already hash-partitioned by host with rows contiguous per
+    (host, subset_id) — true for trace_prep.prep_points output carried
+    through narrow ops (with_cell, knn_assign_collected/auto's map-only
+    path).  The kernel then consumes the existing partitions
+    (order-insensitive within a subset: it stable-sorts by seq), so the
+    only exchange left in this operator is the tiny episode-table window.
+    The mega-host runs as one kernel task on this path, but the kernel is
+    a linear run-compress — orders of magnitude cheaper than the shuffle
+    it avoids.  Do NOT pass presorted=True after knn_assign (the join form
+    destroys partitioning).  Output is byte-identical either way
+    (parity-tested).
 
     Determinism: within a host, episode (start_ts, end_ts) pairs repeat only
     for zero-length runs at duplicated timestamps inside ONE subset, where
@@ -348,35 +411,47 @@ def build_episodes(assigned: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFram
     subsets are disjoint in time, so cross-subset ties cannot occur.
     """
     from pyspark.sql import Window
-    pts = (assigned.select("host", "subset_id", "seq", "warc_ts", "location_id")
-           .repartition(F.col("host"), F.col("subset_id"))
-           .sortWithinPartitions("host", "subset_id", "seq"))
+    pts = assigned.select("host", "subset_id", "seq", "warc_ts", "location_id")
+    if not presorted:
+        pts = (pts.repartition(F.col("host"), F.col("subset_id"))
+               .sortWithinPartitions("host", "subset_id", "seq"))
     per = pts.mapInArrow(_episode_stream(cfg), schema=_PER_SUBSET_SCHEMA)
+    # ONE window pass (single exchange + single sort): lag for gap
+    # detection, row_number, and a running gap count share the same
+    # (host / start_ts, end_ts, ridx) window spec, so Spark evaluates all
+    # three in one WindowExec.  The final seq is then pure arithmetic — the
+    # earlier row_number-after-explode form forced a SECOND sort because the
+    # exploded rows are new attributes Catalyst can't prove ordered.
     w = Window.partitionBy("host").orderBy("start_ts", "end_ts", "ridx")
-    base = per.withColumn("_pe", F.lag("end_ts").over(w))
-    # Single-pass gap emission: each episode row explodes into [gap?, itself].
-    # A self-union of `base` would run the kernel AND its whole upstream
-    # (the kNN join + repartition) twice — ReuseExchange does not dedupe
-    # subtrees above a mapInPandas.  Gap rows carry ridx=MAX so the final
-    # (start_ts, end_ts, ridx) ordering is identical to the union form.
-    self_row = F.struct(F.col("start_ts"), F.col("end_ts"), F.col("kind"),
-                        F.col("location_id"), F.col("ridx"))
+    wr = w.rowsBetween(Window.unboundedPreceding, 0)
+    has_gap = F.col("_pe").isNotNull() & (F.col("start_ts") > F.col("_pe"))
+    base = (per.withColumn("_pe", F.lag("end_ts").over(w))
+            .withColumn("_rn", F.row_number().over(w))
+            .withColumn("_g", F.sum(F.when(has_gap, 1).otherwise(0)).over(wr)))
+    # In the combined (start_ts, end_ts, ridx) order each gap row lands
+    # immediately before its own episode row: gap.start = prev end <
+    # own start, and gap sorts after the previous row (strictly greater
+    # start, or equal start with strictly greater end for zero-length
+    # predecessors).  Hence seq(self) = (_rn - 1) + _g, seq(gap) = self - 1
+    # — identical numbering to a row_number over the exploded set (gap rows
+    # carried ridx=MAX there; same tiebreak outcome).
+    self_seq = (F.col("_rn") - 1 + F.col("_g")).cast("int")
+    self_row = F.struct(self_seq.alias("seq"), F.col("start_ts"),
+                        F.col("end_ts"), F.col("kind"), F.col("location_id"))
     gap_row = F.struct(
+        (self_seq - 1).cast("int").alias("seq"),
         F.col("_pe").alias("start_ts"), F.col("start_ts").alias("end_ts"),
         F.lit("unknown").alias("kind"),
-        F.lit(None).cast("int").alias("location_id"),
-        F.lit(2147483647).alias("ridx"))
-    has_gap = F.col("_pe").isNotNull() & (F.col("start_ts") > F.col("_pe"))
-    allep = (base.select(
+        F.lit(None).cast("int").alias("location_id"))
+    # Gap emission via explode (a self-union of `base` would run the kernel
+    # AND its whole upstream twice — ReuseExchange does not dedupe subtrees
+    # above a mapInArrow).
+    return (base.select(
         "host",
         F.explode(F.when(has_gap, F.array(gap_row, self_row))
                   .otherwise(F.array(self_row))).alias("_e"))
-        .select("host", "_e.*"))
-    w2 = Window.partitionBy("host").orderBy("start_ts", "end_ts", "ridx")
-    return (allep
-            .withColumn("seq", (F.row_number().over(w2) - 1).cast("int"))
-            .select("host", "seq", "start_ts", "end_ts", "kind",
-                    "location_id"))
+        .select("host", "_e.seq", "_e.start_ts", "_e.end_ts", "_e.kind",
+                "_e.location_id"))
 
 
 # ---------------------------------------------------------------------------

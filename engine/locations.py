@@ -362,6 +362,57 @@ def detect_locations_wholehost(points: DataFrame,
 _PARTIAL_SCHEMA = ("host string, ix long, iy long, mass double, "
                    "alat double, alon double")
 
+_BUCKET_KEEP_SCHEMA = "host string, bx long, by long"
+
+
+def _prune_kernel(cfg: EngineConfig):
+    """Per-host distributed twin of _kde_from_grid's threshold-aware bucket
+    prune, in ONE pass over the host's (already groupBy-merged) coarse
+    buckets: 3x3 neighborhood sums (sorted-key searchsorted, same
+    arithmetic as the in-kernel prune), threshold at kde_time_threshold_s,
+    1-bucket dilation.  Emits the dilated candidate bucket keys — the old
+    explode9 -> agg -> filter -> explode9 -> distinct chain spent ~3 extra
+    shuffles of 9x-exploded rows to compute exactly this set."""
+    thr = cfg.kde_time_threshold_s
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"host": pd.Series([], dtype=object),
+                              "bx": pd.Series([], dtype=np.int64),
+                              "by": pd.Series([], dtype=np.int64)})
+        if len(pdf) == 0:
+            return empty
+        bx = pdf["bx"].to_numpy(np.int64)
+        by = pdf["by"].to_numpy(np.int64)
+        bm = pdf["bm"].to_numpy(np.float64)
+        key = (bx << np.int64(32)) ^ (by & np.int64(0xFFFFFFFF))
+        order = np.argsort(key, kind="stable")  # keys unique (post-groupBy)
+        ucb, cmass = key[order], bm[order]
+        cbx = ucb >> np.int64(32)
+        cby = ((ucb & np.int64(0xFFFFFFFF)) << np.int64(32)) >> np.int64(32)
+        nbh = np.zeros(len(ucb))
+        for dbx in (-1, 0, 1):
+            for dby in (-1, 0, 1):
+                nkey = ((cbx + dbx) << np.int64(32)) \
+                    ^ ((cby + dby) & np.int64(0xFFFFFFFF))
+                pos = np.searchsorted(ucb, nkey)
+                pos = np.clip(pos, 0, len(ucb) - 1)
+                hit = ucb[pos] == nkey
+                np.add.at(nbh, pos[hit], cmass[np.where(hit)[0]])
+        cand = ucb[nbh >= thr]
+        if len(cand) == 0:
+            return empty
+        cdx = cand >> np.int64(32)
+        cdy = ((cand & np.int64(0xFFFFFFFF)) << np.int64(32)) >> np.int64(32)
+        dil = np.unique(np.concatenate(
+            [((cdx + a) << np.int64(32)) ^ ((cdy + b) & np.int64(0xFFFFFFFF))
+             for a in (-1, 0, 1) for b in (-1, 0, 1)]))
+        dbx = dil >> np.int64(32)
+        dby = ((dil & np.int64(0xFFFFFFFF)) << np.int64(32)) >> np.int64(32)
+        return pd.DataFrame({"host": pdf["host"].iloc[0],
+                             "bx": dbx, "by": dby})
+
+    return kernel
+
 
 def _bin_stream(cfg: EngineConfig):
     """mapInArrow kernel for the O(sites) phase of the KDE, over ARBITRARY
@@ -534,7 +585,7 @@ def detect_locations(points: DataFrame, cfg: EngineConfig = DEFAULT,
     if strategy == "auto":
         strategy = ("wholehost"
                     if (n_points_hint is not None
-                        and n_points_hint <= cfg.kde_chunked_min_points)
+                        and n_points_hint < cfg.kde_chunked_min_points)
                     else "chunked")
     if strategy == "wholehost":
         return detect_locations_wholehost(points, cfg)
@@ -569,21 +620,15 @@ def detect_locations(points: DataFrame, cfg: EngineConfig = DEFAULT,
     part_b = (partial
               .withColumn("bx", F.shiftright("ix", bshift))
               .withColumn("by", F.shiftright("iy", bshift)))
+    # coarse-bucket masses: keyed by (host, bx, by) — NOT host — so the
+    # Zipf mega-host's buckets spread across reducers (map-side combine
+    # bounds the shuffle); the result is tiny (occupied 200 m buckets)
     bucket = part_b.groupBy("host", "bx", "by").agg(F.sum("mass").alias("bm"))
-    offs = [(a, b) for a in (-1, 0, 1) for b in (-1, 0, 1)]
-
-    def explode9(df, val=None):
-        arr = F.array(*[F.struct((F.col("bx") + a).alias("bx"),
-                                 (F.col("by") + b).alias("by"))
-                        for a, b in offs])
-        cols = ["host", F.explode(arr).alias("o")] + ([val] if val else [])
-        return df.select(*cols).select("host", "o.bx", "o.by",
-                                       *([val] if val else []))
-
-    nbh = (explode9(bucket, "bm").groupBy("host", "bx", "by")
-           .agg(F.sum("bm").alias("nbm")))
-    cand = nbh.filter(F.col("nbm") >= F.lit(cfg.kde_time_threshold_s))
-    dil = explode9(cand.select("host", "bx", "by")).distinct()
+    # neighborhood + threshold + dilation in ONE per-host kernel over the
+    # tiny bucket table (see _prune_kernel); the dilated-candidate output
+    # is tiny, so AQE turns the semi-join into a runtime broadcast
+    dil = bucket.groupBy("host").applyInPandas(
+        _prune_kernel(cfg), schema=_BUCKET_KEEP_SCHEMA)
     kept = (part_b.join(dil, ["host", "bx", "by"], "left_semi")
             .drop("bx", "by"))
     return (kept.groupBy("host")

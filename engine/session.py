@@ -39,9 +39,12 @@ def get_spark(app_name: str = "spark-trip-tiler",
         # Let AQE's RUNTIME size stats convert shuffle joins to broadcast up
         # to 64 MB (default 10 MB is tuned for tiny executors): the KDE
         # prune's dilated-candidate table (~15 MB at 8M docs) otherwise
-        # forces a full shuffle of the 20M-row partial-mass stream.  Safe at
-        # any scale — AQE only broadcasts what it has MEASURED to be small.
-        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # forces a full shuffle of the 20M-row partial-mass stream.  Only the
+        # ADAPTIVE threshold is raised — it applies to sizes AQE has MEASURED
+        # at runtime.  The static (compile-time, stats-estimated) threshold
+        # stays at its 10 MB default: a compressed-parquet estimate under
+        # 64 MB can decompress far larger and OOM the driver.
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")

@@ -67,10 +67,11 @@ def main(argv: list[str] | None = None) -> int:
         n_buckets=args.buckets)
     def episodes_stage(gp):
         locs = catalog.read_table(spark, wd / "locations")
-        # per-run locations are tiny vs points — closure-broadcast kNN
-        # (zero point-set exchanges; join form for unbounded location tables)
-        assigned = ep.knn_assign_collected(gp, locs, DEFAULT)
-        return ep.build_episodes(assigned, DEFAULT)
+        # auto strategy pick: closure-broadcast kNN (zero point-set
+        # exchanges) while locations fit the broadcast envelope, cell-cover
+        # join past it — the ceiling is enforced, not assumed
+        return ep.build_episodes(ep.knn_assign_auto(gp, locs, DEFAULT),
+                                 DEFAULT)
     catalog.run_bucketed_stage(
         spark, "episodes", wd / "geopoints", wd / "episodes",
         episodes_stage, n_buckets=args.buckets)

@@ -373,7 +373,8 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
 
 def remove_boilerplate_tokens(docs: DataFrame, threshold: float = 0.5,
                               text_col: str = "text",
-                              id_col: str = "doc_id") -> DataFrame:
+                              id_col: str = "doc_id",
+                              max_hot_tokens: int = 10_000) -> DataFrame:
     """Corpus-level boilerplate pruning: drop tokens whose DOCUMENT
     frequency exceeds `threshold` (fraction of docs containing the token) —
     the classic web-pipeline cleanup for navigation chrome / legal footers
@@ -391,12 +392,29 @@ def remove_boilerplate_tokens(docs: DataFrame, threshold: float = 0.5,
 
     Output: (id_col, cleaned, n_kept, n_removed) with token order
     preserved; deterministic for a given corpus.
+
+    Envelope: the hot set is collected to the driver and embedded as an
+    array literal, so it must stay small.  "Tiny by definition" only holds
+    for threshold >= 0.5 (at most one token per document position can be in
+    a majority of documents per frequency class); a low threshold (say
+    0.01) can make the hot set a large fraction of the vocabulary, OOM the
+    driver, and blow up codegen with thousands of literals.
+    `max_hot_tokens` enforces that envelope explicitly — exceeding it
+    raises rather than silently building a pathological plan.
     """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     toks = F.split(F.col(text_col), " ")
     ex = docs.select(id_col, F.explode(F.array_distinct(toks)).alias("tok"))
     tot = docs.select(F.countDistinct(id_col).alias("t")).collect()[0]["t"]
     hot_rows = (ex.groupBy("tok").agg(F.countDistinct(id_col).alias("n"))
-                .filter(F.col("n") > F.lit(float(threshold) * tot)).collect())
+                .filter(F.col("n") > F.lit(float(threshold) * tot))
+                .limit(max_hot_tokens + 1).collect())
+    if len(hot_rows) > max_hot_tokens:
+        raise ValueError(
+            f"boilerplate hot-token set exceeds max_hot_tokens="
+            f"{max_hot_tokens} at threshold={threshold}; raise the "
+            f"threshold (>= 0.5 recommended) or max_hot_tokens")
     hot = sorted(r["tok"] for r in hot_rows)
     if hot:
         hot_arr = F.array(*[F.lit(t) for t in hot])

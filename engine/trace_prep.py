@@ -41,6 +41,10 @@ GEOPOINT_SCHEMA = ("host string, url string, warc_ts timestamp, lat double, "
                    "weight_s double, next_lat double, next_lon double, "
                    "next_dt_s double")
 
+# G1 fixpoint round cap (real data converges in <= 3).  Shared with the
+# chained-SQL oracle replay in __spark_entry__.py — one source of truth.
+G1_ROUNDS = 16
+
 
 def extract_points(pages: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
     """F1 + F5 + X5 + F2 — native expressions only (scan-pushable).
@@ -92,7 +96,7 @@ def _prep_host_sorted(tbl, cfg: EngineConfig):
     # implausible and the neighbor is not itself the outlier.
     from .geo import haversine_m
     alive = np.ones(len(sel), dtype=bool)
-    for _ in range(16):  # fixpoint bound; real data converges in <=3
+    for _ in range(G1_ROUNDS):  # fixpoint bound; real data converges in <=3
         idx = np.where(alive)[0]
         if len(idx) < 2:
             break

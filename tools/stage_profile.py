@@ -46,8 +46,10 @@ def once():
     t["locations"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    assigned = E.knn_assign_collected(gp, locs, DEFAULT)
-    eps = E.build_episodes(assigned, DEFAULT).persist()
+    assigned = E.knn_assign_auto(gp, locs, DEFAULT)
+    eps = E.build_episodes(assigned, DEFAULT,
+                           presorted=assigned.knn_strategy == "collected"
+                           ).persist()
     eps.count()
     t["episodes"] = time.perf_counter() - t0
 
