@@ -484,6 +484,52 @@ def q_geo_episodes(spark, sf_dir):
                       F.col("location_id").cast("long").alias("location_id"))
 
 
+def q_w5_episodes(spark, sf_dir):
+    """The episode kernel (J1 + W3 run-compress + W5 short-dwell fixpoint +
+    unknown gaps + global seq) under an EXACT chained-SQL oracle.  The KDE
+    has no SQL twin, so locations come from the arithmetic
+    _event_locations table (same trick as j1_knn_assign); everything else
+    is the production path: trace prep, cell-index kNN join,
+    build_episodes.  The W5 lattice is replayed in DuckDB as bounded
+    chained demote+merge rounds exactly like the G1 jump fixpoint (see
+    _w5_chain_sql: activity-run spans never change across rounds, so the
+    fixpoint lands in one round; extra rounds are no-ops)."""
+    from engine.episodes import build_episodes, knn_assign
+    ev = _t(spark, sf_dir, "events")
+    gp = trace_prep.geopoints(web_pages_from_events(ev), DEFAULT)
+    locs = _event_locations(spark, sf_dir)
+    eps = build_episodes(knn_assign(gp, locs, DEFAULT,
+                                    broadcast_locations=True), DEFAULT)
+    return eps.select("host", F.col("seq").cast("long").alias("seq"),
+                      epoch_s(F.col("start_ts")).alias("start_s"),
+                      epoch_s(F.col("end_ts")).alias("end_s"),
+                      "kind",
+                      F.col("location_id").cast("long").alias("location_id"))
+
+
+def q_a7_labeled_day_summary(spark, sf_dir):
+    """A7 FULL (J2 labels wired in — the reference's headline 'time at
+    home/work/study' report): the w5_episodes SQL-expressible episode path,
+    label_locations (J2) against a known-places table planted AT the stop
+    coordinates (labels home/work/study by location_id; nearest match is
+    the stop itself at d=0), then the labeled per-day pivot
+    (sinks.day_summary_labeled).  Exact oracle end to end."""
+    from engine.episodes import build_episodes, knn_assign
+    from engine.sinks import day_summary_labeled, label_locations
+    ev = _t(spark, sf_dir, "events")
+    gp = trace_prep.geopoints(web_pages_from_events(ev), DEFAULT)
+    locs = _event_locations(spark, sf_dir)
+    eps = build_episodes(knn_assign(gp, locs, DEFAULT,
+                                    broadcast_locations=True), DEFAULT)
+    known = locs.select(
+        "host",
+        F.element_at(F.array(F.lit("home"), F.lit("work"), F.lit("study")),
+                     F.col("location_id") + 1).alias("label"),
+        "lat", "lon")
+    labeled = label_locations(locs, known, DEFAULT)
+    return day_summary_labeled(eps, labeled)
+
+
 def q_a7_day_summary_episodes(spark, sf_dir):
     """A7 over episodes (REF day.py analog; rows-only)."""
     from engine.episodes import build_episodes, knn_assign
@@ -564,6 +610,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": q_media_decode,
         "geo_locations": q_geo_locations,
         "geo_episodes": q_geo_episodes,
+        "w5_episodes": q_w5_episodes,
+        "a7_labeled_day_summary": q_a7_labeled_day_summary,
         "a7_day_summary_episodes": q_a7_day_summary_episodes,
         "geo_agreement": q_geo_agreement,
         "a9_cube": q_a9_cube,
@@ -668,7 +716,8 @@ def _hav_sql(lat1, lon1, lat2, lon2):
             f"0.0), 1.0)))")
 
 
-def _g1_chain_sql(n_iters: int = trace_prep.G1_ROUNDS, src: str = "g0") -> str:
+def _g1_chain_sql(n_iters: int = trace_prep.G1_ROUNDS, src: str = "g0",
+                  carry: str = "") -> str:
     """G1 positional-jump fixpoint as `n_iters` chained SQL filter rounds —
     the exact drop rule of trace_prep._prep_host_sorted (interior: both
     adjacent implied speeds > max_speed; endpoints: implausible edge speed
@@ -677,7 +726,8 @@ def _g1_chain_sql(n_iters: int = trace_prep.G1_ROUNDS, src: str = "g0") -> str:
     truth for both sides) and converges in <= 3 on real data; chaining the
     full cap therefore reproduces it exactly (extra rounds are no-ops at
     fixpoint).  Threshold constants interpolate from engine.config.DEFAULT
-    so a config change cannot silently desync the oracle."""
+    so a config change cannot silently desync the oracle.  `carry` appends
+    extra passthrough columns (e.g. ", ceu") to each round's output."""
     hav_prev = _hav_sql("plat", "plon", "lat", "lon")
     hav_next = _hav_sql("lat", "lon", "nlat2", "nlon2")
     parts = []
@@ -709,7 +759,7 @@ g{i}c AS (
   WINDOW w AS (PARTITION BY host ORDER BY ce, url)
 ),
 g{i} AS (
-  SELECT host, url, ce, lat, lon FROM g{i}c
+  SELECT host, url, ce, lat, lon{carry} FROM g{i}c
   WHERE NOT COALESCE(
     CASE WHEN cnt < 2 THEN FALSE
          WHEN cnt = 2 THEN (rn = 2 AND fprev)
@@ -720,6 +770,171 @@ g{i} AS (
 )""")
         prev = f"g{i}"
     return ",\n".join(parts)
+
+
+_W5_ROUNDS = 4
+
+
+def _w5_chain_sql(n_rounds: int = _W5_ROUNDS, src: str = "r0") -> str:
+    """W5 short-dwell demotion as chained demote+merge SQL rounds over the
+    run table (engine episodes._subset_runs).  Each round: demote activity
+    runs shorter than min_dwell (integer-microsecond compare, same as the
+    kernel), re-merge adjacent equal labels (NULL==NULL via IS DISTINCT
+    FROM), recompute ends through the contiguity invariant (runs partition
+    the subset span, so MAX(eu) of a merged group == the next group's
+    start and the last group's MAX(eu) == the subset's last timestamp —
+    exactly the kernel's ends[k] = starts[k+1] / last_ts rule).
+
+    Round bound: merging only fuses EQUAL labels and travel (NULL) runs
+    are never demoted, so an activity run's span never changes across
+    rounds — every demotion the kernel will ever make happens in round 1
+    and the fixpoint lands in <= 2 rounds; chaining 4 reproduces the
+    kernel's unbounded loop exactly (extra rounds are no-ops)."""
+    dw = int(DEFAULT.min_dwell_s * 1e6)
+    parts = []
+    prev = src
+    for i in range(1, n_rounds + 1):
+        parts.append(f"""d{i} AS (
+  SELECT host, subset_id, gid, su, eu,
+         CASE WHEN lab IS NOT NULL AND eu - su < {dw} THEN NULL
+              ELSE lab END AS lab
+  FROM {prev}
+),
+m{i} AS (
+  SELECT *, SUM(nf) OVER (PARTITION BY host, subset_id ORDER BY gid
+                          ROWS UNBOUNDED PRECEDING) - 1 AS g2
+  FROM (SELECT *, CASE WHEN row_number() OVER w = 1
+                            OR lab IS DISTINCT FROM lag(lab) OVER w
+                       THEN 1 ELSE 0 END AS nf
+        FROM d{i}
+        WINDOW w AS (PARTITION BY host, subset_id ORDER BY gid))
+),
+r{i} AS (
+  SELECT host, subset_id, g2 AS gid, MIN(su) AS su, MAX(eu) AS eu,
+         MIN(lab) AS lab
+  FROM m{i} GROUP BY host, subset_id, g2
+)""")
+        prev = f"r{i}"
+    return ",\n".join(parts)
+
+
+def _w5_episodes_cte() -> str:
+    """Full SQL replay of the production episode path (to append after the
+    pages CTE): pts (carrying integer-microsecond `ceu` so every duration
+    compare is exact) -> F3 dedup -> G1 jump chain -> W2 sessionization ->
+    brute-force kNN against the arithmetic locs (oracle twin of the
+    cell-index join; ties by (distance, location_id) match the engine's
+    min(struct)) -> W3 run-compress per (host, subset) -> W5 chain ->
+    unknown-gap emission + global seq with the engine's exact
+    (start, end, ridx) ordering (gap rows carry ridx=2^31-1).  Ends at
+    `eps(host, seq, su, eu, kind, location_id)`, su/eu in microseconds."""
+    hav = _hav_sql("p.lat", "p.lon", "l.lat", "l.lon")
+    g1n = trace_prep.G1_ROUNDS
+    return f"""pts AS (
+  SELECT url,
+         regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host,
+         (CAST(TRUNC((epoch_us(warc_ts) - 1704067200000000) / 30) AS BIGINT)
+          + 1704067200000000) / 1000000.0 AS ce,
+         CAST(TRUNC((epoch_us(warc_ts) - 1704067200000000) / 30) AS BIGINT)
+          + 1704067200000000 AS ceu,
+         TRY_CAST(regexp_extract(text, '{_GEOTAG_RE_SQL}', 1) AS DOUBLE) AS lat,
+         TRY_CAST(regexp_extract(text, '{_GEOTAG_RE_SQL}', 2) AS DOUBLE) AS lon
+  FROM pages
+  WHERE lang IN ('en', 'fr', 'de')
+    AND TRY_CAST(regexp_extract(text, '{_GEOTAG_RE_SQL}', 1) AS DOUBLE) IS NOT NULL
+    AND TRY_CAST(regexp_extract(text, '{_GEOTAG_RE_SQL}', 3) AS DOUBLE) <= {DEFAULT.min_accuracy_m}
+),
+g0 AS (
+  SELECT host, url, ce, ceu, lat, lon FROM (
+    SELECT *, lag(lat) OVER w AS plat, lag(lon) OVER w AS plon
+    FROM pts
+    WINDOW w AS (PARTITION BY host ORDER BY ce, url)
+  ) WHERE plat IS NULL OR NOT (lat = plat AND lon = plon)
+),
+{_g1_chain_sql(carry=", ceu")},
+sess AS (
+  SELECT *, SUM(nf) OVER (PARTITION BY host ORDER BY ce, url
+                          ROWS UNBOUNDED PRECEDING) - 1 AS subset_id
+  FROM (SELECT *, CASE WHEN pce IS NULL OR ce - pce > {DEFAULT.gap_s}
+                       THEN 1 ELSE 0 END AS nf
+        FROM (SELECT *, lag(ce) OVER w AS pce FROM g{g1n}
+              WINDOW w AS (PARTITION BY host ORDER BY ce, url)))
+),
+locs AS (
+  SELECT printf('host%04d.example', CAST(user_id % 10000 AS INT)) AS host,
+         s.location_id,
+         ((CAST(user_id AS BIGINT) * 2654435761 + s.location_id * 40503 + 17)
+          % 120000001) / 1e6 - 60.0 AS lat,
+         ((CAST(user_id AS BIGINT) * 2654435761 + s.location_id * 40503 + 9176)
+          % 350000001) / 1e6 - 175.0 AS lon
+  FROM (SELECT DISTINCT user_id FROM events)
+  CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS location_id) s
+),
+kcand AS (
+  SELECT p.url, l.location_id, {hav} AS d
+  FROM sess p JOIN locs l USING (host)
+),
+kbest AS (
+  SELECT url, location_id FROM (
+    SELECT url, location_id,
+           row_number() OVER (PARTITION BY url ORDER BY d, location_id) AS rk
+    FROM kcand WHERE d <= {DEFAULT.cluster_distance_m}
+  ) WHERE rk = 1
+),
+asg AS (
+  SELECT s.host, s.subset_id, s.ceu, s.url, b.location_id
+  FROM sess s LEFT JOIN kbest b USING (url)
+),
+runs0 AS (
+  SELECT *, SUM(nf) OVER (PARTITION BY host, subset_id ORDER BY ceu, url
+                          ROWS UNBOUNDED PRECEDING) - 1 AS gid
+  FROM (SELECT *, CASE WHEN row_number() OVER w = 1
+                            OR location_id IS DISTINCT FROM
+                               lag(location_id) OVER w
+                       THEN 1 ELSE 0 END AS nf
+        FROM asg
+        WINDOW w AS (PARTITION BY host, subset_id ORDER BY ceu, url))
+),
+rg AS (
+  SELECT host, subset_id, gid, MIN(ceu) AS su, MAX(ceu) AS mu,
+         MIN(location_id) AS lab
+  FROM runs0 GROUP BY host, subset_id, gid
+),
+r0 AS (
+  SELECT host, subset_id, gid, su,
+         COALESCE(lead(su) OVER (PARTITION BY host, subset_id ORDER BY gid),
+                  mu) AS eu,
+         lab
+  FROM rg
+),
+{_w5_chain_sql()},
+fin AS (
+  SELECT host, subset_id, su, eu, lab,
+         CAST(row_number() OVER (PARTITION BY host, subset_id ORDER BY gid)
+              - 1 AS BIGINT) AS ridx
+  FROM r{_W5_ROUNDS}
+),
+orde AS (
+  SELECT host, su, eu, lab, ridx,
+         lag(eu) OVER (PARTITION BY host ORDER BY su, eu, ridx) AS pu
+  FROM fin
+),
+eps AS (
+  SELECT host,
+         CAST(row_number() OVER (PARTITION BY host ORDER BY su, eu, ridx)
+              - 1 AS BIGINT) AS seq,
+         su, eu, kind, location_id
+  FROM (
+    SELECT host, su, eu,
+           CASE WHEN lab IS NULL THEN 'travel' ELSE 'activity' END AS kind,
+           CAST(lab AS BIGINT) AS location_id, ridx
+    FROM orde
+    UNION ALL
+    SELECT host, pu AS su, su AS eu, 'unknown' AS kind,
+           CAST(NULL AS BIGINT) AS location_id, CAST(2147483647 AS BIGINT) AS ridx
+    FROM orde WHERE pu IS NOT NULL AND su > pu
+  )
+)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1206,6 +1421,57 @@ SELECT user_id, 'buy_and_err' AS cohort FROM (
 SELECT event_id,
        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
 FROM events
+""",
+        "w5_episodes": f"""
+WITH {_PAGES_CTE},
+{_w5_episodes_cte()}
+SELECT host, seq, su / 1000000.0 AS start_s, eu / 1000000.0 AS end_s,
+       kind, location_id
+FROM eps
+""",
+        "a7_labeled_day_summary": f"""
+WITH {_PAGES_CTE},
+{_w5_episodes_cte()},
+lab AS (
+  SELECT host, location_id,
+         (['home', 'work', 'study'])[location_id + 1] AS label
+  FROM locs
+),
+labj AS (
+  SELECT e.host, e.seq, e.su, e.eu, e.kind,
+         CASE WHEN e.kind = 'activity'
+              THEN COALESCE(l.label, 'other') ELSE e.kind END AS cat
+  FROM eps e LEFT JOIN lab l
+    ON e.host = l.host AND e.location_id = l.location_id
+),
+days AS (
+  SELECT host, seq, cat, kind,
+         su / 1000000.0 AS start_s, eu / 1000000.0 AS end_s,
+         UNNEST(generate_series(
+            date_trunc('day', make_timestamp(su)),
+            date_trunc('day', make_timestamp(eu)),
+            INTERVAL 1 DAY)) AS day0
+  FROM labj
+),
+clip AS (
+  SELECT host, seq, cat, kind, strftime(day0, '%Y-%m-%d') AS day,
+         GREATEST(LEAST(end_s, epoch(day0) + 86400.0)
+                  - GREATEST(start_s, epoch(day0)), 0.0) AS dur_s
+  FROM days
+)
+SELECT host, day,
+       ROUND(SUM(CASE WHEN cat = 'home' THEN dur_s ELSE 0 END), 6) AS home_s,
+       ROUND(SUM(CASE WHEN cat = 'work' THEN dur_s ELSE 0 END), 6) AS work_s,
+       ROUND(SUM(CASE WHEN cat = 'study' THEN dur_s ELSE 0 END), 6) AS study_s,
+       ROUND(SUM(CASE WHEN cat = 'other' THEN dur_s ELSE 0 END), 6)
+         AS other_activity_s,
+       ROUND(SUM(CASE WHEN cat = 'travel' THEN dur_s ELSE 0 END), 6)
+         AS travel_s,
+       ROUND(SUM(CASE WHEN cat = 'unknown' THEN dur_s ELSE 0 END), 6)
+         AS unknown_s,
+       COUNT(DISTINCT CASE WHEN kind = 'activity' THEN seq END)
+         AS n_activities
+FROM clip GROUP BY host, day
 """,
         "ann_topk_bruteforce": """
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

@@ -102,10 +102,9 @@ def label_locations(locations: DataFrame, known: DataFrame,
             .drop("_kh", "_klabel", "_klat", "_klon", "_d", "_rk"))
 
 
-def day_summary(episodes: DataFrame, tz: str = "UTC") -> DataFrame:
-    """A7 — per host x calendar day: seconds at activity/travel/unknown and
-    episode count.  Multi-day episodes are split at local-tz midnights via
-    sequence + explode (native; no UDF)."""
+def _split_days(episodes: DataFrame, tz: str = "UTC") -> DataFrame:
+    """Split episodes at local-tz midnights (native sequence + explode; no
+    UDF) and clip durations per day.  Adds `day` (yyyy-MM-dd) and `dur_s`."""
     eps = episodes
     if tz != "UTC":
         eps = (eps.withColumn("start_ts", F.from_utc_timestamp("start_ts", tz))
@@ -119,7 +118,14 @@ def day_summary(episodes: DataFrame, tz: str = "UTC") -> DataFrame:
                        epoch_s(F.col("day0")) + F.lit(86400.0))
     dur = F.greatest(clip_end - clip_start, F.lit(0.0))
     return (e.withColumn("day", F.date_format("day0", "yyyy-MM-dd"))
-            .withColumn("dur_s", dur)
+            .withColumn("dur_s", dur).drop("day0"))
+
+
+def day_summary(episodes: DataFrame, tz: str = "UTC") -> DataFrame:
+    """A7 — per host x calendar day: seconds at activity/travel/unknown and
+    episode count.  Multi-day episodes are split at local-tz midnights via
+    sequence + explode (native; no UDF)."""
+    return (_split_days(episodes, tz)
             .groupBy("host", "day")
             .agg(F.round(F.sum(F.when(F.col("kind") == "activity",
                                       F.col("dur_s")).otherwise(0.0)), 6)
@@ -130,5 +136,41 @@ def day_summary(episodes: DataFrame, tz: str = "UTC") -> DataFrame:
                  F.round(F.sum(F.when(F.col("kind") == "unknown",
                                       F.col("dur_s")).otherwise(0.0)), 6)
                  .alias("unknown_s"),
+                 F.countDistinct(F.when(F.col("kind") == "activity",
+                                        F.col("seq"))).alias("n_activities")))
+
+
+def day_summary_labeled(episodes: DataFrame, labeled_locations: DataFrame,
+                        tz: str = "UTC") -> DataFrame:
+    """A7 (full) — the reference's headline report (REF day.py [L] + REF
+    main.py survey home/work/study match [M]): per host x calendar day,
+    seconds at home / work / study / other (labeled-or-not) activity,
+    travel and unknown, plus the activity count.
+
+    `labeled_locations` is label_locations' (J2) output: (host,
+    location_id, label) with label in {home, work, study, ...} or null.
+    The join is a plain equi-join on (host, location_id) — the label table
+    is the A4 location table (small per host but unbounded globally), so
+    broadcast-vs-shuffle is left to AQE's runtime stats rather than forced.
+    """
+    lab = labeled_locations.select(
+        F.col("host").alias("_lh"), F.col("location_id").alias("_lid"),
+        F.col("label").alias("_lab"))
+    eps = episodes.join(
+        lab, (F.col("host") == F.col("_lh"))
+        & (F.col("location_id") == F.col("_lid")), "left").drop("_lh", "_lid")
+    cat = (F.when(F.col("kind") != "activity", F.col("kind"))
+           .otherwise(F.coalesce(F.col("_lab"), F.lit("other"))))
+    e = _split_days(eps.withColumn("_cat", cat), tz)
+
+    def cat_s(name: str, alias: str):
+        return F.round(F.sum(F.when(F.col("_cat") == name,
+                                    F.col("dur_s")).otherwise(0.0)),
+                       6).alias(alias)
+
+    return (e.groupBy("host", "day")
+            .agg(cat_s("home", "home_s"), cat_s("work", "work_s"),
+                 cat_s("study", "study_s"), cat_s("other", "other_activity_s"),
+                 cat_s("travel", "travel_s"), cat_s("unknown", "unknown_s"),
                  F.countDistinct(F.when(F.col("kind") == "activity",
                                         F.col("seq"))).alias("n_activities")))

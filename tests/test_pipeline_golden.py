@@ -155,3 +155,51 @@ def test_knn_collected_matches_join_form(spark, unit_pages_sdf):
     db = b["loc_dist_m"].to_numpy("float64")
     nn = np.isnan(da) & np.isnan(db)
     np.testing.assert_allclose(da[~nn], db[~nn], atol=1e-6)
+
+
+def test_knn_auto_enforces_broadcast_envelope(spark, unit_pages_sdf):
+    """knn_assign_auto must fall back to the cell-cover JOIN plan when the
+    location table exceeds cfg.knn_broadcast_max_locations, and the
+    collected form must refuse (raise) rather than collect past the
+    ceiling — the latent 100x-scale footgun the round-2 verdict flagged."""
+    import dataclasses
+
+    import pytest
+
+    gp = trace_prep.geopoints(unit_pages_sdf, DEFAULT).cache()
+    locations = loc.detect_locations(gp, DEFAULT).cache()
+    n = locations.count()
+    assert n > 2
+    tiny = dataclasses.replace(DEFAULT, knn_broadcast_max_locations=2)
+    over = ep.knn_assign_auto(gp, locations, tiny)
+    assert over.knn_strategy == "join"
+    # the join plan carries the candidate-join aggregation, not the UDF
+    assert "min(struct" in over._jdf.queryExecution().optimizedPlan().toString()
+    with pytest.raises(ValueError, match="knn_broadcast_max_locations"):
+        ep.knn_assign_collected(gp, locations, tiny)
+    under = ep.knn_assign_auto(gp, locations, DEFAULT, n_locations_hint=n)
+    assert under.knn_strategy == "collected"
+
+
+def test_build_episodes_presorted_parity(spark, unit_pages_sdf):
+    """build_episodes(presorted=True) over the map-only collected-kNN path
+    (no point-stream reshuffle) must reproduce the repartition form
+    byte-for-byte."""
+    gp = trace_prep.geopoints(unit_pages_sdf, DEFAULT).cache()
+    locations = loc.detect_locations(gp, DEFAULT).cache()
+    assigned = ep.knn_assign_collected(gp, locations, DEFAULT)
+    cols = ["host", "seq", "start_ts", "end_ts", "kind", "location_id"]
+    a = (ep.build_episodes(assigned, DEFAULT, presorted=True)
+         .toPandas().sort_values(["host", "seq"]).reset_index(drop=True))
+    b = (ep.build_episodes(assigned, DEFAULT)
+         .toPandas().sort_values(["host", "seq"]).reset_index(drop=True))
+    assert len(a) == len(b) and len(a) > 0
+    for c in cols:
+        la, lb = a[c].to_numpy(), b[c].to_numpy()
+        if la.dtype.kind == "f":
+            nn = np.isnan(la) & np.isnan(lb)
+            assert (nn | (la == lb)).all(), c
+        else:
+            assert (pd.isna(la) == pd.isna(lb)).all(), c
+            m = ~pd.isna(la)
+            assert (la[m] == lb[m]).all(), c
