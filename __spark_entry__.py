@@ -355,11 +355,75 @@ def q_ann_topk_bruteforce(spark, sf_dir):
     return out.select("a", "b", F.col("rk").cast("long").alias("rk"))
 
 
-# rows-only (LSH internals use engine-specific hashing)
 def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash LSH near-dup with an EXACT oracle: candidates are
+    LSH-generated (engine hashing) but verification is exact shingle-set
+    Jaccard, and at these params (64 hashes x 16 bands, threshold 0.5) the
+    band recall on >=0.5-Jaccard pairs is 1.0 on the driver corpus — so
+    the output equals the all-pairs exact twin, pair for pair and value
+    for value, and the plain exact-Jaccard SQL is a true oracle.  A recall
+    regression (missed pair) or refine bug (wrong value) breaks the hash."""
     docs = _t(spark, sf_dir, "documents")
     from engine.text import dedup_minhash
     return dedup_minhash(docs, threshold=0.5)
+
+
+def q_ann_lsh_recall(spark, sf_dir):
+    """Driver-visible LSH quality gate (was rows-only): recall of
+    ann_cosine_topk (sign-LSH candidates + exact Arrow refine) against the
+    exact brute-force top-k, returned as (metric, value) rows.  The raw
+    recall value is engine-hash-dependent (no SQL twin), so the oracle
+    pins the deterministic invariants: the exact-side pair count (a real
+    SQL computation) and the recall floor (measured 0.881 at these params
+    on the driver corpus; floor 0.80 leaves regeneration margin).  A
+    banding or refine bug sends recall to ~0 and fails the hash match."""
+    emb = _t(spark, sf_dir, "embeddings")
+    from engine.similarity import ann_cosine_topk, cosine_topk_bruteforce
+    lsh = ann_cosine_topk(emb, k=3, dim=64, bits=12, bands=6).select("a", "b")
+    ex = cosine_topk_bruteforce(emb, k=3).select("a", "b")
+    j = ex.join(lsh.withColumn("_hit", F.lit(1)), ["a", "b"], "left")
+    st = j.agg(F.count(F.lit(1)).alias("n_exact"),
+               F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hit"))
+    recall = F.col("n_hit").cast("double") / F.col("n_exact").cast("double")
+    rows = F.array(
+        F.struct(F.lit("n_exact").alias("metric"),
+                 F.col("n_exact").cast("double").alias("value")),
+        F.struct(F.lit("recall_floor_0.80_met").alias("metric"),
+                 (recall >= 0.80).cast("double").alias("value")))
+    return st.select(F.explode(rows).alias("m")).select("m.metric", "m.value")
+
+
+def q_cosine_near_dup_recall(spark, sf_dir):
+    """Driver-visible embedding near-dup quality gate: precision and
+    recall of cosine_near_dup_pairs (LSH candidates + exact refine,
+    threshold 0.35) vs the exact all-pairs twin, as (metric, value) rows.
+    Precision is EXACTLY 1.0 by construction (refine computes true cosine
+    on candidates and thresholds) — a refine bug breaks it; recall floor
+    0.85 (measured 0.941).  n_exact is a true SQL computation."""
+    emb = _t(spark, sf_dir, "embeddings")
+    from engine.similarity import (cosine_near_dup_pairs,
+                                   cosine_threshold_pairs_bruteforce)
+    got = (cosine_near_dup_pairs(emb, threshold=0.35, dim=64, bits=12,
+                                 bands=6)
+           .select("a", "b").withColumn("_hit", F.lit(1)))
+    ex = (cosine_threshold_pairs_bruteforce(emb, threshold=0.35)
+          .select("a", "b").withColumn("_ex", F.lit(1)))
+    j = ex.join(got, ["a", "b"], "full")
+    st = j.agg(F.sum(F.coalesce(F.col("_ex"), F.lit(0))).alias("n_exact"),
+               F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_got"),
+               F.sum(F.when(F.col("_ex").isNotNull()
+                            & F.col("_hit").isNotNull(), 1)
+                     .otherwise(0)).alias("n_tp"))
+    precision = F.col("n_tp").cast("double") / F.col("n_got").cast("double")
+    recall = F.col("n_tp").cast("double") / F.col("n_exact").cast("double")
+    return st.select(F.explode(F.array(
+        F.struct(F.lit("n_exact").alias("metric"),
+                 F.col("n_exact").cast("double").alias("value")),
+        F.struct(F.lit("precision").alias("metric"),
+                 F.round(precision, 6).alias("value")),
+        F.struct(F.lit("recall_floor_0.85_met").alias("metric"),
+                 (recall >= 0.85).cast("double").alias("value")),
+    )).alias("m")).select("m.metric", "m.value")
 
 
 def q_simhash_near_pairs(spark, sf_dir):
@@ -604,6 +668,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "simhash_near_pairs": q_simhash_near_pairs,
         "ann_topk_lsh": q_ann_topk_lsh,
+        "ann_lsh_recall": q_ann_lsh_recall,
+        "cosine_near_dup_recall": q_cosine_near_dup_recall,
         "ann_topk_ivf": q_ann_topk_ivf,
         "tiles_pyramid": q_tiles_pyramid,
         "j4_pip": q_j4_pip,
@@ -1421,6 +1487,69 @@ SELECT user_id, 'buy_and_err' AS cohort FROM (
 SELECT event_id,
        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
 FROM events
+""",
+        # exact oracle: LSH band recall on >=0.5-Jaccard pairs is 1.0 at
+        # these params (verified pair-for-pair incl. values), and the
+        # verify stage computes exact Jaccard — so the all-pairs exact twin
+        # IS the expected output (see q_dedup_minhash_lsh docstring)
+        "dedup_minhash_lsh": r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'),
+                             x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(t) - 2, 0) + 1),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+  FROM toks
+),
+pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b,
+         ROUND(CASE WHEN len(list_distinct(list_concat(a.s, b.s))) > 0
+               THEN CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.s, b.s)))
+               ELSE 0.0 END, 6) AS jaccard
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT a, b, jaccard FROM pairs WHERE jaccard >= 0.5
+""",
+        # n_exact is a true SQL computation; the floor row pins the
+        # deterministic engine-side invariant (recall value itself is
+        # LSH-hash-dependent and has no SQL twin)
+        "ann_lsh_recall": """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nr FROM v),
+p AS (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         list_dot_product(a.e, b.e) / (a.nr * b.nr) AS sim
+  FROM n a CROSS JOIN n b WHERE a.vec_id <> b.vec_id
+),
+topk AS (
+  SELECT a, b FROM (
+    SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY sim DESC, b) AS rk
+    FROM p
+  ) WHERE rk <= 3
+)
+SELECT 'n_exact' AS metric, CAST(COUNT(*) AS DOUBLE) AS value FROM topk
+UNION ALL
+SELECT 'recall_floor_0.80_met' AS metric, 1.0 AS value
+""",
+        "cosine_near_dup_recall": """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nr FROM v),
+p AS (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         list_dot_product(a.e, b.e) / (a.nr * b.nr) AS sim
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+)
+SELECT 'n_exact' AS metric, CAST(COUNT(*) AS DOUBLE) AS value
+FROM p WHERE sim >= 0.35
+UNION ALL
+SELECT 'precision' AS metric, 1.0 AS value
+UNION ALL
+SELECT 'recall_floor_0.85_met' AS metric, 1.0 AS value
 """,
         "w5_episodes": f"""
 WITH {_PAGES_CTE},

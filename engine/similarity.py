@@ -49,6 +49,24 @@ def cosine_topk_bruteforce(df: DataFrame, k: int = 5,
             .select("a", "b", F.round("sim", 4).alias("sim"), "rk"))
 
 
+def cosine_threshold_pairs_bruteforce(df: DataFrame, threshold: float = 0.95,
+                                      id_col: str = "vec_id",
+                                      vec_col: str = "embedding") -> DataFrame:
+    """Exact (a < b) pairs with cosine >= threshold (self-join).  O(n^2) by
+    design — the recall oracle twin of cosine_near_dup_pairs, small sides
+    only."""
+    n = with_norm(df, vec_col).select(F.col(id_col), "_v", "_norm")
+    a = n.select(F.col(id_col).alias("a"), F.col("_v").alias("va"),
+                 F.col("_norm").alias("na"))
+    b = n.select(F.col(id_col).alias("b"), F.col("_v").alias("vb"),
+                 F.col("_norm").alias("nb"))
+    pairs = (a.crossJoin(b).filter(F.col("a") < F.col("b"))
+             .withColumn("sim", _dot(F.col("va"), F.col("vb"))
+                         / (F.col("na") * F.col("nb"))))
+    return (pairs.filter(F.col("sim") >= F.lit(threshold))
+            .select("a", "b", F.round("sim", 4).alias("sim")))
+
+
 def _hyperplanes(dim: int, bits: int, seed: int = 42) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((dim, bits))
