@@ -629,11 +629,19 @@ def q_geo_agreement(spark, sf_dir):
 
 
 def q_media_decode(spark, sf_dir):
+    """Multimodal decode plumbing with an EXACT oracle: the deterministic
+    fake decoder derives features from a sha-256 of the payload bytes, and
+    the html payload is itself arithmetic-reproducible — so DuckDB's
+    sha256() replays f0 (first digest word, little-endian, /2^32, float32)
+    bit for bit.  The subset predicate is deterministic (event-id mod 20),
+    not LIMIT, so both sides pick identical rows."""
     from engine import multimodal
     ev = _t(spark, sf_dir, "events")
-    pages = web_pages_from_events(ev).limit(500)
+    pages = web_pages_from_events(ev).filter(
+        F.substring("url", -9, 9).cast("long") % 20 == 0)
     feats = multimodal.decode_features(multimodal.attach_media(pages))
-    return feats.select("url", F.round(F.element_at("features", 1), 6)
+    return feats.select("url",
+                        F.round(F.element_at("features", 1).cast("double"), 6)
                         .alias("f0"), "decode_error")
 
 
@@ -1550,6 +1558,26 @@ UNION ALL
 SELECT 'precision' AS metric, 1.0 AS value
 UNION ALL
 SELECT 'recall_floor_0.85_met' AS metric, 1.0 AS value
+""",
+        # sha256 of the reconstructed html string == sha256 of the binary
+        # payload (utf-8); first digest word little-endian / 2^32 as float32
+        "media_decode": f"""
+WITH {_PAGES_CTE},
+med AS (
+  SELECT url,
+         sha256('<html><head><meta charset="utf-8"/></head><body><p>' || text
+                || '</p></body></html>') AS h
+  FROM pages
+  WHERE CAST(substr(url, length(url) - 8, 9) AS BIGINT) % 20 = 0
+)
+SELECT url,
+       ROUND(CAST(CAST((('0x' || substr(h, 1, 2))::BIGINT
+              + ('0x' || substr(h, 3, 2))::BIGINT * 256
+              + ('0x' || substr(h, 5, 2))::BIGINT * 65536
+              + ('0x' || substr(h, 7, 2))::BIGINT * 16777216)
+             / 4294967296.0 AS FLOAT) AS DOUBLE), 6) AS f0,
+       CAST(NULL AS VARCHAR) AS decode_error
+FROM med
 """,
         "w5_episodes": f"""
 WITH {_PAGES_CTE},

@@ -61,8 +61,9 @@ def run_once():
     gp.count()
     locs = L.detect_locations(gp, DEFAULT).persist()
     locs.count()
-    assigned = E.knn_assign_collected(gp, locs, DEFAULT)
-    eps = E.build_episodes(assigned, DEFAULT)
+    assigned = E.knn_assign_auto(gp, locs, DEFAULT)
+    eps = E.build_episodes(assigned, DEFAULT,
+                           presorted=assigned.knn_strategy == "collected")
     sites = trace_prep.interpolate_sites(gp, DEFAULT)
     pyr = tiles.rollup_pyramid(tiles.cell_density(sites, DEFAULT), DEFAULT)
     n_eps = eps.count()
