@@ -368,6 +368,21 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return dedup_minhash(docs, threshold=0.5)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Corpus-dedup clustering end to end (MinHash-LSH pairs -> pointer-
+    jumping connected components -> representative pick) with an EXACT
+    oracle: LSH pair recall is 1.0 at these params (see
+    q_dedup_minhash_lsh), so the component structure over the exact
+    >=0.5-Jaccard pair graph — computed in DuckDB via a recursive CTE —
+    is the expected output, doc for doc."""
+    docs = _t(spark, sf_dir, "documents")
+    from engine.text import dedup_clusters
+    out = dedup_clusters(docs, threshold=0.5)
+    return out.select("doc_id",
+                      F.col("cluster_rep").cast("long").alias("cluster_rep"),
+                      F.col("is_kept").cast("long").alias("is_kept"))
+
+
 def q_ann_lsh_recall(spark, sf_dir):
     """Driver-visible LSH quality gate (was rows-only): recall of
     ann_cosine_topk (sign-LSH candidates + exact Arrow refine) against the
@@ -676,6 +691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "simhash_near_pairs": q_simhash_near_pairs,
         "ann_topk_lsh": q_ann_topk_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "ann_lsh_recall": q_ann_lsh_recall,
         "cosine_near_dup_recall": q_cosine_near_dup_recall,
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -1522,6 +1538,50 @@ pairs AS (
   FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 )
 SELECT a, b, jaccard FROM pairs WHERE jaccard >= 0.5
+""",
+        # near-dup components over the exact pair graph via recursive CTE
+        # (UNION dedups, so the closure terminates); representative = min
+        # reachable id.  Valid as an exact oracle because LSH pair recall
+        # is 1.0 at the query params (see dedup_minhash_lsh above).
+        "dedup_clusters": r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'),
+                             x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(t) - 2, 0) + 1),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+  FROM toks
+),
+pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE ROUND(CASE WHEN len(list_distinct(list_concat(a.s, b.s))) > 0
+              THEN CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.s, b.s)))
+              ELSE 0.0 END, 6) >= 0.5
+),
+edges AS (
+  SELECT a AS s, b AS d FROM pairs
+  UNION ALL
+  SELECT b AS s, a AS d FROM pairs
+),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+),
+rep AS (
+  SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster_rep FROM reach GROUP BY s
+)
+SELECT dd.doc_id,
+       COALESCE(r.cluster_rep, dd.doc_id) AS cluster_rep,
+       CAST(COALESCE(r.cluster_rep, dd.doc_id) = dd.doc_id AS BIGINT)
+         AS is_kept
+FROM documents dd LEFT JOIN rep r USING (doc_id)
 """,
         # n_exact is a true SQL computation; the floor row pins the
         # deterministic engine-side invariant (recall value itself is

@@ -152,6 +152,63 @@ def asof_join(left: DataFrame, right: DataFrame, keys: Sequence[str],
     return u.filter(F.col("_side") == 1).drop("_side", "_ats")
 
 
+def min_label_components(nodes: DataFrame, edges: DataFrame,
+                         id_col: str = "id", a_col: str = "a",
+                         b_col: str = "b", max_iters: int = 16) -> DataFrame:
+    """Generic undirected connected components: min-label propagation WITH
+    pointer jumping, so convergence is O(log component-diameter) rounds
+    (plain 1-hop propagation is O(diameter)).  The cell-raster twin is
+    tiles.extract_components; this form takes an arbitrary node table and
+    (a, b) edge table — e.g. near-dup pairs over 10^12 docs, where edges
+    are LSH-bucketed candidates (tiny vs the corpus) and each round is a
+    pair of equi-joins + a min-aggregation, all shuffle-keyed on ids.
+
+    Returns (id_col, component_id) for EVERY node; isolated nodes are their
+    own component.  Raises RuntimeError on non-convergence rather than
+    silently splitting components.
+    """
+    e = (edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+         .unionByName(edges.select(F.col(b_col).alias("src"),
+                                   F.col(a_col).alias("dst"))).cache())
+    cur = (nodes.select(F.col(id_col).alias("_nid"))
+           .withColumn("label", F.col("_nid")))
+    prev_cached: DataFrame | None = None
+    converged = False
+    for _ in range(max_iters):
+        nbr_min = (e.join(cur.select(F.col("_nid").alias("dst"),
+                                     F.col("label").alias("nlabel")), "dst")
+                   .groupBy("src").agg(F.min("nlabel").alias("nbr_label"))
+                   .withColumnRenamed("src", "_nid"))
+        mined = (cur.join(nbr_min, "_nid", "left")
+                 .select("_nid",
+                         F.least(F.col("label"),
+                                 F.coalesce(F.col("nbr_label"),
+                                            F.col("label"))).alias("label")))
+        jump = cur.select(F.col("_nid").alias("label"),
+                          F.col("label").alias("_jlabel"))
+        nxt = (mined.join(jump, "label", "left")
+               .select("_nid",
+                       F.least(F.col("label"),
+                               F.coalesce(F.col("_jlabel"), F.col("label")))
+                       .alias("label"))).cache()
+        changed = (nxt.join(cur.withColumnRenamed("label", "_old"), "_nid")
+                   .filter(F.col("label") != F.col("_old")).count())
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        prev_cached = nxt
+        cur = nxt
+        if changed == 0:
+            converged = True
+            break
+    e.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"min_label_components: no fixpoint after {max_iters} pointer-"
+            f"jumping rounds (component diameter > 2^{max_iters})")
+    return cur.select(F.col("_nid").alias(id_col),
+                      F.col("label").alias("component_id"))
+
+
 def salted_join(big: DataFrame, small: DataFrame, key: str, salt: int,
                 how: str = "inner") -> DataFrame:
     """Skew-safe equi-join (SURVEY.md §4.2, BASELINE.json:6 'salted

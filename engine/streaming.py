@@ -55,38 +55,81 @@ _EP_OUT_SCHEMA = ("host string, start_ts timestamp, end_ts timestamp, "
 
 
 def _episode_machine(cfg: EngineConfig):
+    """Vectorized per batch (no per-row Python): run boundaries = gaps >
+    gap_s OR null-safe label changes, found with one numpy pass; the open
+    run rides in state across batches.  Emissions are identical to the
+    row-loop form it replaces (end = previous ts on a gap, boundary ts on
+    a label change)."""
+    import numpy as np
+
     gap_us = int(cfg.gap_s * 1e6)
 
     def fn(key, pdfs, state: GroupState):
         host = key[0]
-        rows = []
         if state.exists:
             last_ts, cur_label, cur_start, n = state.get
         else:
             last_ts, cur_label, cur_start, n = None, None, None, 0
+        outs = []
         for pdf in pdfs:
+            if not len(pdf):
+                continue
             pdf = pdf.sort_values(["warc_ts", "url"], kind="mergesort")
-            ts = pdf["warc_ts"].astype("datetime64[us]").astype("int64")
-            labels = pdf["location_id"].astype("object")
-            for t, lab in zip(ts, labels):
-                lab = None if pd.isna(lab) else int(lab)
-                if last_ts is None:
-                    cur_label, cur_start, n = lab, int(t), 0
-                elif t - last_ts > gap_us or lab != cur_label:
-                    rows.append((host, cur_start, int(last_ts) if
-                                 t - last_ts > gap_us else int(t),
-                                 cur_label, n))
-                    cur_label, cur_start, n = lab, int(t), 0
-                last_ts = int(t)
-                n += 1
+            ts = (pdf["warc_ts"].astype("datetime64[us]").astype("int64")
+                  .to_numpy())
+            lab = pdf["location_id"].astype("float64").to_numpy()  # NaN=travel
+            m = len(ts)
+            prev_ts = np.empty(m, dtype=np.int64)
+            prev_lab = np.empty(m)
+            prev_ts[1:] = ts[:-1]
+            prev_lab[1:] = lab[:-1]
+            if last_ts is None:
+                base_start, base_label, base_n = int(ts[0]), float(lab[0]), 0
+                prev_ts[0] = ts[0]      # no boundary at row 0
+                prev_lab[0] = lab[0]
+            else:
+                base_start, base_n = cur_start, n
+                base_label = np.nan if cur_label is None else float(cur_label)
+                prev_ts[0] = last_ts
+                prev_lab[0] = base_label
+            gap = ts - prev_ts > gap_us
+            chg = ((np.isnan(lab) != np.isnan(prev_lab))
+                   | (~np.isnan(lab) & ~np.isnan(prev_lab)
+                      & (lab != prev_lab)))
+            bnd = np.flatnonzero(gap | chg)
+            if len(bnd):
+                starts = np.empty(len(bnd), dtype=np.int64)
+                labels = np.empty(len(bnd))
+                counts = np.empty(len(bnd), dtype=np.int64)
+                starts[0], labels[0] = base_start, base_label
+                counts[0] = base_n + bnd[0]
+                if len(bnd) > 1:
+                    starts[1:] = ts[bnd[:-1]]
+                    labels[1:] = lab[bnd[:-1]]
+                    counts[1:] = np.diff(bnd)
+                ends = np.where(gap[bnd], prev_ts[bnd], ts[bnd])
+                outs.append(pd.DataFrame({
+                    "host": host,
+                    "start_ts": starts.astype("datetime64[us]"),
+                    "end_ts": ends.astype("datetime64[us]"),
+                    "location_id": pd.array(
+                        [None if np.isnan(v) else int(v) for v in labels],
+                        dtype="Int32"),
+                    "n_points": counts.astype("int32"),
+                }))
+                i0 = int(bnd[-1])
+                cur_start = int(ts[i0])
+                cur_label = None if np.isnan(lab[i0]) else int(lab[i0])
+                n = m - i0
+            else:
+                cur_start = base_start
+                cur_label = (None if np.isnan(base_label)
+                             else int(base_label))
+                n = base_n + m
+            last_ts = int(ts[-1])
         state.update((last_ts, cur_label, cur_start, n))
-        if rows:
-            out = pd.DataFrame(rows, columns=["host", "start_ts", "end_ts",
-                                              "location_id", "n_points"])
-            out["start_ts"] = out["start_ts"].astype("datetime64[us]")
-            out["end_ts"] = out["end_ts"].astype("datetime64[us]")
-            out["location_id"] = out["location_id"].astype("Int32")
-            yield out
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
 
     return fn
 

@@ -175,6 +175,42 @@ def dedup_minhash(df: DataFrame, threshold: float = 0.5,
             .filter(F.col("jaccard") >= threshold))
 
 
+def dedup_clusters(df: DataFrame, threshold: float = 0.5,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   num_hashes: int = 64, bands: int = 16) -> DataFrame:
+    """End-to-end near-dup CLUSTERING — the actual corpus-dedup
+    deliverable: MinHash-LSH near-dup pairs (exact-verified >= threshold)
+    -> connected components (ops.min_label_components, pointer-jumping
+    min-label) -> per-doc cluster assignment.
+
+    Returns (id_col, cluster_rep, is_kept): cluster_rep is the smallest
+    doc id in the doc's near-dup component (itself for unpaired docs),
+    is_kept marks the one representative per cluster.  Filtering
+    is_kept gives the deduplicated corpus.
+
+    100-TB shape: the pair table is LSH-bucketed (never all-pairs), the CC
+    loop shuffles only (id, label) pairs over the tiny pair graph, and the
+    final join back to the corpus is a plain equi-join on the id."""
+    from .ops import min_label_components
+    pairs = dedup_minhash(df, threshold, text_col, id_col,
+                          num_hashes, bands).select("a", "b")
+    comp = min_label_components(df.select(id_col), pairs, id_col=id_col)
+    return comp.select(
+        id_col, F.col("component_id").alias("cluster_rep"),
+        (F.col(id_col) == F.col("component_id")).alias("is_kept"))
+
+
+def dedup_remove(df: DataFrame, threshold: float = 0.5,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 num_hashes: int = 64, bands: int = 16) -> DataFrame:
+    """Deduplicated corpus: df minus every near-dup that is not its
+    cluster's representative (see dedup_clusters)."""
+    keep = (dedup_clusters(df, threshold, text_col, id_col, num_hashes,
+                           bands)
+            .filter(F.col("is_kept")).select(id_col))
+    return df.join(keep, id_col, "left_semi")
+
+
 def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
                         text_col: str = "text", id_col: str = "doc_id",
                         shingle_n: int = 3) -> DataFrame:

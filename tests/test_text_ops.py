@@ -302,3 +302,50 @@ def test_boilerplate_properties(spark):
         assert out.loc[i, "cleaned"] == " ".join(expect)
         assert out.loc[i, "n_kept"] == len(expect)
         assert out.loc[i, "n_removed"] == len(toks) - len(expect)
+
+
+def test_min_label_components_chain_and_isolates(spark):
+    """CC over a planted graph: a 5-chain (0-1-2-3-4), a 2-cycle pair
+    (10, 11), and isolates (20, 21) — pointer jumping must converge and
+    label every component by its min id, isolates by themselves."""
+    from engine.ops import min_label_components
+    nodes = spark.createDataFrame(
+        [(i,) for i in [0, 1, 2, 3, 4, 10, 11, 20, 21]], "id long")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11), (11, 10)], "a long, b long")
+    out = (min_label_components(nodes, edges, id_col="id")
+           .toPandas().set_index("id")["component_id"].to_dict())
+    assert out == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 10: 10, 11: 10,
+                   20: 20, 21: 21}
+
+
+def test_dedup_clusters_partition_and_reps(spark, docs):
+    """dedup_clusters: every doc assigned, representative = min id of its
+    component, kept set = one per cluster, and dedup_remove returns
+    exactly the kept docs.  Cross-checked against a single-threaded
+    union-find over the engine's own verified pair list."""
+    pairs = text.dedup_minhash(docs, threshold=0.5).toPandas()
+    out = text.dedup_clusters(docs, threshold=0.5).toPandas()
+    n_docs = docs.count()
+    assert len(out) == n_docs and out["doc_id"].is_unique
+
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["a"], pairs["b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {d: find(d) if d in parent else d for d in out["doc_id"]}
+    got = dict(zip(out["doc_id"], out["cluster_rep"]))
+    assert got == expect
+    kept = set(out[out["is_kept"]]["doc_id"])
+    assert kept == set(expect[d] for d in expect)
+    removed = text.dedup_remove(docs, threshold=0.5).toPandas()
+    assert set(removed["doc_id"]) == kept
