@@ -107,6 +107,29 @@ def test_knn_collected_adds_no_exchange(spark, pages_parquet):
     assert plan.count("Exchange") == 1, plan
 
 
+def test_episodes_single_sort_single_window_exchange(spark, pages_parquet):
+    """build_episodes' gap/seq logic runs over ONE sort of the episode
+    table (two Window nodes — the running gap count consumes the lag
+    output so Spark must stack them — but they share the sort; the old
+    row_number-after-explode form re-SORTED the exploded rows).  With
+    presorted=True over the map-only kNN path the point stream is never
+    reshuffled: the only exchanges are trace prep's host shuffle and the
+    tiny episode-table window exchange, and the only sorts are trace
+    prep's partition sort and the window sort."""
+    gp = trace_prep.geopoints(pages_parquet, DEFAULT)
+    locs = spark.createDataFrame(
+        [("host0000.example", 0, 43.0, -79.0)],
+        "host string, location_id int, lat double, lon double")
+    assigned = ep.knn_assign_collected(gp, locs, DEFAULT)
+    fast = plan_str(ep.build_episodes(assigned, DEFAULT, presorted=True),
+                    "simple")
+    assert fast.count("Exchange") == 2, fast
+    assert fast.count("Sort ") == 2, fast
+    slow = plan_str(ep.build_episodes(assigned, DEFAULT), "simple")
+    assert slow.count("Exchange") == 3, slow
+    assert slow.count("Sort ") == 3, slow
+
+
 def test_kde_strategy_pick(spark, pages_parquet):
     """Cost-based KDE strategy: small hint -> single-stage whole-host plan
     (no semi-join prune chain); large hint -> chunk-parallel plan."""
