@@ -525,6 +525,19 @@ def q_o3_setops(spark, sf_dir):
     return only_buy.unionByName(both)
 
 
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic stratified sampling (pipeline split operator): keep
+    iff hash(key) mod 2^31 < fraction(stratum) * 2^31.  The driver query
+    passes an arithmetic LCG as the hash so DuckDB replays the EXACT
+    sample row-for-row (production default is xxhash64; same operator)."""
+    ev = _t(spark, sf_dir, "events")
+    h = (F.col("event_id").cast("long") * F.lit(2654435761) + F.lit(97))
+    out = ops.sample_stratified(
+        ev, {"click": 0.5, "purchase": 1.0, "view": 0.1}, "event_type",
+        key="event_id", hash_expr=h)
+    return out.select("event_id", "user_id", "event_type")
+
+
 def q_x7_props_json(spark, sf_dir):
     """X7 — JSON extraction from the events props column."""
     ev = _t(spark, sf_dir, "events")
@@ -706,6 +719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_agreement": q_geo_agreement,
         "a9_cube": q_a9_cube,
         "o3_setops": q_o3_setops,
+        "sample_stratified": q_sample_stratified,
         "x7_props_json": q_x7_props_json,
     }
 
@@ -1511,6 +1525,12 @@ SELECT user_id, 'buy_and_err' AS cohort FROM (
 SELECT event_id,
        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
 FROM events
+""",
+        "sample_stratified": """
+SELECT event_id, user_id, event_type FROM events
+WHERE ((CAST(event_id AS BIGINT) * 2654435761 + 97) % 2147483648)
+      < (CASE event_type WHEN 'click' THEN 0.5 WHEN 'purchase' THEN 1.0
+              WHEN 'view' THEN 0.1 END) * 2147483648
 """,
         # exact oracle: LSH band recall on >=0.5-Jaccard pairs is 1.0 at
         # these params (verified pair-for-pair incl. values), and the

@@ -152,6 +152,38 @@ def asof_join(left: DataFrame, right: DataFrame, keys: Sequence[str],
     return u.filter(F.col("_side") == 1).drop("_side", "_ats")
 
 
+def sample_stratified(df: DataFrame, fractions: dict[str, float] | float,
+                      strata_col: str | None = None,
+                      key: Column | str = "doc_id",
+                      hash_expr: Column | None = None,
+                      mod: int = 1 << 31) -> DataFrame:
+    """Deterministic stratified sampling for pipeline splits: keep a row
+    iff hash(key) mod 2^31 < fraction(stratum) * 2^31.
+
+    Unlike DataFrame.sample/sampleBy (partition-seeded RNG whose output
+    changes under repartition, retry, or cluster resize), the keep
+    decision is a pure function of the row key — stable across resumes of
+    a 100-TB job and safe for train/validation splits (a key lands on the
+    same side forever).  `fractions` is either one float or a
+    {stratum: fraction} dict over `strata_col` values (unlisted strata
+    are dropped, like sampleBy).  `hash_expr` overrides the default
+    xxhash64 mix — e.g. an arithmetic LCG so an external system can
+    reproduce the exact sample (the driver oracle does this).
+    """
+    k = F.col(key) if isinstance(key, str) else key
+    h = (F.pmod(F.xxhash64(k), F.lit(mod)) if hash_expr is None
+         else F.pmod(hash_expr, F.lit(mod)))
+    if isinstance(fractions, dict):
+        if strata_col is None:
+            raise ValueError("strata_col required with per-stratum fractions")
+        pairs = [x for kv in fractions.items()
+                 for x in (F.lit(kv[0]), F.lit(float(kv[1])))]
+        frac = F.element_at(F.create_map(*pairs), F.col(strata_col))
+    else:
+        frac = F.lit(float(fractions))
+    return df.filter(h < (frac * mod))
+
+
 def min_label_components(nodes: DataFrame, edges: DataFrame,
                          id_col: str = "id", a_col: str = "a",
                          b_col: str = "b", max_iters: int = 16) -> DataFrame:

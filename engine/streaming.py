@@ -314,3 +314,24 @@ def batch_windowed_cell_density(points: DataFrame,
     return (cells.groupBy(F.window("warc_ts", window).alias("window"),
                           "cell_id")
             .agg(F.sum("mass_s").alias("mass_s")))
+
+
+def stream_dedup_exact(docs_stream: DataFrame, ts_col: str = "warc_ts",
+                       text_col: str = "text",
+                       watermark: str = "48 hours") -> DataFrame:
+    """Streaming twin of text.dedup_exact (§2.10): emit the first arrival
+    of each distinct text; later copies within the watermark horizon are
+    dropped.  The dedup key is the same (xxhash64, md5, length) triple as
+    the batch operator — the text itself never enters the state store —
+    and dropDuplicatesWithinWatermark bounds state: a key is evicted once
+    the watermark passes its event time, so state is O(distinct keys per
+    horizon), not O(corpus).  The crawl posture: re-crawls of an unchanged
+    page arrive within days; older re-appearances re-emit (exactly the
+    horizon semantics a 10^12-row ingest needs to keep state finite)."""
+    keyed = (docs_stream
+             .withColumn("_h64", F.xxhash64(F.col(text_col)))
+             .withColumn("_hmd5", F.md5(F.col(text_col).cast("binary")))
+             .withColumn("_hlen", F.length(F.col(text_col))))
+    return (keyed.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(["_h64", "_hmd5", "_hlen"])
+            .drop("_h64", "_hmd5", "_hlen"))

@@ -156,3 +156,28 @@ def test_stream_cell_density_matches_batch(spark, unit_pages_sdf,
     assert len(got) >= 0.5 * len(want)  # and a solid share was emitted
     np.testing.assert_allclose(merged["mass_s_s"], merged["mass_s_b"],
                                rtol=1e-9)
+
+
+def test_stream_dedup_exact_matches_batch(spark, unit_pages_sdf,
+                                          tmp_path_factory):
+    """Streaming exact dedup: one emitted row per distinct text, each a
+    real occurrence; count matches batch nunique."""
+    path = str(tmp_path_factory.mktemp("sdedup") / "pages")
+    unit_pages_sdf.select("url", "warc_ts", "text").write \
+        .mode("overwrite").parquet(path)
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    q = (streaming.stream_dedup_exact(stream)
+         .writeStream.outputMode("append").format("memory")
+         .queryName("sdedup_out").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM sdedup_out").toPandas()
+    batch = spark.read.parquet(path).toPandas()
+    n_distinct = batch["text"].nunique()
+    assert len(got) == n_distinct
+    assert got["text"].nunique() == n_distinct
+    occ = set(zip(batch["url"], batch["text"]))
+    assert all((u, t) in occ for u, t in zip(got["url"], got["text"]))

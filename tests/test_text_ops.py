@@ -349,3 +349,20 @@ def test_dedup_clusters_partition_and_reps(spark, docs):
     assert kept == set(expect[d] for d in expect)
     removed = text.dedup_remove(docs, threshold=0.5).toPandas()
     assert set(removed["doc_id"]) == kept
+
+
+def test_sample_stratified_deterministic_under_repartition(spark):
+    """The keep decision is a pure function of the key: identical sample
+    under repartition (sampleBy is not), per-stratum rates near nominal,
+    unlisted strata dropped."""
+    from engine.ops import sample_stratified
+    df = spark.range(30000).select(
+        F.col("id").alias("key"), (F.col("id") % 3).cast("string").alias("s"))
+    fr = {"0": 0.25, "1": 0.75}
+    a = sample_stratified(df, fr, "s", key="key").toPandas()
+    b = sample_stratified(df.repartition(13), fr, "s", key="key").toPandas()
+    assert sorted(a["key"]) == sorted(b["key"])
+    n_per = 10000
+    assert abs((a["s"] == "0").sum() / n_per - 0.25) < 0.03
+    assert abs((a["s"] == "1").sum() / n_per - 0.75) < 0.03
+    assert (a["s"] != "2").all()
