@@ -476,6 +476,24 @@ def q_tiles_pyramid(spark, sf_dir):
     return pyr.select("level", "cell_id", F.round("mass_s", 4).alias("mass_s"))
 
 
+def q_tiles_mass_check(spark, sf_dir):
+    """Driver-visible invariant for the Hilbert tile pyramid: the cell ids
+    have no SQL twin, but MASS does — every pyramid level must carry
+    exactly the total interpolated site mass, which equals the observed
+    span-seconds of the cleaned sessionized trace (each segment spreads
+    next_dt_s over its sites), computable in SQL from the same G1+W2
+    chain the exact oracles replay.  Rounded to 1 decimal: double-sum
+    order noise is ~1e-6 of the ~1e6-second total, margin 5e-2."""
+    from engine import tiles
+    ev = _t(spark, sf_dir, "events")
+    gp = trace_prep.prep_points(
+        trace_prep.extract_points(web_pages_from_events(ev), DEFAULT), DEFAULT)
+    sites = trace_prep.interpolate_sites(gp, DEFAULT)
+    pyr = tiles.rollup_pyramid(tiles.cell_density(sites, DEFAULT), DEFAULT)
+    return (pyr.groupBy(F.col("level").cast("long").alias("level"))
+            .agg(F.round(F.sum("mass_s"), 1).alias("total_mass_s")))
+
+
 def q_j4_pip(spark, sf_dir):
     """J4 over hexagonal polygons planted around each stop center."""
     from engine import tiles
@@ -709,6 +727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_near_dup_recall": q_cosine_near_dup_recall,
         "ann_topk_ivf": q_ann_topk_ivf,
         "tiles_pyramid": q_tiles_pyramid,
+        "tiles_mass_check": q_tiles_mass_check,
         "j4_pip": q_j4_pip,
         "media_decode": q_media_decode,
         "geo_locations": q_geo_locations,
@@ -1638,6 +1657,22 @@ UNION ALL
 SELECT 'precision' AS metric, 1.0 AS value
 UNION ALL
 SELECT 'recall_floor_0.85_met' AS metric, 1.0 AS value
+""",
+        # tile-pyramid mass conservation: every level's total == observed
+        # span-seconds of the cleaned sessionized trace (SQL-computable
+        # from the same G1+W2 chain; DuckDB only evaluates the CTEs this
+        # query references, so the kNN/W5 parts of the shared chain are
+        # pruned)
+        "tiles_mass_check": f"""
+WITH {_PAGES_CTE},
+{_w5_episodes_cte()},
+spans AS (
+  SELECT host, subset_id, MAX(ce) - MIN(ce) AS span_s
+  FROM sess GROUP BY host, subset_id
+),
+tot AS (SELECT SUM(span_s) AS t FROM spans)
+SELECT CAST(l.level AS BIGINT) AS level, ROUND(tot.t, 1) AS total_mass_s
+FROM (VALUES (16), (14), (12), (10)) AS l(level), tot
 """,
         # sha256 of the reconstructed html string == sha256 of the binary
         # payload (utf-8); first digest word little-endian / 2^32 as float32

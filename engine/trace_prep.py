@@ -56,6 +56,15 @@ def extract_points(pages: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
     tok = geotag_token(F.col("text"))
     return (pages
             .filter(F.col("lang").isin(*cfg.lang_allowlist))          # F5
+            # cheap literal prefilter short-circuits the regex: any token
+            # match contains "[geo:" verbatim, and StringContains is both
+            # scan-pushable and far cheaper than the regex on rows with no
+            # tag.  On the synthetic fixture (95% tagged) this is a wash
+            # (A/B-measured); on a real crawl — where geotagged pages are
+            # the small minority — it skips the regex on most of the
+            # corpus.  Semantics unchanged (asserted by the x5 oracle,
+            # which has no prefilter).
+            .filter(F.col("text").contains("[geo:"))
             .select(host_from_url(F.col("url")).alias("host"),
                     "url", "warc_ts", tok.alias("_tok"))
             .filter(F.col("_tok") != "")                              # F5 (token)
