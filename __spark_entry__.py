@@ -691,6 +691,23 @@ def q_media_decode(spark, sf_dir):
                         .alias("f0"), "decode_error")
 
 
+def q_media_frame_sample(spark, sf_dir):
+    """Multimodal frame/chunk sampling (deterministic offsets from payload
+    size — pure native arithmetic, so DuckDB replays it exactly; payload
+    bytes == characters because the fixture html is ASCII)."""
+    from engine import multimodal
+    ev = _t(spark, sf_dir, "events")
+    pages = web_pages_from_events(ev).filter(
+        F.substring("url", -9, 9).cast("long") % 20 == 0)
+    out = multimodal.frame_sample(multimodal.attach_media(pages),
+                                  every_bytes=32)
+    return (out.select(
+        "url", F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.posexplode("frame_offsets").alias("frame_idx", "offset"))
+        .select("url", "n_bytes", F.col("frame_idx").cast("long")
+                .alias("frame_idx"), "offset"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "w2_sessionize": q_w2_sessionize,
@@ -730,6 +747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tiles_mass_check": q_tiles_mass_check,
         "j4_pip": q_j4_pip,
         "media_decode": q_media_decode,
+        "media_frame_sample": q_media_frame_sample,
         "geo_locations": q_geo_locations,
         "geo_episodes": q_geo_episodes,
         "w5_episodes": q_w5_episodes,
@@ -1673,6 +1691,30 @@ spans AS (
 tot AS (SELECT SUM(span_s) AS t FROM spans)
 SELECT CAST(l.level AS BIGINT) AS level, ROUND(tot.t, 1) AS total_mass_s
 FROM (VALUES (16), (14), (12), (10)) AS l(level), tot
+""",
+        # frame offsets are pure arithmetic over the payload byte length
+        # (== char length: fixture html is ASCII); Spark's int cast
+        # truncates, hence TRUNC
+        "media_frame_sample": f"""
+WITH {_PAGES_CTE},
+med AS (
+  SELECT url,
+         CAST(length('<html><head><meta charset="utf-8"/></head><body><p>'
+                     || text || '</p></body></html>') AS BIGINT) AS n
+  FROM pages
+  WHERE CAST(substr(url, length(url) - 8, 9) AS BIGINT) % 20 = 0
+),
+nf AS (
+  SELECT url, n,
+         LEAST(GREATEST(CAST(TRUNC(n / 32.0) AS INT), 1), 8) AS k
+  FROM med
+),
+ex AS (
+  SELECT url, n, k, UNNEST(range(k)) AS i FROM nf
+)
+SELECT url, n AS n_bytes, CAST(i AS BIGINT) AS frame_idx,
+       CAST(TRUNC(i * (n / CAST(k AS DOUBLE))) AS BIGINT) AS offset
+FROM ex
 """,
         # sha256 of the reconstructed html string == sha256 of the binary
         # payload (utf-8); first digest word little-endian / 2^32 as float32
