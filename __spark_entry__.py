@@ -447,6 +447,37 @@ def q_simhash_near_pairs(spark, sf_dir):
     return simhash_near_pairs(simhash(docs), max_hamming=8)
 
 
+def q_simhash_dup_recall(spark, sf_dir):
+    """Driver-visible SimHash quality gate: plant exact duplicates (every
+    doc_id % 7 == 0 doc re-inserted under doc_id + 1_000_000) and assert
+    simhash_near_pairs recovers EVERY planted pair at hamming 0.  The
+    invariant is deterministic by construction — identical token sequences
+    give identical 64-bit simhashes, and a hamming-0 pair agrees on every
+    band, so any banding/verify bug (wrong band bounds, dropped bucket,
+    popcount error) breaks the found-fraction or max-hamming row.
+    n_planted is a true SQL computation on the documents table."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text")
+    planted = (base.filter(F.col("doc_id") % 7 == 0)
+               .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
+    corpus = base.unionByName(planted)
+    from engine.text import simhash, simhash_near_pairs
+    pairs = simhash_near_pairs(simhash(corpus), max_hamming=8)
+    hit = pairs.filter(F.col("b") - F.col("a") == 1_000_000)
+    n_planted = planted.count()
+    st = hit.agg(F.count(F.lit(1)).alias("n_found"),
+                 F.coalesce(F.max("hamming"), F.lit(-1)).alias("max_h"))
+    return st.select(F.explode(F.array(
+        F.struct(F.lit("n_planted").alias("metric"),
+                 F.lit(float(n_planted)).alias("value")),
+        F.struct(F.lit("planted_found_frac").alias("metric"),
+                 F.round(F.col("n_found").cast("double")
+                         / F.lit(float(n_planted)), 6).alias("value")),
+        F.struct(F.lit("planted_hamming_max").alias("metric"),
+                 F.col("max_h").cast("double").alias("value")),
+    )).alias("m")).select("m.metric", "m.value")
+
+
 def q_ann_topk_lsh(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     from engine.similarity import ann_cosine_topk
@@ -738,6 +769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_bruteforce": q_ann_topk_bruteforce,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "simhash_near_pairs": q_simhash_near_pairs,
+        "simhash_dup_recall": q_simhash_dup_recall,
         "ann_topk_lsh": q_ann_topk_lsh,
         "dedup_clusters": q_dedup_clusters,
         "ann_lsh_recall": q_ann_lsh_recall,
@@ -1660,6 +1692,17 @@ topk AS (
 SELECT 'n_exact' AS metric, CAST(COUNT(*) AS DOUBLE) AS value FROM topk
 UNION ALL
 SELECT 'recall_floor_0.80_met' AS metric, 1.0 AS value
+""",
+        # planted exact-dup pairs: n_planted is real SQL; the found-frac /
+        # max-hamming rows pin the deterministic pigeonhole invariant
+        # (identical token sequence => identical simhash => hamming 0 =>
+        # candidate in every band)
+        "simhash_dup_recall": """
+SELECT 'n_planted' AS metric,
+       CAST(COUNT(*) AS DOUBLE) AS value
+FROM documents WHERE doc_id % 7 = 0
+UNION ALL SELECT 'planted_found_frac', 1.0
+UNION ALL SELECT 'planted_hamming_max', 0.0
 """,
         "cosine_near_dup_recall": """
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
