@@ -441,6 +441,17 @@ def q_cosine_near_dup_recall(spark, sf_dir):
     )).alias("m")).select("m.metric", "m.value")
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (train/test-leakage guard): docs sharing
+    any word 3-gram with the simulated eval set (doc_id % 13 == 0) are
+    flagged.  Broadcast benchmark n-grams; corpus side stays map-only —
+    exact SQL oracle replays the n-gram join in DuckDB."""
+    docs = _t(spark, sf_dir, "documents")
+    from engine.text import decontaminate
+    bench = docs.filter(F.col("doc_id") % 13 == 0)
+    return decontaminate(docs, bench, n=3)
+
+
 def q_simhash_near_pairs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     from engine.text import simhash, simhash_near_pairs
@@ -770,6 +781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "simhash_near_pairs": q_simhash_near_pairs,
         "simhash_dup_recall": q_simhash_dup_recall,
+        "decontaminate": q_decontaminate,
         "ann_topk_lsh": q_ann_topk_lsh,
         "dedup_clusters": q_dedup_clusters,
         "ann_lsh_recall": q_ann_lsh_recall,
@@ -1552,6 +1564,30 @@ SELECT doc_id,
        WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
        ELSE 'fr' END AS lang_guess
 FROM sc
+""",
+        "decontaminate": r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'),
+                             x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(t) - 2, 0) + 1),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+  FROM toks
+),
+bench AS (SELECT DISTINCT unnest(s) AS gram FROM sh WHERE doc_id % 13 = 0),
+dg AS (SELECT doc_id, unnest(s) AS gram FROM sh),
+hits AS (
+  SELECT dg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+  FROM dg JOIN bench USING (gram) GROUP BY dg.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(h.n_hit, 0) AS n_hit_grams,
+       (h.doc_id IS NOT NULL) AS is_contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
 """,
         "dedup_ngram_jaccard": r"""
 WITH toks AS (

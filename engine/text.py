@@ -487,3 +487,48 @@ def remove_boilerplate_tokens(docs: DataFrame, threshold: float = 0.5,
         F.array_join(kept, " ").alias("cleaned"),
         F.size(kept).cast("long").alias("n_kept"),
         (F.size(toks) - F.size(kept)).cast("long").alias("n_removed"))
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 3,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  bench_text_col: str = "text") -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    word n-gram with an evaluation/benchmark corpus — the standard
+    train/test-leakage guard in web-scale training-data pipelines.
+
+    Scale shape (the 100-TB-correct plan):
+      * the benchmark side is DISTINCT n-grams of the (small) eval corpus
+        — explicitly broadcast, so the training corpus side is a MAP-ONLY
+        explode + broadcast-hash-join probe; the 10^12-doc corpus is never
+        shuffled;
+      * only HIT rows (doc, gram) reach the groupBy — at sane contamination
+        rates that is orders of magnitude smaller than the corpus;
+      * the final left join back to `docs` is on the id column and carries
+        one small aggregate row per contaminated doc.
+
+    Output: docs' id column + `n_hit_grams` (count of distinct shared
+    n-grams; shingles are distinct per doc by construction) +
+    `is_contaminated`.  A benchmark document present in the corpus flags
+    itself — that is the desired behavior (it IS leaked).
+    """
+    bench_grams = (benchmark
+                   .select(F.explode(shingles_col(F.col(bench_text_col), n))
+                           .alias("gram"))
+                   .distinct())
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode(shingles_col(F.col(text_col), n)).alias("gram"))
+    hits = (doc_grams.join(F.broadcast(bench_grams), "gram")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_hit_grams")))
+    return (docs.select(id_col)
+            .join(hits, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce(F.col("n_hit_grams"), F.lit(0)).cast("long")
+                    .alias("n_hit_grams"),
+                    F.col("n_hit_grams").isNotNull()
+                    .alias("is_contaminated")))

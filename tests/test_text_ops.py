@@ -366,3 +366,35 @@ def test_sample_stratified_deterministic_under_repartition(spark):
     assert abs((a["s"] == "0").sum() / n_per - 0.25) < 0.03
     assert abs((a["s"] == "1").sum() / n_per - 0.75) < 0.03
     assert (a["s"] != "2").all()
+
+
+def test_decontaminate_planted_and_clean(spark):
+    """A doc sharing one 3-gram with the benchmark is flagged with the
+    right gram count; disjoint docs are clean; short docs (<3 tokens)
+    can never be contaminated."""
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "completely unrelated words appear here today friends"),
+         (3, "tiny doc"),
+         (4, "we met the quick brown fox yesterday evening")],
+        ["doc_id", "text"])
+    bench = spark.createDataFrame(
+        [(100, "a story about the quick brown fox and more")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           text.decontaminate(docs, bench, n=3).collect()}
+    assert out[1]["is_contaminated"] and out[4]["is_contaminated"]
+    # doc 1 shares 'the quick brown' and 'quick brown fox'
+    assert out[1]["n_hit_grams"] == 2
+    assert out[4]["n_hit_grams"] == 2
+    assert not out[2]["is_contaminated"] and out[2]["n_hit_grams"] == 0
+    assert not out[3]["is_contaminated"]
+
+
+def test_decontaminate_broadcast_plan(spark):
+    """The benchmark side must broadcast: the corpus-side probe is
+    map-only (no shuffle of doc grams into the join)."""
+    docs = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    plan = text.decontaminate(docs, docs, n=3) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
