@@ -260,15 +260,17 @@ def q_boilerplate_tokens(spark, sf_dir):
 
 
 def q_winnow_fingerprints(spark, sf_dir):
-    """Winnowing (MOSS) document fingerprints — rows-only (fingerprints are
-    engine xxhash64-based; no DuckDB twin), golden-tested in tests/."""
+    """Winnowing (MOSS) document fingerprints in portable md5_60 hash mode
+    (fingerprint sets are an exchange format — md5-of-gram reproduces in
+    any engine), exploded to (doc_id, fingerprint) rows.  EXACT DuckDB
+    oracle: k-gram hashes + min-per-sliding-window replayed with list
+    lambdas.  The xxhash64 fast path shares the same winnow kernel and is
+    golden-tested in tests/."""
     docs = _t(spark, sf_dir, "documents")
     from engine.text import winnow_fingerprints
-    out = winnow_fingerprints(docs)
+    out = winnow_fingerprints(docs, hash_fn="md5_60")
     return out.select("doc_id",
-                      F.size("fingerprints").cast("long").alias("n_fp"),
-                      F.array_min("fingerprints").alias("fp_min"),
-                      F.array_max("fingerprints").alias("fp_max"))
+                      F.explode("fingerprints").alias("fingerprint"))
 
 
 def q_cosine_near_dup(spark, sf_dir):
@@ -1728,6 +1730,39 @@ topk AS (
 SELECT 'n_exact' AS metric, CAST(COUNT(*) AS DOUBLE) AS value FROM topk
 UNION ALL
 SELECT 'recall_floor_0.80_met' AS metric, 1.0 AS value
+""",
+        # MOSS winnowing replayed exactly: positional 5-gram md5_60 hashes,
+        # min per 4-wide sliding window (DuckDB list slices are 1-based
+        # inclusive: hs[i:i+3] is 4 elements), distinct per doc; <= window
+        # grams degenerate to the single global min, 0 grams to no rows
+        "winnow_fingerprints": r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'),
+                             x -> x <> '') AS t
+  FROM documents
+),
+gr AS (
+  SELECT doc_id, list_transform(
+    range(1, greatest(len(t) - 4, 0) + 1),
+    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+         || ' ' || t[i+4]) AS g
+  FROM toks
+),
+h AS (
+  SELECT doc_id, list_transform(
+    g, x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)) AS hs
+  FROM gr
+),
+w AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+              WHEN len(hs) <= 4 THEN [list_min(hs)]
+              ELSE list_distinct(list_transform(
+                     range(1, len(hs) - 2), i -> list_min(hs[i:i+3])))
+         END AS fp
+  FROM h
+)
+SELECT doc_id, unnest(fp) AS fingerprint FROM w
 """,
         # planted exact-dup pairs: n_planted is real SQL; the found-frac /
         # max-hamming rows pin the deterministic pigeonhole invariant

@@ -402,10 +402,19 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def winnow_fingerprints(df: DataFrame, text_col: str = "text",
-                        k: int = 5, window: int = 4) -> DataFrame:
+                        k: int = 5, window: int = 4,
+                        hash_fn: str = "xxhash64") -> DataFrame:
     """Document fingerprints: k-gram rolling hashes, winnowed (min per
     sliding window, rightmost tie) — the classic MOSS scheme.  One Arrow
-    kernel over native k-gram hashes."""
+    kernel over native k-gram hashes.
+
+    ``hash_fn``: 'xxhash64' (default — fastest, JVM-native) or 'md5_60'
+    (first 60 bits of md5 of the gram string, parsed from hex).  md5_60
+    exists because fingerprint sets are an EXCHANGE format in the MOSS
+    scheme — corpora fingerprinted by different engines must agree — and
+    md5-of-gram is reproducible in any engine (the DuckDB oracle replays
+    it exactly; xxhash64's seed/variant is Spark-specific).  Same winnow
+    kernel either way; only the gram-hash expression changes."""
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def winnow_udf(hashes: pd.Series) -> pd.Series:
@@ -427,7 +436,15 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
     nt = F.size(toks)
     idx = F.when(nt >= k, F.sequence(F.lit(1), nt - (k - 1))) \
            .otherwise(F.array().cast("array<int>"))
-    grams = F.transform(idx, lambda i: F.xxhash64(
+    if hash_fn == "xxhash64":
+        def ghash(c):
+            return F.xxhash64(c)
+    elif hash_fn == "md5_60":
+        def ghash(c):
+            return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    grams = F.transform(idx, lambda i: ghash(
         F.concat_ws(" ", F.slice(toks, i, k))))
     return df.withColumn("fingerprints", winnow_udf(grams))
 
