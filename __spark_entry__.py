@@ -455,9 +455,15 @@ def q_decontaminate(spark, sf_dir):
 
 
 def q_simhash_near_pairs(spark, sf_dir):
+    """SimHash near-dup pairs in portable md5_60 token-hash mode (simhash
+    fingerprints are an exchange format; md5-of-token reproduces in any
+    engine).  EXACT DuckDB oracle: the 60 per-bit popcount votes, the
+    9-band pigeonhole bucket join, and the xor-popcount verify replayed
+    in SQL.  The xxhash64 fast path shares the same voting kernel and is
+    covered by `simhash_dup_recall` + pytest."""
     docs = _t(spark, sf_dir, "documents")
     from engine.text import simhash, simhash_near_pairs
-    return simhash_near_pairs(simhash(docs), max_hamming=8)
+    return simhash_near_pairs(simhash(docs, hash_fn="md5_60"), max_hamming=8)
 
 
 def q_simhash_dup_recall(spark, sf_dir):
@@ -1124,6 +1130,54 @@ eps AS (
 )"""
 
 
+def _simhash_oracle_sql(max_hamming: int = 8) -> str:
+    """Exact DuckDB replay of q_simhash_near_pairs (md5_60 mode): per-token
+    60-bit md5 hashes, the 60 per-bit popcount votes (bit b set iff
+    2*popcount > n_tokens — generated as 60 SUM expressions), the
+    pigeonhole band bucket join (band bounds shared with the engine via
+    engine.text._simhash_band_bounds), and the xor-popcount verify."""
+    from engine.text import _simhash_band_bounds
+    bands = max_hamming + 1
+    bit_terms = "\n       + ".join(
+        f"(CASE WHEN 2 * SUM((h >> {b}) & 1) > COUNT(*) "
+        f"THEN CAST({1 << b} AS BIGINT) ELSE 0 END)" for b in range(60))
+    band_rows = "\n  UNION ALL ".join(
+        f"SELECT doc_id, simhash, {i} AS bi, "
+        f"(simhash >> {lo}) & {(1 << w) - 1} AS k FROM sh0"
+        for i, (lo, w) in enumerate(_simhash_band_bounds(bands)))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text),
+         '\\W+'), x -> x <> '')) AS tok
+  FROM documents
+),
+th AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+  FROM toks
+),
+sh AS (
+  SELECT doc_id,
+       {bit_terms} AS simhash
+  FROM th GROUP BY doc_id
+),
+sh0 AS (
+  SELECT d.doc_id, COALESCE(s.simhash, 0) AS simhash
+  FROM documents d LEFT JOIN sh s USING (doc_id)
+),
+bandrows AS (
+  {band_rows}
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+         l.simhash AS ha, r.simhash AS hb
+  FROM bandrows l JOIN bandrows r
+    ON l.bi = r.bi AND l.k = r.k AND l.doc_id < r.doc_id
+)
+SELECT a, b, bit_count(xor(ha, hb)) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "w2_sessionize": f"""
@@ -1764,6 +1818,7 @@ w AS (
 )
 SELECT doc_id, unnest(fp) AS fingerprint FROM w
 """,
+        "simhash_near_pairs": _simhash_oracle_sql(max_hamming=8),
         # planted exact-dup pairs: n_planted is real SQL; the found-frac /
         # max-hamming rows pin the deterministic pigeonhole invariant
         # (identical token sequence => identical simhash => hamming 0 =>

@@ -235,15 +235,27 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """64-bit SimHash over token xxhash64s (one Arrow kernel).
+def simhash(df: DataFrame, text_col: str = "text",
+            hash_fn: str = "xxhash64") -> DataFrame:
+    """64-bit SimHash over token hashes (one Arrow kernel).
 
     Vectorized across the WHOLE batch like the minhash kernel: one flat
     token-hash array + per-doc offsets, bits unpacked once
     (np.unpackbits, little-endian => column b is bit b), per-doc per-bit
     popcounts via a single add.reduceat, bit b set iff
     2*popcount > n_tokens (the same score = sum(2*bit - 1) > 0 rule as
-    the per-doc form it replaces — values are identical)."""
+    the per-doc form it replaces — values are identical).
+
+    ``hash_fn``: 'xxhash64' (default — fastest, JVM-native) or 'md5_60'
+    (first 60 bits of md5 of the token, parsed from hex).  Like
+    winnowing's exchange mode, md5_60 exists because simhash
+    fingerprints are comparable ACROSS corpora only if both engines hash
+    tokens identically — md5-of-token reproduces anywhere (the DuckDB
+    oracle replays it bit-for-bit); xxhash64's seed/variant is
+    Spark-specific.  md5_60 yields a 60-bit simhash (fingerprint bits
+    60-63 are always 0 — token-hash bits above 59 never vote); hamming
+    distances and the pigeonhole banding guarantee are unaffected.  Same
+    voting kernel either way; only the token-hash expression changes."""
 
     @F.pandas_udf(T.LongType())
     def simhash_udf(hashes: pd.Series) -> pd.Series:
@@ -272,7 +284,15 @@ def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
             out[nz] = vals.view(np.int64)
         return pd.Series(out)
 
-    base = F.transform(tokens_col(F.col(text_col)), lambda t: F.xxhash64(t))
+    if hash_fn == "xxhash64":
+        def thash(t):
+            return F.xxhash64(t)
+    elif hash_fn == "md5_60":
+        def thash(t):
+            return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    base = F.transform(tokens_col(F.col(text_col)), thash)
     return df.withColumn("simhash", simhash_udf(base))
 
 
