@@ -344,6 +344,84 @@ def q_lang_id(spark, sf_dir):
     return lang_id(docs).select("doc_id", "lang_guess")
 
 
+def q_url_dedup(spark, sf_dir):
+    """URL canonicalization + latest-snapshot dedup: a synthetic snapshot
+    stream where every 3 consecutive event_ids are the SAME page under a
+    different spelling (case, unsorted query params, :443, www., trailing
+    slash, #fragment — one spelling class per eid%6), so canonicalization
+    must collapse them and the dedup must keep max (warc_ts, url).  EXACT
+    DuckDB oracle: same integer-arithmetic construction, same regexp
+    canonicalization chain, window-replayed arg-max."""
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id").cast("long")
+    gid = F.floor(eid / 3).cast("long")
+    h = F.pmod(gid, F.lit(10000)).cast("int")
+    p = gid.cast("int")
+    cls = F.pmod(eid, F.lit(6))
+    url = (
+        F.when(cls == 0, F.format_string(
+            "https://host%04d.example/p/%09d?a=1&b=2", h, p))
+        .when(cls == 1, F.format_string(
+            "HTTPS://HOST%04d.EXAMPLE/p/%09d?b=2&a=1", h, p))
+        .when(cls == 2, F.concat(
+            F.format_string("https://host%04d.example:443/p/%09d?a=1&b=2#s",
+                            h, p), F.pmod(eid, F.lit(5)).cast("string")))
+        .when(cls == 3, F.format_string(
+            "https://www.host%04d.example/p/%09d?a=1&b=2", h, p))
+        .when(cls == 4, F.format_string(
+            "https://host%04d.example/p/%09d/?a=1&b=2", h, p))
+        .otherwise(F.format_string(
+            "https://host%04d.example/p/%09d?b=2&a=1", h, p)))
+    pages = ev.select(url.alias("url"), F.col("ts").alias("warc_ts"))
+    from engine.text import dedup_snapshots
+    return dedup_snapshots(pages).select(
+        "canon_url", "n_snapshots", "url", "warc_ts")
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII scrub gate: plant emails / IPv4s / phone numbers with integer
+    arithmetic (docs are synthetic word-soup, so planting makes the oracle
+    REAL — mod-4 classes get one PII kind each, class 3 stays clean), then
+    redact.  EXACT DuckDB oracle: the same planted strings + the same
+    Java∩RE2 regexes replayed with regexp_replace(..., 'g') — redacted
+    text must match byte-for-byte and per-type counts exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    cls = F.pmod(d, F.lit(4))
+    planted = F.concat(
+        F.col("text"),
+        F.when(cls == 0, F.concat(
+            F.lit(" contact user"), d.cast("string"), F.lit("@mail"),
+            F.pmod(d, F.lit(7)).cast("string"), F.lit(".example now")))
+         .when(cls == 1, F.concat(
+            F.lit(" from 10."), F.pmod(d, F.lit(256)).cast("string"),
+            F.lit("."), F.pmod(d * 7, F.lit(256)).cast("string"),
+            F.lit("."), F.pmod(d, F.lit(100)).cast("string"),
+            F.lit(" logged")))
+         .when(cls == 2, F.concat(
+            F.lit(" call +1 "), (F.pmod(d, F.lit(900)) + 100).cast("string"),
+            F.lit(" "), (F.pmod(d * 3, F.lit(900)) + 100).cast("string"),
+            F.lit(" "), (F.pmod(d, F.lit(9000)) + 1000).cast("string"),
+            F.lit(" soon")))
+         .otherwise(F.lit("")))
+    from engine.text import redact_pii
+    corpus = docs.select("doc_id", planted.alias("text"))
+    return redact_pii(corpus).select(
+        "doc_id", "n_email", "n_ipv4", "n_phone", "text_redacted")
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher repetition signals (map-only whole-batch Arrow kernel).
+    EXACT DuckDB oracle: token/bigram mode + distinct counts via
+    unnest-group-count; fractions are single IEEE divisions of the same
+    integer counts in both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    from engine.text import repetition_stats
+    return repetition_stats(docs).select(
+        "doc_id", "n_tokens", "top_token_frac", "dup_token_frac",
+        "top_bigram_frac", "dup_bigram_frac")
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     from engine.text import ngram_jaccard_pairs
@@ -784,6 +862,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
+        "repetition_stats": q_repetition_stats,
+        "pii_redact": q_pii_redact,
+        "url_dedup": q_url_dedup,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "ann_topk_bruteforce": q_ann_topk_bruteforce,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1128,6 +1209,41 @@ eps AS (
     FROM orde WHERE pu IS NOT NULL AND su > pu
   )
 )"""
+
+
+def _pii_oracle_sql() -> str:
+    """Exact DuckDB replay of q_pii_redact: the planted-PII construction,
+    then the engine's redaction chain (patterns imported from
+    engine.text._PII_PATTERNS — one source of truth) with per-stage
+    counts BEFORE each stage's replace, exactly as redact_pii orders it."""
+    from engine.text import _PII_PATTERNS
+    planted = """
+  SELECT doc_id, text || CASE doc_id % 4
+    WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail'
+                || CAST(doc_id % 7 AS VARCHAR) || '.example now'
+    WHEN 1 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+                || CAST((doc_id * 7) % 256 AS VARCHAR) || '.'
+                || CAST(doc_id % 100 AS VARCHAR) || ' logged'
+    WHEN 2 THEN ' call +1 ' || CAST(doc_id % 900 + 100 AS VARCHAR) || ' '
+                || CAST((doc_id * 3) % 900 + 100 AS VARCHAR) || ' '
+                || CAST(doc_id % 9000 + 1000 AS VARCHAR) || ' soon'
+    ELSE '' END AS t0
+  FROM documents"""
+    ctes = [f"p0 AS ({planted})"]
+    counts = []
+    cur = "t0"
+    for i, (name, pat) in enumerate(_PII_PATTERNS):
+        nxt = f"t{i + 1}"
+        ctes.append(
+            f"p{i + 1} AS (SELECT doc_id, "
+            f"len(regexp_extract_all({cur}, '{pat}')) AS n_{name}, "
+            f"regexp_replace({cur}, '{pat}', '[{name.upper()}]', 'g') "
+            f"AS {nxt}, * EXCLUDE (doc_id, {cur}) FROM p{i})")
+        counts.append(f"CAST(n_{name} AS BIGINT) AS n_{name}")
+        cur = nxt
+    return (f"WITH {', '.join(ctes)}\n"
+            f"SELECT doc_id, {', '.join(counts)}, {cur} AS text_redacted "
+            f"FROM p{len(_PII_PATTERNS)}")
 
 
 def _simhash_oracle_sql(max_hamming: int = 8) -> str:
@@ -1621,6 +1737,47 @@ SELECT doc_id,
        ELSE 'fr' END AS lang_guess
 FROM sc
 """,
+        # Gopher repetition signals: token/bigram mode + distinct counts
+        # by unnest-group-count; each fraction is ONE IEEE division of the
+        # same integer counts the Spark kernel computes (bit-exact)
+        "repetition_stats": r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'),
+                             x -> x <> '') AS t
+  FROM documents
+),
+base AS (
+  SELECT doc_id, t, len(t) AS n, len(list_distinct(t)) AS nd,
+         CASE WHEN len(t) >= 2
+              THEN list_transform(range(1, len(t)),
+                                  i -> t[i] || ' ' || t[i+1])
+              ELSE CAST([] AS VARCHAR[]) END AS bg
+  FROM toks
+),
+tc AS (
+  SELECT doc_id, x, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(t) AS x FROM base) GROUP BY doc_id, x
+),
+tt AS (SELECT doc_id, MAX(c) AS top FROM tc GROUP BY doc_id),
+bc AS (
+  SELECT doc_id, x, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(bg) AS x FROM base) GROUP BY doc_id, x
+),
+bt AS (SELECT doc_id, MAX(c) AS topbg, COUNT(*) AS ndbg
+       FROM bc GROUP BY doc_id)
+SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_tokens,
+  CASE WHEN b.n > 0 THEN CAST(t.top AS DOUBLE) / CAST(b.n AS DOUBLE)
+       ELSE 0.0 END AS top_token_frac,
+  CASE WHEN b.n > 0 THEN CAST(b.n - b.nd AS DOUBLE) / CAST(b.n AS DOUBLE)
+       ELSE 0.0 END AS dup_token_frac,
+  CASE WHEN len(b.bg) > 0
+       THEN CAST(bt.topbg AS DOUBLE) / CAST(len(b.bg) AS DOUBLE)
+       ELSE 0.0 END AS top_bigram_frac,
+  CASE WHEN len(b.bg) > 0
+       THEN CAST(len(b.bg) - bt.ndbg AS DOUBLE) / CAST(len(b.bg) AS DOUBLE)
+       ELSE 0.0 END AS dup_bigram_frac
+FROM base b LEFT JOIN tt t USING (doc_id) LEFT JOIN bt USING (doc_id)
+""",
         "decontaminate": r"""
 WITH toks AS (
   SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'),
@@ -1819,6 +1976,81 @@ w AS (
 SELECT doc_id, unnest(fp) AS fingerprint FROM w
 """,
         "simhash_near_pairs": _simhash_oracle_sql(max_hamming=8),
+        "pii_redact": _pii_oracle_sql(),
+        # same messy-spelling construction, same canonicalization regex
+        # chain (Java∩RE2), latest-snapshot pick replayed as a window
+        "url_dedup": r"""
+WITH raw AS (
+  SELECT CAST(event_id AS BIGINT) AS eid, ts,
+         CAST(event_id AS BIGINT) // 3 AS gid
+  FROM events
+),
+ms AS (
+  SELECT eid, ts, CAST(gid % 10000 AS INT) AS h, CAST(gid AS INT) AS p
+  FROM raw
+),
+msy AS (
+  SELECT ts AS warc_ts,
+    CASE eid % 6
+      WHEN 0 THEN printf('https://host%04d.example/p/%09d?a=1&b=2', h, p)
+      WHEN 1 THEN printf('HTTPS://HOST%04d.EXAMPLE/p/%09d?b=2&a=1', h, p)
+      WHEN 2 THEN printf('https://host%04d.example:443/p/%09d?a=1&b=2#s',
+                         h, p) || CAST(eid % 5 AS VARCHAR)
+      WHEN 3 THEN printf('https://www.host%04d.example/p/%09d?a=1&b=2', h, p)
+      WHEN 4 THEN printf('https://host%04d.example/p/%09d/?a=1&b=2', h, p)
+      ELSE printf('https://host%04d.example/p/%09d?b=2&a=1', h, p)
+    END AS url
+  FROM ms
+),
+cn AS (
+  SELECT url, warc_ts,
+         regexp_replace(url, '#.*$', '') AS nofrag,
+         regexp_extract(regexp_replace(url, '#.*$', ''), '\?(.*)$', 1) AS q,
+         regexp_replace(regexp_replace(url, '#.*$', ''), '\?.*$', '') AS pre
+  FROM msy
+),
+cn2 AS (
+  SELECT url, warc_ts, q,
+         lower(regexp_extract(pre, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+           AS scheme,
+         regexp_replace(pre, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+  FROM cn
+),
+cn3 AS (
+  SELECT url, warc_ts, q, scheme,
+         regexp_replace(lower(regexp_extract(rest, '^[^/]*', 0)),
+                        '^www\.', '') AS host0,
+         regexp_replace(regexp_replace(rest, '^[^/]*', ''), '/+$', '')
+           AS path
+  FROM cn2
+),
+cn4 AS (
+  SELECT url, warc_ts,
+         scheme || '://'
+         || CASE WHEN scheme = 'http'
+                 THEN regexp_replace(host0, ':80$', '')
+                 WHEN scheme = 'https'
+                 THEN regexp_replace(host0, ':443$', '')
+                 ELSE host0 END
+         || path
+         || CASE WHEN len(list_filter(string_split(q, '&'),
+                                      x -> x <> '')) > 0
+                 THEN '?' || array_to_string(
+                        list_sort(list_filter(string_split(q, '&'),
+                                              x -> x <> '')), '&')
+                 ELSE '' END AS canon_url
+  FROM cn3
+),
+sel AS (
+  SELECT canon_url, url, warc_ts,
+         COUNT(*) OVER (PARTITION BY canon_url) AS n_snapshots,
+         ROW_NUMBER() OVER (PARTITION BY canon_url
+                            ORDER BY warc_ts DESC, url DESC) AS rn
+  FROM cn4
+)
+SELECT canon_url, CAST(n_snapshots AS BIGINT) AS n_snapshots, url, warc_ts
+FROM sel WHERE rn = 1
+""",
         # planted exact-dup pairs: n_planted is real SQL; the found-frac /
         # max-hamming rows pin the deterministic pigeonhole invariant
         # (identical token sequence => identical simhash => hamming 0 =>

@@ -417,6 +417,165 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
             .withColumn("quality", score))
 
 
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form of an absolute http(s) URL, all native regexp/array
+    exprs (map-only, codegen; the Java∩RE2 regex subset so DuckDB oracles
+    replay it): drop the fragment, lower-case scheme+host, strip a leading
+    ``www.``, strip the scheme's default port (:80 http / :443 https),
+    collapse trailing path slashes (root ``/`` ≡ empty), sort query
+    params.  Crawl snapshot streams reference the same page under many
+    spellings; canonicalization is what makes per-URL dedup real."""
+    nofrag = F.regexp_replace(url, r"#.*$", "")
+    q = F.regexp_extract(nofrag, r"\?(.*)$", 1)
+    pre = F.regexp_replace(nofrag, r"\?.*$", "")
+    scheme = F.lower(F.regexp_extract(pre, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(pre, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    hostport = F.lower(F.regexp_extract(rest, r"^([^/]*)", 0))
+    host = F.regexp_replace(hostport, r"^www\.", "")
+    host = F.when(scheme == "http", F.regexp_replace(host, r":80$", "")) \
+            .when(scheme == "https", F.regexp_replace(host, r":443$", "")) \
+            .otherwise(host)
+    path = F.regexp_replace(F.regexp_replace(rest, r"^[^/]*", ""),
+                            r"/+$", "")
+    params = F.array_sort(F.filter(F.split(q, "&"), lambda p: p != ""))
+    qpart = F.when(F.size(params) > 0,
+                   F.concat(F.lit("?"), F.array_join(params, "&"))) \
+             .otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, path, qpart)
+
+
+def dedup_snapshots(pages: DataFrame, url_col: str = "url",
+                    ts_col: str = "warc_ts") -> DataFrame:
+    """Keep the latest snapshot per canonical URL (tiebreak: max raw url)
+    — (canon_url, n_snapshots, <all columns of the kept row>).
+
+    100-TB shape: ONE groupBy(canon_url) with `max_by(row_struct,
+    (ts, url))` + count — both map-side combinable, so each mapper emits
+    one candidate row per canonical url it saw and only those ride the
+    exchange.  The window-function formulation (row_number over
+    canon_url) would shuffle EVERY snapshot; this shuffles at most one
+    per (mapper, url)."""
+    all_struct = F.struct(*[F.col(c) for c in pages.columns])
+    key = F.struct(F.col(ts_col), F.col(url_col))
+    g = (pages.withColumn("canon_url", canonicalize_url(F.col(url_col)))
+         .groupBy("canon_url")
+         .agg(F.max_by(all_struct, key).alias("_kept"),
+              F.count(F.lit(1)).alias("n_snapshots")))
+    return g.select("canon_url", "n_snapshots", "_kept.*")
+
+
+# PII patterns: valid in BOTH Java regex (Spark codegen) and RE2 (DuckDB)
+# — no lookarounds/backrefs — so the redaction is oracle-replayable
+# byte-for-byte.  Order matters (emails before bare digit runs).
+_PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("phone", r"\+\d{1,3}[ -]\d{3}[ -]\d{3}[ -]\d{4}"),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str = "text",
+               out_col: str = "text_redacted") -> DataFrame:
+    """Redact emails / IPv4 addresses / international-format phone numbers
+    to ``[TYPE]`` tokens, with per-type match counts — the standard
+    pre-training scrub pass (native regexp exprs, MAP-ONLY, whole-stage
+    codegen; patterns restricted to the Java∩RE2 regex subset so the
+    DuckDB oracle reproduces the redacted bytes exactly)."""
+    out = df
+    redacted = F.col(text_col)
+    for name, pat in _PII_PATTERNS:
+        out = out.withColumn(f"n_{name}",
+                             F.regexp_count(redacted, F.lit(pat)).cast("long"))
+        redacted = F.regexp_replace(redacted, pat, f"[{name.upper()}]")
+    return out.withColumn(out_col, redacted)
+
+
+def _segment_mode_distinct(flat: np.ndarray, seg: np.ndarray, n_segs: int):
+    """Per-segment (distinct count, mode count) over a flat int64 value
+    array with a sorted-segment-id array — one lexsort + run-length pass,
+    no per-segment Python loop.  Returns two int64 arrays of len n_segs
+    (0 where a segment has no values)."""
+    dis = np.zeros(n_segs, dtype=np.int64)
+    top = np.zeros(n_segs, dtype=np.int64)
+    if len(flat) == 0:
+        return dis, top
+    order = np.lexsort((flat, seg))
+    fs, ss = flat[order], seg[order]
+    newrun = np.empty(len(fs), dtype=bool)
+    newrun[0] = True
+    newrun[1:] = (fs[1:] != fs[:-1]) | (ss[1:] != ss[:-1])
+    run_starts = np.flatnonzero(newrun)
+    run_len = np.diff(np.append(run_starts, len(fs)))
+    run_seg = ss[run_starts]
+    newseg = np.empty(len(run_starts), dtype=bool)
+    newseg[0] = True
+    newseg[1:] = run_seg[1:] != run_seg[:-1]
+    seg_starts = np.flatnonzero(newseg)
+    seg_ids = run_seg[seg_starts]
+    dis[seg_ids] = np.diff(np.append(seg_starts, len(run_starts)))
+    top[seg_ids] = np.maximum.reduceat(run_len, seg_starts)
+    return dis, top
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals per document: most-frequent-
+    token fraction, duplicate-token fraction, most-frequent-bigram fraction,
+    duplicate-bigram fraction (Rae et al. 2021 §A1.1 use these to drop
+    machine-generated / boilerplate-heavy pages).
+
+    MAP-ONLY: one whole-batch Arrow kernel over token xxhash64s (flat
+    array + offsets + lexsort run-length — no per-doc Python loop, no
+    corpus shuffle; the 100-TB posture for a per-doc signal).  Counts via
+    64-bit token hashes equal string counts absent an intra-doc hash
+    collision (~n²/2⁶⁴).  Fractions are single IEEE divisions of integer
+    counts — the DuckDB oracle reproduces them bit-for-bit."""
+
+    fields = ["n_tok", "n_dis", "top", "n_bg", "n_dis_bg", "top_bg"]
+
+    @F.pandas_udf(T.StructType([T.StructField(f, T.LongType())
+                                for f in fields]))
+    def rep_udf(hashes: pd.Series) -> pd.DataFrame:
+        n = len(hashes)
+        lens = np.fromiter((0 if hs is None else len(hs) for hs in hashes),
+                           dtype=np.int64, count=n)
+        nz = np.flatnonzero(lens)
+        if len(nz):
+            flat = np.concatenate([
+                np.asarray(hashes.iloc[i], dtype=np.int64) for i in nz])
+        else:
+            flat = np.empty(0, dtype=np.int64)
+        doc = np.repeat(np.arange(n, dtype=np.int64), lens)
+        dis, top = _segment_mode_distinct(flat, doc, n)
+        keep = np.flatnonzero(doc[1:] == doc[:-1]) if len(flat) else \
+            np.empty(0, dtype=np.int64)
+        with np.errstate(over="ignore"):
+            bg = (flat[keep] * np.int64(1000003)) ^ flat[keep + 1]
+        dis_bg, top_bg = _segment_mode_distinct(bg, doc[keep], n)
+        return pd.DataFrame({
+            "n_tok": lens, "n_dis": dis, "top": top,
+            "n_bg": np.maximum(lens - 1, 0), "n_dis_bg": dis_bg,
+            "top_bg": top_bg})
+
+    base = F.transform(tokens_col(F.col(text_col)), lambda t: F.xxhash64(t))
+    st = rep_udf(base)
+    out = df.withColumn("_r", st)
+    n = F.col("_r.n_tok").cast("double")
+    nbg = F.col("_r.n_bg").cast("double")
+
+    def frac(num, den):
+        return F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0))
+
+    return (out
+            .withColumn("n_tokens", F.col("_r.n_tok"))
+            .withColumn("top_token_frac", frac(F.col("_r.top"), n))
+            .withColumn("dup_token_frac",
+                        frac(F.col("_r.n_tok") - F.col("_r.n_dis"), n))
+            .withColumn("top_bigram_frac", frac(F.col("_r.top_bg"), nbg))
+            .withColumn("dup_bigram_frac",
+                        frac(F.col("_r.n_bg") - F.col("_r.n_dis_bg"), nbg))
+            .drop("_r"))
+
+
 # ---------------------------------------------------------------------------
 # winnowing fingerprints
 # ---------------------------------------------------------------------------

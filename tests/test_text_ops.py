@@ -398,3 +398,114 @@ def test_decontaminate_broadcast_plan(spark):
     plan = text.decontaminate(docs, docs, n=3) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_repetition_stats_known_values(spark):
+    """Hand-computed signals: 'a a a b' -> top 3/4, dup (4-2)/4; bigrams
+    ('a a','a a','a b') -> top 2/3, dup (3-2)/3; plus empty / single-token
+    / all-same edge cases (no bigrams -> 0.0; n=0 -> all 0.0)."""
+    rows = [(0, "a a a b"), (1, ""), (2, "word"), (3, "x x x x")]
+    out = {r["doc_id"]: r for r in text.repetition_stats(
+        spark.createDataFrame(rows, ["doc_id", "text"])).collect()}
+    r0 = out[0]
+    assert r0["n_tokens"] == 4
+    assert r0["top_token_frac"] == 3 / 4
+    assert r0["dup_token_frac"] == 2 / 4
+    assert r0["top_bigram_frac"] == 2 / 3
+    assert r0["dup_bigram_frac"] == 1 / 3
+    assert out[1]["n_tokens"] == 0
+    assert all(out[1][c] == 0.0 for c in
+               ("top_token_frac", "dup_token_frac", "top_bigram_frac",
+                "dup_bigram_frac"))
+    r2 = out[2]
+    assert (r2["n_tokens"], r2["top_token_frac"], r2["top_bigram_frac"]) \
+        == (1, 1.0, 0.0)
+    r3 = out[3]
+    assert r3["top_token_frac"] == 1.0 and r3["dup_token_frac"] == 3 / 4
+    assert r3["top_bigram_frac"] == 1.0 and r3["dup_bigram_frac"] == 2 / 3
+
+
+def test_repetition_stats_map_only_plan(spark):
+    """A per-doc signal must not shuffle the corpus: no Exchange in the
+    executed plan."""
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    plan = text.repetition_stats(docs) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_redact_pii_known_strings(spark):
+    """Known inputs: multiple emails, an IPv4, a phone; counts and the
+    redacted bytes are hand-checked.  Sequential order (email -> ipv4 ->
+    phone) means an email is gone before the ipv4 pass sees the text."""
+    rows = [
+        (0, "mail a@b.com and c.d+x@e.org end"),
+        (1, "server 192.168.0.1 up"),
+        (2, "call +44 123 456 7890 today"),
+        (3, "clean text only"),
+    ]
+    out = {r["doc_id"]: r for r in text.redact_pii(
+        spark.createDataFrame(rows, ["doc_id", "text"])).collect()}
+    assert out[0]["n_email"] == 2 and out[0]["n_ipv4"] == 0
+    assert out[0]["text_redacted"] == "mail [EMAIL] and [EMAIL] end"
+    assert out[1]["n_ipv4"] == 1
+    assert out[1]["text_redacted"] == "server [IPV4] up"
+    assert out[2]["n_phone"] == 1
+    assert out[2]["text_redacted"] == "call [PHONE] today"
+    assert out[3]["text_redacted"] == "clean text only"
+    assert (out[3]["n_email"], out[3]["n_ipv4"], out[3]["n_phone"]) \
+        == (0, 0, 0)
+
+
+def test_redact_pii_map_only_plan(spark):
+    docs = spark.createDataFrame([(1, "a@b.co")], ["doc_id", "text"])
+    plan = text.redact_pii(docs) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_canonicalize_url_variants(spark):
+    """All messy spellings of one page collapse to the same canonical
+    form; genuinely different pages do not."""
+    variants = [
+        "https://host0001.example/p/000000007?a=1&b=2",
+        "HTTPS://HOST0001.EXAMPLE/p/000000007?b=2&a=1",
+        "https://host0001.example:443/p/000000007?a=1&b=2#frag",
+        "https://www.host0001.example/p/000000007?a=1&b=2",
+        "https://host0001.example/p/000000007/?a=1&b=2",
+        "https://host0001.example/p/000000007?b=2&a=1",
+    ]
+    others = [
+        "https://host0001.example/p/000000008?a=1&b=2",   # other page
+        "http://host0001.example:443/p/000000007?a=1&b=2",  # :443 not http's default
+        "https://host0001.example/p/000000007?a=2&b=2",   # other params
+    ]
+    df = spark.createDataFrame([(u,) for u in variants + others], ["url"])
+    out = df.select(text.canonicalize_url(F.col("url")).alias("c")) \
+        .collect()
+    canon = [r["c"] for r in out]
+    want = "https://host0001.example/p/000000007?a=1&b=2"
+    assert all(c == want for c in canon[:6]), canon[:6]
+    assert len(set(canon[6:])) == 3 and want not in canon[6:]
+    assert canon[7] == "http://host0001.example:443/p/000000007?a=1&b=2"
+
+
+def test_dedup_snapshots_latest_and_partial_agg(spark):
+    """Keeps max (warc_ts, url) per canonical url with snapshot counts;
+    the plan is ONE exchange with a partial (map-side) aggregate below it
+    — snapshots combine before the shuffle."""
+    import datetime as dt
+    t = lambda s: dt.datetime(2024, 1, s)
+    rows = [("https://a.example/x", t(1)), ("https://A.example/x#f", t(5)),
+            ("https://a.example/x/", t(3)), ("https://b.example/y", t(2))]
+    df = spark.createDataFrame(rows, ["url", "warc_ts"])
+    out = {r["canon_url"]: r for r in text.dedup_snapshots(df).collect()}
+    a = out["https://a.example/x"]
+    assert a["n_snapshots"] == 3 and a["warc_ts"] == t(5)
+    assert a["url"] == "https://A.example/x#f"
+    assert out["https://b.example/y"]["n_snapshots"] == 1
+    plan = text.dedup_snapshots(df) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "partial_max_by" in plan or "partial_count" in plan \
+        or plan.lower().count("aggregate") >= 2
