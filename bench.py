@@ -83,11 +83,19 @@ def run_suite(spark, sf_dir: str) -> tuple[dict, dict, float]:
     gp.unpersist()
     locations.unpersist()
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # The sf tables are single small parquet files -> Spark reads them as
+    # ONE split, serializing all per-doc map work on one core.  A real
+    # corpus arrives as millions of splits; repartition to restore the
+    # multi-split layout the operators are designed for (the shuffle is
+    # ~MBs, timed inside the stage so it's not hidden).
+    n_split = max(2 * int(spark.sparkContext.defaultParallelism), 2)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .repartition(n_split)
     with stage("dedup_minhash"):
         text.dedup_minhash(docs, threshold=0.5).count()
     with stage("ann_topk"):
-        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+            .repartition(n_split)
         similarity.ann_cosine_topk(emb, k=5, dim=64, bits=12, bands=6).count()
     with stage("ann_topk_ivf"):
         similarity.ivf_cosine_topk(emb, k=5, n_centroids=32, nprobe=8,

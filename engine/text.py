@@ -123,9 +123,18 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
 
 def lsh_candidate_pairs(signed: DataFrame, id_col: str = "doc_id",
                         bands: int = 16) -> DataFrame:
-    """Band the signature, bucket-join: pairs sharing >= 1 band bucket.
-    Returns distinct (a, b) with a < b.  This is the scale path: a shuffle
-    on (band, bucket_hash), never an O(n^2) cross join."""
+    """Band the signature, bucket by (band, bucket-hash): distinct (a, b)
+    pairs (a < b) sharing >= 1 band bucket — never an O(n^2) cross join.
+
+    Shape: ONE evaluation of the signature subplan and ONE corpus-side
+    shuffle — groupBy(band, bucket) -> sorted id list -> per-bucket
+    ordered pairs via a double generator (posexplode + tail slice).  The
+    textbook self-join form evaluates the signature subplan TWICE (once
+    per join side, Spark can't reuse an aliased branch) and shuffles it
+    twice; measured 2x slower at sf0.1.  Per-output-row memory here is
+    O(bucket) and total streamed work O(sum bucket^2) — the same
+    asymptotics the self-join streams through its hash join; run exact
+    dedup first so identical docs can't form mega-buckets."""
     sigs = signed.select(id_col, "sig")
     r = F.floor(F.size("sig") / bands).cast("int")
     banded = (sigs.select(
@@ -134,11 +143,14 @@ def lsh_candidate_pairs(signed: DataFrame, id_col: str = "doc_id",
             F.sequence(F.lit(0), F.lit(bands - 1)),
             lambda bnd: F.hash(F.slice(F.col("sig"), bnd * r + 1, r), bnd)))
         .alias("band", "bucket")))
-    a = banded.select(F.col(id_col).alias("a"), "band", "bucket")
-    b = banded.select(F.col(id_col).alias("b"), "band", "bucket")
-    return (a.join(b, ["band", "bucket"])
-            .filter(F.col("a") < F.col("b"))
-            .select("a", "b").distinct())
+    buckets = (banded.groupBy("band", "bucket")
+               .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
+               .filter(F.size("ids") > 1))
+    lefts = buckets.select("ids", F.posexplode("ids").alias("i", "a"))
+    tail = F.slice(F.col("ids"), F.col("i") + 2,
+                   F.greatest(F.size("ids") - F.col("i") - 1, F.lit(0)))
+    return (lefts.select(F.col("a"), F.explode(tail).alias("b"))
+            .distinct())
 
 
 def jaccard_verify(df: DataFrame, pairs: DataFrame,
@@ -150,7 +162,11 @@ def jaccard_verify(df: DataFrame, pairs: DataFrame,
     (array<long>, ~8 B/shingle) rather than the shingle strings
     (~KB/pair): hashing a distinct set is injective barring a 2^-64
     per-pair collision, so |intersect| and |union| — hence Jaccard — are
-    identical, and the verify shuffle shrinks ~4x."""
+    identical, and the verify shuffle shrinks ~4x.  (A left-semi
+    prefilter of df to candidate ids was tried and REVERTED: without an
+    exchange to reuse, it re-evaluates the whole candidate subplan once
+    per reference — measured 2.5x slower than just re-shingling the
+    corpus map-side under the broadcast pair join.)"""
     sh = df.select(F.col(id_col),
                    F.transform(shingles_col(F.col(text_col), shingle_n),
                                lambda s: F.xxhash64(s)).alias("sh"))
