@@ -108,13 +108,24 @@ def _cosine_batch(va: pd.Series, vb: pd.Series, na: pd.Series,
 
 def _lsh_candidate_sims(df: DataFrame, dim: int, bits: int, bands: int,
                         id_col: str, vec_col: str, seed: int) -> DataFrame:
-    """LSH candidate pairs (shared >= 1 band bucket) with exact cosine.
+    """LSH candidate pairs (shared >= 1 band bucket) with exact cosine —
+    UNDIRECTED: one row per pair, a < b (cosine is symmetric; callers
+    needing both directions mirror AFTER the refine, halving the heavy
+    stages — see ann_cosine_topk).
 
-    Scale shape: the band bucket-join and the candidate dedup move BARE ids
+    Scale shape: the band bucketing and candidate dedup move BARE ids
     (16 B/pair) — vectors are joined back exactly once per side AFTER the
     distinct.  Shipping the ~1 KB embeddings through the bands-fold
     duplicated exchange + distinct was the single heaviest shuffle in the
     round-1 bench (ann_topk 124 s; 2.2x the whole geo pipeline).
+
+    Deliberately the SELF-JOIN form, unlike text.lsh_candidate_pairs's
+    bucket-grouping: sign-LSH buckets are coarse (2^(bits/bands) buckets
+    per band — thousands of ids each at small r), and a collect_list +
+    per-row array slice over mega-buckets concentrates O(bucket^2) work
+    in a handful of tasks (measured 4x SLOWER at sf0.1); the distributed
+    hash join streams the same pairs across all cores.  MinHash dedup
+    buckets are near-dup-only (tiny), which is why grouping wins there.
     """
     bk = lsh_sign_buckets(df.select(id_col, vec_col), dim, bits, bands,
                           id_col, vec_col, seed)
@@ -122,7 +133,7 @@ def _lsh_candidate_sims(df: DataFrame, dim: int, bits: int, bands: int,
         F.col(id_col), F.posexplode("_buckets").alias("band", "bucket"))
     l = exploded.select(F.col(id_col).alias("a"), "band", "bucket")
     r = exploded.select(F.col(id_col).alias("b"), "band", "bucket")
-    pairs = (l.join(r, ["band", "bucket"]).filter(F.col("a") != F.col("b"))
+    pairs = (l.join(r, ["band", "bucket"]).filter(F.col("a") < F.col("b"))
              .select("a", "b").distinct())
     nn = with_norm(df, vec_col).select(F.col(id_col), "_v", "_norm")
     va = nn.select(F.col(id_col).alias("a"), F.col("_v").alias("va"),
@@ -140,10 +151,16 @@ def ann_cosine_topk(df: DataFrame, k: int = 5, dim: int = 64,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     seed: int = 42) -> DataFrame:
     """ANN top-k: hyperplane-LSH candidates (union over bands) + exact
-    cosine refine.  Recall vs brute force is property-tested."""
+    cosine refine.  Recall vs brute force is property-tested.
+
+    The refine runs once per UNDIRECTED pair; both directions are emitted
+    by mirroring the refined (a, b, sim) rows — not by re-joining vectors
+    — before the per-query top-k window."""
     sims = _lsh_candidate_sims(df, dim, bits, bands, id_col, vec_col, seed)
+    both = sims.unionByName(sims.select(
+        F.col("b").alias("a"), F.col("a").alias("b"), "sim"))
     w = Window.partitionBy("a").orderBy(F.col("sim").desc(), F.col("b").asc())
-    return (sims.withColumn("rk", F.row_number().over(w))
+    return (both.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= k)
             .select("a", "b", F.round("sim", 4).alias("sim"), "rk"))
 
