@@ -330,6 +330,12 @@ def q_text_token_stats(spark, sf_dir):
     return token_stats(docs).select("doc_id", "n_ws_tokens", "n_word_tokens")
 
 
+def q_vocab_topk(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    from engine.text import vocab_topk
+    return vocab_topk(docs, k=100).select("token", "n", "rank")
+
+
 def q_text_quality(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     from engine.text import quality_score
@@ -860,6 +866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_sessions": q_geo_sessions,
         "j1_knn_assign": q_j1_knn_assign,
         "text_token_stats": q_text_token_stats,
+        "vocab_topk": q_vocab_topk,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "repetition_stats": q_repetition_stats,
@@ -1672,6 +1679,21 @@ SELECT p.url, CAST(b.location_id AS BIGINT) AS location_id
 FROM pts p LEFT JOIN (SELECT url, location_id FROM best WHERE rk = 1) b
 USING (url)
 """.replace("%%", "%"),
+        "vocab_topk": r"""
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\W+'),
+                            x -> x <> '')) AS token
+  FROM documents
+),
+counts AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY token
+)
+SELECT token, n,
+       CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS BIGINT) AS rank
+FROM counts
+ORDER BY n DESC, token ASC
+LIMIT 100
+""",
         "text_token_stats": r"""
 SELECT doc_id,
        CAST(len(list_filter(regexp_split_to_array(text, '\s+'),

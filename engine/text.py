@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -431,6 +431,24 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
             .withColumn("stop_ratio", stop_ratio)
             .withColumn("mean_word_len", mean_wl)
             .withColumn("quality", score))
+
+
+def vocab_topk(df: DataFrame, text_col: str = "text",
+               k: int = 100) -> DataFrame:
+    """Corpus-wide exact top-k vocabulary: (token, n, rank), rank by
+    (count desc, token asc).
+
+    100-TB shape: explode -> two-stage count (map-side partial agg — the
+    exchange carries at most |per-mapper vocab| (token, count) rows, never
+    the corpus) -> orderBy+limit, which Spark executes as
+    TakeOrderedAndProject (per-partition top-k heaps, k rows to the
+    driver-side merge — no global sort).  The final rank numbering runs on
+    k rows only."""
+    toks = df.select(F.explode(tokens_col(F.col(text_col))).alias("token"))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    top = counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(k)
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
 def canonicalize_url(url: Column) -> Column:

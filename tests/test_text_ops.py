@@ -509,3 +509,30 @@ def test_dedup_snapshots_latest_and_partial_agg(spark):
     assert plan.count("Exchange") == 1
     assert "partial_max_by" in plan or "partial_count" in plan \
         or plan.lower().count("aggregate") >= 2
+
+
+def test_vocab_topk_exact_and_plan(spark):
+    """Exact corpus top-k vocab vs an independent Python count, with
+    deterministic (count desc, token asc) tiebreak; the plan takes the
+    top-k via TakeOrderedAndProject (per-partition heaps), not a global
+    sort of the vocabulary."""
+    from collections import Counter
+    import re as _re
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i:02d}" for i in range(30)]
+    docs = [" ".join(rng.choice(vocab, size=rng.integers(1, 40)))
+            for _ in range(60)]
+    pdf = pd.DataFrame({"doc_id": range(60), "text": docs})
+    out = text.vocab_topk(spark.createDataFrame(pdf), k=10).collect()
+    cnt = Counter(t for d in docs
+                  for t in _re.split(r"\W+", d.lower()) if t)
+    expect = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = sorted(((r["token"], r["n"]) for r in out),
+                 key=lambda kv: (-kv[1], kv[0]))
+    assert got == expect
+    ranks = {r["token"]: r["rank"] for r in out}
+    for i, (tok, _) in enumerate(expect, start=1):
+        assert ranks[tok] == i
+    plan = text.vocab_topk(spark.createDataFrame(pdf), k=10) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
