@@ -441,6 +441,25 @@ def q_ann_topk_bruteforce(spark, sf_dir):
     return out.select("a", "b", F.col("rk").cast("long").alias("rk"))
 
 
+# k-means driver params — single source of truth for the Spark query AND
+# the chained-SQL oracle below.
+_KMEANS_K = 8
+_KMEANS_ITERS = 4
+
+
+def q_kmeans(spark, sf_dir):
+    """Lloyd k-means over the embeddings table: map-only literal-closure
+    assignment + k*dim-row partial-agg update per round, exact
+    integer-quantized arithmetic (engine/clustering.py docstring).  The
+    oracle replays all _KMEANS_ITERS rounds as chained SQL — every
+    assign/update decision is bit-identical cross-engine because sums
+    stay in the exact-integer double domain and dots fold left-to-right
+    in both engines."""
+    emb = _t(spark, sf_dir, "embeddings")
+    from engine.clustering import kmeans_lloyd
+    return kmeans_lloyd(emb, k=_KMEANS_K, iters=_KMEANS_ITERS)
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash LSH near-dup with an EXACT oracle: candidates are
     LSH-generated (engine hashing) but verification is exact shingle-set
@@ -874,6 +893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "ann_topk_bruteforce": q_ann_topk_bruteforce,
+        "kmeans_assign": q_kmeans,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "simhash_near_pairs": q_simhash_near_pairs,
         "simhash_dup_recall": q_simhash_dup_recall,
@@ -1299,6 +1319,56 @@ cand AS (
 SELECT a, b, bit_count(xor(ha, hb)) AS hamming
 FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}
 """
+
+
+def _kmeans_chain_sql(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS,
+                      scale: float = 1024.0) -> str:
+    """Lloyd k-means unrolled as chained SQL rounds (assign a{i} under
+    centroids c{i}; means m{i+1} -> c{i+1} with empty clusters keeping
+    the previous centroid).  Exactness contract: engine/clustering.py —
+    quantized integer-valued doubles make every sum order-independent,
+    and both engines fold dot products strictly left-to-right
+    (Spark F.aggregate == DuckDB list_reduce)."""
+    dotxc = ("list_reduce(list_transform(list_zip(v.e, c.e), "
+             "s -> s[1] * s[2]), (a, b) -> a + b)")
+    parts = [f"""q AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> floor(x * {scale!r} + 0.5)) AS e
+  FROM embeddings
+),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cl, e
+  FROM (SELECT vec_id, e FROM q ORDER BY vec_id LIMIT {k})
+)"""]
+    for i in range(iters):
+        parts.append(f"""cc{i} AS (
+  SELECT cl, e,
+         list_reduce(list_transform(e, x -> x * x), (a, b) -> a + b) AS cc
+  FROM c{i}
+),
+a{i} AS (
+  SELECT vec_id, e, cl FROM (
+    SELECT v.vec_id, v.e, c.cl,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY c.cc - 2.0 * {dotxc} ASC, c.cl ASC) AS rk
+    FROM q v CROSS JOIN cc{i} c)
+  WHERE rk = 1
+)""")
+        if i < iters - 1:
+            parts.append(f"""m{i + 1} AS (
+  SELECT cl, dim, sum(x) / count(*) AS v
+  FROM (SELECT cl, generate_subscripts(e, 1) AS dim, unnest(e) AS x
+        FROM a{i})
+  GROUP BY cl, dim
+),
+c{i + 1} AS (
+  SELECT p.cl, CASE WHEN mm.e IS NULL THEN p.e ELSE mm.e END AS e
+  FROM c{i} p LEFT JOIN
+       (SELECT cl, list(v ORDER BY dim) AS e FROM m{i + 1} GROUP BY cl) mm
+       USING (cl)
+)""")
+    return ",\n".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2209,6 +2279,11 @@ SELECT host, day,
        COUNT(DISTINCT CASE WHEN kind = 'activity' THEN seq END)
          AS n_activities
 FROM clip GROUP BY host, day
+""",
+        "kmeans_assign": f"""
+WITH
+{_kmeans_chain_sql()}
+SELECT vec_id, cl FROM a{_KMEANS_ITERS - 1}
 """,
         "ann_topk_bruteforce": """
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

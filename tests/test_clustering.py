@@ -1,0 +1,82 @@
+"""Lloyd k-means (engine/clustering.py): parity vs an independent numpy
+implementation, empty-cluster handling, and the map-only assignment plan."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from engine import clustering
+
+
+def _numpy_lloyd(vecs: np.ndarray, ids: np.ndarray, k: int, iters: int):
+    """Independent single-threaded Lloyd with the engine's exact
+    semantics: floor(x*1024+0.5) quantization, init = k lowest ids,
+    score = c.c - 2 x.c, argmin tiebreak lowest cluster, empty clusters
+    keep their previous centroid."""
+    q = np.floor(vecs.astype(np.float64) * 1024.0 + 0.5)
+    order = np.argsort(ids, kind="stable")
+    cents = q[order[:k]].copy()
+    assign = None
+    for it in range(iters):
+        scores = (cents * cents).sum(axis=1)[None, :] - 2.0 * (q @ cents.T)
+        assign = np.argmin(scores, axis=1)  # argmin takes first on ties
+        if it == iters - 1:
+            break
+        for j in range(k):
+            members = q[assign == j]
+            if len(members):
+                cents[j] = members.sum(axis=0) / len(members)
+    return {int(i): int(c) for i, c in zip(ids, assign)}
+
+
+def test_kmeans_matches_numpy_oracle(spark):
+    rng = np.random.default_rng(17)
+    n, dim, k, iters = 300, 16, 5, 4
+    centers = rng.normal(size=(k, dim)) * 3.0
+    vecs = (centers[rng.integers(0, k, n)]
+            + rng.normal(size=(n, dim)) * 0.5).astype(np.float32)
+    ids = np.arange(n, dtype=np.int64)
+    pdf = pd.DataFrame({"vec_id": ids, "embedding": list(map(list, vecs))})
+    df = spark.createDataFrame(pdf)
+    got = {r["vec_id"]: r["cl"]
+           for r in clustering.kmeans_lloyd(df, k=k, iters=iters).collect()}
+    want = _numpy_lloyd(vecs, ids, k, iters)
+    assert got == want
+    # the test is only meaningful if iterations actually move assignments
+    got1 = {r["vec_id"]: r["cl"]
+            for r in clustering.kmeans_lloyd(df, k=k, iters=1).collect()}
+    assert got1 != got
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    # ids 0 and 1 quantize identically -> cluster 1 ties everywhere and
+    # loses every argmin tiebreak; the update round must keep its
+    # centroid (not crash / NaN) and the output must stay total.
+    rows = [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0]),
+            (3, [0.9, 0.1]), (4, [0.1, 0.9])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    first = {r["vec_id"]: r["cl"]
+             for r in clustering.kmeans_lloyd(df, k=3, iters=1).collect()}
+    assert 1 not in set(first.values())  # loses every round-0 tiebreak
+    out = clustering.kmeans_lloyd(df, k=3, iters=3).collect()
+    got = {r["vec_id"]: r["cl"] for r in out}
+    assert sorted(got) == [0, 1, 2, 3, 4]
+    want = _numpy_lloyd(np.array([r[1] for r in rows], dtype=np.float32),
+                        np.array([r[0] for r in rows]), 3, 3)
+    assert got == want
+
+
+def test_kmeans_assignment_is_map_only(spark):
+    rows = [(i, [float(i % 7), float(i % 3)]) for i in range(50)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = clustering.kmeans_lloyd(df, k=4, iters=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_kmeans_validates_args(spark):
+    df = spark.createDataFrame([(0, [1.0])], ["vec_id", "embedding"])
+    with pytest.raises(ValueError):
+        clustering.kmeans_lloyd(df, k=0)
+    with pytest.raises(ValueError):
+        clustering.kmeans_lloyd(df, k=5, iters=2)
