@@ -445,6 +445,7 @@ def q_ann_topk_bruteforce(spark, sf_dir):
 # the chained-SQL oracle below.
 _KMEANS_K = 8
 _KMEANS_ITERS = 4
+_KMEANS_KEEP_FRAC = 0.5
 
 
 def q_kmeans(spark, sf_dir):
@@ -458,6 +459,18 @@ def q_kmeans(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     from engine.clustering import kmeans_lloyd
     return kmeans_lloyd(emb, k=_KMEANS_K, iters=_KMEANS_ITERS)
+
+
+def q_kmeans_prune(spark, sf_dir):
+    """Centroid-distance prototype selection on top of the k-means
+    chain: keep the ceil(keep_frac * |cluster|) members closest to
+    their centroid.  dist^2 ranking is bit-portable (same folds as
+    assignment), so the oracle extends the chained-SQL replay with one
+    rank round."""
+    emb = _t(spark, sf_dir, "embeddings")
+    from engine.clustering import kmeans_prune
+    return kmeans_prune(emb, k=_KMEANS_K, iters=_KMEANS_ITERS,
+                        keep_frac=_KMEANS_KEEP_FRAC)
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
@@ -894,6 +907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "ann_topk_bruteforce": q_ann_topk_bruteforce,
         "kmeans_assign": q_kmeans,
+        "kmeans_prune": q_kmeans_prune,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "simhash_near_pairs": q_simhash_near_pairs,
         "simhash_dup_recall": q_simhash_dup_recall,
@@ -2284,6 +2298,27 @@ FROM clip GROUP BY host, day
 WITH
 {_kmeans_chain_sql()}
 SELECT vec_id, cl FROM a{_KMEANS_ITERS - 1}
+""",
+        "kmeans_prune": f"""
+WITH
+{_kmeans_chain_sql()},
+dd AS (
+  SELECT a.vec_id, a.cl,
+         list_reduce(list_transform(a.e, x -> x * x), (ac, b) -> ac + b)
+         + (c.cc - 2.0 * list_reduce(
+               list_transform(list_zip(a.e, c.e), s -> s[1] * s[2]),
+               (ac, b) -> ac + b)) AS d2
+  FROM a{_KMEANS_ITERS - 1} a
+  JOIN cc{_KMEANS_ITERS - 1} c USING (cl)
+)
+SELECT vec_id, cl, rk FROM (
+  SELECT vec_id, cl,
+         CAST(row_number() OVER (PARTITION BY cl
+                                 ORDER BY d2 ASC, vec_id ASC) AS BIGINT)
+           AS rk,
+         count(*) OVER (PARTITION BY cl) AS n_cl
+  FROM dd
+) WHERE rk <= CAST(ceil({_KMEANS_KEEP_FRAC!r} * n_cl) AS BIGINT)
 """,
         "ann_topk_bruteforce": """
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

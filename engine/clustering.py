@@ -65,22 +65,22 @@ def _self_dot(c: list[float]) -> float:
 
 def _assign_expr(cents: list[list[float]]) -> Column:
     """argmin_j [ dot(c_j,c_j) - 2*dot(x,c_j) ], tiebreak lowest j.
-    One codegen expression over the k-literal centroid closure."""
+    One codegen expression over the k-literal centroid closure; returns
+    the winning (score, cl) struct.  `score` is dist^2 minus the
+    per-row-constant dot(x,x) term (constant shifts don't move argmin)."""
     cands = F.array(*[
         F.struct(
             (F.lit(_self_dot(c)) - 2.0 * _dot_lit(F.col("e"), c))
             .alias("score"),
             F.lit(j).cast("long").alias("cl"))
         for j, c in enumerate(cents)])
-    return F.array_min(cands)["cl"]
+    return F.array_min(cands)
 
 
-def kmeans_lloyd(df: DataFrame, k: int = 8, iters: int = 4,
-                 vec_col: str = "embedding", id_col: str = "vec_id",
-                 scale: float = QUANT_SCALE) -> DataFrame:
-    """`iters` Lloyd rounds; returns (vec_id, cl) — the assignment under
-    the (iters-1)-times-updated centroids.  See module docstring for the
-    distributed shape and the exactness contract."""
+def _kmeans_core(df: DataFrame, k: int, iters: int, vec_col: str,
+                 id_col: str, scale: float) -> DataFrame:
+    """Shared Lloyd loop; returns (vec_id, e, cl, score) under the final
+    centroids, where score = dist^2 - dot(x,x) (see _assign_expr)."""
     if k < 1 or iters < 1:
         raise ValueError("k and iters must be >= 1")
     q = df.select(F.col(id_col).cast("long").alias("vec_id"),
@@ -95,7 +95,9 @@ def kmeans_lloyd(df: DataFrame, k: int = 8, iters: int = 4,
         dim = len(cents[0])
         assigned = None
         for it in range(iters):
-            assigned = q.withColumn("cl", _assign_expr(cents))
+            best = _assign_expr(cents)
+            assigned = q.withColumn("cl", best["cl"]) \
+                        .withColumn("score", best["score"])
             if it == iters - 1:
                 break
             stats = (assigned
@@ -109,6 +111,53 @@ def kmeans_lloyd(df: DataFrame, k: int = 8, iters: int = 4,
                 upd.setdefault(r["cl"], [None] * dim)[r["dim"]] = \
                     r["s"] / r["n"]
             cents = [upd[j] if j in upd else cents[j] for j in range(k)]
-        return assigned.select("vec_id", "cl")
+        return assigned
     finally:
         q.unpersist()
+
+
+def kmeans_lloyd(df: DataFrame, k: int = 8, iters: int = 4,
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 scale: float = QUANT_SCALE) -> DataFrame:
+    """`iters` Lloyd rounds; returns (vec_id, cl) — the assignment under
+    the (iters-1)-times-updated centroids.  See module docstring for the
+    distributed shape and the exactness contract."""
+    core = _kmeans_core(df, k, iters, vec_col, id_col, scale)
+    return core.select("vec_id", "cl")
+
+
+def kmeans_prune(df: DataFrame, k: int = 8, iters: int = 4,
+                 keep_frac: float = 0.5,
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 scale: float = QUANT_SCALE) -> DataFrame:
+    """Centroid-distance prototype selection (the SemDeDup-family
+    curation step): run k-means, then within each cluster keep the
+    ceil(keep_frac * cluster_size) members CLOSEST to their centroid —
+    (vec_id, cl, rk), rk 1-based by (dist^2 asc, vec_id asc).
+
+    dist^2 = dot(x,x) + score with the same left-to-right folds as
+    assignment, so the rank order is bit-portable (oracle contract).
+
+    Scale note: the ranking is a window partitioned by cluster — k
+    partitions, so at web scale (10^9 rows / cluster) this stage is
+    k-way skewed by construction.  The 100-TB path replaces the exact
+    rank with a per-cluster dist^2 threshold from a distributed quantile
+    (approx_percentile over cl), turning the cut into a broadcast-join
+    filter; the exact window form here is the oracle-able contract the
+    quantile form approximates."""
+    from pyspark.sql import Window
+    if not (0.0 < keep_frac <= 1.0):
+        raise ValueError("keep_frac must be in (0, 1]")
+    core = _kmeans_core(df, k, iters, vec_col, id_col, scale)
+    xx = F.aggregate(F.zip_with(F.col("e"), F.col("e"),
+                                lambda a, b: a * b),
+                     F.lit(0.0), lambda acc, v: acc + v)
+    d2 = core.withColumn("d2", xx + F.col("score"))
+    w = Window.partitionBy("cl")
+    wo = w.orderBy(F.col("d2").asc(), F.col("vec_id").asc())
+    ranked = (d2.withColumn("rk", F.row_number().over(wo).cast("long"))
+                .withColumn("n_cl", F.count(F.lit(1)).over(w)))
+    keep = ranked.filter(
+        F.col("rk") <= F.ceil(F.lit(float(keep_frac)) * F.col("n_cl"))
+                        .cast("long"))
+    return keep.select("vec_id", "cl", "rk")

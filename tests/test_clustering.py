@@ -80,3 +80,40 @@ def test_kmeans_validates_args(spark):
         clustering.kmeans_lloyd(df, k=0)
     with pytest.raises(ValueError):
         clustering.kmeans_lloyd(df, k=5, iters=2)
+
+
+def test_kmeans_prune_matches_numpy(spark):
+    """Prune keeps exactly ceil(frac * |cluster|) per cluster, the
+    closest-to-centroid by (dist^2, vec_id) — checked against an
+    independent numpy replay of the full Lloyd + rank pipeline."""
+    import math
+    rng = np.random.default_rng(23)
+    n, dim, k, iters, frac = 200, 8, 4, 3, 0.4
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    ids = np.arange(n, dtype=np.int64)
+    pdf = pd.DataFrame({"vec_id": ids, "embedding": list(map(list, vecs))})
+    df = spark.createDataFrame(pdf)
+    out = clustering.kmeans_prune(df, k=k, iters=iters,
+                                  keep_frac=frac).collect()
+    # numpy replay
+    q = np.floor(vecs.astype(np.float64) * 1024.0 + 0.5)
+    cents = q[np.argsort(ids, kind="stable")[:k]].copy()
+    assign = None
+    for it in range(iters):
+        scores = (cents * cents).sum(axis=1)[None, :] - 2.0 * (q @ cents.T)
+        assign = np.argmin(scores, axis=1)
+        if it == iters - 1:
+            break
+        for j in range(k):
+            m = q[assign == j]
+            if len(m):
+                cents[j] = m.sum(axis=0) / len(m)
+    d2 = (q * q).sum(axis=1) + scores[np.arange(n), assign]
+    want = {}
+    for j in range(k):
+        members = sorted((d2[i], ids[i]) for i in np.where(assign == j)[0])
+        cut = math.ceil(frac * len(members))
+        for rk, (_, vid) in enumerate(members[:cut], start=1):
+            want[int(vid)] = (j, rk)
+    got = {r["vec_id"]: (r["cl"], r["rk"]) for r in out}
+    assert got == want
