@@ -336,6 +336,14 @@ def q_vocab_topk(spark, sf_dir):
     return vocab_topk(docs, k=100).select("token", "n", "rank")
 
 
+def q_tfidf_topk(spark, sf_dir):
+    """Per-doc top-3 tf-idf terms in the ratio-idf exact mode (integer
+    counts + one IEEE division -> bit-portable scores and ranks)."""
+    docs = _t(spark, sf_dir, "documents")
+    from engine.text import tfidf_topk
+    return tfidf_topk(docs, k=3)
+
+
 def q_text_quality(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     from engine.text import quality_score
@@ -899,6 +907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j1_knn_assign": q_j1_knn_assign,
         "text_token_stats": q_text_token_stats,
         "vocab_topk": q_vocab_topk,
+        "tfidf_topk": q_tfidf_topk,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "repetition_stats": q_repetition_stats,
@@ -1763,6 +1772,33 @@ SELECT p.url, CAST(b.location_id AS BIGINT) AS location_id
 FROM pts p LEFT JOIN (SELECT url, location_id FROM best WHERE rk = 1) b
 USING (url)
 """.replace("%%", "%"),
+        "tfidf_topk": r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\W+'),
+                            x -> x <> '')) AS token
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, token
+),
+dfreq AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token
+),
+scored AS (
+  SELECT t.doc_id, t.token, t.tf,
+         CAST(t.tf AS DOUBLE)
+           * ((SELECT CAST(count(*) AS DOUBLE) FROM documents)
+              / CAST(d.df AS DOUBLE)) AS score
+  FROM tf t JOIN dfreq d USING (token)
+)
+SELECT doc_id, token, tf, score, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, token ASC) AS rk
+  FROM scored
+) WHERE rk <= 3
+""",
         "vocab_topk": r"""
 WITH toks AS (
   SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\W+'),

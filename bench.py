@@ -100,6 +100,9 @@ def run_suite(spark, sf_dir: str) -> tuple[dict, dict, float]:
     with stage("ann_topk_ivf"):
         similarity.ivf_cosine_topk(emb, k=5, n_centroids=32, nprobe=8,
                                    dim=64).count()
+    with stage("kmeans"):
+        from engine import clustering
+        clustering.kmeans_lloyd(emb, k=8, iters=4).count()
     return timings, counts, geo_secs
 
 

@@ -433,6 +433,46 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
             .withColumn("quality", score))
 
 
+def tfidf_topk(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", k: int = 5,
+               log_idf: bool = False) -> DataFrame:
+    """Per-document top-k terms by tf-idf: (doc_id, token, tf, score, rk),
+    rk 1-based by (score desc, token asc).
+
+    idf modes: the default ratio form idf = N/df uses only integer-exact
+    counts and one IEEE division, so scores and ranks are bit-portable
+    across engines (the oracle contract); `log_idf=True` gives the
+    classical smooth ln((N+1)/(df+1)) + 1, deterministic per engine but
+    not guaranteed bit-identical cross-libm.
+
+    100-TB shape: ONE explode -> groupBy(doc, token) count (map-side
+    combine collapses repeats before the exchange); the df table derives
+    from those distinct (doc, token) rows — the corpus is shuffled once,
+    token-count rows thereafter.  The df join is plain equi-join on token
+    (AQE broadcasts it while the vocabulary is small); the final top-k is
+    a window partitioned by doc — millions of small partitions, no skew.
+    N is one count scalar (driver-side, same pattern as MLlib's IDF fit)."""
+    toks = df.select(F.col(id_col).alias("doc_id"),
+                     F.explode(tokens_col(F.col(text_col))).alias("token"))
+    tf = toks.groupBy("doc_id", "token") \
+             .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    dfreq = tf.groupBy("token") \
+              .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n_docs = float(df.count())
+    if log_idf:
+        idf = F.log((F.lit(n_docs + 1.0)) / (F.col("df") + F.lit(1.0))) \
+              + F.lit(1.0)
+    else:
+        idf = F.lit(n_docs) / F.col("df").cast("double")
+    scored = tf.join(dfreq, "token") \
+               .withColumn("score", F.col("tf").cast("double") * idf)
+    w = Window.partitionBy("doc_id") \
+              .orderBy(F.col("score").desc(), F.col("token").asc())
+    return (scored.withColumn("rk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rk") <= k)
+            .select("doc_id", "token", "tf", "score", "rk"))
+
+
 def vocab_topk(df: DataFrame, text_col: str = "text",
                k: int = 100) -> DataFrame:
     """Corpus-wide exact top-k vocabulary: (token, n, rank), rank by

@@ -536,3 +536,37 @@ def test_vocab_topk_exact_and_plan(spark):
     plan = text.vocab_topk(spark.createDataFrame(pdf), k=10) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_tfidf_topk_exact_and_log_mode(spark):
+    """Ratio-idf mode matches an independent Python tf-idf replay
+    (scores and ranks); log mode preserves ranks when idf order is
+    preserved and scores are the smooth ln form."""
+    import math
+    import re as _re
+    from collections import Counter
+    rng = np.random.default_rng(13)
+    vocab = [f"w{i:02d}" for i in range(25)]
+    docs = [" ".join(rng.choice(vocab, size=rng.integers(2, 30)))
+            for _ in range(50)]
+    pdf = pd.DataFrame({"doc_id": range(50), "text": docs})
+    df = spark.createDataFrame(pdf)
+    out = text.tfidf_topk(df, k=4).collect()
+    tok = [dict(Counter(t for t in _re.split(r"\W+", d.lower()) if t))
+           for d in docs]
+    dfreq = Counter(t for c in tok for t in c)
+    n = float(len(docs))
+    want = {}
+    for i, c in enumerate(tok):
+        scored = sorted(((tf * (n / dfreq[t]), t, tf) for t, tf in c.items()),
+                        key=lambda s: (-s[0], s[1]))[:4]
+        for rk, (sc, t, tf) in enumerate(scored, start=1):
+            want[(i, t)] = (tf, sc, rk)
+    got = {(r["doc_id"], r["token"]): (r["tf"], r["score"], r["rk"])
+           for r in out}
+    assert got == want
+    log_out = text.tfidf_topk(df, k=4, log_idf=True).collect()
+    r0 = log_out[0]
+    expect = r0["tf"] * (math.log((n + 1.0) / (dfreq[r0["token"]] + 1.0))
+                         + 1.0)
+    assert abs(r0["score"] - expect) < 1e-9
