@@ -336,6 +336,30 @@ def q_vocab_topk(spark, sf_dir):
     return vocab_topk(docs, k=100).select("token", "n", "rank")
 
 
+def q_bigram_topk(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    from engine.text import ngram_topk
+    return ngram_topk(docs, n=2, k=100).select("token", "n", "rank")
+
+
+def q_length_quantiles(spark, sf_dir):
+    """Per-language exact doc-length quantiles (0.25/0.5/0.75/0.9) +
+    count.  Spark `percentile` and DuckDB `quantile_cont` share the
+    (n-1)*p linear-interpolation definition, so values are bit-portable
+    (one multiply/add between two order statistics)."""
+    docs = _t(spark, sf_dir, "documents")
+    ln = F.length("text").cast("double")
+    probs = [0.25, 0.5, 0.75, 0.9]
+    qexpr = F.percentile(ln, F.array(*[F.lit(p) for p in probs]))
+    out = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        qexpr.alias("q"))
+    return out.select(
+        "lang", "n_docs",
+        *[F.col("q")[i].alias(f"p{int(p * 100)}")
+          for i, p in enumerate(probs)])
+
+
 def q_tfidf_topk(spark, sf_dir):
     """Per-doc top-3 tf-idf terms in the ratio-idf exact mode (integer
     counts + one IEEE division -> bit-portable scores and ranks)."""
@@ -908,6 +932,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": q_text_token_stats,
         "vocab_topk": q_vocab_topk,
         "tfidf_topk": q_tfidf_topk,
+        "bigram_topk": q_bigram_topk,
+        "length_quantiles": q_length_quantiles,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "repetition_stats": q_repetition_stats,
@@ -1772,6 +1798,35 @@ SELECT p.url, CAST(b.location_id AS BIGINT) AS location_id
 FROM pts p LEFT JOIN (SELECT url, location_id FROM best WHERE rk = 1) b
 USING (url)
 """.replace("%%", "%"),
+        "bigram_topk": r"""
+WITH toks AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '\W+'),
+                     x -> x <> '') AS e
+  FROM documents
+),
+grams AS (
+  SELECT unnest(list_transform(generate_series(1, len(e) - 1),
+                               i -> e[i] || ' ' || e[i + 1])) AS token
+  FROM toks WHERE len(e) >= 2
+),
+counts AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS n FROM grams GROUP BY token
+)
+SELECT token, n,
+       CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS BIGINT) AS rank
+FROM counts
+ORDER BY n DESC, token ASC
+LIMIT 100
+""",
+        "length_quantiles": r"""
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       quantile_cont(CAST(length(text) AS DOUBLE), 0.25) AS p25,
+       quantile_cont(CAST(length(text) AS DOUBLE), 0.5)  AS p50,
+       quantile_cont(CAST(length(text) AS DOUBLE), 0.75) AS p75,
+       quantile_cont(CAST(length(text) AS DOUBLE), 0.9)  AS p90
+FROM documents
+GROUP BY lang
+""",
         "tfidf_topk": r"""
 WITH toks AS (
   SELECT doc_id,

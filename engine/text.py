@@ -473,22 +473,46 @@ def tfidf_topk(df: DataFrame, text_col: str = "text",
             .select("doc_id", "token", "tf", "score", "rk"))
 
 
-def vocab_topk(df: DataFrame, text_col: str = "text",
-               k: int = 100) -> DataFrame:
-    """Corpus-wide exact top-k vocabulary: (token, n, rank), rank by
-    (count desc, token asc).
+def _count_topk(exploded: DataFrame, k: int) -> DataFrame:
+    """(token) rows -> exact top-k (token, n, rank) by (count desc,
+    token asc).
 
-    100-TB shape: explode -> two-stage count (map-side partial agg — the
-    exchange carries at most |per-mapper vocab| (token, count) rows, never
-    the corpus) -> orderBy+limit, which Spark executes as
+    100-TB shape: two-stage count (map-side partial agg — the exchange
+    carries at most |per-mapper vocab| (token, count) rows, never the
+    corpus) -> orderBy+limit, which Spark executes as
     TakeOrderedAndProject (per-partition top-k heaps, k rows to the
-    driver-side merge — no global sort).  The final rank numbering runs on
-    k rows only."""
-    toks = df.select(F.explode(tokens_col(F.col(text_col))).alias("token"))
-    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    driver-side merge — no global sort).  The final rank numbering runs
+    on k rows only."""
+    counts = exploded.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
     top = counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(k)
     w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def vocab_topk(df: DataFrame, text_col: str = "text",
+               k: int = 100) -> DataFrame:
+    """Corpus-wide exact top-k vocabulary: (token, n, rank) — see
+    _count_topk for the distributed shape."""
+    toks = df.select(F.explode(tokens_col(F.col(text_col))).alias("token"))
+    return _count_topk(toks, k)
+
+
+def ngram_topk(df: DataFrame, text_col: str = "text", n: int = 2,
+               k: int = 100) -> DataFrame:
+    """Corpus-wide exact top-k word n-grams (space-joined): the LM
+    training-data n-gram statistic.  Gram construction is a map-only
+    higher-order expression (sequence + slice + array_join — no Python);
+    counting/top-k shape as _count_topk."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    toks = tokens_col(F.col(text_col))
+    m = F.size(toks) - F.lit(n - 1)
+    grams = F.when(m >= 1, F.transform(
+        F.sequence(F.lit(1), m),
+        lambda i: F.array_join(F.slice(toks, i, n), " "))
+    ).otherwise(F.array().cast("array<string>"))
+    g = df.select(F.explode(grams).alias("token"))
+    return _count_topk(g, k)
 
 
 def canonicalize_url(url: Column) -> Column:

@@ -570,3 +570,23 @@ def test_tfidf_topk_exact_and_log_mode(spark):
     expect = r0["tf"] * (math.log((n + 1.0) / (dfreq[r0["token"]] + 1.0))
                          + 1.0)
     assert abs(r0["score"] - expect) < 1e-9
+
+
+def test_ngram_topk_exact(spark):
+    """Bigram counts vs an independent Python replay; docs shorter than
+    n contribute nothing (no empty/negative sequence blowup)."""
+    from collections import Counter
+    import re as _re
+    docs = ["a b c a b", "b c", "a", "", "x y x y x"]
+    pdf = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    out = text.ngram_topk(spark.createDataFrame(pdf), n=2, k=10).collect()
+    cnt = Counter()
+    for d in docs:
+        t = [x for x in _re.split(r"\W+", d.lower()) if x]
+        cnt.update(" ".join(t[i:i + 2]) for i in range(len(t) - 1))
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [(r["token"], r["n"]) for r in
+           sorted(out, key=lambda r: r["rank"])]
+    assert got == want
+    tri = text.ngram_topk(spark.createDataFrame(pdf), n=3, k=5).collect()
+    assert ("a b c", 1) in {(r["token"], r["n"]) for r in tri}
