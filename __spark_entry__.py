@@ -274,11 +274,21 @@ def q_winnow_fingerprints(spark, sf_dir):
 
 
 def q_cosine_near_dup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs via LSH candidates + exact refine —
-    rows-only (LSH recall < 1 by design; precision property-tested)."""
+    """Embedding-cosine near-dup pairs via LSH candidates + exact refine,
+    with an EXACT oracle: at 24 bands x 2 bits the hyperplane-LSH band
+    recall on >=0.35-cosine pairs is 1.0 on the driver corpus, so the
+    output equals the all-pairs exact twin pair for pair, and the plain
+    threshold-join SQL is a true oracle (a missed candidate OR a refine
+    bug breaks the hash).  Cosines are bit-identical cross-engine — both
+    engines fold the dot product left-to-right in doubles — so the
+    >=threshold decisions agree exactly.  The sub-unit-recall scale
+    regime (fewer, wider bands) stays covered by q_cosine_near_dup_recall
+    and the pytest recall properties."""
     emb = _t(spark, sf_dir, "embeddings")
     from engine.similarity import cosine_near_dup_pairs
-    return cosine_near_dup_pairs(emb, threshold=0.35, dim=64, bits=12, bands=6)
+    return (cosine_near_dup_pairs(emb, threshold=0.35, dim=64, bits=48,
+                                  bands=24)
+            .select("a", "b"))
 
 
 # non-SQL-expressible (rows-only check): the geo pipeline itself
@@ -646,9 +656,18 @@ def q_simhash_dup_recall(spark, sf_dir):
 
 
 def q_ann_topk_lsh(spark, sf_dir):
+    """Hyperplane-LSH ANN top-k with an EXACT oracle: at 24 bands x 2
+    bits the candidate set contains every true top-3 neighbor on the
+    driver corpus (band recall 1.0), so the LSH result equals brute-force
+    top-k rank for rank and the plain SQL top-k is a true oracle.  Ranks
+    are bit-portable because both engines compute bit-identical cosines
+    (left-to-right double folds) and break ties on b.  The sub-unit-recall
+    regime (the real ANN trade-off) stays covered by q_ann_lsh_recall and
+    pytest recall properties; the 10^9-vector path is q_ann_topk_ivf."""
     emb = _t(spark, sf_dir, "embeddings")
     from engine.similarity import ann_cosine_topk
-    return ann_cosine_topk(emb, k=3, dim=64, bits=12, bands=6)
+    out = ann_cosine_topk(emb, k=3, dim=64, bits=48, bands=24)
+    return out.select("a", "b", F.col("rk").cast("long").alias("rk"))
 
 
 def q_ann_topk_ivf(spark, sf_dir):
@@ -2423,6 +2442,31 @@ SELECT a, b, CAST(rk AS BIGINT) AS rk FROM (
   SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY sim DESC, b) AS rk
   FROM p
 ) WHERE rk <= 3
+""",
+        # LSH ANN / near-dup: LSH band recall is 1.0 at the query params
+        # (24 bands x 2 bits) on the driver corpus, so the exact all-pairs
+        # twin IS the oracle — see q_ann_topk_lsh / q_cosine_near_dup
+        # docstrings.  Cosines are bit-identical cross-engine (left-to-
+        # right double folds), so rank and >=threshold decisions agree.
+        "ann_topk_lsh": """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nr FROM v),
+p AS (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         list_dot_product(a.e, b.e) / (a.nr * b.nr) AS sim
+  FROM n a CROSS JOIN n b WHERE a.vec_id <> b.vec_id
+)
+SELECT a, b, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY sim DESC, b) AS rk
+  FROM p
+) WHERE rk <= 3
+""",
+        "cosine_near_dup": """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nr FROM v)
+SELECT a.vec_id AS a, b.vec_id AS b
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.e, b.e) / (a.nr * b.nr) >= 0.35
 """,
         "ann_topk_ivf": """
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
