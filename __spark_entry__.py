@@ -683,14 +683,27 @@ def q_ann_topk_ivf(spark, sf_dir):
 
 
 def q_tiles_pyramid(spark, sf_dir):
+    """Hilbert tile pyramid with an EXACT oracle, Hilbert cell ids
+    included: the oracle SQL replays the native whole-stage-codegen cell
+    encode (engine/functions.py encode_cell_native) term for term — the
+    trig/face/quadratic-ST float chain (verified bit-identical between the
+    JVM and DuckDB libm on every site in the corpus) and the 4-bit Hilbert
+    FSM as 4 chained table-lookup rounds on exact integers — on top of the
+    full prep replay (F3 dedup, G1 jump fixpoint, W2 sessionize, X3
+    interpolation).  Site mass is quantized to integer milliseconds
+    BEFORE the density aggregation so every sum is an exact-integer
+    double/long sum — order-independent and bit-portable; the unquantized
+    float-mass path stays covered by q_tiles_mass_check and pytest."""
     ev = _t(spark, sf_dir, "events")
     from engine import tiles
     gp = trace_prep.prep_points(
         trace_prep.extract_points(web_pages_from_events(ev), DEFAULT), DEFAULT)
-    sites = trace_prep.interpolate_sites(gp, DEFAULT)
+    sites = (trace_prep.interpolate_sites(gp, DEFAULT)
+             .withColumn("mass_s", F.floor(F.col("mass_s") * 1000.0)))
     dens = tiles.cell_density(sites, DEFAULT)
     pyr = tiles.rollup_pyramid(dens, DEFAULT)
-    return pyr.select("level", "cell_id", F.round("mass_s", 4).alias("mass_s"))
+    return pyr.select("level", "cell_id",
+                      F.col("mass_s").cast("long").alias("mass_ms"))
 
 
 def q_tiles_mass_check(spark, sf_dir):
@@ -1437,6 +1450,119 @@ c{i + 1} AS (
        USING (cl)
 )""")
     return ",\n".join(parts)
+
+
+def _cell_encode_sql(level: int, src: str = "sites",
+                     lat: str = "site_lat", lon: str = "site_lon") -> str:
+    """X6 cell encode as DuckDB CTE text: {src}(..., site_lat, site_lon)
+    -> enc(..., cell_id), replaying engine.functions.encode_cell_native
+    term for term — identical float op order through lat/lon -> unit XYZ
+    -> cube face -> quadratic ST -> (i, j), then the 4-bit Hilbert FSM as
+    level/4 chained lookup rounds against the same 1024-entry table
+    (engine/functions.py _hilbert_nibble_table), on exact integers.  The
+    float prefix is trig/sqrt/divide only; verified bit-identical between
+    the JVM and DuckDB on every interpolated site in the corpus (zero
+    mismatches over 1.12M sites at sf0.001 + sf0.01).  Faces 4/5 set bit
+    63, so the pack maps face -> face-8 and multiplies by 2^61 instead of
+    left-shifting (DuckDB << overflows); bit-identical to the engine's
+    signed int64 reinterpretation."""
+    from engine.functions import _hilbert_nibble_table
+    n = 1 << level
+    rounds = (level + 3) // 4
+    assert 4 * rounds == level, "pad path not replayed; level must be 4k"
+    tab = "[" + ", ".join(str(int(t)) for t in _hilbert_nibble_table()) + "]"
+    parts = [f"""tab AS (SELECT {tab} AS t),
+enc0 AS (
+  SELECT *,
+    CASE WHEN fmod({lon} + 180.0, 360.0) < 0
+         THEN fmod({lon} + 180.0, 360.0) + 360.0 - 180.0
+         ELSE fmod({lon} + 180.0, 360.0) - 180.0 END AS lon_n
+  FROM {src}
+),
+enc1 AS (
+  SELECT *, cos(radians({lat})) * cos(radians(lon_n)) AS ex,
+            cos(radians({lat})) * sin(radians(lon_n)) AS ey,
+            sin(radians({lat})) AS ez
+  FROM enc0
+),
+enc2 AS (
+  SELECT *,
+    CASE WHEN abs(ex) >= abs(ey)
+         THEN CASE WHEN abs(ex) >= abs(ez) THEN 0 ELSE 2 END
+         ELSE CASE WHEN abs(ey) >= abs(ez) THEN 1 ELSE 2 END END AS face0
+  FROM enc1
+),
+enc3 AS (
+  SELECT *,
+    CASE WHEN (CASE WHEN face0 = 0 THEN ex WHEN face0 = 1 THEN ey
+                    ELSE ez END) < 0
+         THEN face0 + 3 ELSE face0 END AS face
+  FROM enc2
+),
+enc4 AS (
+  SELECT *,
+    CASE WHEN face = 0 THEN ey / ex WHEN face = 1 THEN -ex / ey
+         WHEN face = 2 THEN -ex / ez WHEN face = 3 THEN ez / ex
+         WHEN face = 4 THEN ez / ey ELSE -ey / ez END AS fu,
+    CASE WHEN face = 0 THEN ez / ex WHEN face = 1 THEN ez / ey
+         WHEN face = 2 THEN -ey / ez WHEN face = 3 THEN ey / ex
+         WHEN face = 4 THEN -ex / ey ELSE -ex / ez END AS fv
+  FROM enc3
+),
+enc5 AS (
+  SELECT *,
+    GREATEST(0, LEAST({n - 1}, CAST(TRUNC(
+      (CASE WHEN fu >= 0.0 THEN 0.5 * sqrt(1.0 + 3.0 * fu)
+            ELSE 1.0 - 0.5 * sqrt(1.0 - 3.0 * fu) END)
+      * {float(n)!r}) AS BIGINT))) AS hx,
+    GREATEST(0, LEAST({n - 1}, CAST(TRUNC(
+      (CASE WHEN fv >= 0.0 THEN 0.5 * sqrt(1.0 + 3.0 * fv)
+            ELSE 1.0 - 0.5 * sqrt(1.0 - 3.0 * fv) END)
+      * {float(n)!r}) AS BIGINT))) AS hy
+  FROM enc4
+)"""]
+    prev, d, s = "enc5", "CAST(0 AS BIGINT)", "0"
+    step = 5
+    for r in range(rounds - 1, -1, -1):
+        step += 1
+        parts.append(f""",
+enc{step} AS (
+  SELECT {prev}.*,
+         tab.t[CAST(({s}) * 256 + (({prev}.hx >> {4 * r}) & 15) * 16
+               + (({prev}.hy >> {4 * r}) & 15) + 1 AS INT)] AS hv{step}
+  FROM {prev}, tab
+)""")
+        d = f"(({d}) << 8) | (hv{step} >> 2)"
+        s = f"(hv{step} & 3)"
+        prev = f"enc{step}"
+    shift = 2 * (30 - level)
+    parts.append(f""",
+enc AS (
+  SELECT *,
+    (CASE WHEN face >= 4 THEN face - 8 ELSE face END) * 2305843009213693952
+    + ((({d}) << {shift + 1}) | {1 << shift}) AS cell_id
+  FROM {prev}
+)""")
+    return "".join(parts)
+
+
+def _pyramid_levels_sql(base: str = "base") -> str:
+    """Per-level SELECTs over {base}(cell_id, mass_ms), mirroring
+    tiles.rollup_pyramid: base level verbatim, coarser levels by the
+    parent bit math of engine.functions.parent_cell_col."""
+    from engine.functions import _signed64
+    sels = []
+    for lvl in DEFAULT.tile_levels:
+        if lvl == DEFAULT.cell_level:
+            sels.append(f"SELECT {lvl} AS level, cell_id, mass_ms FROM {base}")
+        else:
+            lsb = 1 << (2 * (30 - lvl))
+            mask = _signed64(~(2 * lsb - 1))
+            sels.append(
+                f"SELECT {lvl} AS level, (cell_id & ({mask})) | {lsb} AS "
+                f"cell_id, CAST(SUM(mass_ms) AS BIGINT) AS mass_ms "
+                f"FROM {base} GROUP BY 2")
+    return "\nUNION ALL\n".join(sels)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2298,6 +2424,68 @@ SELECT 'recall_floor_0.85_met' AS metric, 1.0 AS value
         # from the same G1+W2 chain; DuckDB only evaluates the CTEs this
         # query references, so the kNN/W5 parts of the shared chain are
         # pruned)
+        "tiles_pyramid": f"""
+WITH {_PAGES_CTE},
+pts AS (
+  SELECT url,
+         regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host,
+         (CAST(TRUNC((epoch_us(warc_ts) - 1704067200000000) / 30) AS BIGINT)
+          + 1704067200000000) / 1000000.0 AS ce,
+         TRY_CAST(regexp_extract(text, '{_GEOTAG_RE_SQL}', 1) AS DOUBLE) AS lat,
+         TRY_CAST(regexp_extract(text, '{_GEOTAG_RE_SQL}', 2) AS DOUBLE) AS lon
+  FROM pages
+  WHERE lang IN ('en', 'fr', 'de')
+    AND TRY_CAST(regexp_extract(text, '{_GEOTAG_RE_SQL}', 1) AS DOUBLE) IS NOT NULL
+    AND TRY_CAST(regexp_extract(text, '{_GEOTAG_RE_SQL}', 3) AS DOUBLE) <= {DEFAULT.min_accuracy_m}
+),
+g0 AS (
+  SELECT host, url, ce, lat, lon FROM (
+    SELECT *, lag(lat) OVER w AS plat, lag(lon) OVER w AS plon
+    FROM pts
+    WINDOW w AS (PARTITION BY host ORDER BY ce, url)
+  ) WHERE plat IS NULL OR NOT (lat = plat AND lon = plon)
+),
+{_g1_chain_sql()},
+w2 AS (
+  SELECT *, CASE WHEN pce IS NULL OR ce - pce > {DEFAULT.gap_s}
+                 THEN 1 ELSE 0 END AS nf
+  FROM (SELECT *, lag(ce) OVER w AS pce FROM g{trace_prep.G1_ROUNDS}
+        WINDOW w AS (PARTITION BY host ORDER BY ce, url))
+),
+w3 AS (
+  SELECT *, SUM(nf) OVER (PARTITION BY host ORDER BY ce, url
+                          ROWS UNBOUNDED PRECEDING) - 1 AS subset_id
+  FROM w2
+),
+nxt AS (
+  SELECT host, subset_id, lat, lon,
+         lead(lat) OVER w AS nlat, lead(lon) OVER w AS nlon,
+         lead(ce) OVER w - ce AS dt
+  FROM w3
+  WINDOW w AS (PARTITION BY host, subset_id ORDER BY ce, url)
+),
+seg AS (
+  SELECT lat, lon, nlat, nlon, dt,
+         GREATEST(1, CAST(CEIL({_hav_sql("lat", "lon", "nlat", "nlon")}
+                               / {DEFAULT.interpolation_step_m}) AS BIGINT))
+           AS n
+  FROM nxt WHERE dt IS NOT NULL
+),
+expanded AS (
+  SELECT lat, lon, nlat, nlon, dt, n, UNNEST(range(n)) AS k FROM seg
+),
+sites AS (
+  SELECT lat + ((k + 0.5) / n) * (nlat - lat) AS site_lat,
+         lon + ((k + 0.5) / n) * (nlon - lon) AS site_lon,
+         CAST(FLOOR((dt / n) * 1000.0) AS BIGINT) AS mq
+  FROM expanded
+),
+{_cell_encode_sql(DEFAULT.cell_level)},
+base AS (
+  SELECT cell_id, CAST(SUM(mq) AS BIGINT) AS mass_ms FROM enc GROUP BY cell_id
+)
+{_pyramid_levels_sql()}
+""",
         "tiles_mass_check": f"""
 WITH {_PAGES_CTE},
 {_w5_episodes_cte()},
