@@ -706,6 +706,28 @@ def q_tiles_pyramid(spark, sf_dir):
                       F.col("mass_s").cast("long").alias("mass_ms"))
 
 
+def q_geo_locations_quant(spark, sf_dir):
+    """The FULL activity-location chain (A2 KDE -> A3 threshold -> A4
+    clustering -> A5 centroid/dwell) with an EXACT end-to-end oracle, in
+    the engine's bit-portable quant mode (engine/locations.py
+    _kde_from_grid_quant): site mass floor-quantized to integer ms,
+    smoothing by the quant_stencil INTEGER weights (the same 169 literals
+    ride in the SQL — exp() never has to agree cross-engine), integer
+    density threshold, and centroids from integer moment sums.  The SQL
+    replays every stage including A4 connected components as chained
+    min-label + pointer-jump rounds.  The production Gaussian float mode
+    (same lattice, exp weights) matches quant to ~1e-10 degrees and stays
+    covered by geo_locations (rows-only) + pytest goldens; quant
+    wholehost/chunked parity is byte-exact (pytest)."""
+    ev = _t(spark, sf_dir, "events")
+    from dataclasses import replace
+    from engine import locations as loc
+    gp = trace_prep.prep_points(
+        trace_prep.extract_points(web_pages_from_events(ev), DEFAULT), DEFAULT)
+    cfg = replace(DEFAULT, kde_time_threshold_s=_QUANT_THR_S)
+    return loc.detect_locations_wholehost(gp, cfg, quant=True)
+
+
 def q_tiles_mass_check(spark, sf_dir):
     """Driver-visible invariant for the Hilbert tile pyramid: the cell ids
     have no SQL twin, but MASS does — every pyramid level must carry
@@ -985,6 +1007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_near_dup_recall": q_cosine_near_dup_recall,
         "ann_topk_ivf": q_ann_topk_ivf,
         "tiles_pyramid": q_tiles_pyramid,
+        "geo_locations_quant": q_geo_locations_quant,
         "tiles_mass_check": q_tiles_mass_check,
         "j4_pip": q_j4_pip,
         "media_decode": q_media_decode,
@@ -1544,6 +1567,193 @@ enc AS (
   FROM {prev}
 )""")
     return "".join(parts)
+
+
+# geo_locations_quant runs A3 at a lower dwell threshold than the
+# production DEFAULT (600 s): the sf0.01 driver corpus has exactly one
+# >=600 s location, which exercises A4/A5 on a single cluster — 120 s
+# yields a multi-host multi-cluster result.  ONE constant feeds both the
+# Spark cfg and the oracle SQL.
+_QUANT_THR_S = 120.0
+
+
+def _prep_sites_sql() -> str:
+    """CTE chain text (pts -> F3 -> G1 chain -> W2/W3 -> X3 interpolation)
+    producing sites(host, site_lat, site_lon, mq) with integer-ms site
+    mass — the shared prefix of the tiles_pyramid and geo_locations_quant
+    oracles.  Each stage replays the corresponding engine kernel with
+    identical float op order (proven by the geo_sessions / x3_interp_grid
+    oracles)."""
+    return f"""pts AS (
+  SELECT url,
+         regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host,
+         (CAST(TRUNC((epoch_us(warc_ts) - 1704067200000000) / 30) AS BIGINT)
+          + 1704067200000000) / 1000000.0 AS ce,
+         TRY_CAST(regexp_extract(text, '{_GEOTAG_RE_SQL}', 1) AS DOUBLE) AS lat,
+         TRY_CAST(regexp_extract(text, '{_GEOTAG_RE_SQL}', 2) AS DOUBLE) AS lon
+  FROM pages
+  WHERE lang IN ('en', 'fr', 'de')
+    AND TRY_CAST(regexp_extract(text, '{_GEOTAG_RE_SQL}', 1) AS DOUBLE) IS NOT NULL
+    AND TRY_CAST(regexp_extract(text, '{_GEOTAG_RE_SQL}', 3) AS DOUBLE) <= {DEFAULT.min_accuracy_m}
+),
+g0 AS (
+  SELECT host, url, ce, lat, lon FROM (
+    SELECT *, lag(lat) OVER w AS plat, lag(lon) OVER w AS plon
+    FROM pts
+    WINDOW w AS (PARTITION BY host ORDER BY ce, url)
+  ) WHERE plat IS NULL OR NOT (lat = plat AND lon = plon)
+),
+{_g1_chain_sql()},
+w2 AS (
+  SELECT *, CASE WHEN pce IS NULL OR ce - pce > {DEFAULT.gap_s}
+                 THEN 1 ELSE 0 END AS nf
+  FROM (SELECT *, lag(ce) OVER w AS pce FROM g{trace_prep.G1_ROUNDS}
+        WINDOW w AS (PARTITION BY host ORDER BY ce, url))
+),
+w3 AS (
+  SELECT *, SUM(nf) OVER (PARTITION BY host ORDER BY ce, url
+                          ROWS UNBOUNDED PRECEDING) - 1 AS subset_id
+  FROM w2
+),
+nxt AS (
+  SELECT host, subset_id, lat, lon,
+         lead(lat) OVER w AS nlat, lead(lon) OVER w AS nlon,
+         lead(ce) OVER w - ce AS dt
+  FROM w3
+  WINDOW w AS (PARTITION BY host, subset_id ORDER BY ce, url)
+),
+seg AS (
+  SELECT host, lat, lon, nlat, nlon, dt,
+         GREATEST(1, CAST(CEIL({_hav_sql("lat", "lon", "nlat", "nlon")}
+                               / {DEFAULT.interpolation_step_m}) AS BIGINT))
+           AS n
+  FROM nxt WHERE dt IS NOT NULL
+),
+expanded AS (
+  SELECT host, lat, lon, nlat, nlon, dt, n, UNNEST(range(n)) AS k FROM seg
+),
+sites AS (
+  SELECT host,
+         lat + ((k + 0.5) / n) * (nlat - lat) AS site_lat,
+         lon + ((k + 0.5) / n) * (nlon - lon) AS site_lon,
+         CAST(FLOOR((dt / n) * 1000.0) AS BIGINT) AS mq
+  FROM expanded
+)"""
+
+
+def _kde_quant_sql() -> str:
+    """geo_locations_quant oracle: full A2-A5 replay of the engine's
+    bit-portable quant KDE mode (engine/locations.py
+    _kde_from_grid_quant) — anchor-projected integer cell binning, the
+    SAME quant_stencil integer weights as SQL literals, integer density
+    sums + threshold, A4 connected components as chained min-label +
+    pointer-jump rounds (labels converge to the fixpoint; extra rounds
+    are no-ops), and A5 centroids from integer moment sums with the
+    engine's exact float op order."""
+    from engine.locations import quant_stencil, QUANT_MASS_SCALE
+    di, dj, w, wsum = quant_stencil(DEFAULT)
+    cell = DEFAULT.grid_cell_m
+    thr_q = int(round(_QUANT_THR_S * QUANT_MASS_SCALE)) * wsum
+    denom = float(QUANT_MASS_SCALE) * wsum
+    adj2 = DEFAULT.cluster_distance_m ** 2
+    di_l = "[" + ", ".join(str(int(v)) for v in di) + "]"
+    dj_l = "[" + ", ".join(str(int(v)) for v in dj) + "]"
+    w_l = "[" + ", ".join(str(int(v)) for v in w) + "]"
+    n_rounds = 8
+    rounds = []
+    prev = "l0"
+    for t in range(1, n_rounds + 1):
+        rounds.append(f"""p{t} AS MATERIALIZED (
+  SELECT e.host, e.ka AS k, MIN(l.lbl) AS lbl
+  FROM edges e JOIN {prev} l ON l.host = e.host AND l.k = e.kb
+  GROUP BY e.host, e.ka
+),
+l{t} AS MATERIALIZED (
+  SELECT p.host, p.k, q.lbl
+  FROM p{t} p JOIN p{t} q ON q.host = p.host AND q.k = p.lbl
+)""")
+        prev = f"l{t}"
+    rounds_sql = ",\n".join(rounds)
+    return f"""
+WITH {_PAGES_CTE},
+{_prep_sites_sql()},
+anch AS MATERIALIZED (
+  SELECT DISTINCT host,
+         first_value(lat) OVER w AS alat,
+         first_value(lon) OVER w AS alon
+  FROM g{trace_prep.G1_ROUNDS}
+  WINDOW w AS (PARTITION BY host ORDER BY ce, url)
+),
+stn AS (SELECT UNNEST({di_l}) AS di, UNNEST({dj_l}) AS dj,
+               UNNEST({w_l}) AS w),
+proj AS (
+  SELECT s.host,
+         6371008.8 * cos(radians(a.alat)) * radians(s.site_lon - a.alon) AS px,
+         6371008.8 * radians(s.site_lat - a.alat) AS py,
+         s.mq
+  FROM sites s JOIN anch a USING (host)
+),
+cells AS (
+  SELECT host,
+         CAST(FLOOR(px / {cell!r}) AS BIGINT) AS ix,
+         CAST(FLOOR(py / {cell!r}) AS BIGINT) AS iy,
+         CAST(SUM(mq) AS BIGINT) AS m0
+  FROM proj GROUP BY host, ix, iy
+),
+hot AS MATERIALIZED (
+  SELECT host, ix, iy, dens, ix * 4294967296 + iy AS k FROM (
+    SELECT c.host, c.ix + s.di AS ix, c.iy + s.dj AS iy,
+           CAST(SUM(c.m0 * s.w) AS BIGINT) AS dens
+    FROM cells c CROSS JOIN stn s
+    GROUP BY c.host, c.ix + s.di, c.iy + s.dj
+  ) WHERE dens >= {thr_q}
+),
+edges AS MATERIALIZED (
+  SELECT a.host, a.k AS ka, b.k AS kb
+  FROM hot a JOIN hot b
+    ON a.host = b.host
+   AND ((a.ix - b.ix) * (a.ix - b.ix)
+        + (a.iy - b.iy) * (a.iy - b.iy)) * {cell * cell!r} <= {adj2!r}
+),
+l0 AS MATERIALIZED (SELECT host, k, k AS lbl FROM hot),
+{rounds_sql},
+memb AS (
+  SELECT h.host, h.ix, h.iy, h.dens, l.lbl,
+         MIN(h.ix) OVER (PARTITION BY h.host, l.lbl) AS ix0,
+         MIN(h.iy) OVER (PARTITION BY h.host, l.lbl) AS iy0
+  FROM hot h JOIN {prev} l ON l.host = h.host AND l.k = h.k
+),
+cent AS (
+  SELECT host, lbl,
+         CAST(SUM(dens) AS BIGINT) AS sd,
+         ANY_VALUE(ix0) AS ix0, ANY_VALUE(iy0) AS iy0,
+         CAST(SUM(dens * (ix - ix0)) AS BIGINT) AS sdx,
+         CAST(SUM(dens * (iy - iy0)) AS BIGINT) AS sdy,
+         COUNT(*) AS ncell
+  FROM memb GROUP BY host, lbl
+),
+pos AS (
+  SELECT host, sd, ncell,
+         {cell!r} * ((ix0 + (sdx / sd)) + 0.5) AS mx,
+         {cell!r} * ((iy0 + (sdy / sd)) + 0.5) AS my
+  FROM cent
+),
+outp AS (
+  SELECT p.host,
+         a.alat + degrees(p.my / 6371008.8) AS lat,
+         a.alon + degrees(p.mx / (6371008.8 * cos(radians(a.alat)))) AS lon,
+         p.sd, p.ncell
+  FROM pos p JOIN anch a USING (host)
+)
+SELECT host,
+       CAST(row_number() OVER (PARTITION BY host
+                               ORDER BY sd DESC, lon, lat) - 1 AS INTEGER)
+         AS location_id,
+       lat, lon,
+       sd / {denom!r} AS dwell_s,
+       CAST(ncell AS INTEGER) AS n_cells
+FROM outp
+"""
 
 
 def _pyramid_levels_sql(base: str = "base") -> str:
@@ -2426,66 +2636,14 @@ SELECT 'recall_floor_0.85_met' AS metric, 1.0 AS value
         # pruned)
         "tiles_pyramid": f"""
 WITH {_PAGES_CTE},
-pts AS (
-  SELECT url,
-         regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host,
-         (CAST(TRUNC((epoch_us(warc_ts) - 1704067200000000) / 30) AS BIGINT)
-          + 1704067200000000) / 1000000.0 AS ce,
-         TRY_CAST(regexp_extract(text, '{_GEOTAG_RE_SQL}', 1) AS DOUBLE) AS lat,
-         TRY_CAST(regexp_extract(text, '{_GEOTAG_RE_SQL}', 2) AS DOUBLE) AS lon
-  FROM pages
-  WHERE lang IN ('en', 'fr', 'de')
-    AND TRY_CAST(regexp_extract(text, '{_GEOTAG_RE_SQL}', 1) AS DOUBLE) IS NOT NULL
-    AND TRY_CAST(regexp_extract(text, '{_GEOTAG_RE_SQL}', 3) AS DOUBLE) <= {DEFAULT.min_accuracy_m}
-),
-g0 AS (
-  SELECT host, url, ce, lat, lon FROM (
-    SELECT *, lag(lat) OVER w AS plat, lag(lon) OVER w AS plon
-    FROM pts
-    WINDOW w AS (PARTITION BY host ORDER BY ce, url)
-  ) WHERE plat IS NULL OR NOT (lat = plat AND lon = plon)
-),
-{_g1_chain_sql()},
-w2 AS (
-  SELECT *, CASE WHEN pce IS NULL OR ce - pce > {DEFAULT.gap_s}
-                 THEN 1 ELSE 0 END AS nf
-  FROM (SELECT *, lag(ce) OVER w AS pce FROM g{trace_prep.G1_ROUNDS}
-        WINDOW w AS (PARTITION BY host ORDER BY ce, url))
-),
-w3 AS (
-  SELECT *, SUM(nf) OVER (PARTITION BY host ORDER BY ce, url
-                          ROWS UNBOUNDED PRECEDING) - 1 AS subset_id
-  FROM w2
-),
-nxt AS (
-  SELECT host, subset_id, lat, lon,
-         lead(lat) OVER w AS nlat, lead(lon) OVER w AS nlon,
-         lead(ce) OVER w - ce AS dt
-  FROM w3
-  WINDOW w AS (PARTITION BY host, subset_id ORDER BY ce, url)
-),
-seg AS (
-  SELECT lat, lon, nlat, nlon, dt,
-         GREATEST(1, CAST(CEIL({_hav_sql("lat", "lon", "nlat", "nlon")}
-                               / {DEFAULT.interpolation_step_m}) AS BIGINT))
-           AS n
-  FROM nxt WHERE dt IS NOT NULL
-),
-expanded AS (
-  SELECT lat, lon, nlat, nlon, dt, n, UNNEST(range(n)) AS k FROM seg
-),
-sites AS (
-  SELECT lat + ((k + 0.5) / n) * (nlat - lat) AS site_lat,
-         lon + ((k + 0.5) / n) * (nlon - lon) AS site_lon,
-         CAST(FLOOR((dt / n) * 1000.0) AS BIGINT) AS mq
-  FROM expanded
-),
+{_prep_sites_sql()},
 {_cell_encode_sql(DEFAULT.cell_level)},
 base AS (
   SELECT cell_id, CAST(SUM(mq) AS BIGINT) AS mass_ms FROM enc GROUP BY cell_id
 )
 {_pyramid_levels_sql()}
 """,
+        "geo_locations_quant": _kde_quant_sql(),
         "tiles_mass_check": f"""
 WITH {_PAGES_CTE},
 {_w5_episodes_cte()},

@@ -119,6 +119,52 @@ def _cluster_buckets(keys: np.ndarray) -> np.ndarray:
     return labels
 
 
+def _cluster_cells(hix, hiy, cell, rmax_m):
+    """A4: connected-component roots over hot cells within `rmax_m`
+    (exact Euclidean on cell centers).  Bucket-indexed BFS: candidates
+    come only from the 3x3 neighborhood of R-sized buckets, so cost is
+    O(k x local-density) — the naive pairwise union-find is O(k^2) and
+    stalls when dense corridors go hot (tens of thousands of hot cells
+    on a mega-host).  Root LABELS are seed-order-dependent but the
+    component PARTITION is not; callers aggregate per component."""
+    cx = (np.asarray(hix, dtype=np.float64) + 0.5) * cell
+    cy = (np.asarray(hiy, dtype=np.float64) + 0.5) * cell
+    k = len(cx)
+    rmax2 = rmax_m ** 2
+    rcells = int(np.ceil(rmax_m / cell))
+    bx = np.floor(np.asarray(hix, dtype=np.float64) / rcells).astype(np.int64)
+    by = np.floor(np.asarray(hiy, dtype=np.float64) / rcells).astype(np.int64)
+    buckets: dict[tuple[int, int], np.ndarray] = {}
+    order = np.lexsort((by, bx))
+    sb = np.stack([bx[order], by[order]], axis=1)
+    cuts = np.flatnonzero(np.any(np.diff(sb, axis=0) != 0, axis=1)) + 1
+    for grp in np.split(order, cuts):
+        buckets[(int(bx[grp[0]]), int(by[grp[0]]))] = grp
+    roots = np.full(k, -1, dtype=np.int64)
+    for seed in range(k):
+        if roots[seed] != -1:
+            continue
+        roots[seed] = seed
+        stack = [seed]
+        while stack:
+            i = stack.pop()
+            bi, bj = int(bx[i]), int(by[i])
+            for db in range(-1, 2):
+                for dj in range(-1, 2):
+                    grp = buckets.get((bi + db, bj + dj))
+                    if grp is None:
+                        continue
+                    cand = grp[roots[grp] == -1]
+                    if len(cand) == 0:
+                        continue
+                    d2 = (cx[cand] - cx[i]) ** 2 + (cy[cand] - cy[i]) ** 2
+                    hit = cand[d2 <= rmax2]
+                    if len(hit):
+                        roots[hit] = seed
+                        stack.extend(hit.tolist())
+    return roots
+
+
 def _sparse_smooth_threshold(ix, iy, m, bandwidth_m, cell_m, thr):
     """Fallback sparse scatter smoothing for degenerate sprawling regions."""
     di, dj, gw = _gauss_stencil(bandwidth_m, cell_m)
@@ -134,16 +180,20 @@ def _sparse_smooth_threshold(ix, iy, m, bandwidth_m, cell_m, thr):
 
 
 def kde_locations_numpy(lat, lon, nlat, nlon, ndt, cfg: EngineConfig,
-                        anchor: tuple[float, float] | None = None):
+                        anchor: tuple[float, float] | None = None,
+                        quant: bool = False):
     """Sparse-grid KDE + clustering for ONE host.  Returns
     (loc_lat, loc_lon, dwell_s, n_cells) arrays ordered by location id.
     `anchor` (lat0, lon0) is the host's FIRST point; defaults to row 0 for
-    time-ordered input."""
+    time-ordered input.  quant=True switches to the bit-portable
+    integer-arithmetic oracle mode (_kde_from_grid_quant)."""
     slat, slon, mass = _sites_numpy(lat, lon, nlat, nlon, ndt,
                                     cfg.interpolation_step_m)
     if len(slat) == 0:
         return (np.empty(0), np.empty(0), np.empty(0),
                 np.empty(0, dtype=np.int64))
+    if quant:
+        mass = np.floor(mass * QUANT_MASS_SCALE)
     # anchor: host's first point
     lat0, lon0 = anchor if anchor is not None else (float(lat[0]), float(lon[0]))
     x, y = geo.equirect_project(slat, slon, lat0, lon0)
@@ -157,7 +207,8 @@ def kde_locations_numpy(lat, lon, nlat, nlon, ndt, cfg: EngineConfig,
     m0 = np.bincount(inv, weights=mass)
     uix = uk >> np.int64(32)
     uiy = ((uk & np.int64(0xFFFFFFFF)) << np.int64(32)) >> np.int64(32)  # sign-extend
-    return _kde_from_grid(uix, uiy, m0, lat0, lon0, cfg)
+    grid_fn = _kde_from_grid_quant if quant else _kde_from_grid
+    return grid_fn(uix, uiy, m0, lat0, lon0, cfg)
 
 
 def _kde_from_grid(uix, uiy, m0, lat0, lon0, cfg: EngineConfig):
@@ -252,47 +303,11 @@ def _kde_from_grid(uix, uiy, m0, lat0, lon0, cfg: EngineConfig):
         return (np.empty(0), np.empty(0), np.empty(0),
                 np.empty(0, dtype=np.int64))
 
-    # A4: connected components over super-threshold cells within
-    # cluster_distance (exact Euclidean on cell centers).  Bucket-indexed
-    # BFS: candidates come only from the 3x3 neighborhood of R-sized
-    # buckets, so cost is O(k x local-density) — the naive pairwise
-    # union-find is O(k^2) and stalls when dense corridors go hot
-    # (tens of thousands of hot cells on a mega-host).
+    # A4 (shared helper _cluster_cells): connected components over
+    # super-threshold cells within cluster_distance.
+    roots = _cluster_cells(hix, hiy, cell, cfg.cluster_distance_m)
     cx = (hix + 0.5) * cell
     cy = (hiy + 0.5) * cell
-    k = len(cx)
-    rmax2 = cfg.cluster_distance_m ** 2
-    rcells = int(np.ceil(cfg.cluster_distance_m / cell))
-    bx = np.floor(hix / rcells).astype(np.int64)
-    by = np.floor(hiy / rcells).astype(np.int64)
-    buckets: dict[tuple[int, int], np.ndarray] = {}
-    order = np.lexsort((by, bx))
-    sb = np.stack([bx[order], by[order]], axis=1)
-    cuts = np.flatnonzero(np.any(np.diff(sb, axis=0) != 0, axis=1)) + 1
-    for grp in np.split(order, cuts):
-        buckets[(int(bx[grp[0]]), int(by[grp[0]]))] = grp
-    roots = np.full(k, -1, dtype=np.int64)
-    for seed in range(k):
-        if roots[seed] != -1:
-            continue
-        roots[seed] = seed
-        stack = [seed]
-        while stack:
-            i = stack.pop()
-            bi, bj = int(bx[i]), int(by[i])
-            for db in range(-1, 2):
-                for dj in range(-1, 2):
-                    grp = buckets.get((bi + db, bj + dj))
-                    if grp is None:
-                        continue
-                    cand = grp[roots[grp] == -1]
-                    if len(cand) == 0:
-                        continue
-                    d2 = (cx[cand] - cx[i]) ** 2 + (cy[cand] - cy[i]) ** 2
-                    hit = cand[d2 <= rmax2]
-                    if len(hit):
-                        roots[hit] = seed
-                        stack.extend(hit.tolist())
 
     # A5: centroid + dwell per cluster
     labels = np.unique(roots)
@@ -316,7 +331,123 @@ def _kde_from_grid(uix, uiy, m0, lat0, lon0, cfg: EngineConfig):
             np.array([out_n[i] for i in order], dtype=np.int64))
 
 
-def _location_kernel(cfg: EngineConfig):
+QUANT_W_SCALE = 1 << 16          # stencil weights -> integers
+QUANT_MASS_SCALE = 1000.0        # site mass seconds -> integer ms
+
+
+def quant_stencil(cfg: EngineConfig = DEFAULT):
+    """Integer Gaussian stencil for the bit-portable oracle mode: the same
+    normalized 2-D kernel as _gauss_stencil, rounded to QUANT_W_SCALE
+    integer weights (zero taps dropped).  These integers are the SINGLE
+    SOURCE OF TRUTH for both the engine quant kernel and the DuckDB oracle
+    SQL (which embeds them as literals) — exp() never has to agree
+    cross-engine.  Returns (di, dj, w_int, wsum)."""
+    di, dj, g = _gauss_stencil(cfg.kernel_bandwidth_m, cfg.grid_cell_m)
+    w = np.round(g * QUANT_W_SCALE).astype(np.int64)
+    nz = w > 0
+    return di[nz], dj[nz], w[nz], int(w[nz].sum())
+
+
+def _kde_from_grid_quant(uix, uiy, m0, lat0, lon0, cfg: EngineConfig):
+    """Bit-portable quant twin of _kde_from_grid (same A2-A5 lattice,
+    exact-integer arithmetic end to end) — the oracle mode that lets the
+    FULL location-detection chain be replayed in ANSI SQL:
+
+      * m0 arrives as integer-ms cell masses (floor at site level) — every
+        aggregation is an exact-integer sum, order-independent;
+      * smoothing is the quant_stencil integer scatter: dens(c) =
+        sum(m0_ms * w_int) in int64 (<= host_ms * wsum < 2^53 headroom by
+        construction at QUANT_W_SCALE = 2^16);
+      * A3 threshold is the integer compare dens >= thr_ms * wsum;
+      * A4 is the shared _cluster_cells BFS (the adjacency predicate
+        (dx^2+dy^2)*cell^2 <= rmax^2 is exact float math on integers);
+      * A5 centroids come from integer moment sums shifted to the cluster
+        min corner (sdx = sum(dens*(ix-ix0)) fits int64), so the only
+        float ops are one division, one add chain, and the equirect
+        unproject — identical op order to the SQL replay.
+
+    The threshold-aware bucket prune is replicated from _kde_from_grid
+    with the ms-scaled threshold; it provably changes nothing about hot
+    cells (see that function's proof), so the SQL oracle skips it."""
+    thr_ms = cfg.kde_time_threshold_s * float(QUANT_MASS_SCALE)
+    cell = cfg.grid_cell_m
+    empty = (np.empty(0), np.empty(0), np.empty(0),
+             np.empty(0, dtype=np.int64))
+    # --- prune (quant twin of the _kde_from_grid block, thr in ms)
+    r_cells = int(np.ceil(3.0 * cfg.kernel_bandwidth_m / cell))
+    bshift = np.int64(max(4, int(np.ceil(np.log2(r_cells + 1)))))
+    ck = ((uix >> bshift) << np.int64(32)) ^ ((uiy >> bshift) & np.int64(0xFFFFFFFF))
+    ucb, cinv = np.unique(ck, return_inverse=True)
+    cmass = np.bincount(cinv, weights=m0)
+    cbx = ucb >> np.int64(32)
+    cby = ((ucb & np.int64(0xFFFFFFFF)) << np.int64(32)) >> np.int64(32)
+    nbh = np.zeros(len(ucb))
+    for dbx in (-1, 0, 1):
+        for dby in (-1, 0, 1):
+            nkey = ((cbx + dbx) << np.int64(32)) \
+                ^ ((cby + dby) & np.int64(0xFFFFFFFF))
+            pos = np.searchsorted(ucb, nkey)
+            pos = np.clip(pos, 0, len(ucb) - 1)
+            hit = ucb[pos] == nkey
+            np.add.at(nbh, pos[hit], cmass[np.where(hit)[0]])
+    cand = ucb[nbh >= thr_ms]
+    if len(cand) == 0:
+        return empty
+    cdx = cand >> np.int64(32)
+    cdy = ((cand & np.int64(0xFFFFFFFF)) << np.int64(32)) >> np.int64(32)
+    dil = np.unique(np.concatenate(
+        [((cdx + a) << np.int64(32)) ^ ((cdy + b) & np.int64(0xFFFFFFFF))
+         for a in (-1, 0, 1) for b in (-1, 0, 1)]))
+    keep = np.isin(ck, dil, assume_unique=False)
+    uix, uiy, m0 = uix[keep], uiy[keep], m0[keep]
+
+    # --- A2 quant: integer stencil scatter over kept cells
+    di, dj, w, wsum = quant_stencil(cfg)
+    m0q = m0.astype(np.int64)
+    tix = (uix[:, None] + di[None, :]).ravel()
+    tiy = (uiy[:, None] + dj[None, :]).ravel()
+    tm = (m0q[:, None] * w[None, :]).ravel()
+    tkey = (tix << np.int64(32)) ^ (tiy & np.int64(0xFFFFFFFF))
+    uk, inv = np.unique(tkey, return_inverse=True)
+    dens = np.zeros(len(uk), dtype=np.int64)
+    np.add.at(dens, inv, tm)
+    thr_q = np.int64(round(thr_ms)) * np.int64(wsum)
+    hot = dens >= thr_q
+    if not bool(hot.any()):
+        return empty
+    hix, hiy = _unpack(uk[hot])
+    hd = dens[hot]
+
+    # --- A4 (shared helper)
+    roots = _cluster_cells(hix, hiy, cell, cfg.cluster_distance_m)
+
+    # --- A5 quant: integer moment sums, then ONE division per axis
+    denom = float(QUANT_MASS_SCALE) * wsum
+    out_lat, out_lon, out_dwell, out_n = [], [], [], []
+    for r in np.unique(roots):
+        mask = roots == r
+        d = hd[mask]
+        gx, gy = hix[mask], hiy[mask]
+        sd = int(d.sum())
+        ix0, iy0 = int(gx.min()), int(gy.min())
+        sdx = int((d * (gx - ix0)).sum())
+        sdy = int((d * (gy - iy0)).sum())
+        mx = cell * ((ix0 + sdx / sd) + 0.5)
+        my = cell * ((iy0 + sdy / sd) + 0.5)
+        clat, clon = geo.equirect_unproject(mx, my, lat0, lon0)
+        out_lat.append(float(clat))
+        out_lon.append(float(clon))
+        out_dwell.append(sd / denom)
+        out_n.append(int(mask.sum()))
+    order = sorted(range(len(out_lat)),
+                   key=lambda i: (-out_dwell[i], out_lon[i], out_lat[i]))
+    return (np.array([out_lat[i] for i in order]),
+            np.array([out_lon[i] for i in order]),
+            np.array([out_dwell[i] for i in order]),
+            np.array([out_n[i] for i in order], dtype=np.int64))
+
+
+def _location_kernel(cfg: EngineConfig, quant: bool = False):
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         # The KDE is order-independent (segments ride on each row as
         # next_* links); only the projection anchor needs the host's FIRST
@@ -333,7 +464,8 @@ def _location_kernel(cfg: EngineConfig):
             lat, lon,
             pdf["next_lat"].to_numpy(np.float64),
             pdf["next_lon"].to_numpy(np.float64),
-            pdf["next_dt_s"].to_numpy(np.float64), cfg, anchor=anchor)
+            pdf["next_dt_s"].to_numpy(np.float64), cfg, anchor=anchor,
+            quant=quant)
         return pd.DataFrame({
             "host": pdf["host"].iloc[0] if len(pdf) else "",
             "location_id": np.arange(len(la), dtype=np.int32),
@@ -345,7 +477,8 @@ def _location_kernel(cfg: EngineConfig):
 
 
 def detect_locations_wholehost(points: DataFrame,
-                               cfg: EngineConfig = DEFAULT) -> DataFrame:
+                               cfg: EngineConfig = DEFAULT,
+                               quant: bool = False) -> DataFrame:
     """Single-kernel-per-host variant (round-1 design).
 
     Correct, but the whole O(sites) interpolate+bin phase runs as ONE task
@@ -356,7 +489,8 @@ def detect_locations_wholehost(points: DataFrame,
     cols = ["host", "seq", "lat", "lon",
             "next_lat", "next_lon", "next_dt_s"]
     return (points.select(*cols).groupBy("host")
-            .applyInPandas(_location_kernel(cfg), schema=LOCATION_SCHEMA))
+            .applyInPandas(_location_kernel(cfg, quant=quant),
+                           schema=LOCATION_SCHEMA))
 
 
 _PARTIAL_SCHEMA = ("host string, ix long, iy long, mass double, "
@@ -365,7 +499,7 @@ _PARTIAL_SCHEMA = ("host string, ix long, iy long, mass double, "
 _BUCKET_KEEP_SCHEMA = "host string, bx long, by long"
 
 
-def _prune_kernel(cfg: EngineConfig):
+def _prune_kernel(cfg: EngineConfig, quant: bool = False):
     """Per-host distributed twin of _kde_from_grid's threshold-aware bucket
     prune, in ONE pass over the host's (already groupBy-merged) coarse
     buckets: 3x3 neighborhood sums (sorted-key searchsorted, same
@@ -373,7 +507,7 @@ def _prune_kernel(cfg: EngineConfig):
     1-bucket dilation.  Emits the dilated candidate bucket keys — the old
     explode9 -> agg -> filter -> explode9 -> distinct chain spent ~3 extra
     shuffles of 9x-exploded rows to compute exactly this set."""
-    thr = cfg.kde_time_threshold_s
+    thr = cfg.kde_time_threshold_s * (QUANT_MASS_SCALE if quant else 1.0)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"host": pd.Series([], dtype=object),
@@ -414,7 +548,7 @@ def _prune_kernel(cfg: EngineConfig):
     return kernel
 
 
-def _bin_stream(cfg: EngineConfig):
+def _bin_stream(cfg: EngineConfig, quant: bool = False):
     """mapInArrow kernel for the O(sites) phase of the KDE, over ARBITRARY
     partitions (no pre-shuffle): per batch, interpolate every segment into
     sites, project into the host-local frame (per-site anchors ride on the
@@ -484,6 +618,8 @@ def _bin_stream(cfg: EngineConfig):
         slat = a_lat[sidx] + frac * (b_lat - a_lat)[sidx]
         slon = a_lon[sidx] + frac * (b_lon - a_lon)[sidx]
         mass = (dt / n)[sidx]
+        if quant:
+            mass = np.floor(mass * QUANT_MASS_SCALE)
         x, y = geo.equirect_project(slat, slon,
                                     an_lat[sidx], an_lon[sidx])
         ix = np.floor(x / cell).astype(np.int64)
@@ -508,7 +644,7 @@ def _bin_stream(cfg: EngineConfig):
     return stream
 
 
-def _grid_kernel(cfg: EngineConfig):
+def _grid_kernel(cfg: EngineConfig, quant: bool = False):
     """Per-host A2(smooth)-A5 on the host's pruned partial-mass rows:
     merges per-chunk partials itself (sorted np.unique + bincount — one
     kernel instead of a groupBy(host, ix, iy) merge shuffle followed by a
@@ -530,7 +666,8 @@ def _grid_kernel(cfg: EngineConfig):
         m0 = np.bincount(inv, weights=m)
         uix = uk >> np.int64(23)
         uiy = (uk & np.int64((1 << 23) - 1)) - np.int64(1 << 22)
-        la, lo, dw, nc = _kde_from_grid(
+        grid_fn = _kde_from_grid_quant if quant else _kde_from_grid
+        la, lo, dw, nc = grid_fn(
             uix, uiy, m0,
             float(pdf["alat"].iloc[0]), float(pdf["alon"].iloc[0]), cfg)
         return pd.DataFrame({
@@ -545,7 +682,8 @@ def _grid_kernel(cfg: EngineConfig):
 
 def detect_locations(points: DataFrame, cfg: EngineConfig = DEFAULT,
                      strategy: str = "auto",
-                     n_points_hint: int | None = None) -> DataFrame:
+                     n_points_hint: int | None = None,
+                     quant: bool = False) -> DataFrame:
     """A2-A5: geopoints (from trace_prep.prep_points) -> locations DF.
 
     Strategy (cost-based, like Spark's own join-strategy pick): the
@@ -588,7 +726,7 @@ def detect_locations(points: DataFrame, cfg: EngineConfig = DEFAULT,
                         and n_points_hint < cfg.kde_chunked_min_points)
                     else "chunked")
     if strategy == "wholehost":
-        return detect_locations_wholehost(points, cfg)
+        return detect_locations_wholehost(points, cfg, quant=quant)
     anchors = (points.groupBy("host")
                .agg(F.min_by("lat", "seq").alias("alat"),
                     F.min_by("lon", "seq").alias("alon")))
@@ -603,7 +741,8 @@ def detect_locations(points: DataFrame, cfg: EngineConfig = DEFAULT,
     # tasks instead of serializing it.
     pts = pts.repartition(F.col("host"),
                           F.pmod(F.col("subset_id"), F.lit(cfg.salt_buckets)))
-    partial = pts.mapInArrow(_bin_stream(cfg), schema=_PARTIAL_SCHEMA)
+    partial = pts.mapInArrow(_bin_stream(cfg, quant=quant),
+                             schema=_PARTIAL_SCHEMA)
     partial = partial.persist()  # read twice: bucket masses + kept cells
     # Distributed twin of _kde_from_grid's threshold-aware prune, applied
     # BEFORE the merge shuffle: only cells inside the 1-bucket dilation of
@@ -628,8 +767,9 @@ def detect_locations(points: DataFrame, cfg: EngineConfig = DEFAULT,
     # tiny bucket table (see _prune_kernel); the dilated-candidate output
     # is tiny, so AQE turns the semi-join into a runtime broadcast
     dil = bucket.groupBy("host").applyInPandas(
-        _prune_kernel(cfg), schema=_BUCKET_KEEP_SCHEMA)
+        _prune_kernel(cfg, quant=quant), schema=_BUCKET_KEEP_SCHEMA)
     kept = (part_b.join(dil, ["host", "bx", "by"], "left_semi")
             .drop("bx", "by"))
     return (kept.groupBy("host")
-            .applyInPandas(_grid_kernel(cfg), schema=LOCATION_SCHEMA))
+            .applyInPandas(_grid_kernel(cfg, quant=quant),
+                           schema=LOCATION_SCHEMA))

@@ -132,6 +132,29 @@ def test_detect_locations_chunked_matches_wholehost(spark, unit_pages_sdf):
     np.testing.assert_allclose(a["dwell_s"], b["dwell_s"], atol=1e-6)
 
 
+def test_detect_locations_quant_mode(spark, unit_pages_sdf):
+    """Quant (bit-portable oracle) mode: (a) wholehost and chunk-parallel
+    paths are BYTE-identical (every aggregation is an exact-integer sum,
+    so merge order cannot matter — stronger than the float path's 1e-9
+    tolerance); (b) quant results track the production Gaussian float
+    mode closely (same A2-A5 lattice, integer-rounded stencil weights and
+    ms-floored site mass are the only differences)."""
+    gp = trace_prep.geopoints(unit_pages_sdf, DEFAULT).cache()
+    q1 = (loc.detect_locations_wholehost(gp, DEFAULT, quant=True).toPandas()
+          .sort_values(["host", "location_id"]).reset_index(drop=True))
+    q2 = (loc.detect_locations(gp, DEFAULT, strategy="chunked", quant=True)
+          .toPandas()
+          .sort_values(["host", "location_id"]).reset_index(drop=True))
+    assert q1.equals(q2)  # byte-exact across distribution strategies
+    g = (loc.detect_locations_wholehost(gp, DEFAULT).toPandas()
+         .sort_values(["host", "location_id"]).reset_index(drop=True))
+    assert len(q1) == len(g)
+    assert (q1["host"] == g["host"]).all()
+    np.testing.assert_allclose(q1["lat"], g["lat"], atol=1e-7)
+    np.testing.assert_allclose(q1["lon"], g["lon"], atol=1e-7)
+    np.testing.assert_allclose(q1["dwell_s"], g["dwell_s"], rtol=1e-3)
+
+
 def test_knn_collected_matches_join_form(spark, unit_pages_sdf):
     """knn_assign_collected (driver-collected closure index, zero point-set
     exchanges) must reproduce knn_assign (cell-cover join) exactly:
