@@ -728,6 +728,32 @@ def q_geo_locations_quant(spark, sf_dir):
     return loc.detect_locations_wholehost(gp, cfg, quant=True)
 
 
+def q_geo_episodes_quant(spark, sf_dir):
+    """The FLAGSHIP end-to-end pipeline — prep, KDE location detection,
+    kNN assignment, episode segmentation — under ONE exact chained-SQL
+    oracle.  Locations come from the engine's own KDE in bit-portable
+    quant mode (see q_geo_locations_quant), so unlike w5_episodes (which
+    borrows planted arithmetic locations) every stage here is the
+    production lattice: the oracle replays prep (F3/G1/W2), the A2-A5
+    quant KDE, brute-force kNN (twin of the cell-index join), W3
+    run-compress, the W5 short-dwell fixpoint, and unknown-gap emission —
+    ~70 chained CTEs, value-hash exact."""
+    ev = _t(spark, sf_dir, "events")
+    from dataclasses import replace
+    from engine import locations as loc
+    from engine.episodes import build_episodes, knn_assign
+    gp = trace_prep.geopoints(web_pages_from_events(ev), DEFAULT)
+    cfg = replace(DEFAULT, kde_time_threshold_s=_QUANT_THR_S)
+    locs = loc.detect_locations_wholehost(gp, cfg, quant=True)
+    eps = build_episodes(knn_assign(gp, locs, DEFAULT,
+                                    broadcast_locations=True), DEFAULT)
+    return eps.select("host", F.col("seq").cast("long").alias("seq"),
+                      epoch_s(F.col("start_ts")).alias("start_s"),
+                      epoch_s(F.col("end_ts")).alias("end_s"),
+                      "kind",
+                      F.col("location_id").cast("long").alias("location_id"))
+
+
 def q_tiles_mass_check(spark, sf_dir):
     """Driver-visible invariant for the Hilbert tile pyramid: the cell ids
     have no SQL twin, but MASS does — every pyramid level must carry
@@ -1008,6 +1034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf": q_ann_topk_ivf,
         "tiles_pyramid": q_tiles_pyramid,
         "geo_locations_quant": q_geo_locations_quant,
+        "geo_episodes_quant": q_geo_episodes_quant,
         "tiles_mass_check": q_tiles_mass_check,
         "j4_pip": q_j4_pip,
         "media_decode": q_media_decode,
@@ -1223,49 +1250,7 @@ r{i} AS (
     return ",\n".join(parts)
 
 
-def _w5_episodes_cte() -> str:
-    """Full SQL replay of the production episode path (to append after the
-    pages CTE): pts (carrying integer-microsecond `ceu` so every duration
-    compare is exact) -> F3 dedup -> G1 jump chain -> W2 sessionization ->
-    brute-force kNN against the arithmetic locs (oracle twin of the
-    cell-index join; ties by (distance, location_id) match the engine's
-    min(struct)) -> W3 run-compress per (host, subset) -> W5 chain ->
-    unknown-gap emission + global seq with the engine's exact
-    (start, end, ridx) ordering (gap rows carry ridx=2^31-1).  Ends at
-    `eps(host, seq, su, eu, kind, location_id)`, su/eu in microseconds."""
-    hav = _hav_sql("p.lat", "p.lon", "l.lat", "l.lon")
-    g1n = trace_prep.G1_ROUNDS
-    return f"""pts AS (
-  SELECT url,
-         regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host,
-         (CAST(TRUNC((epoch_us(warc_ts) - 1704067200000000) / 30) AS BIGINT)
-          + 1704067200000000) / 1000000.0 AS ce,
-         CAST(TRUNC((epoch_us(warc_ts) - 1704067200000000) / 30) AS BIGINT)
-          + 1704067200000000 AS ceu,
-         TRY_CAST(regexp_extract(text, '{_GEOTAG_RE_SQL}', 1) AS DOUBLE) AS lat,
-         TRY_CAST(regexp_extract(text, '{_GEOTAG_RE_SQL}', 2) AS DOUBLE) AS lon
-  FROM pages
-  WHERE lang IN ('en', 'fr', 'de')
-    AND TRY_CAST(regexp_extract(text, '{_GEOTAG_RE_SQL}', 1) AS DOUBLE) IS NOT NULL
-    AND TRY_CAST(regexp_extract(text, '{_GEOTAG_RE_SQL}', 3) AS DOUBLE) <= {DEFAULT.min_accuracy_m}
-),
-g0 AS (
-  SELECT host, url, ce, ceu, lat, lon FROM (
-    SELECT *, lag(lat) OVER w AS plat, lag(lon) OVER w AS plon
-    FROM pts
-    WINDOW w AS (PARTITION BY host ORDER BY ce, url)
-  ) WHERE plat IS NULL OR NOT (lat = plat AND lon = plon)
-),
-{_g1_chain_sql(carry=", ceu")},
-sess AS (
-  SELECT *, SUM(nf) OVER (PARTITION BY host ORDER BY ce, url
-                          ROWS UNBOUNDED PRECEDING) - 1 AS subset_id
-  FROM (SELECT *, CASE WHEN pce IS NULL OR ce - pce > {DEFAULT.gap_s}
-                       THEN 1 ELSE 0 END AS nf
-        FROM (SELECT *, lag(ce) OVER w AS pce FROM g{g1n}
-              WINDOW w AS (PARTITION BY host ORDER BY ce, url)))
-),
-locs AS (
+_PLANTED_LOCS_CTE = """locs AS (
   SELECT printf('host%04d.example', CAST(user_id % 10000 AS INT)) AS host,
          s.location_id,
          ((CAST(user_id AS BIGINT) * 2654435761 + s.location_id * 40503 + 17)
@@ -1274,10 +1259,22 @@ locs AS (
           % 350000001) / 1e6 - 175.0 AS lon
   FROM (SELECT DISTINCT user_id FROM events)
   CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS location_id) s
-),
-kcand AS (
+)"""
+
+
+def _knn_eps_cte(locs: str = "locs") -> str:
+    """kNN + episode-kernel replay CTEs (appended after _prep_chain_sql
+    and a location table named `locs`): brute-force kNN against `locs`
+    (oracle twin of the cell-index join; ties by (distance, location_id)
+    match the engine's min(struct)) -> W3 run-compress per (host, subset)
+    -> W5 chain -> unknown-gap emission + global seq with the engine's
+    exact (start, end, ridx) ordering (gap rows carry ridx=2^31-1).  Ends
+    at `eps(host, seq, su, eu, kind, location_id)`, su/eu in
+    microseconds."""
+    hav = _hav_sql("p.lat", "p.lon", "l.lat", "l.lon")
+    body = f"""kcand AS (
   SELECT p.url, l.location_id, {hav} AS d
-  FROM sess p JOIN locs l USING (host)
+  FROM sess p JOIN {locs} l USING (host)
 ),
 kbest AS (
   SELECT url, location_id FROM (
@@ -1340,6 +1337,16 @@ eps AS (
     FROM orde WHERE pu IS NOT NULL AND su > pu
   )
 )"""
+
+
+    return body
+
+
+def _w5_episodes_cte() -> str:
+    """Full SQL replay of the production episode path over the planted
+    arithmetic location table (see _prep_chain_sql + _knn_eps_cte)."""
+    return (_prep_chain_sql() + ",\n" + _PLANTED_LOCS_CTE + ",\n"
+            + _knn_eps_cte())
 
 
 def _pii_oracle_sql() -> str:
@@ -1577,18 +1584,20 @@ enc AS (
 _QUANT_THR_S = 120.0
 
 
-def _prep_sites_sql() -> str:
-    """CTE chain text (pts -> F3 -> G1 chain -> W2/W3 -> X3 interpolation)
-    producing sites(host, site_lat, site_lon, mq) with integer-ms site
-    mass — the shared prefix of the tiles_pyramid and geo_locations_quant
-    oracles.  Each stage replays the corresponding engine kernel with
-    identical float op order (proven by the geo_sessions / x3_interp_grid
-    oracles)."""
+def _prep_chain_sql() -> str:
+    """Shared prep-replay CTE chain (pts -> F3 -> G1 chain -> W2
+    sessionization), ending at sess(host, url, ce, ceu, lat, lon,
+    subset_id).  ceu is the integer-microsecond timestamp so downstream
+    duration compares can be exact.  Each stage replays the corresponding
+    engine kernel with identical float op order (proven by the
+    geo_sessions oracle)."""
     return f"""pts AS (
   SELECT url,
          regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host,
          (CAST(TRUNC((epoch_us(warc_ts) - 1704067200000000) / 30) AS BIGINT)
           + 1704067200000000) / 1000000.0 AS ce,
+         CAST(TRUNC((epoch_us(warc_ts) - 1704067200000000) / 30) AS BIGINT)
+          + 1704067200000000 AS ceu,
          TRY_CAST(regexp_extract(text, '{_GEOTAG_RE_SQL}', 1) AS DOUBLE) AS lat,
          TRY_CAST(regexp_extract(text, '{_GEOTAG_RE_SQL}', 2) AS DOUBLE) AS lon
   FROM pages
@@ -1597,29 +1606,32 @@ def _prep_sites_sql() -> str:
     AND TRY_CAST(regexp_extract(text, '{_GEOTAG_RE_SQL}', 3) AS DOUBLE) <= {DEFAULT.min_accuracy_m}
 ),
 g0 AS (
-  SELECT host, url, ce, lat, lon FROM (
+  SELECT host, url, ce, ceu, lat, lon FROM (
     SELECT *, lag(lat) OVER w AS plat, lag(lon) OVER w AS plon
     FROM pts
     WINDOW w AS (PARTITION BY host ORDER BY ce, url)
   ) WHERE plat IS NULL OR NOT (lat = plat AND lon = plon)
 ),
-{_g1_chain_sql()},
-w2 AS (
-  SELECT *, CASE WHEN pce IS NULL OR ce - pce > {DEFAULT.gap_s}
-                 THEN 1 ELSE 0 END AS nf
-  FROM (SELECT *, lag(ce) OVER w AS pce FROM g{trace_prep.G1_ROUNDS}
-        WINDOW w AS (PARTITION BY host ORDER BY ce, url))
-),
-w3 AS (
+{_g1_chain_sql(carry=", ceu")},
+sess AS (
   SELECT *, SUM(nf) OVER (PARTITION BY host ORDER BY ce, url
                           ROWS UNBOUNDED PRECEDING) - 1 AS subset_id
-  FROM w2
-),
-nxt AS (
+  FROM (SELECT *, CASE WHEN pce IS NULL OR ce - pce > {DEFAULT.gap_s}
+                       THEN 1 ELSE 0 END AS nf
+        FROM (SELECT *, lag(ce) OVER w AS pce FROM g{trace_prep.G1_ROUNDS}
+              WINDOW w AS (PARTITION BY host ORDER BY ce, url)))
+)"""
+
+
+def _sites_from_sess_sql() -> str:
+    """X3 interpolation over the sess chain: sites(host, site_lat,
+    site_lon, mq) with integer-ms site mass (the quantization shared by
+    the tiles_pyramid and geo_locations_quant oracles)."""
+    return f"""nxt AS (
   SELECT host, subset_id, lat, lon,
          lead(lat) OVER w AS nlat, lead(lon) OVER w AS nlon,
          lead(ce) OVER w - ce AS dt
-  FROM w3
+  FROM sess
   WINDOW w AS (PARTITION BY host, subset_id ORDER BY ce, url)
 ),
 seg AS (
@@ -1641,15 +1653,24 @@ sites AS (
 )"""
 
 
-def _kde_quant_sql() -> str:
-    """geo_locations_quant oracle: full A2-A5 replay of the engine's
-    bit-portable quant KDE mode (engine/locations.py
-    _kde_from_grid_quant) — anchor-projected integer cell binning, the
-    SAME quant_stencil integer weights as SQL literals, integer density
-    sums + threshold, A4 connected components as chained min-label +
-    pointer-jump rounds (labels converge to the fixpoint; extra rounds
-    are no-ops), and A5 centroids from integer moment sums with the
-    engine's exact float op order."""
+def _prep_sites_sql() -> str:
+    """prep chain + X3 sites — the shared prefix of the tiles_pyramid and
+    geo_locations_quant oracles."""
+    return _prep_chain_sql() + ",\n" + _sites_from_sess_sql()
+
+
+def _kde_quant_cte() -> str:
+    """CTE chain (appended after _prep_sites_sql) replaying the engine's
+    bit-portable quant KDE mode (engine/locations.py _kde_from_grid_quant)
+    — anchor-projected integer cell binning, the SAME quant_stencil
+    integer weights as SQL literals, integer density sums + threshold, A4
+    connected components as chained min-label + pointer-jump rounds
+    (labels converge to the fixpoint; extra rounds are no-ops), and A5
+    centroids from integer moment sums with the engine's exact float op
+    order.  Ends at qlocs(host, location_id, lat, lon, dwell_s, n_cells).
+    Multi-referenced CTEs are MATERIALIZED — inlining them re-evaluates
+    the whole upstream prep chain once per reference (the jump rounds
+    reference each table twice, so inlining is exponential in rounds)."""
     from engine.locations import quant_stencil, QUANT_MASS_SCALE
     di, dj, w, wsum = quant_stencil(DEFAULT)
     cell = DEFAULT.grid_cell_m
@@ -1674,10 +1695,7 @@ l{t} AS MATERIALIZED (
 )""")
         prev = f"l{t}"
     rounds_sql = ",\n".join(rounds)
-    return f"""
-WITH {_PAGES_CTE},
-{_prep_sites_sql()},
-anch AS MATERIALIZED (
+    return f"""anch AS MATERIALIZED (
   SELECT DISTINCT host,
          first_value(lat) OVER w AS alat,
          first_value(lon) OVER w AS alon
@@ -1744,15 +1762,27 @@ outp AS (
          a.alon + degrees(p.mx / (6371008.8 * cos(radians(a.alat)))) AS lon,
          p.sd, p.ncell
   FROM pos p JOIN anch a USING (host)
-)
-SELECT host,
-       CAST(row_number() OVER (PARTITION BY host
-                               ORDER BY sd DESC, lon, lat) - 1 AS INTEGER)
-         AS location_id,
-       lat, lon,
-       sd / {denom!r} AS dwell_s,
-       CAST(ncell AS INTEGER) AS n_cells
-FROM outp
+),
+qlocs AS MATERIALIZED (
+  SELECT host,
+         CAST(row_number() OVER (PARTITION BY host
+                                 ORDER BY sd DESC, lon, lat) - 1 AS INTEGER)
+           AS location_id,
+         lat, lon,
+         sd / {denom!r} AS dwell_s,
+         CAST(ncell AS INTEGER) AS n_cells
+  FROM outp
+)"""
+
+
+def _kde_quant_sql() -> str:
+    """geo_locations_quant oracle: _kde_quant_cte over the prep+sites
+    chain."""
+    return f"""
+WITH {_PAGES_CTE},
+{_prep_sites_sql()},
+{_kde_quant_cte()}
+SELECT host, location_id, lat, lon, dwell_s, n_cells FROM qlocs
 """
 
 
@@ -2644,6 +2674,15 @@ base AS (
 {_pyramid_levels_sql()}
 """,
         "geo_locations_quant": _kde_quant_sql(),
+        "geo_episodes_quant": f"""
+WITH {_PAGES_CTE},
+{_prep_sites_sql()},
+{_kde_quant_cte()},
+{_knn_eps_cte("qlocs")}
+SELECT host, seq, su / 1000000.0 AS start_s, eu / 1000000.0 AS end_s,
+       kind, location_id
+FROM eps
+""",
         "tiles_mass_check": f"""
 WITH {_PAGES_CTE},
 {_w5_episodes_cte()},
