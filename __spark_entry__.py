@@ -754,6 +754,54 @@ def q_geo_episodes_quant(spark, sf_dir):
                       F.col("location_id").cast("long").alias("location_id"))
 
 
+def q_stream_episodes(spark, sf_dir):
+    """STRUCTURED STREAMING under the exact-oracle gate: the stateful W3+W5
+    episode machine (engine/streaming.py::stream_episodes_full,
+    applyInPandasWithState + event-time watermark) runs over the
+    kNN-assigned point stream (quant-KDE locations, see
+    q_geo_episodes_quant) with a file source and a memory sink, and the
+    emitted rows are replayed in SQL: with single-batch ingestion the
+    final watermark is floor(max_ts_ms) - the watermark delay, a subset is closed iff its
+    successor's first ts <= wm (emitting its W3/W5 episodes + the trailing
+    unknown-gap row) or, for the tail subset, wm > last_ts + gap_s (no gap
+    row) — the machine's exact rule.  Episode values are the same
+    _subset_runs kernel the batch path runs, so the w5 chained-SQL replay
+    applies verbatim; only the emission filter is streaming-specific."""
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events")
+    from dataclasses import replace
+    from engine import locations as loc
+    from engine import streaming
+    from engine.episodes import knn_assign
+    gp = trace_prep.geopoints(web_pages_from_events(ev), DEFAULT)
+    cfg = replace(DEFAULT, kde_time_threshold_s=_QUANT_THR_S)
+    locs = loc.detect_locations_wholehost(gp, cfg, quant=True)
+    assigned = knn_assign(gp, locs, DEFAULT, broadcast_locations=True)
+
+    path = tempfile.mkdtemp(prefix="stream_eps_")
+    (assigned.select("host", "warc_ts", "location_id")
+     .coalesce(1).write.mode("overwrite").parquet(path))
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    name = "stream_eps_out"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    q = (streaming.stream_episodes_full(stream, DEFAULT,
+                                        watermark=_STREAM_WM)
+         .writeStream.outputMode("append").format("memory")
+         .queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table(name)
+    return out.select("host",
+                      epoch_s(F.col("start_ts")).alias("start_s"),
+                      epoch_s(F.col("end_ts")).alias("end_s"),
+                      "kind",
+                      F.col("location_id").cast("long").alias("location_id"))
+
+
 def q_tiles_mass_check(spark, sf_dir):
     """Driver-visible invariant for the Hilbert tile pyramid: the cell ids
     have no SQL twin, but MASS does — every pyramid level must carry
@@ -1035,6 +1083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tiles_pyramid": q_tiles_pyramid,
         "geo_locations_quant": q_geo_locations_quant,
         "geo_episodes_quant": q_geo_episodes_quant,
+        "stream_episodes": q_stream_episodes,
         "tiles_mass_check": q_tiles_mass_check,
         "j4_pip": q_j4_pip,
         "media_decode": q_media_decode,
@@ -1310,7 +1359,7 @@ r0 AS (
   FROM rg
 ),
 {_w5_chain_sql()},
-fin AS (
+fin AS MATERIALIZED (
   SELECT host, subset_id, su, eu, lab,
          CAST(row_number() OVER (PARTITION BY host, subset_id ORDER BY gid)
               - 1 AS BIGINT) AS ridx
@@ -1582,6 +1631,13 @@ enc AS (
 # yields a multi-host multi-cluster result.  ONE constant feeds both the
 # Spark cfg and the oracle SQL.
 _QUANT_THR_S = 120.0
+
+# q_stream_episodes watermark: the 30x-compressed driver corpus spans
+# ~24 h, so the production 48 h default closes nothing; 4 h closes most
+# subsets while still exercising open-tail withholding.  ONE constant
+# feeds the streaming query and the oracle's watermark arithmetic.
+_STREAM_WM = "4 hours"
+_STREAM_WM_MS = 4 * 3600 * 1000
 
 
 def _prep_chain_sql() -> str:
@@ -2682,6 +2738,43 @@ WITH {_PAGES_CTE},
 SELECT host, seq, su / 1000000.0 AS start_s, eu / 1000000.0 AS end_s,
        kind, location_id
 FROM eps
+""",
+        # Streaming emission replay: same fin rows as geo_episodes_quant,
+        # filtered to watermark-closed subsets per the machine's exact rule
+        # (see q_stream_episodes docstring).  Single-batch ingestion makes
+        # the final watermark floor(max_ts_ms) - 48 h.
+        "stream_episodes": f"""
+WITH {_PAGES_CTE},
+{_prep_sites_sql()},
+{_kde_quant_cte()},
+{_knn_eps_cte("qlocs")},
+sub AS (
+  SELECT host, subset_id, MIN(ceu) AS fts, MAX(ceu) AS lts
+  FROM sess GROUP BY host, subset_id
+),
+wm AS (
+  SELECT (CAST(FLOOR(MAX(ceu) / 1000) AS BIGINT) - {_STREAM_WM_MS}) * 1000
+    AS wm_us
+  FROM sess
+),
+subn AS (
+  SELECT *, lead(fts) OVER (PARTITION BY host ORDER BY subset_id) AS nfts
+  FROM sub
+),
+cl AS (
+  SELECT s.*, CASE WHEN s.nfts IS NOT NULL THEN s.nfts <= w.wm_us
+                   ELSE w.wm_us > s.lts + {int(DEFAULT.gap_s * 1e6)} END
+           AS closed
+  FROM subn s CROSS JOIN wm w
+)
+SELECT f.host, f.su / 1000000.0 AS start_s, f.eu / 1000000.0 AS end_s,
+       CASE WHEN f.lab IS NULL THEN 'travel' ELSE 'activity' END AS kind,
+       CAST(f.lab AS BIGINT) AS location_id
+FROM fin f JOIN cl USING (host, subset_id) WHERE cl.closed
+UNION ALL
+SELECT host, lts / 1000000.0 AS start_s, nfts / 1000000.0 AS end_s,
+       'unknown' AS kind, CAST(NULL AS BIGINT) AS location_id
+FROM cl WHERE closed AND nfts IS NOT NULL
 """,
         "tiles_mass_check": f"""
 WITH {_PAGES_CTE},

@@ -222,6 +222,7 @@ def _full_episode_machine(cfg: EngineConfig):
         bounds = [0, *cut.tolist(), len(t)]
         outs = []
         keep_from = 0
+        next_trigger_us = None  # first UNCLOSED boundary's successor ts
         for bi in range(len(bounds) - 2):  # all but the tail subset
             s, e = bounds[bi], bounds[bi + 1]
             nxt = t[bounds[bi + 1]]  # first ts of the successor subset
@@ -230,6 +231,7 @@ def _full_episode_machine(cfg: EngineConfig):
                 outs.append(gap_row(host, int(t[e - 1]), int(nxt)))
                 keep_from = e
             else:
+                next_trigger_us = int(nxt)
                 break
         t, lab = t[keep_from:], lab[keep_from:]
         # tail subset: final when the watermark passes last_ts + gap
@@ -240,7 +242,16 @@ def _full_episode_machine(cfg: EngineConfig):
             lab = lab[:0]
         if len(t):
             state.update((t.tolist(), lab.tolist()))
-            state.setTimeoutTimestamp((int(t[-1]) + gap_us) // 1000 + 1)
+            # Wake at the EARLIEST pending closure trigger: the first
+            # unclosed interior boundary's successor ts (an interior
+            # subset becomes final the moment the watermark passes it —
+            # a host that never goes quiet still must flush its closed
+            # interior subsets), else the tail's last_ts + gap.  Both are
+            # strictly beyond the current watermark here (anything at or
+            # before it was just emitted above), as Spark requires.
+            trig = (next_trigger_us if next_trigger_us is not None
+                    else int(t[-1]) + gap_us)
+            state.setTimeoutTimestamp(trig // 1000 + 1)
         else:
             state.remove()
         for out in outs:
