@@ -754,6 +754,30 @@ def q_geo_episodes_quant(spark, sf_dir):
                       F.col("location_id").cast("long").alias("location_id"))
 
 
+def _run_stream(spark, batch_df, build, name):
+    """File-source -> streaming transform -> memory-sink harness shared by
+    the stream_* driver queries: materialize `batch_df` as a single-batch
+    parquet stream, run `build(stream_df)` to completion under
+    processAllAvailable, and return the sink table.  Single-batch
+    ingestion pins the final event-time watermark at
+    floor(max_event_ts_ms) - the watermark delay (Spark tracks event-time
+    stats in ms), which the paired oracle SQL replays exactly."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix=f"{name}_")
+    batch_df.coalesce(1).write.mode("overwrite").parquet(path)
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    q = (build(stream).writeStream.outputMode("append").format("memory")
+         .queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 def q_stream_episodes(spark, sf_dir):
     """STRUCTURED STREAMING under the exact-oracle gate: the stateful W3+W5
     episode machine (engine/streaming.py::stream_episodes_full,
@@ -767,8 +791,6 @@ def q_stream_episodes(spark, sf_dir):
     row) — the machine's exact rule.  Episode values are the same
     _subset_runs kernel the batch path runs, so the w5 chained-SQL replay
     applies verbatim; only the emission filter is streaming-specific."""
-    import tempfile
-
     ev = _t(spark, sf_dir, "events")
     from dataclasses import replace
     from engine import locations as loc
@@ -778,28 +800,90 @@ def q_stream_episodes(spark, sf_dir):
     cfg = replace(DEFAULT, kde_time_threshold_s=_QUANT_THR_S)
     locs = loc.detect_locations_wholehost(gp, cfg, quant=True)
     assigned = knn_assign(gp, locs, DEFAULT, broadcast_locations=True)
-
-    path = tempfile.mkdtemp(prefix="stream_eps_")
-    (assigned.select("host", "warc_ts", "location_id")
-     .coalesce(1).write.mode("overwrite").parquet(path))
-    schema = spark.read.parquet(path).schema
-    stream = spark.readStream.schema(schema).parquet(path)
-    name = "stream_eps_out"
-    spark.sql(f"DROP TABLE IF EXISTS {name}")
-    q = (streaming.stream_episodes_full(stream, DEFAULT,
-                                        watermark=_STREAM_WM)
-         .writeStream.outputMode("append").format("memory")
-         .queryName(name).start())
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    out = spark.table(name)
+    out = _run_stream(spark, assigned.select("host", "warc_ts", "location_id"),
+                      lambda s: streaming.stream_episodes_full(
+                          s, DEFAULT, watermark=_STREAM_WM),
+                      "stream_eps_out")
     return out.select("host",
                       epoch_s(F.col("start_ts")).alias("start_s"),
                       epoch_s(F.col("end_ts")).alias("end_s"),
                       "kind",
                       F.col("location_id").cast("long").alias("location_id"))
+
+
+def q_stream_sessionize(spark, sf_dir):
+    """Streaming W2 under the exact-oracle gate: F.session_window gap
+    sessionization (engine/streaming.py::stream_sessionize) over the raw
+    page stream, event-time watermark, memory sink.  The SQL replays the
+    session semantics exactly: session_window MERGES consecutive fixes
+    while ts - prev <= gap_s (the == gap edge merges — verified against
+    Spark, and identical to the batch W2 split rule `> gap_s`), window
+    end = last_ts + gap_s, and append mode emits a session iff
+    end <= final watermark = floor(max_ts_ms) - delay, in MICROSECONDS
+    (Spark's eviction predicate compares the us timestamp against
+    watermark_ms * 1000; emission at exact equality verified)."""
+    ev = _t(spark, sf_dir, "events")
+    from engine import streaming
+    pts = web_pages_from_events(ev).select(
+        F.regexp_extract("url", r"^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
+        .alias("host"), "warc_ts")
+    out = _run_stream(spark, pts,
+                      lambda s: streaming.stream_sessionize(
+                          s, DEFAULT, watermark=_STREAM_WM),
+                      "stream_sess_out")
+    return out.select("host",
+                      epoch_s(F.col("start_ts")).alias("start_s"),
+                      epoch_s(F.col("end_ts")).alias("end_s"),
+                      F.col("n_points").cast("long").alias("n_points"))
+
+
+def q_stream_dedup_exact(spark, sf_dir):
+    """Streaming exact dedup (§2.10 twin) under the exact-oracle gate:
+    dropDuplicatesWithinWatermark on the (xxhash64, md5, length) text key
+    (engine/streaming.py::stream_dedup_exact) over the documents stream
+    with a deterministic synthetic event time (doc arrival = epoch +
+    doc_id seconds).  Single-batch ingestion starts at watermark 0, so
+    the emitted set is exactly one row per distinct text; the output is
+    projected to text-determined columns (md5, char length) so WHICH
+    duplicate survived — nondeterministic under parallelism — never
+    reaches the hash compare.  Oracle: SELECT DISTINCT over the same
+    projection."""
+    docs = _t(spark, sf_dir, "documents")
+    from engine import streaming
+    src = docs.select(
+        F.timestamp_seconds(F.lit(1704067200).cast("long") + F.col("doc_id"))
+        .alias("warc_ts"), "text")
+    out = _run_stream(spark, src,
+                      lambda s: streaming.stream_dedup_exact(
+                          s, ts_col="warc_ts", text_col="text",
+                          watermark=_STREAM_WM),
+                      "stream_dedup_out")
+    return out.select(F.md5(F.col("text").cast("binary")).alias("text_md5"),
+                      F.length("text").cast("long").alias("n_chars"))
+
+
+def q_stream_cell_density(spark, sf_dir):
+    """Streaming raster (rolling heat map) under the exact-oracle gate:
+    geopoint stream -> X3 interpolated mass sites -> native Hilbert cell
+    encode -> watermarked 10-minute windowed density
+    (engine/streaming.py::stream_cell_density, quant_ms=True: site mass
+    floored to integer ms BEFORE the sum, the tile pyramid's
+    quantization, so every window sum is an order-independent integer).
+    The oracle replays the full chain — prep, interpolation, the native
+    cell encode trig/FSM replay (_cell_encode_sql) — plus the streaming
+    emission rule: tumbling window start = floor(ts_us / win_us) * win_us,
+    emitted iff window end <= floor(max_site_ts_ms) - delay, in us."""
+    ev = _t(spark, sf_dir, "events")
+    from engine import streaming
+    gp = trace_prep.geopoints(web_pages_from_events(ev), DEFAULT)
+    out = _run_stream(spark, gp,
+                      lambda s: streaming.stream_cell_density(
+                          s, DEFAULT, window=_DENSITY_WIN,
+                          watermark=_STREAM_WM, quant_ms=True),
+                      "stream_dens_out")
+    return out.select(epoch_s(F.col("window.start")).alias("window_s"),
+                      "cell_id",
+                      F.col("mass_ms").cast("long").alias("mass_ms"))
 
 
 def q_tiles_mass_check(spark, sf_dir):
@@ -1084,6 +1168,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_locations_quant": q_geo_locations_quant,
         "geo_episodes_quant": q_geo_episodes_quant,
         "stream_episodes": q_stream_episodes,
+        "stream_sessionize": q_stream_sessionize,
+        "stream_dedup_exact": q_stream_dedup_exact,
+        "stream_cell_density": q_stream_cell_density,
         "tiles_mass_check": q_tiles_mass_check,
         "j4_pip": q_j4_pip,
         "media_decode": q_media_decode,
@@ -1632,12 +1719,22 @@ enc AS (
 # Spark cfg and the oracle SQL.
 _QUANT_THR_S = 120.0
 
-# q_stream_episodes watermark: the 30x-compressed driver corpus spans
-# ~24 h, so the production 48 h default closes nothing; 4 h closes most
-# subsets while still exercising open-tail withholding.  ONE constant
-# feeds the streaming query and the oracle's watermark arithmetic.
+# stream_* watermark: the 30x-compressed driver corpus spans ~24 h, so
+# the production 48 h default closes nothing; 4 h closes most
+# subsets/windows/sessions while still exercising append-mode
+# withholding.  ONE constant feeds every streaming query and the
+# oracles' watermark arithmetic.
 _STREAM_WM = "4 hours"
 _STREAM_WM_MS = 4 * 3600 * 1000
+
+# stream_cell_density tumbling window; _DENSITY_WIN_US is the oracle's
+# bucket arithmetic twin (Spark window start = floor(ts_us/win)*win).
+_DENSITY_WIN = "10 minutes"
+_DENSITY_WIN_US = 10 * 60 * 1_000_000
+
+# stream_sessionize gap in us: stream_sessionize passes the gap to
+# F.session_window as int(cfg.gap_s) whole seconds — mirror that exactly.
+_SESS_GAP_US = int(DEFAULT.gap_s) * 1_000_000
 
 
 def _prep_chain_sql() -> str:
@@ -1679,29 +1776,33 @@ sess AS (
 )"""
 
 
-def _sites_from_sess_sql() -> str:
+def _sites_from_sess_sql(carry_ts: bool = False) -> str:
     """X3 interpolation over the sess chain: sites(host, site_lat,
     site_lon, mq) with integer-ms site mass (the quantization shared by
-    the tiles_pyramid and geo_locations_quant oracles)."""
+    the tiles_pyramid and geo_locations_quant oracles).  With
+    `carry_ts`, each site also carries `ceu` — its segment's START
+    timestamp in integer us, matching interpolate_sites(carry_cols=
+    ("warc_ts",)) — for the streaming raster's window bucketing."""
+    ts = "ceu, " if carry_ts else ""
     return f"""nxt AS (
-  SELECT host, subset_id, lat, lon,
+  SELECT host, subset_id, {ts}lat, lon,
          lead(lat) OVER w AS nlat, lead(lon) OVER w AS nlon,
          lead(ce) OVER w - ce AS dt
   FROM sess
   WINDOW w AS (PARTITION BY host, subset_id ORDER BY ce, url)
 ),
 seg AS (
-  SELECT host, lat, lon, nlat, nlon, dt,
+  SELECT host, {ts}lat, lon, nlat, nlon, dt,
          GREATEST(1, CAST(CEIL({_hav_sql("lat", "lon", "nlat", "nlon")}
                                / {DEFAULT.interpolation_step_m}) AS BIGINT))
            AS n
   FROM nxt WHERE dt IS NOT NULL
 ),
 expanded AS (
-  SELECT host, lat, lon, nlat, nlon, dt, n, UNNEST(range(n)) AS k FROM seg
+  SELECT host, {ts}lat, lon, nlat, nlon, dt, n, UNNEST(range(n)) AS k FROM seg
 ),
 sites AS (
-  SELECT host,
+  SELECT host, {ts}
          lat + ((k + 0.5) / n) * (nlat - lat) AS site_lat,
          lon + ((k + 0.5) / n) * (nlon - lon) AS site_lon,
          CAST(FLOOR((dt / n) * 1000.0) AS BIGINT) AS mq
@@ -2775,6 +2876,77 @@ UNION ALL
 SELECT host, lts / 1000000.0 AS start_s, nfts / 1000000.0 AS end_s,
        'unknown' AS kind, CAST(NULL AS BIGINT) AS location_id
 FROM cl WHERE closed AND nfts IS NOT NULL
+""",
+        # Streaming W2 replay: gap sessionization (split strictly > gap —
+        # session_window merges the == gap edge, verified), window end =
+        # last_ts + gap, emitted iff end <= wm = floor(max_ts_ms)*1000 -
+        # delay (Spark's eviction predicate is us-vs-watermark_ms*1000).
+        "stream_sessionize": f"""
+WITH {_PAGES_CTE},
+hp AS (
+  -- datagen's web_pages_from_events emits the 30x-compressed warc_ts on
+  -- the Spark side; the SQL pages CTE is raw, so compress here with the
+  -- prep chain's exact ceu formula.
+  SELECT regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host,
+         CAST(TRUNC((epoch_us(warc_ts) - 1704067200000000) / 30) AS BIGINT)
+          + 1704067200000000 AS tu
+  FROM pages
+),
+sw AS (
+  SELECT host, tu,
+         CASE WHEN ptu IS NULL OR tu - ptu > {_SESS_GAP_US} THEN 1 ELSE 0 END
+           AS nf
+  FROM (SELECT *, lag(tu) OVER (PARTITION BY host ORDER BY tu) AS ptu
+        FROM hp)
+),
+sid AS (
+  SELECT host, tu,
+         SUM(nf) OVER (PARTITION BY host ORDER BY tu
+                       ROWS UNBOUNDED PRECEDING) AS sid
+  FROM sw
+),
+agg AS (
+  SELECT host, sid, MIN(tu) AS su, MAX(tu) AS eu, COUNT(*) AS n_points
+  FROM sid GROUP BY host, sid
+),
+wm AS (
+  SELECT (CAST(FLOOR(MAX(tu) / 1000) AS BIGINT) - {_STREAM_WM_MS}) * 1000
+    AS wm_us
+  FROM hp
+)
+SELECT host, su / 1000000.0 AS start_s,
+       (eu + {_SESS_GAP_US}) / 1000000.0 AS end_s, n_points
+FROM agg CROSS JOIN wm WHERE eu + {_SESS_GAP_US} <= wm_us
+""",
+        # Streaming exact-dedup replay: single-batch ingestion starts at
+        # watermark 0 (nothing evicted mid-batch), so the emitted set is
+        # one row per distinct text; the projection is text-determined.
+        "stream_dedup_exact": """
+SELECT DISTINCT md5(text) AS text_md5,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+""",
+        # Streaming raster replay: full prep + X3 sites (carrying the
+        # segment-start ts) + the native cell encode, then the tumbling
+        # window arithmetic (start = floor(ts_us/win)*win), integer-ms
+        # mass sums, emitted iff window end <= the final watermark in us.
+        "stream_cell_density": f"""
+WITH {_PAGES_CTE},
+{_prep_chain_sql()},
+{_sites_from_sess_sql(carry_ts=True)},
+{_cell_encode_sql(DEFAULT.cell_level)},
+wm AS (
+  SELECT (CAST(FLOOR(MAX(ceu) / 1000) AS BIGINT) - {_STREAM_WM_MS}) * 1000
+    AS wm_us
+  FROM sites
+),
+grp AS (
+  SELECT (ceu // {_DENSITY_WIN_US}) * {_DENSITY_WIN_US} AS ws_us, cell_id,
+         CAST(SUM(mq) AS BIGINT) AS mass_ms
+  FROM enc GROUP BY 1, 2
+)
+SELECT ws_us / 1000000.0 AS window_s, cell_id, mass_ms
+FROM grp CROSS JOIN wm WHERE ws_us + {_DENSITY_WIN_US} <= wm_us
 """,
         "tiles_mass_check": f"""
 WITH {_PAGES_CTE},

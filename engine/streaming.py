@@ -286,7 +286,8 @@ def stream_episodes_full(assigned_stream: DataFrame,
 def stream_cell_density(points_stream: DataFrame,
                         cfg: EngineConfig = DEFAULT,
                         window: str = "10 minutes",
-                        watermark: str = "30 minutes") -> DataFrame:
+                        watermark: str = "30 minutes",
+                        quant_ms: bool = False) -> DataFrame:
     """Streaming twin of the tiles raster path: geopoints stream ->
     interpolated KDE mass sites -> cell encode -> time-windowed cell
     density (a rolling heat map).
@@ -298,6 +299,12 @@ def stream_cell_density(points_stream: DataFrame,
     their segment's start timestamp — identical semantics to running the
     batch raster per time window.  Output: (window, cell_id, mass_s),
     append mode.
+
+    `quant_ms=True` floors each site's mass to integer MILLISECONDS before
+    the windowed sum (output column `mass_ms`, long) — the same
+    quantization the tile pyramid's exact oracle uses: every aggregation
+    becomes an order-independent integer sum, so the emitted rows are
+    bit-portable and SQL-replayable.  The float path stays the default.
     """
     from . import trace_prep
     sites = trace_prep.interpolate_sites(points_stream, cfg,
@@ -305,10 +312,15 @@ def stream_cell_density(points_stream: DataFrame,
     from .functions import encode_cell_native
     cells = encode_cell_native(sites, "site_lat", "site_lon", "cell_id",
                                cfg.cell_level)
-    return (cells
-            .withWatermark("warc_ts", watermark)
-            .groupBy(F.window("warc_ts", window).alias("window"), "cell_id")
-            .agg(F.sum("mass_s").alias("mass_s")))
+    grouped = (cells if not quant_ms else
+               cells.withColumn("mass_ms",
+                                F.floor(F.col("mass_s") * 1000.0)
+                                .cast("long"))) \
+        .withWatermark("warc_ts", watermark) \
+        .groupBy(F.window("warc_ts", window).alias("window"), "cell_id")
+    if quant_ms:
+        return grouped.agg(F.sum("mass_ms").alias("mass_ms"))
+    return grouped.agg(F.sum("mass_s").alias("mass_s"))
 
 
 def batch_windowed_cell_density(points: DataFrame,
