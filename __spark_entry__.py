@@ -837,6 +837,39 @@ def q_stream_sessionize(spark, sf_dir):
                       F.col("n_points").cast("long").alias("n_points"))
 
 
+def q_stream_w3_runs(spark, sf_dir):
+    """The LOW-LATENCY W3 streaming machine under the exact-oracle gate:
+    engine/streaming.py::stream_episodes (applyInPandasWithState,
+    NoTimeout, no watermark) emits a label run the moment a location
+    change or an observation gap closes it and withholds each host's open
+    tail run.  Input: planted-location kNN assignments over the extracted
+    point stream (the j1_knn_assign chain).  With single-batch ingestion
+    and every host under one Arrow batch (largest driver-corpus host is
+    ~100 points, far below arrow.maxRecordsPerBatch), the machine sees
+    each host as ONE frame sorted by (warc_ts, url), so the SQL replay is
+    exact: runs split where ts - prev > gap_s or the label changes
+    (null-safe), an emitted run ends at its own last ts when the closing
+    boundary is a gap (gap wins over a simultaneous label change) else at
+    the successor run's first ts, and the final run per host is
+    withheld."""
+    from engine import streaming
+    from engine.episodes import knn_assign
+    ev = _t(spark, sf_dir, "events")
+    pts = trace_prep.with_cell(
+        trace_prep.extract_points(web_pages_from_events(ev), DEFAULT), DEFAULT)
+    assigned = knn_assign(pts, _event_locations(spark, sf_dir), DEFAULT,
+                          broadcast_locations=True)
+    out = _run_stream(spark,
+                      assigned.select("host", "url", "warc_ts", "location_id"),
+                      lambda s: streaming.stream_episodes(s, DEFAULT),
+                      "stream_w3_out")
+    return out.select("host",
+                      epoch_s(F.col("start_ts")).alias("start_s"),
+                      epoch_s(F.col("end_ts")).alias("end_s"),
+                      F.col("location_id").cast("long").alias("location_id"),
+                      F.col("n_points").cast("long").alias("n_points"))
+
+
 def q_stream_dedup_exact(spark, sf_dir):
     """Streaming exact dedup (§2.10 twin) under the exact-oracle gate:
     dropDuplicatesWithinWatermark on the (xxhash64, md5, length) text key
@@ -1169,6 +1202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_episodes_quant": q_geo_episodes_quant,
         "stream_episodes": q_stream_episodes,
         "stream_sessionize": q_stream_sessionize,
+        "stream_w3_runs": q_stream_w3_runs,
         "stream_dedup_exact": q_stream_dedup_exact,
         "stream_cell_density": q_stream_cell_density,
         "tiles_mass_check": q_tiles_mass_check,
@@ -2917,6 +2951,79 @@ wm AS (
 SELECT host, su / 1000000.0 AS start_s,
        (eu + {_SESS_GAP_US}) / 1000000.0 AS end_s, n_points
 FROM agg CROSS JOIN wm WHERE eu + {_SESS_GAP_US} <= wm_us
+""",
+        # Low-latency W3 machine replay (see q_stream_w3_runs docstring):
+        # planted-loc kNN labels, runs split on gap-or-label-change, end =
+        # own last ts on a gap else successor's first ts, tail withheld.
+        "stream_w3_runs": f"""
+WITH {_PAGES_CTE},
+pts AS (
+  SELECT url,
+         regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host,
+         CAST(TRUNC((epoch_us(warc_ts) - 1704067200000000) / 30) AS BIGINT)
+          + 1704067200000000 AS ceu,
+         TRY_CAST(regexp_extract(text, '{_GEOTAG_RE_SQL}', 1) AS DOUBLE) AS lat,
+         TRY_CAST(regexp_extract(text, '{_GEOTAG_RE_SQL}', 2) AS DOUBLE) AS lon
+  FROM pages
+  WHERE lang IN ('en', 'fr', 'de')
+    AND TRY_CAST(regexp_extract(text, '{_GEOTAG_RE_SQL}', 1) AS DOUBLE) IS NOT NULL
+    AND TRY_CAST(regexp_extract(text, '{_GEOTAG_RE_SQL}', 3) AS DOUBLE) <= {DEFAULT.min_accuracy_m}
+),
+{_PLANTED_LOCS_CTE},
+kcand AS (
+  SELECT p.url, l.location_id,
+         {_hav_sql("p.lat", "p.lon", "l.lat", "l.lon")} AS d
+  FROM pts p JOIN locs l USING (host)
+),
+kbest AS (
+  SELECT url, location_id FROM (
+    SELECT url, location_id,
+           row_number() OVER (PARTITION BY url ORDER BY d, location_id) AS rk
+    FROM kcand WHERE d <= {DEFAULT.cluster_distance_m}
+  ) WHERE rk = 1
+),
+asgw AS (
+  SELECT p.host, p.url, p.ceu, b.location_id
+  FROM pts p LEFT JOIN kbest b USING (url)
+),
+m0 AS (
+  SELECT host, url, ceu, location_id,
+         lag(ceu) OVER w AS pceu,
+         lag(location_id) OVER w AS plab,
+         row_number() OVER w AS rn
+  FROM asgw
+  WINDOW w AS (PARTITION BY host ORDER BY ceu, url)
+),
+m1 AS (
+  SELECT *,
+         CASE WHEN rn > 1 AND (ceu - pceu > {int(DEFAULT.gap_s * 1e6)}
+                               OR location_id IS DISTINCT FROM plab)
+              THEN 1 ELSE 0 END AS bnd,
+         CASE WHEN rn > 1 AND ceu - pceu > {int(DEFAULT.gap_s * 1e6)}
+              THEN 1 ELSE 0 END AS isgap
+  FROM m0
+),
+m2 AS MATERIALIZED (
+  SELECT *, SUM(bnd) OVER (PARTITION BY host ORDER BY ceu, url
+                           ROWS UNBOUNDED PRECEDING) AS rid
+  FROM m1
+),
+mr AS (
+  SELECT host, rid, MIN(ceu) AS su, MAX(ceu) AS lu,
+         MIN(location_id) AS lab, COUNT(*) AS n
+  FROM m2 GROUP BY host, rid
+),
+mb AS (SELECT host, rid, isgap FROM m2 WHERE bnd = 1 OR rn = 1),
+mx AS (
+  SELECT m.host, m.rid, m.su, m.lu, m.lab, m.n,
+         lead(m.su) OVER (PARTITION BY m.host ORDER BY m.rid) AS nsu,
+         lead(b.isgap) OVER (PARTITION BY m.host ORDER BY m.rid) AS ngap
+  FROM mr m JOIN mb b USING (host, rid)
+)
+SELECT host, su / 1000000.0 AS start_s,
+       CASE WHEN ngap = 1 THEN lu ELSE nsu END / 1000000.0 AS end_s,
+       CAST(lab AS BIGINT) AS location_id, n AS n_points
+FROM mx WHERE nsu IS NOT NULL
 """,
         # Streaming exact-dedup replay: single-batch ingestion starts at
         # watermark 0 (nothing evicted mid-batch), so the emitted set is
