@@ -158,6 +158,51 @@ def test_stream_cell_density_matches_batch(spark, unit_pages_sdf,
                                rtol=1e-9)
 
 
+def test_stream_cell_density_quant_matches_batch_exactly(
+        spark, unit_pages_sdf, tmp_path_factory):
+    """quant_ms mode (the driver-oracle path): per-site mass floored to
+    integer ms BEFORE the windowed sum, so streaming == batch must hold
+    EXACTLY (integer sums are order-independent), not just to 1e-9."""
+    path = str(tmp_path_factory.mktemp("stream") / "gp_q")
+    gp = trace_prep.geopoints(unit_pages_sdf, DEFAULT)
+    gp.coalesce(4).write.mode("overwrite").parquet(path)
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    q = (streaming.stream_cell_density(stream, DEFAULT, quant_ms=True)
+         .writeStream.outputMode("append").format("memory")
+         .queryName("density_q_out").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql(
+        "SELECT window.start AS ws, cell_id, mass_ms FROM density_q_out"
+    ).toPandas()
+
+    batch = streaming.batch_windowed_cell_density(spark.read.parquet(path),
+                                                  DEFAULT)
+    want = (batch.select(F.col("window.start").alias("ws"), "cell_id",
+                         "mass_s").toPandas())
+    assert len(got) > 0
+    # batch twin aggregates float mass; recompute its quant form per
+    # (window, cell) from the site-level floor by rerunning the quant agg
+    from engine.functions import encode_cell_native
+    sites = trace_prep.interpolate_sites(spark.read.parquet(path), DEFAULT,
+                                         carry_cols=("warc_ts",))
+    cells = encode_cell_native(sites, "site_lat", "site_lon", "cell_id",
+                               DEFAULT.cell_level)
+    wantq = (cells.withColumn("mass_ms",
+                              F.floor(F.col("mass_s") * 1000.0).cast("long"))
+             .groupBy(F.window("warc_ts", "10 minutes").alias("w"), "cell_id")
+             .agg(F.sum("mass_ms").alias("mass_ms"))
+             .select(F.col("w.start").alias("ws"), "cell_id", "mass_ms")
+             .toPandas())
+    merged = got.merge(wantq, on=["ws", "cell_id"], suffixes=("_s", "_b"))
+    assert len(merged) == len(got)
+    np.testing.assert_array_equal(merged["mass_ms_s"].to_numpy(),
+                                  merged["mass_ms_b"].to_numpy())
+
+
 def test_stream_dedup_exact_matches_batch(spark, unit_pages_sdf,
                                           tmp_path_factory):
     """Streaming exact dedup: one emitted row per distinct text, each a
