@@ -1117,6 +1117,47 @@ def q_geo_agreement(spark, sf_dir):
         "host", "agreement", "overlap_total_s")
 
 
+def _eps_quant(spark, sf_dir):
+    """Shared quant-mode episode table for the exact-oracled A7/A8 twins —
+    the same chain as q_geo_episodes_quant (prep -> quant KDE ->
+    broadcast kNN -> W3-W5 kernel)."""
+    from dataclasses import replace
+
+    from engine import locations as loc
+    from engine.episodes import build_episodes, knn_assign
+    ev = _t(spark, sf_dir, "events")
+    gp = trace_prep.geopoints(web_pages_from_events(ev), DEFAULT)
+    cfg = replace(DEFAULT, kde_time_threshold_s=_QUANT_THR_S)
+    locs = loc.detect_locations_wholehost(gp, cfg, quant=True)
+    return build_episodes(knn_assign(gp, locs, DEFAULT,
+                                     broadcast_locations=True), DEFAULT)
+
+
+def q_a7_day_summary_quant(spark, sf_dir):
+    """A7 over the FULL production episode chain under an exact oracle:
+    day_summary on the quant-KDE episodes (see q_geo_episodes_quant), so
+    the midnight split + per-kind second sums are value-hash-checked end
+    to end.  The float-KDE twin stays as a7_day_summary_episodes
+    (rows-only; same lattice, exp weights)."""
+    from engine.sinks import day_summary
+    return day_summary(_eps_quant(spark, sf_dir))
+
+
+def q_geo_agreement_quant(spark, sf_dir):
+    """E3/A8 over the FULL production episode chain under an exact oracle:
+    the same deterministic ground-truth flip as q_geo_agreement (every 5th
+    activity -> travel), but episodes come from the quant-KDE chain so the
+    interval-overlap join + agreement ratio replay in SQL end to end."""
+    from engine.sinks import compare_to_ground_truth
+    eps = _eps_quant(spark, sf_dir).persist()
+    truth = eps.withColumn(
+        "kind",
+        F.when((F.col("kind") == "activity") & (F.col("seq") % 5 == 0),
+               F.lit("travel")).otherwise(F.col("kind")))
+    return compare_to_ground_truth(eps, truth).select(
+        "host", "agreement", "overlap_total_s")
+
+
 def q_media_decode(spark, sf_dir):
     """Multimodal decode plumbing with an EXACT oracle: the deterministic
     fake decoder derives features from a sha-256 of the payload bytes, and
@@ -1215,6 +1256,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a7_labeled_day_summary": q_a7_labeled_day_summary,
         "a7_day_summary_episodes": q_a7_day_summary_episodes,
         "geo_agreement": q_geo_agreement,
+        "a7_day_summary_quant": q_a7_day_summary_quant,
+        "geo_agreement_quant": q_geo_agreement_quant,
         "a9_cube": q_a9_cube,
         "o3_setops": q_o3_setops,
         "sample_stratified": q_sample_stratified,
@@ -2873,6 +2916,76 @@ WITH {_PAGES_CTE},
 SELECT host, seq, su / 1000000.0 AS start_s, eu / 1000000.0 AS end_s,
        kind, location_id
 FROM eps
+""",
+        # A7 on the quant episode chain: midnight split via generate_series
+        # + clip, per-kind second sums (same day arithmetic as
+        # a7_labeled_day_summary's green oracle).
+        "a7_day_summary_quant": f"""
+WITH {_PAGES_CTE},
+{_prep_sites_sql()},
+{_kde_quant_cte()},
+{_knn_eps_cte("qlocs")},
+days AS (
+  SELECT host, seq, kind,
+         su / 1000000.0 AS start_s, eu / 1000000.0 AS end_s,
+         UNNEST(generate_series(
+            date_trunc('day', make_timestamp(su)),
+            date_trunc('day', make_timestamp(eu)),
+            INTERVAL 1 DAY)) AS day0
+  FROM eps
+),
+clip AS (
+  SELECT host, seq, kind, strftime(day0, '%Y-%m-%d') AS day,
+         GREATEST(LEAST(end_s, epoch(day0) + 86400.0)
+                  - GREATEST(start_s, epoch(day0)), 0.0) AS dur_s
+  FROM days
+)
+SELECT host, day,
+       ROUND(SUM(CASE WHEN kind = 'activity' THEN dur_s ELSE 0 END), 6)
+         AS activity_s,
+       ROUND(SUM(CASE WHEN kind = 'travel' THEN dur_s ELSE 0 END), 6)
+         AS travel_s,
+       ROUND(SUM(CASE WHEN kind = 'unknown' THEN dur_s ELSE 0 END), 6)
+         AS unknown_s,
+       COUNT(DISTINCT CASE WHEN kind = 'activity' THEN seq END)
+         AS n_activities
+FROM clip GROUP BY host, day
+""",
+        # A8 on the quant episode chain: the engine's interval-overlap
+        # join (strict < on epoch seconds, overlap = least(ends) -
+        # greatest(starts)) against the every-5th-activity->travel flip,
+        # then the per-host agreement ratio.
+        "geo_agreement_quant": f"""
+WITH {_PAGES_CTE},
+{_prep_sites_sql()},
+{_kde_quant_cte()},
+{_knn_eps_cte("qlocs")},
+algo AS (
+  SELECT host, su / 1000000.0 AS ss, eu / 1000000.0 AS es,
+         kind, location_id
+  FROM eps
+),
+truth AS (
+  SELECT host, ss, es,
+         CASE WHEN kind = 'activity' AND seq % 5 = 0
+              THEN 'travel' ELSE kind END AS kind,
+         location_id
+  FROM (SELECT host, seq, su / 1000000.0 AS ss, eu / 1000000.0 AS es,
+               kind, location_id FROM eps)
+),
+ov AS (
+  SELECT a.host,
+         LEAST(a.es, b.es) - GREATEST(a.ss, b.ss) AS overlap_s,
+         (a.kind = b.kind
+          AND a.location_id IS NOT DISTINCT FROM b.location_id) AS ok
+  FROM algo a JOIN truth b
+    ON a.host = b.host AND a.ss < b.es AND b.ss < a.es
+)
+SELECT host,
+       ROUND(SUM(CASE WHEN ok THEN overlap_s ELSE 0.0 END)
+             / SUM(overlap_s), 6) AS agreement,
+       ROUND(SUM(overlap_s), 6) AS overlap_total_s
+FROM ov GROUP BY host
 """,
         # Streaming emission replay: same fin rows as geo_episodes_quant,
         # filtered to watermark-closed subsets per the machine's exact rule
