@@ -503,6 +503,33 @@ def q_kmeans(spark, sf_dir):
     return kmeans_lloyd(emb, k=_KMEANS_K, iters=_KMEANS_ITERS)
 
 
+# pagerank driver params — single source of truth for Spark AND oracle.
+_PR_NODES = 64
+_PR_ITERS = 6
+
+
+def _pr_edges(docs):
+    """Deterministic host-link graph from doc ids: src = doc_id mod N,
+    dst = (doc_id * 48271) mod 2^31-1 mod N (Lehmer multiplier), self
+    loops dropped, parallel edges deduped.  Pure integer arithmetic —
+    DuckDB derives the identical edge set."""
+    did = F.col("doc_id").cast("long")
+    return (docs.select((did % _PR_NODES).alias("src"),
+                        ((did * 48271) % 2147483647 % _PR_NODES)
+                        .alias("dst"))
+            .filter(F.col("src") != F.col("dst")).distinct())
+
+
+def q_pagerank_hosts(spark, sf_dir):
+    """Iterative link analysis (engine/graph.py): integer-quantized
+    PageRank power iteration over the derived host graph, every round's
+    floor-division transfer bit-identical cross-engine; the oracle replays
+    all _PR_ITERS rounds as chained SQL (one CTE per round)."""
+    from engine.graph import pagerank
+    docs = _t(spark, sf_dir, "documents")
+    return pagerank(_pr_edges(docs), iters=_PR_ITERS)
+
+
 def q_kmeans_prune(spark, sf_dir):
     """Centroid-distance prototype selection on top of the k-means
     chain: keep the ceil(keep_frac * |cluster|) members closest to
@@ -1228,6 +1255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "ann_topk_bruteforce": q_ann_topk_bruteforce,
         "kmeans_assign": q_kmeans,
+        "pagerank_hosts": q_pagerank_hosts,
         "kmeans_prune": q_kmeans_prune,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "simhash_near_pairs": q_simhash_near_pairs,
@@ -1643,6 +1671,43 @@ cand AS (
 SELECT a, b, bit_count(xor(ha, hb)) AS hamming
 FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}
 """
+
+
+def _pagerank_chain_sql(iters: int = _PR_ITERS) -> str:
+    """Chained-CTE replay of engine.graph.pagerank over the derived host
+    graph: one CTE per power-iteration round, integer floor-division
+    transfers (DuckDB `//` == Spark `DIV` on non-negative int64), dangling
+    mass dropped — bit-identical to the engine by construction."""
+    from engine.graph import DAMP_DEN, DAMP_NUM, RANK_SCALE
+    base_q = (DAMP_DEN - DAMP_NUM) * RANK_SCALE // DAMP_DEN
+    parts = [f"""e AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT CAST(doc_id AS BIGINT) % {_PR_NODES} AS src,
+           (CAST(doc_id AS BIGINT) * 48271) % 2147483647 % {_PR_NODES} AS dst
+    FROM documents
+  ) WHERE src != dst
+),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+),
+l AS MATERIALIZED (
+  SELECT e.src, e.dst, od.odeg
+  FROM e JOIN (SELECT src, COUNT(*) AS odeg FROM e GROUP BY src) od
+  USING (src)
+),
+r0 AS (SELECT node, CAST({RANK_SCALE} AS BIGINT) AS rank_q FROM nodes)"""]
+    for i in range(1, iters + 1):
+        parts.append(f"""r{i} AS MATERIALIZED (
+  SELECT n.node,
+         CAST({base_q} + COALESCE(c.in_q, 0) AS BIGINT) AS rank_q
+  FROM nodes n LEFT JOIN (
+    SELECT l.dst AS node,
+           SUM(({DAMP_NUM} * r.rank_q) // ({DAMP_DEN} * l.odeg)) AS in_q
+    FROM l JOIN r{i - 1} r ON l.src = r.node GROUP BY l.dst
+  ) c USING (node)
+)""")
+    return ",\n".join(parts)
 
 
 def _kmeans_chain_sql(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS,
@@ -3273,6 +3338,11 @@ SELECT host, day,
        COUNT(DISTINCT CASE WHEN kind = 'activity' THEN seq END)
          AS n_activities
 FROM clip GROUP BY host, day
+""",
+        "pagerank_hosts": f"""
+WITH
+{_pagerank_chain_sql()}
+SELECT node, rank_q FROM r{_PR_ITERS}
 """,
         "kmeans_assign": f"""
 WITH

@@ -1,0 +1,98 @@
+"""Host-graph link analysis — iterative PageRank over an edge table.
+
+The web-scale companion to the trace operators: a Common-Crawl-style
+corpus carries a host->host hyperlink graph, and rank-style link analysis
+(seed-quality weighting, crawl prioritization, spam-mass estimation) is a
+standard curation signal next to the dedup/quality family.  No reference
+analog (the reference pipeline is trace-only); semantics are the public
+Page et al. 1999 power iteration.
+
+Spark shape (the GraphX/Pregel pattern re-expressed on DataFrames):
+  * `outdeg` is computed ONCE and joined onto edges ONCE; the resulting
+    `links` table is hash-partitioned by src and persisted — every
+    iteration's join then co-locates on the SAME partitioning, so the
+    per-round cost is one shuffle of the (node, rank) table (tiny: one
+    row per node) plus one partial-aggregated contribution shuffle.  The
+    EDGE table (the 100-TB side) never moves after the setup pass.
+  * contributions pre-aggregate map-side (groupBy(dst).sum on longs), so
+    the per-round exchange carries at most (partitions x nodes) rows.
+  * the rank state is a DataFrame, never collected; rounds are a fixed
+    count (power iteration converges geometrically at |damping|), so the
+    loop is driver-side plan construction only — each round appends one
+    join + one agg to the lineage.  `checkpoint_every` truncates lineage
+    via localCheckpoint to keep plan growth linear.
+
+Exact cross-engine determinism (the oracle contract): ranks live in
+INTEGER micro-units (RANK_SCALE per node of initial mass) and every
+transfer is the integer floor division
+
+    contrib(u->v) = (DAMP_NUM * r_q(u)) DIV (DAMP_DEN * outdeg(u))
+    r'_q(v)       = BASE_Q + sum(contrib)          [all int64]
+
+so sums are order-independent and both engines produce bit-identical
+ranks every round (Spark `DIV` and DuckDB `//` agree on non-negative
+operands).  Dangling mass (nodes with outdeg 0) is dropped, not
+redistributed — documented simplification, identical in the SQL replay.
+Overflow envelope: total mass only shrinks (floor division + dangling
+leakage), so r_q <= nodes * RANK_SCALE; with RANK_SCALE = 10^9 that is
+int64-safe to ~9 * 10^9 nodes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+RANK_SCALE = 1_000_000_000  # integer micro-rank units per node
+DAMP_NUM, DAMP_DEN = 85, 100  # damping 0.85 as an exact ratio
+PAGERANK_ITERS = 6
+
+
+def pagerank(edges: DataFrame, iters: int = PAGERANK_ITERS,
+             src: str = "src", dst: str = "dst",
+             checkpoint_every: int = 8) -> DataFrame:
+    """Integer-quantized PageRank power iteration; returns
+    (node long, rank_q long) for every node that appears as src or dst.
+
+    `edges` must be deduplicated (parallel edges count once; dedup
+    upstream with .distinct() if needed).  See module docstring for the
+    distributed shape and the exactness contract.
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    e = edges.select(F.col(src).cast("long").alias("src"),
+                     F.col(dst).cast("long").alias("dst"))
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct().persist())
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("odeg"))
+    # the 100-TB side: partitioned by src once, reused every round
+    links = (e.join(outdeg, "src")
+             .repartition(F.col("src"))
+             .persist())
+    links.count()  # materialize before the loop so rounds reuse it
+
+    base_q = (DAMP_DEN - DAMP_NUM) * RANK_SCALE // DAMP_DEN
+    ranks = nodes.select(
+        "node", F.lit(int(RANK_SCALE)).cast("long").alias("rank_q"))
+    for it in range(iters):
+        contribs = (links
+                    .join(ranks.withColumnRenamed("node", "src"), "src")
+                    .select("dst",
+                            (F.lit(DAMP_NUM) * F.col("rank_q"))
+                            .cast("long")
+                            .alias("num"),
+                            (F.lit(DAMP_DEN) * F.col("odeg"))
+                            .cast("long").alias("den"))
+                    .select("dst", F.expr("num DIV den").alias("c"))
+                    .groupBy("dst").agg(F.sum("c").alias("in_q")))
+        ranks = (nodes
+                 .join(contribs.withColumnRenamed("dst", "node"),
+                       "node", "left")
+                 .select("node",
+                         (F.lit(int(base_q))
+                          + F.coalesce(F.col("in_q"), F.lit(0)))
+                         .cast("long").alias("rank_q")))
+        if (it + 1) % checkpoint_every == 0 and it + 1 < iters:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks
