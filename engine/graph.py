@@ -95,4 +95,10 @@ def pagerank(edges: DataFrame, iters: int = PAGERANK_ITERS,
                          .cast("long").alias("rank_q")))
         if (it + 1) % checkpoint_every == 0 and it + 1 < iters:
             ranks = ranks.localCheckpoint(eager=False)
+    # long-lived sessions can release the setup tables once the result is
+    # materialized (same caller contract as knn_assign_collected's
+    # destroy_knn_broadcast) — unpersisting earlier would recompute them
+    # on the first action over `ranks`
+    ranks.unpersist_pagerank = lambda: (nodes.unpersist(),
+                                        links.unpersist())
     return ranks
