@@ -1219,6 +1219,23 @@ def q_media_frame_sample(spark, sf_dir):
                 .alias("frame_idx"), "offset"))
 
 
+# dup-span dedup driver params — single source of truth for Spark AND oracle
+_SPAN_N = 10
+_SPAN_MIN_COUNT = 2
+
+
+def q_dedup_spans(spark, sf_dir):
+    """Substring-level exact dedup (Lee et al. 2022 shape): every 10-token
+    span whose word 10-gram occurs >= 2 times corpus-wide is removed;
+    overlapping spans merge into maximal islands.  The Spark side keys the
+    corpus-wide count on xxhash64(gram) (8-byte exchange rows); the oracle
+    groups the raw gram strings — identical output barring a 2^-64 hash
+    collision, the same documented caveat as `dedup_exact`."""
+    docs = _t(spark, sf_dir, "documents")
+    from engine.text import dedup_spans
+    return dedup_spans(docs, n=_SPAN_N, min_count=_SPAN_MIN_COUNT)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "w2_sessionize": q_w2_sessionize,
@@ -1290,6 +1307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o3_setops": q_o3_setops,
         "sample_stratified": q_sample_stratified,
         "x7_props_json": q_x7_props_json,
+        "dedup_spans": q_dedup_spans,
     }
 
 
@@ -3420,5 +3438,77 @@ SELECT a, b, CAST(rk AS BIGINT) AS rk FROM (
   SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY sim DESC, b) AS rk
   FROM p
 ) WHERE rk <= 3
+""",
+        # dup-span removal replay: grams by string (hash-free — the Spark
+        # side's xxhash64 key is identity-equivalent barring collision),
+        # island merge as the classic running-max window, reconstruction
+        # as an ordered FILTER string_agg over covered-index anti-matches
+        "dedup_spans": f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                             x -> x <> '') AS t
+  FROM documents
+),
+pg AS (
+  SELECT doc_id,
+         unnest(range(1, greatest(len(t) - {_SPAN_N - 1}, 0) + 1)) AS pos,
+         unnest(list_transform(
+           range(1, greatest(len(t) - {_SPAN_N - 1}, 0) + 1),
+           i -> list_aggregate(t[i:i+{_SPAN_N - 1}], 'string_agg', ' ')))
+           AS g
+  FROM toks
+),
+dup AS (
+  SELECT g FROM pg GROUP BY g HAVING count(*) >= {_SPAN_MIN_COUNT}
+),
+hits AS (
+  SELECT doc_id, pos AS s, pos + {_SPAN_N - 1} AS e
+  FROM pg WHERE g IN (SELECT g FROM dup)
+),
+fl AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > coalesce(max(e) OVER (
+                PARTITION BY doc_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+              THEN 1 ELSE 0 END AS nf
+  FROM hits
+),
+isl AS (
+  SELECT doc_id, s, e,
+         sum(nf) OVER (PARTITION BY doc_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM fl
+),
+merged AS (
+  SELECT doc_id, island, min(s) AS s, max(e) AS e
+  FROM isl GROUP BY doc_id, island
+),
+nspans AS (
+  SELECT doc_id, count(*) AS n_dup_spans, sum(e - s + 1) AS n_removed
+  FROM merged GROUP BY doc_id
+),
+tk AS (
+  SELECT doc_id, unnest(t) AS tok, unnest(range(1, len(t) + 1)) AS i
+  FROM toks
+),
+cov AS (
+  SELECT DISTINCT doc_id, unnest(range(s, e + 1)) AS i FROM merged
+),
+clean AS (
+  SELECT tk.doc_id,
+         string_agg(tok, ' ' ORDER BY tk.i)
+           FILTER (WHERE cov.i IS NULL) AS clean_text
+  FROM tk LEFT JOIN cov ON tk.doc_id = cov.doc_id AND tk.i = cov.i
+  GROUP BY tk.doc_id
+)
+SELECT toks.doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(coalesce(nspans.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       CAST(coalesce(nspans.n_removed, 0) AS BIGINT) AS n_removed,
+       coalesce(clean.clean_text, '') AS clean_text
+FROM toks
+LEFT JOIN nspans ON toks.doc_id = nspans.doc_id
+LEFT JOIN clean ON toks.doc_id = clean.doc_id
 """,
     }

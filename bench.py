@@ -93,6 +93,8 @@ def run_suite(spark, sf_dir: str) -> tuple[dict, dict, float]:
         .repartition(n_split)
     with stage("dedup_minhash"):
         text.dedup_minhash(docs, threshold=0.5).count()
+    with stage("dedup_spans"):
+        text.dedup_spans(docs, n=10, min_count=2).count()
     with stage("ann_topk"):
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
             .repartition(n_split)

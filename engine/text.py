@@ -826,3 +826,122 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 3,
                     .alias("n_hit_grams"),
                     F.col("n_hit_grams").isNotNull()
                     .alias("is_contaminated")))
+
+
+# ---------------------------------------------------------------------------
+# exact substring (dup-span) dedup
+# ---------------------------------------------------------------------------
+
+def _gram_hash_expr(hash_fn: str):
+    """Gram-string -> int64 hash expression.  'xxhash64' is the JVM-native
+    fast path; 'md5_60' (first 60 bits of md5, hex-parsed) is the portable
+    exchange mode every engine can replay — same contract as
+    winnow_fingerprints/simhash."""
+    if hash_fn == "xxhash64":
+        return lambda c: F.xxhash64(c)
+    if hash_fn == "md5_60":
+        return lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10) \
+                          .cast("long")
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
+
+def dedup_spans(docs: DataFrame, n: int = 20, min_count: int = 2,
+                text_col: str = "text", id_col: str = "doc_id",
+                hash_fn: str = "xxhash64") -> DataFrame:
+    """Substring-level exact dedup: remove every token span of length ``n``
+    whose word n-gram occurs >= ``min_count`` times corpus-wide (counting
+    every occurrence, including repeats inside one document — a document
+    that repeats its own boilerplate 50-gram is deduplicated against
+    itself).  This is the token-level form of the repeated-substring
+    removal in Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better" (they build a byte-level suffix array; the
+    n-gram-hash form is the standard distributed equivalent — e.g.
+    BigQuery/Spark reimplementations of that pipeline).
+
+    Overlapping duplicated spans merge into maximal islands; the cleaned
+    document is the non-covered tokens joined by single spaces (the engine
+    normalizes whitespace at removal time, deterministically).
+
+    Scale shape (the 100-TB-correct plan):
+      * counting pass: grams ride the exchange as BARE 8-byte hashes (no
+        doc id, no position, no string) through a map-side-combinable
+        two-stage count — the one unavoidable corpus-sized shuffle, same
+        asymptotics as the suffix-array build it replaces;
+      * the duplicated-hash set (gh only) is orders of magnitude smaller
+        than the gram stream at web dup rates; the position pass re-derives
+        grams map-side (recompute beats persisting a corpus-sized position
+        table) and LEFT SEMI joins against it — AQE broadcasts the dup set
+        while it fits, falls back to an 8-byte-key shuffle join when not;
+      * only HIT positions (doc_id, pos) reach the span-merge window, and
+        only MODIFIED docs' merged spans ride the final join back to the
+        corpus (left join on the id column).
+
+    Output: (id_col, n_tokens, n_dup_spans, n_removed, clean_text), one
+    row per input document (unmodified docs pass through with 0 spans and
+    their whitespace-normalized text).
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    if min_count < 2:
+        raise ValueError("min_count must be >= 2 (1 would remove all text)")
+    ghash = _gram_hash_expr(hash_fn)
+    toks = tokens_col(F.col(text_col))
+    nt = F.size(toks)
+    idx = F.when(nt >= n, F.sequence(F.lit(1), nt - (n - 1))) \
+           .otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: ghash(
+        F.concat_ws(" ", F.slice(toks, i, n))))
+
+    # pass 1: corpus-wide occurrence counts on bare hashes
+    dup_hashes = (docs
+                  .select(F.explode(grams).alias("gh"))
+                  .groupBy("gh")
+                  .agg(F.count(F.lit(1)).alias("cnt"))
+                  .filter(F.col("cnt") >= min_count)
+                  .select("gh"))
+
+    # pass 2: positions of duplicated grams (hits only survive)
+    pos_grams = docs.select(
+        F.col(id_col),
+        F.posexplode(grams).alias("pos0", "gh"))
+    hits = pos_grams.join(dup_hashes, "gh", "left_semi") \
+                    .select(id_col, (F.col("pos0") + 1).alias("s"),
+                            (F.col("pos0") + F.lit(n)).alias("e"))
+
+    # merge overlapping/adjacent [s, e] token spans into maximal islands
+    w = Window.partitionBy(id_col).orderBy("s", "e")
+    flagged = hits.withColumn(
+        "new_island",
+        F.when(F.col("s") > F.coalesce(
+            F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(-1)) + 1, 1).otherwise(0))
+    islands = (flagged
+               .withColumn("island",
+                           F.sum("new_island").over(
+                               w.rowsBetween(Window.unboundedPreceding, 0)))
+               .groupBy(id_col, "island")
+               .agg(F.min("s").alias("s"), F.max("e").alias("e")))
+    spans = islands.groupBy(id_col).agg(
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("spans"))
+
+    joined = docs.select(F.col(id_col), toks.alias("toks")) \
+                 .join(spans, id_col, "left")
+    sp = F.coalesce(F.col("spans"),
+                    F.array().cast("array<struct<s:int,e:int>>"))
+    # sequence(1, 0) counts DOWN (same guard as shingles_col), so empty
+    # docs need an explicit empty index array or zip_with pads a null token
+    pos_idx = F.when(F.size("toks") > 0,
+                     F.sequence(F.lit(1), F.size("toks"))) \
+               .otherwise(F.array().cast("array<int>"))
+    zipped = F.zip_with(
+        F.col("toks"), pos_idx,
+        lambda t, i: F.struct(t.alias("t"), i.alias("i")))
+    kept = F.filter(zipped, lambda x: ~F.exists(
+        sp, lambda span: (x["i"] >= span["s"]) & (x["i"] <= span["e"])))
+    return joined.select(
+        F.col(id_col),
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(sp).cast("long").alias("n_dup_spans"),
+        (F.size("toks") - F.size(kept)).cast("long").alias("n_removed"),
+        F.array_join(F.transform(kept, lambda x: x["t"]), " ")
+         .alias("clean_text"))

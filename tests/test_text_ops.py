@@ -590,3 +590,68 @@ def test_ngram_topk_exact(spark):
     assert got == want
     tri = text.ngram_topk(spark.createDataFrame(pdf), n=3, k=5).collect()
     assert ("a b c", 1) in {(r["token"], r["n"]) for r in tri}
+
+
+def test_dedup_spans_known_values(spark):
+    """Dup-span removal on a hand-checked corpus: cross-doc dup, self-repeat
+    with overlapping coverage merged into one island, untouched doc, empty
+    doc, and a doc shorter than n."""
+    rows = [
+        (1, "alpha beta gamma delta unique one two three"),
+        (2, "alpha beta gamma delta something else entirely here"),
+        (3, "x y z alpha beta gamma delta alpha beta gamma delta tail"),
+        (4, "completely fresh text nothing shared anywhere at all"),
+        (5, ""),
+        (6, "short doc"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: (r["n_tokens"], r["n_dup_spans"], r["n_removed"],
+                         r["clean_text"])
+           for r in text.dedup_spans(df, n=4, min_count=2).collect()}
+    assert got == {
+        1: (8, 1, 4, "unique one two three"),
+        2: (8, 1, 4, "something else entirely here"),
+        3: (12, 1, 8, "x y z tail"),  # self-repeat: tokens 4-11 one island
+        4: (8, 0, 0, "completely fresh text nothing shared anywhere at all"),
+        5: (0, 0, 0, ""),
+        6: (2, 0, 0, "short doc"),
+    }
+
+
+def test_dedup_spans_hash_modes_and_validation(spark):
+    """md5_60 exchange mode gives identical output to the xxhash64 fast
+    path (identity-equivalent hashes), and parameter envelopes raise."""
+    rows = [(i, f"p q r s t{i} common run of words here") for i in range(4)]
+    rows += [(10, "common run of words here and more past the span edge"),
+             (11, "common run of words here and more past the span edge")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = sorted(text.dedup_spans(df, n=5, min_count=2).collect())
+    b = sorted(text.dedup_spans(df, n=5, min_count=2,
+                                hash_fn="md5_60").collect())
+    assert a == b
+    assert any(r["n_removed"] > 0 for r in a)
+    with pytest.raises(ValueError):
+        text.dedup_spans(df, n=0)
+    with pytest.raises(ValueError):
+        text.dedup_spans(df, min_count=1)
+    with pytest.raises(ValueError):
+        text.dedup_spans(df, hash_fn="sha1")
+
+
+def test_dedup_spans_min_count_and_islands(spark):
+    """min_count=3 requires three occurrences; two disjoint dup regions in
+    one doc stay two islands with the gap text preserved."""
+    tri = "one two three four"
+    rows = [
+        (1, f"{tri} gap1 gap2 {tri}"),      # 2 in-doc + 1 below = 3 total
+        (2, f"{tri} solo"),
+        (3, "five six seven eight filler five six seven eight"),  # only 2
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in
+           text.dedup_spans(df, n=4, min_count=3).collect()}
+    assert got[1]["n_dup_spans"] == 2
+    assert got[1]["clean_text"] == "gap1 gap2"
+    assert got[2]["clean_text"] == "solo"
+    # the five-six-seven-eight gram occurs only twice -> survives min_count=3
+    assert got[3]["n_removed"] == 0
