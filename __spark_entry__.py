@@ -1236,6 +1236,19 @@ def q_dedup_spans(spark, sf_dir):
     return dedup_spans(docs, n=_SPAN_N, min_count=_SPAN_MIN_COUNT)
 
 
+def q_unigram_lm_score(spark, sf_dir):
+    """CCNet-style LM quality scoring: fit a unigram LM on the simulated
+    clean reference (doc_id % 13 == 0, the decontaminate split), score the
+    whole corpus in bit-portable mean_freq mode (integer-exact sums + ONE
+    IEEE division — the tfidf ratio-mode contract), so the DuckDB replay
+    is value-hash exact.  The classical smoothed logprob mode shares the
+    same fit/join plan and is pytest-golden vs numpy."""
+    docs = _t(spark, sf_dir, "documents")
+    from engine.text import unigram_lm_score
+    lm = docs.filter(F.col("doc_id") % 13 == 0)
+    return unigram_lm_score(docs, lm_corpus=lm, mode="mean_freq")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "w2_sessionize": q_w2_sessionize,
@@ -1308,6 +1321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "x7_props_json": q_x7_props_json,
         "dedup_spans": q_dedup_spans,
+        "unigram_lm_score": q_unigram_lm_score,
     }
 
 
@@ -3510,5 +3524,44 @@ SELECT toks.doc_id,
 FROM toks
 LEFT JOIN nspans ON toks.doc_id = nspans.doc_id
 LEFT JOIN clean ON toks.doc_id = clean.doc_id
+""",
+        # unigram-LM scoring replay: integer count sums + ONE double
+        # division (exact operands, correctly-rounded IEEE divide -> the
+        # value hash matches bit-for-bit)
+        "unigram_lm_score": r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'),
+                             x -> x <> '') AS t
+  FROM documents
+),
+ref AS (
+  SELECT unnest(t) AS token FROM toks WHERE doc_id % 13 = 0
+),
+cnts AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM ref GROUP BY token
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS total FROM ref
+),
+dt AS (
+  SELECT doc_id, unnest(t) AS token FROM toks
+),
+agg AS (
+  SELECT dt.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(coalesce(cnt, 0)) AS BIGINT) AS sum_cnt,
+         CAST(sum(CASE WHEN cnt IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oov
+  FROM dt LEFT JOIN cnts ON dt.token = cnts.token
+  GROUP BY dt.doc_id
+)
+SELECT toks.doc_id,
+       CAST(coalesce(agg.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(agg.n_oov, 0) AS BIGINT) AS n_oov,
+       CASE WHEN coalesce(agg.n_tokens, 0) > 0
+            THEN CAST(agg.sum_cnt AS DOUBLE)
+                 / CAST(agg.n_tokens * tot.total AS DOUBLE)
+            ELSE 0.0 END AS score
+FROM toks LEFT JOIN agg ON toks.doc_id = agg.doc_id CROSS JOIN tot
 """,
     }

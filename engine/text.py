@@ -945,3 +945,89 @@ def dedup_spans(docs: DataFrame, n: int = 20, min_count: int = 2,
         (F.size("toks") - F.size(kept)).cast("long").alias("n_removed"),
         F.array_join(F.transform(kept, lambda x: x["t"]), " ")
          .alias("clean_text"))
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM quality scoring (CCNet-style)
+# ---------------------------------------------------------------------------
+
+def unigram_lm_score(docs: DataFrame, lm_corpus: DataFrame | None = None,
+                     mode: str = "mean_freq", text_col: str = "text",
+                     id_col: str = "doc_id",
+                     lm_text_col: str | None = None) -> DataFrame:
+    """Language-model quality scoring, the CCNet recipe shape: fit a
+    unigram LM on a (clean) reference corpus, score every target document
+    by how well the LM predicts its tokens, keep the head of the ranking.
+    CCNet proper uses a KenLM 5-gram; the unigram form is the standard
+    model-free twin (and the feature set quality classifiers like
+    fastText's start from).
+
+    Modes:
+      * 'mean_freq' (default, the oracle contract): score = mean reference
+        frequency of the doc's tokens = sum(count(t)) / (n_tokens * T).
+        Integer-exact sums plus ONE IEEE division — bit-portable across
+        engines, same contract as tfidf's ratio-idf mode.  Rank-orders
+        documents by how "reference-like" their vocabulary is; garbage /
+        OOV-heavy docs land in the tail.
+      * 'logprob': classical mean ln p with add-one smoothing,
+        p = (count + 1) / (T + V).  Deterministic per engine (libm ln),
+        not guaranteed bit-identical cross-engine — pytest-golden vs
+        numpy, not a DuckDB value-hash oracle.
+
+    Scale shape (the 100-TB-correct plan):
+      * the LM fit is a map-side-combinable token count over the REFERENCE
+        corpus (small by design — CCNet fits on Wikipedia, not the crawl);
+        T and V reduce to driver scalars (the MLlib IDF-fit pattern);
+      * scoring is explode -> equi-join on token (AQE broadcasts the LM
+        table while the vocabulary fits — a unigram LM is MBs — else an
+        8-byte-ish key shuffle) -> per-doc partial-aggregable sums; the
+        target corpus is shuffled at most once, as bare (id, token) rows;
+      * unmatched (OOV) tokens stay on the left side of the join and are
+        counted, not dropped — the OOV fraction is itself a quality signal.
+
+    Output: (id_col, n_tokens, n_oov, score), one row per input document
+    (empty docs score 0.0 with 0 tokens).
+    """
+    if mode not in ("mean_freq", "logprob"):
+        raise ValueError(f"unknown mode {mode!r}")
+    lm = lm_corpus if lm_corpus is not None else docs
+    lm_toks = lm.select(F.explode(
+        tokens_col(F.col(lm_text_col or text_col))).alias("token"))
+    counts = lm_toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"))
+    tv = counts.agg(F.sum("cnt").alias("t"),
+                    F.count(F.lit(1)).alias("v")).collect()[0]
+    total, vocab = int(tv["t"] or 0), int(tv["v"] or 0)
+    if total == 0:
+        raise ValueError("LM corpus has no tokens")
+
+    doc_toks = docs.select(F.col(id_col),
+                           F.explode(tokens_col(F.col(text_col)))
+                           .alias("token"))
+    j = doc_toks.join(counts, "token", "left")
+    if mode == "mean_freq":
+        contrib = F.sum(F.coalesce(F.col("cnt"), F.lit(0))) \
+                   .cast("long").alias("acc")
+    else:
+        contrib = F.sum(F.log(
+            (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(1.0))
+            / F.lit(float(total + vocab)))).alias("acc")
+    per_doc = j.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("cnt").isNull(), 1).otherwise(0))
+         .cast("long").alias("n_oov"),
+        contrib)
+    if mode == "mean_freq":
+        score = (F.col("acc").cast("double")
+                 / (F.col("n_tokens") * F.lit(total)).cast("double"))
+    else:
+        score = F.col("acc") / F.col("n_tokens").cast("double")
+    return (docs.select(id_col)
+            .join(per_doc, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long")
+                     .alias("n_tokens"),
+                    F.coalesce(F.col("n_oov"), F.lit(0)).cast("long")
+                     .alias("n_oov"),
+                    F.coalesce(F.when(F.col("n_tokens") > 0, score),
+                               F.lit(0.0)).alias("score")))

@@ -655,3 +655,61 @@ def test_dedup_spans_min_count_and_islands(spark):
     assert got[2]["clean_text"] == "solo"
     # the five-six-seven-eight gram occurs only twice -> survives min_count=3
     assert got[3]["n_removed"] == 0
+
+
+def test_unigram_lm_score_known_values(spark):
+    """mean_freq mode against hand-computed reference counts, including
+    OOV tokens, an empty doc, and a doc fully outside the LM vocab."""
+    lm_rows = [(100, "the cat sat on the mat"),
+               (101, "the dog sat")]
+    # LM counts: the=3, cat=1, sat=2, on=1, mat=1, dog=1; T=9
+    docs_rows = [(1, "the cat"),        # (3+1)/(2*9)
+                 (2, "the zebra"),      # (3+0)/(2*9), 1 oov
+                 (3, ""),               # empty
+                 (4, "qq ww")]          # all oov -> 0/(2*9)
+    lm = spark.createDataFrame(lm_rows, ["doc_id", "text"])
+    docs = spark.createDataFrame(docs_rows, ["doc_id", "text"])
+    got = {r["doc_id"]: (r["n_tokens"], r["n_oov"], r["score"])
+           for r in text.unigram_lm_score(docs, lm_corpus=lm).collect()}
+    assert got == {
+        1: (2, 0, 4.0 / 18.0),
+        2: (2, 1, 3.0 / 18.0),
+        3: (0, 0, 0.0),
+        4: (2, 2, 0.0),
+    }
+
+
+def test_unigram_lm_score_logprob_golden(spark):
+    """logprob mode vs an independent numpy replay (add-one smoothing over
+    T + V), and self-scoring default (lm_corpus=None)."""
+    import math
+    from collections import Counter
+    import re as _re
+
+    def toks(s):
+        return [x for x in _re.split(r"\W+", s.lower()) if x]
+
+    docs_rows = [(1, "a b a c"), (2, "b b d"), (3, "e f"), (4, "")]
+    docs = spark.createDataFrame(docs_rows, ["doc_id", "text"])
+    cnt = Counter()
+    for _, s in docs_rows:
+        cnt.update(toks(s))
+    total, vocab = sum(cnt.values()), len(cnt)
+    want = {}
+    for i, s in docs_rows:
+        tt = toks(s)
+        if not tt:
+            want[i] = 0.0
+        else:
+            want[i] = sum(math.log((cnt[t] + 1.0) / (total + vocab))
+                          for t in tt) / len(tt)
+    got = {r["doc_id"]: r["score"] for r in
+           text.unigram_lm_score(docs, mode="logprob").collect()}
+    assert got.keys() == want.keys()
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12, (k, got[k], want[k])
+    with pytest.raises(ValueError):
+        text.unigram_lm_score(docs, mode="perplexity")
+    empty = spark.createDataFrame([(1, "")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        text.unigram_lm_score(docs, lm_corpus=empty)
