@@ -1249,6 +1249,33 @@ def q_unigram_lm_score(spark, sf_dir):
     return unigram_lm_score(docs, lm_corpus=lm, mode="mean_freq")
 
 
+# chunking driver params — single source of truth for Spark AND oracle
+_CHUNK_MAX, _CHUNK_STRIDE, _CHUNK_MIN = 32, 24, 8
+
+
+def q_chunk_documents(spark, sf_dir):
+    """Context-window sequence packing (BERT-style sliding windows:
+    max 32 tokens, stride 24, ragged tails under 8 tokens dropped).
+    MAP-ONLY plan — the DuckDB oracle replays the strided slicing and the
+    joined chunk strings byte-exact."""
+    docs = _t(spark, sf_dir, "documents")
+    from engine.text import chunk_documents
+    return chunk_documents(docs, max_tokens=_CHUNK_MAX,
+                           stride=_CHUNK_STRIDE, min_tokens=_CHUNK_MIN)
+
+
+def q_quality_buckets(spark, sf_dir):
+    """CCNet head/middle/tail split over the unigram-LM scores, exact mode
+    (global ntile, deterministic (score desc, id) tiebreak) — the oracle
+    twin of the approx-quantile 100-TB path, which is covered by a
+    population-tolerance pytest instead."""
+    docs = _t(spark, sf_dir, "documents")
+    from engine.text import quality_buckets, unigram_lm_score
+    lm = docs.filter(F.col("doc_id") % 13 == 0)
+    scored = unigram_lm_score(docs, lm_corpus=lm, mode="mean_freq")
+    return quality_buckets(scored, n_buckets=3, mode="exact")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "w2_sessionize": q_w2_sessionize,
@@ -1322,6 +1349,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x7_props_json": q_x7_props_json,
         "dedup_spans": q_dedup_spans,
         "unigram_lm_score": q_unigram_lm_score,
+        "chunk_documents": q_chunk_documents,
+        "quality_buckets": q_quality_buckets,
     }
 
 
@@ -3528,7 +3557,21 @@ LEFT JOIN clean ON toks.doc_id = clean.doc_id
         # unigram-LM scoring replay: integer count sums + ONE double
         # division (exact operands, correctly-rounded IEEE divide -> the
         # value hash matches bit-for-bit)
-        "unigram_lm_score": r"""
+        "unigram_lm_score": _UNIGRAM_SQL,
+        # CCNet bucket split: deterministic (score desc, id) ntile over
+        # the shared scoring subquery
+        "quality_buckets": f"""
+SELECT doc_id, score,
+       CAST(ntile(3) OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+         AS bucket
+FROM ({_UNIGRAM_SQL})
+""",
+        # strided window slicing; parallel unnests zip positionally
+        "chunk_documents": _CHUNK_SQL,
+    }
+
+
+_UNIGRAM_SQL = r"""
 WITH toks AS (
   SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'),
                              x -> x <> '') AS t
@@ -3563,5 +3606,26 @@ SELECT toks.doc_id,
                  / CAST(agg.n_tokens * tot.total AS DOUBLE)
             ELSE 0.0 END AS score
 FROM toks LEFT JOIN agg ON toks.doc_id = agg.doc_id CROSS JOIN tot
-""",
-    }
+"""
+
+_CHUNK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                             x -> x <> '') AS t
+  FROM documents
+),
+ch AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(range(1, len(t) + 1, {_CHUNK_STRIDE}),
+                          s -> t[s:s+{_CHUNK_MAX - 1}]),
+           c -> len(c) >= {_CHUNK_MIN}) AS cs
+  FROM toks
+)
+SELECT doc_id,
+       CAST(unnest(range(0, len(cs))) AS BIGINT) AS chunk_idx,
+       unnest(list_transform(cs, c -> CAST(len(c) AS BIGINT))) AS n_tokens,
+       unnest(list_transform(cs, c -> list_aggregate(c, 'string_agg', ' ')))
+         AS chunk_text
+FROM ch
+"""

@@ -1031,3 +1031,94 @@ def unigram_lm_score(docs: DataFrame, lm_corpus: DataFrame | None = None,
                      .alias("n_oov"),
                     F.coalesce(F.when(F.col("n_tokens") > 0, score),
                                F.lit(0.0)).alias("score")))
+
+
+# ---------------------------------------------------------------------------
+# sequence chunking (context-window packing)
+# ---------------------------------------------------------------------------
+
+def chunk_documents(docs: DataFrame, max_tokens: int = 512,
+                    stride: int | None = None, min_tokens: int = 1,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Split documents into fixed-size token windows — the standard
+    pretraining preprocessing step that turns variable-length documents
+    into context-window-sized training sequences.  ``stride`` defaults to
+    ``max_tokens`` (non-overlapping); a smaller stride gives overlapping
+    windows (the BERT-style sliding setup).  Windows shorter than
+    ``min_tokens`` (ragged tails) are dropped.
+
+    Scale shape: MAP-ONLY — tokenize, window starts via a strided
+    sequence, slice, explode; zero exchanges, full whole-stage codegen.
+    At 100 TB this runs at scan speed and preserves the input
+    partitioning for whatever shuffles follow.
+
+    Output: (id_col, chunk_idx, n_tokens, chunk_text) — chunk_idx 0-based
+    in document order.
+    """
+    if max_tokens < 1:
+        raise ValueError("max_tokens must be >= 1")
+    st = stride if stride is not None else max_tokens
+    if st < 1:
+        raise ValueError("stride must be >= 1")
+    if min_tokens < 1 or min_tokens > max_tokens:
+        raise ValueError("min_tokens must be in [1, max_tokens]")
+    toks = tokens_col(F.col(text_col))
+    nt = F.size(toks)
+    starts = F.when(nt > 0, F.sequence(F.lit(1), nt, F.lit(st))) \
+              .otherwise(F.array().cast("array<int>"))
+    chunks = F.filter(
+        F.transform(starts, lambda s: F.slice(toks, s, max_tokens)),
+        lambda c: F.size(c) >= min_tokens)
+    return (docs.select(F.col(id_col),
+                        F.posexplode(chunks).alias("chunk_idx", "c"))
+            .select(F.col(id_col),
+                    F.col("chunk_idx").cast("long").alias("chunk_idx"),
+                    F.size("c").cast("long").alias("n_tokens"),
+                    F.array_join("c", " ").alias("chunk_text")))
+
+
+# ---------------------------------------------------------------------------
+# quality bucketing (CCNet head/middle/tail)
+# ---------------------------------------------------------------------------
+
+def quality_buckets(scored: DataFrame, score_col: str = "score",
+                    id_col: str = "doc_id", n_buckets: int = 3,
+                    mode: str = "approx",
+                    rel_err: float = 0.001) -> DataFrame:
+    """Split a scored corpus into quality buckets (CCNet's head / middle /
+    tail): bucket 1 holds the best-scoring fraction (highest score).
+
+    Modes (the bruteforce-vs-LSH pattern):
+      * 'approx' (default, the 100-TB path): bucket thresholds from
+        approxQuantile (Greenwald-Khanna sketch, driver scalars), then a
+        MAP-ONLY literal-comparison assignment — no global sort, corpus
+        never shuffled.  Boundary docs may land one bucket off by design
+        (`rel_err`); bucket POPULATIONS are within rel_err of exact.
+      * 'exact': global ntile over (score desc, id) — a single-partition
+        sort, the small-side oracle twin (deterministic tiebreak makes it
+        value-hash exact cross-engine).
+
+    Output: (id_col, score_col, bucket), bucket 1-based.
+    """
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    if mode == "exact":
+        w = Window.orderBy(F.col(score_col).desc(), F.col(id_col))
+        return scored.select(
+            id_col, score_col,
+            F.ntile(n_buckets).over(w).cast("long").alias("bucket"))
+    if mode != "approx":
+        raise ValueError(f"unknown mode {mode!r}")
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    thr = scored.approxQuantile(score_col, qs, rel_err)  # ascending
+    # when-chain checks the HIGHEST threshold first: bucket k (1 = best)
+    # is the first k with score >= thr[n_buckets - 1 - k]
+    chain = None
+    for k in range(1, n_buckets):
+        cond = F.col(score_col) >= F.lit(thr[n_buckets - 1 - k])
+        chain = (F.when(cond, F.lit(k)) if chain is None
+                 else chain.when(cond, F.lit(k)))
+    bucket = chain.otherwise(F.lit(n_buckets))
+    return scored.select(id_col, score_col,
+                         bucket.cast("long").alias("bucket"))

@@ -139,3 +139,33 @@ def test_kde_strategy_pick(spark, pages_parquet):
     assert "LeftSemi" not in plan_str(small, "simple")
     big = loc.detect_locations(gp, DEFAULT, n_points_hint=50_000_000)
     assert "LeftSemi" in plan_str(big, "simple")
+
+
+def test_dedup_spans_plan_shape(spark):
+    """dedup_spans' 100-TB posture: the duplicated-hash probe is a LEFT
+    SEMI join (hit positions only survive), and the counting exchange
+    partitions on the bare gram hash — no doc id, position, or text
+    column rides it."""
+    from engine import text
+    docs = spark.createDataFrame(
+        [(i, "w x y z " * 6) for i in range(8)], ["doc_id", "text"])
+    plan = plan_str(text.dedup_spans(docs, n=4, min_count=2), "simple")
+    assert "LeftSemi" in plan, plan
+    # the count-side exchange hashes gh alone
+    ex = [ln for ln in plan.splitlines()
+          if "Exchange hashpartitioning(gh" in ln]
+    assert ex, plan
+    assert "text" not in ex[0] and "doc_id" not in ex[0], ex[0]
+
+
+def test_unigram_lm_score_plan_shape(spark):
+    """The LM table joins the exploded corpus on token (broadcast at test
+    scale); the corpus text column never reaches the scoring exchange."""
+    from engine import text
+    docs = spark.createDataFrame(
+        [(i, "common words here repeated") for i in range(8)],
+        ["doc_id", "text"])
+    plan = plan_str(text.unigram_lm_score(docs), "simple")
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
+    exs = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert all("text#" not in ln for ln in exs), exs

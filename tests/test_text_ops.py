@@ -713,3 +713,57 @@ def test_unigram_lm_score_logprob_golden(spark):
     empty = spark.createDataFrame([(1, "")], ["doc_id", "text"])
     with pytest.raises(ValueError):
         text.unigram_lm_score(docs, lm_corpus=empty)
+
+
+def test_chunk_documents_known_values(spark):
+    """Strided slicing vs a hand-rolled replay: overlap, ragged-tail drop,
+    short doc, empty doc, and the non-overlapping default."""
+    rows = [(1, " ".join(f"t{i}" for i in range(10))),
+            (2, "a b c"),
+            (3, "")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = text.chunk_documents(df, max_tokens=4, stride=3, min_tokens=2)
+    got = {(r["doc_id"], r["chunk_idx"]): (r["n_tokens"], r["chunk_text"])
+           for r in out.collect()}
+    # start 10 gives a 1-token tail < min_tokens -> dropped
+    assert got == {
+        (1, 0): (4, "t0 t1 t2 t3"),
+        (1, 1): (4, "t3 t4 t5 t6"),
+        (1, 2): (4, "t6 t7 t8 t9"),
+        (2, 0): (3, "a b c"),
+    }
+    # non-overlapping default covers every token exactly once
+    nn = text.chunk_documents(df, max_tokens=4).collect()
+    tot = sum(r["n_tokens"] for r in nn if r["doc_id"] == 1)
+    assert tot == 10
+    with pytest.raises(ValueError):
+        text.chunk_documents(df, max_tokens=0)
+    with pytest.raises(ValueError):
+        text.chunk_documents(df, max_tokens=4, stride=0)
+    with pytest.raises(ValueError):
+        text.chunk_documents(df, max_tokens=4, min_tokens=5)
+
+
+def test_quality_buckets_exact_and_approx(spark):
+    """Exact mode matches a hand ntile; approx mode puts every doc in a
+    bucket, respects score monotonicity (a better score never lands in a
+    strictly worse bucket), and populations are near-balanced."""
+    rows = [(i, float(100 - i)) for i in range(30)]  # doc 0 best
+    df = spark.createDataFrame(rows, ["doc_id", "score"])
+    ex = {r["doc_id"]: r["bucket"] for r in
+          text.quality_buckets(df, n_buckets=3, mode="exact").collect()}
+    assert all(ex[i] == 1 for i in range(10))
+    assert all(ex[i] == 2 for i in range(10, 20))
+    assert all(ex[i] == 3 for i in range(20, 30))
+    ap = {r["doc_id"]: r["bucket"] for r in
+          text.quality_buckets(df, n_buckets=3, mode="approx").collect()}
+    assert set(ap.values()) <= {1, 2, 3}
+    ordered = [ap[i] for i in range(30)]  # scores strictly decreasing
+    assert ordered == sorted(ordered), ordered
+    from collections import Counter
+    pops = Counter(ordered)
+    assert all(5 <= pops[b] <= 15 for b in (1, 2, 3)), pops
+    with pytest.raises(ValueError):
+        text.quality_buckets(df, n_buckets=1)
+    with pytest.raises(ValueError):
+        text.quality_buckets(df, mode="median")
