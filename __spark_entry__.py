@@ -1276,6 +1276,29 @@ def q_quality_buckets(spark, sf_dir):
     return quality_buckets(scored, n_buckets=3, mode="exact")
 
 
+# mixture-resampling driver params — single source of truth for Spark AND
+# oracle.  _MIX_W replicates resample_mixture's own normalization (same
+# Python float ops, same dict order) so the SQL literals are bit-identical
+# to the fractions the operator derives.
+_MIX_TARGETS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+_MIX_W = {s: float(w) / float(sum(_MIX_TARGETS.values()))
+          for s, w in _MIX_TARGETS.items()}
+
+
+def q_resample_mixture(spark, sf_dir):
+    """Data-mixing resample: downsample three sources to a 50/30/20 output
+    mixture (N = min(n_s/w_s), f_s = w_s*N/n_s, deterministic LCG-hash
+    keep rule) — the oracle recomputes the fractions from the same counts
+    with the same IEEE double arithmetic and replays the sample
+    row-for-row."""
+    docs = _t(spark, sf_dir, "documents")
+    from engine.ops import resample_mixture
+    h = (F.col("doc_id").cast("long") * F.lit(2654435761) + F.lit(97))
+    out = resample_mixture(docs, _MIX_TARGETS, "source",
+                           key="doc_id", hash_expr=h)
+    return out.select("doc_id", "source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "w2_sessionize": q_w2_sessionize,
@@ -1351,6 +1374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_lm_score": q_unigram_lm_score,
         "chunk_documents": q_chunk_documents,
         "quality_buckets": q_quality_buckets,
+        "resample_mixture": q_resample_mixture,
     }
 
 
@@ -3558,6 +3582,28 @@ LEFT JOIN clean ON toks.doc_id = clean.doc_id
         # division (exact operands, correctly-rounded IEEE divide -> the
         # value hash matches bit-for-bit)
         "unigram_lm_score": _UNIGRAM_SQL,
+        # mixture resample replay: fractions recomputed from the same
+        # counts with the same double ops ((w * n_out) / n), LCG keep rule
+        "resample_mixture": f"""
+WITH wts AS (
+  SELECT * FROM (VALUES {", ".join(
+      f"('{s}', CAST({w!r} AS DOUBLE))" for s, w in _MIX_W.items())})
+    w(source, w)
+),
+cnt AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n
+  FROM documents WHERE source IN ({", ".join(
+      f"'{s}'" for s in _MIX_W)})
+  GROUP BY source
+),
+j AS (SELECT cnt.source, n, w FROM cnt JOIN wts ON cnt.source = wts.source),
+nn AS (SELECT min(n / w) AS n_out FROM j),
+fr AS (SELECT source, (w * n_out) / n AS f FROM j CROSS JOIN nn)
+SELECT d.doc_id, d.source
+FROM documents d JOIN fr ON d.source = fr.source
+WHERE ((CAST(d.doc_id AS BIGINT) * 2654435761 + 97) % 2147483648)
+      < f * 2147483648
+""",
         # CCNet bucket split: deterministic (score desc, id) ntile over
         # the shared scoring subquery
         "quality_buckets": f"""

@@ -255,3 +255,47 @@ def salted_join(big: DataFrame, small: DataFrame, key: str, salt: int,
                     .withColumn("_salt", F.col("_salt").cast("long")))
     out = big_s.join(small_s, [key, "_salt"], how)
     return out.drop("_salt")
+
+
+def resample_mixture(df: DataFrame, targets: dict[str, float],
+                     strata_col: str, key: Column | str = "doc_id",
+                     hash_expr: Column | None = None,
+                     mod: int = 1 << 31) -> DataFrame:
+    """Resample to a target mixture: downsample each stratum (source,
+    language, domain...) so the OUTPUT's composition matches ``targets``
+    proportions — the data-mixing step of a training pipeline (fix the
+    web/wiki/books/code ratio before tokenization).  No stratum is
+    upsampled: the achievable output size is N = min_s(n_s / w_s) and
+    each stratum keeps f_s = w_s * N / n_s of its rows via the same
+    deterministic hash rule as `sample_stratified` (stable under
+    repartition/retry/resume; a key stays in or out forever).  Strata
+    absent from ``targets`` are dropped.
+
+    Scale shape: one map-side-combinable count per stratum (the strata
+    table is tiny — sources/languages, not documents), fractions reduce
+    to driver scalars, then ONE map-only filter over the corpus — no
+    shuffle of the data being sampled.
+
+    Weights are normalized driver-side; both the normalized weights and
+    the final fractions are plain IEEE double arithmetic, so an external
+    engine recomputing them from the same counts gets bit-identical keep
+    decisions (the driver oracle does exactly this).
+    """
+    if not targets:
+        raise ValueError("targets must be non-empty")
+    if any(w <= 0 for w in targets.values()):
+        raise ValueError("target weights must be > 0")
+    tot_w = float(sum(targets.values()))
+    weights = {s: float(w) / tot_w for s, w in targets.items()}
+    counts = {r[strata_col]: r["n"] for r in
+              df.filter(F.col(strata_col).isin(list(targets)))
+                .groupBy(strata_col)
+                .agg(F.count(F.lit(1)).alias("n")).collect()}
+    missing = [s for s in targets if not counts.get(s)]
+    if missing:
+        raise ValueError(f"strata with no rows cannot hit the mixture: "
+                         f"{sorted(missing)}")
+    n_out = min(counts[s] / weights[s] for s in weights)
+    fractions = {s: weights[s] * n_out / counts[s] for s in weights}
+    return sample_stratified(df, fractions, strata_col, key=key,
+                             hash_expr=hash_expr, mod=mod)

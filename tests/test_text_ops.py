@@ -767,3 +767,43 @@ def test_quality_buckets_exact_and_approx(spark):
         text.quality_buckets(df, n_buckets=1)
     with pytest.raises(ValueError):
         text.quality_buckets(df, mode="median")
+
+
+def test_resample_mixture_hits_targets(spark):
+    """Mixture resampling on skewed strata: the bottleneck stratum keeps
+    everything (f=1), others downsample to the target ratio; output
+    matches an independent Python replay of the fraction math + LCG rule,
+    and the call is stable under repartition."""
+    from engine import ops
+    rows = ([(i, "a") for i in range(100)]
+            + [(i, "b") for i in range(100, 400)]
+            + [(i, "c") for i in range(400, 1000)])
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    targets = {"a": 0.5, "b": 0.25, "c": 0.25}
+    h = F.col("doc_id").cast("long") * F.lit(2654435761) + F.lit(97)
+    got = {(r["doc_id"], r["source"]) for r in
+           ops.resample_mixture(df, targets, "source", key="doc_id",
+                                hash_expr=h).collect()}
+    # replay: w normalized, N = min(n/w) = min(200, 1200, 2400) = 200
+    tot = sum(targets.values())
+    w = {s: v / tot for s, v in targets.items()}
+    n = {"a": 100, "b": 300, "c": 600}
+    n_out = min(n[s] / w[s] for s in w)
+    frac = {s: w[s] * n_out / n[s] for s in w}
+    assert frac["a"] == 1.0
+    want = {(i, s) for i, s in rows
+            if (i * 2654435761 + 97) % (1 << 31) < frac[s] * (1 << 31)}
+    assert got == want
+    # stable under repartition
+    got2 = {(r["doc_id"], r["source"]) for r in
+            ops.resample_mixture(df.repartition(7), targets, "source",
+                                 key="doc_id", hash_expr=h).collect()}
+    assert got2 == got
+    # every 'a' row kept (bottleneck stratum), unlisted strata dropped
+    assert {i for i, s in rows if s == "a"} == {i for i, s in got if s == "a"}
+    with pytest.raises(ValueError):
+        ops.resample_mixture(df, {}, "source")
+    with pytest.raises(ValueError):
+        ops.resample_mixture(df, {"a": 0.5, "b": -1.0}, "source")
+    with pytest.raises(ValueError):
+        ops.resample_mixture(df, {"a": 0.5, "zz": 0.5}, "source")
