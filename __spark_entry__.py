@@ -1299,6 +1299,25 @@ def q_resample_mixture(spark, sf_dir):
     return out.select("doc_id", "source")
 
 
+# PQ driver params — single source of truth for Spark AND oracle
+_PQ_M, _PQ_CODES, _PQ_ITERS, _PQ_K, _PQ_DIM, _PQ_QMOD = 4, 16, 2, 3, 64, 50
+
+
+def q_pq_adc_topk(spark, sf_dir):
+    """Product-quantization ANN (FAISS IndexPQ shape): 4 subspace
+    codebooks of 16 codes trained in one pass per iteration, database
+    stored as 4 codes/vector, queries scored by asymmetric-distance LUT
+    sums with a per-batch partial top-k.  EXACT DuckDB oracle: all four
+    subspace Lloyd chains, the code assignment, the LUT terms (same
+    left-to-right folds), and the ((t0+t1)+t2)+t3 accumulation are
+    replayed value-for-value."""
+    emb = _t(spark, sf_dir, "embeddings")
+    from engine.similarity import pq_adc_topk
+    queries_df = emb.filter(F.col("vec_id") % _PQ_QMOD == 0)
+    return pq_adc_topk(emb, queries_df, k=_PQ_K, m=_PQ_M,
+                       n_codes=_PQ_CODES, iters=_PQ_ITERS, dim=_PQ_DIM)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "w2_sessionize": q_w2_sessionize,
@@ -1375,6 +1394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "quality_buckets": q_quality_buckets,
         "resample_mixture": q_resample_mixture,
+        "pq_adc_topk": q_pq_adc_topk,
     }
 
 
@@ -1843,6 +1863,97 @@ c{i + 1} AS (
        USING (cl)
 )""")
     return ",\n".join(parts)
+
+
+def _pq_chain_sql(m: int = _PQ_M, k: int = _PQ_CODES, iters: int = _PQ_ITERS,
+                  topk: int = _PQ_K, dim: int = _PQ_DIM,
+                  qmod: int = _PQ_QMOD, scale: float = 1024.0) -> str:
+    """engine.similarity.pq_adc_topk unrolled as SQL: m independent
+    subspace Lloyd chains (each the _kmeans_chain_sql pattern over a
+    vector SLICE, same init rule — subspace s of the j-th lowest-id
+    vector), codes joined per vec_id, per-query LUT terms
+    cc - 2*dot(q_s, c) from the FINAL-round centroids, and the ADC score
+    accumulated in subspace order (((t0+t1)+t2)+...) exactly as the Arrow
+    kernel's += loop does."""
+    sub = dim // m
+    dotxc = ("list_reduce(list_transform(list_zip(v.e, c.e), "
+             "s -> s[1] * s[2]), (a, b) -> a + b)")
+    last = iters - 1
+    parts = [f"""q AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> floor(x * {scale!r} + 0.5)) AS e
+  FROM embeddings
+),
+init AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS j, e
+  FROM (SELECT vec_id, e FROM q ORDER BY vec_id LIMIT {k})
+)"""]
+    for s in range(m):
+        lo, hi = s * sub + 1, s * sub + sub
+        parts.append(f"""qs{s} AS (
+  SELECT vec_id, e[{lo}:{hi}] AS e FROM q
+),
+s{s}c0 AS (
+  SELECT j AS cl, e[{lo}:{hi}] AS e FROM init
+)""")
+        for i in range(iters):
+            parts.append(f"""s{s}cc{i} AS (
+  SELECT cl, e,
+         list_reduce(list_transform(e, x -> x * x), (a, b) -> a + b) AS cc
+  FROM s{s}c{i}
+),
+s{s}a{i} AS (
+  SELECT vec_id, e, cl FROM (
+    SELECT v.vec_id, v.e, c.cl,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY c.cc - 2.0 * {dotxc} ASC, c.cl ASC) AS rk
+    FROM qs{s} v CROSS JOIN s{s}cc{i} c)
+  WHERE rk = 1
+)""")
+            if i < iters - 1:
+                parts.append(f"""s{s}m{i + 1} AS (
+  SELECT cl, dim, sum(x) / count(*) AS v
+  FROM (SELECT cl, generate_subscripts(e, 1) AS dim, unnest(e) AS x
+        FROM s{s}a{i})
+  GROUP BY cl, dim
+),
+s{s}c{i + 1} AS (
+  SELECT p.cl, CASE WHEN mm.e IS NULL THEN p.e ELSE mm.e END AS e
+  FROM s{s}c{i} p LEFT JOIN
+       (SELECT cl, list(v ORDER BY dim) AS e FROM s{s}m{i + 1} GROUP BY cl)
+       mm USING (cl)
+)""")
+        parts.append(f"""ct{s} AS (
+  SELECT v.vec_id AS qid, c.cl, c.cc - 2.0 * {dotxc} AS v
+  FROM (SELECT vec_id, e FROM qs{s} WHERE vec_id % {qmod} = 0) v
+  CROSS JOIN s{s}cc{last} c
+)""")
+    code_joins = " ".join(
+        f"JOIN s{s}a{last} a{s} ON a0.vec_id = a{s}.vec_id"
+        for s in range(1, m))
+    code_cols = ", ".join(f"a{s}.cl AS c{s}" for s in range(m))
+    parts.append(f"""codes AS (
+  SELECT a0.vec_id, {code_cols} FROM s0a{last} a0 {code_joins}
+)""")
+    lut_joins = " ".join(
+        f"JOIN ct{s} t{s} ON cd.c{s} = t{s}.cl AND t{s}.qid = t0.qid"
+        for s in range(1, m))
+    acc = "t0.v"
+    for s in range(1, m):
+        acc = f"({acc} + t{s}.v)"
+    parts.append(f"""sc AS (
+  SELECT t0.qid AS a, cd.vec_id AS b, {acc} AS adc
+  FROM codes cd JOIN ct0 t0 ON cd.c0 = t0.cl {lut_joins}
+  WHERE cd.vec_id <> t0.qid
+)""")
+    return ",\n".join(parts) + f"""
+SELECT a, b, CAST(rk AS BIGINT) AS rk, adc FROM (
+  SELECT a, b, adc,
+         row_number() OVER (PARTITION BY a ORDER BY adc ASC, b ASC) AS rk
+  FROM sc)
+WHERE rk <= {topk}
+"""
 
 
 def _cell_encode_sql(level: int, src: str = "sites",
@@ -3582,6 +3693,8 @@ LEFT JOIN clean ON toks.doc_id = clean.doc_id
         # division (exact operands, correctly-rounded IEEE divide -> the
         # value hash matches bit-for-bit)
         "unigram_lm_score": _UNIGRAM_SQL,
+        # PQ ANN: four subspace Lloyd chains + code join + LUT-sum ADC
+        "pq_adc_topk": f"WITH\n{_pq_chain_sql()}",
         # mixture resample replay: fractions recomputed from the same
         # counts with the same double ops ((w * n_out) / n), LCG keep rule
         "resample_mixture": f"""

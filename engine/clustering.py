@@ -63,14 +63,17 @@ def _self_dot(c: list[float]) -> float:
     return acc
 
 
-def _assign_expr(cents: list[list[float]]) -> Column:
+def _assign_expr(cents: list[list[float]], vec: Column | None = None) -> Column:
     """argmin_j [ dot(c_j,c_j) - 2*dot(x,c_j) ], tiebreak lowest j.
     One codegen expression over the k-literal centroid closure; returns
     the winning (score, cl) struct.  `score` is dist^2 minus the
-    per-row-constant dot(x,x) term (constant shifts don't move argmin)."""
+    per-row-constant dot(x,x) term (constant shifts don't move argmin).
+    `vec` overrides the default `e` column (PQ assigns on subvector
+    slices of the same quantized vector)."""
+    e = F.col("e") if vec is None else vec
     cands = F.array(*[
         F.struct(
-            (F.lit(_self_dot(c)) - 2.0 * _dot_lit(F.col("e"), c))
+            (F.lit(_self_dot(c)) - 2.0 * _dot_lit(e, c))
             .alias("score"),
             F.lit(j).cast("long").alias("cl"))
         for j, c in enumerate(cents)])

@@ -296,3 +296,175 @@ def ivf_cosine_topk(df: DataFrame, k: int = 5, n_centroids: int = 32,
     return (partial.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= k)
             .select("a", "b", F.round("sim", 4).alias("sim"), "rk"))
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ) ANN — FAISS IndexPQ shape
+# ---------------------------------------------------------------------------
+
+def pq_train_encode(df: DataFrame, m: int = 4, n_codes: int = 16,
+                    iters: int = 2, vec_col: str = "embedding",
+                    id_col: str = "vec_id", dim: int = 64,
+                    scale: float | None = None):
+    """Product-quantization codebooks + codes (Jégou et al. 2011, the
+    FAISS IndexPQ build): split each vector into ``m`` subvectors, run
+    Lloyd k-means with ``n_codes`` centroids PER SUBSPACE, store each
+    vector as m small codes (m bytes at n_codes=256 — a 64x compression
+    of a 64-dim float vector; the reason PQ is how billion-vector indexes
+    fit in RAM).
+
+    Spark-first improvement over the FAISS per-subspace training loop:
+    all m subspace k-means run IN ONE PASS per iteration — assignment is
+    a single map-only projection evaluating m literal-closure argmins,
+    and the update is one exchange carrying at most
+    (partitions x m x n_codes x dim/m) pre-combined rows.  Total cost per
+    iteration: one corpus scan + one tiny shuffle, independent of m.
+
+    Exactness contract: engine/clustering.py's quantized-integer-double
+    arithmetic and left-to-right dot folds, per subspace — every
+    assign/update decision is bit-portable cross-engine (the driver
+    oracle replays all m chains).  Init: subspace s's centroid j is the
+    s-th slice of the j-th lowest-id vector.
+
+    Returns (codes_df, cents): codes_df = (vec_id, e, c0..c{m-1}) with
+    `e` the quantized full vector; cents[s][j] = subspace centroid
+    (list of dim/m floats) as of the FINAL assignment.
+    """
+    from .clustering import QUANT_SCALE, _assign_expr, quantize_vec
+    sc = QUANT_SCALE if scale is None else scale
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    if n_codes < 1 or iters < 1:
+        raise ValueError("n_codes and iters must be >= 1")
+    sub = dim // m
+    q = df.select(F.col(id_col).cast("long").alias("vec_id"),
+                  quantize_vec(F.col(vec_col), sc).alias("e")).persist()
+    try:
+        init = sorted(q.orderBy("vec_id").limit(n_codes).collect(),
+                      key=lambda r: r["vec_id"])
+        if len(init) < n_codes:
+            raise ValueError(f"n_codes={n_codes} exceeds input size")
+        cents = [[list(r["e"][s * sub:(s + 1) * sub]) for r in init]
+                 for s in range(m)]
+        assigned = None
+        for it in range(iters):
+            cols = []
+            for s in range(m):
+                best = _assign_expr(cents[s], vec=F.slice(
+                    F.col("e"), s * sub + 1, sub))
+                cols.append(best["cl"].alias(f"c{s}"))
+            assigned = q.select("vec_id", "e", *cols)
+            if it == iters - 1:
+                break
+            ex = (assigned.select(F.explode(F.array(*[
+                    F.struct(F.lit(s).alias("s"),
+                             F.col(f"c{s}").alias("cl"),
+                             F.slice("e", s * sub + 1, sub).alias("v"))
+                    for s in range(m)])).alias("z"))
+                  .select(F.col("z.s").alias("s"), F.col("z.cl").alias("cl"),
+                          F.posexplode("z.v").alias("d", "x"))
+                  .groupBy("s", "cl", "d")
+                  .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"))
+                  .collect())
+            upd: dict[tuple, list] = {}
+            for r in ex:
+                upd.setdefault((r["s"], r["cl"]), [None] * sub)[r["d"]] = \
+                    r["sx"] / r["n"]
+            cents = [[upd.get((s, j), cents[s][j]) for j in range(n_codes)]
+                     for s in range(m)]
+        return assigned, cents
+    finally:
+        q.unpersist()
+
+
+def pq_adc_topk(df: DataFrame, queries: DataFrame, k: int = 3, m: int = 4,
+                n_codes: int = 16, iters: int = 2,
+                vec_col: str = "embedding", id_col: str = "vec_id",
+                dim: int = 64, scale: float | None = None) -> DataFrame:
+    """PQ asymmetric-distance top-k (FAISS IndexPQ search): exact queries
+    against PQ-encoded database vectors.  Per query, distance to a coded
+    vector is the sum over subspaces of a precomputed lookup —
+    LUT[s][code] = ||c_{s,code}||^2 - 2 * q_s . c_{s,code}  (squared L2
+    minus the per-query-constant ||q||^2 term, which never moves ranks).
+
+    Scale shape:
+      * queries collect to the driver and ride as LUT LITERALS inside the
+        Arrow kernel closure (nq x m x n_codes doubles; the documented
+        envelope is ~10^4 queries — beyond that, compose with IVF cells
+        exactly as FAISS IndexIVFPQ does, using engine.ivf_cosine_topk's
+        cell machinery to bound candidates per query);
+      * the scan is MAP-ONLY over the CODES (m int64s per row, never the
+        vectors), with a per-Arrow-batch partial top-k — the exchange
+        carries at most batches x nq x k candidate rows, never the scan;
+      * the final per-query merge windows over that tiny candidate set.
+
+    Determinism: partial-then-global top-k equals global top-k under the
+    total order (adc, b); LUTs use the same left-to-right folds as the
+    codebooks, so the DuckDB oracle replays scores bit-for-bit.
+
+    Output: (a, b, rk, adc) — rk 1-based by (adc asc, b asc), self-pairs
+    excluded.  Recall vs exact L2 is property-tested; the ADC values
+    themselves are exact given the codes (that is PQ's contract).
+    """
+    from .clustering import QUANT_SCALE, quantize_vec
+    sc = QUANT_SCALE if scale is None else scale
+    sub = dim // m
+    codes, cents = pq_train_encode(df, m=m, n_codes=n_codes, iters=iters,
+                                   vec_col=vec_col, id_col=id_col, dim=dim,
+                                   scale=sc)
+    qrows = (queries.select(F.col(id_col).cast("long").alias("vec_id"),
+                            quantize_vec(F.col(vec_col), sc).alias("e"))
+             .collect())
+    if not qrows:
+        raise ValueError("queries is empty")
+
+    def _fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    # LUT[qi, s, j] — every term a left-to-right float fold (oracle order)
+    lut = np.empty((len(qrows), m, n_codes), dtype=np.float64)
+    for qi, r in enumerate(qrows):
+        for s in range(m):
+            qs = list(r["e"][s * sub:(s + 1) * sub])
+            for j in range(n_codes):
+                c = cents[s][j]
+                lut[qi, s, j] = _fold_dot(c, c) - 2.0 * _fold_dot(qs, c)
+
+    out_schema = T.StructType([
+        T.StructField("a", T.LongType()),
+        T.StructField("b", T.LongType()),
+        T.StructField("adc", T.DoubleType()),
+    ])
+
+    def scan(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            C = np.stack([pdf[f"c{s}"].to_numpy() for s in range(m)],
+                         axis=1)                       # (nB, m)
+            outs = []
+            for qi in range(len(q_ids)):
+                # accumulate subspace terms in s order (left-to-right)
+                adc = lut[qi, 0][C[:, 0]].copy()
+                for s in range(1, m):
+                    adc += lut[qi, s][C[:, s]]
+                mask = ids != q_ids[qi]
+                a_ids, a_adc = ids[mask], adc[mask]
+                top = np.lexsort((a_ids, a_adc))[:k]
+                outs.append(pd.DataFrame({
+                    "a": np.full(len(top), q_ids[qi], dtype=np.int64),
+                    "b": a_ids[top], "adc": a_adc[top]}))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    cand = codes.select("vec_id", *[f"c{s}" for s in range(m)]) \
+                .mapInPandas(scan, out_schema)
+    w = Window.partitionBy("a").orderBy(F.col("adc").asc(), F.col("b").asc())
+    return (cand.withColumn("rk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rk") <= k)
+            .select("a", "b", "rk", "adc"))

@@ -807,3 +807,51 @@ def test_resample_mixture_hits_targets(spark):
         ops.resample_mixture(df, {"a": 0.5, "b": -1.0}, "source")
     with pytest.raises(ValueError):
         ops.resample_mixture(df, {"a": 0.5, "zz": 0.5}, "source")
+
+
+def test_pq_adc_topk_clustered_recall(spark):
+    """PQ ANN on a planted 4-cluster corpus: every query's top-1 ADC
+    neighbor comes from the query's own cluster, ADC ranks correlate
+    with true L2 (same-cluster candidates beat cross-cluster ones), and
+    parameter envelopes raise."""
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((4, 64)) * 5.0
+    rows = []
+    for i in range(48):
+        c = i % 4
+        rows.append((i, (centers[c] + 0.1 * rng.standard_normal(64)).tolist()))
+    df = spark.createDataFrame(pd.DataFrame(rows,
+                                            columns=["vec_id", "embedding"]))
+    qdf = df.filter(F.col("vec_id") < 4)  # one query per cluster
+    out = similarity.pq_adc_topk(df, qdf, k=5, m=4, n_codes=8,
+                                 iters=3, dim=64).toPandas()
+    assert set(out["a"]) == {0, 1, 2, 3}
+    for a, grp in out.groupby("a"):
+        grp = grp.sort_values("rk")
+        assert len(grp) == 5
+        # top-5 by ADC are all same-cluster members (clusters well apart)
+        assert all(b % 4 == a % 4 for b in grp["b"]), (a, list(grp["b"]))
+        # rk consistent with adc order
+        assert list(grp["adc"]) == sorted(grp["adc"])
+    with pytest.raises(ValueError):
+        similarity.pq_adc_topk(df, qdf, m=5, dim=64)  # 64 % 5 != 0
+    with pytest.raises(ValueError):
+        similarity.pq_adc_topk(df, df.filter(F.col("vec_id") < 0), m=4)
+
+
+def test_pq_train_encode_codes_shape(spark):
+    """Codes are in [0, n_codes), every vector gets one code per
+    subspace, and identical vectors get identical codes."""
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((10, 8))
+    rows = [(i, base[i].tolist()) for i in range(10)]
+    rows.append((10, base[0].tolist()))  # duplicate of vec 0
+    df = spark.createDataFrame(pd.DataFrame(rows,
+                                            columns=["vec_id", "embedding"]))
+    codes, cents = similarity.pq_train_encode(df, m=2, n_codes=4, iters=2,
+                                              dim=8)
+    pdf = codes.toPandas().set_index("vec_id")
+    assert len(cents) == 2 and all(len(cs) == 4 for cs in cents)
+    for s in range(2):
+        assert pdf[f"c{s}"].between(0, 3).all()
+        assert pdf.loc[10, f"c{s}"] == pdf.loc[0, f"c{s}"]
