@@ -1318,6 +1318,27 @@ def q_pq_adc_topk(spark, sf_dir):
                        n_codes=_PQ_CODES, iters=_PQ_ITERS, dim=_PQ_DIM)
 
 
+# IVFPQ driver params — single source of truth for Spark AND oracle
+_IVFPQ_CELLS, _IVFPQ_IC, _IVFPQ_M, _IVFPQ_CODES, _IVFPQ_IP = 4, 2, 4, 8, 2
+
+
+def q_ivfpq_topk(spark, sf_dir):
+    """IndexIVFPQ in exhaustive mode (nprobe == n_cells): coarse cells,
+    grid-rounded centroids, integer residuals, residual PQ codebooks, and
+    per-(query, cell) ADC tables — the complete billion-vector search
+    composition, with EVERY stage (coarse Lloyd chain, rounding,
+    residual subtraction, all m residual PQ chains, LUT folds, ADC
+    accumulation) replayed value-exact in one DuckDB query.  The
+    nprobe << n_cells regime is recall-property-tested in pytest."""
+    emb = _t(spark, sf_dir, "embeddings")
+    from engine.similarity import ivfpq_topk
+    queries_df = emb.filter(F.col("vec_id") % _PQ_QMOD == 0)
+    return ivfpq_topk(emb, queries_df, k=_PQ_K, n_cells=_IVFPQ_CELLS,
+                      m=_IVFPQ_M, n_codes=_IVFPQ_CODES,
+                      iters_coarse=_IVFPQ_IC, iters_pq=_IVFPQ_IP,
+                      dim=_PQ_DIM)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "w2_sessionize": q_w2_sessionize,
@@ -1395,6 +1416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_buckets": q_quality_buckets,
         "resample_mixture": q_resample_mixture,
         "pq_adc_topk": q_pq_adc_topk,
+        "ivfpq_topk": q_ivfpq_topk,
     }
 
 
@@ -1945,6 +1967,124 @@ s{s}c{i + 1} AS (
     parts.append(f"""sc AS (
   SELECT t0.qid AS a, cd.vec_id AS b, {acc} AS adc
   FROM codes cd JOIN ct0 t0 ON cd.c0 = t0.cl {lut_joins}
+  WHERE cd.vec_id <> t0.qid
+)""")
+    return ",\n".join(parts) + f"""
+SELECT a, b, CAST(rk AS BIGINT) AS rk, adc FROM (
+  SELECT a, b, adc,
+         row_number() OVER (PARTITION BY a ORDER BY adc ASC, b ASC) AS rk
+  FROM sc)
+WHERE rk <= {topk}
+"""
+
+
+def _ivfpq_chain_sql(n_cells: int = _IVFPQ_CELLS, ic: int = _IVFPQ_IC,
+                     m: int = _IVFPQ_M, n_codes: int = _IVFPQ_CODES,
+                     ip: int = _IVFPQ_IP, topk: int = _PQ_K,
+                     dim: int = _PQ_DIM, qmod: int = _PQ_QMOD,
+                     scale: float = 1024.0) -> str:
+    """engine.similarity.ivfpq_topk (exhaustive mode) unrolled as SQL:
+    the coarse Lloyd chain on full vectors, centroids rounded to the
+    quant grid, integer residuals, m residual-PQ Lloyd chains, the code
+    join, per-(query, cell) LUT terms from the final-round tables, and
+    the subspace-ordered ADC accumulation — every float op in the same
+    order as the engine (left-to-right folds, (((t0+t1)+t2)+t3)."""
+    sub = dim // m
+    dotxc = ("list_reduce(list_transform(list_zip(v.e, c.e), "
+             "s -> s[1] * s[2]), (a, b) -> a + b)")
+    lc, lp = ic - 1, ip - 1
+
+    def lloyd(src: str, pre: str, k: int, iters: int, init_cte: str) -> list:
+        out = [init_cte]
+        for i in range(iters):
+            out.append(f"""{pre}cc{i} AS (
+  SELECT cl, e,
+         list_reduce(list_transform(e, x -> x * x), (a, b) -> a + b) AS cc
+  FROM {pre}c{i}
+),
+{pre}a{i} AS (
+  SELECT vec_id, e, cl FROM (
+    SELECT v.vec_id, v.e, c.cl,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY c.cc - 2.0 * {dotxc} ASC, c.cl ASC) AS rk
+    FROM {src} v CROSS JOIN {pre}cc{i} c)
+  WHERE rk = 1
+)""")
+            if i < iters - 1:
+                out.append(f"""{pre}m{i + 1} AS (
+  SELECT cl, dim, sum(x) / count(*) AS v
+  FROM (SELECT cl, generate_subscripts(e, 1) AS dim, unnest(e) AS x
+        FROM {pre}a{i})
+  GROUP BY cl, dim
+),
+{pre}c{i + 1} AS (
+  SELECT p.cl, CASE WHEN mm.e IS NULL THEN p.e ELSE mm.e END AS e
+  FROM {pre}c{i} p LEFT JOIN
+       (SELECT cl, list(v ORDER BY dim) AS e FROM {pre}m{i + 1} GROUP BY cl)
+       mm USING (cl)
+)""")
+        return out
+
+    parts = [f"""q AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> floor(x * {scale!r} + 0.5)) AS e
+  FROM embeddings
+)"""]
+    parts += lloyd("q", "g", n_cells, ic, f"""gc0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cl, e
+  FROM (SELECT vec_id, e FROM q ORDER BY vec_id LIMIT {n_cells})
+)""")
+    parts.append(f"""gint AS (
+  SELECT cl, list_transform(e, x -> floor(x + 0.5)) AS e FROM gc{lc}
+),
+resid AS (
+  SELECT a.vec_id, a.cl AS cell,
+         list_transform(list_zip(a.e, gi.e), s -> s[1] - s[2]) AS e
+  FROM ga{lc} a JOIN gint gi ON a.cl = gi.cl
+),
+pinit AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS j, e
+  FROM (SELECT vec_id, e FROM resid ORDER BY vec_id LIMIT {n_codes})
+)""")
+    for s in range(m):
+        lo, hi = s * sub + 1, s * sub + sub
+        parts.append(f"""rs{s} AS (
+  SELECT vec_id, e[{lo}:{hi}] AS e FROM resid
+)""")
+        parts += lloyd(f"rs{s}", f"s{s}", n_codes, ip, f"""s{s}c0 AS (
+  SELECT j AS cl, e[{lo}:{hi}] AS e FROM pinit
+)""")
+        parts.append(f"""ct{s} AS (
+  SELECT v.qid, v.cell, c.cl,
+         (list_reduce(list_transform(v.e, x -> x * x), (a, b) -> a + b)
+          + c.cc) - 2.0 * {dotxc} AS v
+  FROM (SELECT qq.vec_id AS qid, gi.cl AS cell,
+               list_transform(list_zip(qq.e, gi.e),
+                              s -> s[1] - s[2])[{lo}:{hi}] AS e
+        FROM (SELECT vec_id, e FROM q WHERE vec_id % {qmod} = 0) qq
+        CROSS JOIN gint gi) v
+  CROSS JOIN s{s}cc{lp} c
+)""")
+    code_joins = " ".join(
+        f"JOIN s{s}a{lp} a{s} ON a0.vec_id = a{s}.vec_id"
+        for s in range(1, m))
+    code_cols = ", ".join(f"a{s}.cl AS c{s}" for s in range(m))
+    parts.append(f"""codes AS (
+  SELECT a0.vec_id, r.cell, {code_cols}
+  FROM s0a{lp} a0 {code_joins} JOIN resid r ON r.vec_id = a0.vec_id
+)""")
+    lut_joins = " ".join(
+        f"JOIN ct{s} t{s} ON cd.c{s} = t{s}.cl AND t{s}.qid = t0.qid "
+        f"AND t{s}.cell = cd.cell"
+        for s in range(1, m))
+    acc = "t0.v"
+    for s in range(1, m):
+        acc = f"({acc} + t{s}.v)"
+    parts.append(f"""sc AS (
+  SELECT t0.qid AS a, cd.vec_id AS b, {acc} AS adc
+  FROM codes cd
+  JOIN ct0 t0 ON cd.c0 = t0.cl AND t0.cell = cd.cell {lut_joins}
   WHERE cd.vec_id <> t0.qid
 )""")
     return ",\n".join(parts) + f"""
@@ -3695,6 +3835,8 @@ LEFT JOIN clean ON toks.doc_id = clean.doc_id
         "unigram_lm_score": _UNIGRAM_SQL,
         # PQ ANN: four subspace Lloyd chains + code join + LUT-sum ADC
         "pq_adc_topk": f"WITH\n{_pq_chain_sql()}",
+        # IVFPQ: coarse chain + grid-rounded residuals + residual PQ
+        "ivfpq_topk": f"WITH\n{_ivfpq_chain_sql()}",
         # mixture resample replay: fractions recomputed from the same
         # counts with the same double ops ((w * n_out) / n), LCG keep rule
         "resample_mixture": f"""

@@ -82,8 +82,9 @@ def _assign_expr(cents: list[list[float]], vec: Column | None = None) -> Column:
 
 def _kmeans_core(df: DataFrame, k: int, iters: int, vec_col: str,
                  id_col: str, scale: float) -> DataFrame:
-    """Shared Lloyd loop; returns (vec_id, e, cl, score) under the final
-    centroids, where score = dist^2 - dot(x,x) (see _assign_expr)."""
+    """Shared Lloyd loop; returns ((vec_id, e, cl, score) DataFrame under
+    the final centroids, final centroid lists) — score = dist^2 - dot(x,x)
+    (see _assign_expr)."""
     if k < 1 or iters < 1:
         raise ValueError("k and iters must be >= 1")
     q = df.select(F.col(id_col).cast("long").alias("vec_id"),
@@ -114,7 +115,7 @@ def _kmeans_core(df: DataFrame, k: int, iters: int, vec_col: str,
                 upd.setdefault(r["cl"], [None] * dim)[r["dim"]] = \
                     r["s"] / r["n"]
             cents = [upd[j] if j in upd else cents[j] for j in range(k)]
-        return assigned
+        return assigned, cents
     finally:
         q.unpersist()
 
@@ -125,7 +126,7 @@ def kmeans_lloyd(df: DataFrame, k: int = 8, iters: int = 4,
     """`iters` Lloyd rounds; returns (vec_id, cl) — the assignment under
     the (iters-1)-times-updated centroids.  See module docstring for the
     distributed shape and the exactness contract."""
-    core = _kmeans_core(df, k, iters, vec_col, id_col, scale)
+    core, _ = _kmeans_core(df, k, iters, vec_col, id_col, scale)
     return core.select("vec_id", "cl")
 
 
@@ -151,7 +152,7 @@ def kmeans_prune(df: DataFrame, k: int = 8, iters: int = 4,
     from pyspark.sql import Window
     if not (0.0 < keep_frac <= 1.0):
         raise ValueError("keep_frac must be in (0, 1]")
-    core = _kmeans_core(df, k, iters, vec_col, id_col, scale)
+    core, _ = _kmeans_core(df, k, iters, vec_col, id_col, scale)
     xx = F.aggregate(F.zip_with(F.col("e"), F.col("e"),
                                 lambda a, b: a * b),
                      F.lit(0.0), lambda acc, v: acc + v)

@@ -330,51 +330,62 @@ def pq_train_encode(df: DataFrame, m: int = 4, n_codes: int = 16,
     `e` the quantized full vector; cents[s][j] = subspace centroid
     (list of dim/m floats) as of the FINAL assignment.
     """
-    from .clustering import QUANT_SCALE, _assign_expr, quantize_vec
+    from .clustering import QUANT_SCALE, quantize_vec
     sc = QUANT_SCALE if scale is None else scale
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     if n_codes < 1 or iters < 1:
         raise ValueError("n_codes and iters must be >= 1")
-    sub = dim // m
     q = df.select(F.col(id_col).cast("long").alias("vec_id"),
                   quantize_vec(F.col(vec_col), sc).alias("e")).persist()
     try:
-        init = sorted(q.orderBy("vec_id").limit(n_codes).collect(),
-                      key=lambda r: r["vec_id"])
-        if len(init) < n_codes:
-            raise ValueError(f"n_codes={n_codes} exceeds input size")
-        cents = [[list(r["e"][s * sub:(s + 1) * sub]) for r in init]
-                 for s in range(m)]
-        assigned = None
-        for it in range(iters):
-            cols = []
-            for s in range(m):
-                best = _assign_expr(cents[s], vec=F.slice(
-                    F.col("e"), s * sub + 1, sub))
-                cols.append(best["cl"].alias(f"c{s}"))
-            assigned = q.select("vec_id", "e", *cols)
-            if it == iters - 1:
-                break
-            ex = (assigned.select(F.explode(F.array(*[
-                    F.struct(F.lit(s).alias("s"),
-                             F.col(f"c{s}").alias("cl"),
-                             F.slice("e", s * sub + 1, sub).alias("v"))
-                    for s in range(m)])).alias("z"))
-                  .select(F.col("z.s").alias("s"), F.col("z.cl").alias("cl"),
-                          F.posexplode("z.v").alias("d", "x"))
-                  .groupBy("s", "cl", "d")
-                  .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"))
-                  .collect())
-            upd: dict[tuple, list] = {}
-            for r in ex:
-                upd.setdefault((r["s"], r["cl"]), [None] * sub)[r["d"]] = \
-                    r["sx"] / r["n"]
-            cents = [[upd.get((s, j), cents[s][j]) for j in range(n_codes)]
-                     for s in range(m)]
-        return assigned, cents
+        return _pq_core(q, m, n_codes, iters, dim)
     finally:
         q.unpersist()
+
+
+def _pq_core(q: DataFrame, m: int, n_codes: int, iters: int, dim: int):
+    """Shared PQ Lloyd loop over a prepared (..., vec_id, e) frame whose
+    `e` holds integer-valued doubles (quantized vectors OR integer
+    residuals — the IVFPQ path).  All non-`e` input columns pass through
+    to the coded output.  Returns (codes_df, cents[m][n_codes])."""
+    from .clustering import _assign_expr
+    sub = dim // m
+    init = sorted(q.select("vec_id", "e").orderBy("vec_id")
+                   .limit(n_codes).collect(),
+                  key=lambda r: r["vec_id"])
+    if len(init) < n_codes:
+        raise ValueError(f"n_codes={n_codes} exceeds input size")
+    cents = [[list(r["e"][s * sub:(s + 1) * sub]) for r in init]
+             for s in range(m)]
+    passthrough = [c for c in q.columns if c != "e"]
+    assigned = None
+    for it in range(iters):
+        cols = []
+        for s in range(m):
+            best = _assign_expr(cents[s], vec=F.slice(
+                F.col("e"), s * sub + 1, sub))
+            cols.append(best["cl"].alias(f"c{s}"))
+        assigned = q.select(*passthrough, "e", *cols)
+        if it == iters - 1:
+            break
+        ex = (assigned.select(F.explode(F.array(*[
+                F.struct(F.lit(s).alias("s"),
+                         F.col(f"c{s}").alias("cl"),
+                         F.slice("e", s * sub + 1, sub).alias("v"))
+                for s in range(m)])).alias("z"))
+              .select(F.col("z.s").alias("s"), F.col("z.cl").alias("cl"),
+                      F.posexplode("z.v").alias("d", "x"))
+              .groupBy("s", "cl", "d")
+              .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"))
+              .collect())
+        upd: dict[tuple, list] = {}
+        for r in ex:
+            upd.setdefault((r["s"], r["cl"]), [None] * sub)[r["d"]] = \
+                r["sx"] / r["n"]
+        cents = [[upd.get((s, j), cents[s][j]) for j in range(n_codes)]
+                 for s in range(m)]
+    return assigned, cents
 
 
 def pq_adc_topk(df: DataFrame, queries: DataFrame, k: int = 3, m: int = 4,
@@ -468,3 +479,145 @@ def pq_adc_topk(df: DataFrame, queries: DataFrame, k: int = 3, m: int = 4,
     return (cand.withColumn("rk", F.row_number().over(w).cast("long"))
             .filter(F.col("rk") <= k)
             .select("a", "b", "rk", "adc"))
+
+
+def ivfpq_topk(df: DataFrame, queries: DataFrame, k: int = 3,
+               n_cells: int = 4, nprobe: int | None = None, m: int = 4,
+               n_codes: int = 8, iters_coarse: int = 2, iters_pq: int = 2,
+               vec_col: str = "embedding", id_col: str = "vec_id",
+               dim: int = 64, scale: float | None = None) -> DataFrame:
+    """IVF + PQ composition — the FAISS IndexIVFPQ build, THE
+    billion-vector search design: a coarse quantizer partitions the
+    database into cells; each vector is stored as its cell id plus the PQ
+    codes of its RESIDUAL (vector minus cell centroid); a query probes
+    ``nprobe`` cells and scores candidates by per-(query, cell) ADC
+    lookup tables.  Residual encoding is what makes PQ codes accurate —
+    residuals are small and centered, so the shared codebooks spend their
+    resolution where the data is.
+
+    Exactness twist that keeps the whole chain oracle-replayable: coarse
+    centroids are ROUNDED TO THE QUANT GRID (floor(c + 0.5) per dim)
+    before residuals are taken, so residuals stay integer-valued doubles
+    and every PQ training sum remains order-independent (the
+    engine/clustering.py contract).  The rounding costs at most half a
+    quant step of residual accuracy — negligible against PQ distortion.
+
+    Scale shape: coarse train = kmeans per-iteration scan + tiny update
+    shuffle; residual + encode = MAP-ONLY (cell centroid matrix and PQ
+    codebooks are literal closures); search = map-only ADC scan over
+    (cell, m codes) rows with per-batch partial top-k, exchange
+    <= batches x nq x k.  nprobe defaults to n_cells (exhaustive — the
+    oracle mode); production uses nprobe << n_cells, which only shrinks
+    the scan mask.
+
+    Output: (a, b, rk, adc) — rk 1-based by (adc asc, b asc) among
+    candidates in probed cells, self-pairs excluded.  `adc` is the full
+    approximate squared L2 ||q - (c_cell + recon)||^2: the per-subspace
+    LUT includes the ||qres_s||^2 term because it varies per CELL —
+    dropping it (the plain-PQ shortcut) would bias ranks toward far
+    cells.
+    """
+    import math
+
+    from .clustering import QUANT_SCALE, _kmeans_core, quantize_vec
+    sc = QUANT_SCALE if scale is None else scale
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    np_eff = n_cells if nprobe is None else min(nprobe, n_cells)
+
+    coarse, cents_c = _kmeans_core(df, n_cells, iters_coarse, vec_col,
+                                   id_col, sc)
+    cents_int = [[float(math.floor(v + 0.5)) for v in c] for c in cents_c]
+    cmat = F.array(*[F.array(*[F.lit(v) for v in c]) for c in cents_int])
+    resid = coarse.select(
+        "vec_id", F.col("cl").alias("cell"),
+        F.zip_with(F.col("e"), F.element_at(cmat, F.col("cl").cast("int") + 1),
+                   lambda a, b: a - b).alias("e")).persist()
+    try:
+        codes, cents_pq = _pq_core(resid, m, n_codes, iters_pq, dim)
+
+        qrows = (queries.select(F.col(id_col).cast("long").alias("vec_id"),
+                                quantize_vec(F.col(vec_col), sc).alias("e"))
+                 .collect())
+        if not qrows:
+            raise ValueError("queries is empty")
+
+        def _fold_dot(a, b):
+            acc = 0.0
+            for x, y in zip(a, b):
+                acc = acc + x * y
+            return acc
+
+        q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+        nq = len(qrows)
+        # probe ranking: same argmin score as assignment, ties by cell id
+        probed = np.zeros((nq, n_cells), dtype=bool)
+        lut = np.empty((nq, n_cells, m, n_codes), dtype=np.float64)
+        for qi, r in enumerate(qrows):
+            qe = list(r["e"])
+            scores = sorted(
+                (( _fold_dot(c, c) - 2.0 * _fold_dot(qe, c)), j)
+                for j, c in enumerate(cents_c))
+            for (_, j) in scores[:np_eff]:
+                probed[qi, j] = True
+            for cell in range(n_cells):
+                if not probed[qi, cell]:
+                    continue
+                qres = [a - b for a, b in zip(qe, cents_int[cell])]
+                for s in range(m):
+                    qs = qres[s * sub:(s + 1) * sub]
+                    qd = _fold_dot(qs, qs)
+                    for j in range(n_codes):
+                        c = cents_pq[s][j]
+                        # FULL per-subspace squared distance — the
+                        # ||qres_s||^2 term varies per CELL, so unlike
+                        # plain PQ it cannot be dropped without biasing
+                        # ranks toward far cells (FAISS includes it too)
+                        lut[qi, cell, s, j] = \
+                            (qd + _fold_dot(c, c)) - 2.0 * _fold_dot(qs, c)
+
+        out_schema = T.StructType([
+            T.StructField("a", T.LongType()),
+            T.StructField("b", T.LongType()),
+            T.StructField("adc", T.DoubleType()),
+        ])
+
+        def scan(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                ids = pdf["vec_id"].to_numpy()
+                cells = pdf["cell"].to_numpy().astype(np.int64)
+                C = np.stack([pdf[f"c{s}"].to_numpy() for s in range(m)],
+                             axis=1)
+                outs = []
+                for qi in range(nq):
+                    mask = probed[qi][cells] & (ids != q_ids[qi])
+                    if not mask.any():
+                        continue
+                    mc, mi = cells[mask], ids[mask]
+                    mcode = C[mask]
+                    adc = lut[qi, mc, 0, mcode[:, 0]].copy()
+                    for s in range(1, m):
+                        adc += lut[qi, mc, s, mcode[:, s]]
+                    top = np.lexsort((mi, adc))[:k]
+                    outs.append(pd.DataFrame({
+                        "a": np.full(len(top), q_ids[qi], dtype=np.int64),
+                        "b": mi[top], "adc": adc[top]}))
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+
+        cand = codes.select("vec_id", "cell",
+                            *[f"c{s}" for s in range(m)]) \
+                    .mapInPandas(scan, out_schema)
+        w = Window.partitionBy("a").orderBy(F.col("adc").asc(),
+                                            F.col("b").asc())
+        out = (cand.withColumn("rk", F.row_number().over(w).cast("long"))
+               .filter(F.col("rk") <= k)
+               .select("a", "b", "rk", "adc"))
+        out.destroy_ivfpq_cache = resid.unpersist
+        return out
+    except Exception:
+        resid.unpersist()
+        raise

@@ -855,3 +855,37 @@ def test_pq_train_encode_codes_shape(spark):
     for s in range(2):
         assert pdf[f"c{s}"].between(0, 3).all()
         assert pdf.loc[10, f"c{s}"] == pdf.loc[0, f"c{s}"]
+
+
+def test_ivfpq_topk_clustered_recall_and_probe(spark):
+    """IVFPQ on a planted 4-cluster corpus: exhaustive probing finds
+    same-cluster neighbors for every query; nprobe=1 returns candidates
+    only from the query's own (best) cell — still the same-cluster set
+    here since clusters align with cells."""
+    rng = np.random.default_rng(17)
+    centers = rng.standard_normal((4, 64)) * 6.0
+    rows = []
+    for i in range(48):
+        c = i % 4
+        rows.append((i, (centers[c] + 0.1 * rng.standard_normal(64)).tolist()))
+    df = spark.createDataFrame(pd.DataFrame(rows,
+                                            columns=["vec_id", "embedding"]))
+    qdf = df.filter(F.col("vec_id") < 4)
+    full = similarity.ivfpq_topk(df, qdf, k=5, n_cells=4, m=4, n_codes=8,
+                                 iters_coarse=3, iters_pq=2,
+                                 dim=64).toPandas()
+    assert set(full["a"]) == {0, 1, 2, 3}
+    for a, grp in full.groupby("a"):
+        assert len(grp) == 5
+        assert all(b % 4 == a % 4 for b in grp["b"]), (a, list(grp["b"]))
+    probe1 = similarity.ivfpq_topk(df, qdf, k=5, n_cells=4, nprobe=1, m=4,
+                                   n_codes=8, iters_coarse=3, iters_pq=2,
+                                   dim=64).toPandas()
+    # with well-separated clusters, probing 1 cell loses no recall
+    kf = set(map(tuple, full[["a", "b"]].itertuples(index=False)))
+    kp = set(map(tuple, probe1[["a", "b"]].itertuples(index=False)))
+    assert kp == kf
+    with pytest.raises(ValueError):
+        similarity.ivfpq_topk(df, qdf, m=5, dim=64)
+    with pytest.raises(ValueError):
+        similarity.ivfpq_topk(df, df.filter(F.col("vec_id") < 0))
