@@ -106,6 +106,10 @@ def run_suite(spark, sf_dir: str) -> tuple[dict, dict, float]:
         from pyspark.sql import functions as _F
         similarity.pq_adc_topk(emb, emb.filter(_F.col("vec_id") % 100 == 0),
                                k=5, m=4, n_codes=16, iters=2, dim=64).count()
+    with stage("ann_topk_ivfpq"):
+        similarity.ivfpq_topk(emb, emb.filter(_F.col("vec_id") % 100 == 0),
+                              k=5, n_cells=32, nprobe=8, m=4, n_codes=16,
+                              dim=64).count()
     with stage("kmeans"):
         from engine import clustering
         clustering.kmeans_lloyd(emb, k=8, iters=4).count()

@@ -270,7 +270,15 @@ Measurement notes:
   engine's own baseline.
 """
     (REPO / "BENCH").mkdir(exist_ok=True)
-    (REPO / "BENCH" / "BASELINE.md").write_text(md)
+    # preserve hand-maintained sections (run history, analysis): replace
+    # only the text ABOVE the first "## " heading
+    target = REPO / "BENCH" / "BASELINE.md"
+    if target.exists():
+        old = target.read_text()
+        cut = old.find("\n## ")
+        if cut != -1:
+            md = md + old[cut:]
+    target.write_text(md)
     print(md)
     print(json.dumps({"efficiency": round(eff, 3),
                       "identical": identical, "a": a, "b": b,
