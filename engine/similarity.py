@@ -388,6 +388,31 @@ def _pq_core(q: DataFrame, m: int, n_codes: int, iters: int, dim: int):
     return assigned, cents
 
 
+# LUT-closure query ceiling for PQ/IVFPQ search: nq x m x n_codes doubles
+# ride the kernel closure; past this, compose with IVF cells (IndexIVFPQ)
+# or shard the query set
+PQ_MAX_QUERIES = 65_536
+
+
+def _collect_queries(queries: DataFrame, id_col: str, vec_col: str,
+                     scale: float, quantize_vec) -> list:
+    """Driver-collect the (bounded) query set, ENFORCING the documented
+    envelope before the collect — the knn_assign_collected pattern: a
+    latent 100x-scale footgun becomes an explicit plan choice."""
+    sel = queries.select(F.col(id_col).cast("long").alias("vec_id"),
+                         quantize_vec(F.col(vec_col), scale).alias("e"))
+    n = sel.limit(PQ_MAX_QUERIES + 1).count()
+    if n > PQ_MAX_QUERIES:
+        raise ValueError(
+            f"query set exceeds the LUT-closure ceiling "
+            f"({PQ_MAX_QUERIES}); shard the queries or compose with IVF "
+            f"cells (ivfpq_topk with nprobe << n_cells)")
+    rows = sel.collect()
+    if not rows:
+        raise ValueError("queries is empty")
+    return rows
+
+
 def pq_adc_topk(df: DataFrame, queries: DataFrame, k: int = 3, m: int = 4,
                 n_codes: int = 16, iters: int = 2,
                 vec_col: str = "embedding", id_col: str = "vec_id",
@@ -423,11 +448,7 @@ def pq_adc_topk(df: DataFrame, queries: DataFrame, k: int = 3, m: int = 4,
     codes, cents = pq_train_encode(df, m=m, n_codes=n_codes, iters=iters,
                                    vec_col=vec_col, id_col=id_col, dim=dim,
                                    scale=sc)
-    qrows = (queries.select(F.col(id_col).cast("long").alias("vec_id"),
-                            quantize_vec(F.col(vec_col), sc).alias("e"))
-             .collect())
-    if not qrows:
-        raise ValueError("queries is empty")
+    qrows = _collect_queries(queries, id_col, vec_col, sc, quantize_vec)
 
     def _fold_dot(a, b):
         acc = 0.0
@@ -537,11 +558,7 @@ def ivfpq_topk(df: DataFrame, queries: DataFrame, k: int = 3,
     try:
         codes, cents_pq = _pq_core(resid, m, n_codes, iters_pq, dim)
 
-        qrows = (queries.select(F.col(id_col).cast("long").alias("vec_id"),
-                                quantize_vec(F.col(vec_col), sc).alias("e"))
-                 .collect())
-        if not qrows:
-            raise ValueError("queries is empty")
+        qrows = _collect_queries(queries, id_col, vec_col, sc, quantize_vec)
 
         def _fold_dot(a, b):
             acc = 0.0
