@@ -1339,6 +1339,22 @@ def q_ivfpq_topk(spark, sf_dir):
                       dim=_PQ_DIM)
 
 
+# BM25 driver params — single source of truth for Spark AND oracle
+_BM25_TERMS = ["join", "hash", "scan", "zigzag"]   # last is absent: df = 0
+_BM25_K, _BM25_K1, _BM25_B = 15, 1.2, 0.75
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 keyword search over the documents corpus in bit-portable
+    ratio-idf mode: postings-style term prefilter before any shuffle,
+    pinned-order per-doc fold, EXACT DuckDB oracle recomputing idf/avgdl
+    from the same counts with the same IEEE expression tree.  The Lucene
+    ln(1+r) mode shares the plan and is pytest-golden."""
+    docs = _t(spark, sf_dir, "documents")
+    from engine.text import bm25_topk
+    return bm25_topk(docs, _BM25_TERMS, k=_BM25_K, k1=_BM25_K1, b=_BM25_B)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "w2_sessionize": q_w2_sessionize,
@@ -1417,6 +1433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_mixture": q_resample_mixture,
         "pq_adc_topk": q_pq_adc_topk,
         "ivfpq_topk": q_ivfpq_topk,
+        "bm25_topk": q_bm25_topk,
     }
 
 
@@ -3835,6 +3852,54 @@ LEFT JOIN clean ON toks.doc_id = clean.doc_id
         "unigram_lm_score": _UNIGRAM_SQL,
         # PQ ANN: four subspace Lloyd chains + code join + LUT-sum ADC
         "pq_adc_topk": f"WITH\n{_pq_chain_sql()}",
+        # BM25: same expression tree (idf ratio, 2.2/1.2/0.25/0.75
+        # literals, avgdl division) and a pinned-order per-doc fold;
+        # 0.0-seeded to mirror Spark's aggregate init
+        "bm25_topk": f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(
+    regexp_split_to_array(lower(text), '\\W+'), x -> x <> '')) AS token
+  FROM documents
+),
+dl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+),
+st AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS total
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM toks WHERE token IN ({", ".join(f"'{t}'" for t in
+                                       sorted(set(_BM25_TERMS)))})
+  GROUP BY doc_id, token
+),
+dfq AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token
+),
+c AS (
+  SELECT tf.doc_id, tf.token,
+         ((((st.n - dfq.df) + 0.5) / (dfq.df + 0.5))
+          * (CAST(tf.tf AS DOUBLE) * {_BM25_K1 + 1.0!r}))
+         / (CAST(tf.tf AS DOUBLE)
+            + {_BM25_K1!r} * ({1.0 - _BM25_B!r}
+                              + {_BM25_B!r} * (CAST(dl.dl AS DOUBLE)
+                                 / (CAST(st.total AS DOUBLE) / st.n))))
+           AS v
+  FROM tf JOIN dl USING (doc_id) CROSS JOIN st JOIN dfq USING (token)
+),
+sc AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(0.0, list(v ORDER BY token)),
+                     (a, b) -> a + b) AS score
+  FROM c GROUP BY doc_id
+)
+SELECT doc_id, score, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rk
+  FROM sc)
+WHERE rk <= {_BM25_K}
+""",
         # IVFPQ: coarse chain + grid-rounded residuals + residual PQ
         "ivfpq_topk": f"WITH\n{_ivfpq_chain_sql()}",
         # mixture resample replay: fractions recomputed from the same

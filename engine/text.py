@@ -1122,3 +1122,87 @@ def quality_buckets(scored: DataFrame, score_col: str = "score",
     bucket = chain.otherwise(F.lit(n_buckets))
     return scored.select(id_col, score_col,
                          bucket.cast("long").alias("bucket"))
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword search
+# ---------------------------------------------------------------------------
+
+def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
+              k1: float = 1.2, b: float = 0.75, text_col: str = "text",
+              id_col: str = "doc_id", log_idf: bool = False) -> DataFrame:
+    """BM25 keyword search: top-k documents for a bag-of-terms query —
+    the canonical inverted-index ranking function (Robertson/Spärck
+    Jones; Lucene's default).
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    idf modes (the tfidf precedent): the default RATIO form
+    idf = (N − df + 0.5)/(df + 0.5) uses only exact counts and IEEE
+    divisions, so scores are bit-portable cross-engine (the oracle
+    contract); ``log_idf=True`` wraps it in ln(1 + ·) — Lucene's exact
+    form, deterministic per engine but not guaranteed bit-identical
+    cross-libm.  The per-document sum runs as a LEFT-TO-RIGHT fold over
+    the doc's matched terms in token order (Spark `F.aggregate` over a
+    sorted collect; DuckDB `list_reduce` over `list(... ORDER BY)`), so
+    even float addition order is pinned.
+
+    Scale shape (what an inverted index does, in DataFrame form):
+      * doc lengths: one map-side-combinable count per doc;
+      * the token stream is filtered to the QUERY TERMS (a literal `isin`
+        — predicate-pushable, map-only) BEFORE any shuffle: only matching
+        (doc, term) rows ever reach the tf exchange, the exact postings
+        an inverted index would read;
+      * df per term and N/avgdl reduce to driver scalars (terms are a
+        handful);
+      * final top-k is orderBy + limit — Spark plans it as
+        TakeOrderedAndProject (per-partition heaps, no global sort); the
+        rank window then runs on k rows only (the vocab_topk pattern).
+
+    Output: (id_col, score, rk), rk 1-based by (score desc, id asc).
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = sorted({t.lower() for t in query_terms})
+    toks = docs.select(F.col(id_col),
+                       F.explode(tokens_col(F.col(text_col))).alias("token"))
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("dl").alias("total")).collect()[0]
+    n_docs = int(stats["n"])
+    if n_docs == 0:
+        raise ValueError("corpus has no non-empty documents")
+    avgdl = stats["total"] / n_docs          # one IEEE division
+    tf = (toks.filter(F.col("token").isin(terms))
+          .groupBy(id_col, "token")
+          .agg(F.count(F.lit(1)).cast("long").alias("tf")))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    df_map = {r["token"]: int(r["df"]) for r in dfreq.collect()}
+    idf_map = {}
+    for t in terms:
+        dfv = df_map.get(t, 0)
+        ratio = (n_docs - dfv + 0.5) / (dfv + 0.5)
+        idf_map[t] = __import__("math").log(1.0 + ratio) if log_idf \
+            else ratio
+    idf_col = F.element_at(
+        F.create_map(*[x for t in terms
+                       for x in (F.lit(t), F.lit(float(idf_map[t])))]),
+        F.col("token"))
+    contrib = (tf.join(dl, id_col)
+               .withColumn(
+                   "v",
+                   idf_col * (F.col("tf").cast("double") * (k1 + 1.0))
+                   / (F.col("tf").cast("double")
+                      + F.lit(k1) * (F.lit(1.0 - b)
+                                     + F.lit(b) * (F.col("dl").cast("double")
+                                                   / F.lit(avgdl))))))
+    # pinned-order per-doc sum: sort matched terms, left-fold
+    scored = (contrib.groupBy(id_col)
+              .agg(F.aggregate(
+                  F.array_sort(F.collect_list(F.struct("token", "v"))),
+                  F.lit(0.0), lambda acc, s: acc + s["v"]).alias("score")))
+    top = scored.orderBy(F.col("score").desc(), F.col(id_col).asc()) \
+                .limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (top.withColumn("rk", F.row_number().over(w).cast("long"))
+            .select(id_col, "score", "rk"))

@@ -889,3 +889,65 @@ def test_ivfpq_topk_clustered_recall_and_probe(spark):
         similarity.ivfpq_topk(df, qdf, m=5, dim=64)
     with pytest.raises(ValueError):
         similarity.ivfpq_topk(df, df.filter(F.col("vec_id") < 0))
+
+
+def test_bm25_topk_golden(spark):
+    """BM25 vs an independent Python replay (both idf modes), including a
+    query term absent from the corpus, unmatched docs excluded, tie and
+    rank order, and validation."""
+    import math
+    import re as _re
+    from collections import Counter
+
+    docs_rows = [
+        (1, "spark join hash join merge join"),
+        (2, "hash table build side hash hash"),
+        (3, "scan parquet pushdown filter scan"),
+        (4, "totally unrelated words about cats"),
+        (5, "join hash scan join hash scan join extra words here padding"),
+    ]
+    df = spark.createDataFrame(docs_rows, ["doc_id", "text"])
+    terms = ["join", "hash", "missing"]
+    k1, b = 1.2, 0.75
+
+    def toks(s):
+        return [x for x in _re.split(r"\W+", s.lower()) if x]
+
+    dls = {i: len(toks(s)) for i, s in docs_rows}
+    n = len(dls)
+    avgdl = sum(dls.values()) / n
+    tfs = {i: Counter(t for t in toks(s) if t in terms)
+           for i, s in docs_rows}
+    dfv = Counter()
+    for c in tfs.values():
+        dfv.update(c.keys())
+
+    def replay(log_idf):
+        out = {}
+        for i in dls:
+            sc = 0.0
+            for t in sorted(tfs[i]):
+                tf = tfs[i][t]
+                r = (n - dfv[t] + 0.5) / (dfv[t] + 0.5)
+                idf = math.log(1.0 + r) if log_idf else r
+                sc = sc + idf * (tf * (k1 + 1.0)) / (
+                    tf + k1 * (1.0 - b + b * (dls[i] / avgdl)))
+            if tfs[i]:
+                out[i] = sc
+        return out
+
+    for mode in (False, True):
+        got = {r["doc_id"]: (r["score"], r["rk"]) for r in
+               text.bm25_topk(df, terms, k=10, log_idf=mode).collect()}
+        want = replay(mode)
+        assert got.keys() == want.keys()          # doc 4 excluded
+        for i, w in want.items():
+            assert abs(got[i][0] - w) < 1e-12, (mode, i, got[i][0], w)
+        ranked = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert [i for i, _ in ranked] == [
+            i for i, (_, rk) in sorted(got.items(), key=lambda kv: kv[1][1])]
+    with pytest.raises(ValueError):
+        text.bm25_topk(df, [])
+    empty = spark.createDataFrame([(1, "")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        text.bm25_topk(empty, ["x"])
