@@ -169,3 +169,25 @@ def test_unigram_lm_score_plan_shape(spark):
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
     exs = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
     assert all("text#" not in ln for ln in exs), exs
+
+
+def test_chunk_documents_map_only(spark):
+    """Context-window chunking is MAP-ONLY: zero exchanges, runs at scan
+    speed and preserves input partitioning."""
+    from engine import text
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f g h i j") for i in range(4)], ["doc_id", "text"])
+    plan = plan_str(text.chunk_documents(docs, max_tokens=4), "simple")
+    assert "Exchange" not in plan, plan
+
+
+def test_bm25_postings_prefilter_and_heap_topk(spark):
+    """BM25's term prefilter reaches the token stream before any shuffle
+    (only matching rows hit the tf exchange) and the final top-k plans as
+    TakeOrderedAndProject (per-partition heaps), not a global sort."""
+    from engine import text
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " * 3) for i in range(6)],
+        ["doc_id", "text"])
+    plan = plan_str(text.bm25_topk(docs, ["alpha", "gamma"], k=3), "simple")
+    assert "TakeOrderedAndProject" in plan, plan
