@@ -4,9 +4,13 @@ cluster-balanced sampling, semantic dedup buckets, and IVF cell training.
 
 Spark shape (the MLlib KMeans pattern, re-expressed on DataFrames):
   * each iteration's ASSIGN step is MAP-ONLY — the k x dim centroid
-    matrix is embedded as literals in a codegen expression (same closure
+    matrix rides in the closure of an Arrow batch kernel (same closure
     strategy as `engine.episodes.knn_assign_collected`), so the corpus is
-    never shuffled for assignment;
+    never shuffled for assignment.  The kernel (_assign_arrow) is the
+    bit-identical twin of the higher-order-function expression form
+    (_assign_expr, kept as the semantic reference): same left-to-right
+    fold order, same strict-less argmin — Spark interprets HOF exprs
+    node by node (not codegen), measured ~10x slower at bench scale;
   * the UPDATE step is a posexplode -> groupBy(cl, dim) partial-agg: the
     exchange carries at most (partitions x k x dim) pre-combined rows,
     never the vectors; the k x dim result is collected to the driver
@@ -36,6 +40,9 @@ init would add seeded randomness the oracle can't replay).
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -80,6 +87,90 @@ def _assign_expr(cents: list[list[float]], vec: Column | None = None) -> Column:
     return F.array_min(cands)
 
 
+def _assign_arrow(cents: list[list[float]], slices=None):
+    """Arrow twin of _assign_expr: same argmin, same FLOAT OP ORDER —
+    per dimension, acc = acc + x_d * c_d (a vectorized left-to-right
+    fold), score = self_dot - 2.0 * acc, strict-less argmin so ties keep
+    the lowest cluster id (array_min's lexicographic (score, cl)
+    semantics).  Every elementwise numpy op is one correctly-rounded
+    IEEE double op, so assignments and scores are bit-identical to the
+    higher-order-function expression — which Spark interprets node by
+    node (HOFs are not codegen'd; measured ~10x slower at bench scale).
+
+    With ``slices`` (PQ): a list of (lo0, k_cents) per subspace — returns
+    one struct column of m code fields instead of (score, cl).
+    """
+    if slices is None:
+        C = [list(map(float, c)) for c in cents]
+        sd = [_self_dot(c) for c in C]
+
+        @F.pandas_udf("struct<score:double,cl:bigint>")
+        def assign_udf(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+            import numpy as np
+            for es in it:
+                yield _assign_block(es, np)
+
+        def _assign_block(es, np):
+            n = len(es)
+            if n == 0:
+                return pd.DataFrame({"score": [], "cl": []})
+            M = np.stack([np.asarray(v, dtype=np.float64) for v in es])
+            best_s = None
+            best_c = None
+            for j, c in enumerate(C):
+                acc = np.zeros(n, dtype=np.float64)
+                for d in range(len(c)):
+                    acc = acc + M[:, d] * c[d]
+                score = sd[j] - 2.0 * acc
+                if best_s is None:
+                    best_s, best_c = score, np.zeros(n, dtype=np.int64)
+                else:
+                    lt = score < best_s
+                    best_s = np.where(lt, score, best_s)
+                    best_c = np.where(lt, j, best_c)
+            return pd.DataFrame({"score": best_s, "cl": best_c})
+
+        return assign_udf
+
+    m = len(cents)
+    fields = ", ".join(f"c{s}:bigint" for s in range(m))
+    CS = [[list(map(float, c)) for c in cents[s]] for s in range(m)]
+    SD = [[_self_dot(c) for c in CS[s]] for s in range(m)]
+
+    @F.pandas_udf(f"struct<{fields}>")
+    def pq_assign_udf(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for es in it:
+            yield _pq_block(es, np)
+
+    def _pq_block(es, np):
+        n = len(es)
+        if n == 0:
+            return pd.DataFrame({f"c{s}": [] for s in range(m)})
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in es])
+        out = {}
+        for s, (lo, _) in enumerate(slices):
+            sub = len(CS[s][0])
+            Ms = M[:, lo:lo + sub]
+            best_s = None
+            best_c = None
+            for j, c in enumerate(CS[s]):
+                acc = np.zeros(n, dtype=np.float64)
+                for d in range(sub):
+                    acc = acc + Ms[:, d] * c[d]
+                score = SD[s][j] - 2.0 * acc
+                if best_s is None:
+                    best_s, best_c = score, np.zeros(n, dtype=np.int64)
+                else:
+                    lt = score < best_s
+                    best_s = np.where(lt, score, best_s)
+                    best_c = np.where(lt, j, best_c)
+            out[f"c{s}"] = best_c
+        return pd.DataFrame(out)
+
+    return pq_assign_udf
+
+
 def _kmeans_core(df: DataFrame, k: int, iters: int, vec_col: str,
                  id_col: str, scale: float) -> DataFrame:
     """Shared Lloyd loop; returns ((vec_id, e, cl, score) DataFrame under
@@ -99,9 +190,11 @@ def _kmeans_core(df: DataFrame, k: int, iters: int, vec_col: str,
         dim = len(cents[0])
         assigned = None
         for it in range(iters):
-            best = _assign_expr(cents)
-            assigned = q.withColumn("cl", best["cl"]) \
-                        .withColumn("score", best["score"])
+            best = _assign_arrow(cents)(F.col("e"))
+            assigned = q.withColumn("_b", best) \
+                        .withColumn("cl", F.col("_b.cl")) \
+                        .withColumn("score", F.col("_b.score")) \
+                        .drop("_b")
             if it == iters - 1:
                 break
             stats = (assigned

@@ -349,7 +349,7 @@ def _pq_core(q: DataFrame, m: int, n_codes: int, iters: int, dim: int):
     `e` holds integer-valued doubles (quantized vectors OR integer
     residuals — the IVFPQ path).  All non-`e` input columns pass through
     to the coded output.  Returns (codes_df, cents[m][n_codes])."""
-    from .clustering import _assign_expr
+    from .clustering import _assign_arrow
     sub = dim // m
     init = sorted(q.select("vec_id", "e").orderBy("vec_id")
                    .limit(n_codes).collect(),
@@ -361,12 +361,13 @@ def _pq_core(q: DataFrame, m: int, n_codes: int, iters: int, dim: int):
     passthrough = [c for c in q.columns if c != "e"]
     assigned = None
     for it in range(iters):
-        cols = []
-        for s in range(m):
-            best = _assign_expr(cents[s], vec=F.slice(
-                F.col("e"), s * sub + 1, sub))
-            cols.append(best["cl"].alias(f"c{s}"))
-        assigned = q.select(*passthrough, "e", *cols)
+        codes_struct = _assign_arrow(
+            cents, slices=[(s * sub, n_codes) for s in range(m)])(
+                F.col("e"))
+        assigned = (q.withColumn("_cs", codes_struct)
+                    .select(*passthrough, "e",
+                            *[F.col(f"_cs.c{s}").alias(f"c{s}")
+                              for s in range(m)]))
         if it == iters - 1:
             break
         ex = (assigned.select(F.explode(F.array(*[
