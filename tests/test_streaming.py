@@ -226,3 +226,49 @@ def test_stream_dedup_exact_matches_batch(spark, unit_pages_sdf,
     assert got["text"].nunique() == n_distinct
     occ = set(zip(batch["url"], batch["text"]))
     assert all((u, t) in occ for u, t in zip(got["url"], got["text"]))
+
+
+def test_maponly_text_ops_stream_unchanged(spark, tmp_path_factory):
+    """Map-only text operators (context-window chunking and lang ID —
+    pure projections, zero exchanges) run UNCHANGED on a stream and emit
+    exactly the batch rows: the streaming-compatibility contract for
+    stateless curation stages."""
+    import pandas as pd
+
+    from engine import text
+
+    docs = pd.DataFrame({
+        "doc_id": range(8),
+        "text": [f"alpha beta gamma delta epsilon zeta doc{i} "
+                 f"the and of extra words here" for i in range(8)]})
+    path = str(tmp_path_factory.mktemp("sdocs") / "docs")
+    sdf = spark.createDataFrame(docs)
+    sdf.write.mode("overwrite").parquet(path)
+
+    batch_chunks = sorted(
+        (r["doc_id"], r["chunk_idx"], r["chunk_text"])
+        for r in text.chunk_documents(sdf, max_tokens=5, stride=4).collect())
+    batch_lang = sorted((r["doc_id"], r["lang_guess"])
+                        for r in text.lang_id(sdf).collect())
+
+    schema = sdf.schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    q1 = (text.chunk_documents(stream, max_tokens=5, stride=4)
+          .writeStream.outputMode("append").format("memory")
+          .queryName("s_chunks").start())
+    q2 = (text.lang_id(stream).select("doc_id", "lang_guess")
+          .writeStream.outputMode("append").format("memory")
+          .queryName("s_lang").start())
+    try:
+        q1.processAllAvailable()
+        q2.processAllAvailable()
+        got_chunks = sorted(
+            (r["doc_id"], r["chunk_idx"], r["chunk_text"])
+            for r in spark.sql("SELECT * FROM s_chunks").collect())
+        got_lang = sorted((r["doc_id"], r["lang_guess"])
+                          for r in spark.sql("SELECT * FROM s_lang").collect())
+    finally:
+        q1.stop()
+        q2.stop()
+    assert got_chunks == batch_chunks
+    assert got_lang == batch_lang
