@@ -203,6 +203,21 @@ def q_tpch_q1(spark, sf_dir):
                  F.count(F.lit(1)).alias("count_order")))
 
 
+def q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 (forecasting revenue change): the canonical
+    scan-filter-aggregate — every predicate pushes to the parquet scan,
+    one map-side-combined global sum."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")),
+                     6).alias("revenue"),
+             F.count(F.lit(1)).alias("n_rows")))
+
+
 def q_tpch_q3(spark, sf_dir):
     """TPC-H Q3 (shipping-priority variant): 3-way join + agg + top-10 —
     exercises broadcast/SMJ strategy pick and deterministic top-k."""
@@ -1434,6 +1449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_adc_topk": q_pq_adc_topk,
         "ivfpq_topk": q_ivfpq_topk,
         "bm25_topk": q_bm25_topk,
+        "tpch_q6": q_tpch_q6,
     }
 
 
@@ -3850,6 +3866,15 @@ LEFT JOIN clean ON toks.doc_id = clean.doc_id
         # division (exact operands, correctly-rounded IEEE divide -> the
         # value hash matches bit-for-bit)
         "unigram_lm_score": _UNIGRAM_SQL,
+        "tpch_q6": """
+SELECT round(sum(l_extendedprice * l_discount), 6) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+""",
         # PQ ANN: four subspace Lloyd chains + code join + LUT-sum ADC
         "pq_adc_topk": f"WITH\n{_pq_chain_sql()}",
         # BM25: same expression tree (idf ratio, 2.2/1.2/0.25/0.75
