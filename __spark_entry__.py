@@ -258,6 +258,31 @@ def q_tpch_q5(spark, sf_dir):
     return j.groupBy("n_name").agg(F.round(rev, 6).alias("revenue"))
 
 
+def q_tpch_q4(spark, sf_dir):
+    """TPC-H Q4 shape (order-priority checking): the one relational
+    surface the suite didn't exercise — a CORRELATED EXISTS subquery.
+    Written as literal SQL EXISTS (not a hand-rolled semi-join) so the
+    query exercises Catalyst's decorrelation: RewriteCorrelatedScalar/
+    RewritePredicateSubquery must turn it into a LeftSemi hash join with
+    the correlated non-equi predicate (l_shipdate > o_orderdate + 60d)
+    carried as the join condition — one scan of lineitem, NOT a re-scan
+    per outer row (tests/test_plan_shape.py pins this).  The synthetic
+    lineitem has no commitdate/receiptdate, so 'late' is expressed as
+    shipping >60 days after the order date — same correlated shape."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("tq4_orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("tq4_lineitem")
+    return spark.sql("""
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        FROM tq4_orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+          AND EXISTS (SELECT 1 FROM tq4_lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAYS)
+        GROUP BY o_orderpriority
+    """)
+
+
 def q_dedup_exact(spark, sf_dir):
     """Exercises engine.text.dedup_exact (hash-keyed shuffle); the oracle
     groups by raw text — identical output barring a 2^-190 hash collision."""
@@ -1192,12 +1217,19 @@ def q_geo_agreement_quant(spark, sf_dir):
     interval-overlap join + agreement ratio replay in SQL end to end."""
     from engine.sinks import compare_to_ground_truth
     eps = _eps_quant(spark, sf_dir).persist()
-    truth = eps.withColumn(
-        "kind",
-        F.when((F.col("kind") == "activity") & (F.col("seq") % 5 == 0),
-               F.lit("travel")).otherwise(F.col("kind")))
-    return compare_to_ground_truth(eps, truth).select(
-        "host", "agreement", "overlap_total_s")
+    try:
+        truth = eps.withColumn(
+            "kind",
+            F.when((F.col("kind") == "activity") & (F.col("seq") % 5 == 0),
+                   F.lit("travel")).otherwise(F.col("kind")))
+        # eager-materialize the (per-host, tiny) result so the cached
+        # episode chain can be released here instead of leaking one
+        # cached table per run into the long-lived session.
+        return compare_to_ground_truth(eps, truth).select(
+            "host", "agreement", "overlap_total_s") \
+            .localCheckpoint(eager=True)
+    finally:
+        eps.unpersist()
 
 
 def q_media_decode(spark, sf_dir):
@@ -1386,6 +1418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x3_interp_grid": q_x3_interp_grid,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
+        "tpch_q4": q_tpch_q4,
         "tpch_q5": q_tpch_q5,
         "dedup_exact": q_dedup_exact,
         "boilerplate_tokens": q_boilerplate_tokens,
@@ -3874,6 +3907,18 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate <  TIMESTAMP '1997-01-01'
   AND l_discount >= 0.05 AND l_discount <= 0.07
   AND l_quantity < 24
+""",
+        # Q4 shape: correlated EXISTS (decorrelated to a semi-join on
+        # the Spark side; DuckDB runs the same logical query natively)
+        "tpch_q4": """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
 """,
         # PQ ANN: four subspace Lloyd chains + code join + LUT-sum ADC
         "pq_adc_topk": f"WITH\n{_pq_chain_sql()}",

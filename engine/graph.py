@@ -95,10 +95,13 @@ def pagerank(edges: DataFrame, iters: int = PAGERANK_ITERS,
                          .cast("long").alias("rank_q")))
         if (it + 1) % checkpoint_every == 0 and it + 1 < iters:
             ranks = ranks.localCheckpoint(eager=False)
-    # long-lived sessions can release the setup tables once the result is
-    # materialized (same caller contract as knn_assign_collected's
-    # destroy_knn_broadcast) — unpersisting earlier would recompute them
-    # on the first action over `ranks`
-    ranks.unpersist_pagerank = lambda: (nodes.unpersist(),
-                                        links.unpersist())
+    # materialize the (tiny: one row per node) result eagerly so the setup
+    # tables can be released HERE, inside the call — a monkey-patched
+    # release hook is lost the moment the caller transforms the DataFrame,
+    # and in a long-lived session the cached edge table would then never
+    # be freed.  The eager checkpoint costs one extra pass over the final
+    # round's plan; every later action reads the checkpointed partitions.
+    ranks = ranks.localCheckpoint(eager=True)
+    nodes.unpersist()
+    links.unpersist()
     return ranks

@@ -634,8 +634,11 @@ def ivfpq_topk(df: DataFrame, queries: DataFrame, k: int = 3,
         out = (cand.withColumn("rk", F.row_number().over(w).cast("long"))
                .filter(F.col("rk") <= k)
                .select("a", "b", "rk", "adc"))
-        out.destroy_ivfpq_cache = resid.unpersist
+        # materialize the (small: <= nq*k rows) top-k eagerly so the
+        # cached residual table can be released before returning — a
+        # destroy hook hung off the DataFrame is never reliably invoked
+        # and would leave resid cached for the rest of the session.
+        out = out.localCheckpoint(eager=True)
         return out
-    except Exception:
+    finally:
         resid.unpersist()
-        raise

@@ -1094,7 +1094,12 @@ def quality_buckets(scored: DataFrame, score_col: str = "score",
         approxQuantile (Greenwald-Khanna sketch, driver scalars), then a
         MAP-ONLY literal-comparison assignment — no global sort, corpus
         never shuffled.  Boundary docs may land one bucket off by design
-        (`rel_err`); bucket POPULATIONS are within rel_err of exact.
+        (`rel_err`); bucket POPULATIONS are within rel_err of exact when
+        scores are near-distinct.  Heavily TIED scores void that bound:
+        equal consecutive thresholds make the >=-chain assign the whole
+        tied mass to the best matching bucket (any threshold split of a
+        tie has the same property) — use mode='exact', whose (score, id)
+        ntile tiebreak splits ties evenly, when ties dominate.
       * 'exact': global ntile over (score desc, id) — a single-partition
         sort, the small-side oracle twin (deterministic tiebreak makes it
         value-hash exact cross-engine).
@@ -1130,7 +1135,8 @@ def quality_buckets(scored: DataFrame, score_col: str = "score",
 
 def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
               k1: float = 1.2, b: float = 0.75, text_col: str = "text",
-              id_col: str = "doc_id", log_idf: bool = False) -> DataFrame:
+              id_col: str = "doc_id", log_idf: bool = False,
+              eager: bool = True) -> DataFrame:
     """BM25 keyword search: top-k documents for a bag-of-terms query —
     the canonical inverted-index ranking function (Robertson/Spärck
     Jones; Lucene's default).
@@ -1164,18 +1170,29 @@ def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     terms = sorted({t.lower() for t in query_terms})
+    # the corpus is tokenized ONCE: (doc, dl) and the query-term postings
+    # are cached around the three consumers (N/avgdl collect, df collect,
+    # final tf/contrib plan) instead of re-exploding the text each time.
+    # Only these two SMALL projections are persisted — never the raw
+    # token stream (|corpus| rows of strings).
     toks = docs.select(F.col(id_col),
                        F.explode(tokens_col(F.col(text_col))).alias("token"))
     dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    if eager:
+        dl = dl.persist()
     stats = dl.agg(F.count(F.lit(1)).alias("n"),
                    F.sum("dl").alias("total")).collect()[0]
     n_docs = int(stats["n"])
     if n_docs == 0:
+        if eager:
+            dl.unpersist()
         raise ValueError("corpus has no non-empty documents")
     avgdl = stats["total"] / n_docs          # one IEEE division
     tf = (toks.filter(F.col("token").isin(terms))
           .groupBy(id_col, "token")
           .agg(F.count(F.lit(1)).cast("long").alias("tf")))
+    if eager:
+        tf = tf.persist()
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     df_map = {r["token"]: int(r["df"]) for r in dfreq.collect()}
     idf_map = {}
@@ -1204,5 +1221,16 @@ def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
     top = scored.orderBy(F.col("score").desc(), F.col(id_col).asc()) \
                 .limit(k)
     w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
-    return (top.withColumn("rk", F.row_number().over(w).cast("long"))
-            .select(id_col, "score", "rk"))
+    out = (top.withColumn("rk", F.row_number().over(w).cast("long"))
+           .select(id_col, "score", "rk"))
+    if eager:
+        # materialize the k-row result eagerly, then release the cached
+        # per-doc tables — so one call tokenizes the corpus exactly once
+        # and leaves nothing cached behind.  eager=False skips the
+        # persist/checkpoint dance and returns the fully lazy plan (for
+        # plan inspection / composition; the corpus then tokenizes once
+        # per collect of each of dl/df/tf).
+        out = out.localCheckpoint(eager=True)
+        dl.unpersist()
+        tf.unpersist()
+    return out

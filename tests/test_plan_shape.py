@@ -189,5 +189,21 @@ def test_bm25_postings_prefilter_and_heap_topk(spark):
     docs = spark.createDataFrame(
         [(i, "alpha beta gamma delta " * 3) for i in range(6)],
         ["doc_id", "text"])
-    plan = plan_str(text.bm25_topk(docs, ["alpha", "gamma"], k=3), "simple")
+    plan = plan_str(text.bm25_topk(docs, ["alpha", "gamma"], k=3,
+                                   eager=False), "simple")
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_tpch_q4_exists_decorrelates_to_semi_join(spark):
+    """The correlated EXISTS in tpch_q4 must compile to ONE LeftSemi hash
+    join carrying the non-equi 'late' predicate — one scan of lineitem
+    total, never a per-outer-row subquery re-scan — with the date window
+    pushed to the orders scan."""
+    import __spark_entry__ as entry
+    df = entry.q_tpch_q4(spark, "/root/testdata/sf0.001")
+    plan = plan_str(df, "simple")
+    assert "LeftSemi" in plan, plan
+    assert plan.count("Scan parquet") == 2, plan  # orders + lineitem once
+    pushed = [ln for ln in plan.splitlines()
+              if "PushedFilters" in ln and "orders" in ln]
+    assert pushed and "GreaterThanOrEqual(o_orderdate" in pushed[0], plan
