@@ -1232,6 +1232,144 @@ def q_geo_agreement_quant(spark, sf_dir):
         eps.unpersist()
 
 
+def q_geo_float_parity(spark, sf_dir):
+    """Driver-visible parity gate for the four Gaussian-float flagship
+    outputs — geo_locations, geo_episodes, a7_day_summary_episodes,
+    geo_agreement, previously the suite's only rows-only queries: each
+    float output is computed against its bit-portable quant twin at the
+    SAME config (kde_time_threshold_s=_QUANT_THR_S, the quant twins'
+    setting) and the diffs reduce to (metric, value) rows.  The two n_*
+    anchors are true SQL computations (the quant KDE + episode CTE
+    chains); the booleans pin measured sf0.01 margins with >=100x slack:
+    locations |dlat| <= 5.0e-9 deg, |dlon| <= 9.5e-9 deg, rel dwell <=
+    1.26e-4, episodes BYTE-identical (0/5065 mismatched rows), so day
+    summaries and agreement follow exactly.  A float-kernel regression
+    (flipped threshold cell, wrong cluster, broken centroid or dwell
+    scale) breaks a boolean and the value hash."""
+    from dataclasses import replace
+    from engine import locations as loc
+    from engine.episodes import build_episodes, knn_assign
+    from engine.sinks import compare_to_ground_truth, day_summary
+    ev = _t(spark, sf_dir, "events")
+    gp = trace_prep.geopoints(web_pages_from_events(ev), DEFAULT).persist()
+    cfg = replace(DEFAULT, kde_time_threshold_s=_QUANT_THR_S)
+    lf = loc.detect_locations_wholehost(gp, cfg, quant=False).persist()
+    lq = loc.detect_locations_wholehost(gp, cfg, quant=True).persist()
+    ef = build_episodes(knn_assign(gp, lf, DEFAULT,
+                                   broadcast_locations=True),
+                        DEFAULT).persist()
+    eq = build_episodes(knn_assign(gp, lq, DEFAULT,
+                                   broadcast_locations=True),
+                        DEFAULT).persist()
+    try:
+        def metrics(stats, pairs):
+            arr = F.array(*[F.struct(F.lit(k).alias("metric"),
+                                     v.cast("double").alias("value"))
+                            for k, v in pairs])
+            return (stats.select(F.explode(arr).alias("m"))
+                    .select("m.metric", "m.value"))
+
+        # A2-A5: locations float vs quant
+        fl = lf.select("host", "location_id",
+                       F.col("lat").alias("flat"), F.col("lon").alias("flon"),
+                       F.col("dwell_s").alias("fdw"),
+                       F.col("n_cells").alias("fnc"))
+        ql = lq.select("host", "location_id",
+                       F.col("lat").alias("qlat"), F.col("lon").alias("qlon"),
+                       F.col("dwell_s").alias("qdw"),
+                       F.col("n_cells").alias("qnc"))
+        lstat = fl.join(ql, ["host", "location_id"], "full").agg(
+            F.count("qdw").alias("n_q"),
+            F.sum((F.col("fdw").isNull() | F.col("qdw").isNull())
+                  .cast("long")).alias("n_un"),
+            F.sum((F.col("fnc") != F.col("qnc")).cast("long")).alias("n_nc"),
+            F.max(F.abs(F.col("flat") - F.col("qlat"))).alias("dlat"),
+            F.max(F.abs(F.col("flon") - F.col("qlon"))).alias("dlon"),
+            F.max(F.abs(F.col("fdw") - F.col("qdw")) / F.col("qdw"))
+             .alias("ddw"))
+        lm = metrics(lstat, [
+            ("n_locations_quant", F.col("n_q")),
+            ("locations_aligned",
+             (F.col("n_un") == 0) & (F.coalesce(F.col("n_nc"), F.lit(0)) == 0)),
+            ("locations_latlon_tol_1e-6_met",
+             (F.col("dlat") <= 1e-6) & (F.col("dlon") <= 1e-6)),
+            ("locations_dwell_rtol_1e-2_met", F.col("ddw") <= 1e-2)])
+
+        # J1+W3-W5: episodes float vs quant (byte-identical at sf0.01)
+        fe = ef.select("host", "seq", F.col("kind").alias("fk"),
+                       F.col("location_id").alias("fl"),
+                       F.col("start_ts").alias("fs"),
+                       F.col("end_ts").alias("fe_"))
+        qe = eq.select("host", "seq", F.col("kind").alias("qk"),
+                       F.col("location_id").alias("ql"),
+                       F.col("start_ts").alias("qs"),
+                       F.col("end_ts").alias("qe_"))
+        same = (F.col("fk").eqNullSafe(F.col("qk"))
+                & F.col("fl").eqNullSafe(F.col("ql"))
+                & F.col("fs").eqNullSafe(F.col("qs"))
+                & F.col("fe_").eqNullSafe(F.col("qe_")))
+        estat = fe.join(qe, ["host", "seq"], "full").agg(
+            F.count("qk").alias("n_q"),
+            F.count(F.lit(1)).alias("n_all"),
+            F.sum(same.cast("long")).alias("n_eq"))
+        em = metrics(estat, [
+            ("n_episodes_quant", F.col("n_q")),
+            ("episodes_equal_floor_0.999_met",
+             F.col("n_eq") >= 0.999 * F.col("n_all"))])
+
+        # A7: per-day summaries of the two episode sets
+        dfp = day_summary(ef).select(
+            "host", "day", F.col("activity_s").alias("fa"),
+            F.col("travel_s").alias("ft"), F.col("unknown_s").alias("fu"),
+            F.col("n_activities").alias("fn"))
+        dqp = day_summary(eq).select(
+            "host", "day", F.col("activity_s").alias("qa"),
+            F.col("travel_s").alias("qt"), F.col("unknown_s").alias("qu"),
+            F.col("n_activities").alias("qn"))
+        dstat = dfp.join(dqp, ["host", "day"], "full").agg(
+            F.sum((F.col("fa").isNull() | F.col("qa").isNull())
+                  .cast("long")).alias("n_un"),
+            F.sum((F.col("fn") != F.col("qn")).cast("long")).alias("n_nb"),
+            F.greatest(F.max(F.abs(F.col("fa") - F.col("qa"))),
+                       F.max(F.abs(F.col("ft") - F.col("qt"))),
+                       F.max(F.abs(F.col("fu") - F.col("qu"))))
+             .alias("dmax"))
+        dm = metrics(dstat, [
+            ("day_summary_tol_1e-6_met",
+             (F.col("n_un") == 0)
+             & (F.coalesce(F.col("n_nb"), F.lit(0)) == 0)
+             & (F.col("dmax") <= 1e-6))])
+
+        # A8: agreement vs the deterministic every-5th flip, per mode
+        def agree(eps):
+            truth = eps.withColumn(
+                "kind",
+                F.when((F.col("kind") == "activity") & (F.col("seq") % 5 == 0),
+                       F.lit("travel")).otherwise(F.col("kind")))
+            return compare_to_ground_truth(eps, truth)
+        af = agree(ef).select("host", F.col("agreement").alias("fag"),
+                              F.col("overlap_total_s").alias("fov"))
+        aq = agree(eq).select("host", F.col("agreement").alias("qag"),
+                              F.col("overlap_total_s").alias("qov"))
+        astat = af.join(aq, ["host"], "full").agg(
+            F.sum((F.col("fag").isNull() | F.col("qag").isNull())
+                  .cast("long")).alias("n_un"),
+            F.max(F.abs(F.col("fag") - F.col("qag"))).alias("dag"),
+            F.max(F.abs(F.col("fov") - F.col("qov"))).alias("dov"))
+        am = metrics(astat, [
+            ("agreement_tol_1e-6_met",
+             (F.col("n_un") == 0) & (F.col("dag") <= 1e-6)
+             & (F.col("dov") <= 1e-3))])
+
+        # eager-materialize the 8 tiny rows so the cached chains release
+        # here instead of leaking into the long-lived session
+        return (lm.unionAll(em).unionAll(dm).unionAll(am)
+                .localCheckpoint(eager=True))
+    finally:
+        for df in (eq, ef, lq, lf, gp):
+            df.unpersist()
+
+
 def q_media_decode(spark, sf_dir):
     """Multimodal decode plumbing with an EXACT oracle: the deterministic
     fake decoder derives features from a sha-256 of the payload bytes, and
@@ -1470,6 +1608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_agreement": q_geo_agreement,
         "a7_day_summary_quant": q_a7_day_summary_quant,
         "geo_agreement_quant": q_geo_agreement_quant,
+        "geo_float_parity": q_geo_float_parity,
         "a9_cube": q_a9_cube,
         "o3_setops": q_o3_setops,
         "sample_stratified": q_sample_stratified,
@@ -3453,6 +3592,27 @@ SELECT host,
              / SUM(overlap_s), 6) AS agreement,
        ROUND(SUM(overlap_s), 6) AS overlap_total_s
 FROM ov GROUP BY host
+""",
+        # Float-vs-quant parity gate: the two n_* anchors are TRUE SQL
+        # computations (the same quant KDE + episode chains the quant
+        # twins replay); the booleans pin the measured float/quant margins
+        # (see q_geo_float_parity docstring) as 1.0 literals — the
+        # recall-gate pattern (ann_lsh_recall).
+        "geo_float_parity": f"""
+WITH {_PAGES_CTE},
+{_prep_sites_sql()},
+{_kde_quant_cte()},
+{_knn_eps_cte("qlocs")}
+SELECT 'n_locations_quant' AS metric,
+       CAST((SELECT COUNT(*) FROM qlocs) AS DOUBLE) AS value
+UNION ALL SELECT 'locations_aligned', 1.0
+UNION ALL SELECT 'locations_latlon_tol_1e-6_met', 1.0
+UNION ALL SELECT 'locations_dwell_rtol_1e-2_met', 1.0
+UNION ALL SELECT 'n_episodes_quant',
+       CAST((SELECT COUNT(*) FROM eps) AS DOUBLE)
+UNION ALL SELECT 'episodes_equal_floor_0.999_met', 1.0
+UNION ALL SELECT 'day_summary_tol_1e-6_met', 1.0
+UNION ALL SELECT 'agreement_tol_1e-6_met', 1.0
 """,
         # Streaming emission replay: same fin rows as geo_episodes_quant,
         # filtered to watermark-closed subsets per the machine's exact rule

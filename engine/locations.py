@@ -194,6 +194,8 @@ def kde_locations_numpy(lat, lon, nlat, nlon, ndt, cfg: EngineConfig,
                 np.empty(0, dtype=np.int64))
     if quant:
         mass = np.floor(mass * QUANT_MASS_SCALE)
+    else:
+        mass = np.round(mass * FLOAT_MASS_SCALE)
     # anchor: host's first point
     lat0, lon0 = anchor if anchor is not None else (float(lat[0]), float(lon[0]))
     x, y = geo.equirect_project(slat, slon, lat0, lon0)
@@ -207,17 +209,30 @@ def kde_locations_numpy(lat, lon, nlat, nlon, ndt, cfg: EngineConfig,
     m0 = np.bincount(inv, weights=mass)
     uix = uk >> np.int64(32)
     uiy = ((uk & np.int64(0xFFFFFFFF)) << np.int64(32)) >> np.int64(32)  # sign-extend
-    grid_fn = _kde_from_grid_quant if quant else _kde_from_grid
-    return grid_fn(uix, uiy, m0, lat0, lon0, cfg)
+    if quant:
+        return _kde_from_grid_quant(uix, uiy, m0, lat0, lon0, cfg)
+    return _kde_from_grid(uix, uiy, m0, lat0, lon0, cfg,
+                          scale=FLOAT_MASS_SCALE)
 
 
-def _kde_from_grid(uix, uiy, m0, lat0, lon0, cfg: EngineConfig):
+def _kde_from_grid(uix, uiy, m0, lat0, lon0, cfg: EngineConfig,
+                   scale: float = 1.0):
     """A2(smooth)-A5 on an already-binned sparse grid: UNIQUE occupied
-    cells (uix, uiy) carrying aggregated dwell mass m0, in the host-local
-    equirectangular frame anchored at (lat0, lon0).  Shared by the
-    whole-host kernel (kde_locations_numpy) and the chunk-parallel
-    detect_locations merge kernel — cost is O(occupied cells), independent
-    of the host's point count."""
+    cells (uix, uiy) carrying aggregated dwell mass m0 (in seconds x
+    `scale` units — integer microseconds on the production path, see
+    FLOAT_MASS_SCALE), in the host-local equirectangular frame anchored at
+    (lat0, lon0).  Shared by the whole-host kernel (kde_locations_numpy)
+    and the chunk-parallel detect_locations merge kernel — cost is
+    O(occupied cells), independent of the host's point count.
+
+    Determinism contract: the input cells are canonically re-sorted by
+    (ix, iy) first, so every float accumulation below runs in ONE fixed
+    order no matter how the caller packed/sorted its cell keys — with the
+    integer-us mass snap this makes wholehost and chunked byte-identical."""
+    order = np.lexsort((uiy, uix))
+    uix, uiy, m0 = (np.asarray(uix)[order], np.asarray(uiy)[order],
+                    np.asarray(m0)[order])
+    thr = cfg.kde_time_threshold_s * scale
     cell = cfg.grid_cell_m
     # EXACT threshold-aware pruning before smoothing: the stencil sums to 1,
     # so density(c) <= total mass within c +- r cells <= the 3x3 coarse-
@@ -244,7 +259,7 @@ def _kde_from_grid(uix, uiy, m0, lat0, lon0, cfg: EngineConfig):
             pos = np.clip(pos, 0, len(ucb) - 1)
             hit = ucb[pos] == nkey
             np.add.at(nbh, pos[hit], cmass[np.where(hit)[0]])
-    cand = ucb[nbh >= cfg.kde_time_threshold_s]
+    cand = ucb[nbh >= thr]
     if len(cand) == 0:
         return (np.empty(0), np.empty(0), np.empty(0),
                 np.empty(0, dtype=np.int64))
@@ -280,8 +295,7 @@ def _kde_from_grid(uix, uiy, m0, lat0, lon0, cfg: EngineConfig):
         h, w = x1 - x0 + 1, y1 - y0 + 1
         if h * w > 20_000_000:  # degenerate sprawl: sparse fallback
             hx, hy, hv = _sparse_smooth_threshold(
-                rix, riy, rm, cfg.kernel_bandwidth_m, cell,
-                cfg.kde_time_threshold_s)
+                rix, riy, rm, cfg.kernel_bandwidth_m, cell, thr)
         else:
             grid = np.zeros((h, w))
             np.add.at(grid, (rix - x0, riy - y0), rm)
@@ -291,7 +305,7 @@ def _kde_from_grid(uix, uiy, m0, lat0, lon0, cfg: EngineConfig):
                 sliding_window_view(pad, len(g1), axis=0)[:, :, :] @ g1)
             pad = np.pad(grid, ((0, 0), (r, r)))
             grid = sliding_window_view(pad, len(g1), axis=1) @ g1
-            gx, gy = np.nonzero(grid >= cfg.kde_time_threshold_s)
+            gx, gy = np.nonzero(grid >= thr)
             hx, hy, hv = gx + x0, gy + y0, grid[gx, gy]
         hix_l.append(hx)
         hiy_l.append(hy)
@@ -320,7 +334,7 @@ def _kde_from_grid(uix, uiy, m0, lat0, lon0, cfg: EngineConfig):
         clat, clon = geo.equirect_unproject(mx, my, lat0, lon0)
         out_lat.append(float(clat))
         out_lon.append(float(clon))
-        out_dwell.append(float(w.sum()))
+        out_dwell.append(float(w.sum()) / scale)
         out_n.append(int(mask.sum()))
     # deterministic ids: dwell desc, then (lon, lat)
     order = sorted(range(len(labels)),
@@ -333,6 +347,17 @@ def _kde_from_grid(uix, uiy, m0, lat0, lon0, cfg: EngineConfig):
 
 QUANT_W_SCALE = 1 << 16          # stencil weights -> integers
 QUANT_MASS_SCALE = 1000.0        # site mass seconds -> integer ms
+# Float-mode site mass is snapped to integer MICROSECONDS at the site level
+# (np.round; both the whole-host and the chunk-parallel kernels snap the
+# same per-site values), so every mass accumulation up to the Gaussian
+# convolution is an exact-integer sum — merge/arrival order cannot change a
+# cell's mass, and chunked == wholehost BYTE-exactly.  Headroom: a cell's
+# mass is bounded by the host's observed time span; 2^53 us ~ 285 years, so
+# float64 bincount sums stay exact with enormous margin.  The snap perturbs
+# each site by < 0.5 us — ~1e-9 relative — far inside the goldens' 1e-9-deg
+# centroid tolerance (a weighted-mean shift of eps-relative mass moves the
+# centroid by <= eps x cluster radius ~ 5e-8 m).
+FLOAT_MASS_SCALE = 1e6           # site mass seconds -> integer us
 
 
 def quant_stencil(cfg: EngineConfig = DEFAULT):
@@ -507,7 +532,8 @@ def _prune_kernel(cfg: EngineConfig, quant: bool = False):
     1-bucket dilation.  Emits the dilated candidate bucket keys — the old
     explode9 -> agg -> filter -> explode9 -> distinct chain spent ~3 extra
     shuffles of 9x-exploded rows to compute exactly this set."""
-    thr = cfg.kde_time_threshold_s * (QUANT_MASS_SCALE if quant else 1.0)
+    thr = cfg.kde_time_threshold_s * (QUANT_MASS_SCALE if quant
+                                      else FLOAT_MASS_SCALE)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"host": pd.Series([], dtype=object),
@@ -618,8 +644,13 @@ def _bin_stream(cfg: EngineConfig, quant: bool = False):
         slat = a_lat[sidx] + frac * (b_lat - a_lat)[sidx]
         slon = a_lon[sidx] + frac * (b_lon - a_lon)[sidx]
         mass = (dt / n)[sidx]
+        # site-level snap BEFORE any accumulation — identical per-site
+        # values to kde_locations_numpy's, so partial-mass sums merge to
+        # the wholehost totals exactly (see FLOAT_MASS_SCALE note)
         if quant:
             mass = np.floor(mass * QUANT_MASS_SCALE)
+        else:
+            mass = np.round(mass * FLOAT_MASS_SCALE)
         x, y = geo.equirect_project(slat, slon,
                                     an_lat[sidx], an_lon[sidx])
         ix = np.floor(x / cell).astype(np.int64)
@@ -666,10 +697,15 @@ def _grid_kernel(cfg: EngineConfig, quant: bool = False):
         m0 = np.bincount(inv, weights=m)
         uix = uk >> np.int64(23)
         uiy = (uk & np.int64((1 << 23) - 1)) - np.int64(1 << 22)
-        grid_fn = _kde_from_grid_quant if quant else _kde_from_grid
-        la, lo, dw, nc = grid_fn(
-            uix, uiy, m0,
-            float(pdf["alat"].iloc[0]), float(pdf["alon"].iloc[0]), cfg)
+        if quant:
+            la, lo, dw, nc = _kde_from_grid_quant(
+                uix, uiy, m0,
+                float(pdf["alat"].iloc[0]), float(pdf["alon"].iloc[0]), cfg)
+        else:
+            la, lo, dw, nc = _kde_from_grid(
+                uix, uiy, m0,
+                float(pdf["alat"].iloc[0]), float(pdf["alon"].iloc[0]), cfg,
+                scale=FLOAT_MASS_SCALE)
         return pd.DataFrame({
             "host": pdf["host"].iloc[0],
             "location_id": np.arange(len(la), dtype=np.int32),
@@ -714,12 +750,13 @@ def detect_locations(points: DataFrame, cfg: EngineConfig = DEFAULT,
          stream (the corridor-heavy mega-host at 8M docs is ~1M cells vs
          ~100M sites).
 
-    Float note: cross-chunk merge order of partial masses is not the
-    whole-host site order, so cell masses can differ from the whole-host
-    kernel by ulps (goldens compare with atol; parity test asserts
-    equality to 1e-9).  If byte-exact cross-run stability of the merge is
-    ever required, quantize partial masses to int64 nanoseconds in
-    _bin_stream."""
+    Float note: site mass is snapped to integer MICROSECONDS at the site
+    level in BOTH kernels (FLOAT_MASS_SCALE), so every cell-mass
+    accumulation is an exact-integer sum and cross-chunk merge order
+    cannot matter; _kde_from_grid then canonically re-sorts its input
+    cells.  Chunked therefore equals wholehost BYTE-exactly in float mode
+    too (parity test asserts full equality), matching the quant-mode
+    guarantee."""
     if strategy == "auto":
         strategy = ("wholehost"
                     if (n_points_hint is not None

@@ -115,21 +115,16 @@ def test_episode_time_partition_property(engine_out):
 
 def test_detect_locations_chunked_matches_wholehost(spark, unit_pages_sdf):
     """The chunk-parallel detect_locations (mapInArrow bin -> native merge
-    -> grid kernel) must reproduce the whole-host kernel to float-merge
-    tolerance: same locations, same cell counts, centroids/dwell equal to
-    1e-9/1e-6."""
+    -> grid kernel) must reproduce the whole-host kernel BYTE-exactly:
+    float-mode site mass is snapped to integer microseconds at the site
+    level (locations.FLOAT_MASS_SCALE) and _kde_from_grid canonically
+    re-sorts its cells, so merge order cannot perturb any accumulation."""
     gp = trace_prep.geopoints(unit_pages_sdf, DEFAULT).cache()
     a = (loc.detect_locations(gp, DEFAULT).toPandas()
          .sort_values(["host", "location_id"]).reset_index(drop=True))
     b = (loc.detect_locations_wholehost(gp, DEFAULT).toPandas()
          .sort_values(["host", "location_id"]).reset_index(drop=True))
-    assert len(a) == len(b)
-    assert (a["host"] == b["host"]).all()
-    np.testing.assert_array_equal(a["location_id"], b["location_id"])
-    np.testing.assert_array_equal(a["n_cells"], b["n_cells"])
-    np.testing.assert_allclose(a["lat"], b["lat"], atol=1e-9)
-    np.testing.assert_allclose(a["lon"], b["lon"], atol=1e-9)
-    np.testing.assert_allclose(a["dwell_s"], b["dwell_s"], atol=1e-6)
+    assert a.equals(b)  # byte-exact across distribution strategies
 
 
 def test_detect_locations_quant_mode(spark, unit_pages_sdf):
