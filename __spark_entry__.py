@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from engine import ops, trace_prep
@@ -1524,6 +1524,58 @@ def q_ivfpq_topk(spark, sf_dir):
                       dim=_PQ_DIM)
 
 
+def q_ivfpq_recall(spark, sf_dir):
+    """Driver-visible IVFPQ quality gate at PRODUCTION nprobe (nprobe=3 of
+    n_cells=8 — the sub-unit-recall regime ivfpq_topk's exhaustive-mode
+    exact oracle cannot see): the approximate top-3 is scored against the
+    exact squared-L2 truth and against the same index scanned
+    exhaustively, reduced to (metric, value) rows.  Raw recalls are
+    engine-hash-dependent (coarse sample + PQ codebooks have no SQL twin
+    off the exhaustive path), so the oracle pins the deterministic
+    invariants: n_truth10 is a TRUE SQL computation (exact-L2 top-10 pair
+    count) and the floors carry regeneration margin under the measured
+    sf0.01 values (precision-in-true-top10 0.900, recall-vs-exhaustive
+    0.767 at m=16/n_codes=64 — synthetic near-uniform embeddings make
+    absolute top-3 recall inherently noisy, which is exactly why the gate
+    scores against top-10 and against the exhaustive scan).  A routing or
+    ADC bug sends both toward the ~0.06 random baseline."""
+    from engine.similarity import ivfpq_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % _PQ_QMOD == 0)
+    kw = dict(k=_PQ_K, m=16, n_codes=64, iters_coarse=2, iters_pq=3,
+              dim=_PQ_DIM)
+    got = ivfpq_topk(emb, q, n_cells=8, nprobe=3, **kw).select("a", "b")
+    exh = ivfpq_topk(emb, q, n_cells=8, nprobe=8, **kw).select("a", "b")
+    db = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    qq = q.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
+    d2 = F.aggregate(F.zip_with("ea", "eb", lambda x, y: (x - y) * (x - y)),
+                     F.lit(0.0), lambda acc, v: acc + v)
+    w = Window.partitionBy("a").orderBy(F.col("d2").asc(), F.col("b").asc())
+    t10 = (qq.crossJoin(db).filter(F.col("a") != F.col("b"))
+           .withColumn("d2", d2)
+           .withColumn("rk", F.row_number().over(w))
+           .filter(F.col("rk") <= 10).select("a", "b"))
+    t10c = t10.agg(F.count(F.lit(1)).alias("n_truth10"))
+    gotc = got.agg(F.count(F.lit(1)).alias("n_got"))
+    hit_exh = got.join(exh, ["a", "b"], "left_semi") \
+                 .agg(F.count(F.lit(1)).alias("n_hit_exh"))
+    hit_t10 = got.join(t10, ["a", "b"], "left_semi") \
+                 .agg(F.count(F.lit(1)).alias("n_hit_t10"))
+    base = (t10c.crossJoin(gotc).crossJoin(hit_exh).crossJoin(hit_t10)
+            .crossJoin(exh.agg(F.count(F.lit(1)).alias("n_exh"))))
+    prec10 = F.col("n_hit_t10").cast("double") / F.col("n_got")
+    rec_exh = F.col("n_hit_exh").cast("double") / F.col("n_exh")
+    rows = F.array(
+        F.struct(F.lit("n_truth10").alias("metric"),
+                 F.col("n_truth10").cast("double").alias("value")),
+        F.struct(F.lit("prec_in_top10_floor_0.70_met").alias("metric"),
+                 (prec10 >= 0.70).cast("double").alias("value")),
+        F.struct(F.lit("exh_recall_floor_0.60_met").alias("metric"),
+                 (rec_exh >= 0.60).cast("double").alias("value")))
+    return base.select(F.explode(rows).alias("m")).select("m.metric",
+                                                          "m.value")
+
+
 # BM25 driver params — single source of truth for Spark AND oracle
 _BM25_TERMS = ["join", "hash", "scan", "zigzag"]   # last is absent: df = 0
 _BM25_K, _BM25_K1, _BM25_B = 15, 1.2, 0.75
@@ -1620,6 +1672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_mixture": q_resample_mixture,
         "pq_adc_topk": q_pq_adc_topk,
         "ivfpq_topk": q_ivfpq_topk,
+        "ivfpq_recall": q_ivfpq_recall,
         "bm25_topk": q_bm25_topk,
         "tpch_q6": q_tpch_q6,
     }
@@ -4132,6 +4185,28 @@ WHERE rk <= {_BM25_K}
 """,
         # IVFPQ: coarse chain + grid-rounded residuals + residual PQ
         "ivfpq_topk": f"WITH\n{_ivfpq_chain_sql()}",
+        # IVFPQ production-nprobe gate: n_truth10 is a true SQL
+        # computation (exact-L2 top-10 pair count; the count is
+        # tie-insensitive); the floors are 1.0 literals pinning the
+        # measured margins (see q_ivfpq_recall docstring).
+        "ivfpq_recall": f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (SELECT vec_id, e FROM v WHERE vec_id % {_PQ_QMOD} = 0),
+p AS (
+  SELECT q.vec_id AS a, d.vec_id AS b,
+         list_dot_product(q.e, q.e) + list_dot_product(d.e, d.e)
+         - 2 * list_dot_product(q.e, d.e) AS d2
+  FROM q CROSS JOIN v d WHERE q.vec_id <> d.vec_id
+),
+t10 AS (
+  SELECT a, b FROM (
+    SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY d2 ASC, b) AS rk
+    FROM p) WHERE rk <= 10
+)
+SELECT 'n_truth10' AS metric, CAST(COUNT(*) AS DOUBLE) AS value FROM t10
+UNION ALL SELECT 'prec_in_top10_floor_0.70_met', 1.0
+UNION ALL SELECT 'exh_recall_floor_0.60_met', 1.0
+""",
         # mixture resample replay: fractions recomputed from the same
         # counts with the same double ops ((w * n_out) / n), LCG keep rule
         "resample_mixture": f"""
