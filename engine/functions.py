@@ -143,7 +143,6 @@ def encode_cell_native(df, lat_col: str, lon_col: str, out: str,
     differ from the UDF — upstream filters F2/F5 drop them before any
     encode, and both paths are deterministic.
     """
-    n = 1 << level
     # --- lat/lon -> unit XYZ -> cube face + (u, v)
     lon_n = F.pmod(F.col(lon_col) + F.lit(180.0), F.lit(360.0)) - F.lit(180.0)
     latr = F.radians(F.col(lat_col))
@@ -153,6 +152,16 @@ def encode_cell_native(df, lat_col: str, lon_col: str, out: str,
         "_ey": F.cos(latr) * F.sin(lonr),
         "_ez": F.sin(latr),
     })
+    df = _xyz_to_face_ij_cols(df, level)
+    return _hilbert_pack_native(df, out, level)
+
+
+def _xyz_to_face_ij_cols(df, level: int):
+    """_ex/_ey/_ez -> _face plus the pad-preswapped Hilbert inputs _hx/_hy
+    (drops the xyz temps).  Twin of geo._xyz_to_face_uv + _uv_to_st +
+    st->ij clip; split out so explode_kring_native can re-enter the encode
+    from an extended-face XYZ instead of lat/lon."""
+    n = 1 << level
     x, y, z = F.col("_ex"), F.col("_ey"), F.col("_ez")
     ax, ay, az = F.abs(x), F.abs(y), F.abs(z)
     face0 = (F.when(ax >= ay, F.when(ax >= az, 0).otherwise(2))
@@ -175,22 +184,28 @@ def encode_cell_native(df, lat_col: str, lon_col: str, out: str,
         raw = (c * F.lit(float(n))).cast("long")
         return F.greatest(F.lit(0), F.least(F.lit(n - 1), raw))
 
-    # --- Hilbert xy2d via the 4-bit lookup FSM (S2's ijToPos technique):
-    # level/4 table rounds instead of `level` bit rounds keeps the codegen
-    # method small (a per-bit projection chain blows past the JIT's huge-
-    # method limit and falls back to interpreted eval — measured 15x slower).
-    # Padding to a multiple of 4 bits prepends (0,0) bit planes, each of
-    # which only toggles the FSM's swap flag — compensated by pre-swapping
-    # the inputs when the pad is odd.
     rounds = (level + 3) // 4
     pad = 4 * rounds - level
     si, sj = (uv_to_st(v), uv_to_st(u)) if pad % 2 else \
              (uv_to_st(u), uv_to_st(v))
-    df = (df.withColumns({"_hx": st_to_ij(si),
-                          "_hy": st_to_ij(sj),
-                          "_hd": F.lit(0).cast("long"),
-                          "_hs": F.lit(0)})
-          .drop("_ex", "_ey", "_ez"))
+    return (df.withColumns({"_hx": st_to_ij(si),
+                            "_hy": st_to_ij(sj)})
+            .drop("_ex", "_ey", "_ez"))
+
+
+def _hilbert_pack_native(df, out: str, level: int):
+    """(_face, _hx, _hy) -> `out` cell id (drops the temps).
+
+    Hilbert xy2d via the 4-bit lookup FSM (S2's ijToPos technique):
+    level/4 table rounds instead of `level` bit rounds keeps the codegen
+    method small (a per-bit projection chain blows past the JIT's huge-
+    method limit and falls back to interpreted eval — measured 15x slower).
+    Padding to a multiple of 4 bits prepends (0,0) bit planes, each of
+    which only toggles the FSM's swap flag — compensated by pre-swapping
+    the inputs when the pad is odd (callers hand _hx/_hy pre-swapped).
+    """
+    rounds = (level + 3) // 4
+    df = df.withColumns({"_hd": F.lit(0).cast("long"), "_hs": F.lit(0)})
     table = F.lit([int(t) for t in _hilbert_nibble_table()])
     for r in range(rounds - 1, -1, -1):
         hx, hy = F.col("_hx"), F.col("_hy")
@@ -212,6 +227,128 @@ def encode_cell_native(df, lat_col: str, lon_col: str, out: str,
            .bitwiseOR(F.shiftleft(F.col("_hd"), shift + 1))
            .bitwiseOR(F.lit(1 << shift)))
     return df.withColumn(out, cid).drop("_face", "_hx", "_hy", "_hd")
+
+
+def _hilbert_inv_nibble_table():
+    """Inverse of _hilbert_nibble_table: index = state*256 + d8, value =
+    (i4 << 6) | (j4 << 2) | next_state.  Built by inverting the forward
+    table, so the two FSMs are consistent by construction (the forward is a
+    per-state bijection (i4, j4) <-> d8 with a shared next-state)."""
+    import numpy as np
+    fwd = _hilbert_nibble_table()
+    inv = np.zeros(1024, dtype=np.int64)
+    for state in range(4):
+        for i4 in range(16):
+            for j4 in range(16):
+                v = int(fwd[state * 256 + i4 * 16 + j4])
+                inv[state * 256 + (v >> 2)] = (i4 << 6) | (j4 << 2) | (v & 3)
+    return inv
+
+
+def decode_cell_native(df, cid_col: str, level: int,
+                       face_out: str = "_dface", i_out: str = "_di",
+                       j_out: str = "_dj"):
+    """cell id (at `level`) -> (face, i, j) — PURE native expressions.
+
+    Bit-exact twin of geo.cell_to_face_ij (integer-only: bit extraction +
+    the inverse Hilbert nibble FSM), same chained-projection structure as
+    the encode so the FSM state stays in whole-stage-codegen locals.
+    """
+    rounds = (level + 3) // 4
+    pad = 4 * rounds - level
+    shift = 2 * (geo.MAX_LEVEL - level) + 1
+    cid = F.col(cid_col)
+    df = df.withColumns({
+        face_out: F.shiftrightunsigned(cid, geo._FACE_SHIFT),
+        "_dd": F.shiftright(cid.bitwiseAND(F.lit((1 << 61) - 1)),
+                            shift),
+        "_dx": F.lit(0).cast("long"),
+        "_dy": F.lit(0).cast("long"),
+        "_ds": F.lit(0),
+    })
+    tab = F.lit([int(t) for t in _hilbert_inv_nibble_table()])
+    for r in range(rounds - 1, -1, -1):
+        idx = (F.col("_ds") * 256
+               + F.shiftright(F.col("_dd"), 8 * r).bitwiseAND(F.lit(255)))
+        df = df.withColumn("_dv", F.element_at(tab, (idx + 1).cast("int")))
+        df = df.withColumns({
+            "_dx": F.shiftleft(F.col("_dx"), 4)
+                    .bitwiseOR(F.shiftright(F.col("_dv"), 6).cast("long")),
+            "_dy": F.shiftleft(F.col("_dy"), 4)
+                    .bitwiseOR(F.shiftright(F.col("_dv"), 2)
+                                .bitwiseAND(F.lit(15)).cast("long")),
+            "_ds": F.col("_dv").bitwiseAND(F.lit(3)),
+        })
+    # the FSM decodes the PADDED coords (the encode's pre-swap convention):
+    # un-swap when the pad is odd
+    ii, jj = ("_dy", "_dx") if pad % 2 else ("_dx", "_dy")
+    df = df.withColumns({i_out: F.col(ii), j_out: F.col(jj)})
+    return df.drop("_dd", "_dv", "_ds", "_dx", "_dy")
+
+
+def explode_kring_native(df, level: int, k: int = 1,
+                         cid_col: str = "cell_id",
+                         pos_out: str = "pos", ncell_out: str = "ncell"):
+    """UDF-free k-ring explode: each row fans out to its (2k+1)^2 ring
+    members, with `pos_out` the row-major offset index (di-major — the
+    exact order tiles._ring_weights emits) and `ncell_out` the neighbor
+    cell id at `level`.  Bit-exact twin of geo.cell_neighbors
+    (property-tested): in-face steps re-enter the integer Hilbert FSM
+    directly; off-face steps take the extended quadratic ST -> uv -> XYZ ->
+    adjacent-face path, which after the trig-free rewrite on the numpy side
+    is only +,-,*,/,sqrt — ops the encode property test already pins as
+    IEEE-identical across the JVM and numpy.  Replaces the Arrow
+    cell-neighbors UDF in the tiling path: the whole raster pipeline now
+    stays in whole-stage codegen (the explode itself is a JVM Generate).
+    """
+    n = 1 << level
+    w = 2 * k + 1
+    rounds = (level + 3) // 4
+    pad = 4 * rounds - level
+    df = decode_cell_native(df, cid_col, level)
+    df = df.withColumn(pos_out,
+                       F.explode(F.sequence(F.lit(0), F.lit(w * w - 1))))
+    p = F.col(pos_out)
+    df = df.withColumns({
+        "_ni": F.col("_di") + (p / F.lit(w)).cast("long") - F.lit(k),
+        "_nj": F.col("_dj") + F.pmod(p, F.lit(w)).cast("long") - F.lit(k),
+    })
+    ni, nj = F.col("_ni"), F.col("_nj")
+    in_face = ((ni >= 0) & (ni < n) & (nj >= 0) & (nj < n))
+    # off-face branch: extended ST -> uv -> XYZ on the source face (cheap
+    # polynomials, so it is computed unconditionally and discarded for
+    # in-face rows), then re-projected by the shared face/ij chain.
+    s = (ni.cast("double") + F.lit(0.5)) / F.lit(float(n))
+    t = (nj.cast("double") + F.lit(0.5)) / F.lit(float(n))
+
+    def st_to_uv(c):
+        return (F.when(c >= 0.5, (F.lit(4.0) * c * c - F.lit(1.0)) / F.lit(3.0))
+                .otherwise((F.lit(1.0) - F.lit(4.0) * (F.lit(1.0) - c)
+                            * (F.lit(1.0) - c)) / F.lit(3.0)))
+
+    df = df.withColumns({"_eu": st_to_uv(s), "_ev": st_to_uv(t),
+                         "_inf": in_face})
+    fc, u, v = F.col("_dface"), F.col("_eu"), F.col("_ev")
+    one = F.lit(1.0)
+    df = df.withColumns({
+        "_ex": (F.when(fc == 0, one).when(fc == 1, -u).when(fc == 2, -u)
+                .when(fc == 3, -one).when(fc == 4, v).otherwise(v)),
+        "_ey": (F.when(fc == 0, u).when(fc == 1, one).when(fc == 2, -v)
+                .when(fc == 3, -v).when(fc == 4, -one).otherwise(u)),
+        "_ez": (F.when(fc == 0, v).when(fc == 1, v).when(fc == 2, one)
+                .when(fc == 3, -u).when(fc == 4, -u).otherwise(-one)),
+    }).drop("_eu", "_ev")
+    df = _xyz_to_face_ij_cols(df, level)
+    # overlay the exact integer in-face step (pad pre-swap, like the encode)
+    hx_if, hy_if = ("_nj", "_ni") if pad % 2 else ("_ni", "_nj")
+    df = df.withColumns({
+        "_face": F.when(F.col("_inf"), F.col("_dface"))
+                  .otherwise(F.col("_face")),
+        "_hx": F.when(F.col("_inf"), F.col(hx_if)).otherwise(F.col("_hx")),
+        "_hy": F.when(F.col("_inf"), F.col(hy_if)).otherwise(F.col("_hy")),
+    })
+    df = _hilbert_pack_native(df, ncell_out, level)
+    return df.drop("_dface", "_di", "_dj", "_ni", "_nj", "_inf")
 
 
 # ---------------------------------------------------------------------------

@@ -271,9 +271,14 @@ def cell_neighbors(cid, level: int, k: int = 1):
     """k-ring neighborhood (incl. self): shape (n, (2k+1)^2) int64.
 
     In-face steps are exact (face,i,j) re-encodes; steps past a face edge go
-    through the extended quadratic ST -> uv -> XYZ path and re-encode on the
-    adjacent face.  Duplicate ids may appear near corners — callers dedupe
-    (explode + distinct or array_distinct).
+    through the extended quadratic ST -> uv -> XYZ path and re-project onto
+    the adjacent face DIRECTLY (face pick and u=y/x ratios are scale
+    invariant, so no normalization and no lat/lng roundtrip) — the whole
+    off-face step is +,-,*,/,sqrt on IEEE doubles, which lets the Spark
+    native twin (engine.functions.explode_kring_native) be bit-exact
+    without relying on cross-library trig agreement.  Duplicate ids may
+    appear near corners — callers dedupe (explode + distinct or
+    array_distinct).
     """
     cid = np.asarray(cid, dtype=np.int64)
     face, i, j = cell_to_face_ij(cid, level)
@@ -293,9 +298,10 @@ def cell_neighbors(cid, level: int, k: int = 1):
             t = (nj[off].astype(np.float64) + 0.5) / n
             u, v = _st_to_uv(s), _st_to_uv(t)
             x, y, z = _face_uv_to_xyz(face[off], u, v)
-            norm = np.sqrt(x * x + y * y + z * z)
-            lat, lon = _xyz_to_latlng(x / norm, y / norm, z / norm)
-            res[off] = cell_encode(lat, lon, level)
+            nface, nu, nv = _xyz_to_face_uv(x, y, z)
+            i2 = np.clip((_uv_to_st(nu) * n).astype(np.int64), 0, n - 1)
+            j2 = np.clip((_uv_to_st(nv) * n).astype(np.int64), 0, n - 1)
+            res[off] = cell_from_face_ij(nface, i2, j2, level)
         out[:, col] = res
     return out
 

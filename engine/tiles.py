@@ -28,7 +28,7 @@ from pyspark.sql import types as T
 
 from . import geo
 from .config import DEFAULT, EngineConfig
-from .functions import make_cell_neighbors_udf, parent_cell_col
+from .functions import explode_kring_native, parent_cell_col
 
 
 def site_cells(sites: DataFrame, cfg: EngineConfig = DEFAULT,
@@ -77,20 +77,21 @@ def kring_smooth(density: DataFrame, cfg: EngineConfig = DEFAULT,
     """Gaussian ring-stencil smoothing of a cell raster (one shuffle).
 
     Each cell scatters its mass into its (2k+1)^2 neighborhood with
-    normalized Gaussian weights; total mass is conserved.  The neighbor
-    array from engine.geo.cell_neighbors is offset-ordered row-major, which
-    is exactly the weight order produced here.
+    normalized Gaussian weights; total mass is conserved.  The ring ids
+    come from the native decode->offset->re-encode chain
+    (engine.functions.explode_kring_native, bit-exact twin of
+    geo.cell_neighbors and offset-ordered row-major like the weights), so
+    the whole stencil stays in whole-stage codegen — no Python round-trip.
     """
     lvl = level if level is not None else cfg.cell_level
-    neigh = make_cell_neighbors_udf(lvl, k=k)
     w = F.lit(_ring_weights(k, sigma_cells))
-    exploded = (density
-                .select("mass_s", F.posexplode(neigh(F.col("cell_id")))
-                        .alias("pos", "ncell"))
-                .select(F.col("ncell").alias("cell_id"),
+    exploded = (explode_kring_native(density.select("cell_id", "mass_s"),
+                                     lvl, k=k)
+                .select(F.col("ncell").alias("_ncell"),
                         (F.col("mass_s")
                          * F.element_at(w, F.col("pos") + 1)).alias("m")))
-    return exploded.groupBy("cell_id").agg(F.sum("m").alias("mass_s"))
+    return (exploded.groupBy(F.col("_ncell").alias("cell_id"))
+            .agg(F.sum("m").alias("mass_s")))
 
 
 def rollup_pyramid(density: DataFrame, cfg: EngineConfig = DEFAULT,
@@ -133,18 +134,29 @@ def extract_components(density: DataFrame, threshold_s: float,
     Returns (component_id, cell_id, mass_s).
     """
     lvl = level if level is not None else cfg.cell_level
-    neigh = make_cell_neighbors_udf(lvl, k=1)
     hot = (density.filter(F.col("mass_s") >= F.lit(threshold_s))
            .select("cell_id", "mass_s")
            .withColumn("label", F.col("cell_id")))
     hot = hot.cache()
     hot.count()
-    edges = (hot.select("cell_id", F.explode(F.array_distinct(
-        neigh(F.col("cell_id")))).alias("ncell"))
-        .filter(F.col("cell_id") != F.col("ncell")))
+    # native ring-1 explode (UDF-free); duplicate (cell, ncell) edges can
+    # appear for corner cells where the ring folds onto itself — harmless
+    # under the min-label aggregation, so no distinct pass is spent on them.
+    # The cache() below is a CORRECTNESS-OF-PLANNING barrier, not just a
+    # reuse cache: Catalyst's constraint propagation substitutes alias
+    # definitions into inferred predicates, and a Filter/Join placed
+    # directly over the native decode->re-encode expression chain makes
+    # that substitution combinatorial (measured: driver OOM at 3 input
+    # rows).  InMemoryRelation is a constraint leaf, so filtering/joining
+    # over the cached ring keeps the optimizer in bare-attribute land.
+    ring = (explode_kring_native(hot.select("cell_id"), lvl, k=1)
+            .select("cell_id", "ncell")).cache()
     # keep only edges between two hot cells
-    edges = (edges.join(hot.select(F.col("cell_id").alias("ncell")), "ncell",
-                        "left_semi")).cache()
+    edges = (ring.filter(F.col("cell_id") != F.col("ncell"))
+             .join(hot.select(F.col("cell_id").alias("ncell")), "ncell",
+                   "left_semi")).cache()
+    edges.count()
+    ring.unpersist()
     cur = hot.select("cell_id", "label")
     prev_cached: DataFrame | None = None
     converged = False

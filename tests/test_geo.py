@@ -318,3 +318,46 @@ def test_encode_cell_native_matches_numpy(spark):
         got = (encode_cell_native(df, "lat", "lon", "cid", level)
                .select("cid").toPandas()["cid"].to_numpy())
         np.testing.assert_array_equal(got, geo.cell_encode(lat, lon, level))
+
+
+def test_decode_and_kring_native_match_numpy(spark):
+    """Spark-native cell decode (inverse Hilbert FSM) and the k-ring
+    explode are bit-exact vs the numpy kernels — including odd-pad levels
+    and cells hugging face edges/corners, where the ring crosses onto
+    adjacent cube faces through the extended-ST path (trig-free on both
+    sides, so float agreement is the same IEEE +,-,*,/,sqrt contract the
+    encode test pins)."""
+    import pandas as pd
+
+    from engine.functions import decode_cell_native, explode_kring_native
+    from pyspark.sql import functions as F
+    rng = np.random.default_rng(11)
+    lat = np.concatenate([
+        rng.uniform(-90, 90, 8000),
+        np.full(300, 45.0) + rng.uniform(-2e-5, 2e-5, 300),   # face edge
+        np.degrees(np.arctan(1 / np.sqrt(2))) + rng.uniform(-1e-5, 1e-5, 300),
+    ])
+    lon = np.concatenate([
+        rng.uniform(-180, 180, 8000),
+        rng.uniform(-180, 180, 300),
+        45.0 + rng.uniform(-1e-5, 1e-5, 300),                 # face corner
+    ])
+    for level, k in ((4, 1), (13, 2), (15, 1), (16, 1), (16, 2)):
+        cid = np.unique(geo.cell_encode(lat, lon, level))
+        df = spark.createDataFrame(pd.DataFrame({"cell_id": cid}))
+        dec = (decode_cell_native(df, "cell_id", level)
+               .toPandas().sort_values("cell_id"))
+        f0, i0, j0 = geo.cell_to_face_ij(dec["cell_id"].to_numpy(np.int64),
+                                         level)
+        np.testing.assert_array_equal(dec["_dface"].to_numpy(), f0)
+        np.testing.assert_array_equal(dec["_di"].to_numpy(), i0)
+        np.testing.assert_array_equal(dec["_dj"].to_numpy(), j0)
+        got = (explode_kring_native(df, level, k=k)
+               .groupBy("cell_id")
+               .agg(F.sort_array(F.collect_list(F.struct("pos", "ncell")))
+                    .alias("nb"))
+               .toPandas().set_index("cell_id"))
+        want = geo.cell_neighbors(cid, level, k=k)
+        for idx, c in enumerate(cid):
+            nb = [r["ncell"] for r in got.loc[c, "nb"]]
+            assert nb == want[idx].tolist(), (level, k, c)

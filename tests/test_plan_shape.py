@@ -207,3 +207,24 @@ def test_tpch_q4_exists_decorrelates_to_semi_join(spark):
     pushed = [ln for ln in plan.splitlines()
               if "PushedFilters" in ln and "orders" in ln]
     assert pushed and "GreaterThanOrEqual(o_orderdate" in pushed[0], plan
+
+
+def test_tiling_stencil_udf_free(spark):
+    """The raster stencil path (kring_smooth and extract_components' edge
+    expansion) must stay entirely JVM-side after the native k-ring rewrite:
+    no Arrow/Python evaluation nodes anywhere in either plan — the decode,
+    ring explode and re-encode are codegen expressions + one Generate."""
+    import pandas as pd
+
+    from engine import geo, tiles
+    cells = geo.cell_encode([43.65, 43.66, 45.0], [-79.38, -79.40, 45.0],
+                            DEFAULT.cell_level)
+    dens = spark.createDataFrame(
+        pd.DataFrame({"cell_id": cells.astype("int64"),
+                      "mass_s": [10.0, 20.0, 30.0]}))
+    for df in (tiles.kring_smooth(dens),
+               tiles.extract_components(dens, threshold_s=1.0)):
+        plan = plan_str(df, "simple")
+        for node in ("ArrowEvalPython", "BatchEvalPython", "pythonUDF",
+                     "MapInPandas"):
+            assert node not in plan, f"{node} in plan:\n{plan}"
