@@ -582,6 +582,38 @@ def q_kmeans_prune(spark, sf_dir):
                         keep_frac=_KMEANS_KEEP_FRAC)
 
 
+# quality-classifier driver params — single source of truth for the Spark
+# query AND the chained-SQL oracle (_classifier_chain_sql).
+_QC_DIMS = 256
+_QC_ROUNDS = 8
+_QC_MARKER = "spark"
+
+
+def q_quality_classifier(spark, sf_dir):
+    """Trained hashed-feature logistic regression (engine/classifier.py):
+    featurize once (binary presence of md5-60-hashed tokens in _QC_DIMS
+    buckets + bias slot), _QC_ROUNDS rounds of full-batch GD with integer
+    micro-weights and the rational fast-sigmoid link, then a map-only
+    apply.  Label: presence of the marker token (the synthetic corpus has
+    no other text-derivable label — lang shares one vocabulary).  The
+    oracle replays every GD round as chained SQL; margins/gradients are
+    exact int64 sums so all (dims+1) x rounds weight decisions are
+    bit-identical cross-engine.  Accuracy at sf0.01 is 1.0 (visible in
+    the per-doc y/pred columns)."""
+    from engine.classifier import apply_classifier, train_quality_classifier
+    from engine.text import tokens_col
+    docs = _t(spark, sf_dir, "documents")
+    label = F.array_contains(tokens_col(F.col("text")), F.lit(_QC_MARKER))
+    wq, feats = train_quality_classifier(docs, label, dims=_QC_DIMS,
+                                         rounds=_QC_ROUNDS)
+    try:
+        # eager-materialize the per-doc result so the cached feature table
+        # is released here rather than leaking into the long-lived session
+        return apply_classifier(feats, wq).localCheckpoint(eager=True)
+    finally:
+        feats.unpersist()
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash LSH near-dup with an EXACT oracle: candidates are
     LSH-generated (engine hashing) but verification is exact shingle-set
@@ -1629,6 +1661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "ann_topk_bruteforce": q_ann_topk_bruteforce,
         "kmeans_assign": q_kmeans,
+        "quality_classifier": q_quality_classifier,
         "pagerank_hosts": q_pagerank_hosts,
         "kmeans_prune": q_kmeans_prune,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -2143,6 +2176,79 @@ c{i + 1} AS (
        USING (cl)
 )""")
     return ",\n".join(parts)
+
+
+def _classifier_chain_sql(dims: int = _QC_DIMS, rounds: int = _QC_ROUNDS,
+                          marker: str = _QC_MARKER) -> str:
+    """engine.classifier.train_quality_classifier (quant mode, binary
+    presence features) + apply_classifier unrolled as chained SQL: one
+    margin/residual/gradient/weight CTE quartet per GD round.
+    Bit-identical by the integer micro-weight contract
+    (engine/classifier.py docstring): margins and per-slot gradients are
+    exact int64 sums (order-free), the link is the rational fast sigmoid
+    (+,*,/,abs only — no libm exp), and each weight update is one exact
+    integer product, one correctly-rounded IEEE division, one floor —
+    identical in Python (Spark driver) and DuckDB.  SUMs are cast to
+    BIGINT (DuckDB widens BIGINT sums to HUGEINT; values stay < 2^53 by
+    the envelope check in train_quality_classifier)."""
+    from engine.classifier import LR_NUM, RESID_SCALE, WEIGHT_SCALE
+
+    def sig(mm):
+        m = f"(CAST({mm} AS DOUBLE) / {float(WEIGHT_SCALE)!r})"
+        return f"(0.5 + 0.5 * {m} / (1.0 + abs({m})))"
+
+    S = float(RESID_SCALE)
+    toks = ("list_filter(regexp_split_to_array(lower(text), '\\W+'), "
+            "x -> x <> '')")
+    parts = [f"""toks AS (
+  SELECT doc_id, unnest({toks}) AS tok FROM documents
+),
+lab AS (
+  SELECT doc_id,
+         CASE WHEN list_contains({toks}, '{marker}')
+              THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+feats AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % {dims} AS f,
+         CAST(1 AS BIGINT) AS c
+  FROM toks GROUP BY 1, 2
+  UNION ALL
+  SELECT doc_id, {dims} AS f, CAST(1 AS BIGINT) AS c FROM documents
+),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+w0 AS (SELECT CAST(f AS BIGINT) AS f, CAST(0 AS BIGINT) AS wq
+       FROM generate_series(0, {dims}) t(f))"""]
+    for r in range(1, rounds + 1):
+        parts.append(f"""m{r} AS (
+  SELECT fe.doc_id, CAST(SUM(w.wq * fe.c) AS BIGINT) AS mm
+  FROM feats fe JOIN w{r - 1} w USING (f) GROUP BY fe.doc_id
+),
+r{r} AS (
+  SELECT m.doc_id,
+         CAST(floor(({sig('m.mm')} - l.y) * {S!r} + 0.5) AS BIGINT) AS res
+  FROM m{r} m JOIN lab l USING (doc_id)
+),
+g{r} AS (
+  SELECT fe.f, CAST(SUM(r.res * fe.c) AS BIGINT) AS grad
+  FROM feats fe JOIN r{r} r USING (doc_id) GROUP BY fe.f
+),
+w{r} AS (
+  SELECT w.f,
+         w.wq - CAST(floor({LR_NUM} * COALESCE(g.grad, 0)
+                           / ({S!r} * nn.n) + 0.5) AS BIGINT) AS wq
+  FROM w{r - 1} w LEFT JOIN g{r} g USING (f), nn
+)""")
+    parts.append(f"""mfin AS (
+  SELECT fe.doc_id, CAST(SUM(w.wq * fe.c) AS BIGINT) AS mm
+  FROM feats fe JOIN w{rounds} w USING (f) GROUP BY fe.doc_id
+)""")
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT l.doc_id, CAST(l.y AS INT) AS y, m.mm AS margin_micro,
+       {sig('m.mm')} AS prob,
+       CAST(CASE WHEN {sig('m.mm')} >= 0.5 THEN 1 ELSE 0 END AS INT) AS pred
+FROM mfin m JOIN lab l USING (doc_id)""")
 
 
 def _pq_chain_sql(m: int = _PQ_M, k: int = _PQ_CODES, iters: int = _PQ_ITERS,
@@ -3964,6 +4070,7 @@ WITH
 {_kmeans_chain_sql()}
 SELECT vec_id, cl FROM a{_KMEANS_ITERS - 1}
 """,
+        "quality_classifier": _classifier_chain_sql(),
         "kmeans_prune": f"""
 WITH
 {_kmeans_chain_sql()},

@@ -113,6 +113,14 @@ def run_suite(spark, sf_dir: str) -> tuple[dict, dict, float]:
     with stage("kmeans"):
         from engine import clustering
         clustering.kmeans_lloyd(emb, k=8, iters=4).count()
+    with stage("quality_classifier"):
+        from engine.classifier import (apply_classifier,
+                                       train_quality_classifier)
+        from engine.text import tokens_col
+        label = _F.array_contains(tokens_col(_F.col("text")), _F.lit("spark"))
+        wq, feats = train_quality_classifier(docs, label)
+        apply_classifier(feats, wq).count()
+        feats.unpersist()
     return timings, counts, geo_secs
 
 
