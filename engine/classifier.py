@@ -74,6 +74,12 @@ RESID_SCALE = 1 << 20        # S: residual micro-units (power of two)
 LR_NUM = 2048                # lr * Q  (=> lr = 2.0)
 # exactness envelope for the quantized gradient sums (see module docstring)
 MAX_TRAIN_ROWS = 1 << 20
+# auto strategy pick (the episodes.knn_assign_auto precedent): when the
+# featurized table fits this driver envelope, collect it ONCE and run all
+# GD rounds as numpy matmuls on the driver — bit-identical to the
+# distributed rounds (proven by the dual-path test) and free of the
+# per-round job-launch floor; past the envelope, train distributed.
+MAX_DRIVER_TRAIN_BYTES = 64 << 20
 
 
 def bucket_col(tok: Column, dims: int, hash_fn: str = "md5_60") -> Column:
@@ -137,6 +143,42 @@ def fast_sigmoid(m: Column) -> Column:
     return F.lit(0.5) + F.lit(0.5) * m / (F.lit(1.0) + F.abs(m))
 
 
+def _grad_arrow(feats: DataFrame, wq: list[int]):
+    """One GD round's gradient -> (slots, sums) as a whole-batch Arrow
+    kernel — the
+    bit-identical twin of the expression form in train_quality_classifier
+    (kept there as the semantic reference, the clustering._assign_arrow
+    precedent): margins are exact int64 matvecs, the fast-sigmoid /
+    residual-floor chain is elementwise correctly-rounded IEEE float64
+    (numpy == JVM == DuckDB op for op), and per-slot sums are exact int64
+    matmuls — so every value is equal to the expression path's, while the
+    per-round cost drops from an interpreted 257-literal fold + codegen
+    recompile + posexplode shuffle to one map-only pass emitting ONE
+    partial-gradient row per Arrow batch (the treeAggregate shape).
+    """
+    import numpy as np
+    import pandas as pd
+
+    w = np.asarray(wq, dtype=np.int64)
+    Q, S = float(WEIGHT_SCALE), float(RESID_SCALE)
+
+    def part(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.array(pdf["fv"].tolist(), dtype=np.int64)
+            y = pdf["y"].to_numpy(np.int64)
+            m = (X @ w).astype(np.float64) / Q
+            p = 0.5 + 0.5 * m / (1.0 + np.abs(m))
+            r = np.floor((p - y) * S + 0.5).astype(np.int64)
+            yield pd.DataFrame({"g": [(X.T @ r).tolist()]})
+
+    parts = feats.select("y", "fv").mapInPandas(part, "g array<long>")
+    g = (parts.select(F.posexplode("g").alias("f", "gp"))
+         .groupBy("f").agg(F.sum("gp").alias("g")).collect())
+    return [r["f"] for r in g], [r["g"] for r in g]
+
+
 def train_quality_classifier(docs: DataFrame, label: Column,
                              dims: int = 256, rounds: int = 8,
                              mode: str = "quant",
@@ -144,7 +186,9 @@ def train_quality_classifier(docs: DataFrame, label: Column,
                              id_col: str = "doc_id",
                              hash_fn: str = "md5_60",
                              binary: bool = True,
-                             lr_num: int = LR_NUM):
+                             lr_num: int = LR_NUM,
+                             use_arrow: bool = True,
+                             strategy: str = "auto"):
     """Full-batch GD; returns (weights, feats) — weights a python list of
     dims+1 ints (quant) / floats (float mode, true-sigmoid link), feats
     the cached featurized DataFrame (caller scores with apply_classifier
@@ -160,20 +204,51 @@ def train_quality_classifier(docs: DataFrame, label: Column,
             f"quant-mode exactness envelope is {MAX_TRAIN_ROWS} training "
             f"rows (got {n}); use mode='float' or raise RESID_SCALE "
             "headroom consciously")
+    if strategy not in ("auto", "driver", "distributed"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy == "auto":
+        strategy = ("driver"
+                    if n * (dims + 1) * 8 <= MAX_DRIVER_TRAIN_BYTES
+                    else "distributed")
+    if mode == "quant" and strategy == "driver":
+        # sub-envelope path: one collect of the narrow feature table, all
+        # rounds as int64 matmuls + elementwise IEEE float64 on the driver
+        # — op-for-op the same computation as the distributed rounds.
+        import numpy as np
+        pdf = feats.select("y", "fv").toPandas()
+        X = np.array(pdf["fv"].tolist(), dtype=np.int64)
+        yv = pdf["y"].to_numpy(np.int64)
+        Q, S = float(WEIGHT_SCALE), float(RESID_SCALE)
+        wq_np = np.zeros(dims + 1, dtype=np.int64)
+        for _ in range(rounds):
+            m = (X @ wq_np).astype(np.float64) / Q
+            p = 0.5 + 0.5 * m / (1.0 + np.abs(m))
+            r = np.floor((p - yv) * S + 0.5).astype(np.int64)
+            wq_np = wq_np - np.floor(
+                lr_num * (X.T @ r) / (S * float(n)) + 0.5).astype(np.int64)
+        return [int(v) for v in wq_np], feats
     if mode == "quant":
         wq = [0] * (dims + 1)
         for _ in range(rounds):
-            m = F.col("_mm").cast("double") / F.lit(float(WEIGHT_SCALE))
-            resid = F.floor(
-                (fast_sigmoid(m) - F.col("y").cast("double"))
-                * F.lit(float(RESID_SCALE)) + F.lit(0.5)).cast("long")
-            g = (feats.withColumn("_mm", _margin_micro(wq))
-                 .withColumn("_r", resid)
-                 .select("_r", F.posexplode("fv").alias("f", "c"))
-                 .groupBy("f").agg(F.sum(F.col("_r") * F.col("c"))
-                                   .alias("g"))
-                 .collect())
-            grad = {r["f"]: r["g"] for r in g}
+            if use_arrow:
+                fs, gs = _grad_arrow(feats, wq)
+                grad = dict(zip(fs, gs))
+            else:
+                # expression-form semantic reference (bit-identical to the
+                # Arrow kernel; interpreted HOF fold + per-round codegen
+                # recompile make it ~2x slower at bench scale)
+                m = F.col("_mm").cast("double") / F.lit(float(WEIGHT_SCALE))
+                resid = F.floor(
+                    (fast_sigmoid(m) - F.col("y").cast("double"))
+                    * F.lit(float(RESID_SCALE)) + F.lit(0.5)).cast("long")
+                g = (feats.withColumn("_mm", _margin_micro(wq))
+                     .withColumn("_r", resid)
+                     .select("_r", F.posexplode("fv").alias("f", "c"))
+                     .filter(F.col("c") != 0)
+                     .groupBy("f").agg(F.sum(F.col("_r") * F.col("c"))
+                                       .alias("g"))
+                     .collect())
+                grad = {r["f"]: r["g"] for r in g}
             den = float(RESID_SCALE) * float(n)
             wq = [w - math.floor(lr_num * grad.get(f, 0) / den + 0.5)
                   for f, w in enumerate(wq)]
@@ -190,6 +265,7 @@ def train_quality_classifier(docs: DataFrame, label: Column,
         p = F.lit(1.0) / (F.lit(1.0) + F.exp(-marg))
         g = (feats.withColumn("_r", p - F.col("y").cast("double"))
              .select("_r", F.posexplode("fv").alias("f", "c"))
+             .filter(F.col("c") != 0)
              .groupBy("f").agg(F.sum(F.col("_r") * F.col("c")).alias("g"))
              .collect())
         grad = {r["f"]: r["g"] for r in g}

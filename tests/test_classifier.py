@@ -89,6 +89,26 @@ def test_quant_learns_and_matches_numpy(spark):
     docs.unpersist()
 
 
+def test_all_training_paths_identical(spark):
+    """The three quant training paths — distributed Arrow gradient
+    kernel, distributed expression form, and the sub-envelope driver
+    (collected numpy) strategy — are bit-identical twins: same weights
+    after every round (integer matvec margins + elementwise IEEE residual
+    chain in all three)."""
+    docs = _docs(spark)
+    label = F.array_contains(F.split(F.col("text"), r"\s+"),
+                             F.lit("aardvark"))
+    ws = []
+    for kw in ({"strategy": "distributed", "use_arrow": True},
+               {"strategy": "distributed", "use_arrow": False},
+               {"strategy": "driver"}):
+        w, f = train_quality_classifier(docs, label, dims=64, rounds=3,
+                                        **kw)
+        f.unpersist()
+        ws.append(w)
+    assert ws[0] == ws[1] == ws[2]
+
+
 def test_float_mode_matches_numpy_golden(spark):
     docs = _docs(spark)
     pdf = docs.orderBy("doc_id").toPandas()
