@@ -283,6 +283,94 @@ def q_tpch_q4(spark, sf_dir):
     """)
 
 
+def q_tpch_q21(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the semi+anti
+    COMBINATION — one correlated EXISTS and one correlated NOT EXISTS over
+    the same table in one query block, plus two dimension equi-joins.
+    Written as literal SQL so Catalyst's RewritePredicateSubquery must
+    produce BOTH a LeftSemi and a LeftAnti hash join against lineitem
+    (plan-pinned in tests/test_plan_shape.py) instead of per-row re-scans.
+    The synthetic lineitem has no commitdate/receiptdate, so 'late' reuses
+    Q4's rule (shipdate > orderdate + 60 days); the nation predicate is a
+    deterministic ASCII range filter."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("tq21_orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("tq21_lineitem")
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("tq21_supplier")
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("tq21_nation")
+    return spark.sql("""
+        SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM tq21_supplier s, tq21_lineitem l1, tq21_orders o, tq21_nation n
+        WHERE s.s_suppkey = l1.l_suppkey
+          AND o.o_orderkey = l1.l_orderkey
+          AND o.o_orderstatus = 'F'
+          AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAYS
+          AND EXISTS (SELECT 1 FROM tq21_lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM tq21_lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o.o_orderdate
+                                                + INTERVAL 60 DAYS)
+          AND s.s_nationkey = n.n_nationkey
+          AND n.n_name < 'NATION_3'
+        GROUP BY s_name
+    """)
+
+
+def q_sketch_gates(spark, sf_dir):
+    """Sketch-family approximate aggregates under driver-visible error
+    gates (the ann_lsh_recall pattern — the oracle can't replay another
+    engine's sketch, but it CAN pin the exact value and assert the
+    engine's approximation landed inside its contract):
+      * hll_*: approx_count_distinct (HyperLogLog++) vs exact distinct,
+        |a-e|/e within 3x the default 5% rsd;
+      * pctl_value_p50: percentile_approx (Greenwald-Khanna at accuracy
+        1000) checked by RANK — the count of values <= the approximate
+        median must sit within n*(0.5 +- 0.02), the sketch's rank-error
+        contract with margin.  Rank checking is exact SQL; value-error
+        checking would be data-dependent.
+    Output: (gate, exact_n, ok) — exact_n is a true SQL-computable
+    quantity, ok must be TRUE."""
+    ev = _t(spark, sf_dir, "events")
+    li = _t(spark, sf_dir, "lineitem")
+
+    def hll_row(df, col, gate):
+        return (df.agg(F.approx_count_distinct(col).alias("a"),
+                       F.countDistinct(col).alias("e"))
+                .select(F.lit(gate).alias("gate"),
+                        F.col("e").cast("long").alias("exact_n"),
+                        ((F.abs(F.col("a") - F.col("e"))
+                          / F.col("e")) <= F.lit(0.15)).alias("ok")))
+
+    st = ev.agg(F.percentile_approx("value", F.lit(0.5),
+                                    F.lit(1000)).alias("ap"),
+                F.count("value").alias("n"))
+    pctl = (ev.crossJoin(F.broadcast(st))
+            .agg(F.sum((F.col("value") <= F.col("ap")).cast("long"))
+                 .alias("le"),
+                 F.first("n").alias("n"))
+            .select(F.lit("pctl_value_p50").alias("gate"),
+                    F.col("n").cast("long").alias("exact_n"),
+                    ((F.col("le") >= F.lit(0.48) * F.col("n"))
+                     & (F.col("le") <= F.lit(0.52) * F.col("n")))
+                    .alias("ok")))
+    return (hll_row(ev, "user_id", "hll_user_id")
+            .unionAll(hll_row(li, "l_partkey", "hll_partkey"))
+            .unionAll(pctl))
+
+
+def q_embed_quantize(spark, sf_dir):
+    """int8 scalar quantization of the embedding column (the vector-store
+    compression step): per-vector max-abs scale, q = floor(x/mx*127+0.5).
+    Map-only; exploded (vec_id, dim, q) so the oracle hashes scalar rows.
+    Every op is correctly-rounded IEEE (one division, one multiply, one
+    floor) — DuckDB replays bit-exact."""
+    emb = _t(spark, sf_dir, "embeddings")
+    from engine.similarity import quantize_int8
+    return quantize_int8(emb)
+
+
 def q_dedup_exact(spark, sf_dir):
     """Exercises engine.text.dedup_exact (hash-keyed shuffle); the oracle
     groups by raw text — identical output barring a 2^-190 hash collision."""
@@ -1641,6 +1729,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q4": q_tpch_q4,
+        "tpch_q21": q_tpch_q21,
+        "sketch_gates": q_sketch_gates,
+        "embed_quantize": q_embed_quantize,
         "tpch_q5": q_tpch_q5,
         "dedup_exact": q_dedup_exact,
         "boilerplate_tokens": q_boilerplate_tokens,
@@ -4239,6 +4330,53 @@ WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
               WHERE l.l_orderkey = o.o_orderkey
                 AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
 GROUP BY o_orderpriority
+""",
+        # Q21 shape: correlated EXISTS + NOT EXISTS in one block
+        # (decorrelated to a LeftSemi AND a LeftAnti on the Spark side;
+        # DuckDB runs the same logical query natively)
+        "tpch_q21": """
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier s, lineitem l1, orders o, nation n
+WHERE s.s_suppkey = l1.l_suppkey
+  AND o.o_orderkey = l1.l_orderkey
+  AND o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+  AND s.s_nationkey = n.n_nationkey
+  AND n.n_name < 'NATION_3'
+GROUP BY s_name
+""",
+        # sketch gates: the oracle pins the EXACT quantity and the
+        # contract (ok must be TRUE); the approximate value itself is
+        # engine-private (HLL++/GK sketches are not replayable)
+        "sketch_gates": """
+SELECT 'hll_user_id' AS gate,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_n, TRUE AS ok
+FROM events
+UNION ALL
+SELECT 'hll_partkey', CAST(count(DISTINCT l_partkey) AS BIGINT), TRUE
+FROM lineitem
+UNION ALL
+SELECT 'pctl_value_p50', CAST(count(value) AS BIGINT), TRUE FROM events
+""",
+        # int8 scalar quantization: one division, one multiply, one floor
+        # per element — correctly-rounded IEEE replay, bit-exact
+        "embed_quantize": """
+SELECT vec_id, CAST(dim - 1 AS INT) AS dim,
+       CAST(CASE WHEN mx = 0.0 THEN 0
+                 ELSE floor(x / mx * 127.0 + 0.5) END AS INT) AS q
+FROM (
+  SELECT vec_id,
+         generate_subscripts(e, 1) AS dim, unnest(e) AS x,
+         list_max(list_transform(e, v -> abs(v))) AS mx
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+)
 """,
         # PQ ANN: four subspace Lloyd chains + code join + LUT-sum ADC
         "pq_adc_topk": f"WITH\n{_pq_chain_sql()}",

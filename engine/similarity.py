@@ -655,3 +655,31 @@ def ivfpq_topk(df: DataFrame, queries: DataFrame, k: int = 3,
         return out
     finally:
         resid.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# scalar quantization (vector-store compression)
+# ---------------------------------------------------------------------------
+
+def quantize_int8(emb: DataFrame, vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> DataFrame:
+    """Per-vector max-abs int8 scalar quantization — the 4x compression
+    step a vector store applies before ANN indexing (FAISS SQ8 shape):
+    q_d = floor(x_d / max|x| * 127 + 0.5), all-zero vectors quantize to
+    zeros.  MAP-ONLY native expressions (scan-speed at 100 TB; the scale
+    and codes never require a shuffle).  Output is exploded to scalar
+    rows (id, dim, q) — dim 0-based — so cross-engine comparison hashes
+    plain integers; every float op is one correctly-rounded IEEE
+    division/multiply/floor on doubles, so DuckDB replays bit-exact.
+    """
+    e = F.col(vec_col).cast("array<double>")
+    df = emb.select(F.col(id_col), e.alias("_e"),
+                    F.array_max(F.transform(e, F.abs)).alias("_mx"))
+    q = F.transform(
+        F.col("_e"),
+        lambda x: F.when(F.col("_mx") == 0.0, F.lit(0).cast("int"))
+                   .otherwise(F.floor(x / F.col("_mx") * F.lit(127.0)
+                                      + F.lit(0.5)).cast("int")))
+    return (df.select(id_col, F.posexplode(q).alias("dim", "q"))
+            .select(F.col(id_col), F.col("dim").cast("int").alias("dim"),
+                    F.col("q")))

@@ -209,6 +209,31 @@ def test_tpch_q4_exists_decorrelates_to_semi_join(spark):
     assert pushed and "GreaterThanOrEqual(o_orderdate" in pushed[0], plan
 
 
+def test_tpch_q21_semi_and_anti_join(spark):
+    """Q21's EXISTS + NOT EXISTS pair must compile to one LeftSemi AND
+    one LeftAnti hash join against lineitem (three lineitem scans total:
+    outer + semi + anti) — never per-outer-row subquery re-scans."""
+    import __spark_entry__ as entry
+    df = entry.q_tpch_q21(spark, "/root/testdata/sf0.001")
+    plan = plan_str(df, "simple")
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert plan.count("Scan parquet") == 6, plan  # s, o, n + 3x lineitem
+
+
+def test_embed_quantize_map_only(spark):
+    """int8 scalar quantization is scan-speed: zero exchanges, zero
+    Python nodes in the plan."""
+    import pandas as pd
+
+    from engine.similarity import quantize_int8
+    emb = spark.createDataFrame(pd.DataFrame(
+        {"vec_id": [1, 2], "embedding": [[0.5, -1.0], [0.0, 0.0]]}))
+    plan = plan_str(quantize_int8(emb), "simple")
+    for node in ("Exchange", "ArrowEvalPython", "BatchEvalPython"):
+        assert node not in plan, plan
+
+
 def test_tiling_stencil_udf_free(spark):
     """The raster stencil path (kring_smooth and extract_components' edge
     expansion) must stay entirely JVM-side after the native k-ring rewrite:

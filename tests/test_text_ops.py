@@ -951,3 +951,21 @@ def test_bm25_topk_golden(spark):
     empty = spark.createDataFrame([(1, "")], ["doc_id", "text"])
     with pytest.raises(ValueError):
         text.bm25_topk(empty, ["x"])
+
+
+def test_quantize_int8_known_values(spark):
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "vec_id": [1, 2, 3],
+        "embedding": [[0.5, -1.0, 0.25], [0.0, 0.0, 0.0],
+                      [2.0, 1.0, -0.5]]}))
+    out = (similarity.quantize_int8(df).toPandas()
+           .sort_values(["vec_id", "dim"]))
+    got = out.groupby("vec_id")["q"].apply(list).to_dict()
+    # v1: scale 1.0 -> [64, -127, 32] (floor(x*127+0.5), half-up)
+    assert got[1] == [int(np.floor(x / 1.0 * 127.0 + 0.5))
+                      for x in (0.5, -1.0, 0.25)] == [64, -127, 32]
+    assert got[2] == [0, 0, 0]          # all-zero vector guard
+    assert got[3] == [127, 64, -32]     # scale 2.0; floor(-31.25) = -32
+    assert out["q"].between(-127, 127).all()
