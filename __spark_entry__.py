@@ -318,6 +318,35 @@ def q_tpch_q21(spark, sf_dir):
     """)
 
 
+def q_tpch_q17(spark, sf_dir):
+    """TPC-H Q17 shape (small-quantity-order revenue): the CORRELATED
+    SCALAR subquery — the last subquery family the suite didn't exercise
+    (Q4 = EXISTS, Q21 = EXISTS + NOT EXISTS).  Written as literal SQL so
+    Catalyst's decorrelation (RewriteCorrelatedScalarSubquery) must turn
+    the per-part average into ONE aggregate over lineitem joined back on
+    l_partkey — a single extra scan, never a re-scan per outer row
+    (plan-pinned in tests/test_plan_shape.py).  Bit-portability: synthetic
+    l_quantity is integer-valued (1..50), so sum is exact in float64 under
+    ANY accumulation order; avg is one IEEE division and the 0.2 factor
+    one multiply — the correlated predicate is deterministic cross-engine.
+    The final revenue sum is order-dependent and rounded to 6 (the Q1/Q3
+    contract).  Synthetic part has no p_container; the dimension filter
+    is brand + size range."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("tq17_lineitem")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("tq17_part")
+    return spark.sql("""
+        SELECT round(sum(l_extendedprice) / 7.0, 6) AS avg_yearly,
+               CAST(count(*) AS BIGINT) AS n_small
+        FROM tq17_lineitem l, tq17_part p
+        WHERE p.p_partkey = l.l_partkey
+          AND p.p_brand = 'Brand#1'
+          AND p.p_size < 15
+          AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                              FROM tq17_lineitem l2
+                              WHERE l2.l_partkey = p.p_partkey)
+    """)
+
+
 def q_sketch_gates(spark, sf_dir):
     """Sketch-family approximate aggregates under driver-visible error
     gates (the ann_lsh_recall pattern — the oracle can't replay another
@@ -1730,6 +1759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,
         "tpch_q4": q_tpch_q4,
         "tpch_q21": q_tpch_q21,
+        "tpch_q17": q_tpch_q17,
         "sketch_gates": q_sketch_gates,
         "embed_quantize": q_embed_quantize,
         "tpch_q5": q_tpch_q5,
@@ -4334,6 +4364,20 @@ GROUP BY o_orderpriority
         # Q21 shape: correlated EXISTS + NOT EXISTS in one block
         # (decorrelated to a LeftSemi AND a LeftAnti on the Spark side;
         # DuckDB runs the same logical query natively)
+        # Q17 shape: correlated SCALAR subquery (decorrelated to one
+        # per-part aggregate on the Spark side; DuckDB runs it natively).
+        # l_quantity is integer-valued so the correlated avg is exact.
+        "tpch_q17": """
+SELECT round(sum(l_extendedprice) / 7.0, 6) AS avg_yearly,
+       CAST(count(*) AS BIGINT) AS n_small
+FROM lineitem l, part p
+WHERE p.p_partkey = l.l_partkey
+  AND p.p_brand = 'Brand#1'
+  AND p.p_size < 15
+  AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                      FROM lineitem l2
+                      WHERE l2.l_partkey = p.p_partkey)
+""",
         "tpch_q21": """
 SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
 FROM supplier s, lineitem l1, orders o, nation n

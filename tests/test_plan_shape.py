@@ -221,6 +221,19 @@ def test_tpch_q21_semi_and_anti_join(spark):
     assert plan.count("Scan parquet") == 6, plan  # s, o, n + 3x lineitem
 
 
+def test_tpch_q17_scalar_subquery_decorrelates(spark):
+    """Q17's correlated scalar avg must decorrelate to ONE grouped
+    aggregate over lineitem joined back on l_partkey — three parquet
+    scans total (outer lineitem, part, agg-side lineitem), never a
+    per-outer-row subquery re-execution."""
+    import __spark_entry__ as entry
+    df = entry.q_tpch_q17(spark, "/root/testdata/sf0.001")
+    plan = plan_str(df, "simple")
+    assert plan.count("Scan parquet") == 3, plan
+    assert "avg(l_quantity)" in plan, plan        # the decorrelated agg
+    assert "Join" in plan and "Subquery" not in plan, plan
+
+
 def test_embed_quantize_map_only(spark):
     """int8 scalar quantization is scan-speed: zero exchanges, zero
     Python nodes in the plan."""
