@@ -731,6 +731,41 @@ def q_quality_classifier(spark, sf_dir):
         feats.unpersist()
 
 
+# BPE trainer driver params — single source of truth for the Spark
+# queries AND the chained-SQL oracle (_bpe_chain_sql).
+_BPE_ROUNDS = 8
+
+
+def q_bpe_train(spark, sf_dir):
+    """Trained BPE tokenizer (engine/tokenizer.py): learn _BPE_ROUNDS
+    byte-pair merges from corpus word frequencies — the
+    HuggingFace/SentencePiece trainer shape.  The corpus is aggregated
+    ONCE (word counts); every merge round is a vocab-sized pair count +
+    1-row argmax + map-only literal string rewrite.  The oracle replays
+    all rounds as chained CTEs: pair counts are exact int64 sums, the
+    argmax tie-break is (count DESC, pair ASC), and merges are literal
+    left-to-right non-overlapping `replace` passes with identical
+    semantics in both engines (engine/tokenizer.py docstring)."""
+    from engine.tokenizer import bpe_train
+    docs = _t(spark, sf_dir, "documents")
+    _, mdf = bpe_train(docs, rounds=_BPE_ROUNDS)
+    return mdf
+
+
+def q_bpe_encode(spark, sf_dir):
+    """Apply the _BPE_ROUNDS learned merges to the corpus: exploded
+    (doc_id, wpos, tpos, token) rows.  The encode itself is MAP-ONLY —
+    the merge table rides into the codegen closure as a literal
+    rounds x BPE_PASSES `replace` chain (plan-pinned in
+    tests/test_plan_shape.py).  The oracle re-derives the same merges via
+    the training CTE chain, then applies them through eight 1-row CROSS
+    JOINs — training and encoding are both value-exact cross-engine."""
+    from engine.tokenizer import bpe_encode, bpe_train
+    docs = _t(spark, sf_dir, "documents")
+    merges, _ = bpe_train(docs, rounds=_BPE_ROUNDS)
+    return bpe_encode(docs, merges)
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash LSH near-dup with an EXACT oracle: candidates are
     LSH-generated (engine hashing) but verification is exact shingle-set
@@ -1783,6 +1818,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_bruteforce": q_ann_topk_bruteforce,
         "kmeans_assign": q_kmeans,
         "quality_classifier": q_quality_classifier,
+        "bpe_train": q_bpe_train,
+        "bpe_encode": q_bpe_encode,
         "pagerank_hosts": q_pagerank_hosts,
         "kmeans_prune": q_kmeans_prune,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -2247,6 +2284,87 @@ r0 AS (SELECT node, CAST({RANK_SCALE} AS BIGINT) AS rank_q FROM nodes)"""]
   ) c USING (node)
 )""")
     return ",\n".join(parts)
+
+
+def _bpe_rep_sql(expr: str, alias: str) -> str:
+    """ONE literal replace of ' l  r ' -> ' lr ' (the engine's
+    _merge_expr in SQL; engine/tokenizer.py explains why the double-space
+    delimiting makes a single pass the exhaustive single-scan merge)."""
+    return (f"replace({expr}, ' ' || replace({alias}.pair, ' ', '  ') "
+            f"|| ' ', ' ' || replace({alias}.pair, ' ', '') || ' ')")
+
+
+def _bpe_chain_sql(rounds: int = _BPE_ROUNDS) -> str:
+    """engine.tokenizer.bpe_train unrolled as chained SQL: word counts
+    ONCE, then per round a pair-count CTE, a 1-row argmax CTE
+    (count DESC, pair ASC), and a MATERIALIZED vocab rewrite via the same
+    left-to-right non-overlapping replace the engine runs.  Value-exact
+    by the contract in engine/tokenizer.py (int64 pair sums, UTF-8
+    tie-break, literal-replace parity)."""
+    from engine.tokenizer import EOW
+    parts = [rf"""wf AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+               '\W+'), t -> t != '')) AS word FROM documents)
+  GROUP BY word
+),
+s0 AS (
+  SELECT word, cnt,
+         '  ' || regexp_replace(word, '(.)', '\1  ', 'g') || '{EOW}  ' AS seq
+  FROM wf
+)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f"""p{i} AS (
+  SELECT a[i] || ' ' || a[i + 1] AS pair, sum(cnt) AS c
+  FROM (SELECT cnt, a, unnest(generate_series(1, len(a) - 1)) AS i
+        FROM (SELECT cnt, string_split(trim(seq), '  ') AS a FROM s{i - 1}))
+  GROUP BY 1
+),
+b{i} AS (SELECT pair, c FROM p{i} ORDER BY c DESC, pair ASC LIMIT 1),
+s{i} AS MATERIALIZED (
+  SELECT word, cnt, {_bpe_rep_sql('seq', 'b')} AS seq
+  FROM s{i - 1} CROSS JOIN b{i} b
+)""")
+    return ",\n".join(parts)
+
+
+def _bpe_train_sql(rounds: int = _BPE_ROUNDS) -> str:
+    rows = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS INT) AS round, "
+        f"split_part(pair, ' ', 1) AS lhs, "
+        f"split_part(pair, ' ', 2) AS rhs, "
+        f"replace(pair, ' ', '') AS merged, "
+        f"CAST(c AS BIGINT) AS cnt FROM b{i}"
+        for i in range(1, rounds + 1))
+    return f"WITH\n{_bpe_chain_sql(rounds)}\n{rows}"
+
+
+def _bpe_encode_sql(rounds: int = _BPE_ROUNDS) -> str:
+    """Training chain + per-word encode: words with ordinality, the same
+    symbol-split, then all `rounds` merges applied through 1-row CROSS
+    JOINs in learned order."""
+    from engine.tokenizer import EOW
+    expr = f"'  ' || regexp_replace(word, '(.)', '\\1  ', 'g') || '{EOW}  '"
+    joins = ""
+    for i in range(1, rounds + 1):
+        expr = _bpe_rep_sql(expr, f"m{i}")
+        joins += f" CROSS JOIN b{i} m{i}"
+    return rf"""WITH
+{_bpe_chain_sql(rounds)},
+dw AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS wpos, w[i] AS word
+  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i
+        FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+                     '\W+'), t -> t != '') AS w FROM documents))
+),
+es AS (
+  SELECT doc_id, wpos, {expr} AS seq
+  FROM dw{joins}
+)
+SELECT doc_id, wpos, CAST(j - 1 AS INT) AS tpos, t[j] AS token
+FROM (SELECT doc_id, wpos, t, unnest(generate_series(1, len(t))) AS j
+      FROM (SELECT doc_id, wpos, string_split(trim(seq), '  ') AS t
+            FROM es))"""
 
 
 def _kmeans_chain_sql(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS,
@@ -4192,6 +4310,10 @@ WITH
 SELECT vec_id, cl FROM a{_KMEANS_ITERS - 1}
 """,
         "quality_classifier": _classifier_chain_sql(),
+        # BPE trainer: all merge rounds replayed as chained CTEs
+        "bpe_train": _bpe_train_sql(),
+        # BPE encode: training chain + map-only merge application
+        "bpe_encode": _bpe_encode_sql(),
         "kmeans_prune": f"""
 WITH
 {_kmeans_chain_sql()},

@@ -247,6 +247,17 @@ def test_embed_quantize_map_only(spark):
         assert node not in plan, plan
 
 
+def test_bpe_encode_map_only(spark):
+    """Encoding with a learned merge table is scan-speed: the merge chain
+    is literal replaces in codegen — zero exchanges, zero Python nodes."""
+    from engine.tokenizer import bpe_encode
+    docs = spark.createDataFrame([(0, "low lower")], ["doc_id", "text"])
+    merges = [(1, "l", "o", "lo", 3), (2, "lo", "w", "low", 3)]
+    plan = plan_str(bpe_encode(docs, merges), "simple")
+    for node in ("Exchange", "ArrowEvalPython", "BatchEvalPython"):
+        assert node not in plan, plan
+
+
 def test_tiling_stencil_udf_free(spark):
     """The raster stencil path (kring_smooth and extract_components' edge
     expansion) must stay entirely JVM-side after the native k-ring rewrite:
