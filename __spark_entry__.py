@@ -766,6 +766,47 @@ def q_bpe_encode(spark, sf_dir):
     return bpe_encode(docs, merges)
 
 
+def q_cdc_merge(spark, sf_dir):
+    """MERGE INTO / CDC-apply (engine/catalog.py::merge_upsert): fold a
+    deterministic synthetic change stream into the documents snapshot —
+    updates (seq 1), superseding updates (seq 3), deletes (seq 2, some
+    superseded by the seq-3 update), and inserts of new keys.  The change
+    stream is reduced per-key with max_by FIRST; the target then never
+    shuffles (left_anti against the reduced key set + union of applied
+    rows).  The oracle replays the same stream with arg_max + ANTI JOIN;
+    all payloads are concrete deterministic expressions (no NULLs — the
+    engines' null-handling in max_by/arg_max differs, so the contract
+    keeps NULL payloads out of the stream)."""
+    from engine.catalog import merge_upsert
+    docs = _t(spark, sf_dir, "documents")
+    tgt = docs.select("doc_id", "text", "lang", "source", "n_chars")
+
+    def ch(pred, text, lang, source, n_chars, op, seq, key=None):
+        return (docs.filter(pred)
+                .select((key if key is not None else F.col("doc_id"))
+                        .cast("long").alias("doc_id"),
+                        text.alias("text"), lang.alias("lang"),
+                        source.alias("source"),
+                        n_chars.cast("long").alias("n_chars"),
+                        F.lit(op).alias("op"),
+                        F.lit(seq).cast("int").alias("seq")))
+
+    changes = (
+        ch(F.col("doc_id") % 7 == 0, F.concat(F.lit("U1:"), F.col("lang")),
+           F.col("lang"), F.lit("cdc"), F.col("doc_id"), "U", 1)
+        .unionByName(ch(F.col("doc_id") % 35 == 0,
+                        F.concat(F.lit("U2:"), F.col("source")),
+                        F.col("lang"), F.lit("cdc"), F.lit(0), "U", 3))
+        .unionByName(ch(F.col("doc_id") % 13 == 0, F.lit("DEL"),
+                        F.lit("xx"), F.lit("cdc"), F.lit(0), "D", 2))
+        .unionByName(ch(F.col("doc_id") % 17 == 0,
+                        F.concat(F.lit("NEW:"),
+                                 F.col("doc_id").cast("string")),
+                        F.lit("en"), F.lit("cdc"), F.lit(0), "I", 1,
+                        key=F.col("doc_id") + 10000)))
+    return merge_upsert(tgt, changes, key_cols="doc_id")
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash LSH near-dup with an EXACT oracle: candidates are
     LSH-generated (engine hashing) but verification is exact shingle-set
@@ -1820,6 +1861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
+        "cdc_merge": q_cdc_merge,
         "pagerank_hosts": q_pagerank_hosts,
         "kmeans_prune": q_kmeans_prune,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -4310,6 +4352,35 @@ WITH
 SELECT vec_id, cl FROM a{_KMEANS_ITERS - 1}
 """,
         "quality_classifier": _classifier_chain_sql(),
+        # CDC MERGE: same change stream, arg_max winner, ANTI JOIN + union
+        "cdc_merge": """
+WITH ch AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, 'U1:' || lang AS text, lang,
+         'cdc' AS source, CAST(doc_id AS BIGINT) AS n_chars,
+         'U' AS op, 1 AS seq
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id, 'U2:' || source, lang, 'cdc', 0, 'U', 3
+  FROM documents WHERE doc_id % 35 = 0
+  UNION ALL
+  SELECT doc_id, 'DEL', 'xx', 'cdc', 0, 'D', 2
+  FROM documents WHERE doc_id % 13 = 0
+  UNION ALL
+  SELECT doc_id + 10000, 'NEW:' || CAST(doc_id AS VARCHAR), 'en', 'cdc',
+         0, 'I', 1
+  FROM documents WHERE doc_id % 17 = 0
+),
+latest AS (
+  SELECT doc_id, arg_max(text, seq) AS text, arg_max(lang, seq) AS lang,
+         arg_max(source, seq) AS source,
+         arg_max(n_chars, seq) AS n_chars, arg_max(op, seq) AS op
+  FROM ch GROUP BY doc_id
+)
+SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+FROM documents d ANTI JOIN latest l USING (doc_id)
+UNION ALL
+SELECT doc_id, text, lang, source, n_chars FROM latest WHERE op != 'D'
+""",
         # BPE trainer: all merge rounds replayed as chained CTEs
         "bpe_train": _bpe_train_sql(),
         # BPE encode: training chain + map-only merge application

@@ -113,6 +113,10 @@ def run_suite(spark, sf_dir: str) -> tuple[dict, dict, float]:
     with stage("kmeans"):
         from engine import clustering
         clustering.kmeans_lloyd(emb, k=8, iters=4).count()
+    with stage("bpe_tokenizer"):
+        from engine.tokenizer import bpe_encode, bpe_train
+        merges, _ = bpe_train(docs, rounds=8)
+        bpe_encode(docs, merges).count()
     with stage("quality_classifier"):
         from engine.classifier import (apply_classifier,
                                        train_quality_classifier)

@@ -91,6 +91,56 @@ def read_table(spark: SparkSession, path: str | Path) -> DataFrame:
     return spark.read.parquet(str(path))
 
 
+def merge_upsert(target: DataFrame, changes: DataFrame,
+                 key_cols: list[str] | str = "doc_id",
+                 op_col: str = "op", seq_col: str = "seq",
+                 enforce_unique_seq: bool = True) -> DataFrame:
+    """MERGE INTO / CDC-apply (the Iceberg/Delta merge shape): fold a
+    change stream into a snapshot.
+
+    `changes` carries the target's columns plus `op` ('I' insert/upsert,
+    'U' update/upsert, 'D' delete) and `seq` (the CDC ordering — commit
+    LSN / binlog position).  Per key, only the HIGHEST-seq change applies
+    (earlier changes to the same key are superseded); I and U are both
+    upserts (Iceberg MERGE's WHEN MATCHED UPDATE / WHEN NOT MATCHED
+    INSERT collapse to the same row-level outcome when the payload is the
+    full row).
+
+    Scale shape: the change stream is reduced per-key FIRST (one
+    changes-sized shuffle: max_by over (key)), then the TARGET NEVER
+    SHUFFLES — survivors come from a left_anti join against the reduced
+    key set (broadcastable while changes fit the AQE envelope; SMJ past
+    it) and applied rows are a union of the reduced changes.  At 100 TB
+    of target and GBs of daily CDC this is a map-only pass over the big
+    side.  Determinism: per (key, seq) the change must be unique —
+    enforced with a changes-sized agg that RAISES on violation (ties
+    would make max_by engine-dependent); set enforce_unique_seq=False
+    only if the producer already guarantees it."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    payload = [c for c in changes.columns if c not in (op_col, seq_col)]
+    extra = [c for c in payload if c not in target.columns]
+    if extra:
+        raise ValueError(f"merge_upsert: change columns {extra} "
+                         "missing from target")
+    if enforce_unique_seq:
+        dup = (changes.groupBy(*keys, seq_col)
+               .agg(F.count(F.lit(1)).alias("n"))
+               .filter(F.col("n") > 1).limit(1).collect())
+        if dup:
+            raise ValueError(
+                f"merge_upsert: non-unique (key, {seq_col}) in changes "
+                f"(e.g. {dup[0]}) — the per-key winner would be "
+                "engine-dependent")
+    others = [c for c in payload if c not in keys]
+    latest = (changes.groupBy(*keys)
+              .agg(*[F.max_by(c, seq_col).alias(c) for c in others],
+                   F.max_by(op_col, seq_col).alias(op_col)))
+    kept = target.join(latest.select(*keys), keys, "left_anti")
+    applied = (latest.filter(F.col(op_col) != "D")
+               .select(*[c for c in target.columns if c in payload]))
+    return kept.select(*applied.columns).unionByName(applied)
+
+
 def run_bucketed_stage(spark: SparkSession, stage: str,
                        in_path: str | Path, out_path: str | Path,
                        fn: Callable[[DataFrame], DataFrame],

@@ -45,6 +45,14 @@ def get_spark(app_name: str = "spark-trip-tiler",
         # stays at its 10 MB default: a compressed-parquet estimate under
         # 64 MB can decompress far larger and OOM the driver.
         .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
+        # Runtime bloom-filter semi-join reduction for LARGE-LARGE joins:
+        # when a selective dimension side is past the broadcast envelope,
+        # inject a bloom_filter_agg of its join keys under the fact-side
+        # scan so non-qualifying rows die BEFORE the shuffle (at 100 TB the
+        # exchange, not the scan, is the bottleneck).  Broadcastable dims
+        # still take BHJ — the filter only appears where it pays
+        # (plan-pinned in tests/test_plan_shape.py).
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")

@@ -83,3 +83,60 @@ def test_resume_noop_when_complete(spark, pages_table, tmp_path_factory):
     # second run is a no-op: same committed partitions, no new snapshot
     assert man2.data["partitions"] == man1["partitions"]
     assert len(man2.data["snapshots"]) == len(man1["snapshots"])
+
+
+def _merge_fixtures(spark):
+    tgt = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)],
+        ["id", "val", "n"])
+    ch = spark.createDataFrame(
+        [(2, "b2", 21, "U", 1),      # plain update
+         (2, "b3", 22, "U", 3),      # supersedes the seq-1 update
+         (3, "DEL", 0, "D", 2),      # delete
+         (4, "DEL", 0, "D", 1),      # delete superseded by ...
+         (4, "d2", 41, "U", 2),      # ... this update
+         (9, "new", 90, "I", 1)],    # insert
+        ["id", "val", "n", "op", "seq"])
+    return tgt, ch
+
+
+def test_merge_upsert_semantics(spark):
+    tgt, ch = _merge_fixtures(spark)
+    out = catalog.merge_upsert(tgt, ch, key_cols="id")
+    got = {r["id"]: (r["val"], r["n"]) for r in out.collect()}
+    assert got == {1: ("a", 10),     # untouched
+                   2: ("b3", 22),    # highest-seq update wins
+                   4: ("d2", 41),    # update supersedes delete
+                   9: ("new", 90)}   # insert; 3 deleted
+
+
+def test_merge_upsert_duplicate_seq_raises(spark):
+    tgt, _ = _merge_fixtures(spark)
+    ch = spark.createDataFrame([(2, "x", 0, "U", 1), (2, "y", 0, "U", 1)],
+                               ["id", "val", "n", "op", "seq"])
+    with pytest.raises(ValueError, match="non-unique"):
+        catalog.merge_upsert(tgt, ch, key_cols="id")
+
+
+def test_merge_upsert_extra_column_raises(spark):
+    tgt, _ = _merge_fixtures(spark)
+    ch = spark.createDataFrame([(2, "x", 0, "oops", "U", 1)],
+                               ["id", "val", "n", "bogus", "op", "seq"])
+    with pytest.raises(ValueError, match="bogus"):
+        catalog.merge_upsert(tgt, ch, key_cols="id")
+
+
+def test_merge_upsert_target_never_shuffles(spark):
+    """The 100-TB contract: the reduced change-key set broadcasts to a
+    LeftAnti hash join — the target side reaches the union without a
+    shuffle (only the changes-sized max_by agg exchanges).  Checked on
+    the FINAL adaptive plan (in-memory test frames carry no size stats,
+    so the broadcast decision is AQE's runtime one — exactly the
+    engine's adaptive-only broadcast policy, engine/session.py)."""
+    import __spark_entry__ as entry
+    df = entry.q_cdc_merge(spark, "/root/testdata/sf0.001")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan, plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

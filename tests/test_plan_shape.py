@@ -247,6 +247,42 @@ def test_embed_quantize_map_only(spark):
         assert node not in plan, plan
 
 
+def test_runtime_bloom_filter_on_large_large_join(spark):
+    """Large-large join with a selective non-broadcastable dim side: the
+    engine session enables runtime bloom-filter injection
+    (engine/session.py), so the fact-side scan must carry a
+    might_contain(bloom_filter_agg(dim keys)) filter — non-qualifying
+    rows die before the shuffle.  Thresholds are forced here to model
+    the past-the-broadcast-envelope regime at unit scale."""
+    from pyspark.sql import functions as F
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        p = (spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+             .filter(F.col("p_brand") == "Brand#1"))
+        j = (li.join(p, li.l_partkey == p.p_partkey)
+             .groupBy("p_brand").count())
+        plan = plan_str(j, "simple")
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_bpe_encode_map_only(spark):
     """Encoding with a learned merge table is scan-speed: the merge chain
     is literal replaces in codegen — zero exchanges, zero Python nodes."""
