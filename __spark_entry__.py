@@ -766,6 +766,29 @@ def q_bpe_encode(spark, sf_dir):
     return bpe_encode(docs, merges)
 
 
+def q_zorder_layout(spark, sf_dir):
+    """Hilbert/z-order layout keys + per-bucket locality stats
+    (engine/layout.py): every geopoint gets its fine cell (level 12,
+    native codegen encode) and its layout bucket (coarse parent cell,
+    pure bit math); output is per-bucket row counts and bbox extents —
+    the numbers that prove consecutive buckets are spatially local (the
+    property partition-pruned bbox reads rely on; the write/prune path
+    itself is pytest-covered in tests/test_layout.py, file I/O being
+    outside the query surface).  The oracle replays the full encode chain
+    (the tiles_pyramid Hilbert-FSM SQL) plus the parent-cell bit
+    arithmetic; min/max floats are comparison-only, so everything is
+    bit-exact."""
+    from engine.layout import zorder_keys
+    ev = _t(spark, sf_dir, "events")
+    pts = trace_prep.extract_points(web_pages_from_events(ev), DEFAULT)
+    keyed = zorder_keys(pts, lat_col="lat", lon_col="lon",
+                        level=12, bucket_level=4)
+    return (keyed.groupBy("z_bucket")
+            .agg(F.count(F.lit(1)).alias("n_points"),
+                 F.min("lat").alias("lat_lo"), F.max("lat").alias("lat_hi"),
+                 F.min("lon").alias("lon_lo"), F.max("lon").alias("lon_hi")))
+
+
 def q_cdc_merge(spark, sf_dir):
     """MERGE INTO / CDC-apply (engine/catalog.py::merge_upsert): fold a
     deterministic synthetic change stream into the documents snapshot —
@@ -1862,6 +1885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
         "cdc_merge": q_cdc_merge,
+        "zorder_layout": q_zorder_layout,
         "pagerank_hosts": q_pagerank_hosts,
         "kmeans_prune": q_kmeans_prune,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -4352,6 +4376,34 @@ WITH
 SELECT vec_id, cl FROM a{_KMEANS_ITERS - 1}
 """,
         "quality_classifier": _classifier_chain_sql(),
+        # z-order layout keys: x5 extraction + the Hilbert-FSM encode
+        # chain + parent-cell bit math, per-bucket locality stats
+        "zorder_layout": f"""
+WITH {_PAGES_CTE},
+pts AS (
+  SELECT TRY_CAST(regexp_extract(text, '{_GEOTAG_RE_SQL}', 1) AS DOUBLE)
+           AS lat,
+         TRY_CAST(regexp_extract(text, '{_GEOTAG_RE_SQL}', 2) AS DOUBLE)
+           AS lon
+  FROM pages
+  WHERE lang IN ('en', 'fr', 'de')
+    AND TRY_CAST(regexp_extract(text, '{_GEOTAG_RE_SQL}', 1) AS DOUBLE)
+        IS NOT NULL
+    AND TRY_CAST(regexp_extract(text, '{_GEOTAG_RE_SQL}', 3) AS DOUBLE)
+        <= {{min_acc}}
+),
+{{enc_chain}}
+SELECT (cell_id & {{bmask}}) | {{blsb}} AS z_bucket,
+       CAST(count(*) AS BIGINT) AS n_points,
+       min(lat) AS lat_lo, max(lat) AS lat_hi,
+       min(lon) AS lon_lo, max(lon) AS lon_hi
+FROM enc
+GROUP BY 1
+""".replace("{enc_chain}", _cell_encode_sql(12, src="pts",
+                                            lat="lat", lon="lon"))
+   .replace("{min_acc}", str(DEFAULT.min_accuracy_m))
+   .replace("{bmask}", str(~(2 * (1 << 52) - 1)))
+   .replace("{blsb}", str(1 << 52)),
         # CDC MERGE: same change stream, arg_max winner, ANTI JOIN + union
         "cdc_merge": """
 WITH ch AS (
