@@ -347,6 +347,46 @@ def q_tpch_q17(spark, sf_dir):
     """)
 
 
+def q_tpch_q13(spark, sf_dir):
+    """TPC-H Q13 shape (customer distribution): LEFT OUTER join with a
+    predicate on the NULL-producing side, then a two-level aggregation
+    (orders per customer INCLUDING zero-order customers, then the
+    distribution of those counts).  Exercises the outer-join + double-agg
+    path no other suite query hits; counts are exact integers."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("tq13_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("tq13_orders")
+    return spark.sql("""
+        SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        FROM (SELECT c.c_custkey,
+                     CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+              FROM tq13_customer c LEFT OUTER JOIN tq13_orders o
+                ON c.c_custkey = o.o_custkey
+               AND o.o_orderpriority <> '1-URGENT'
+              GROUP BY c.c_custkey) c_orders
+        GROUP BY c_count
+    """)
+
+
+def q_naaj_not_in(spark, sf_dir):
+    """NOT IN over a subquery — the NULL-AWARE anti join, the one join
+    family the suite didn't exercise (plain LeftAnti is Q21's NOT
+    EXISTS; NOT IN has the three-valued-logic twist: any NULL in the
+    inner set empties the result, so Catalyst must plan a null-aware
+    single-column anti join, not a plain one).  Written as literal SQL;
+    the plan is pinned to a BroadcastHashJoin LeftAnti with the NAAJ
+    flag in tests/test_plan_shape.py.  Customers that never placed a
+    finished ('F') order, counted by market segment."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("tnaaj_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("tnaaj_orders")
+    return spark.sql("""
+        SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust
+        FROM tnaaj_customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM tnaaj_orders
+                                WHERE o_orderstatus = 'F')
+        GROUP BY c_mktsegment
+    """)
+
+
 def q_sketch_gates(spark, sf_dir):
     """Sketch-family approximate aggregates under driver-visible error
     gates (the ann_lsh_recall pattern — the oracle can't replay another
@@ -1859,6 +1899,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q4": q_tpch_q4,
         "tpch_q21": q_tpch_q21,
         "tpch_q17": q_tpch_q17,
+        "tpch_q13": q_tpch_q13,
+        "naaj_not_in": q_naaj_not_in,
         "sketch_gates": q_sketch_gates,
         "embed_quantize": q_embed_quantize,
         "tpch_q5": q_tpch_q5,
@@ -4605,6 +4647,23 @@ WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
               WHERE l.l_orderkey = o.o_orderkey
                 AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
 GROUP BY o_orderpriority
+""",
+        # Q13 shape: filtered LEFT OUTER join + two-level aggregation
+        "tpch_q13": """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey) c_orders
+GROUP BY c_count
+""",
+        # NOT IN subquery: null-aware anti join (three-valued logic)
+        "naaj_not_in": """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderstatus = 'F')
+GROUP BY c_mktsegment
 """,
         # Q21 shape: correlated EXISTS + NOT EXISTS in one block
         # (decorrelated to a LeftSemi AND a LeftAnti on the Spark side;

@@ -234,6 +234,21 @@ def test_tpch_q17_scalar_subquery_decorrelates(spark):
     assert "Join" in plan and "Subquery" not in plan, plan
 
 
+def test_naaj_not_in_plans_null_aware_anti_join(spark):
+    """NOT IN must compile to a NULL-AWARE anti join (three-valued
+    logic), not a plain LeftAnti and not a per-row subquery."""
+    import re
+
+    import __spark_entry__ as entry
+    df = entry.q_naaj_not_in(spark, "/root/testdata/sf0.001")
+    plan = plan_str(df, "simple")
+    # BroadcastHashJoinExec renders its isNullAwareAntiJoin flag as a
+    # trailing ", true" after the build side: "... LeftAnti, BuildRight,
+    # true".  A plain (non-null-aware) LeftAnti has no trailing flag.
+    assert re.search(r"LeftAnti, Build(Right|Left), true", plan), plan
+    assert "Subquery" not in plan, plan
+
+
 def test_embed_quantize_map_only(spark):
     """int8 scalar quantization is scan-speed: zero exchanges, zero
     Python nodes in the plan."""
