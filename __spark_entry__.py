@@ -387,6 +387,97 @@ def q_naaj_not_in(spark, sf_dir):
     """)
 
 
+def q_w6_range_frame(spark, sf_dir):
+    """RANGE-frame window — trailing TIME-window aggregate per user (the
+    one window-frame family the suite lacked: W2's cumsum uses
+    rowsBetween, this one is value-based).  Frame = events within the
+    trailing hour INCLUSIVE of the current row's peers; computed over
+    epoch MICROSECONDS as int64 so the frame bound comparison is exact
+    integer arithmetic in both engines.  Aggregates are count + an
+    integer sum, so the result is bit-portable.  At 100 TB this is the
+    'rolling request-rate per host' shape: one hash exchange on the
+    partition key, then a codegen'd running multiset — no self-join
+    blowup (the naive equivalent is an O(n·w) range self-join)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+         .rangeBetween(-3_600_000_000, 0))
+    return ev.select(
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_trail_1h"),
+        F.sum("event_id").over(w).alias("sum_ids_1h"))
+
+
+def q_a9_grouping_sets(spark, sf_dir):
+    """GROUPING SETS with grouping() indicator columns — the explicit
+    multi-granularity aggregate (cube/rollup are fixed lattices; the
+    arbitrary-subset form is what report pipelines actually emit).  One
+    pass over events produces the (bucket, type), (bucket), (type) and
+    grand-total granularities; Spark expands to a single Expand +
+    hash-aggregate (one shuffle for all four granularities — at 100 TB
+    this beats four separate groupBys by reusing the scan and the
+    exchange).  grouping() flags are projected separately (grouping_id
+    bit order is engine-specific; the per-column flags are portable)."""
+    _t(spark, sf_dir, "events").createOrReplaceTempView("tgs_events")
+    return spark.sql("""
+        SELECT user_id % 10 AS user_bucket, event_type,
+               CAST(grouping(user_id % 10) AS BIGINT) AS g_bucket,
+               CAST(grouping(event_type) AS BIGINT) AS g_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM tgs_events
+        GROUP BY GROUPING SETS ((user_id % 10, event_type),
+                                (user_id % 10), (event_type), ())
+    """)
+
+
+def q_w7_rank_family(spark, sf_dir):
+    """The full ranking-function family in one window — rank,
+    dense_rank, row_number, percent_rank, cume_dist, ntile — over a
+    DETERMINISTIC total order ((value, event_id) is unique, so
+    row_number/ntile are well-defined).  percent_rank = (rank-1)/(n-1)
+    and cume_dist = peers/n are each ONE IEEE float64 division of
+    integers, identical in any engine, so the result is value-hash
+    exact.  Ranking needs a per-partition sort but no second exchange —
+    all six functions share one window spec, so Spark plans a single
+    Window operator after one hash exchange + sort."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.ntile(4).over(w).cast("long").alias("quartile"))
+
+
+def q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume customers): IN over a GROUP
+    BY+HAVING subquery feeding a 3-table join, re-aggregated and
+    top-k'd.  Exercises HAVING-filtered semi-join + TakeOrderedAndProject
+    over a join tree.  l_quantity is integer-valued so every sum is
+    exact; (total_qty DESC, o_orderkey) is a deterministic total order
+    for the LIMIT."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("tq18_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("tq18_orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("tq18_lineitem")
+    return spark.sql("""
+        SELECT c.c_custkey, o.o_orderkey,
+               CAST(sum(l.l_quantity) AS BIGINT) AS total_qty
+        FROM tq18_customer c
+        JOIN tq18_orders o ON c.c_custkey = o.o_custkey
+        JOIN tq18_lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey IN (SELECT l_orderkey FROM tq18_lineitem
+                               GROUP BY l_orderkey
+                               HAVING sum(l_quantity) > 300)
+        GROUP BY c.c_custkey, o.o_orderkey
+        ORDER BY total_qty DESC, o.o_orderkey
+        LIMIT 100
+    """)
+
+
 def q_sketch_gates(spark, sf_dir):
     """Sketch-family approximate aggregates under driver-visible error
     gates (the ann_lsh_recall pattern — the oracle can't replay another
@@ -1900,7 +1991,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q21": q_tpch_q21,
         "tpch_q17": q_tpch_q17,
         "tpch_q13": q_tpch_q13,
+        "tpch_q18": q_tpch_q18,
         "naaj_not_in": q_naaj_not_in,
+        "w6_range_frame": q_w6_range_frame,
+        "w7_rank_family": q_w7_rank_family,
+        "a9_grouping_sets": q_a9_grouping_sets,
         "sketch_gates": q_sketch_gates,
         "embed_quantize": q_embed_quantize,
         "tpch_q5": q_tpch_q5,
@@ -4656,6 +4751,53 @@ FROM (SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
         ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
       GROUP BY c.c_custkey) c_orders
 GROUP BY c_count
+""",
+        # Q18 shape: HAVING semi-join + re-aggregate + deterministic top-k
+        "tpch_q18": """
+SELECT c.c_custkey, o.o_orderkey,
+       CAST(sum(l.l_quantity) AS BIGINT) AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                       GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+GROUP BY c.c_custkey, o.o_orderkey
+ORDER BY total_qty DESC, o.o_orderkey
+LIMIT 100
+""",
+        # RANGE frame: trailing 1h over epoch-microsecond int64 order key
+        "w6_range_frame": """
+SELECT event_id,
+       count(*) OVER w AS n_trail_1h,
+       sum(event_id) OVER w AS sum_ids_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+""",
+        # ranking family over a deterministic (value, event_id) order;
+        # percent_rank/cume_dist are single integer-ratio IEEE divisions
+        "w7_rank_family": """
+SELECT event_id,
+       CAST(rank() OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+       CAST(row_number() OVER w AS BIGINT) AS rn,
+       percent_rank() OVER w AS prnk,
+       cume_dist() OVER w AS cdist,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+""",
+        # GROUPING SETS: four granularities in one pass; per-column
+        # grouping() flags (grouping_id bit order is engine-specific)
+        "a9_grouping_sets": """
+SELECT user_id % 10 AS user_bucket, event_type,
+       CAST(grouping(user_id % 10) AS BIGINT) AS g_bucket,
+       CAST(grouping(event_type) AS BIGINT) AS g_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY GROUPING SETS ((user_id % 10, event_type),
+                        (user_id % 10), (event_type), ())
 """,
         # NOT IN subquery: null-aware anti join (three-valued logic)
         "naaj_not_in": """

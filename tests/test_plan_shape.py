@@ -249,6 +249,27 @@ def test_naaj_not_in_plans_null_aware_anti_join(spark):
     assert "Subquery" not in plan, plan
 
 
+def test_grouping_sets_single_pass(spark):
+    """GROUPING SETS must compile to ONE Expand + hash aggregate over a
+    single scan — four granularities share the scan and the exchange,
+    not four separate groupBy jobs."""
+    import __spark_entry__ as entry
+    df = entry.q_a9_grouping_sets(spark, "/root/testdata/sf0.001")
+    plan = plan_str(df, "simple")
+    assert plan.count("Expand") >= 1, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_rank_family_single_window(spark):
+    """All six ranking functions share one window spec, so the plan has
+    exactly ONE Window operator (one exchange + one sort, not six)."""
+    import __spark_entry__ as entry
+    df = entry.q_w7_rank_family(spark, "/root/testdata/sf0.001")
+    plan = plan_str(df, "simple")
+    assert plan.count("Window") == 1, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
 def test_embed_quantize_map_only(spark):
     """int8 scalar quantization is scan-speed: zero exchanges, zero
     Python nodes in the plan."""
