@@ -1224,6 +1224,89 @@ def _run_stream(spark, batch_df, build, name):
     return spark.table(name)
 
 
+def _run_stream2(spark, left_df, right_df, build, name):
+    """Two-source variant of _run_stream for stream-stream joins: both
+    inputs become single-batch parquet file streams, `build(l, r)` runs to
+    completion under processAllAvailable (the post-batch empty trigger
+    evicts outer-join state), and the memory sink table is returned."""
+    import tempfile
+
+    paths = []
+    streams = []
+    for i, df in enumerate((left_df, right_df)):
+        path = tempfile.mkdtemp(prefix=f"{name}_{i}_")
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+        schema = spark.read.parquet(path).schema
+        streams.append(spark.readStream.schema(schema).parquet(path))
+        paths.append(path)
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    q = (build(*streams).writeStream.outputMode("append").format("memory")
+         .queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+# stream_interval_join window half-widths (seconds) and their us twins
+_SSJ_BEFORE_S = 120
+_SSJ_AFTER_S = 120
+
+
+def q_stream_interval_join(spark, sf_dir):
+    """STREAM-STREAM watermarked interval join under the exact-oracle
+    gate (the one streaming family the suite lacked — every other §2.8 op
+    is a single-input stateful aggregate/machine).  The geopoint stream
+    is LEFT-OUTER joined to a concurrent place-ping stream on host with a
+    ±120 s event-time window (engine/streaming.py::stream_interval_join);
+    both sides are watermarked so join state is bounded.
+
+    Emission semantics replayed by the SQL, all empirically pinned
+    against Spark's state-eviction arithmetic:
+      * matched pairs: with single-batch ingestion nothing is late, so
+        the matched set is EXACTLY the batch interval join;
+      * null-extended rows: a left row is emitted un-matched only when
+        eviction PROVES no match can arrive — its event time satisfies
+        tu_us <= (wm_ms - after_ms)*1000 - 1000 (Spark's state watermark
+        carries a -1 ms allowance; equality at the threshold evicts,
+        verified at microsecond resolution);
+      * wm_ms = min over the two inputs of floor(max_event_us/1000) -
+        delay_ms (the global watermark is the MIN across watermark
+        nodes).
+    Timestamps are the 30x-compressed integer-microsecond warc_ts the
+    whole geo suite uses, so every comparison is exact int64 arithmetic
+    in both engines."""
+    from engine import streaming
+    ev = _t(spark, sf_dir, "events")
+    base = 1704067200000000
+    uid = F.col("user_id").cast("long")
+    ctu = (((F.unix_micros(F.col("ts").cast("timestamp")) - F.lit(base))
+            / F.lit(30)).cast("long") + F.lit(base))
+    host = F.format_string("host%04d.example",
+                           F.pmod(uid, F.lit(10000)).cast("int"))
+    pts = ev.select(host.alias("host"),
+                    F.col("event_id").cast("long").alias("pt_id"),
+                    F.timestamp_micros(ctu).alias("warc_ts"))
+    places = (ev.filter(F.pmod(F.col("event_id"), F.lit(16)) == 0)
+              .select(host.alias("place_host"),
+                      F.col("event_id").cast("long").alias("place_id"),
+                      F.timestamp_micros(ctu).alias("place_ts")))
+    out = _run_stream2(
+        spark, pts, places,
+        lambda l, r: streaming.stream_interval_join(
+            l, r, key="host", right_key="place_host",
+            left_ts="warc_ts", right_ts="place_ts",
+            before_s=_SSJ_BEFORE_S, after_s=_SSJ_AFTER_S,
+            watermark=_STREAM_WM, how="left_outer"),
+        "stream_ssj_out")
+    return out.select(
+        "host", "pt_id",
+        F.unix_micros(F.col("warc_ts").cast("timestamp")).alias("pt_us"),
+        F.col("place_id").cast("long").alias("place_id"),
+        F.unix_micros(F.col("place_ts").cast("timestamp")).alias("place_us"))
+
+
 def q_stream_episodes(spark, sf_dir):
     """STRUCTURED STREAMING under the exact-oracle gate: the stateful W3+W5
     episode machine (engine/streaming.py::stream_episodes_full,
@@ -2039,6 +2122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_episodes_quant": q_geo_episodes_quant,
         "stream_episodes": q_stream_episodes,
         "stream_sessionize": q_stream_sessionize,
+        "stream_interval_join": q_stream_interval_join,
         "stream_w3_runs": q_stream_w3_runs,
         "stream_dedup_exact": q_stream_dedup_exact,
         "stream_cell_density": q_stream_cell_density,
@@ -4251,6 +4335,47 @@ UNION ALL
 SELECT host, lts / 1000000.0 AS start_s, nfts / 1000000.0 AS end_s,
        'unknown' AS kind, CAST(NULL AS BIGINT) AS location_id
 FROM cl WHERE closed AND nfts IS NOT NULL
+""",
+        # Stream-stream LEFT OUTER interval join replay (see
+        # q_stream_interval_join docstring): matched set = the batch
+        # interval join (single-batch ingestion, nothing late);
+        # null-extended rows = unmatched left rows evicted by the final
+        # watermark: tu <= (wm_ms - after_ms)*1000 - 1000, wm_ms = min of
+        # per-side floor(max_us/1000) - delay (all empirically pinned).
+        "stream_interval_join": f"""
+WITH lp AS (
+  SELECT printf('host%04d.example', CAST(user_id % 10000 AS INT)) AS host,
+         CAST(event_id AS BIGINT) AS pt_id,
+         CAST(TRUNC((epoch_us(ts) - 1704067200000000) / 30) AS BIGINT)
+          + 1704067200000000 AS tu
+  FROM events
+),
+rp AS (
+  SELECT printf('host%04d.example', CAST(user_id % 10000 AS INT)) AS ph,
+         CAST(event_id AS BIGINT) AS place_id,
+         CAST(TRUNC((epoch_us(ts) - 1704067200000000) / 30) AS BIGINT)
+          + 1704067200000000 AS pu
+  FROM events WHERE event_id % 16 = 0
+),
+wm AS (
+  SELECT LEAST((SELECT CAST(FLOOR(MAX(tu) / 1000.0) AS BIGINT) FROM lp),
+               (SELECT CAST(FLOOR(MAX(pu) / 1000.0) AS BIGINT) FROM rp))
+         - {_STREAM_WM_MS} AS wm_ms
+),
+m AS (
+  SELECT l.host, l.pt_id, l.tu AS pt_us, r.place_id, r.pu AS place_us
+  FROM lp l JOIN rp r
+    ON l.host = r.ph
+   AND r.pu BETWEEN l.tu - {_SSJ_BEFORE_S * 1_000_000}
+                AND l.tu + {_SSJ_AFTER_S * 1_000_000}
+)
+SELECT host, pt_id, pt_us, place_id, place_us FROM m
+UNION ALL
+SELECT l.host, l.pt_id, l.tu AS pt_us,
+       CAST(NULL AS BIGINT) AS place_id, CAST(NULL AS BIGINT) AS place_us
+FROM lp l CROSS JOIN wm
+WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.pt_id = l.pt_id)
+  AND l.tu <= (wm.wm_ms - {_SSJ_AFTER_S * 1000}) * 1000 - 1000
 """,
         # Streaming W2 replay: gap sessionization (split strictly > gap —
         # session_window merges the == gap edge, verified), window end =

@@ -339,6 +339,58 @@ def batch_windowed_cell_density(points: DataFrame,
             .agg(F.sum("mass_s").alias("mass_s")))
 
 
+def stream_interval_join(left_stream: DataFrame, right_stream: DataFrame,
+                         key: str = "host",
+                         right_key: str = "place_host",
+                         left_ts: str = "warc_ts",
+                         right_ts: str = "place_ts",
+                         before_s: float = 300.0, after_s: float = 300.0,
+                         watermark: str = "48 hours",
+                         how: str = "inner") -> DataFrame:
+    """STREAM-STREAM event-time interval join (the J3 range-join twin for
+    two live inputs): pair each left row with the right rows of the same
+    `key` whose event time falls in [left_ts - before_s, left_ts +
+    after_s].  The crawl posture: enrich the geopoint stream with a
+    concurrently-arriving place-ping/check-in stream per host.
+
+    Both sides carry an event-time watermark and the join condition is
+    equality on `key` AND a two-sided time range — exactly what Spark
+    needs to bound join state: a buffered left row is dropped once the
+    right watermark passes left_ts + after_s (no future right row can
+    land in its window any more), and symmetrically for buffered right
+    rows, so state is O(rows per watermark horizon per side), never
+    O(stream).  Without the range condition the state store would have
+    to keep every row forever — the classic unbounded stream-join trap.
+
+    `how='inner'` emits each matched pair as soon as both sides have
+    arrived.  `how='left_outer'` additionally emits a null-extended row
+    for a left row when its state is evicted un-matched (i.e. only once
+    the watermark PROVES no match can arrive) — late, but correct; the
+    outer row cannot be emitted earlier without risking a retraction.
+
+    Column names must be disjoint across the two inputs (enforced — the
+    right key rides under its own name, `right_key`) so the joined
+    schema is unambiguous.
+    """
+    if how not in ("inner", "left_outer", "leftOuter"):
+        raise ValueError(f"unsupported join type {how!r}")
+    overlap = set(left_stream.columns) & set(right_stream.columns)
+    if overlap:
+        raise ValueError(
+            f"left/right column names must be disjoint, both have {overlap}"
+            " — rename (e.g. right.withColumnRenamed) before joining")
+    rkey = right_key
+    if rkey not in right_stream.columns:
+        raise ValueError(f"right stream has no key column {rkey!r}")
+    lw = left_stream.withWatermark(left_ts, watermark).alias("l")
+    rw = right_stream.withWatermark(right_ts, watermark).alias("r")
+    cond = F.expr(
+        f"l.{key} = r.{rkey} AND "
+        f"r.{right_ts} >= l.{left_ts} - INTERVAL {int(before_s)} SECONDS AND "
+        f"r.{right_ts} <= l.{left_ts} + INTERVAL {int(after_s)} SECONDS")
+    return lw.join(rw, cond, how)
+
+
 def stream_dedup_exact(docs_stream: DataFrame, ts_col: str = "warc_ts",
                        text_col: str = "text",
                        watermark: str = "48 hours") -> DataFrame:

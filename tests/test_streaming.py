@@ -272,3 +272,104 @@ def test_maponly_text_ops_stream_unchanged(spark, tmp_path_factory):
         q2.stop()
     assert got_chunks == batch_chunks
     assert got_lang == batch_lang
+
+
+def _write_two_streams(spark, tmp_path_factory):
+    """Deterministic point + place-ping streams for the interval join."""
+    B = 1704067200
+    lrows = [(f"h{i % 3}", i, B + i * 60) for i in range(60)]
+    l = spark.createDataFrame(lrows, "host string, pt_id long, es long") \
+        .select("host", "pt_id", F.timestamp_seconds("es").alias("warc_ts"))
+    rrows = [(f"h{j % 3}", 1000 + j, B + j * 240 + 30) for j in range(12)]
+    r = (spark.createDataFrame(rrows,
+                               "place_host string, place_id long, es long")
+         .select("place_host", "place_id",
+                 F.timestamp_seconds("es").alias("place_ts")))
+    pl = str(tmp_path_factory.mktemp("ssj") / "l")
+    pr = str(tmp_path_factory.mktemp("ssj") / "r")
+    l.coalesce(1).write.mode("overwrite").parquet(pl)
+    r.coalesce(1).write.mode("overwrite").parquet(pr)
+    return l, r, pl, pr
+
+
+def _run_ssj(spark, pl, pr, lsch, rsch, how, name, watermark="10 minutes"):
+    sl = spark.readStream.schema(lsch).parquet(pl)
+    sr = spark.readStream.schema(rsch).parquet(pr)
+    out = streaming.stream_interval_join(
+        sl, sr, key="host", right_key="place_host", left_ts="warc_ts",
+        right_ts="place_ts", before_s=120, after_s=120,
+        watermark=watermark, how=how)
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def test_stream_interval_join_inner_matches_batch(spark, tmp_path_factory):
+    """Inner stream-stream join with single-batch ingestion (watermark 0
+    during the batch => nothing late) emits EXACTLY the batch interval
+    join."""
+    l, r, pl, pr = _write_two_streams(spark, tmp_path_factory)
+    got = _run_ssj(spark, pl, pr, l.schema, r.schema, "inner", "ssj_inner")
+    want = l.alias("l").join(r.alias("r"), F.expr(
+        "l.host = r.place_host AND place_ts >= warc_ts - INTERVAL 120 "
+        "SECONDS AND place_ts <= warc_ts + INTERVAL 120 SECONDS"))
+    g = sorted((x.pt_id, x.place_id) for x in got.collect())
+    w = sorted((x.pt_id, x.place_id) for x in want.collect())
+    assert g == w and len(g) > 0
+
+
+def test_stream_interval_join_outer_eviction_rule(spark, tmp_path_factory):
+    """Left-outer: matched rows == batch join; a null-extended row is
+    emitted IFF the left row is unmatched AND eviction proves no future
+    match: ts_us <= (wm_ms - after_ms)*1000 - 1000 with wm_ms = min of
+    per-side floor(max_us/1000) - delay_ms (Spark's -1 ms state-watermark
+    allowance; pinned empirically at us resolution by the driver oracle)."""
+    l, r, pl, pr = _write_two_streams(spark, tmp_path_factory)
+    got = _run_ssj(spark, pl, pr, l.schema, r.schema, "left_outer",
+                   "ssj_outer")
+    rows = got.collect()
+    matched = sorted((x.pt_id, x.place_id) for x in rows
+                     if x.place_id is not None)
+    want = l.alias("l").join(r.alias("r"), F.expr(
+        "l.host = r.place_host AND place_ts >= warc_ts - INTERVAL 120 "
+        "SECONDS AND place_ts <= warc_ts + INTERVAL 120 SECONDS"))
+    w = sorted((x.pt_id, x.place_id) for x in want.collect())
+    assert matched == w
+
+    max_l = max(x.es for x in l.select(
+        F.unix_micros(F.col("warc_ts").cast("timestamp")).alias("es"))
+        .collect())
+    max_r = max(x.es for x in r.select(
+        F.unix_micros(F.col("place_ts").cast("timestamp")).alias("es"))
+        .collect())
+    wm_ms = min(max_l // 1000, max_r // 1000) - 10 * 60 * 1000
+    thr_us = (wm_ms - 120_000) * 1000 - 1000
+    matched_ids = {p for p, _ in w}
+    want_nulls = sorted(
+        x.pt_id for x in l.select(
+            "pt_id", F.unix_micros(F.col("warc_ts").cast("timestamp"))
+            .alias("us")).collect()
+        if x.pt_id not in matched_ids and x.us <= thr_us)
+    got_nulls = sorted(x.pt_id for x in rows if x.place_id is None)
+    assert got_nulls == want_nulls
+
+
+def test_stream_interval_join_validation(spark):
+    l = spark.createDataFrame([("h", 1)], "host string, pt_id long") \
+        .select("host", "pt_id",
+                F.timestamp_seconds(F.lit(0)).alias("warc_ts"))
+    r_clash = l  # same column names -> ambiguous join schema
+    with pytest.raises(ValueError, match="disjoint"):
+        streaming.stream_interval_join(l, r_clash)
+    r = l.select(F.col("host").alias("place_host"),
+                 F.col("pt_id").alias("place_id"),
+                 F.col("warc_ts").alias("place_ts"))
+    with pytest.raises(ValueError, match="unsupported join type"):
+        streaming.stream_interval_join(l, r, how="full_outer")
+    with pytest.raises(ValueError, match="no key column"):
+        streaming.stream_interval_join(l, r, right_key="nope")
