@@ -1911,6 +1911,23 @@ def q_chunk_documents(spark, sf_dir):
                            stride=_CHUNK_STRIDE, min_tokens=_CHUNK_MIN)
 
 
+_PACK_CAP = 64
+
+
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style sequence packing (engine/text.py::pack_sequences):
+    concatenate each source's documents in doc_id order into one token
+    stream, split every 64 tokens; one row per (doc × bin), documents
+    straddling a boundary split across rows.  ONE exchange (the
+    per-source running-offset window) + a narrow explode/slice — the
+    oracle replays the cumsum, the DIV bin math and the token slices
+    byte-exact."""
+    docs = _t(spark, sf_dir, "documents")
+    from engine.text import pack_sequences
+    return pack_sequences(docs, capacity=_PACK_CAP, group_col="source",
+                          id_col="doc_id")
+
+
 def q_quality_buckets(spark, sf_dir):
     """CCNet head/middle/tail split over the unigram-LM scores, exact mode
     (global ntile, deterministic (score desc, id) tiebreak) — the oracle
@@ -2146,6 +2163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": q_dedup_spans,
         "unigram_lm_score": q_unigram_lm_score,
         "chunk_documents": q_chunk_documents,
+        "pack_sequences": q_pack_sequences,
         "quality_buckets": q_quality_buckets,
         "resample_mixture": q_resample_mixture,
         "pq_adc_topk": q_pq_adc_topk,
@@ -5099,6 +5117,43 @@ FROM ({_UNIGRAM_SQL})
 """,
         # strided window slicing; parallel unnests zip positionally
         "chunk_documents": _CHUNK_SQL,
+        # GPT-style sequence packing: per-source token-stream cumsum,
+        # floor-division bin spans, byte-exact token slices
+        "pack_sequences": f"""
+WITH tok AS (
+  SELECT source, doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                     t -> t != '') AS toks
+  FROM documents
+),
+sz AS (
+  SELECT source, doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+  FROM tok WHERE len(toks) > 0
+),
+off AS (
+  SELECT source, doc_id, toks, n,
+         CAST(COALESCE(SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS BIGINT) AS o
+  FROM sz
+),
+b AS (
+  SELECT source, doc_id, toks, n, o,
+         unnest(generate_series(o // {_PACK_CAP},
+                                (o + n - 1) // {_PACK_CAP})) AS bin_id
+  FROM off
+)
+SELECT source, CAST(bin_id AS BIGINT) AS bin_id, doc_id,
+       GREATEST(bin_id * {_PACK_CAP}, o) - o AS start_tok,
+       LEAST((bin_id + 1) * {_PACK_CAP}, o + n)
+         - GREATEST(bin_id * {_PACK_CAP}, o) AS n_tok,
+       array_to_string(
+         list_slice(toks,
+                    CAST(GREATEST(bin_id * {_PACK_CAP}, o) - o + 1 AS INT),
+                    CAST(LEAST((bin_id + 1) * {_PACK_CAP}, o + n) - o AS INT)),
+         ' ') AS piece
+FROM b
+""",
     }
 
 

@@ -1234,3 +1234,61 @@ def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
         dl.unpersist()
         tf.unpersist()
     return out
+
+
+def pack_sequences(docs: DataFrame, capacity: int = 128,
+                   group_col: str = "source", id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """GPT-style pretraining SEQUENCE PACKING: concatenate every document
+    of a group (in `id_col` order) into one token stream, then split that
+    stream every `capacity` tokens — the op that turns a cleaned corpus
+    into fixed-length training sequences with zero padding waste
+    (chunk_documents strides WITHIN one document; packing concatenates
+    ACROSS documents so short docs share a window).
+
+    Output: one row per (document × packed bin it lands in) —
+      (group_col, bin_id, id_col, start_tok, n_tok, piece) —
+    where `piece` is the document's token slice that falls in that bin;
+    a document straddling a bin boundary emits one row per bin it spans.
+    Re-assembling pieces per bin in (id_col) order yields exactly
+    `capacity` tokens per bin (the group's final bin may be short).
+    Empty-token documents are dropped (they contribute nothing to the
+    stream).
+
+    Plan/scale posture: ONE hash exchange + sort per group for the
+    running-offset window (the only wide op), then a narrow
+    explode/slice projection — everything stays in whole-stage codegen,
+    no Python.  Offsets use integer DIV floor-division (exact cross-
+    engine on non-negatives, the pagerank contract).  At 100 TB the
+    group key bounds the window's partition size: pack within
+    (source, shard) style groups — a single global group would serialize
+    the cumsum.  Determinism: (group_col, id_col) must be unique, making
+    the concatenation order — and therefore every bin — reproducible
+    under any partitioning/retry.
+    """
+    if capacity <= 0:
+        raise ValueError(f"capacity must be positive, got {capacity}")
+    toks = tokens_col(F.col(text_col))
+    t = (docs.select(group_col, id_col, toks.alias("_toks"))
+         .withColumn("_n", F.size("_toks").cast("long"))
+         .filter(F.col("_n") > 0))
+    w = (Window.partitionBy(group_col).orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    t = t.withColumn("_off", F.coalesce(F.sum("_n").over(w), F.lit(0)))
+    c = F.lit(int(capacity))
+    first_bin = F.expr(f"_off DIV {int(capacity)}")
+    last_bin = F.expr(f"(_off + _n - 1) DIV {int(capacity)}")
+    t = t.withColumn("bin_id", F.explode(F.sequence(first_bin, last_bin)))
+    bs = F.greatest(F.col("bin_id") * c, F.col("_off"))
+    be = F.least((F.col("bin_id") + 1) * c, F.col("_off") + F.col("_n"))
+    return t.select(
+        group_col,
+        F.col("bin_id").cast("long").alias("bin_id"),
+        id_col,
+        (bs - F.col("_off")).cast("long").alias("start_tok"),
+        (be - bs).cast("long").alias("n_tok"),
+        F.array_join(
+            F.slice(F.col("_toks"),
+                    (bs - F.col("_off") + 1).cast("int"),
+                    (be - bs).cast("int")),
+            " ").alias("piece"))

@@ -249,6 +249,16 @@ def test_naaj_not_in_plans_null_aware_anti_join(spark):
     assert "Subquery" not in plan, plan
 
 
+def test_pack_sequences_one_exchange(spark):
+    """Sequence packing's only wide op is the per-group running-offset
+    window: exactly ONE Exchange, zero Python nodes."""
+    import __spark_entry__ as entry
+    df = entry.q_pack_sequences(spark, "/root/testdata/sf0.001")
+    plan = plan_str(df, "simple")
+    assert plan.count("Exchange") == 1, plan
+    assert "Python" not in plan and "BatchEval" not in plan, plan
+
+
 def test_grouping_sets_single_pass(spark):
     """GROUPING SETS must compile to ONE Expand + hash aggregate over a
     single scan — four granularities share the scan and the exchange,

@@ -969,3 +969,50 @@ def test_quantize_int8_known_values(spark):
     assert got[2] == [0, 0, 0]          # all-zero vector guard
     assert got[3] == [127, 64, -32]     # scale 2.0; floor(-31.25) = -32
     assert out["q"].between(-127, 127).all()
+
+
+def test_pack_sequences_known_values(spark):
+    """Straddling docs split across bins, empty docs dropped, per-group
+    concatenation in doc_id order, every bin full except the group
+    tail."""
+    rows = [("a", 1, "one two three four five"),
+            ("a", 2, ""),                       # dropped
+            ("a", 3, "six seven"),
+            ("a", 4, "eight nine ten eleven twelve thirteen fourteen"),
+            ("b", 10, "x y z")]
+    df = spark.createDataFrame(rows, ["source", "doc_id", "text"])
+    out = text.pack_sequences(df, capacity=4).collect()
+    got = {(r["source"], r["bin_id"], r["doc_id"]):
+           (r["start_tok"], r["n_tok"], r["piece"]) for r in out}
+    assert got == {
+        ("a", 0, 1): (0, 4, "one two three four"),
+        ("a", 1, 1): (4, 1, "five"),
+        ("a", 1, 3): (0, 2, "six seven"),
+        ("a", 1, 4): (0, 1, "eight"),
+        ("a", 2, 4): (1, 4, "nine ten eleven twelve"),
+        ("a", 3, 4): (5, 2, "thirteen fourteen"),
+        ("b", 0, 10): (0, 3, "x y z"),
+    }
+    with pytest.raises(ValueError):
+        text.pack_sequences(df, capacity=0)
+
+
+def test_pack_sequences_coverage_property(spark):
+    """Over a generated corpus: re-assembling pieces per (group, bin) in
+    doc order reproduces the group's concatenated token stream exactly,
+    with every bin holding exactly `capacity` tokens except each group's
+    final one."""
+    rows = [(f"s{i % 3}", i,
+             " ".join(f"w{i}_{j}" for j in range((i * 7) % 23)))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, ["source", "doc_id", "text"])
+    cap = 16
+    pdf = text.pack_sequences(df, capacity=cap).toPandas()
+    for g, gp in pdf.groupby("source"):
+        docs = [txt.split() for s, d, txt in sorted(rows) if s == g and txt]
+        stream = [w for d in docs for w in d]
+        got = " ".join(gp.sort_values(["bin_id", "doc_id"]).piece)
+        assert got.split() == stream, g
+        sizes = gp.groupby("bin_id").n_tok.sum().sort_index()
+        assert all(v == cap for v in sizes[:-1]), (g, list(sizes))
+        assert 0 < sizes.iloc[-1] <= cap
