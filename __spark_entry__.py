@@ -478,6 +478,55 @@ def q_tpch_q18(spark, sf_dir):
     """)
 
 
+def q_j7_full_outer(spark, sf_dir):
+    """FULL OUTER join — the one join type the suite lacked (inner/left/
+    semi/anti/null-aware-anti all covered): reconcile two independently
+    aggregated entity tables, keeping rows with no partner on EITHER
+    side (the classic two-source reconciliation report).  Both inputs
+    pre-aggregate to one row per key before the join, so the full-outer
+    exchange carries entity-level rows, not raw events — at 100 TB the
+    aggregate-then-join order is the difference between joining 10^8
+    keys and joining 10^12 rows."""
+    ev = _t(spark, sf_dir, "events")
+    orders = _t(spark, sf_dir, "orders")
+    e = (ev.groupBy(F.col("user_id").cast("long").alias("user_id"))
+         .agg(F.count(F.lit(1)).alias("n_events")))
+    c = (orders.filter(F.col("o_custkey") % 3 == 0)
+         .groupBy(F.col("o_custkey").cast("long").alias("c_custkey"))
+         .agg(F.count(F.lit(1)).alias("n_orders")))
+    j = e.join(c, e.user_id == c.c_custkey, "full_outer")
+    return j.select(
+        F.coalesce(e.user_id, c.c_custkey).alias("key_id"),
+        "n_events", "n_orders",
+        F.when(e.user_id.isNull(), "customer_only")
+         .when(c.c_custkey.isNull(), "user_only")
+         .otherwise("both").alias("side"))
+
+
+def q_a10_robust_aggs(spark, sf_dir):
+    """The exact 'robust/order-statistic' aggregate family in one pass:
+    min_by/max_by over a deterministic (value, event_id) tie order,
+    count_if, bool_and/bool_or, bitwise AND/OR/XOR reductions, and a
+    sorted-distinct set rendered to one string (collect_set is
+    unordered by contract; sort_array pins it).  Every aggregate is
+    integer/boolean/string-exact, all map-side combinable — one
+    exchange for the whole family."""
+    ev = _t(spark, sf_dir, "events")
+    st = F.struct(F.col("value"), F.col("event_id"))
+    return (ev.groupBy("event_type").agg(
+        F.min_by("event_id", st).cast("long").alias("min_val_eid"),
+        F.max_by("event_id", st).cast("long").alias("max_val_eid"),
+        F.count_if(F.col("value") > 0.5).alias("n_hi"),
+        F.bool_and(F.col("value") >= 0.0).alias("all_nonneg"),
+        F.bool_or(F.col("user_id") == 0).alias("has_user0"),
+        F.bit_and(F.col("event_id")).alias("ids_and"),
+        F.bit_or(F.col("event_id")).alias("ids_or"),
+        F.bit_xor(F.col("event_id")).alias("ids_xor"),
+        F.array_join(F.sort_array(F.collect_set(
+            F.pmod(F.col("user_id"), F.lit(7)).cast("long"))), ",")
+        .alias("user_buckets")))
+
+
 def q_sketch_gates(spark, sf_dir):
     """Sketch-family approximate aggregates under driver-visible error
     gates (the ann_lsh_recall pattern — the oracle can't replay another
@@ -2093,6 +2142,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q13": q_tpch_q13,
         "tpch_q18": q_tpch_q18,
         "naaj_not_in": q_naaj_not_in,
+        "j7_full_outer": q_j7_full_outer,
+        "a10_robust_aggs": q_a10_robust_aggs,
         "w6_range_frame": q_w6_range_frame,
         "w7_rank_family": q_w7_rank_family,
         "a9_grouping_sets": q_a9_grouping_sets,
@@ -4907,6 +4958,48 @@ WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
 GROUP BY c.c_custkey, o.o_orderkey
 ORDER BY total_qty DESC, o.o_orderkey
 LIMIT 100
+""",
+        # FULL OUTER reconciliation of two pre-aggregated entity tables
+        "j7_full_outer": """
+SELECT COALESCE(e.user_id, c.c_custkey) AS key_id, n_events, n_orders,
+       CASE WHEN e.user_id IS NULL THEN 'customer_only'
+            WHEN c.c_custkey IS NULL THEN 'user_only'
+            ELSE 'both' END AS side
+FROM (SELECT CAST(user_id AS BIGINT) AS user_id,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id) e
+FULL OUTER JOIN
+     (SELECT CAST(o_custkey AS BIGINT) AS c_custkey,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders WHERE o_custkey % 3 = 0 GROUP BY o_custkey) c
+  ON e.user_id = c.c_custkey
+""",
+        # exact robust/order-statistic aggregates (min_by/max_by on a
+        # deterministic tie order, count_if, bool/bitwise reductions,
+        # sorted-distinct set as string)
+        "a10_robust_aggs": """
+WITH r AS (
+  SELECT event_type, event_id, value, user_id,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rmin,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id DESC) AS rmax
+  FROM events
+)
+SELECT event_type,
+       CAST(max(CASE WHEN rmin = 1 THEN event_id END) AS BIGINT)
+         AS min_val_eid,
+       CAST(max(CASE WHEN rmax = 1 THEN event_id END) AS BIGINT)
+         AS max_val_eid,
+       CAST(count(*) FILTER (value > 0.5) AS BIGINT) AS n_hi,
+       bool_and(value >= 0.0) AS all_nonneg,
+       bool_or(user_id = 0) AS has_user0,
+       bit_and(CAST(event_id AS BIGINT)) AS ids_and,
+       bit_or(CAST(event_id AS BIGINT)) AS ids_or,
+       bit_xor(CAST(event_id AS BIGINT)) AS ids_xor,
+       array_to_string(list_sort(list_distinct(
+         list(CAST(user_id % 7 AS BIGINT)))), ',') AS user_buckets
+FROM r GROUP BY event_type
 """,
         # RANGE frame: trailing 1h over epoch-microsecond int64 order key
         "w6_range_frame": """
