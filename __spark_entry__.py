@@ -478,6 +478,34 @@ def q_tpch_q18(spark, sf_dir):
     """)
 
 
+def q_bucketed_join(spark, sf_dir):
+    """Co-located BUCKETED join (engine/catalog.py::write_bucketed /
+    bucketed_join): events and a per-custkey order aggregate are written
+    as catalog tables bucketed 8-ways on the join key, then joined and
+    re-aggregated ON that key — the whole read-side query plans with
+    ZERO Exchange operators (both scans read pre-bucketed files whose
+    HashPartitioning Catalyst recognizes; pinned in
+    tests/test_catalog.py).  At 100 TB this amortizes ONE write-time
+    shuffle across every future join/groupBy on the key — the
+    large-large join technique when neither side broadcasts and the
+    runtime bloom filter can only thin, not eliminate, the exchange."""
+    from engine import catalog
+    ev = _t(spark, sf_dir, "events")
+    orders = _t(spark, sf_dir, "orders")
+    agg = (orders.groupBy(F.col("o_custkey").cast("long").alias("custkey"))
+           .agg(F.count(F.lit(1)).alias("n_orders")))
+    catalog.write_bucketed(
+        ev.select(F.col("event_id").cast("long").alias("event_id"),
+                  F.col("user_id").cast("long").alias("user_id")),
+        "bj_events", "user_id", 8, sort_by=("user_id", "event_id"))
+    catalog.write_bucketed(agg, "bj_orders", "custkey", 8)
+    j = catalog.bucketed_join(spark, "bj_events", "bj_orders",
+                              "user_id", "custkey")
+    return (j.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.max("n_orders").alias("n_orders")))
+
+
 def q_j7_full_outer(spark, sf_dir):
     """FULL OUTER join — the one join type the suite lacked (inner/left/
     semi/anti/null-aware-anti all covered): reconcile two independently
@@ -2143,6 +2171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18": q_tpch_q18,
         "naaj_not_in": q_naaj_not_in,
         "j7_full_outer": q_j7_full_outer,
+        "bucketed_join": q_bucketed_join,
         "a10_robust_aggs": q_a10_robust_aggs,
         "w6_range_frame": q_w6_range_frame,
         "w7_rank_family": q_w7_rank_family,
@@ -4958,6 +4987,18 @@ WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
 GROUP BY c.c_custkey, o.o_orderkey
 ORDER BY total_qty DESC, o.o_orderkey
 LIMIT 100
+""",
+        # co-located bucketed join: the bucketing only changes the
+        # physical layout, so the oracle is the logical join/agg
+        "bucketed_join": """
+SELECT e.user_id, CAST(count(*) AS BIGINT) AS n_events,
+       max(c.n_orders) AS n_orders
+FROM events e
+JOIN (SELECT CAST(o_custkey AS BIGINT) AS custkey,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY o_custkey) c
+  ON e.user_id = c.custkey
+GROUP BY e.user_id
 """,
         # FULL OUTER reconciliation of two pre-aggregated entity tables
         "j7_full_outer": """

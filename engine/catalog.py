@@ -202,3 +202,54 @@ def run_bucketed_stage(spark: SparkSession, stage: str,
                            "input_snapshot": in_man.current_snapshot}
     man.save()
     return man
+
+
+def write_bucketed(df: DataFrame, table: str, key: str, n_buckets: int,
+                   sort_by: tuple[str, ...] = (),
+                   mode: str = "overwrite") -> None:
+    """Write `df` as a BUCKETED parquet table (Hive-style bucketing via
+    the session catalog): rows are hash-distributed into `n_buckets`
+    files per write task by `key`, and the layout is recorded in the
+    table metadata.
+
+    This is the co-located-join primitive the 100-TB tier needs: two
+    fact tables bucketed on the same key with the same bucket count
+    join WITHOUT ANY EXCHANGE — each task reads bucket i of both sides
+    (Spark recognizes the matching HashPartitioning from the catalog
+    metadata), so the petabyte shuffle that dominates a large-large
+    join simply disappears, and repeated joins amortize ONE write-time
+    shuffle across every future query.  groupBy on the bucket key is
+    likewise exchange-free.  `sort_by` additionally sorts rows inside
+    each bucket file (tight row-group stats; sort-merge join can skip
+    its sort when each bucket holds one file)."""
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    if mode == "overwrite":
+        # the default catalog is in-memory: a table written by a dead
+        # session leaves its warehouse directory behind with no catalog
+        # entry, and saveAsTable refuses the location.  Overwrite means
+        # overwrite — drop the entry and clear a stale location.
+        spark = df.sparkSession
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        loc = Path(wh.removeprefix("file:")) / table.lower()
+        if loc.exists():
+            import shutil
+            shutil.rmtree(loc)
+    w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, key)
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    w.saveAsTable(table)
+
+
+def bucketed_join(spark: SparkSession, left_table: str, right_table: str,
+                  left_key: str, right_key: str,
+                  how: str = "inner") -> DataFrame:
+    """Join two same-bucket-count catalog tables on their bucket keys.
+    With bucketing metadata present, Catalyst plans a sort-merge join
+    whose BOTH inputs read pre-bucketed files — zero Exchange operators
+    (plan-pinned in tests); AQE is free to leave it alone because there
+    is nothing to re-plan."""
+    lt = spark.table(left_table)
+    rt = spark.table(right_table)
+    return lt.join(rt, lt[left_key] == rt[right_key], how)

@@ -140,3 +140,51 @@ def test_merge_upsert_target_never_shuffles(spark):
     assert "isFinalPlan=true" in plan, plan
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_bucketed_join_zero_exchange(spark):
+    """Two tables bucketed 8-ways on the join key join AND re-aggregate
+    on that key with ZERO Exchange operators (both scans read
+    pre-bucketed files), independent of broadcast: auto-broadcast is
+    disabled so the no-shuffle plan is the bucketing's doing, not BHJ's.
+    Values match the plain (shuffled) join exactly."""
+    from pyspark.sql import functions as F
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .select(F.col("event_id").cast("long").alias("event_id"),
+                F.col("user_id").cast("long").alias("user_id"))
+    agg = (spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+           .groupBy(F.col("o_custkey").cast("long").alias("custkey"))
+           .agg(F.count(F.lit(1)).alias("n_orders")))
+    catalog.write_bucketed(ev, "tb_ev_test", "user_id", 8,
+                           sort_by=("user_id", "event_id"))
+    catalog.write_bucketed(agg, "tb_agg_test", "custkey", 8)
+    with pytest.raises(ValueError, match="n_buckets"):
+        catalog.write_bucketed(ev, "tb_bad", "user_id", 0)
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = catalog.bucketed_join(spark, "tb_ev_test", "tb_agg_test",
+                                  "user_id", "custkey")
+        out = (j.groupBy("user_id")
+               .agg(F.count(F.lit(1)).alias("n_events"),
+                    F.max("n_orders").alias("n_orders")))
+        got = {r.user_id: (r.n_events, r.n_orders) for r in out.collect()}
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        # the adaptive plan string shows Final + Initial plans — both
+        # scans must read bucketed in the Final section at least
+        assert plan.count("Bucketed: true") >= 2, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold",
+                       old_aqe)
+
+    want = {r.user_id: (r.n_events, r.n_orders)
+            for r in ev.join(agg, ev.user_id == agg.custkey)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.max("n_orders").alias("n_orders")).collect()}
+    assert got == want and len(got) > 0
