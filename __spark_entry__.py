@@ -478,6 +478,37 @@ def q_tpch_q18(spark, sf_dir):
     """)
 
 
+def q_recursive_cte(spark, sf_dir):
+    """WITH RECURSIVE (new in Spark 4.x — the iterative-query family
+    PageRank/components previously needed driver-side loops for):
+    multi-seed bounded BFS over a deterministic functional host graph,
+    each user linking to two arithmetically-derived successors via a
+    LATERAL VIEW explode INSIDE the recursive term (Spark requires
+    exactly anchor UNION ALL one recursive child), then min-hop
+    aggregation per reached node.  The recursion is depth-bounded by the
+    hop predicate, so the fixpoint terminates without UNION dedup; all
+    values integer-exact.  DuckDB replays the identical recursion with
+    unnest in place of the lateral explode."""
+    _t(spark, sf_dir, "events").createOrReplaceTempView("trc_events")
+    return spark.sql("""
+        WITH RECURSIVE reach(seed, node, hop) AS (
+          SELECT user_id AS seed, user_id AS node, 0 AS hop
+          FROM (SELECT DISTINCT user_id FROM trc_events
+                WHERE user_id % 10 = 0)
+          UNION ALL
+          SELECT seed, n AS node, hop + 1
+          FROM reach
+          LATERAL VIEW explode(array((node * 17 + 29) % 150,
+                                     (node * 31 + 7) % 150)) t AS n
+          WHERE hop < 4
+        )
+        SELECT CAST(seed AS BIGINT) AS seed, CAST(node AS BIGINT) AS node,
+               CAST(min(hop) AS BIGINT) AS min_hop,
+               CAST(count(*) AS BIGINT) AS n_paths
+        FROM reach GROUP BY seed, node
+    """)
+
+
 def q_bucketed_join(spark, sf_dir):
     """Co-located BUCKETED join (engine/catalog.py::write_bucketed /
     bucketed_join): events and a per-custkey order aggregate are written
@@ -2172,6 +2203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "naaj_not_in": q_naaj_not_in,
         "j7_full_outer": q_j7_full_outer,
         "bucketed_join": q_bucketed_join,
+        "recursive_cte": q_recursive_cte,
         "a10_robust_aggs": q_a10_robust_aggs,
         "w6_range_frame": q_w6_range_frame,
         "w7_rank_family": q_w7_rank_family,
@@ -4987,6 +5019,22 @@ WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
 GROUP BY c.c_custkey, o.o_orderkey
 ORDER BY total_qty DESC, o.o_orderkey
 LIMIT 100
+""",
+        # WITH RECURSIVE: identical recursion replayed by DuckDB
+        "recursive_cte": """
+WITH RECURSIVE reach(seed, node, hop) AS (
+  SELECT user_id AS seed, user_id AS node, 0 AS hop
+  FROM (SELECT DISTINCT user_id FROM events WHERE user_id % 10 = 0)
+  UNION ALL
+  SELECT seed, u.n AS node, hop + 1
+  FROM reach, unnest([(node * 17 + 29) % 150,
+                      (node * 31 + 7) % 150]) AS u(n)
+  WHERE hop < 4
+)
+SELECT CAST(seed AS BIGINT) AS seed, CAST(node AS BIGINT) AS node,
+       CAST(min(hop) AS BIGINT) AS min_hop,
+       CAST(count(*) AS BIGINT) AS n_paths
+FROM reach GROUP BY seed, node
 """,
         # co-located bucketed join: the bucketing only changes the
         # physical layout, so the oracle is the logical join/agg
