@@ -117,6 +117,8 @@ def run_suite(spark, sf_dir: str) -> tuple[dict, dict, float]:
         from engine.tokenizer import bpe_encode, bpe_train
         merges, _ = bpe_train(docs, rounds=8)
         bpe_encode(docs, merges).count()
+    with stage("pack_sequences"):
+        text.pack_sequences(docs, capacity=512).count()
     with stage("quality_classifier"):
         from engine.classifier import (apply_classifier,
                                        train_quality_classifier)
