@@ -2179,6 +2179,140 @@ def q_bm25_topk(spark, sf_dir):
     return bm25_topk(docs, _BM25_TERMS, k=_BM25_K, k1=_BM25_K1, b=_BM25_B)
 
 
+# heavy-hitter sketch params — single source of truth for Spark AND oracle.
+# The sf corpus vocabulary is 31 distinct tokens: k=48 >= vocab makes the
+# MG summary provably EXACT (no decrement ever fires), k=12 < vocab forces
+# the decrement path under the n/(k+1) bound.
+_MG_K_EXACT, _MG_K_LOSSY = 48, 12
+
+
+def q_heavy_hitters(spark, sf_dir):
+    """Misra-Gries heavy hitters over document tokens at k >= vocabulary
+    size: the sketch PLAN runs in full (per-partition mapInPandas
+    summaries, tiny counter-merge exchange, enveloped final reduction —
+    the corpus never explodes into a token-level shuffle), but because no
+    counter is ever evicted the result provably EQUALS the exact token
+    counts, so a plain tokenize+count DuckDB oracle checks it value-for-
+    value.  At 100 TB this is the 'which domains/tokens dominate' query
+    answered with KB of exchange instead of a corpus-wide explode."""
+    from engine.sketch import heavy_hitters_mg
+    return heavy_hitters_mg(_t(spark, sf_dir, "documents"), k=_MG_K_EXACT)
+
+
+def q_heavy_hitters_gate(spark, sf_dir):
+    """Sub-capacity Misra-Gries gate (k=12 < vocab=31, so decrements DO
+    fire): checks the PODS'12 mergeable-summary guarantees against the
+    exact twin — est never exceeds truth, undercount <= n/(k+1), every
+    token with true count > n/(k+1) is present, summary size <= k.  The
+    exact-side scalars (n_tokens, vocab, n_guaranteed) are true SQL
+    computations; a merge bug (over-subtraction, double count, dropped
+    counter) flips a boolean and fails the value hash."""
+    from engine.sketch import exact_token_counts, heavy_hitters_mg
+    docs = _t(spark, sf_dir, "documents")
+    k = _MG_K_LOSSY
+    hh = heavy_hitters_mg(docs, k=k)
+    ex = exact_token_counts(docs)
+    j = ex.join(hh, "token", "full")
+    st = j.agg(
+        F.sum("n").alias("n_tokens"),
+        F.count("n").alias("vocab"),
+        F.sum(F.when(F.col("est").isNotNull(), 1).otherwise(0)).alias("sk_sz"),
+        F.min(F.when(F.col("est").isNotNull(),
+                     (F.col("est") <= F.col("n")).cast("int"))).alias("under"),
+    ).collect()[0]
+    n, bound = st["n_tokens"], st["n_tokens"] / (k + 1)
+    g = j.agg(
+        F.sum(F.when(F.col("n") > F.lit(bound), 1).otherwise(0))
+         .alias("n_guaranteed"),
+        F.min(F.when(F.col("n") > F.lit(bound),
+                     F.col("est").isNotNull().cast("int"))).alias("present"),
+        F.min(F.when(F.col("est").isNotNull(),
+                     (F.coalesce(F.col("n"), F.lit(0)) - F.col("est")
+                      <= F.lit(bound)).cast("int"))).alias("bound_ok"),
+    ).collect()[0]
+    rows = [("n_tokens", float(n)), ("vocab", float(st["vocab"])),
+            ("n_guaranteed", float(g["n_guaranteed"])),
+            ("sketch_size_le_k", 1.0 if st["sk_sz"] <= k else 0.0),
+            ("underestimate_ok", float(st["under"])),
+            ("guaranteed_present", float(g["present"])
+             if g["present"] is not None else 1.0),
+            ("bound_met", float(g["bound_ok"]))]
+    return spark.createDataFrame(rows, "metric string, value double")
+
+
+def q_gapfill_locf(spark, sf_dir):
+    """Hypertable-style time_bucket + gap-fill resample: events
+    downsampled to hourly buckets per user (count + last raw value under
+    a deterministic order), missing buckets materialized from a
+    sequence-explode spine, values carried forward with an ignore-nulls
+    window.  Bucket math is integer epoch-micros DIV, the carried value
+    is a raw column pick (never arithmetic), so every cell is
+    bit-portable.  One granularity-reducing exchange at (user, bucket),
+    then per-user tiny aggregates — the resample shape that stays cheap
+    at 100 TB because the wide data reduces BEFORE the spine join."""
+    from engine.ops import gapfill_locf
+    return gapfill_locf(_t(spark, sf_dir, "events"), "user_id", "ts",
+                        "value", ["event_id"], bucket_s=3600) \
+        .drop("bucket_ts")
+
+
+def q_unpivot_melt(spark, sf_dir):
+    """UNPIVOT (wide->long melt) of the four lineitem measures into
+    (measure, val) via Spark's Expand — a map-only reshape (zero
+    exchange until the aggregate) — then one partial-agg pass per
+    measure.  min/max pass raw doubles through untouched; the sum is
+    floor-cents int64 so it is order-independent and exact in any
+    engine.  The long-form contract is what makes per-measure quality
+    dashboards one groupBy instead of N column scans."""
+    li = _t(spark, sf_dir, "lineitem")
+    up = li.unpivot(["l_orderkey", "l_linenumber"],
+                    ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+                    "measure", "val")
+    return (up.groupBy("measure")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.min("val").alias("min_val"),
+                 F.max("val").alias("max_val"),
+                 F.sum(F.floor(F.col("val") * 100)).alias("sum_cents")))
+
+
+def q_lateral_topk(spark, sf_dir):
+    """LATERAL correlated subquery with ORDER BY ... LIMIT — the
+    'top-3 orders per customer' shape written the way an analyst writes
+    it.  Catalyst decorrelates it to a ranked window with
+    WindowGroupLimit pushdown (a PARTIAL group-limit runs map-side
+    before the exchange, so at 100 TB each task forwards at most 3 rows
+    per customer instead of that customer's whole order history).
+    Deterministic tie order (price DESC, orderkey), raw doubles pass
+    through untouched; customers with no orders drop (inner lateral) in
+    both engines."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("lat_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("lat_orders")
+    return spark.sql("""
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM lat_customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM lat_orders
+                 WHERE o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) o
+    """)
+
+
+def q_salted_join(spark, sf_dir):
+    """Skew-safe salted equi-join made driver-visible (the technique the
+    north rule mandates for hot keys: BASELINE.json 'salted
+    repartitioning for hot-cell skew').  The big side carries a stable
+    hash salt, the small side explodes xSALT, the join key becomes
+    (key, salt) so one hot key spreads across SALT reducers; the result
+    is EXACTLY the plain inner join, which is what the oracle replays.
+    Used when the small side is too big to broadcast and one key
+    dominates (mega-host / hot cell)."""
+    from engine.ops import salted_join
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", F.col("user_id").alias("c_custkey"))
+    dim = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return salted_join(ev, dim, "c_custkey", salt=8).select(
+        "event_id", "c_custkey", "c_mktsegment")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "w2_sessionize": q_w2_sessionize,
@@ -2283,6 +2417,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_recall": q_ivfpq_recall,
         "bm25_topk": q_bm25_topk,
         "tpch_q6": q_tpch_q6,
+        "heavy_hitters": q_heavy_hitters,
+        "heavy_hitters_gate": q_heavy_hitters_gate,
+        "gapfill_locf": q_gapfill_locf,
+        "unpivot_melt": q_unpivot_melt,
+        "lateral_topk": q_lateral_topk,
+        "salted_join": q_salted_join,
     }
 
 
@@ -5335,6 +5475,99 @@ SELECT source, CAST(bin_id AS BIGINT) AS bin_id, doc_id,
                     CAST(LEAST((bin_id + 1) * {_PACK_CAP}, o + n) - o AS INT)),
          ' ') AS piece
 FROM b
+""",
+        # MG at k >= vocab is provably the exact counts (no eviction),
+        # so the oracle is a plain tokenize + count
+        "heavy_hitters": r"""
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\W+'),
+                            x -> x <> '')) AS token
+  FROM documents
+)
+SELECT token, CAST(count(*) AS BIGINT) AS est FROM toks GROUP BY token
+""",
+        # exact-side scalars are real SQL; the sketch-side guarantee
+        # booleans are pinned at 1.0 (recall-gate pattern) — bound is
+        # n/(k+1) with k interpolated from the shared constant
+        "heavy_hitters_gate": rf"""
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\W+'),
+                            x -> x <> '')) AS token
+  FROM documents
+),
+c AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS vocab FROM c)
+SELECT 'n_tokens' AS metric, CAST(n_tokens AS DOUBLE) AS value FROM tot
+UNION ALL SELECT 'vocab', CAST(vocab AS DOUBLE) FROM tot
+UNION ALL SELECT 'n_guaranteed',
+  CAST((SELECT count(*) FROM c, tot
+        WHERE c.n > tot.n_tokens / {_MG_K_LOSSY + 1}.0) AS DOUBLE)
+UNION ALL SELECT 'sketch_size_le_k', 1.0
+UNION ALL SELECT 'underestimate_ok', 1.0
+UNION ALL SELECT 'guaranteed_present', 1.0
+UNION ALL SELECT 'bound_met', 1.0
+""",
+        # integer epoch-micros bucket math, last-value pick replayed with
+        # a dual-order row_number (DuckDB arg_max can't take a composite
+        # tie-breaker), LOCF via IGNORE NULLS window
+        "gapfill_locf": """
+WITH e AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS us,
+         epoch_us(ts) // 3600000000 AS bucket
+  FROM events
+),
+pb AS (SELECT user_id, bucket, CAST(count(*) AS BIGINT) AS n_events
+       FROM e GROUP BY 1, 2),
+r AS (SELECT user_id, bucket, value,
+             row_number() OVER (PARTITION BY user_id, bucket
+                                ORDER BY us DESC, event_id DESC) AS rk
+      FROM e),
+lv AS (SELECT user_id, bucket, value AS last_val FROM r WHERE rk = 1),
+span AS (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+         FROM e GROUP BY 1),
+spine AS (SELECT user_id, unnest(generate_series(b0, b1)) AS bucket
+          FROM span),
+f AS (SELECT s.user_id, s.bucket, pb.n_events, lv.last_val
+      FROM spine s
+      LEFT JOIN pb ON s.user_id = pb.user_id AND s.bucket = pb.bucket
+      LEFT JOIN lv ON s.user_id = lv.user_id AND s.bucket = lv.bucket)
+SELECT user_id, CAST(bucket AS BIGINT) AS bucket,
+       CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
+       last_value(last_val IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS val_locf,
+       CAST(n_events IS NULL AS BIGINT) AS is_gap
+FROM f
+""",
+        # melt replayed as UNION ALL; min/max are raw column picks, the
+        # sum is floor-cents int64 (order-independent)
+        "unpivot_melt": """
+WITH long AS (
+  SELECT 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+  UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+)
+SELECT measure, CAST(count(*) AS BIGINT) AS n_rows,
+       min(val) AS min_val, max(val) AS max_val,
+       CAST(sum(CAST(floor(val * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM long GROUP BY measure
+""",
+        # identical LATERAL text runs in DuckDB (dependent join);
+        # deterministic tie order makes the top-3 sets equal
+        "lateral_topk": """
+SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+FROM customer c,
+LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) o
+""",
+        # the salted join's contract IS the plain inner join
+        "salted_join": """
+SELECT e.event_id, e.user_id AS c_custkey, c.c_mktsegment
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
 """,
     }
 

@@ -299,3 +299,60 @@ def resample_mixture(df: DataFrame, targets: dict[str, float],
     fractions = {s: weights[s] * n_out / counts[s] for s in weights}
     return sample_stratified(df, fractions, strata_col, key=key,
                              hash_expr=hash_expr, mod=mod)
+
+
+def gapfill_locf(df: DataFrame, key: str, ts_col: str, val_col: str,
+                 order_cols: Sequence[str], bucket_s: int = 300,
+                 max_buckets_per_key: int = 1_000_000) -> DataFrame:
+    """Time-bucket downsample + gap fill with last-observation-carried-
+    forward (the hypertable `time_bucket + locf` resample shape).
+
+    Per (key, bucket) the raw stream reduces to an event count and the
+    LAST raw value under the deterministic (ts, *order_cols) order; the
+    per-key bucket range is then densified (missing buckets materialize
+    as rows) and empty buckets inherit the previous bucket's value.
+
+    Output: (key, bucket, bucket_ts, n_events, val_locf, is_gap) — the
+    carried value crosses engines byte-identically because it is a raw
+    column value (max_by pick), never arithmetic.
+
+    Scale shape: one partial-agg exchange on (key, bucket) — granularity
+    BUCKETS not events — then per-key min/max (tiny), a narrow
+    sequence-explode for the dense spine (no shuffle: generated from the
+    per-key aggregate), a co-partitioned left join back and one window
+    pass per key.  All integer bucket math (epoch micros DIV), so frame
+    and join keys are exact in any engine.  The spine explode is the one
+    unbounded surface: a key spanning years at 1 s buckets would emit
+    millions of rows, so the per-key span is enforced against
+    `max_buckets_per_key` inside the plan (raise_error, not a silent
+    truncation)."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    step = int(bucket_s) * 1_000_000
+    b = df.withColumn("_us", us).withColumn(
+        "bucket", F.expr(f"CAST(_us DIV {step} AS BIGINT)"))
+    per_bucket = (b.groupBy(key, "bucket")
+                  .agg(F.count(F.lit(1)).alias("n_events"),
+                       F.max_by(F.col(val_col),
+                                F.struct(F.col("_us"), *[F.col(c) for c in
+                                                         order_cols]))
+                       .alias("_last_val")))
+    span = (per_bucket.groupBy(key)
+            .agg(F.min("bucket").alias("_b0"), F.max("bucket").alias("_b1")))
+    guard = F.when(
+        F.col("_b1") - F.col("_b0") < F.lit(int(max_buckets_per_key)),
+        F.col("_b0")).otherwise(F.raise_error(F.concat(
+            F.lit(f"gapfill_locf: key spans > {max_buckets_per_key} "
+                  f"buckets at bucket_s={bucket_s} (key="),
+            F.col(key).cast("string"), F.lit(")"))))
+    spine = (span.withColumn("_b0", guard)
+             .select(key, F.explode(F.sequence(F.col("_b0"), F.col("_b1")))
+                     .alias("bucket")))
+    filled = spine.join(per_bucket, [key, "bucket"], "left")
+    w = (Window.partitionBy(key).orderBy("bucket")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (filled.select(
+        key, "bucket",
+        F.timestamp_micros(F.col("bucket") * step).alias("bucket_ts"),
+        F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+        F.last("_last_val", ignorenulls=True).over(w).alias("val_locf"),
+        F.col("n_events").isNull().cast("bigint").alias("is_gap")))

@@ -359,3 +359,53 @@ def test_tiling_stencil_udf_free(spark):
         for node in ("ArrowEvalPython", "BatchEvalPython", "pythonUDF",
                      "MapInPandas"):
             assert node not in plan, f"{node} in plan:\n{plan}"
+
+
+def test_lateral_topk_plans_partial_group_limit(spark):
+    """The LATERAL ORDER BY/LIMIT subquery must decorrelate to a ranked
+    window with WindowGroupLimit pushdown, with a PARTIAL group-limit
+    running map-side BEFORE the exchange (each task forwards <= 3 rows
+    per customer) — not a per-customer subquery re-scan."""
+    import __spark_entry__ as entry
+    df = entry.q_lateral_topk(spark, "/root/testdata/sf0.001")
+    plan = plan_str(df, "simple")
+    assert "WindowGroupLimit" in plan, plan
+    assert "Partial" in plan, plan
+    assert "Subquery" not in plan, plan
+
+
+def test_unpivot_is_map_only_reshape(spark):
+    """unpivot compiles to Expand: the wide->long melt itself must add
+    ZERO exchanges (the only shuffle is the final per-measure agg)."""
+    import __spark_entry__ as entry
+    df = entry.q_unpivot_melt(spark, "/root/testdata/sf0.001")
+    plan = plan_str(df, "simple")
+    assert "Expand" in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "Scan parquet" in plan and plan.count("Scan parquet") == 1, plan
+
+
+def test_mg_summary_shuffle_is_counter_rows_only(spark):
+    """The heavy-hitter plan's only exchange carries the per-partition
+    counter summaries (<= k rows each), never exploded tokens: the
+    aggregate must sit ABOVE the Python map stage."""
+    from engine.sketch import heavy_hitters_mg  # noqa: F401  (plan built inside)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    from engine.text import tokens_col
+    import pandas as pd  # noqa: F401
+
+    # reproduce the pre-collect plan (heavy_hitters_mg collects; build
+    # the same lazy plan here to inspect it)
+    def summarize(batches):
+        for pdf in batches:
+            yield pd.DataFrame({"token": [], "est": []})
+
+    parts = (docs.select(tokens_col(F.col("text")).alias("_toks"))
+             .mapInPandas(summarize, "token string, est long"))
+    merged = parts.groupBy("token").agg(F.sum("est").alias("est"))
+    plan = plan_str(merged, "simple")
+    assert "MapInPandas" in plan, plan
+    # exactly one exchange, and it is above the Python stage
+    assert plan.count("Exchange") == 1, plan
+    assert plan.index("Exchange") < plan.index("MapInPandas"), plan
+    assert "Generate" not in plan, plan  # no token explode anywhere

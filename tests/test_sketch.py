@@ -1,0 +1,132 @@
+"""Misra-Gries heavy hitters (engine/sketch.py) and time-bucket gap-fill
+(engine/ops.gapfill_locf): guarantee properties under adversarial
+partitioning, exactness regimes, and the enforced envelopes."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from engine import ops
+from engine.sketch import exact_token_counts, heavy_hitters_mg, mg_merge_counts
+
+# ---------------------------------------------------------------------------
+# mg_merge_counts unit behavior
+# ---------------------------------------------------------------------------
+
+def test_mg_merge_known_values():
+    acc = pd.Series({"a": 5, "b": 3}, dtype="int64")
+    batch = pd.Series({"b": 2, "c": 1, "d": 1}, dtype="int64")
+    # combined: a5 b5 c1 d1; k=2 -> subtract 3rd largest (1): a4 b4
+    out = mg_merge_counts(acc, batch, k=2)
+    assert out.to_dict() == {"a": 4, "b": 4}
+
+
+def test_mg_merge_no_eviction_when_under_k():
+    out = mg_merge_counts(pd.Series(dtype="int64"),
+                          pd.Series({"x": 7, "y": 1}, dtype="int64"), k=8)
+    assert out.to_dict() == {"x": 7, "y": 1}
+
+
+# ---------------------------------------------------------------------------
+# distributed sketch guarantees
+# ---------------------------------------------------------------------------
+
+def _docs(spark, texts):
+    return spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                                 "doc_id long, text string")
+
+
+def test_heavy_hitters_exact_when_k_ge_vocab(spark):
+    df = _docs(spark, ["cat dog cat", "dog emu", "cat"]).repartition(3)
+    got = {r["token"]: r["est"] for r in heavy_hitters_mg(df, k=8).collect()}
+    assert got == {"cat": 3, "dog": 2, "emu": 1}
+
+
+def test_heavy_hitters_guarantees_under_planted_skew(spark):
+    """Zipf-ish planted corpus, random partitioning, k well below vocab:
+    the PODS'12 merged-summary guarantees must hold — one-sided error
+    within n/(k+1), every token above the threshold present."""
+    texts = []
+    # heavy token: 400 of 1000 occurrences; mid tokens 40 each; 20-token
+    # noise tail
+    texts += ["heavy " * 8] * 50                      # 400
+    for m in range(10):
+        texts += [f"mid{m} " * 4] * 10                # 40 each
+    for z in range(100):
+        texts.append(f"noise{z % 20} noise{(z + 7) % 20}")
+    df = _docs(spark, texts).repartition(7)
+    k = 6
+    hh = {r["token"]: r["est"] for r in heavy_hitters_mg(df, k=k).collect()}
+    true = {r["token"]: r["n"] for r in exact_token_counts(df).collect()}
+    n = sum(true.values())
+    bound = n / (k + 1)
+    assert len(hh) <= k
+    for t, est in hh.items():
+        assert 0 < est <= true[t], (t, est, true[t])
+        assert true[t] - est <= bound, (t, est, true[t], bound)
+    for t, cnt in true.items():
+        if cnt > bound:
+            assert t in hh, (t, cnt, bound)
+    assert "heavy" in hh  # 40% of the stream is always guaranteed
+
+
+def test_heavy_hitters_empty_corpus(spark):
+    df = _docs(spark, []).repartition(2)
+    assert heavy_hitters_mg(df, k=4).count() == 0
+    with pytest.raises(ValueError):
+        heavy_hitters_mg(df, k=0)
+
+
+# ---------------------------------------------------------------------------
+# gapfill_locf
+# ---------------------------------------------------------------------------
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double")
+
+
+def test_gapfill_locf_known_values(spark):
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 30)
+    rows = [
+        (1, 10, t0, 1.0),                              # bucket b0
+        (1, 11, t0 + dt.timedelta(seconds=40), 2.0),   # bucket b0, later
+        (1, 12, t0 + dt.timedelta(seconds=330), 7.0),  # bucket b0+3 (gap 2)
+        (2, 20, t0, 9.0),                              # single bucket
+    ]
+    out = (ops.gapfill_locf(_events(spark, rows), "user_id", "ts", "value",
+                            ["event_id"], bucket_s=100)
+           .orderBy("user_id", "bucket").collect())
+    u1 = [r for r in out if r["user_id"] == 1]
+    assert [r["n_events"] for r in u1] == [2, 0, 0, 1]
+    assert [r["val_locf"] for r in u1] == [2.0, 2.0, 2.0, 7.0]  # LOCF + last-in-bucket
+    assert [r["is_gap"] for r in u1] == [0, 1, 1, 0]
+    u2 = [r for r in out if r["user_id"] == 2]
+    assert len(u2) == 1 and u2[0]["val_locf"] == 9.0 and u2[0]["is_gap"] == 0
+
+
+def test_gapfill_locf_span_envelope_raises(spark):
+    import datetime as dt
+    rows = [(1, 1, dt.datetime(2024, 1, 1), 1.0),
+            (1, 2, dt.datetime(2024, 3, 1), 2.0)]  # ~60 days at 1 s buckets
+    g = ops.gapfill_locf(_events(spark, rows), "user_id", "ts", "value",
+                         ["event_id"], bucket_s=1, max_buckets_per_key=1000)
+    with pytest.raises(Exception, match="gapfill_locf"):
+        g.count()
+
+
+def test_gapfill_locf_partition_invariant(spark):
+    """Bucket math and the LOCF pick are partitioning-independent."""
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(u, u * 100 + i, t0 + dt.timedelta(seconds=37 * i + u), float(i))
+            for u in range(3) for i in range(40)]
+    ev = _events(spark, rows)
+    a = sorted(map(tuple, ops.gapfill_locf(
+        ev.coalesce(1), "user_id", "ts", "value", ["event_id"],
+        bucket_s=120).collect()))
+    b = sorted(map(tuple, ops.gapfill_locf(
+        ev.repartition(13), "user_id", "ts", "value", ["event_id"],
+        bucket_s=120).collect()))
+    assert a == b
