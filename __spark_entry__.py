@@ -2179,6 +2179,41 @@ def q_bm25_topk(spark, sf_dir):
     return bm25_topk(docs, _BM25_TERMS, k=_BM25_K, k1=_BM25_K1, b=_BM25_B)
 
 
+def q_stream_cdc_upsert(spark, sf_dir):
+    """Streaming CDC ingestion end-to-end (engine/streaming.py::
+    stream_upsert -> catalog.write_cdc_delta/read_merge_on_read/
+    compact_cdc_table): the events table becomes a 4-file CDC stream
+    (key=user_id, seq=event_id, 'error' rows are deletes) drained with
+    availableNow + maxFilesPerTrigger=1, so MULTIPLE foreachBatch
+    micro-batches each commit a reduced merge-on-read delta with
+    exactly-once batch idempotence; the table is then compacted and the
+    final state returned.  The per-key max-seq fold is associative, so
+    the result is independent of batch boundaries and exactly matches a
+    batch oracle replaying the same fold.  At 100 TB this is the
+    O(batch)-per-commit ingest shape (the base never rewrites on
+    ingest; compaction amortizes read fan-in)."""
+    import tempfile
+
+    from engine import catalog, streaming
+    ev = _t(spark, sf_dir, "events")
+    changes = ev.select(
+        F.col("user_id").alias("k"), F.col("value").alias("v"),
+        F.col("event_type").alias("etype"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+         .otherwise(F.lit("U")).alias("op"),
+        F.col("event_id").alias("seq"))
+    src = tempfile.mkdtemp(prefix="cdc_src_")
+    tbl = tempfile.mkdtemp(prefix="cdc_tbl_")
+    ck = tempfile.mkdtemp(prefix="cdc_ck_")
+    changes.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema(changes.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = streaming.stream_upsert(stream, tbl, "k", ck)
+    q.awaitTermination()
+    catalog.compact_cdc_table(spark, tbl, "k")
+    return catalog.read_merge_on_read(spark, tbl, "k")
+
+
 # heavy-hitter sketch params — single source of truth for Spark AND oracle.
 # The sf corpus vocabulary is 31 distinct tokens: k=48 >= vocab makes the
 # MG summary provably EXACT (no decrement ever fires), k=12 < vocab forces
@@ -2423,6 +2458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_melt": q_unpivot_melt,
         "lateral_topk": q_lateral_topk,
         "salted_join": q_salted_join,
+        "stream_cdc_upsert": q_stream_cdc_upsert,
     }
 
 
@@ -5568,6 +5604,22 @@ LATERAL (SELECT o_orderkey, o_totalprice FROM orders
         "salted_join": """
 SELECT e.event_id, e.user_id AS c_custkey, c.c_mktsegment
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
+""",
+        # batch replay of the streaming CDC fold: per-key max-seq winner
+        # (seq = event_id, unique, so arg_max has no ties), deletes drop;
+        # batch boundaries are immaterial because the fold is associative
+        "stream_cdc_upsert": """
+WITH ch AS (
+  SELECT user_id AS k, value AS v, event_type AS etype, event_id AS seq,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+  FROM events
+),
+latest AS (
+  SELECT k, arg_max(v, seq) AS v, arg_max(etype, seq) AS etype,
+         arg_max(op, seq) AS op
+  FROM ch GROUP BY k
+)
+SELECT k, v, etype FROM latest WHERE op != 'D'
 """,
     }
 

@@ -253,3 +253,110 @@ def bucketed_join(spark: SparkSession, left_table: str, right_table: str,
     lt = spark.table(left_table)
     rt = spark.table(right_table)
     return lt.join(rt, lt[left_key] == rt[right_key], how)
+
+
+# ---------------------------------------------------------------------------
+# merge-on-read CDC table (streaming upsert target) + compaction
+# ---------------------------------------------------------------------------
+
+def write_cdc_delta(changes: DataFrame, path: str | Path, batch_id: int,
+                    key_cols: list[str] | str, op_col: str = "op",
+                    seq_col: str = "seq") -> bool:
+    """Commit one CDC micro-batch as a MERGE-ON-READ delta file.
+
+    This is the Iceberg-v2/Hudi-MOR write shape: the batch is reduced
+    per key (max-seq winner, uniqueness enforced — merge_upsert's
+    contract) and written as `delta-<batch>`; the base table is NEVER
+    rewritten on ingest.  At 100 TB of table and GBs of CDC per trigger
+    this is the difference between O(batch) and O(table) per commit.
+
+    Exactly-once under foreachBatch replay: Structured Streaming re-runs
+    a batch after a crash between sink write and checkpoint commit; the
+    manifest records applied batch ids, a replayed id returns False and
+    writes nothing (the manifest save is an atomic tmp+rename, so a
+    half-written delta dir without a manifest entry is invisible and
+    safely overwritten by the retry).  Returns True iff the batch was
+    newly applied."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    man = Manifest(path)
+    applied = man.data["lineage"].setdefault("applied_batches", [])
+    if batch_id in applied:
+        return False
+    payload = [c for c in changes.columns if c not in (op_col, seq_col)]
+    others = [c for c in payload if c not in keys]
+    dup = (changes.groupBy(*keys, seq_col)
+           .agg(F.count(F.lit(1)).alias("n"))
+           .filter(F.col("n") > 1).limit(1).collect())
+    if dup:
+        raise ValueError(f"write_cdc_delta: non-unique (key, {seq_col}) "
+                         f"in batch {batch_id} (e.g. {dup[0]})")
+    latest = (changes.groupBy(*keys)
+              .agg(*[F.max_by(c, seq_col).alias(c) for c in others],
+                   F.max_by(op_col, seq_col).alias(op_col),
+                   F.max(seq_col).alias(seq_col)))
+    out = Path(path) / f"delta-{batch_id:08d}"
+    latest.write.mode("overwrite").parquet(str(out))
+    n = latest.count()
+    man.new_snapshot(op="cdc_delta", batch=int(batch_id), rows=int(n),
+                     file=out.name)
+    applied.append(int(batch_id))
+    man.data["partitions"][out.name] = {"rows": int(n)}
+    man.save()
+    return True
+
+
+def read_merge_on_read(spark: SparkSession, path: str | Path,
+                       key_cols: list[str] | str, op_col: str = "op",
+                       seq_col: str = "seq",
+                       target_cols: list[str] | None = None) -> DataFrame:
+    """Read the current state of a MOR CDC table: base snapshot (if any)
+    with ALL uncompacted deltas folded in ONE merge pass.
+
+    Per-batch reduction already kept only each batch's per-key winner
+    and the winner-of-winners is the global winner (max-seq is
+    associative), so the union of deltas feeds a single merge_upsert —
+    the read amplification is one tiny-side shuffle regardless of how
+    many deltas accumulated, not one join per delta."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    man = Manifest(path)
+    base_name = man.data["lineage"].get("base")
+    deltas = sorted(n for n in man.data["partitions"] if
+                    n.startswith("delta-"))
+    if not deltas and not base_name:
+        raise ValueError(f"read_merge_on_read: empty CDC table at {path}")
+    dfs = [spark.read.parquet(str(Path(path) / d)) for d in deltas]
+    changes = dfs[0] if dfs else None
+    for d in dfs[1:]:
+        changes = changes.unionByName(d)
+    if base_name:
+        base = spark.read.parquet(str(Path(path) / base_name))
+    else:
+        cols = [c for c in changes.columns if c not in (op_col, seq_col)]
+        base = changes.select(*cols).limit(0)
+    if changes is None:
+        return base
+    return merge_upsert(base, changes, keys, op_col, seq_col,
+                        enforce_unique_seq=False)  # enforced per delta
+
+
+def compact_cdc_table(spark: SparkSession, path: str | Path,
+                      key_cols: list[str] | str, op_col: str = "op",
+                      seq_col: str = "seq") -> int:
+    """Fold base + all deltas into a new base snapshot (the OPTIMIZE /
+    Hudi-compaction maintenance op that bounds MOR read amplification).
+    The new base commits via the atomic manifest swap: readers see
+    either the old (base, deltas) view or the new base — both resolve
+    to the same rows.  Compacted delta files are dropped from the
+    manifest (and can safely be garbage-collected later).  Returns the new
+    snapshot id."""
+    state = read_merge_on_read(spark, path, key_cols, op_col, seq_col)
+    man = Manifest(path)
+    sid_next = (man.current_snapshot or 0) + 1
+    out = Path(path) / f"base-{sid_next:08d}"
+    state.write.mode("overwrite").parquet(str(out))
+    n = state.count()
+    sid = man.new_snapshot(op="compact", rows=int(n), file=out.name)
+    man.data["partitions"] = {out.name: {"rows": int(n)}}
+    man.data["lineage"]["base"] = out.name
+    man.save()
+    return sid

@@ -410,3 +410,36 @@ def stream_dedup_exact(docs_stream: DataFrame, ts_col: str = "warc_ts",
     return (keyed.withWatermark(ts_col, watermark)
             .dropDuplicatesWithinWatermark(["_h64", "_hmd5", "_hlen"])
             .drop("_h64", "_hmd5", "_hlen"))
+
+
+def stream_upsert(changes_stream: DataFrame, table_path: str,
+                  key_cols: list[str] | str, checkpoint: str,
+                  op_col: str = "op", seq_col: str = "seq"):
+    """Streaming CDC ingestion sink (foreachBatch -> merge-on-read
+    table): every micro-batch commits one reduced delta via
+    catalog.write_cdc_delta and the current table state is
+    catalog.read_merge_on_read (base + one-pass fold of all deltas);
+    catalog.compact_cdc_table bounds read amplification.
+
+    Exactly-once: Structured Streaming's foreachBatch is at-least-once
+    (a crash between sink write and checkpoint commit replays the
+    batch); write_cdc_delta makes the sink idempotent by recording
+    applied batch ids in the table manifest behind an atomic rename, so
+    replayed batches are no-ops and the end-to-end contract is
+    exactly-once.  Batch boundaries don't affect the final state — the
+    per-key max-seq fold is associative — which is also what makes the
+    result exactly checkable against a batch oracle.
+
+    Returns the started StreamingQuery (availableNow trigger: drains
+    what exists, then stops — the cron-style incremental-ingest shape;
+    pass a persistent checkpoint to resume from the high-water mark on
+    the next run)."""
+    from engine import catalog
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        catalog.write_cdc_delta(batch_df, table_path, batch_id, key_cols,
+                                op_col, seq_col)
+
+    return (changes_stream.writeStream.foreachBatch(apply)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True).start())

@@ -188,3 +188,81 @@ def test_bucketed_join_zero_exchange(spark):
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.max("n_orders").alias("n_orders")).collect()}
     assert got == want and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# merge-on-read CDC table: delta commits, idempotent replay, compaction
+# ---------------------------------------------------------------------------
+
+def _cdc_rows(spark, rows):
+    return spark.createDataFrame(
+        rows, "k long, v double, op string, seq long")
+
+
+def test_cdc_delta_lifecycle(spark, tmp_path):
+    from engine import catalog
+    tbl = tmp_path / "mor"
+
+    b0 = _cdc_rows(spark, [(1, 1.0, "U", 1), (2, 2.0, "U", 2),
+                           (1, 1.5, "U", 3)])     # k=1 superseded in-batch
+    b1 = _cdc_rows(spark, [(2, 0.0, "D", 4), (3, 3.0, "I", 5)])
+    assert catalog.write_cdc_delta(b0, tbl, 0, "k") is True
+    assert catalog.write_cdc_delta(b1, tbl, 1, "k") is True
+
+    # replayed batch id: no-op, returns False, state unchanged
+    files_before = sorted(p.name for p in tbl.iterdir())
+    assert catalog.write_cdc_delta(b0, tbl, 0, "k") is False
+    assert sorted(p.name for p in tbl.iterdir()) == files_before
+
+    state = {r["k"]: r["v"] for r in
+             catalog.read_merge_on_read(spark, tbl, "k").collect()}
+    assert state == {1: 1.5, 3: 3.0}  # k=2 deleted
+
+    # compaction: same state, manifest swaps to a base, deltas dropped
+    catalog.compact_cdc_table(spark, tbl, "k")
+    man = catalog.Manifest(tbl)
+    assert man.data["lineage"]["base"].startswith("base-")
+    assert all(not n.startswith("delta-") for n in man.data["partitions"])
+    state2 = {r["k"]: r["v"] for r in
+              catalog.read_merge_on_read(spark, tbl, "k").collect()}
+    assert state2 == state
+
+    # post-compaction deltas fold over the base (incl. delete of a based row)
+    b2 = _cdc_rows(spark, [(1, 0.0, "D", 6), (4, 4.0, "U", 7)])
+    assert catalog.write_cdc_delta(b2, tbl, 2, "k") is True
+    state3 = {r["k"]: r["v"] for r in
+              catalog.read_merge_on_read(spark, tbl, "k").collect()}
+    assert state3 == {3: 3.0, 4: 4.0}
+
+    # non-unique (key, seq) within a batch raises
+    bad = _cdc_rows(spark, [(9, 1.0, "U", 1), (9, 2.0, "U", 1)])
+    import pytest as _pt
+    with _pt.raises(ValueError, match="non-unique"):
+        catalog.write_cdc_delta(bad, tbl, 3, "k")
+
+
+def test_stream_upsert_multi_batch_matches_batch_fold(spark, tmp_path):
+    """availableNow + maxFilesPerTrigger=1 drives MULTIPLE foreachBatch
+    commits; the MOR state must equal the one-shot batch fold (the
+    associativity contract that makes the driver oracle exact)."""
+    from engine import catalog, streaming
+    rows = [(k, float(s), "D" if s % 7 == 0 else "U", s)
+            for s in range(1, 61) for k in [s % 9]]
+    ch = _cdc_rows(spark, rows)
+    src = tmp_path / "src"
+    ch.repartition(5).write.parquet(str(src))
+    stream = (spark.readStream.schema(ch.schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    tbl, ck = tmp_path / "tbl", tmp_path / "ck"
+    q = streaming.stream_upsert(stream, str(tbl), "k", str(ck))
+    q.awaitTermination()
+
+    man = catalog.Manifest(tbl)
+    assert len(man.data["lineage"]["applied_batches"]) >= 2, (
+        "expected multiple micro-batches")
+    got = {(r["k"], r["v"]) for r in
+           catalog.read_merge_on_read(spark, tbl, "k").collect()}
+    base = ch.limit(0).select("k", "v")
+    want = {(r["k"], r["v"]) for r in
+            catalog.merge_upsert(base, ch, "k").collect()}
+    assert got == want and len(got) > 0
