@@ -2214,6 +2214,42 @@ def q_stream_cdc_upsert(spark, sf_dir):
     return catalog.read_merge_on_read(spark, tbl, "k")
 
 
+def q_cdc_time_travel(spark, sf_dir):
+    """Snapshot time travel on the merge-on-read CDC table (the Iceberg
+    VERSION AS OF read): three deterministic delta commits with a
+    compaction in between, then the table read AS OF the pre-compaction
+    snapshot AND at the head.  The as-of view reconstructs from the
+    manifest's snapshot LOG — the historical delta files remain readable
+    after compaction because compaction swaps the manifest atomically
+    and never deletes files — so the oracle can replay both views as
+    per-key max-seq folds over the matching seq slices."""
+    import tempfile
+
+    from engine import catalog
+    ev = _t(spark, sf_dir, "events")
+    ch = ev.select(
+        F.col("user_id").alias("k"), F.col("value").alias("v"),
+        F.col("event_type").alias("etype"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+         .otherwise(F.lit("U")).alias("op"),
+        F.col("event_id").alias("seq"))
+    tbl = tempfile.mkdtemp(prefix="cdc_tt_")
+    # batch order must follow seq order (the CDC contract: a later batch
+    # supersedes the compacted base regardless of seq — binlog position
+    # and commit order are the same order), so slice by seq RANGE
+    mx = int(ch.agg(F.max("seq")).collect()[0][0])
+    t1, t2 = mx // 3, 2 * mx // 3
+    catalog.write_cdc_delta(ch.filter(F.col("seq") <= t1), tbl, 0, "k")
+    catalog.write_cdc_delta(ch.filter((F.col("seq") > t1)
+                                      & (F.col("seq") <= t2)), tbl, 1, "k")
+    catalog.compact_cdc_table(spark, tbl, "k")          # snapshot 2
+    catalog.write_cdc_delta(ch.filter(F.col("seq") > t2), tbl, 2, "k")
+    past = catalog.read_merge_on_read(spark, tbl, "k", as_of=1)
+    head = catalog.read_merge_on_read(spark, tbl, "k")
+    return (past.withColumn("snap", F.lit(1).cast("long"))
+            .unionByName(head.withColumn("snap", F.lit(3).cast("long"))))
+
+
 # heavy-hitter sketch params — single source of truth for Spark AND oracle.
 # The sf corpus vocabulary is 31 distinct tokens: k=48 >= vocab makes the
 # MG summary provably EXACT (no decrement ever fires), k=12 < vocab forces
@@ -2459,6 +2495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lateral_topk": q_lateral_topk,
         "salted_join": q_salted_join,
         "stream_cdc_upsert": q_stream_cdc_upsert,
+        "cdc_time_travel": q_cdc_time_travel,
     }
 
 
@@ -5620,6 +5657,29 @@ latest AS (
   FROM ch GROUP BY k
 )
 SELECT k, v, etype FROM latest WHERE op != 'D'
+""",
+        # both time-travel views replayed as max-seq folds over the
+        # matching seq slices (seq unique -> arg_max tie-free)
+        "cdc_time_travel": """
+WITH ch AS (
+  SELECT user_id AS k, value AS v, event_type AS etype, event_id AS seq,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+  FROM events
+),
+tot AS (SELECT max(seq) AS mx FROM ch),
+f1 AS (
+  SELECT k, arg_max(v, seq) AS v, arg_max(etype, seq) AS etype,
+         arg_max(op, seq) AS op
+  FROM ch, tot WHERE seq <= (2 * mx) // 3 GROUP BY k
+),
+f3 AS (
+  SELECT k, arg_max(v, seq) AS v, arg_max(etype, seq) AS etype,
+         arg_max(op, seq) AS op
+  FROM ch GROUP BY k
+)
+SELECT CAST(1 AS BIGINT) AS snap, k, v, etype FROM f1 WHERE op != 'D'
+UNION ALL
+SELECT CAST(3 AS BIGINT) AS snap, k, v, etype FROM f3 WHERE op != 'D'
 """,
     }
 

@@ -270,6 +270,14 @@ def write_cdc_delta(changes: DataFrame, path: str | Path, batch_id: int,
     rewritten on ingest.  At 100 TB of table and GBs of CDC per trigger
     this is the difference between O(batch) and O(table) per commit.
 
+    Ordering contract: batch order must follow CDC seq order (binlog
+    position and commit order are the same order — true of any real CDC
+    producer).  Within and across uncompacted deltas the per-key winner
+    is decided by `seq`; once a compaction folds deltas into a base the
+    base's seq is gone, so a LATER batch supersedes the base
+    unconditionally — which is only correct because later batches carry
+    later seqs.
+
     Exactly-once under foreachBatch replay: Structured Streaming re-runs
     a batch after a crash between sink write and checkpoint commit; the
     manifest records applied batch ids, a replayed id returns False and
@@ -308,22 +316,35 @@ def write_cdc_delta(changes: DataFrame, path: str | Path, batch_id: int,
 def read_merge_on_read(spark: SparkSession, path: str | Path,
                        key_cols: list[str] | str, op_col: str = "op",
                        seq_col: str = "seq",
-                       target_cols: list[str] | None = None) -> DataFrame:
-    """Read the current state of a MOR CDC table: base snapshot (if any)
-    with ALL uncompacted deltas folded in ONE merge pass.
+                       as_of: int | None = None) -> DataFrame:
+    """Read the state of a MOR CDC table: base snapshot (if any) with
+    all subsequently-committed deltas folded in ONE merge pass.
 
     Per-batch reduction already kept only each batch's per-key winner
     and the winner-of-winners is the global winner (max-seq is
     associative), so the union of deltas feeds a single merge_upsert —
     the read amplification is one tiny-side shuffle regardless of how
-    many deltas accumulated, not one join per delta."""
+    many deltas accumulated, not one join per delta.
+
+    `as_of` is Iceberg-style snapshot time travel: the view is
+    reconstructed from the manifest's snapshot LOG (the last compact at
+    or before `as_of` supplies the base; deltas committed after it and
+    at or before `as_of` fold on top).  Compaction never deletes files,
+    so every historical snapshot stays readable until an explicit GC."""
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     man = Manifest(path)
-    base_name = man.data["lineage"].get("base")
-    deltas = sorted(n for n in man.data["partitions"] if
-                    n.startswith("delta-"))
+    snaps = man.data["snapshots"]
+    if as_of is not None:
+        snaps = [s for s in snaps if s["id"] <= as_of]
+    base_name, deltas = None, []
+    for s in snaps:
+        if s["op"] == "compact":
+            base_name, deltas = s["file"], []
+        elif s["op"] == "cdc_delta":
+            deltas.append(s["file"])
     if not deltas and not base_name:
-        raise ValueError(f"read_merge_on_read: empty CDC table at {path}")
+        raise ValueError(f"read_merge_on_read: no snapshot at or before "
+                         f"as_of={as_of} in CDC table at {path}")
     dfs = [spark.read.parquet(str(Path(path) / d)) for d in deltas]
     changes = dfs[0] if dfs else None
     for d in dfs[1:]:
