@@ -2327,6 +2327,21 @@ def q_gapfill_locf(spark, sf_dir):
         .drop("bucket_ts")
 
 
+def q_gapfill_interp(spark, sf_dir):
+    """Linear-interpolation gap fill (the hypertable `interpolate` twin
+    beside LOCF): gap buckets take the lerp between the nearest observed
+    buckets on each side; non-gap buckets keep their raw value;
+    leading/trailing gaps are NULL.  One subtract/divide/multiply/add
+    IEEE chain over raw value pairs and exact integer bucket distances,
+    replayed with the identical expression tree in the oracle — so even
+    the float cells are value-hash exact.  All four window passes share
+    the one (user, bucket-order) Window exchange."""
+    from engine.ops import gapfill_locf
+    g = gapfill_locf(_t(spark, sf_dir, "events"), "user_id", "ts",
+                     "value", ["event_id"], bucket_s=3600, interpolate=True)
+    return g.select("user_id", "bucket", "n_events", "val_interp", "is_gap")
+
+
 def q_unpivot_melt(spark, sf_dir):
     """UNPIVOT (wide->long melt) of the four lineitem measures into
     (measure, val) via Spark's Expand — a map-only reshape (zero
@@ -2491,6 +2506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "heavy_hitters_gate": q_heavy_hitters_gate,
         "gapfill_locf": q_gapfill_locf,
+        "gapfill_interp": q_gapfill_interp,
         "unpivot_melt": q_unpivot_melt,
         "lateral_topk": q_lateral_topk,
         "salted_join": q_salted_join,
@@ -5613,6 +5629,54 @@ SELECT user_id, CAST(bucket AS BIGINT) AS bucket,
          AS val_locf,
        CAST(n_events IS NULL AS BIGINT) AS is_gap
 FROM f
+""",
+        # same spine/fold as gapfill_locf; the lerp is replayed with the
+        # identical IEEE expression tree (raw value pair, integer bucket
+        # distances cast to double) so float cells hash-match
+        "gapfill_interp": """
+WITH e AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS us,
+         epoch_us(ts) // 3600000000 AS bucket
+  FROM events
+),
+pb_ AS (SELECT user_id, bucket, CAST(count(*) AS BIGINT) AS n_events
+        FROM e GROUP BY 1, 2),
+r AS (SELECT user_id, bucket, value,
+             row_number() OVER (PARTITION BY user_id, bucket
+                                ORDER BY us DESC, event_id DESC) AS rk
+      FROM e),
+lv AS (SELECT user_id, bucket, value AS last_val FROM r WHERE rk = 1),
+span AS (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+         FROM e GROUP BY 1),
+spine AS (SELECT user_id, unnest(generate_series(b0, b1)) AS bucket
+          FROM span),
+f AS (SELECT s.user_id, s.bucket, pb_.n_events, lv.last_val
+      FROM spine s
+      LEFT JOIN pb_ ON s.user_id = pb_.user_id AND s.bucket = pb_.bucket
+      LEFT JOIN lv ON s.user_id = lv.user_id AND s.bucket = lv.bucket),
+g AS (
+  SELECT user_id, bucket, n_events, last_val,
+         last_value(last_val IGNORE NULLS) OVER wp AS pv,
+         last_value(CASE WHEN last_val IS NOT NULL THEN bucket END
+                    IGNORE NULLS) OVER wp AS pb,
+         first_value(last_val IGNORE NULLS) OVER wn AS nv,
+         first_value(CASE WHEN last_val IS NOT NULL THEN bucket END
+                     IGNORE NULLS) OVER wn AS nb
+  FROM f
+  WINDOW wp AS (PARTITION BY user_id ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY user_id ORDER BY bucket
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, CAST(bucket AS BIGINT) AS bucket,
+       CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
+       CASE WHEN last_val IS NOT NULL THEN last_val
+            WHEN pv IS NOT NULL AND nv IS NOT NULL
+            THEN pv + (nv - pv) * (CAST(bucket - pb AS DOUBLE)
+                                   / CAST(nb - pb AS DOUBLE))
+       END AS val_interp,
+       CAST(n_events IS NULL AS BIGINT) AS is_gap
+FROM g
 """,
         # melt replayed as UNION ALL; min/max are raw column picks, the
         # sum is floor-cents int64 (order-independent)

@@ -119,6 +119,9 @@ def run_suite(spark, sf_dir: str) -> tuple[dict, dict, float]:
         bpe_encode(docs, merges).count()
     with stage("pack_sequences"):
         text.pack_sequences(docs, capacity=512).count()
+    with stage("heavy_hitters"):
+        from engine.sketch import heavy_hitters_mg
+        heavy_hitters_mg(docs, k=48).count()
     with stage("quality_classifier"):
         from engine.classifier import (apply_classifier,
                                        train_quality_classifier)

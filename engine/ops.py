@@ -303,7 +303,8 @@ def resample_mixture(df: DataFrame, targets: dict[str, float],
 
 def gapfill_locf(df: DataFrame, key: str, ts_col: str, val_col: str,
                  order_cols: Sequence[str], bucket_s: int = 300,
-                 max_buckets_per_key: int = 1_000_000) -> DataFrame:
+                 max_buckets_per_key: int = 1_000_000,
+                 interpolate: bool = False) -> DataFrame:
     """Time-bucket downsample + gap fill with last-observation-carried-
     forward (the hypertable `time_bucket + locf` resample shape).
 
@@ -315,6 +316,17 @@ def gapfill_locf(df: DataFrame, key: str, ts_col: str, val_col: str,
     Output: (key, bucket, bucket_ts, n_events, val_locf, is_gap) — the
     carried value crosses engines byte-identically because it is a raw
     column value (max_by pick), never arithmetic.
+
+    `interpolate=True` adds `val_interp` (the hypertable `interpolate`
+    twin): gap buckets take the LINEAR interpolation between the nearest
+    observed buckets on each side; non-gap buckets keep their own value
+    (branching matters: the formula's 0/0 is NaN there); leading/trailing
+    gaps with only one neighbor are NULL (outside the known range).  The
+    arithmetic is one subtract/divide/multiply/add chain over a raw
+    value pair and exact integer bucket distances, so an engine replaying
+    the same IEEE expression tree matches bit-for-bit.  Costs two more
+    window passes over the SAME (key, bucket-order) sort — Catalyst
+    fuses them into the one Window exchange.
 
     Scale shape: one partial-agg exchange on (key, bucket) — granularity
     BUCKETS not events — then per-key min/max (tiny), a narrow
@@ -350,9 +362,24 @@ def gapfill_locf(df: DataFrame, key: str, ts_col: str, val_col: str,
     filled = spine.join(per_bucket, [key, "bucket"], "left")
     w = (Window.partitionBy(key).orderBy("bucket")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    return (filled.select(
-        key, "bucket",
+    cols = [
+        F.col(key), F.col("bucket"),
         F.timestamp_micros(F.col("bucket") * step).alias("bucket_ts"),
         F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
         F.last("_last_val", ignorenulls=True).over(w).alias("val_locf"),
-        F.col("n_events").isNull().cast("bigint").alias("is_gap")))
+        F.col("n_events").isNull().cast("bigint").alias("is_gap")]
+    if interpolate:
+        wf = (Window.partitionBy(key).orderBy("bucket")
+              .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+        obs_b = F.when(F.col("_last_val").isNotNull(), F.col("bucket"))
+        pv = F.last("_last_val", ignorenulls=True).over(w)
+        pb = F.last(obs_b, ignorenulls=True).over(w)
+        nv = F.first("_last_val", ignorenulls=True).over(wf)
+        nb = F.first(obs_b, ignorenulls=True).over(wf)
+        lerp = pv + (nv - pv) * ((F.col("bucket") - pb).cast("double")
+                                 / (nb - pb).cast("double"))
+        cols.append(
+            F.when(F.col("_last_val").isNotNull(), F.col("_last_val"))
+             .when(pv.isNotNull() & nv.isNotNull(), lerp)
+             .alias("val_interp"))
+    return filled.select(*cols)

@@ -130,3 +130,17 @@ def test_gapfill_locf_partition_invariant(spark):
         ev.repartition(13), "user_id", "ts", "value", ["event_id"],
         bucket_s=120).collect()))
     assert a == b
+
+
+def test_gapfill_interp_known_values(spark):
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 30)
+    rows = [(1, 10, t0, 2.0),
+            (1, 11, t0 + dt.timedelta(seconds=400), 10.0)]  # 4 buckets apart
+    out = (ops.gapfill_locf(_events(spark, rows), "user_id", "ts", "value",
+                            ["event_id"], bucket_s=100, interpolate=True)
+           .orderBy("bucket").collect())
+    # lerp steps are exact binary fractions (ratios .25/.5/.75)
+    assert [r["val_interp"] for r in out] == [2.0, 4.0, 6.0, 8.0, 10.0]
+    assert [r["val_locf"] for r in out] == [2.0, 2.0, 2.0, 2.0, 10.0]
+    assert [r["is_gap"] for r in out] == [0, 1, 1, 1, 0]
