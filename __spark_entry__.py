@@ -347,6 +347,82 @@ def q_tpch_q17(spark, sf_dir):
     """)
 
 
+def q_tpch_q2(spark, sf_dir):
+    """TPC-H Q2 shape (minimum-cost supplier): a correlated scalar
+    subquery that itself contains a MULTI-WAY JOIN (lineitem x supplier
+    x nation x region), equality-compared against the outer block — a
+    structurally different decorrelation from Q17's single-table scalar
+    avg: Catalyst must push the whole 4-table subquery through
+    RewriteCorrelatedScalarSubquery into ONE aggregated join subtree
+    keyed on p_partkey, then equi-join it back (plan-pinned: exactly one
+    extra lineitem scan, no per-row re-scan).  The synthetic schema has
+    no partsupp, so 'supply cost' is the minimum l_extendedprice a
+    EUROPE supplier ever shipped that part for — the same
+    min-over-joined-dims correlation.  Equality on l_extendedprice
+    compares RAW parquet doubles (no arithmetic), so the predicate is
+    bit-portable; DISTINCT collapses multi-lineitem ties; the ORDER BY
+    covers a unique key so the LIMIT-100 prefix is deterministic."""
+    for t in ("part", "supplier", "lineitem", "nation", "region"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"tq2_{t}")
+    return spark.sql("""
+        SELECT DISTINCT s.s_acctbal, s.s_name, n.n_name, p.p_partkey,
+                        p.p_name, l.l_extendedprice AS min_price
+        FROM tq2_part p, tq2_supplier s, tq2_lineitem l, tq2_nation n,
+             tq2_region r
+        WHERE p.p_partkey = l.l_partkey
+          AND s.s_suppkey = l.l_suppkey
+          AND p.p_size = 15
+          AND s.s_nationkey = n.n_nationkey
+          AND n.n_regionkey = r.r_regionkey
+          AND r.r_name = 'EUROPE'
+          AND l.l_extendedprice = (
+            SELECT min(l2.l_extendedprice)
+            FROM tq2_lineitem l2, tq2_supplier s2, tq2_nation n2,
+                 tq2_region r2
+            WHERE l2.l_partkey = p.p_partkey
+              AND s2.s_suppkey = l2.l_suppkey
+              AND s2.s_nationkey = n2.n_nationkey
+              AND n2.n_regionkey = r2.r_regionkey
+              AND r2.r_name = 'EUROPE')
+        ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+        LIMIT 100
+    """)
+
+
+def q_tpch_q22(spark, sf_dir):
+    """TPC-H Q22 shape (global sales opportunity): the one subquery
+    COMBINATION the suite never exercised — an UNCORRELATED scalar
+    aggregate subquery (the positive-balance average, computed once and
+    broadcast as a literal-like filter) AND a correlated NOT EXISTS
+    anti-join in the same WHERE clause, followed by a group-by.  The
+    synthetic customer has no c_phone, so the 'country code' IN-list is
+    over c_nationkey, and 'no orders in 7 years' becomes no orders since
+    2001-01-01 (the tail ~7 months of the 1995-2001 order range, ~41%
+    selectivity).  Bit-portability: balances enter every aggregate as
+    floor-cents int64 (floor has no tie rule, unlike round), so the
+    threshold is an exact integer sum with ONE IEEE division and the
+    output sum is order-independent."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("tq22_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("tq22_orders")
+    return spark.sql("""
+        SELECT c.c_nationkey AS cntry, CAST(count(*) AS BIGINT) AS numcust,
+               sum(CAST(floor(c.c_acctbal * 100) AS BIGINT))
+                 AS totacctbal_cents
+        FROM tq22_customer c
+        WHERE c.c_nationkey IN (0, 3, 7, 11, 14, 17, 21)
+          AND CAST(floor(c.c_acctbal * 100) AS BIGINT) > (
+            SELECT CAST(sum(CAST(floor(c2.c_acctbal * 100) AS BIGINT))
+                        AS DOUBLE) / count(*)
+            FROM tq22_customer c2
+            WHERE c2.c_acctbal > 0.0
+              AND c2.c_nationkey IN (0, 3, 7, 11, 14, 17, 21))
+          AND NOT EXISTS (SELECT 1 FROM tq22_orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+        GROUP BY c.c_nationkey
+    """)
+
+
 def q_tpch_q13(spark, sf_dir):
     """TPC-H Q13 shape (customer distribution): LEFT OUTER join with a
     predicate on the NULL-producing side, then a two-level aggregation
@@ -2418,6 +2494,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q4": q_tpch_q4,
         "tpch_q21": q_tpch_q21,
         "tpch_q17": q_tpch_q17,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q22": q_tpch_q22,
         "tpch_q13": q_tpch_q13,
         "tpch_q18": q_tpch_q18,
         "naaj_not_in": q_naaj_not_in,
@@ -5377,6 +5455,47 @@ WHERE p.p_partkey = l.l_partkey
   AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
                       FROM lineitem l2
                       WHERE l2.l_partkey = p.p_partkey)
+""",
+        # raw-double equality against the min over the joined dims; the
+        # ORDER BY covers a unique key so the LIMIT prefix is stable
+        "tpch_q2": """
+SELECT DISTINCT s.s_acctbal, s.s_name, n.n_name, p.p_partkey,
+                p.p_name, l.l_extendedprice AS min_price
+FROM part p, supplier s, lineitem l, nation n, region r
+WHERE p.p_partkey = l.l_partkey
+  AND s.s_suppkey = l.l_suppkey
+  AND p.p_size = 15
+  AND s.s_nationkey = n.n_nationkey
+  AND n.n_regionkey = r.r_regionkey
+  AND r.r_name = 'EUROPE'
+  AND l.l_extendedprice = (
+    SELECT min(l2.l_extendedprice)
+    FROM lineitem l2, supplier s2, nation n2, region r2
+    WHERE l2.l_partkey = p.p_partkey
+      AND s2.s_suppkey = l2.l_suppkey
+      AND s2.s_nationkey = n2.n_nationkey
+      AND n2.n_regionkey = r2.r_regionkey
+      AND r2.r_name = 'EUROPE')
+ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+LIMIT 100
+""",
+        # floor-cents int64 balances: exact integer sums both sides of
+        # the uncorrelated scalar threshold, one IEEE division
+        "tpch_q22": """
+SELECT c.c_nationkey AS cntry, CAST(count(*) AS BIGINT) AS numcust,
+       sum(CAST(floor(c.c_acctbal * 100) AS BIGINT)) AS totacctbal_cents
+FROM customer c
+WHERE c.c_nationkey IN (0, 3, 7, 11, 14, 17, 21)
+  AND CAST(floor(c.c_acctbal * 100) AS BIGINT) > (
+    SELECT CAST(sum(CAST(floor(c2.c_acctbal * 100) AS BIGINT))
+                AS DOUBLE) / count(*)
+    FROM customer c2
+    WHERE c2.c_acctbal > 0.0
+      AND c2.c_nationkey IN (0, 3, 7, 11, 14, 17, 21))
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+GROUP BY c.c_nationkey
 """,
         "tpch_q21": """
 SELECT s_name, CAST(count(*) AS BIGINT) AS numwait

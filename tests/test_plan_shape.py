@@ -234,6 +234,37 @@ def test_tpch_q17_scalar_subquery_decorrelates(spark):
     assert "Join" in plan and "Subquery" not in plan, plan
 
 
+def test_tpch_q2_joined_scalar_subquery_decorrelates(spark):
+    """Q2's correlated scalar MIN — whose subquery is itself a 4-table
+    join — must decorrelate to ONE aggregated join subtree keyed on
+    l_partkey and equi-join back: exactly two lineitem scans (outer +
+    agg side), never a per-outer-row re-execution of the joined
+    subquery."""
+    import __spark_entry__ as entry
+    df = entry.q_tpch_q2(spark, "/root/testdata/sf0.001")
+    plan = plan_str(df, "simple")
+    # outer block p,l,s,n,r + decorrelated agg side l,s,n,r = 9 scans,
+    # i.e. lineitem exactly twice — never once per outer row
+    assert plan.count("Scan parquet") == 9, plan
+    assert "min(l_extendedprice" in plan, plan    # the decorrelated agg
+    assert "Subquery" not in plan, plan
+
+
+def test_tpch_q22_scalar_threshold_plus_anti_join(spark):
+    """Q22's uncorrelated scalar avg must run ONCE (a scalar subquery
+    node, not a join) while the correlated NOT EXISTS compiles to a
+    LeftAnti hash join with the date predicate pushed to the orders
+    scan."""
+    import __spark_entry__ as entry
+    df = entry.q_tpch_q22(spark, "/root/testdata/sf0.001")
+    plan = plan_str(df, "simple")
+    assert "LeftAnti" in plan, plan
+    assert "Subquery" in plan, plan  # the once-evaluated scalar threshold
+    pushed = [ln for ln in plan.splitlines()
+              if "PushedFilters" in ln and "orders" in ln]
+    assert pushed and "GreaterThanOrEqual(o_orderdate" in pushed[0], plan
+
+
 def test_naaj_not_in_plans_null_aware_anti_join(spark):
     """NOT IN must compile to a NULL-AWARE anti join (three-valued
     logic), not a plain LeftAnti and not a per-row subquery."""
