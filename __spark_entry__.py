@@ -2326,6 +2326,65 @@ def q_cdc_time_travel(spark, sf_dir):
             .unionByName(head.withColumn("snap", F.lit(3).cast("long"))))
 
 
+def _scd2_changes(docs):
+    """Deterministic 5-wave change log over documents (the q_cdc_merge
+    synthesis pattern): %42 keys walk a full V1 -> V2 -> DELETE -> V3
+    re-insert lifecycle; %17 keys are net-new inserts."""
+    def ch(pred, key, text, op, seq):
+        return (docs.filter(pred)
+                .select(key.cast("long").alias("doc_id"),
+                        text.alias("text"), F.lit(op).alias("op"),
+                        F.lit(seq).cast("int").alias("seq")))
+    d = F.col("doc_id")
+    return (
+        ch(d % 7 == 0, d, F.concat(F.lit("V1:"), F.col("lang")), "U", 1)
+        .unionByName(ch(d % 14 == 0, d,
+                        F.concat(F.lit("V2:"), F.col("source")), "U", 2))
+        .unionByName(ch(d % 17 == 0, d + 10000,
+                        F.concat(F.lit("NEW:"), d.cast("string")), "I", 2))
+        .unionByName(ch(d % 21 == 0, d, F.lit("DEL"), "D", 3))
+        .unionByName(ch(d % 42 == 0, d,
+                        F.concat(F.lit("V3:"), d.cast("string")), "I", 4)))
+
+
+def _scd2_out(dim):
+    return dim.select(
+        "doc_id", "text", F.col("eff_from").cast("int").alias("eff_from"),
+        F.coalesce(F.col("eff_to"), F.lit(-1)).cast("int").alias("eff_to"),
+        F.col("is_current").cast("bigint").alias("is_current"))
+
+
+def q_scd2_build(spark, sf_dir):
+    """SCD Type-2 dimension build (engine/catalog.py::scd2_build): the
+    warehouse dimension-HISTORY shape beside merge_upsert's type-1
+    snapshot — one version row per I/U change with [eff_from, eff_to)
+    validity in CDC seq coordinates, deletes closing the prior version
+    and emitting nothing (a %42 key walks U -> U -> D -> re-insert, so
+    every lifecycle edge is in the output).  ONE (key) window exchange
+    over the change log only; no floats are created, so the oracle's
+    lead()-window replay is value-hash exact."""
+    from engine.catalog import scd2_build
+    docs = _t(spark, sf_dir, "documents")
+    return _scd2_out(scd2_build(_scd2_changes(docs), "doc_id"))
+
+
+def q_scd2_apply(spark, sf_dir):
+    """Incremental SCD2 maintenance (engine/catalog.py::scd2_apply): the
+    dimension is built from the first two CDC waves, then waves 3-4
+    apply as a batch — the dimension NEVER shuffles (one broadcastable
+    left join against the batch's per-key first-seq + a map-only eff_to
+    close on current rows; new versions come from an scd2_build over the
+    batch alone).  The oracle is the FULL-log lead()-window build: the
+    query is exact evidence of the apply-equals-rebuild contract the
+    pytest pins at every split point."""
+    from engine.catalog import scd2_apply, scd2_build
+    docs = _t(spark, sf_dir, "documents")
+    log = _scd2_changes(docs)
+    dim = scd2_build(log.filter(F.col("seq") <= 2), "doc_id")
+    out = scd2_apply(dim, log.filter(F.col("seq") >= 3), "doc_id")
+    return _scd2_out(out)
+
+
 # heavy-hitter sketch params — single source of truth for Spark AND oracle.
 # The sf corpus vocabulary is 31 distinct tokens: k=48 >= vocab makes the
 # MG summary provably EXACT (no decrement ever fires), k=12 < vocab forces
@@ -2590,6 +2649,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": q_salted_join,
         "stream_cdc_upsert": q_stream_cdc_upsert,
         "cdc_time_travel": q_cdc_time_travel,
+        "scd2_build": q_scd2_build,
+        "scd2_apply": q_scd2_apply,
     }
 
 
@@ -5843,6 +5904,64 @@ SELECT k, v, etype FROM latest WHERE op != 'D'
 """,
         # both time-travel views replayed as max-seq folds over the
         # matching seq slices (seq unique -> arg_max tie-free)
+        # SCD2: the change log replayed wave-for-wave, versioned with
+        # ONE lead() window; all-integer/string payload -> value-hash
+        # exact.  scd2_apply shares the oracle: apply == rebuild is the
+        # contract under test.
+        "scd2_build": """
+WITH ch AS (
+  SELECT doc_id, 'V1:' || lang AS text, 'U' AS op, 1 AS seq
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id, 'V2:' || source, 'U', 2
+  FROM documents WHERE doc_id % 14 = 0
+  UNION ALL
+  SELECT doc_id + 10000, 'NEW:' || CAST(doc_id AS VARCHAR), 'I', 2
+  FROM documents WHERE doc_id % 17 = 0
+  UNION ALL
+  SELECT doc_id, 'DEL', 'D', 3
+  FROM documents WHERE doc_id % 21 = 0
+  UNION ALL
+  SELECT doc_id, 'V3:' || CAST(doc_id AS VARCHAR), 'I', 4
+  FROM documents WHERE doc_id % 42 = 0
+),
+v AS (
+  SELECT doc_id, text, op, seq,
+         lead(seq) OVER (PARTITION BY doc_id ORDER BY seq) AS eff_to
+  FROM ch
+)
+SELECT doc_id, text, CAST(seq AS INT) AS eff_from,
+       CAST(COALESCE(eff_to, -1) AS INT) AS eff_to,
+       CAST(eff_to IS NULL AS BIGINT) AS is_current
+FROM v WHERE op <> 'D'
+""",
+        "scd2_apply": """
+WITH ch AS (
+  SELECT doc_id, 'V1:' || lang AS text, 'U' AS op, 1 AS seq
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id, 'V2:' || source, 'U', 2
+  FROM documents WHERE doc_id % 14 = 0
+  UNION ALL
+  SELECT doc_id + 10000, 'NEW:' || CAST(doc_id AS VARCHAR), 'I', 2
+  FROM documents WHERE doc_id % 17 = 0
+  UNION ALL
+  SELECT doc_id, 'DEL', 'D', 3
+  FROM documents WHERE doc_id % 21 = 0
+  UNION ALL
+  SELECT doc_id, 'V3:' || CAST(doc_id AS VARCHAR), 'I', 4
+  FROM documents WHERE doc_id % 42 = 0
+),
+v AS (
+  SELECT doc_id, text, op, seq,
+         lead(seq) OVER (PARTITION BY doc_id ORDER BY seq) AS eff_to
+  FROM ch
+)
+SELECT doc_id, text, CAST(seq AS INT) AS eff_from,
+       CAST(COALESCE(eff_to, -1) AS INT) AS eff_to,
+       CAST(eff_to IS NULL AS BIGINT) AS is_current
+FROM v WHERE op <> 'D'
+""",
         "cdc_time_travel": """
 WITH ch AS (
   SELECT user_id AS k, value AS v, event_type AS etype, event_id AS seq,

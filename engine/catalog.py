@@ -381,3 +381,97 @@ def compact_cdc_table(spark: SparkSession, path: str | Path,
     man.data["lineage"]["base"] = out.name
     man.save()
     return sid
+
+
+def _scd2_check_unique(changes: DataFrame, keys: list[str],
+                       seq_col: str, where: str) -> None:
+    dup = (changes.groupBy(*keys, seq_col)
+           .agg(F.count(F.lit(1)).alias("n"))
+           .filter(F.col("n") > 1).limit(1).collect())
+    if dup:
+        raise ValueError(f"{where}: non-unique (key, {seq_col}) "
+                         f"(e.g. {dup[0]}) — version order would be "
+                         "engine-dependent")
+
+
+def scd2_build(changes: DataFrame, key_cols: list[str] | str,
+               op_col: str = "op", seq_col: str = "seq",
+               enforce_unique_seq: bool = True) -> DataFrame:
+    """Build a Slowly-Changing-Dimension TYPE 2 table from a change log
+    (the dimension-history shape every warehouse keeps beside the
+    merge_upsert TYPE-1 snapshot): one VERSION row per I/U change,
+    validity interval [eff_from, eff_to) in CDC seq coordinates —
+    eff_from is the change's own seq, eff_to the key's next change seq
+    (NULL while current), is_current = open-ended.  A delete closes the
+    preceding version (its seq becomes that version's eff_to) and emits
+    no row of its own, so a deleted key simply has no current version; a
+    later re-insert opens a fresh one.
+
+    Scale shape: ONE exchange — the (key) hash partition for the
+    lead() window — over the change log only (changes are GBs/day where
+    the corpus is TBs; history accumulates in storage, not in any
+    shuffle).  All arithmetic is column moves; no floats are created, so
+    the output is bit-portable by construction."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if enforce_unique_seq:
+        _scd2_check_unique(changes, keys, seq_col, "scd2_build")
+    from pyspark.sql import Window
+    payload = [c for c in changes.columns if c not in (op_col, seq_col)]
+    w = Window.partitionBy(*keys).orderBy(seq_col)
+    nxt = F.lead(seq_col).over(w)
+    return (changes
+            .select(*payload, F.col(op_col).alias("_op"),
+                    F.col(seq_col).alias("eff_from"), nxt.alias("eff_to"))
+            .filter(F.col("_op") != "D").drop("_op")
+            .withColumn("is_current", F.col("eff_to").isNull()))
+
+
+def scd2_apply(dim: DataFrame, changes: DataFrame,
+               key_cols: list[str] | str, op_col: str = "op",
+               seq_col: str = "seq",
+               enforce_order: bool = True) -> DataFrame:
+    """Incrementally apply a CDC batch to an existing SCD2 dimension:
+    the exact-equivalence contract is
+
+        scd2_apply(scd2_build(log[:k]), log[k:]) == scd2_build(log)
+
+    (pytest-pinned), so consumers can maintain the dimension per batch
+    instead of rebuilding from the full log.
+
+    Scale shape: the DIMENSION NEVER SHUFFLES.  The batch reduces to one
+    tiny (key, first_seq) table; the dimension takes a single
+    broadcastable left join against it and a map-only column rewrite
+    (only an affected key's CURRENT row changes: eff_to closes at the
+    batch's first seq for that key).  New versions come from
+    scd2_build(batch) — one batch-sized window exchange — where the
+    oldest version per key inherits nothing from the dimension (its
+    eff_from is its own seq).  At 100 TB of history + GBs of CDC this is
+    a map-only pass over the big side, the merge_upsert posture.
+
+    Ordering contract (enforced, RAISES): every batch seq for a key must
+    exceed every seq the dimension has recorded for it (eff_from and the
+    closing eff_to) — CDC batch order follows binlog order, the
+    write_cdc_delta contract; violating it would interleave history."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    first = (changes.groupBy(*keys)
+             .agg(F.min(seq_col).alias("_first_seq")))
+    if enforce_order:
+        dim_max = (dim.groupBy(*keys)
+                   .agg(F.max(F.coalesce("eff_to", "eff_from"))
+                        .alias("_dim_max")))
+        bad = (first.join(dim_max, keys)
+               .filter(F.col("_first_seq") <= F.col("_dim_max"))
+               .limit(1).collect())
+        if bad:
+            raise ValueError(
+                f"scd2_apply: batch seq <= existing dimension seq for a "
+                f"key (e.g. {bad[0]}) — CDC batch order must follow seq "
+                "order (write_cdc_delta contract)")
+    j = dim.join(first, keys, "left")
+    closing = (F.col("is_current") & F.col("_first_seq").isNotNull())
+    rewritten = (j.withColumn("eff_to", F.when(closing, F.col("_first_seq"))
+                              .otherwise(F.col("eff_to")))
+                 .withColumn("is_current", F.col("is_current") & ~closing)
+                 .drop("_first_seq"))
+    fresh = scd2_build(changes, keys, op_col, seq_col)
+    return rewritten.unionByName(fresh.select(*rewritten.columns))

@@ -292,3 +292,56 @@ def test_cdc_time_travel_reads_pre_compaction_snapshots(spark, tmp_path):
     import pytest as _pt
     with _pt.raises(ValueError, match="no snapshot"):
         catalog.read_merge_on_read(spark, tbl, "k", as_of=-1)
+
+
+def _chlog(spark):
+    # key 1: U,U,U (current at seq 9); key 2: U,D (deleted); key 3: U,D,I
+    # (re-inserted); key 4: single insert; key 5: D-only (no-op history)
+    rows = [
+        (1, "a1", "U", 1), (1, "a2", "U", 5), (1, "a3", "U", 9),
+        (2, "b1", "U", 2), (2, "DEL", "D", 6),
+        (3, "c1", "U", 3), (3, "DEL", "D", 4), (3, "c2", "I", 8),
+        (4, "d1", "I", 7),
+        (5, "DEL", "D", 10),
+    ]
+    return spark.createDataFrame(rows, ["k", "attr", "op", "seq"])
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_scd2_build_known_values(spark):
+    out = catalog.scd2_build(_chlog(spark), "k")
+    assert _sorted_rows(out) == sorted([
+        (1, "a1", 1, 5, False), (1, "a2", 5, 9, False),
+        (1, "a3", 9, None, True),
+        (2, "b1", 2, 6, False),
+        (3, "c1", 3, 4, False), (3, "c2", 8, None, True),
+        (4, "d1", 7, None, True),
+    ])
+
+
+def test_scd2_apply_equals_full_build_at_every_split(spark):
+    log = _chlog(spark)
+    full = _sorted_rows(catalog.scd2_build(log, "k"))
+    for k in range(1, 11):
+        dim = catalog.scd2_build(log.filter(F.col("seq") < k), "k")
+        batch = log.filter(F.col("seq") >= k)
+        got = _sorted_rows(catalog.scd2_apply(dim, batch, "k"))
+        assert got == full, f"split at seq {k}"
+
+
+def test_scd2_apply_rejects_out_of_order_batch(spark):
+    log = _chlog(spark)
+    dim = catalog.scd2_build(log.filter(F.col("seq") < 6), "k")
+    with pytest.raises(ValueError, match="batch order"):
+        catalog.scd2_apply(dim, log.filter(F.col("seq") >= 1), "k")
+
+
+def test_scd2_build_rejects_duplicate_seq(spark):
+    log = _chlog(spark).union(
+        spark.createDataFrame([(1, "dup", "U", 1)],
+                              ["k", "attr", "op", "seq"]))
+    with pytest.raises(ValueError, match="non-unique"):
+        catalog.scd2_build(log, "k")
