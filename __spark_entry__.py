@@ -2326,6 +2326,45 @@ def q_cdc_time_travel(spark, sf_dir):
             .unionByName(head.withColumn("snap", F.lit(3).cast("long"))))
 
 
+def q_cdc_incr_agg(spark, sf_dir):
+    """Self-maintainable materialized view over the MOR CDC table
+    (engine/catalog.py::incr_agg_apply): a grouped (count, sum) view is
+    bootstrapped with ONE full aggregation over the first batch's state,
+    then maintained DIFFERENTIALLY through two more CDC batches — each
+    update touches only the batch plus the pre-batch rows of affected
+    keys (left-semi probe), never re-aggregating the table.  The oracle
+    recomputes the view from scratch over the final folded state
+    (per-key max-seq winner, delete winners dropped): incremental ==
+    full recompute is the exactness contract.  Values enter as
+    floor-cents int64 so every sum is order-independent."""
+    import tempfile
+
+    from engine import catalog
+    ev = _t(spark, sf_dir, "events")
+    ch = ev.select(
+        F.col("user_id").alias("k"),
+        F.col("event_type").alias("g"),
+        F.floor(F.col("value") * 100).cast("long").alias("v"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+         .otherwise(F.lit("U")).alias("op"),
+        F.col("event_id").alias("seq"))
+    tbl = tempfile.mkdtemp(prefix="cdc_incr_")
+    mx = int(ch.agg(F.max("seq")).collect()[0][0])
+    t1, t2 = mx // 3, 2 * mx // 3
+    b0 = ch.filter(F.col("seq") <= t1)
+    b1 = ch.filter((F.col("seq") > t1) & (F.col("seq") <= t2))
+    b2 = ch.filter(F.col("seq") > t2)
+    catalog.write_cdc_delta(b0, tbl, 0, "k")
+    agg = (catalog.read_merge_on_read(spark, tbl, "k")
+           .groupBy("g").agg(F.count(F.lit(1)).alias("cnt"),
+                             F.sum("v").alias("total")))
+    for i, b in ((1, b1), (2, b2)):
+        pre = catalog.read_merge_on_read(spark, tbl, "k")
+        agg = catalog.incr_agg_apply(agg, pre, b, "k", "g", "v")
+        catalog.write_cdc_delta(b, tbl, i, "k")
+    return agg.select("g", "cnt", "total")
+
+
 def _scd2_changes(docs):
     """Deterministic 5-wave change log over documents (the q_cdc_merge
     synthesis pattern): %42 keys walk a full V1 -> V2 -> DELETE -> V3
@@ -2651,6 +2690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_time_travel": q_cdc_time_travel,
         "scd2_build": q_scd2_build,
         "scd2_apply": q_scd2_apply,
+        "cdc_incr_agg": q_cdc_incr_agg,
     }
 
 
@@ -5904,6 +5944,27 @@ SELECT k, v, etype FROM latest WHERE op != 'D'
 """,
         # both time-travel views replayed as max-seq folds over the
         # matching seq slices (seq unique -> arg_max tie-free)
+        # incremental view maintenance: the oracle is the from-scratch
+        # recompute over the final folded state — per-key max-seq winner
+        # (arg_max on the full struct), delete winners dropped; int64
+        # cents make the sums order-independent
+        "cdc_incr_agg": """
+WITH ch AS (
+  SELECT user_id AS k, event_type AS g,
+         CAST(floor(value * 100) AS BIGINT) AS v,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         event_id AS seq
+  FROM events
+),
+w AS (
+  SELECT k, g, v, op,
+         row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rk
+  FROM ch
+),
+head AS (SELECT k, g, v FROM w WHERE rk = 1 AND op <> 'D')
+SELECT g, CAST(count(*) AS BIGINT) AS cnt, sum(v) AS total
+FROM head GROUP BY g
+""",
         # SCD2: the change log replayed wave-for-wave, versioned with
         # ONE lead() window; all-integer/string payload -> value-hash
         # exact.  scd2_apply shares the oracle: apply == rebuild is the

@@ -475,3 +475,58 @@ def scd2_apply(dim: DataFrame, changes: DataFrame,
                  .drop("_first_seq"))
     fresh = scd2_build(changes, keys, op_col, seq_col)
     return rewritten.unionByName(fresh.select(*rewritten.columns))
+
+
+def incr_agg_apply(agg: DataFrame, state: DataFrame, batch: DataFrame,
+                   key_cols: list[str] | str, group_col: str,
+                   val_col: str, op_col: str = "op",
+                   seq_col: str = "seq") -> DataFrame:
+    """Incrementally maintain a grouped (count, sum) aggregate over a
+    CDC-upserted table — the SELF-MAINTAINABLE materialized view: when a
+    batch lands, the view updates from the batch plus the PRE-batch rows
+    of only the affected keys, never a full re-aggregation.
+
+        agg'(g) = agg(g) - contrib(old rows of batch keys)
+                         + contrib(new non-delete batch rows)
+
+    `agg` carries (group_col, cnt, total); `state` is the table's
+    pre-batch logical view (read_merge_on_read BEFORE the batch commit);
+    `batch` is the raw CDC micro-batch (op/seq columns, write_cdc_delta's
+    contract incl. unique (key, seq)).  Groups whose count reaches zero
+    drop out of the view.
+
+    Scale shape: work is O(batch + affected rows) — the batch reduces
+    per key, old contributions come from a LEFT SEMI join of the state
+    against the batch's (tiny, broadcastable) key set (with the bucketed
+    /z-ordered layouts in this repo that semi probe is partition-pruned;
+    it is never a re-aggregation), and the view update is an outer join
+    of two GROUP-cardinality tables.  COUNT/SUM are self-maintainable
+    under inserts, updates AND deletes because contributions subtract
+    exactly; MIN/MAX are NOT (a deleted extremum forces a per-group
+    re-scan) — by design this helper only maintains the (cnt, sum)
+    pair (avg = total/cnt at read time)."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    payload = [c for c in batch.columns if c not in (op_col, seq_col)]
+    others = [c for c in payload if c not in keys]
+    latest = (batch.groupBy(*keys)
+              .agg(*[F.max_by(c, seq_col).alias(c) for c in others],
+                   F.max_by(op_col, seq_col).alias(op_col)))
+    old = state.join(latest.select(*keys), keys, "left_semi")
+    minus = (old.groupBy(group_col)
+             .agg((-F.count(F.lit(1))).alias("d_cnt"),
+                  (-F.sum(val_col)).alias("d_total")))
+    plus = (latest.filter(F.col(op_col) != "D")
+            .groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("d_cnt"),
+                 F.sum(val_col).alias("d_total")))
+    delta = (minus.unionByName(plus)
+             .groupBy(group_col)
+             .agg(F.sum("d_cnt").alias("d_cnt"),
+                  F.sum("d_total").alias("d_total")))
+    return (agg.join(delta, group_col, "full_outer")
+            .select(F.col(group_col),
+                    (F.coalesce("cnt", F.lit(0))
+                     + F.coalesce("d_cnt", F.lit(0))).alias("cnt"),
+                    (F.coalesce("total", F.lit(0))
+                     + F.coalesce("d_total", F.lit(0))).alias("total"))
+            .filter(F.col("cnt") > 0))

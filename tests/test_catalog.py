@@ -345,3 +345,39 @@ def test_scd2_build_rejects_duplicate_seq(spark):
                               ["k", "attr", "op", "seq"]))
     with pytest.raises(ValueError, match="non-unique"):
         catalog.scd2_build(log, "k")
+
+
+def _full_agg(state):
+    return (state.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("cnt"), F.sum("v").alias("total")))
+
+
+def test_incr_agg_apply_equals_full_recompute(spark, tmp_path):
+    # 3 batches: inserts, updates that move rows across groups, deletes
+    # that empty one group entirely
+    cols = ["k", "g", "v", "op", "seq"]
+    b0 = spark.createDataFrame(
+        [(1, "a", 10, "U", 1), (2, "a", 20, "U", 2), (3, "b", 30, "U", 3),
+         (4, "c", 5, "U", 4)], cols)
+    b1 = spark.createDataFrame(
+        [(2, "b", 25, "U", 5),              # moves 2 from a to b
+         (5, "a", 7, "I", 6),               # new key
+         (4, "c", 0, "D", 7)], cols)        # empties group c
+    b2 = spark.createDataFrame(
+        [(3, "b", 31, "U", 8), (3, "b", 33, "U", 9),   # in-batch supersede
+         (1, "a", 0, "D", 10), (5, "a", 0, "D", 11)], cols)
+    tbl = str(tmp_path / "mor")
+    catalog.write_cdc_delta(b0, tbl, 0, "k")
+    state0 = catalog.read_merge_on_read(spark, tbl, "k")
+    agg = _full_agg(state0)                  # bootstrap full aggregation
+    for i, b in ((1, b1), (2, b2)):
+        pre = catalog.read_merge_on_read(spark, tbl, "k")
+        agg = incr = catalog.incr_agg_apply(agg, pre, b, "k", "g", "v")
+        catalog.write_cdc_delta(b, tbl, i, "k")
+        post = catalog.read_merge_on_read(spark, tbl, "k")
+        full = sorted(tuple(r) for r in _full_agg(post).collect())
+        got = sorted(tuple(r) for r in incr.collect())
+        assert got == full, f"after batch {i}: {got} != {full}"
+    # group c vanished, group a reduced to nothing after b2 deletes? a has
+    # nothing left (1 deleted, 5 deleted, 2 moved) -> only b remains
+    assert [r["g"] for r in agg.orderBy("g").collect()] == ["b"]
