@@ -2067,6 +2067,24 @@ def q_dedup_spans(spark, sf_dir):
     return dedup_spans(docs, n=_SPAN_N, min_count=_SPAN_MIN_COUNT)
 
 
+def q_dedup_paragraphs(spark, sf_dir):
+    """C4/RefinedWeb cross-document paragraph dedup: the synthetic docs
+    are single-line, so both sides first paragraph-ize deterministically
+    with the same literal replace (' table ' -> newline; plain substring
+    replace is left-to-right non-overlapping in Spark AND DuckDB, so the
+    split points match byte-for-byte).  Every paragraph keeps only its
+    globally first (doc_id, pos) occurrence; docs reassemble in order.
+    Spark groups a (xxhash64, md5, len) triple — the dedup_exact identity
+    contract — while the oracle groups raw text; identical barring a
+    2^-190 collision."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit(" table "), F.lit("\n"))
+        .alias("text"))
+    from engine.text import dedup_paragraphs
+    return dedup_paragraphs(docs).orderBy("doc_id")
+
+
 def q_unigram_lm_score(spark, sf_dir):
     """CCNet-style LM quality scoring: fit a unigram LM on the simulated
     clean reference (doc_id % 13 == 0, the decontaminate split), score the
@@ -2669,6 +2687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "x7_props_json": q_x7_props_json,
         "dedup_spans": q_dedup_spans,
+        "dedup_paragraphs": q_dedup_paragraphs,
         "unigram_lm_score": q_unigram_lm_score,
         "chunk_documents": q_chunk_documents,
         "pack_sequences": q_pack_sequences,
@@ -5380,6 +5399,54 @@ SELECT toks.doc_id,
 FROM toks
 LEFT JOIN nspans ON toks.doc_id = nspans.doc_id
 LEFT JOIN clean ON toks.doc_id = clean.doc_id
+""",
+        # paragraph dedup replay: same literal replace paragraph-izer,
+        # winners by raw-text grouping (Spark keys the hash triple —
+        # identical barring a 2^-190 collision), reassembly by string_agg
+        # in position order; every input doc row survives via the base
+        # left join even when all its paragraphs lost dedup.
+        "dedup_paragraphs": """
+WITH src AS (
+  SELECT doc_id, replace(text, ' table ', chr(10)) AS text FROM documents
+),
+parts AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ps FROM src
+),
+paras AS (
+  SELECT doc_id,
+         unnest(range(1, len(ps) + 1)) - 1 AS pos,
+         unnest(ps) AS para
+  FROM parts
+),
+cand AS (
+  SELECT doc_id, pos, para,
+         row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+  FROM paras WHERE len(para) >= 1
+),
+unioned AS (
+  SELECT doc_id, pos, para, TRUE AS is_cand FROM cand WHERE rn = 1
+  UNION ALL
+  SELECT doc_id, pos, para, FALSE AS is_cand
+  FROM paras WHERE len(para) < 1
+),
+agg AS (
+  SELECT doc_id,
+         string_agg(para, chr(10) ORDER BY pos) AS text,
+         count(*) FILTER (WHERE is_cand) AS n_kept
+  FROM unioned GROUP BY doc_id
+),
+ncand AS (
+  SELECT doc_id, count(*) AS n_cand FROM cand GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(agg.text, '') AS text,
+       CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(coalesce(ncand.n_cand, 0) - coalesce(agg.n_kept, 0) AS BIGINT)
+         AS n_dropped
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN agg ON d.doc_id = agg.doc_id
+LEFT JOIN ncand ON d.doc_id = ncand.doc_id
+ORDER BY d.doc_id
 """,
         # unigram-LM scoring replay: integer count sums + ONE double
         # division (exact operands, correctly-rounded IEEE divide -> the

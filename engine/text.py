@@ -1292,3 +1292,75 @@ def pack_sequences(docs: DataFrame, capacity: int = 128,
                     (bs - F.col("_off") + 1).cast("int"),
                     (be - bs).cast("int")),
             " ").alias("piece"))
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level dedup (C4 / RefinedWeb line dedup)
+# ---------------------------------------------------------------------------
+
+def dedup_paragraphs(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", delim: str = "\n",
+                     min_chars: int = 1) -> DataFrame:
+    """Corpus-wide PARAGRAPH dedup (the C4/RefinedWeb 'remove duplicate
+    lines across documents' pass): every paragraph (text split on
+    `delim`) keeps only its globally FIRST occurrence — ordered by
+    (doc_id, position) — and every later copy is cut from its document;
+    documents are reassembled in original paragraph order.  Returns
+    (id_col, text, n_kept, n_dropped) — one row per input document
+    (guaranteed: a doc whose every paragraph lost dedup still emits a
+    row with empty text), `delim` is a Spark split() REGEX.
+
+    Paragraphs shorter than `min_chars` BYPASS dedup and are always kept
+    (structure like empty lines survives; this is also the C4 rule of
+    only deduplicating substantial lines).
+
+    Scale shape (the dedup_exact discipline): the winner-per-paragraph
+    aggregation shuffles the (xxhash64, md5, length) triple plus the
+    (doc_id, pos) candidate — ~60 B/row, never the paragraph text — and
+    map-side partial min() collapses a boilerplate line duplicated 10^9
+    times BEFORE the exchange, so a mega-duplicate cannot hot-spot one
+    reducer (a window over the hash would).  Survivors come from a
+    (doc_id, pos) left-semi join; paragraph text crosses an exchange
+    only in the unavoidable per-document reassembly.  Dedup identity is
+    the two-hash-family + length triple (collision < 2^-190 per pair,
+    dedup_exact's contract), so an oracle grouping by the raw text
+    agrees on any real corpus."""
+    h = [F.xxhash64(F.col("_para")).alias("_h64"),
+         F.md5(F.col("_para").cast("binary")).alias("_hmd5"),
+         F.length(F.col("_para")).alias("_hlen")]
+    paras = docs.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), delim, -1))
+        .alias("_pos", "_para"))
+    cand = paras.filter(F.length("_para") >= min_chars)
+    bypass = (paras.filter(F.length("_para") < min_chars)
+              .withColumn("_is_cand", F.lit(False)))
+    winners = (cand.select(*h, "_pos", F.col(id_col))
+               .groupBy("_h64", "_hmd5", "_hlen")
+               .agg(F.min(F.struct(F.col(id_col).alias("i"),
+                                   F.col("_pos").alias("p"))).alias("_w"))
+               .select(F.col("_w.i").alias(id_col),
+                       F.col("_w.p").alias("_pos")))
+    kept = (cand.join(winners, [id_col, "_pos"], "left_semi")
+            .withColumn("_is_cand", F.lit(True)))
+    # count candidates per doc BEFORE dropping, to report n_dropped
+    n_cand = (cand.groupBy(id_col)
+              .agg(F.count(F.lit(1)).alias("_n_cand")))
+    out = (kept.unionByName(bypass)
+           .groupBy(id_col)
+           .agg(F.array_sort(F.collect_list(
+                    F.struct(F.col("_pos").alias("p"),
+                             F.col("_para").alias("t")))).alias("_ps"),
+                F.sum(F.col("_is_cand").cast("long")).alias("n_kept"))
+           .select(id_col,
+                   F.array_join(F.transform("_ps", lambda s: s["t"]),
+                                delim).alias(text_col),
+                   "n_kept"))
+    # re-anchor on the input ids: a doc whose every paragraph was a
+    # dup-loser has NO row in `out` but must still appear (empty text).
+    base = docs.select(id_col)
+    return (base.join(out, id_col, "left").join(n_cand, id_col, "left")
+            .select(id_col,
+                    F.coalesce(text_col, F.lit("")).alias(text_col),
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                    (F.coalesce("_n_cand", F.lit(0))
+                     - F.coalesce("n_kept", F.lit(0))).alias("n_dropped")))

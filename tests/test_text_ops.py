@@ -1016,3 +1016,50 @@ def test_pack_sequences_coverage_property(spark):
         sizes = gp.groupby("bin_id").n_tok.sum().sort_index()
         assert all(v == cap for v in sizes[:-1]), (g, list(sizes))
         assert 0 < sizes.iloc[-1] <= cap
+
+
+def test_dedup_paragraphs_known_values(spark):
+    """C4-style paragraph dedup on a hand-checked corpus: cross-doc dup
+    keeps the (doc_id, pos)-first copy, within-doc repeat keeps the
+    earlier position, short lines bypass dedup (always kept), and a doc
+    whose every paragraph lost still emits an empty-text row."""
+    rows = [
+        (1, "alpha beta\nshared paragraph here\ngamma delta"),
+        (2, "shared paragraph here\nfresh text two"),
+        (3, "repeat me\nmiddle bit\nrepeat me"),
+        (4, "ok\nalpha beta\nok"),        # 'ok' < min_chars: bypasses twice
+        (5, "shared paragraph here"),      # loses everything -> empty text
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: (r["text"], r["n_kept"], r["n_dropped"])
+           for r in text.dedup_paragraphs(df, min_chars=3).collect()}
+    assert got == {
+        1: ("alpha beta\nshared paragraph here\ngamma delta", 3, 0),
+        2: ("fresh text two", 1, 1),
+        3: ("repeat me\nmiddle bit", 2, 1),
+        4: ("ok\nok", 0, 1),               # bypass rows kept, dup dropped
+        5: ("", 0, 1),
+    }
+
+
+def test_dedup_paragraphs_reassembly_property(spark):
+    """Property over a generated corpus with heavy paragraph reuse: the
+    multiset of kept paragraphs equals the distinct input paragraphs
+    (each exactly once), every kept paragraph sits at its globally first
+    (doc_id, pos), and per-doc n_kept + n_dropped == paragraph count."""
+    rows = [(i, "\n".join(f"para {(i * 3 + j) % 11}" for j in range(5)))
+            for i in range(12)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = text.dedup_paragraphs(df).toPandas().set_index("doc_id")
+    kept = [p for t in out.text for p in (t.split("\n") if t else [])]
+    assert sorted(kept) == sorted({f"para {k}" for k in range(11)})
+    firsts = {}
+    for i, t in sorted(rows):
+        for j, p in enumerate(t.split("\n")):
+            firsts.setdefault(p, (i, j))
+    for i, t in sorted(rows):
+        keptset = set((out.loc[i, "text"] or "").split("\n")) - {""}
+        want = {p for j, p in enumerate(t.split("\n"))
+                if firsts[p] == (i, j)}
+        assert keptset == want, i
+        assert out.loc[i, "n_kept"] + out.loc[i, "n_dropped"] == 5
