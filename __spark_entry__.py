@@ -1242,6 +1242,35 @@ def q_decontaminate(spark, sf_dir):
     return decontaminate(docs, bench, n=3)
 
 
+_BLOOM_M = 1 << 16
+_BLOOM_K = 4
+
+
+def q_decontaminate_bloom(spark, sf_dir):
+    """Bloom-filter decontamination beside the exact join: the bench
+    n-grams fold into a 2^16-bit filter (md5_60-portable hash family) and
+    the corpus side is a MAP-ONLY literal-bitmap probe — no join build
+    side at all.  Output joins the bloom verdict to the exact one, making
+    the structural guarantees driver-visible row-by-row: bloom_fn (missed
+    leakage) is ALWAYS false, bloom_fp is the bounded clean-data cost.
+    The oracle replays positions, bit set and membership exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    from engine.text import decontaminate, decontaminate_bloom
+    bench = docs.filter(F.col("doc_id") % 13 == 0)
+    bloom = decontaminate_bloom(docs, bench, n=3, m_bits=_BLOOM_M,
+                                k=_BLOOM_K)
+    exact = decontaminate(docs, bench, n=3).select(
+        "doc_id", "is_contaminated")
+    return (bloom.join(exact, "doc_id")
+            .select("doc_id", "n_maybe_grams", "is_flagged",
+                    F.col("is_contaminated").alias("exact_flagged"),
+                    (F.col("is_flagged") & ~F.col("is_contaminated"))
+                    .alias("bloom_fp"),
+                    (~F.col("is_flagged") & F.col("is_contaminated"))
+                    .alias("bloom_fn"))
+            .orderBy("doc_id"))
+
+
 def q_simhash_near_pairs(spark, sf_dir):
     """SimHash near-dup pairs in portable md5_60 token-hash mode (simhash
     fingerprints are an exchange format; md5-of-token reproduces in any
@@ -2655,6 +2684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": q_simhash_near_pairs,
         "simhash_dup_recall": q_simhash_dup_recall,
         "decontaminate": q_decontaminate,
+        "decontaminate_bloom": q_decontaminate_bloom,
         "ann_topk_lsh": q_ann_topk_lsh,
         "dedup_clusters": q_dedup_clusters,
         "ann_lsh_recall": q_ann_lsh_recall,
@@ -4466,6 +4496,62 @@ SELECT d.doc_id,
        (h.doc_id IS NOT NULL) AS is_contaminated
 FROM documents d LEFT JOIN hits h USING (doc_id)
 """,
+        # bloom decontamination replay: same md5_60 position family, bit
+        # set as a distinct-position table, membership = all k positions
+        # present (bool_and over a left join) — decision-identical to the
+        # Spark literal-bitmap probe
+        "decontaminate_bloom": r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'),
+                             x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(t) - 2, 0) + 1),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+  FROM toks
+),
+bgrams AS (SELECT DISTINCT unnest(s) AS gram FROM sh WHERE doc_id % 13 = 0),
+bpos AS (
+  SELECT DISTINCT unnest(list_transform(range(0, {K}),
+    i -> ('0x' || substr(md5(i || ':' || gram), 1, 15))::BIGINT % {M}))
+    AS p
+  FROM bgrams
+),
+dg AS (SELECT doc_id, unnest(s) AS gram FROM sh),
+dpos AS (
+  SELECT doc_id, gram,
+         unnest(list_transform(range(0, {K}),
+           i -> ('0x' || substr(md5(i || ':' || gram), 1, 15))::BIGINT
+                % {M})) AS p
+  FROM dg
+),
+maybe AS (
+  SELECT doc_id, gram
+  FROM dpos LEFT JOIN bpos ON dpos.p = bpos.p
+  GROUP BY doc_id, gram
+  HAVING bool_and(bpos.p IS NOT NULL)
+),
+bloomhits AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_maybe FROM maybe
+  GROUP BY doc_id
+),
+exacthits AS (
+  SELECT DISTINCT dg.doc_id FROM dg JOIN bgrams USING (gram)
+)
+SELECT d.doc_id,
+       COALESCE(b.n_maybe, 0) AS n_maybe_grams,
+       (b.doc_id IS NOT NULL) AS is_flagged,
+       (e.doc_id IS NOT NULL) AS exact_flagged,
+       (b.doc_id IS NOT NULL AND e.doc_id IS NULL) AS bloom_fp,
+       (b.doc_id IS NULL AND e.doc_id IS NOT NULL) AS bloom_fn
+FROM documents d
+LEFT JOIN bloomhits b USING (doc_id)
+LEFT JOIN exacthits e USING (doc_id)
+ORDER BY d.doc_id
+""".replace("{K}", str(_BLOOM_K)).replace("{M}", str(_BLOOM_M)),
         "dedup_ngram_jaccard": r"""
 WITH toks AS (
   SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'),

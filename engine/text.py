@@ -1364,3 +1364,96 @@ def dedup_paragraphs(docs: DataFrame, text_col: str = "text",
                     F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
                     (F.coalesce("_n_cand", F.lit(0))
                      - F.coalesce("n_kept", F.lit(0))).alias("n_dropped")))
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination
+# ---------------------------------------------------------------------------
+
+def bloom_positions_col(c: Column, k: int, m_bits: int) -> Column:
+    """k portable Bloom bit positions for a string column: position i is
+    the first 60 bits of md5(f"{i}:" || x) (hex-parsed) mod m_bits — the
+    repo's md5_60 exchange-hash contract, reproducible in any engine
+    (DuckDB: ('0x' || substr(md5(i || ':' || x), 1, 15))::BIGINT)."""
+    return F.array(*[
+        (F.conv(F.substring(F.md5(F.concat(F.lit(f"{i}:"), c)), 1, 15),
+                16, 10).cast("long") % m_bits)
+        for i in range(k)])
+
+
+def decontaminate_bloom(docs: DataFrame, benchmark: DataFrame, n: int = 3,
+                        m_bits: int = 1 << 16, k: int = 4,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        bench_text_col: str = "text") -> DataFrame:
+    """Bloom-filter benchmark decontamination — the scale path for when
+    the eval corpus is too large to broadcast as raw n-grams but its
+    BITMAP is tiny: bench n-grams fold into an m_bits Bloom filter ONCE
+    (distributed bit_or aggregation over 64-bit words, collected under an
+    enforced envelope), and the 10^12-doc corpus side is then a pure
+    MAP-ONLY probe — the bitmap rides into every task as a literal
+    long-array column evaluated in whole-stage codegen, so unlike the
+    exact `decontaminate` join there is no broadcast-hash-join build side
+    at all and no gram ever leaves its input partition; only per-doc hit
+    counts reach the one aggregation exchange.
+
+    Bloom guarantees map onto decontamination asymmetrically, which is
+    why this direction (bench in the filter, corpus probing) is the right
+    one: NO FALSE NEGATIVES — a truly contaminated doc is always flagged
+    (leakage is never missed) — while false positives only discard a
+    bounded sliver of clean training data (rate ~ (1 - e^(-k*n/m))^k).
+
+    The hash family is md5_60-portable, so the entire construction —
+    positions, bit set, membership — replays exactly in the DuckDB
+    oracle (membership there = all k positions in the distinct bench
+    position set; identical decisions bit-for-bit).
+
+    Output: id column + n_maybe_grams (distinct-per-doc grams the filter
+    accepts) + is_flagged.  m_bits is capped at 2^27 (16 MB of words) —
+    past that, raise and point the caller at exact `decontaminate`."""
+    if m_bits > (1 << 27):
+        raise ValueError(
+            f"m_bits={m_bits} exceeds the 2^27 literal-bitmap envelope; "
+            "use exact decontaminate() with a broadcast gram table")
+    if m_bits % 64 != 0:
+        raise ValueError("m_bits must be a multiple of 64")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    bench_pos = (benchmark
+                 .select(F.explode(shingles_col(F.col(bench_text_col), n))
+                         .alias("gram"))
+                 .select(F.explode(bloom_positions_col(F.col("gram"), k,
+                                                       m_bits)).alias("p"))
+                 .distinct())
+    words_rows = (bench_pos
+                  .groupBy((F.col("p") / 64).cast("long").alias("w"))
+                  .agg(F.bit_or(F.call_function(
+                          "shiftleft", F.lit(1).cast("long"),
+                          (F.col("p") % 64).cast("int"))).alias("bits"))
+                  .collect())
+    words = [0] * (m_bits // 64)
+    for r in words_rows:
+        words[r["w"]] = r["bits"]
+    wlit = F.lit(words)  # literal array<long>: codegen-side, no join build
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode(shingles_col(F.col(text_col), n)).alias("gram"))
+    probe = doc_grams.select(
+        F.col(id_col),
+        F.aggregate(
+            bloom_positions_col(F.col("gram"), k, m_bits),
+            F.lit(True),
+            lambda acc, p: acc & (
+                F.element_at(wlit, (p / 64).cast("int") + 1)
+                .bitwiseAND(F.call_function(
+                    "shiftleft", F.lit(1).cast("long"),
+                    (p % 64).cast("int"))) != 0))
+        .alias("_maybe"))
+    hits = (probe.filter(F.col("_maybe"))
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_maybe_grams")))
+    return (docs.select(id_col)
+            .join(hits, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce(F.col("n_maybe_grams"), F.lit(0))
+                    .cast("long").alias("n_maybe_grams"),
+                    F.col("n_maybe_grams").isNotNull().alias("is_flagged")))

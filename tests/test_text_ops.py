@@ -1063,3 +1063,28 @@ def test_dedup_paragraphs_reassembly_property(spark):
                 if firsts[p] == (i, j)}
         assert keptset == want, i
         assert out.loc[i, "n_kept"] + out.loc[i, "n_dropped"] == 5
+
+
+def test_decontaminate_bloom_guarantees(spark):
+    """Bloom decontamination structural guarantees: flags are a SUPERSET
+    of exact decontaminate's on any corpus (no false negatives), exact
+    hits always flag, a pathologically small filter (m=64, k=1) floods
+    false positives but still never misses, and the envelopes raise."""
+    rows = [(i, " ".join(f"w{(i * 5 + j) % 37}" for j in range(8)))
+            for i in range(30)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    bench = df.filter(F.col("doc_id") % 7 == 0)
+    exact = {r["doc_id"]: r["is_contaminated"]
+             for r in text.decontaminate(df, bench, n=3).collect()}
+    for m, k in [(1 << 12, 4), (64, 1)]:
+        got = {r["doc_id"]: r["is_flagged"]
+               for r in text.decontaminate_bloom(df, bench, n=3,
+                                                 m_bits=m, k=k).collect()}
+        assert set(got) == set(exact)
+        assert all(got[i] for i, c in exact.items() if c), (m, k)
+    with pytest.raises(ValueError):
+        text.decontaminate_bloom(df, bench, m_bits=1 << 28)
+    with pytest.raises(ValueError):
+        text.decontaminate_bloom(df, bench, m_bits=100)
+    with pytest.raises(ValueError):
+        text.decontaminate_bloom(df, bench, k=0)
