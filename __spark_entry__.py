@@ -1242,6 +1242,20 @@ def q_decontaminate(spark, sf_dir):
     return decontaminate(docs, bench, n=3)
 
 
+def q_fuzzy_pairs(spark, sf_dir):
+    """Blocked edit-distance similarity join (PassJoin pigeonhole
+    blocking + levenshtein verify) over 16-char document title prefixes:
+    every unordered pair within distance 2.  Blocking is lossless, so
+    the all-pairs DuckDB oracle (with the |len diff| <= d band as its
+    only prefilter) agrees row-for-row — both engines implement unit-
+    cost Levenshtein."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 16).alias("title"))
+    from engine.text import fuzzy_pairs
+    return (fuzzy_pairs(docs, text_col="title", max_dist=2)
+            .orderBy("id_a", "id_b"))
+
+
 _BLOOM_M = 1 << 16
 _BLOOM_K = 4
 
@@ -2685,6 +2699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dup_recall": q_simhash_dup_recall,
         "decontaminate": q_decontaminate,
         "decontaminate_bloom": q_decontaminate_bloom,
+        "fuzzy_pairs": q_fuzzy_pairs,
         "ann_topk_lsh": q_ann_topk_lsh,
         "dedup_clusters": q_dedup_clusters,
         "ann_lsh_recall": q_ann_lsh_recall,
@@ -4495,6 +4510,18 @@ SELECT d.doc_id,
        COALESCE(h.n_hit, 0) AS n_hit_grams,
        (h.doc_id IS NOT NULL) AS is_contaminated
 FROM documents d LEFT JOIN hits h USING (doc_id)
+""",
+        # fuzzy-pair replay: blocking is lossless so the oracle IS the
+        # definition — all pairs within the length band, verified by
+        # DuckDB's unit-cost levenshtein (same recurrence as Spark's)
+        "fuzzy_pairs": """
+WITH t AS (SELECT doc_id, substr(text, 1, 16) AS s FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+FROM t a JOIN t b
+  ON a.doc_id < b.doc_id AND abs(len(a.s) - len(b.s)) <= 2
+WHERE levenshtein(a.s, b.s) <= 2
+ORDER BY id_a, id_b
 """,
         # bloom decontamination replay: same md5_60 position family, bit
         # set as a distinct-position table, membership = all k positions

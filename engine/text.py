@@ -1457,3 +1457,112 @@ def decontaminate_bloom(docs: DataFrame, benchmark: DataFrame, n: int = 3,
                     F.coalesce(F.col("n_maybe_grams"), F.lit(0))
                     .cast("long").alias("n_maybe_grams"),
                     F.col("n_maybe_grams").isNotNull().alias("is_flagged")))
+
+
+# ---------------------------------------------------------------------------
+# blocked edit-distance similarity join (PassJoin shape)
+# ---------------------------------------------------------------------------
+
+def fuzzy_pairs(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", max_dist: int = 2,
+                max_len: int = 256, tiny_envelope: int = 4096) -> DataFrame:
+    """Edit-distance similarity self-join for SHORT strings (titles,
+    URLs, names): all unordered pairs with levenshtein <= max_dist,
+    found WITHOUT the O(n^2) all-pairs scan via PassJoin segment
+    blocking (Li, Deng, Feng, VLDB 2011 — public):
+
+      * every string of length >= d+1 is cut into d+1 contiguous
+        segments (canonical even partition); if ED(a,b) <= d, an edit
+        script touches at most d of a's d+1 segments, so at least ONE
+        survives VERBATIM inside b, at a start position shifted by at
+        most d — the completeness pigeonhole;
+      * the probe side enumerates b's substrings only at the segment
+        lengths possible for partners within the +/-d length band and
+        joins fragment == segment with the position-shift and
+        length-band filters — candidates, not pairs, cross the one
+        fragment-keyed exchange;
+      * candidates dedup to unordered (id_a < id_b) pairs BEFORE the
+        levenshtein verify, which runs once per candidate pair (JVM
+        built-in, no Python).
+
+    Both-tiny pairs (len <= d on both sides, where segments would be
+    empty and the pigeonhole void) are ALL matches by definition
+    (ED <= max(len) <= d) and route through a dedicated length-band
+    branch whose population is envelope-checked.  Strings longer than
+    `max_len` raise: probe fan-out is O(len) rows per string, so this
+    is a short-string operator by contract — long-document near-dup
+    belongs to minhash_lsh/simhash.
+
+    Output: (id_a, id_b, dist), id_a < id_b, exact distances — so an
+    all-pairs oracle agrees row-for-row (blocking is lossless)."""
+    d, B = max_dist, max_dist + 1
+    if d < 1:
+        raise ValueError("max_dist must be >= 1")
+    base = df.select(F.col(id_col).alias("_id"),
+                     F.col(text_col).alias("_s"),
+                     F.length(text_col).alias("_len"))
+    stats = base.agg(F.max("_len").alias("mx"),
+                     F.sum((F.col("_len") <= d).cast("long")).alias("nt")) \
+                .collect()[0]
+    if (stats["mx"] or 0) > max_len:
+        raise ValueError(
+            f"max len {stats['mx']} exceeds max_len={max_len}: fuzzy_pairs "
+            "is a short-string join; use dedup_minhash_lsh for documents")
+    blen = F.floor(F.col("_len") / B).cast("int")
+    rem = (F.col("_len") % B).cast("int")
+    segs = (base.filter(F.col("_len") >= B)
+            .select(F.col("_id").alias("_gid"),
+                    F.col("_len").alias("_glen"),
+                    F.explode(F.transform(
+                        F.sequence(F.lit(0), F.lit(d)),
+                        lambda j: F.struct(
+                            (j * blen + F.least(j, rem) + 1).alias("st"),
+                            F.col("_s").substr(
+                                j * blen + F.least(j, rem) + 1,
+                                blen + (j < rem).cast("int")).alias("frag"))))
+                    .alias("_g"))
+            .select("_gid", "_glen", F.col("_g.st").alias("_gst"),
+                    F.col("_g.frag").alias("_gfrag")))
+    qmin = F.greatest(F.lit(1), F.floor((F.col("_len") - d) / B).cast("int"))
+    qmax = F.least(F.col("_len"),
+                   F.ceil((F.col("_len") + d) / B).cast("int"))
+    probe = (base.select(
+        F.col("_id").alias("_pid"), F.col("_len").alias("_plen"),
+        F.explode(F.when(qmax >= qmin, F.flatten(F.transform(
+            F.sequence(qmin, qmax),
+            lambda q: F.transform(
+                F.sequence(F.lit(1), (F.col("_len") - q + 1).cast("int")),
+                lambda i: F.struct(i.alias("st"),
+                                   F.col("_s").substr(i, q).alias("frag"))))))
+            .otherwise(F.array().cast(
+                "array<struct<st:int,frag:string>>"))).alias("_g"))
+        .select("_pid", "_plen", F.col("_g.st").alias("_pst"),
+                F.col("_g.frag").alias("_pfrag")))
+    cand = (probe.join(segs,
+                       (F.col("_pfrag") == F.col("_gfrag"))
+                       & (F.abs(F.col("_pst") - F.col("_gst")) <= d)
+                       & (F.abs(F.col("_plen") - F.col("_glen")) <= d)
+                       & (F.col("_pid") != F.col("_gid")))
+            .select(F.least("_pid", "_gid").alias("id_a"),
+                    F.greatest("_pid", "_gid").alias("id_b"))
+            .distinct())
+    sa = base.select(F.col("_id").alias("id_a"), F.col("_s").alias("_sa"))
+    sb = base.select(F.col("_id").alias("id_b"), F.col("_s").alias("_sb"))
+    main = (cand.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("dist", F.levenshtein("_sa", "_sb").cast("long"))
+            .filter(F.col("dist") <= d)
+            .select("id_a", "id_b", "dist"))
+    if (stats["nt"] or 0) == 0:
+        return main
+    if stats["nt"] > tiny_envelope:
+        raise ValueError(
+            f"{stats['nt']} strings of len <= max_dist exceed the "
+            f"tiny_envelope={tiny_envelope} all-match band")
+    t1 = base.filter(F.col("_len") <= d).select(
+        F.col("_id").alias("id_a"), F.col("_s").alias("_sa"))
+    t2 = base.filter(F.col("_len") <= d).select(
+        F.col("_id").alias("id_b"), F.col("_s").alias("_sb"))
+    tiny = (t1.join(t2, F.col("id_a") < F.col("id_b"))
+            .withColumn("dist", F.levenshtein("_sa", "_sb").cast("long"))
+            .select("id_a", "id_b", "dist"))
+    return main.unionByName(tiny)

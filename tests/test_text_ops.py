@@ -1088,3 +1088,47 @@ def test_decontaminate_bloom_guarantees(spark):
         text.decontaminate_bloom(df, bench, m_bits=100)
     with pytest.raises(ValueError):
         text.decontaminate_bloom(df, bench, k=0)
+
+
+def _lev(a, b):
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[:], i
+        for j, cb in enumerate(b, 1):
+            dp[j] = min(prev[j] + 1, dp[j - 1] + 1, prev[j - 1] + (ca != cb))
+    return dp[-1]
+
+
+def test_fuzzy_pairs_equals_all_pairs(spark):
+    """PassJoin blocking is LOSSLESS: over a seeded corpus mixing exact
+    dups, 1-2-edit variants, tiny strings and the empty string, the
+    blocked join returns exactly the brute-force all-pairs result."""
+    import itertools
+    import random
+    rng = random.Random(7)
+    words = ["spark", "spork", "stark", "shark", "sharp", "parse",
+             "spars", "a", "ab", "", "query", "quer", "queue"]
+    rows = [(i, rng.choice(words) + rng.choice(["", "s", "x", "ing"]))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for d in (1, 2, 3):
+        got = sorted((r.id_a, r.id_b, r.dist)
+                     for r in text.fuzzy_pairs(df, max_dist=d).collect())
+        want = sorted((a, b, _lev(sa, sb))
+                      for (a, sa), (b, sb) in itertools.combinations(rows, 2)
+                      if _lev(sa, sb) <= d)
+        assert got == want, d
+
+
+def test_fuzzy_pairs_envelopes(spark):
+    """Long strings and an oversized tiny band raise per contract."""
+    df = spark.createDataFrame([(1, "x" * 300), (2, "y")],
+                               ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        text.fuzzy_pairs(df)
+    tiny = spark.createDataFrame([(i, "a") for i in range(5)],
+                                 ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        text.fuzzy_pairs(tiny, max_dist=2, tiny_envelope=3)
+    with pytest.raises(ValueError):
+        text.fuzzy_pairs(tiny, max_dist=0)
