@@ -1242,6 +1242,92 @@ def q_decontaminate(spark, sf_dir):
     return decontaminate(docs, bench, n=3)
 
 
+_PCA_U = [((i * 37) % 13) - 6 for i in range(64)]  # planted spike direction
+
+
+def _spiked_embeddings(emb):
+    """Plant a deterministic rank-1 spike (coefficient (vec_id % 7 - 3),
+    direction _PCA_U, step 0.05) so the spectrum has a dominant
+    eigenvalue for power iteration to find — the synthetic embeddings
+    are isotropic (top eigenvalues within 1.3% of each other).  Integer
+    coefficient times integer direction is exact in double; the single
+    *0.05 and + x roundings replay identically in DuckDB."""
+    c = (F.col("vec_id") % 7 - 3).cast("double")
+    return emb.select(
+        "vec_id",
+        F.zip_with(F.col("embedding"),
+                   F.lit([float(x) for x in _PCA_U]),
+                   lambda x, ui: x.cast("double") + c * ui * F.lit(0.05))
+        .alias("embedding"))
+
+
+def q_pca_power(spark, sf_dir):
+    """Distributed PCA, bit-portable quant mode: quantize -> integral
+    centering -> int64 Gram via per-batch outer-product blocks (the only
+    exchange is dim^2-row) -> driver power iteration (8 rounds, max-abs
+    floor-div normalization, no sqrt) -> map-only projection.  The
+    DuckDB oracle replays every stage value-for-value; float top-k mode
+    is numpy-golden in pytest with a cosine gate tying the quant
+    direction to the true PC1."""
+    emb = _t(spark, sf_dir, "embeddings")
+    from engine.decomposition import pca_power_quant
+    return pca_power_quant(_spiked_embeddings(emb)).orderBy("vec_id")
+
+
+def _pca_chain_sql() -> str:
+    """engine.decomposition.pca_power_quant unrolled: spike -> quantize
+    -> integral centering (pmod floor division — negatives floor, unlike
+    DuckDB's truncating //) -> Gram -> ceil-divisor scale -> 8 power
+    rounds -> projection.  Every SUM casts back from HUGEINT."""
+    from engine.decomposition import (DEFAULT_ROUNDS, G_CAP, SCALE_V,
+                                      SCALE_X)
+    u = "[" + ", ".join(f"{v}.0" for v in _PCA_U) + "]"
+    fd = lambda a, n: f"CAST((({a}) - (((({a}) % ({n})) + ({n})) % ({n}))) / ({n}) AS BIGINT)"  # noqa: E731
+    parts = [f"""e AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(range(1, 65),
+           i -> embedding[i]::DOUBLE
+                + ((vec_id % 7 - 3)::DOUBLE * ({u})[i]) * 0.05) AS xs
+  FROM embeddings
+),
+q AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(xs, x -> CAST(floor(x * {SCALE_X}) AS BIGINT)) AS qx
+  FROM e
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
+s AS MATERIALIZED (
+  SELECT i, CAST(sum(v) AS BIGINT) AS si
+  FROM (SELECT unnest(qx) AS v, unnest(range(0, 64)) AS i FROM q)
+  GROUP BY i
+),
+y AS MATERIALIZED (
+  SELECT t.vec_id, t.i, {fd("nn.n * t.v - s.si", "nn.n")} AS y
+  FROM (SELECT vec_id, unnest(qx) AS v, unnest(range(0, 64)) AS i FROM q) t,
+       nn JOIN s ON s.i = t.i
+),
+g AS MATERIALIZED (
+  SELECT a.i AS i, b.i AS j, CAST(sum(a.y * b.y) AS BIGINT) AS g
+  FROM y a JOIN y b ON a.vec_id = b.vec_id
+  GROUP BY a.i, b.i
+),
+dd AS (SELECT 1 + (CAST(max(abs(g)) AS BIGINT) - 1) // {G_CAP} AS d FROM g),
+gs AS MATERIALIZED (
+  SELECT i, j, {fd("g.g", "dd.d")} AS g FROM g, dd
+),
+v0 AS (SELECT i, CAST({SCALE_V} AS BIGINT) AS v FROM range(0, 64) t(i))"""]
+    for r in range(1, DEFAULT_ROUNDS + 1):
+        parts.append(f"""w{r} AS MATERIALIZED (
+  SELECT gs.i, CAST(sum(gs.g * v.v) AS BIGINT) AS w
+  FROM gs JOIN v{r - 1} v ON gs.j = v.i GROUP BY gs.i
+),
+m{r} AS (SELECT CAST(max(abs(w)) AS BIGINT) AS m FROM w{r}),
+v{r} AS MATERIALIZED (
+  SELECT i, {fd(f"w{r}.w * {SCALE_V}", f"m{r}.m")} AS v FROM w{r}, m{r}
+)""")
+    return ",\n".join(parts)
+
+
 def q_fuzzy_pairs(spark, sf_dir):
     """Blocked edit-distance similarity join (PassJoin pigeonhole
     blocking + levenshtein verify) over 16-char document title prefixes:
@@ -2700,6 +2786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "decontaminate_bloom": q_decontaminate_bloom,
         "fuzzy_pairs": q_fuzzy_pairs,
+        "pca_power": q_pca_power,
         "ann_topk_lsh": q_ann_topk_lsh,
         "dedup_clusters": q_dedup_clusters,
         "ann_lsh_recall": q_ann_lsh_recall,
@@ -4510,6 +4597,14 @@ SELECT d.doc_id,
        COALESCE(h.n_hit, 0) AS n_hit_grams,
        (h.doc_id IS NOT NULL) AS is_contaminated
 FROM documents d LEFT JOIN hits h USING (doc_id)
+""",
+        # quant-PCA replay: all 8 power rounds + projection, value-exact
+        "pca_power": "WITH " + _pca_chain_sql() + f"""
+SELECT y.vec_id,
+       CAST(sum(y.y * v.v) AS BIGINT) AS pc1_score
+FROM y JOIN v8 v ON y.i = v.i
+GROUP BY y.vec_id
+ORDER BY y.vec_id
 """,
         # fuzzy-pair replay: blocking is lossless so the oracle IS the
         # definition — all pairs within the length band, verified by
