@@ -2512,6 +2512,43 @@ def q_cdc_incr_agg(spark, sf_dir):
     return agg.select("g", "cnt", "total")
 
 
+def q_cdc_incr_minmax(spark, sf_dir):
+    """The non-self-maintainable matview half (incr_minmax_apply): a
+    grouped (min, max, cnt) view bootstrapped from the first batch's
+    state, then maintained through two CDC batches by rescanning ONLY
+    affected groups — a deleted extremum cannot be subtracted out, so
+    the bounded group rescan replaces incr_agg_apply's pure delta math.
+    Oracle = full recompute over the final folded state; incremental ==
+    full recompute is the contract.  Values are floor-cents int64."""
+    import tempfile
+
+    from engine import catalog
+    ev = _t(spark, sf_dir, "events")
+    ch = ev.select(
+        F.col("user_id").alias("k"),
+        F.col("event_type").alias("g"),
+        F.floor(F.col("value") * 100).cast("long").alias("v"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+         .otherwise(F.lit("U")).alias("op"),
+        F.col("event_id").alias("seq"))
+    tbl = tempfile.mkdtemp(prefix="cdc_mm_")
+    mx = int(ch.agg(F.max("seq")).collect()[0][0])
+    t1, t2 = mx // 3, 2 * mx // 3
+    b0 = ch.filter(F.col("seq") <= t1)
+    b1 = ch.filter((F.col("seq") > t1) & (F.col("seq") <= t2))
+    b2 = ch.filter(F.col("seq") > t2)
+    catalog.write_cdc_delta(b0, tbl, 0, "k")
+    agg = (catalog.read_merge_on_read(spark, tbl, "k")
+           .groupBy("g").agg(F.min("v").alias("mn"),
+                             F.max("v").alias("mx"),
+                             F.count(F.lit(1)).alias("cnt")))
+    for i, b in ((1, b1), (2, b2)):
+        pre = catalog.read_merge_on_read(spark, tbl, "k")
+        agg = catalog.incr_minmax_apply(agg, pre, b, "k", "g", "v")
+        catalog.write_cdc_delta(b, tbl, i, "k")
+    return agg.select("g", "mn", "mx", "cnt")
+
+
 def _scd2_changes(docs):
     """Deterministic 5-wave change log over documents (the q_cdc_merge
     synthesis pattern): %42 keys walk a full V1 -> V2 -> DELETE -> V3
@@ -2842,6 +2879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_build": q_scd2_build,
         "scd2_apply": q_scd2_apply,
         "cdc_incr_agg": q_cdc_incr_agg,
+        "cdc_incr_minmax": q_cdc_incr_minmax,
     }
 
 
@@ -6238,6 +6276,23 @@ w AS (
 ),
 head AS (SELECT k, g, v FROM w WHERE rk = 1 AND op <> 'D')
 SELECT g, CAST(count(*) AS BIGINT) AS cnt, sum(v) AS total
+FROM head GROUP BY g
+""",
+        "cdc_incr_minmax": """
+WITH ch AS (
+  SELECT user_id AS k, event_type AS g,
+         CAST(floor(value * 100) AS BIGINT) AS v,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         event_id AS seq
+  FROM events
+),
+w AS (
+  SELECT k, g, v, op,
+         row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rk
+  FROM ch
+),
+head AS (SELECT k, g, v FROM w WHERE rk = 1 AND op <> 'D')
+SELECT g, min(v) AS mn, max(v) AS mx, CAST(count(*) AS BIGINT) AS cnt
 FROM head GROUP BY g
 """,
         # SCD2: the change log replayed wave-for-wave, versioned with

@@ -530,3 +530,52 @@ def incr_agg_apply(agg: DataFrame, state: DataFrame, batch: DataFrame,
                     (F.coalesce("total", F.lit(0))
                      + F.coalesce("d_total", F.lit(0))).alias("total"))
             .filter(F.col("cnt") > 0))
+
+
+def incr_minmax_apply(agg: DataFrame, state: DataFrame, batch: DataFrame,
+                      key_cols: list[str] | str, group_col: str,
+                      val_col: str, op_col: str = "op",
+                      seq_col: str = "seq") -> DataFrame:
+    """Incrementally maintain a grouped (min, max, cnt) view over a CDC
+    table — the NON-self-maintainable half of the matview family that
+    incr_agg_apply's docstring defers: a deleted extremum cannot be
+    subtracted out, so affected GROUPS rescan, but ONLY affected groups.
+
+        agg'(g) = agg(g)                       for g untouched by batch
+        agg'(g) = min/max/cnt over post-batch  for g in affected(batch)
+                  rows of g
+
+    affected(batch) = groups of the replaced pre-batch rows (the batch's
+    key set, left-semi probed) UNION groups of the batch's non-delete
+    winners — a batch-derived, broadcastable set.  Post-batch rows of
+    those groups = (state rows of affected groups) MINUS batch keys PLUS
+    batch survivors, re-aggregated; groups whose membership empties drop
+    out by producing no row.
+
+    Scale shape: O(batch + affected-group rows).  Both probes broadcast
+    the batch-derived side; under a group-partitioned / z-ordered layout
+    the affected-group semi scan is partition-pruned, the same posture
+    as incr_agg_apply's key probe.  Contract: apply == full recompute at
+    every batch boundary (pytest-pinned); `state` is the PRE-batch
+    merge-on-read view and `batch` honors write_cdc_delta's unique
+    (key, seq) rule."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    payload = [c for c in batch.columns if c not in (op_col, seq_col)]
+    others = [c for c in payload if c not in keys]
+    latest = (batch.groupBy(*keys)
+              .agg(*[F.max_by(c, seq_col).alias(c) for c in others],
+                   F.max_by(op_col, seq_col).alias(op_col)))
+    old = state.join(latest.select(*keys), keys, "left_semi")
+    survivors = latest.filter(F.col(op_col) != "D").select(*state.columns)
+    affected = (old.select(group_col)
+                .unionByName(survivors.select(group_col))
+                .distinct())
+    post = (state.join(F.broadcast(affected), group_col, "left_semi")
+            .join(latest.select(*keys), keys, "left_anti")
+            .unionByName(survivors))
+    recomputed = (post.groupBy(group_col)
+                  .agg(F.min(val_col).alias("mn"),
+                       F.max(val_col).alias("mx"),
+                       F.count(F.lit(1)).alias("cnt")))
+    untouched = agg.join(F.broadcast(affected), group_col, "left_anti")
+    return untouched.unionByName(recomputed)

@@ -381,3 +381,40 @@ def test_incr_agg_apply_equals_full_recompute(spark, tmp_path):
     # group c vanished, group a reduced to nothing after b2 deletes? a has
     # nothing left (1 deleted, 5 deleted, 2 moved) -> only b remains
     assert [r["g"] for r in agg.orderBy("g").collect()] == ["b"]
+
+
+def test_incr_minmax_apply_equals_full_recompute(spark, tmp_path):
+    """The affected-group rescan matview: deletes that remove a group's
+    MIN and its MAX (the cases plain delta math cannot maintain), a
+    cross-group move, an in-batch supersede, and a group emptied out —
+    apply == full recompute at every batch boundary."""
+    def full(state):
+        return state.groupBy("g").agg(F.min("v").alias("mn"),
+                                      F.max("v").alias("mx"),
+                                      F.count(F.lit(1)).alias("cnt"))
+    cols = ["k", "g", "v", "op", "seq"]
+    b0 = spark.createDataFrame(
+        [(1, "a", 10, "U", 1), (2, "a", 99, "U", 2),   # 99 = max of a
+         (3, "a", -5, "U", 3),                         # -5 = min of a
+         (4, "b", 30, "U", 4), (5, "c", 1, "U", 5)], cols)
+    b1 = spark.createDataFrame(
+        [(2, "a", 0, "D", 6),                # delete the max of a
+         (3, "b", -5, "U", 7),               # min of a MOVES to b
+         (5, "c", 0, "D", 8)], cols)         # empties group c
+    b2 = spark.createDataFrame(
+        [(6, "a", 50, "I", 9), (6, "a", 40, "U", 10),  # supersede in-batch
+         (3, "b", 0, "D", 11)], cols)        # delete b's new min
+    tbl = str(tmp_path / "mor_mm")
+    catalog.write_cdc_delta(b0, tbl, 0, "k")
+    agg = full(catalog.read_merge_on_read(spark, tbl, "k"))
+    for i, b in ((1, b1), (2, b2)):
+        pre = catalog.read_merge_on_read(spark, tbl, "k")
+        agg = catalog.incr_minmax_apply(agg, pre, b, "k", "g", "v")
+        catalog.write_cdc_delta(b, tbl, i, "k")
+        post = catalog.read_merge_on_read(spark, tbl, "k")
+        want = sorted(tuple(r) for r in full(post).collect())
+        got = sorted(tuple(r) for r in agg.collect())
+        assert got == want, f"after batch {i}: {got} != {want}"
+    final = {r["g"]: (r["mn"], r["mx"], r["cnt"])
+             for r in agg.collect()}
+    assert final == {"a": (10, 40, 2), "b": (30, 30, 1)}
