@@ -347,6 +347,58 @@ def q_tpch_q17(spark, sf_dir):
     """)
 
 
+def q_tpch_q19(spark, sf_dir):
+    """TPC-H Q19 shape (discounted revenue under a DISJUNCTION of
+    conjunctive bands): the one relational surface the suite hadn't
+    exercised — an OR-of-ANDs predicate that references BOTH join sides,
+    so it cannot move below the join wholesale; Catalyst must instead
+    EXTRACT the side-local disjunctions ((brand, size) bands for part,
+    quantity bands for lineitem) and push those through to each scan
+    while the full residual stays on the join (plan-pinned).  Synthetic
+    part has no p_container / l_shipmode; the bands use brand + size +
+    quantity, preserving the shape.  Revenue rounds to 6 per the
+    Q1/Q3/Q6 float contract; the row count is integer-exact."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("tq19_lineitem")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("tq19_part")
+    return spark.sql("""
+        SELECT round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM tq19_lineitem l, tq19_part p
+        WHERE p.p_partkey = l.l_partkey
+          AND ((p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+                AND l.l_quantity BETWEEN 1 AND 11)
+            OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 5 AND 20
+                AND l.l_quantity BETWEEN 10 AND 20)
+            OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 10 AND 35
+                AND l.l_quantity BETWEEN 20 AND 30))
+    """)
+
+
+def q_tpch_q20(spark, sf_dir):
+    """TPC-H Q20 shape (suppliers with excess stock of selected parts):
+    NESTED uncorrelated INs — an IN whose subquery contains another IN
+    plus a grouped HAVING threshold.  Catalyst must stack two LeftSemi
+    joins (supplier <- aggregated lineitem <- part) with the aggregate
+    evaluated ONCE (plan-pinned: three scans total, two LeftSemi, no
+    re-execution per outer row).  Synthetic schema has no partsupp, so
+    'availqty' becomes total shipped quantity per (supplier, part) —
+    integer-valued, so the HAVING threshold is exact."""
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("tq20_supplier")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("tq20_lineitem")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("tq20_part")
+    return spark.sql("""
+        SELECT s_suppkey, s_name
+        FROM tq20_supplier
+        WHERE s_suppkey IN (
+            SELECT l_suppkey FROM tq20_lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM tq20_part
+                                WHERE p_name LIKE '%gear%')
+            GROUP BY l_suppkey, l_partkey
+            HAVING sum(l_quantity) > 100)
+        ORDER BY s_suppkey
+    """)
+
+
 def q_tpch_q2(spark, sf_dir):
     """TPC-H Q2 shape (minimum-cost supplier): a correlated scalar
     subquery that itself contains a MULTI-WAY JOIN (lineitem x supplier
@@ -2777,6 +2829,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q21": q_tpch_q21,
         "tpch_q17": q_tpch_q17,
         "tpch_q2": q_tpch_q2,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q20": q_tpch_q20,
         "tpch_q22": q_tpch_q22,
         "tpch_q13": q_tpch_q13,
         "tpch_q18": q_tpch_q18,
@@ -5859,6 +5913,29 @@ GROUP BY c_mktsegment
         # Q17 shape: correlated SCALAR subquery (decorrelated to one
         # per-part aggregate on the Spark side; DuckDB runs it natively).
         # l_quantity is integer-valued so the correlated avg is exact.
+        "tpch_q19": """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem l, part p
+WHERE p.p_partkey = l.l_partkey
+  AND ((p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+        AND l.l_quantity BETWEEN 1 AND 11)
+    OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 5 AND 20
+        AND l.l_quantity BETWEEN 10 AND 20)
+    OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 10 AND 35
+        AND l.l_quantity BETWEEN 20 AND 30))
+""",
+        "tpch_q20": """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part
+                        WHERE p_name LIKE '%gear%')
+    GROUP BY l_suppkey, l_partkey
+    HAVING sum(l_quantity) > 100)
+ORDER BY s_suppkey
+""",
         "tpch_q17": """
 SELECT round(sum(l_extendedprice) / 7.0, 6) AS avg_yearly,
        CAST(count(*) AS BIGINT) AS n_small

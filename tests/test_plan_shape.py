@@ -440,3 +440,29 @@ def test_mg_summary_shuffle_is_counter_rows_only(spark):
     assert plan.count("Exchange") == 1, plan
     assert plan.index("Exchange") < plan.index("MapInPandas"), plan
     assert "Generate" not in plan, plan  # no token explode anywhere
+
+
+def test_tpch_q19_disjunction_pushes_to_both_scans(spark):
+    """Q19's OR-of-ANDs references both join sides, so the full predicate
+    cannot sink below the join — but Catalyst must EXTRACT the side-local
+    disjunctions and push them into BOTH parquet scans (two scans total,
+    each carrying an Or(...) pushed filter), leaving only the residual on
+    the join."""
+    import __spark_entry__ as entry
+    df = entry.q_tpch_q19(spark, "/root/testdata/sf0.001")
+    plan = plan_str(df, "simple")
+    assert plan.count("Scan parquet") == 2, plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    withor = [ln for ln in pushed if "Or(" in ln]
+    assert len(withor) == 2, plan
+
+
+def test_tpch_q20_nested_in_stacks_two_semi_joins(spark):
+    """Q20's nested INs must compile to two stacked LeftSemi joins
+    (supplier <- aggregated lineitem <- part) with the aggregate built
+    once — three scans total, no per-outer-row re-execution."""
+    import __spark_entry__ as entry
+    df = entry.q_tpch_q20(spark, "/root/testdata/sf0.001")
+    plan = plan_str(df, "simple")
+    assert plan.count("LeftSemi") == 2, plan
+    assert plan.count("Scan parquet") == 3, plan
