@@ -130,6 +130,21 @@ def run_suite(spark, sf_dir: str) -> tuple[dict, dict, float]:
         wq, feats = train_quality_classifier(docs, label)
         apply_classifier(feats, wq).count()
         feats.unpersist()
+    with stage("dedup_paragraphs"):
+        paradocs = docs.select(
+            "doc_id", _F.replace(_F.col("text"), _F.lit(" table "),
+                                 _F.lit("\n")).alias("text"))
+        text.dedup_paragraphs(paradocs).count()
+    with stage("fuzzy_pairs"):
+        titles = docs.select("doc_id",
+                             _F.substring("text", 1, 16).alias("title"))
+        text.fuzzy_pairs(titles, text_col="title", max_dist=2).count()
+    with stage("decontaminate_bloom"):
+        text.decontaminate_bloom(
+            docs, docs.filter(_F.col("doc_id") % 13 == 0), n=3).count()
+    with stage("pca_power"):
+        from engine.decomposition import pca_power_quant
+        pca_power_quant(emb).count()
     return timings, counts, geo_secs
 
 
