@@ -2564,6 +2564,40 @@ def q_cdc_incr_agg(spark, sf_dir):
     return agg.select("g", "cnt", "total")
 
 
+def q_cdc_schema_evolution(spark, sf_dir):
+    """Iceberg ADD COLUMN schema evolution on the MOR CDC table: batch 0
+    writes (doc_id, lang), batch 1 adds `src`, a compaction folds the
+    union schema into the base (pre-evolution rows carry typed NULLs),
+    and batch 2 adds `wc` plus deletes — the head view resolves columns
+    BY NAME across files written under three different schemas.  The
+    oracle replays each batch with explicit NULL casts for the columns
+    that didn't exist yet, folds per-key max-seq winners, and matches by
+    value hash (NULLs included)."""
+    import tempfile
+
+    from engine import catalog
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    b0 = (docs.filter(d % 3 == 0)
+          .select("doc_id", "lang", F.lit("U").alias("op"),
+                  F.lit(1).cast("int").alias("seq")))
+    b1 = (docs.filter((d % 3 == 1) | (d % 6 == 0))
+          .select("doc_id", "lang", F.col("source").alias("src"),
+                  F.lit("U").alias("op"), F.lit(2).cast("int").alias("seq")))
+    b2 = (docs.filter(d % 5 == 0)
+          .select("doc_id", "lang", F.col("source").alias("src"),
+                  F.length("text").cast("long").alias("wc"),
+                  F.when(d % 15 == 0, F.lit("D")).otherwise(F.lit("U"))
+                  .alias("op"), F.lit(3).cast("int").alias("seq")))
+    tbl = tempfile.mkdtemp(prefix="cdc_se_")
+    catalog.write_cdc_delta(b0, tbl, 0, "doc_id")
+    catalog.write_cdc_delta(b1, tbl, 1, "doc_id")
+    catalog.compact_cdc_table(spark, tbl, "doc_id")
+    catalog.write_cdc_delta(b2, tbl, 2, "doc_id")
+    head = catalog.read_merge_on_read(spark, tbl, "doc_id")
+    return head.select("doc_id", "lang", "src", "wc").orderBy("doc_id")
+
+
 def q_cdc_incr_minmax(spark, sf_dir):
     """The non-self-maintainable matview half (incr_minmax_apply): a
     grouped (min, max, cnt) view bootstrapped from the first batch's
@@ -2934,6 +2968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_apply": q_scd2_apply,
         "cdc_incr_agg": q_cdc_incr_agg,
         "cdc_incr_minmax": q_cdc_incr_minmax,
+        "cdc_schema_evolution": q_cdc_schema_evolution,
     }
 
 
@@ -6354,6 +6389,27 @@ w AS (
 head AS (SELECT k, g, v FROM w WHERE rk = 1 AND op <> 'D')
 SELECT g, CAST(count(*) AS BIGINT) AS cnt, sum(v) AS total
 FROM head GROUP BY g
+""",
+        "cdc_schema_evolution": """
+WITH ch AS (
+  SELECT doc_id, lang, CAST(NULL AS VARCHAR) AS src,
+         CAST(NULL AS BIGINT) AS wc, 'U' AS op, 1 AS seq
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id, lang, source AS src, CAST(NULL AS BIGINT) AS wc, 'U', 2
+  FROM documents WHERE doc_id % 3 = 1 OR doc_id % 6 = 0
+  UNION ALL
+  SELECT doc_id, lang, source AS src, CAST(len(text) AS BIGINT) AS wc,
+         CASE WHEN doc_id % 15 = 0 THEN 'D' ELSE 'U' END, 3
+  FROM documents WHERE doc_id % 5 = 0
+),
+w AS (
+  SELECT doc_id, lang, src, wc, op,
+         row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rk
+  FROM ch
+)
+SELECT doc_id, lang, src, wc FROM w WHERE rk = 1 AND op <> 'D'
+ORDER BY doc_id
 """,
         "cdc_incr_minmax": """
 WITH ch AS (

@@ -302,6 +302,21 @@ def write_cdc_delta(changes: DataFrame, path: str | Path, batch_id: int,
               .agg(*[F.max_by(c, seq_col).alias(c) for c in others],
                    F.max_by(op_col, seq_col).alias(op_col),
                    F.max(seq_col).alias(seq_col)))
+    # schema evolution (Iceberg ADD COLUMN): a batch may carry columns
+    # the table has never seen (they become part of the table schema;
+    # older rows read as NULL) or omit known ones (this batch's rows
+    # read as NULL there).  What it may NOT do is change a known
+    # column's type — the emulation is add-only, no promotions.
+    schema_now = {f.name: f.dataType.simpleString()
+                  for f in latest.schema.fields}
+    known = man.data["lineage"].get("schema", {})
+    for cname, t in schema_now.items():
+        if cname in known and known[cname] != t:
+            raise ValueError(
+                f"write_cdc_delta: column {cname!r} type {t} conflicts "
+                f"with table type {known[cname]} (add-only schema "
+                "evolution; type changes are not supported)")
+    man.data["lineage"]["schema"] = {**known, **schema_now}
     out = Path(path) / f"delta-{batch_id:08d}"
     latest.write.mode("overwrite").parquet(str(out))
     n = latest.count()
@@ -346,14 +361,34 @@ def read_merge_on_read(spark: SparkSession, path: str | Path,
         raise ValueError(f"read_merge_on_read: no snapshot at or before "
                          f"as_of={as_of} in CDC table at {path}")
     dfs = [spark.read.parquet(str(Path(path) / d)) for d in deltas]
-    changes = dfs[0] if dfs else None
-    for d in dfs[1:]:
-        changes = changes.unionByName(d)
-    if base_name:
-        base = spark.read.parquet(str(Path(path) / base_name))
+    base0 = (spark.read.parquet(str(Path(path) / base_name))
+             if base_name else None)
+    # schema evolution: the view's schema is the NAME-UNION of every
+    # file in it (first-seen column order); a file that predates an
+    # added column contributes typed NULLs there — the Iceberg
+    # read-by-name resolution.  as_of views that predate an evolution
+    # naturally keep the old schema (the newer files aren't in them).
+    types, order = {}, []
+    for df_ in ([base0] if base0 is not None else []) + dfs:
+        for f in df_.schema.fields:
+            if f.name not in types:
+                types[f.name] = f.dataType
+                order.append(f.name)
+
+    def _align(df_, cols):
+        return df_.select(*[
+            F.col(c) if c in df_.columns
+            else F.lit(None).cast(types[c]).alias(c) for c in cols])
+
+    payload_order = [c for c in order if c not in (op_col, seq_col)]
+    changes = None
+    for df_ in dfs:
+        a = _align(df_, payload_order + [op_col, seq_col])
+        changes = a if changes is None else changes.unionByName(a)
+    if base0 is not None:
+        base = _align(base0, payload_order)
     else:
-        cols = [c for c in changes.columns if c not in (op_col, seq_col)]
-        base = changes.select(*cols).limit(0)
+        base = changes.select(*payload_order).limit(0)
     if changes is None:
         return base
     return merge_upsert(base, changes, keys, op_col, seq_col,

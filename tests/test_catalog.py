@@ -418,3 +418,39 @@ def test_incr_minmax_apply_equals_full_recompute(spark, tmp_path):
     final = {r["g"]: (r["mn"], r["mx"], r["cnt"])
              for r in agg.collect()}
     assert final == {"a": (10, 40, 2), "b": (30, 30, 1)}
+
+
+def test_cdc_schema_evolution_lifecycle(spark, tmp_path):
+    """ADD COLUMN evolution: batches written under three schemas resolve
+    by name at read (typed NULLs for pre-evolution rows), a compaction
+    folds the union schema into the base, as-of views that predate an
+    evolution keep the OLD schema, and a type change raises."""
+    tbl = str(tmp_path / "mor_se")
+    b0 = spark.createDataFrame([(1, "en", "U", 1), (2, "fr", "U", 2)],
+                               ["k", "lang", "op", "seq"])
+    b1 = spark.createDataFrame([(2, "de", "s2", "U", 3),
+                                (3, "zz", "s3", "I", 4)],
+                               ["k", "lang", "src", "op", "seq"])
+    catalog.write_cdc_delta(b0, tbl, 0, "k")          # snapshot 0
+    catalog.write_cdc_delta(b1, tbl, 1, "k")          # snapshot 1
+    head = catalog.read_merge_on_read(spark, tbl, "k")
+    assert head.columns == ["k", "lang", "src"]
+    got = {r["k"]: (r["lang"], r["src"]) for r in head.collect()}
+    assert got == {1: ("en", None), 2: ("de", "s2"), 3: ("zz", "s3")}
+    # pre-evolution as-of keeps the old schema
+    old = catalog.read_merge_on_read(spark, tbl, "k", as_of=0)
+    assert old.columns == ["k", "lang"]
+    # compaction folds the union schema into the base
+    catalog.compact_cdc_table(spark, tbl, "k")
+    b2 = spark.createDataFrame([(1, "en", "s1", 9, "U", 5)],
+                               ["k", "lang", "src", "wc", "op", "seq"])
+    catalog.write_cdc_delta(b2, tbl, 2, "k")
+    head2 = catalog.read_merge_on_read(spark, tbl, "k")
+    assert head2.columns == ["k", "lang", "src", "wc"]
+    got2 = {r["k"]: (r["src"], r["wc"]) for r in head2.collect()}
+    assert got2 == {1: ("s1", 9), 2: ("s2", None), 3: ("s3", None)}
+    # a known column changing type raises (add-only contract)
+    bad = spark.createDataFrame([(4, 7, "U", 6)],
+                                ["k", "lang", "op", "seq"])  # lang int
+    with pytest.raises(ValueError):
+        catalog.write_cdc_delta(bad, tbl, 3, "k")
