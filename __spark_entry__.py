@@ -2598,6 +2598,34 @@ def q_cdc_schema_evolution(spark, sf_dir):
     return head.select("doc_id", "lang", "src", "wc").orderBy("doc_id")
 
 
+def q_partition_evolution(spark, sf_dir):
+    """Iceberg partition-spec evolution: generation 0 of the table is
+    partitioned by days(ts) only, generation 1 evolves the spec to
+    (days(ts), bucket(8, user)) — WITHOUT rewriting generation 0 (the
+    100-TB point: evolving the spec improves pruning for future writes
+    at zero retroactive cost).  A (day, user-bucket) read statically
+    prunes gen 1 on BOTH columns but gen 0 only on the day — the
+    pre-evolution data contributes all of that day's rows, the Iceberg
+    read contract (pruning power changes, correctness never).  The
+    oracle replays exactly that per-generation semantics."""
+    import tempfile
+
+    from engine import catalog
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd")
+    tbl = tempfile.mkdtemp(prefix="pevo_")
+    catalog.write_evolved_gen(
+        ev.filter(F.col("event_id") % 2 == 0), tbl, 0, {"ts_day": day})
+    catalog.write_evolved_gen(
+        ev.filter(F.col("event_id") % 2 == 1), tbl, 1,
+        {"ts_day": day, "user_bucket": F.pmod(F.col("user_id"), F.lit(8))})
+    out = catalog.read_evolved(
+        spark, tbl, part_filters={"ts_day": "2024-01-03", "user_bucket": 3},
+        logical_cols=["event_id", "user_id"])
+    return out.select("gen_id", "event_id", "user_id") \
+              .orderBy("event_id")
+
+
 def q_cdc_incr_minmax(spark, sf_dir):
     """The non-self-maintainable matview half (incr_minmax_apply): a
     grouped (min, max, cnt) view bootstrapped from the first batch's
@@ -2969,6 +2997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_incr_agg": q_cdc_incr_agg,
         "cdc_incr_minmax": q_cdc_incr_minmax,
         "cdc_schema_evolution": q_cdc_schema_evolution,
+        "partition_evolution": q_partition_evolution,
     }
 
 
@@ -6389,6 +6418,17 @@ w AS (
 head AS (SELECT k, g, v FROM w WHERE rk = 1 AND op <> 'D')
 SELECT g, CAST(count(*) AS BIGINT) AS cnt, sum(v) AS total
 FROM head GROUP BY g
+""",
+        "partition_evolution": """
+SELECT CAST(0 AS INT) AS gen_id, event_id, user_id
+FROM events
+WHERE event_id % 2 = 0 AND strftime(ts, '%Y-%m-%d') = '2024-01-03'
+UNION ALL
+SELECT CAST(1 AS INT) AS gen_id, event_id, user_id
+FROM events
+WHERE event_id % 2 = 1 AND strftime(ts, '%Y-%m-%d') = '2024-01-03'
+  AND ((user_id % 8) + 8) % 8 = 3
+ORDER BY event_id
 """,
         "cdc_schema_evolution": """
 WITH ch AS (

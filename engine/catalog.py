@@ -614,3 +614,66 @@ def incr_minmax_apply(agg: DataFrame, state: DataFrame, batch: DataFrame,
                        F.count(F.lit(1)).alias("cnt")))
     untouched = agg.join(F.broadcast(affected), group_col, "left_anti")
     return untouched.unionByName(recomputed)
+
+
+def write_evolved_gen(df: DataFrame, path: str | Path, gen_id: int,
+                      spec: dict[str, "F.Column"]) -> None:
+    """Write one GENERATION of a partition-evolving table (Iceberg
+    partition-spec evolution): `spec` maps partition column names to the
+    derived expressions that compute them (hidden-partitioning style —
+    days(ts), bucket(k, col), cell prefixes...).  Each generation keeps
+    its OWN spec; evolving the spec never rewrites earlier generations
+    (the whole point at 100 TB — re-partitioning a petabyte table to
+    improve pruning of FUTURE writes costs nothing retroactively).
+    The manifest records (generation -> spec columns) so the reader can
+    prune each generation under the spec it was written with."""
+    man = Manifest(path)
+    gens = man.data["lineage"].setdefault("generations", {})
+    if str(gen_id) in gens:
+        raise ValueError(f"generation {gen_id} already written")
+    out = Path(path) / f"gen-{gen_id:04d}"
+    dfp = df
+    for cname, expr in spec.items():
+        dfp = dfp.withColumn(cname, expr)
+    dfp.write.mode("overwrite").partitionBy(*spec.keys()).parquet(str(out))
+    n = df.count()
+    man.new_snapshot(op="gen_write", gen=int(gen_id),
+                     spec=list(spec.keys()), rows=int(n), file=out.name)
+    gens[str(gen_id)] = {"spec": list(spec.keys()), "file": out.name}
+    man.save()
+
+
+def read_evolved(spark: SparkSession, path: str | Path,
+                 part_filters: dict[str, object] | None = None,
+                 logical_cols: list[str] | None = None) -> DataFrame:
+    """Read a partition-evolving table: every generation is scanned
+    UNDER ITS OWN SPEC — a partition predicate prunes the generations
+    whose spec contains that column (static PartitionFilters, no file
+    ever opened) and applies as a plain pushed row filter nowhere (the
+    column simply doesn't exist pre-evolution, so those generations
+    contribute all their rows; the caller's exact row predicate, if
+    any, belongs on the LOGICAL columns after this read).  This is the
+    Iceberg read contract: spec evolution changes pruning power for new
+    data only, never correctness.
+
+    `part_filters` maps partition column -> required value; generations
+    lacking the column ignore that filter.  `logical_cols` projects the
+    result (partition columns are derived/hidden, so by default they are
+    dropped from the unioned output)."""
+    man = Manifest(path)
+    gens = man.data["lineage"].get("generations", {})
+    if not gens:
+        raise ValueError(f"no generations at {path}")
+    part_filters = part_filters or {}
+    out = None
+    for gid in sorted(gens, key=int):
+        g = gens[gid]
+        df = spark.read.parquet(str(Path(path) / g["file"]))
+        for cname, val in part_filters.items():
+            if cname in g["spec"]:
+                df = df.filter(F.col(cname) == F.lit(val))
+        keep = logical_cols or [c for c in df.columns
+                                if c not in g["spec"]]
+        df = df.select(*keep).withColumn("gen_id", F.lit(int(gid)))
+        out = df if out is None else out.unionByName(df)
+    return out

@@ -454,3 +454,37 @@ def test_cdc_schema_evolution_lifecycle(spark, tmp_path):
                                 ["k", "lang", "op", "seq"])  # lang int
     with pytest.raises(ValueError):
         catalog.write_cdc_delta(bad, tbl, 3, "k")
+
+
+def test_partition_evolution_prunes_per_spec(spark, tmp_path):
+    """Spec evolution: generation 1's scan prunes STATICALLY on both
+    partition columns (PartitionFilters carries user_bucket), generation
+    0's scan cannot see user_bucket (pre-evolution spec) and contributes
+    all of the day's rows; results equal the per-generation semantics,
+    and re-writing a generation id raises."""
+    rows = [(i, i % 5, f"2024-01-0{1 + i % 3}") for i in range(60)]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "d"])
+    tbl = str(tmp_path / "pevo")
+    catalog.write_evolved_gen(df.filter(F.col("event_id") % 2 == 0),
+                              tbl, 0, {"ts_day": F.col("d")})
+    catalog.write_evolved_gen(
+        df.filter(F.col("event_id") % 2 == 1), tbl, 1,
+        {"ts_day": F.col("d"),
+         "user_bucket": F.pmod(F.col("user_id"), F.lit(4))})
+    out = catalog.read_evolved(
+        spark, tbl, part_filters={"ts_day": "2024-01-02", "user_bucket": 1},
+        logical_cols=["event_id", "user_id"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert len(pf) == 2, plan
+    assert sum("user_bucket" in ln for ln in pf) == 1, plan  # gen1 only
+    got = sorted((r.gen_id, r.event_id) for r in out.collect())
+    want = sorted(
+        [(0, i) for i, u, d in rows if i % 2 == 0 and d == "2024-01-02"]
+        + [(1, i) for i, u, d in rows
+           if i % 2 == 1 and d == "2024-01-02" and u % 4 == 1])
+    assert got == want
+    with pytest.raises(ValueError):
+        catalog.write_evolved_gen(df, tbl, 1, {"ts_day": F.col("d")})
+    with pytest.raises(ValueError):
+        catalog.read_evolved(spark, str(tmp_path / "nope"))
