@@ -1294,6 +1294,39 @@ def q_decontaminate(spark, sf_dir):
     return decontaminate(docs, bench, n=3)
 
 
+_CUR_MINTOK = 12
+_CUR_CAP = 128
+_CUR_FRACS = {f"src{i}": (1.0 if i % 2 == 0 else 0.5) for i in range(20)}
+
+
+def q_curation_pipeline(spark, sf_dir):
+    """END-TO-END curation pipeline — the composition a training-data
+    team actually runs, proving the operators chain: token-length gate
+    -> exact dedup (keep-first) -> benchmark decontamination (drop) ->
+    deterministic stratified sampling by source -> GPT-style sequence
+    packing.  Every stage is individually oracle-exact, so the chain is
+    too: the oracle replays all five stages as one CTE pipeline.  Scale
+    posture is inherited stage-by-stage (hash-triple dedup exchange,
+    broadcast bench grams, pure-function sampling, one packing window
+    exchange) — no stage materializes to the driver."""
+    docs = _t(spark, sf_dir, "documents")
+    from engine import ops
+    from engine.text import (decontaminate, dedup_exact, pack_sequences,
+                             tokens_col)
+    s1 = docs.filter(F.size(tokens_col(F.col("text"))) >= _CUR_MINTOK)
+    winners = dedup_exact(s1).select("doc_id")
+    s2 = s1.join(winners, "doc_id", "left_semi")
+    bench = docs.filter(F.col("doc_id") % 13 == 0)
+    flagged = (decontaminate(s2, bench, n=3)
+               .filter(F.col("is_contaminated")).select("doc_id"))
+    s3 = s2.join(flagged, "doc_id", "left_anti")
+    lcg = F.col("doc_id").cast("long") * F.lit(2654435761) + F.lit(97)
+    s4 = ops.sample_stratified(s3, _CUR_FRACS, strata_col="source",
+                               hash_expr=lcg)
+    return (pack_sequences(s4, capacity=_CUR_CAP)
+            .orderBy("source", "bin_id", "doc_id"))
+
+
 _PCA_U = [((i * 37) % 13) - 6 for i in range(64)]  # planted spike direction
 
 
@@ -2940,6 +2973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_bloom": q_decontaminate_bloom,
         "fuzzy_pairs": q_fuzzy_pairs,
         "pca_power": q_pca_power,
+        "curation_pipeline": q_curation_pipeline,
         "ann_topk_lsh": q_ann_topk_lsh,
         "dedup_clusters": q_dedup_clusters,
         "ann_lsh_recall": q_ann_lsh_recall,
@@ -4754,6 +4788,67 @@ SELECT d.doc_id,
        (h.doc_id IS NOT NULL) AS is_contaminated
 FROM documents d LEFT JOIN hits h USING (doc_id)
 """,
+        # curation-pipeline replay: all five stages as one CTE chain —
+        # each stage's oracle fragment re-rooted on its predecessor
+        "curation_pipeline": (r"""
+WITH t0 AS (
+  SELECT doc_id, source, text,
+         list_filter(regexp_split_to_array(lower(text), '\W+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+s1 AS (SELECT * FROM t0 WHERE len(toks) >= {MINTOK}),
+win AS (SELECT min(doc_id) AS doc_id FROM s1 GROUP BY text),
+s2 AS (SELECT s1.* FROM s1 JOIN win USING (doc_id)),
+bsh AS (
+  SELECT DISTINCT unnest(list_transform(
+           range(1, greatest(len(toks) - 2, 0) + 1),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+  FROM t0 WHERE doc_id % 13 = 0
+),
+cont AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, greatest(len(toks) - 2, 0) + 1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS gram
+    FROM s2) g
+  JOIN bsh USING (gram)
+),
+s3 AS (SELECT * FROM s2 ANTI JOIN cont USING (doc_id)),
+s4 AS (
+  SELECT * FROM s3
+  WHERE ((CAST(doc_id AS BIGINT) * 2654435761 + 97) % 2147483648)
+        < (CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                THEN 1.0 ELSE 0.5 END) * 2147483648
+),
+sz AS (
+  SELECT source, doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+  FROM s4 WHERE len(toks) > 0
+),
+off AS (
+  SELECT source, doc_id, toks, n,
+         CAST(COALESCE(SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS BIGINT) AS o
+  FROM sz
+),
+b AS (
+  SELECT source, doc_id, toks, n, o,
+         unnest(generate_series(o // {CAP}, (o + n - 1) // {CAP})) AS bin_id
+  FROM off
+)
+SELECT source, CAST(bin_id AS BIGINT) AS bin_id, doc_id,
+       GREATEST(bin_id * {CAP}, o) - o AS start_tok,
+       LEAST((bin_id + 1) * {CAP}, o + n) - GREATEST(bin_id * {CAP}, o)
+         AS n_tok,
+       array_to_string(
+         list_slice(toks,
+                    CAST(GREATEST(bin_id * {CAP}, o) - o + 1 AS INT),
+                    CAST(LEAST((bin_id + 1) * {CAP}, o + n) - o AS INT)),
+         ' ') AS piece
+FROM b
+ORDER BY source, bin_id, doc_id
+""".replace("{MINTOK}", str(_CUR_MINTOK)).replace("{CAP}", str(_CUR_CAP))),
         # quant-PCA replay: all 8 power rounds + projection, value-exact
         "pca_power": "WITH " + _pca_chain_sql() + f"""
 SELECT y.vec_id,
