@@ -466,3 +466,93 @@ def test_tpch_q20_nested_in_stacks_two_semi_joins(spark):
     plan = plan_str(df, "simple")
     assert plan.count("LeftSemi") == 2, plan
     assert plan.count("Scan parquet") == 3, plan
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """Runtime skew handling (the AQE complement to ops.salted_join):
+    one key holding 2/3 of the fact side forces a skewed SMJ partition;
+    with broadcast disabled and the skew thresholds at test scale, the
+    FINAL adaptive plan must carry the skew=true split marker — the hot
+    partition was cut into subpartitions at runtime, no manual salt."""
+    from pyspark.sql import functions as F
+    big = spark.range(0, 300000).select(
+        F.when(F.col("id") < 200000, F.lit(0))
+        .otherwise((F.col("id") % 97) + 1).alias("k"),
+        F.col("id").alias("v"))
+    dim = spark.range(0, 98).select(F.col("id").alias("k"),
+                                    (F.col("id") * 10).alias("w"))
+    saved = {k: spark.conf.get(k) for k in (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes")}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "65536")
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "65536")
+        j = big.join(dim, "k")
+        assert len(j.collect()) == 300000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan, plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
+def test_cbo_statistics_reorder_three_way_join(spark):
+    """Cost-based join reordering: with ANALYZE ... FOR ALL COLUMNS
+    statistics and CBO on, a big JOIN mid JOIN small chain written in
+    worst-first syntactic order must be reordered so the reducing
+    (mid x small) join runs before the big fact enters; with CBO off the
+    optimizer keeps the syntactic order.  (On a real warehouse these
+    stats come from the table format; the demonstration pins that the
+    engine's tables feed the optimizer, not that we hand-schedule.)"""
+    import os
+    import re
+    import shutil
+
+    from pyspark.sql import functions as F
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("cbo_big", "cbo_small", "cbo_mid"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+    spark.range(0, 200000).select(
+        (F.col("id") % 1000).alias("a"), F.col("id").alias("pay")) \
+        .write.saveAsTable("cbo_big")
+    spark.range(0, 50).select(
+        F.col("id").alias("a"), (F.col("id") % 7).alias("b")) \
+        .write.saveAsTable("cbo_small")
+    spark.range(0, 5000).select(
+        (F.col("id") % 1000).alias("a"), (F.col("id") % 7).alias("b"),
+        F.col("id").alias("m")).write.saveAsTable("cbo_mid")
+    for t in ("cbo_big", "cbo_small", "cbo_mid"):
+        spark.sql(f"ANALYZE TABLE {t} COMPUTE STATISTICS FOR ALL COLUMNS")
+    q = """SELECT count(*) FROM cbo_big b
+           JOIN cbo_mid m ON b.a = m.a
+           JOIN cbo_small s ON m.b = s.b"""
+    saved = {k: spark.conf.get(k) for k in (
+        "spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")}
+    try:
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+        on = re.findall(r"cbo_\w+", spark.sql(q)._jdf.queryExecution()
+                        .optimizedPlan().toString())
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+        off = re.findall(r"cbo_\w+", spark.sql(q)._jdf.queryExecution()
+                         .optimizedPlan().toString())
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+        for t in ("cbo_big", "cbo_small", "cbo_mid"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+    assert off[0] == "cbo_big", off           # syntactic order kept
+    assert on[0] != "cbo_big", on             # CBO defers the fact table
+    assert set(on[:2]) == {"cbo_mid", "cbo_small"}, on
