@@ -111,6 +111,30 @@ def q_j3_interval_overlap(spark, sf_dir):
                     F.round("overlap_s", 6).alias("overlap_s"))
 
 
+def q_j3_interval_binned(spark, sf_dir):
+    """J3 via the binned range join (ops.interval_overlap_join_binned) —
+    the low-selectivity-key scale path: intervals explode into the time
+    bins they touch, the join equi-keys on (user, bin) so per-key
+    quadratic work collapses to per-bin work, and each pair survives
+    only in its canonical first-intersection bin (map-side dedup, no
+    distinct).  Output is identical to the plain J3 join, so this query
+    shares q_j3_interval_overlap's exact oracle verbatim."""
+    ev = _t(spark, sf_dir, "events")
+    seg = ops.change_segments(ev, ["user_id"], ["ts", "event_id"],
+                              "event_type")
+    spans = (ops.segment_spans(seg, ["user_id"], "segment_id", "ts",
+                               "event_type")
+             .select("user_id", "segment_id", "start_ts", "end_ts"))
+    ses = (_sessionized(ev).groupBy("user_id", "subset_id")
+           .agg(F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts")))
+    j = ops.interval_overlap_join_binned(spans, ses, ["user_id"],
+                                         bin_s=1800)
+    return j.select("user_id",
+                    F.col("segment_id").cast("long").alias("segment_id"),
+                    F.col("subset_id").cast("long").alias("subset_id"),
+                    F.round("overlap_s", 6).alias("overlap_s"))
+
+
 def q_a6_group_totals(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return (ev.groupBy("user_id", "event_type")
@@ -2911,6 +2935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f3_seq_dedup": q_f3_seq_dedup,
         "w3_change_segments": q_w3_change_segments,
         "j3_interval_overlap": q_j3_interval_overlap,
+        "j3_interval_binned": q_j3_interval_binned,
         "a6_group_totals": q_a6_group_totals,
         "a7_daily_summary": q_a7_daily_summary,
         "a9_distinct": q_a9_distinct,
@@ -4242,6 +4267,21 @@ SELECT user_id, CAST(segment_id AS BIGINT) AS segment_id,
 FROM spans2
 """,
         "j3_interval_overlap": f"""
+WITH {_SEGMENTS_CTE},
+{_SESSION_CTE.strip().lstrip()}
+, ses AS (
+  SELECT user_id, subset_id, MIN(ts) AS b_start, MAX(ts) AS b_end
+  FROM sess GROUP BY user_id, subset_id
+)
+SELECT a.user_id, CAST(a.segment_id AS BIGINT) AS segment_id,
+       CAST(b.subset_id AS BIGINT) AS subset_id,
+       ROUND(LEAST(epoch(a.end_ts), epoch(b.b_end))
+             - GREATEST(epoch(a.start_ts), epoch(b.b_start)), 6) AS overlap_s
+FROM spans2 a JOIN ses b USING (user_id)
+WHERE epoch(a.start_ts) < epoch(b.b_end)
+  AND epoch(b.b_start) < epoch(a.end_ts)
+""",
+        "j3_interval_binned": f"""
 WITH {_SEGMENTS_CTE},
 {_SESSION_CTE.strip().lstrip()}
 , ses AS (

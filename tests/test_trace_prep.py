@@ -126,3 +126,34 @@ def test_change_segments_null_first_label(spark):
            .toPandas().sort_values(["g", "ts"]))
     assert list(out[out["g"] == "x"]["segment_id"]) == [0, 0, 1, 2]
     assert list(out[out["g"] == "y"]["segment_id"]) == [0, 0]
+
+
+def test_interval_binned_equals_plain(spark):
+    """The binned range join is output-identical to the plain equi-key +
+    residual join across bin sizes, including intervals aligned exactly
+    on bin boundaries, spanning many bins, and zero-length ones."""
+    from datetime import datetime, timezone
+
+    from engine import ops
+    u = lambda s: datetime.fromtimestamp(s, tz=timezone.utc)  # noqa: E731
+    H = 3600
+    a_rows = [(1, 1, u(0), u(2 * H)), (1, 2, u(2 * H), u(2 * H + 1)),
+              (1, 3, u(5 * H), u(9 * H)), (2, 4, u(0), u(10)),
+              (2, 5, u(H), u(H))]                      # zero-length
+    b_rows = [(1, 11, u(H), u(3 * H)), (1, 12, u(2 * H), u(4 * H)),
+              (1, 13, u(8 * H + 1800), u(20 * H)),     # spans many bins
+              (2, 14, u(5), u(2 * H)), (3, 15, u(0), u(H))]
+    a = spark.createDataFrame(a_rows, ["k", "aid", "start_ts", "end_ts"])
+    b = spark.createDataFrame(b_rows, ["k", "bid", "start_ts", "end_ts"])
+    plain = sorted((r.k, r.aid, r.bid, r.overlap_s)
+                   for r in ops.interval_overlap_join(a, b, ["k"]).collect())
+    assert plain, "fixture must produce overlaps"
+    for bin_s in (60, 1800, 3600, 7200):
+        binned = sorted(
+            (r.k, r.aid, r.bid, r.overlap_s)
+            for r in ops.interval_overlap_join_binned(
+                a, b, ["k"], bin_s=bin_s).collect())
+        assert binned == plain, bin_s
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ops.interval_overlap_join_binned(a, b, ["k"], bin_s=0)
