@@ -1318,6 +1318,34 @@ def q_decontaminate(spark, sf_dir):
     return decontaminate(docs, bench, n=3)
 
 
+_CMS_D, _CMS_W = 4, 512
+
+
+def q_count_min(spark, sf_dir):
+    """Count-Min sketch point-frequency estimates beside the true
+    counts: the depth x width counter matrix builds with map-side
+    combine (KB per partition cross the exchange, like Misra-Gries, but
+    CMS answers EVERY token and merges by cell-wise addition).  The
+    md5_60-portable hash family makes the entire construction integer-
+    exact, so the oracle replays build + min-probe verbatim; the CMS
+    one-sided guarantee (est >= true, collisions only add) is emitted
+    per row as never_under."""
+    docs = _t(spark, sf_dir, "documents")
+    from engine.sketch import count_min_build, count_min_estimate
+    from engine.text import tokens_col
+    sk = count_min_build(docs, _CMS_D, _CMS_W)
+    true = (docs.select(F.explode(tokens_col(F.col("text")))
+                        .alias("token"))
+            .groupBy("token").agg(F.count(F.lit(1)).alias("true_n")))
+    est = count_min_estimate(sk, true.select("token"), _CMS_D, _CMS_W)
+    return (est.join(true, "token")
+            .select("token", "true_n", "cms_est",
+                    (F.col("cms_est") >= F.col("true_n"))
+                    .alias("never_under"),
+                    (F.col("cms_est") == F.col("true_n")).alias("exact_hit"))
+            .orderBy("token"))
+
+
 _CUR_MINTOK = 12
 _CUR_CAP = 128
 _CUR_FRACS = {f"src{i}": (1.0 if i % 2 == 0 else 0.5) for i in range(20)}
@@ -2999,6 +3027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_pairs": q_fuzzy_pairs,
         "pca_power": q_pca_power,
         "curation_pipeline": q_curation_pipeline,
+        "count_min": q_count_min,
         "ann_topk_lsh": q_ann_topk_lsh,
         "dedup_clusters": q_dedup_clusters,
         "ann_lsh_recall": q_ann_lsh_recall,
@@ -4828,6 +4857,45 @@ SELECT d.doc_id,
        (h.doc_id IS NOT NULL) AS is_contaminated
 FROM documents d LEFT JOIN hits h USING (doc_id)
 """,
+        # CMS replay: portable-hash cells + min-probe, integer-exact
+        "count_min": (r"""
+WITH tk AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\W+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+),
+tc AS (
+  SELECT tok AS token, CAST(count(*) AS BIGINT) AS true_n
+  FROM tk GROUP BY tok
+),
+cells AS (
+  SELECT row, pos, CAST(count(*) AS BIGINT) AS c FROM (
+    SELECT unnest(range(0, {D})) AS row,
+           unnest(list_transform(range(0, {D}),
+             i -> ('0x' || substr(md5(i || ':' || tok), 1, 15))::BIGINT
+                  % {W})) AS pos
+    FROM tk)
+  GROUP BY row, pos
+),
+probes AS (
+  SELECT token,
+         unnest(range(0, {D})) AS row,
+         unnest(list_transform(range(0, {D}),
+           i -> ('0x' || substr(md5(i || ':' || token), 1, 15))::BIGINT
+                % {W})) AS pos
+  FROM tc
+),
+est AS (
+  SELECT token, min(coalesce(c, 0)) AS cms_est
+  FROM probes LEFT JOIN cells USING (row, pos)
+  GROUP BY token
+)
+SELECT tc.token, tc.true_n, est.cms_est,
+       est.cms_est >= tc.true_n AS never_under,
+       est.cms_est = tc.true_n AS exact_hit
+FROM tc JOIN est USING (token)
+ORDER BY tc.token
+""".replace("{D}", str(_CMS_D)).replace("{W}", str(_CMS_W))),
         # curation-pipeline replay: all five stages as one CTE chain —
         # each stage's oracle fragment re-rooted on its predecessor
         "curation_pipeline": (r"""

@@ -115,3 +115,65 @@ def exact_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     tests only."""
     return (df.select(F.explode(tokens_col(F.col(text_col))).alias("token"))
             .groupBy("token").agg(F.count(F.lit(1)).alias("n")))
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+def _cms_pos(tok, row: int, width: int):
+    """Portable CMS position: first 60 bits of md5(f"{row}:" || token)
+    mod width — the repo's md5_60 exchange-hash family (decontaminate_
+    bloom's contract), reproducible in any engine."""
+    return (F.conv(F.substring(F.md5(F.concat(F.lit(f"{row}:"), tok)),
+                               1, 15), 16, 10).cast("long") % width)
+
+
+def count_min_build(df: DataFrame, depth: int = 4, width: int = 1024,
+                    text_col: str = "text") -> DataFrame:
+    """Build a Count-Min sketch over the corpus token stream: a
+    depth x width counter matrix as (row, pos, c) rows.
+
+    Scale shape: the token explode feeds a (row, pos)-keyed partial-agg
+    — map-side combine collapses each partition to <= depth*width
+    counter rows BEFORE the exchange, so like Misra-Gries the shuffle is
+    KB per partition regardless of corpus size, but unlike MG the
+    summary answers point queries for EVERY token (not only survivors)
+    with the one-sided guarantee est >= true, and two sketches merge by
+    plain cell-wise addition (linear sketch).
+
+    Unlike most sketches, the whole construction is integer sums over a
+    portable hash family, so a DuckDB oracle replays it EXACTLY — no
+    error-gate needed for the build itself."""
+    if depth < 1 or width < 1:
+        raise ValueError("depth and width must be >= 1")
+    toks = df.select(F.explode(tokens_col(F.col(text_col))).alias("tok"))
+    rows = toks.select(F.explode(F.array(*[
+        F.struct(F.lit(i).alias("row"),
+                 _cms_pos(F.col("tok"), i, width).alias("pos"))
+        for i in range(depth)])).alias("_rp"))
+    return (rows.select(F.col("_rp.row").alias("row"),
+                        F.col("_rp.pos").alias("pos"))
+            .groupBy("row", "pos")
+            .agg(F.count(F.lit(1)).alias("c")))
+
+
+def count_min_estimate(sketch: DataFrame, queries: DataFrame,
+                       depth: int = 4, width: int = 1024,
+                       token_col: str = "token") -> DataFrame:
+    """Point-frequency estimates: est(t) = min over rows of the counter
+    at that row's position — the CMS guarantee est >= true always (hash
+    collisions only ADD), with P[est > true + eps*n] <= (1/e)^depth at
+    width = e/eps.  The sketch side is depth*width rows (KB — broadcast
+    by AQE); queries probe map-only + one tiny min-agg."""
+    probes = queries.select(
+        F.col(token_col),
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("row"),
+                     _cms_pos(F.col(token_col), i, width).alias("pos"))
+            for i in range(depth)])).alias("_rp")) \
+        .select(token_col, F.col("_rp.row").alias("row"),
+                F.col("_rp.pos").alias("pos"))
+    return (probes.join(sketch, ["row", "pos"], "left")
+            .groupBy(token_col)
+            .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_est")))

@@ -7,6 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from engine import ops
+from engine import sketch
 from engine.sketch import exact_token_counts, heavy_hitters_mg, mg_merge_counts
 
 # ---------------------------------------------------------------------------
@@ -144,3 +145,39 @@ def test_gapfill_interp_known_values(spark):
     assert [r["val_interp"] for r in out] == [2.0, 4.0, 6.0, 8.0, 10.0]
     assert [r["val_locf"] for r in out] == [2.0, 2.0, 2.0, 2.0, 10.0]
     assert [r["is_gap"] for r in out] == [0, 1, 1, 1, 0]
+
+
+def test_count_min_guarantees(spark):
+    """CMS invariants on a skewed planted corpus: est >= true for EVERY
+    token even at a collision-flooded width, est == true for every
+    token once width is ample, and the sketch is LINEAR (sketch of the
+    union == cell-wise sum of the parts)."""
+    rows = [(i, " ".join(f"tok{j}" for j in range(40) for _ in
+                         range(1 + (j == 0) * 9 * (i % 3 == 0))))
+            for i in range(12)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    true = {r["token"]: r["n"] for r in
+            df.select(F.explode(F.split("text", " ")).alias("token"))
+            .groupBy("token").agg(F.count(F.lit(1)).alias("n")).collect()}
+    q = spark.createDataFrame([(t,) for t in true], ["token"])
+    for width, must_be_exact in ((8, False), (4096, True)):
+        sk = sketch.count_min_build(df, depth=4, width=width)
+        est = {r["token"]: r["cms_est"] for r in
+               sketch.count_min_estimate(sk, q, depth=4,
+                                         width=width).collect()}
+        assert set(est) == set(true)
+        assert all(est[t] >= true[t] for t in true), width
+        if must_be_exact:
+            assert est == true
+    # linearity: union sketch == cell-wise sum
+    a, b = df.filter(F.col("doc_id") < 6), df.filter(F.col("doc_id") >= 6)
+    su = {(r["row"], r["pos"]): r["c"] for r in
+          sketch.count_min_build(df, 3, 64).collect()}
+    sa = {(r["row"], r["pos"]): r["c"] for r in
+          sketch.count_min_build(a, 3, 64).collect()}
+    sb = {(r["row"], r["pos"]): r["c"] for r in
+          sketch.count_min_build(b, 3, 64).collect()}
+    summed = {k: sa.get(k, 0) + sb.get(k, 0) for k in set(sa) | set(sb)}
+    assert su == summed
+    with pytest.raises(ValueError):
+        sketch.count_min_build(df, depth=0)
