@@ -1346,6 +1346,46 @@ def q_count_min(spark, sf_dir):
             .orderBy("token"))
 
 
+def q_stream_count_min(spark, sf_dir):
+    """STREAMING Count-Min — the reason to sketch a stream at all: a
+    global streaming aggregate normally has unbounded state, but the
+    sketch bounds it STRUCTURALLY at depth x width counter rows whatever
+    the corpus, so `count_min_build` runs UNCHANGED on readStream in
+    complete mode (no watermark needed; the sketch IS the state bound).
+    The corpus arrives as three micro-batches (maxFilesPerTrigger=1);
+    linearity means incremental accumulation equals the one-shot build,
+    so the final estimates share q_count_min's exact oracle verbatim."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    from engine.sketch import count_min_build, count_min_estimate
+    from engine.text import tokens_col
+    path = tempfile.mkdtemp(prefix="scm_")
+    docs.repartition(3).write.mode("overwrite").parquet(path)
+    schema = spark.read.parquet(path).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(path))
+    spark.sql("DROP TABLE IF EXISTS scm_cells")
+    q = (count_min_build(stream, _CMS_D, _CMS_W)
+         .writeStream.outputMode("complete").format("memory")
+         .queryName("scm_cells").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    cells = spark.table("scm_cells")
+    true = (docs.select(F.explode(tokens_col(F.col("text")))
+                        .alias("token"))
+            .groupBy("token").agg(F.count(F.lit(1)).alias("true_n")))
+    est = count_min_estimate(cells, true.select("token"), _CMS_D, _CMS_W)
+    return (est.join(true, "token")
+            .select("token", "true_n", "cms_est",
+                    (F.col("cms_est") >= F.col("true_n"))
+                    .alias("never_under"),
+                    (F.col("cms_est") == F.col("true_n")).alias("exact_hit"))
+            .orderBy("token"))
+
+
 _CUR_MINTOK = 12
 _CUR_CAP = 128
 _CUR_FRACS = {f"src{i}": (1.0 if i % 2 == 0 else 0.5) for i in range(20)}
@@ -3028,6 +3068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_power": q_pca_power,
         "curation_pipeline": q_curation_pipeline,
         "count_min": q_count_min,
+        "stream_count_min": q_stream_count_min,
         "ann_topk_lsh": q_ann_topk_lsh,
         "dedup_clusters": q_dedup_clusters,
         "ann_lsh_recall": q_ann_lsh_recall,
@@ -4859,6 +4900,45 @@ FROM documents d LEFT JOIN hits h USING (doc_id)
 """,
         # CMS replay: portable-hash cells + min-probe, integer-exact
         "count_min": (r"""
+WITH tk AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\W+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+),
+tc AS (
+  SELECT tok AS token, CAST(count(*) AS BIGINT) AS true_n
+  FROM tk GROUP BY tok
+),
+cells AS (
+  SELECT row, pos, CAST(count(*) AS BIGINT) AS c FROM (
+    SELECT unnest(range(0, {D})) AS row,
+           unnest(list_transform(range(0, {D}),
+             i -> ('0x' || substr(md5(i || ':' || tok), 1, 15))::BIGINT
+                  % {W})) AS pos
+    FROM tk)
+  GROUP BY row, pos
+),
+probes AS (
+  SELECT token,
+         unnest(range(0, {D})) AS row,
+         unnest(list_transform(range(0, {D}),
+           i -> ('0x' || substr(md5(i || ':' || token), 1, 15))::BIGINT
+                % {W})) AS pos
+  FROM tc
+),
+est AS (
+  SELECT token, min(coalesce(c, 0)) AS cms_est
+  FROM probes LEFT JOIN cells USING (row, pos)
+  GROUP BY token
+)
+SELECT tc.token, tc.true_n, est.cms_est,
+       est.cms_est >= tc.true_n AS never_under,
+       est.cms_est = tc.true_n AS exact_hit
+FROM tc JOIN est USING (token)
+ORDER BY tc.token
+""".replace("{D}", str(_CMS_D)).replace("{W}", str(_CMS_W))),
+        # streaming CMS shares the batch oracle (linearity)
+        "stream_count_min": (r"""
 WITH tk AS (
   SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\W+'),
                             x -> x <> '')) AS tok

@@ -181,3 +181,30 @@ def test_count_min_guarantees(spark):
     assert su == summed
     with pytest.raises(ValueError):
         sketch.count_min_build(df, depth=0)
+
+
+def test_count_min_streaming_equals_batch(spark, tmp_path):
+    """count_min_build runs UNCHANGED on readStream (complete mode; the
+    sketch structurally bounds state at depth*width rows) and the cells
+    accumulated across micro-batches equal the one-shot batch build —
+    linearity made operational."""
+    rows = [(i, " ".join(f"w{(i + j) % 9}" for j in range(6)))
+            for i in range(30)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    batch = {(r["row"], r["pos"]): r["c"]
+             for r in sketch.count_min_build(df, 3, 128).collect()}
+    path = str(tmp_path / "scm")
+    df.repartition(4).write.mode("overwrite").parquet(path)
+    stream = (spark.readStream.schema(spark.read.parquet(path).schema)
+              .option("maxFilesPerTrigger", "1").parquet(path))
+    spark.sql("DROP TABLE IF EXISTS scm_test_cells")
+    q = (sketch.count_min_build(stream, 3, 128)
+         .writeStream.outputMode("complete").format("memory")
+         .queryName("scm_test_cells").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r["row"], r["pos"]): r["c"]
+           for r in spark.table("scm_test_cells").collect()}
+    assert got == batch
