@@ -556,3 +556,34 @@ def test_cbo_statistics_reorder_three_way_join(spark):
     assert off[0] == "cbo_big", off           # syntactic order kept
     assert on[0] != "cbo_big", on             # CBO defers the fact table
     assert set(on[:2]) == {"cbo_mid", "cbo_small"}, on
+
+
+def test_no_cartesian_or_rowwise_python_in_hot_plans(spark):
+    """Global plan hygiene across a representative slice of the driver
+    surface: no CartesianProduct and no row-at-a-time Python eval
+    (BatchEvalPython) anywhere — Python appears only as Arrow-batched
+    kernels (ArrowEvalPython / mapInPandas), and every join has keys.
+    Queries whose Spark side is a DOCUMENTED all-pairs oracle twin
+    (dedup_ngram_jaccard, cosine exact twins) are excluded by design;
+    everything here is a production path."""
+    import __spark_entry__ as entry
+    qs = entry.queries()
+    hot = ["x5_extract_geopoints", "geo_sessions", "f3_seq_dedup",
+           "j1_knn_assign", "j3_interval_overlap", "j3_interval_binned",
+           "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q19", "tpch_q20",
+           "dedup_exact", "dedup_paragraphs", "dedup_minhash_lsh",
+           "dedup_spans", "decontaminate", "decontaminate_bloom",
+           "fuzzy_pairs", "vocab_topk", "bm25_topk", "quality_buckets",
+           "chunk_documents", "pack_sequences", "sample_stratified",
+           "count_min", "curation_pipeline", "a7_daily_summary",
+           "a9_distinct", "w2_sessionize", "o2_topk"]
+    sf = "/root/testdata/sf0.001"
+    bad = {}
+    for name in hot:
+        df = qs[name](spark, sf)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        hits = [m for m in ("CartesianProduct", "BatchEvalPython")
+                if m in plan]
+        if hits:
+            bad[name] = hits
+    assert not bad, bad
