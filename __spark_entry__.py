@@ -1234,6 +1234,29 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return dedup_minhash(docs, threshold=0.5)
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Operational incremental near-dup: two corpus slices are indexed
+    (persisted hashed shingle sets + LSH band buckets, appended behind
+    the manifest's exactly-once batch ledger), then a NEW batch probes
+    the index — historical text is never rescanned; history participates
+    only via its stored buckets and hash sets.  Recall equals batch
+    dedup_minhash over old ∪ new by construction (same signature family,
+    banding and verify — params pinned in the manifest), and at these
+    params LSH recall on >=0.5-Jaccard pairs is 1.0 (q_dedup_minhash_lsh),
+    so the all-pairs exact-Jaccard oracle restricted to new-touching
+    pairs is a true oracle."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    from engine.text import dedup_index_write, dedup_probe_incremental
+    tbl = tempfile.mkdtemp(prefix="didx_")
+    dedup_index_write(docs.filter(F.col("doc_id") % 3 == 1), tbl, 0)
+    dedup_index_write(docs.filter(F.col("doc_id") % 3 == 2), tbl, 1)
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    return (dedup_probe_incremental(spark, new, tbl, threshold=0.5)
+            .orderBy("a", "b"))
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Corpus-dedup clustering end to end (MinHash-LSH pairs -> pointer-
     jumping connected components -> representative pick) with an EXACT
@@ -3070,6 +3093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_min": q_count_min,
         "stream_count_min": q_stream_count_min,
         "ann_topk_lsh": q_ann_topk_lsh,
+        "dedup_incremental": q_dedup_incremental,
         "dedup_clusters": q_dedup_clusters,
         "ann_lsh_recall": q_ann_lsh_recall,
         "cosine_near_dup_recall": q_cosine_near_dup_recall,
@@ -5187,6 +5211,36 @@ pairs AS (
   FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 )
 SELECT a, b, jaccard FROM pairs WHERE jaccard >= 0.5
+""",
+        # incremental probe: the same exact-Jaccard oracle restricted to
+        # pairs touching the new batch (b always new; a<b when both new,
+        # a = the historical id otherwise)
+        "dedup_incremental": r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'),
+                             x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(t) - 2, 0) + 1),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+  FROM toks
+),
+pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b,
+         ROUND(CASE WHEN len(list_distinct(list_concat(a.s, b.s))) > 0
+               THEN CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.s, b.s)))
+               ELSE 0.0 END, 6) AS jaccard
+  FROM sh a JOIN sh b
+    ON b.doc_id % 3 = 0
+   AND a.doc_id <> b.doc_id
+   AND (a.doc_id % 3 <> 0 OR a.doc_id < b.doc_id)
+)
+SELECT a, b, jaccard FROM pairs WHERE jaccard >= 0.5
+ORDER BY a, b
 """,
         # near-dup components over the exact pair graph via recursive CTE
         # (UNION dedups, so the closure terminates); representative = min

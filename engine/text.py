@@ -1566,3 +1566,130 @@ def fuzzy_pairs(df: DataFrame, text_col: str = "text",
             .withColumn("dist", F.levenshtein("_sa", "_sb").cast("long"))
             .select("id_a", "id_b", "dist"))
     return main.unionByName(tiny)
+
+
+# ---------------------------------------------------------------------------
+# incremental near-dup: persisted index + batch probe
+# ---------------------------------------------------------------------------
+
+def _band_rows(signed: DataFrame, id_col: str, bands: int) -> DataFrame:
+    """(id, band, bucket) rows — the same banding expressions
+    lsh_candidate_pairs buckets with, factored so the persisted dedup
+    index stores exactly the buckets the batch path would compute."""
+    r = F.floor(F.size("sig") / bands).cast("int")
+    return signed.select(
+        F.col(id_col),
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda bnd: F.hash(F.slice(F.col("sig"), bnd * r + 1, r), bnd)))
+        .alias("band", "bucket"))
+
+
+def _hashed_shingles(df: DataFrame, text_col: str, id_col: str,
+                     shingle_n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        F.transform(shingles_col(F.col(text_col), shingle_n),
+                    lambda s: F.xxhash64(s)).alias("sh"))
+
+
+def dedup_index_write(df: DataFrame, path, batch_id: int,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      num_hashes: int = 64, bands: int = 16,
+                      shingle_n: int = 3) -> bool:
+    """Persist one corpus slice into the near-dup INDEX — the
+    operational form of dedup at 100 TB, where each crawl snapshot must
+    dedup against ALL history without rescanning it: per doc the index
+    stores the hashed shingle set (array<long>, ~8 B/shingle — never the
+    text) and the LSH band buckets, appended batch-at-a-time behind the
+    manifest's applied-batch ledger (exactly-once under foreachBatch
+    replay — the CDC sink contract).  Index parameters are pinned in the
+    manifest; an append with different params RAISES, because mixing
+    banding families in one bucket table silently loses recall.
+    Returns True iff the batch was newly applied."""
+    from pathlib import Path as _P
+
+    from .catalog import Manifest
+    man = Manifest(path)
+    params = {"num_hashes": num_hashes, "bands": bands,
+              "shingle_n": shingle_n}
+    known = man.data["lineage"].get("dedup_params")
+    if known is not None and known != params:
+        raise ValueError(f"dedup_index_write: params {params} differ from "
+                         f"the index's pinned {known}")
+    applied = man.data["lineage"].setdefault("applied_batches", [])
+    if batch_id in applied:
+        return False
+    sh = _hashed_shingles(df, text_col, id_col, shingle_n)
+    sh.write.mode("overwrite").parquet(
+        str(_P(path) / f"sh-{batch_id:08d}"))
+    signed = minhash_signature(df, text_col, num_hashes, shingle_n)
+    bl = _band_rows(signed, id_col, bands)
+    bl.write.mode("overwrite").parquet(
+        str(_P(path) / f"bands-{batch_id:08d}"))
+    n = df.count()
+    man.data["lineage"]["dedup_params"] = params
+    man.new_snapshot(op="dedup_index", batch=int(batch_id), rows=int(n))
+    applied.append(int(batch_id))
+    man.save()
+    return True
+
+
+def dedup_probe_incremental(spark, new_docs: DataFrame, path,
+                            threshold: float = 0.5,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs of a NEW batch against the persisted index AND
+    within itself, without touching historical text: history
+    participates only through its stored band buckets (candidate
+    generation = ONE equi join on (band, bucket) — batch-sized side
+    shuffled, index side prunable under a bucket-keyed layout) and its
+    stored hashed shingle sets (exact verify — hashed-set Jaccard equals
+    raw-shingle Jaccard barring the documented 2^-64 collision).
+
+    Recall equals the batch dedup_minhash over old ∪ new BY CONSTRUCTION
+    for every (old, new) and (new, new) pair: same signature family
+    (params pinned in the manifest), same banding, same verify; only
+    (old, old) pairs are out of scope — they were handled when their own
+    batches arrived.  Ids must be globally unique across batches.
+
+    Returns (a, b, jaccard >= threshold): b is always the new doc; a is
+    the historical id for cross pairs, and a < b for new-new pairs."""
+    from pathlib import Path as _P
+
+    from .catalog import Manifest
+    man = Manifest(path)
+    params = man.data["lineage"].get("dedup_params")
+    if not params:
+        raise ValueError(f"no dedup index at {path}")
+    p = _P(path)
+    batches = sorted(man.data["lineage"]["applied_batches"])
+    stored_bands = spark.read.parquet(
+        *[str(p / f"bands-{b:08d}") for b in batches])
+    stored_sh = spark.read.parquet(
+        *[str(p / f"sh-{b:08d}") for b in batches])
+    signed = minhash_signature(new_docs, text_col,
+                               params["num_hashes"], params["shingle_n"])
+    new_bands = _band_rows(signed, id_col, params["bands"])
+    new_sh = _hashed_shingles(new_docs, text_col, id_col,
+                              params["shingle_n"])
+    cand_cross = (new_bands.select("band", "bucket",
+                                   F.col(id_col).alias("b"))
+                  .join(stored_bands.select("band", "bucket",
+                                            F.col(id_col).alias("a")),
+                        ["band", "bucket"])
+                  .select("a", "b").distinct())
+    cand_new = lsh_candidate_pairs(signed, id_col, params["bands"])
+    all_sh = stored_sh.unionByName(new_sh)
+    pairs = cand_cross.unionByName(cand_new)
+    j = (pairs
+         .join(all_sh.select(F.col(id_col).alias("a"),
+                             F.col("sh").alias("sa")), "a")
+         .join(new_sh.select(F.col(id_col).alias("b"),
+                             F.col("sh").alias("sb")), "b"))
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    union = F.size(F.array_union("sa", "sb")).cast("double")
+    return (j.select("a", "b",
+                     F.round(F.when(union > 0, inter / union)
+                             .otherwise(F.lit(0.0)), 6).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))

@@ -1132,3 +1132,33 @@ def test_fuzzy_pairs_envelopes(spark):
         text.fuzzy_pairs(tiny, max_dist=2, tiny_envelope=3)
     with pytest.raises(ValueError):
         text.fuzzy_pairs(tiny, max_dist=0)
+
+
+def test_dedup_incremental_equals_batch(spark, tmp_path):
+    """Incremental probe == batch dedup_minhash over old ∪ new,
+    restricted to new-touching pairs with the documented orientation
+    (b new; a<b when both new, a historical otherwise); the index ledger
+    makes re-appending a batch a no-op, and mismatched index params or a
+    missing index raise."""
+    rows = [(i, "alpha beta gamma delta epsilon zeta "
+             + (f"x{i} " if i % 4 else "")) for i in range(24)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    old = df.filter(F.col("doc_id") < 16)
+    new = df.filter(F.col("doc_id") >= 16)
+    tbl = str(tmp_path / "didx")
+    assert text.dedup_index_write(old.filter(F.col("doc_id") < 8), tbl, 0)
+    assert text.dedup_index_write(old.filter(F.col("doc_id") >= 8), tbl, 1)
+    assert not text.dedup_index_write(old, tbl, 1)  # replay no-op
+    inc = sorted((r.a, r.b, r.jaccard)
+                 for r in text.dedup_probe_incremental(spark, new,
+                                                       tbl).collect())
+    full = sorted((r.a, r.b, r.jaccard)
+                  for r in text.dedup_minhash(df, 0.5).collect())
+    want = sorted(
+        [(a, b, j) for a, b, j in full if b >= 16 and (a < 16 or a < b)]
+        + [(b, a, j) for a, b, j in full if a >= 16 and b < 16])
+    assert inc == want
+    with pytest.raises(ValueError):
+        text.dedup_index_write(new, tbl, 2, bands=8)
+    with pytest.raises(ValueError):
+        text.dedup_probe_incremental(spark, new, str(tmp_path / "none"))
