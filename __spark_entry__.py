@@ -2673,6 +2673,37 @@ def q_cdc_time_travel(spark, sf_dir):
             .unionByName(head.withColumn("snap", F.lit(3).cast("long"))))
 
 
+def q_cdc_snapshot_diff(spark, sf_dir):
+    """Net changelog between two snapshots (the Iceberg incremental-read
+    shape — what a downstream consumer replays to move its copy from
+    snapshot A to B without re-reading the table): the cdc_time_travel
+    table's pre-compaction snapshot diffed against the head.  Per key:
+    I (new at B), D (gone at B), U (payload changed); keys whose net
+    state is unchanged emit nothing.  Oracle replays both folds and the
+    full-outer diff with IS DISTINCT FROM semantics."""
+    import tempfile
+
+    from engine import catalog
+    ev = _t(spark, sf_dir, "events")
+    ch = ev.select(
+        F.col("user_id").alias("k"), F.col("value").alias("v"),
+        F.col("event_type").alias("etype"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+         .otherwise(F.lit("U")).alias("op"),
+        F.col("event_id").alias("seq"))
+    tbl = tempfile.mkdtemp(prefix="cdc_diff_")
+    mx = int(ch.agg(F.max("seq")).collect()[0][0])
+    t1, t2 = mx // 3, 2 * mx // 3
+    catalog.write_cdc_delta(ch.filter(F.col("seq") <= t1), tbl, 0, "k")
+    catalog.write_cdc_delta(ch.filter((F.col("seq") > t1)
+                                      & (F.col("seq") <= t2)), tbl, 1, "k")
+    catalog.compact_cdc_table(spark, tbl, "k")
+    catalog.write_cdc_delta(ch.filter(F.col("seq") > t2), tbl, 2, "k")
+    d = catalog.diff_snapshots(spark, tbl, "k", from_snap=1)
+    return (d.select("k", "op", "old_v", "new_v", "old_etype", "new_etype")
+            .orderBy("k"))
+
+
 def q_cdc_incr_agg(spark, sf_dir):
     """Self-maintainable materialized view over the MOR CDC table
     (engine/catalog.py::incr_agg_apply): a grouped (count, sum) view is
@@ -3148,6 +3179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_build": q_scd2_build,
         "scd2_apply": q_scd2_apply,
         "cdc_incr_agg": q_cdc_incr_agg,
+        "cdc_snapshot_diff": q_cdc_snapshot_diff,
         "cdc_incr_minmax": q_cdc_incr_minmax,
         "cdc_schema_evolution": q_cdc_schema_evolution,
         "partition_evolution": q_partition_evolution,
@@ -6883,6 +6915,36 @@ f3 AS (
 SELECT CAST(1 AS BIGINT) AS snap, k, v, etype FROM f1 WHERE op != 'D'
 UNION ALL
 SELECT CAST(3 AS BIGINT) AS snap, k, v, etype FROM f3 WHERE op != 'D'
+""",
+        # snapshot diff: both folds + full-outer IS DISTINCT FROM diff
+        "cdc_snapshot_diff": """
+WITH ch AS (
+  SELECT user_id AS k, value AS v, event_type AS etype, event_id AS seq,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+  FROM events
+),
+tot AS (SELECT max(seq) AS mx FROM ch),
+f1 AS (
+  SELECT k, arg_max(v, seq) AS v, arg_max(etype, seq) AS etype,
+         arg_max(op, seq) AS op
+  FROM ch, tot WHERE seq <= (2 * mx) // 3 GROUP BY k
+),
+f3 AS (
+  SELECT k, arg_max(v, seq) AS v, arg_max(etype, seq) AS etype,
+         arg_max(op, seq) AS op
+  FROM ch GROUP BY k
+),
+a AS (SELECT k, v, etype FROM f1 WHERE op != 'D'),
+b AS (SELECT k, v, etype FROM f3 WHERE op != 'D')
+SELECT COALESCE(a.k, b.k) AS k,
+       CASE WHEN a.k IS NULL THEN 'I'
+            WHEN b.k IS NULL THEN 'D' ELSE 'U' END AS op,
+       a.v AS old_v, b.v AS new_v,
+       a.etype AS old_etype, b.etype AS new_etype
+FROM a FULL OUTER JOIN b ON a.k = b.k
+WHERE a.k IS NULL OR b.k IS NULL
+   OR a.v IS DISTINCT FROM b.v OR a.etype IS DISTINCT FROM b.etype
+ORDER BY k
 """,
     }
 

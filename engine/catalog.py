@@ -677,3 +677,54 @@ def read_evolved(spark: SparkSession, path: str | Path,
         df = df.select(*keep).withColumn("gen_id", F.lit(int(gid)))
         out = df if out is None else out.unionByName(df)
     return out
+
+
+def diff_snapshots(spark: SparkSession, path: str | Path,
+                   key_cols: list[str] | str, from_snap: int,
+                   to_snap: int | None = None, op_col: str = "op",
+                   seq_col: str = "seq") -> DataFrame:
+    """Net row-level CHANGELOG between two snapshots of the MOR CDC
+    table — the Iceberg incremental-read shape, i.e. what a downstream
+    consumer replays to move its copy from snapshot A to snapshot B
+    without re-reading the table: per key, 'I' (absent at A, present at
+    B), 'D' (present at A, absent at B) or 'U' (present in both with any
+    payload change; unchanged rows emit NOTHING — the net diff, not the
+    raw delta stream, so a key updated five times then restored to its
+    A-state disappears from the changelog).
+
+    Output: key columns + op + one (old_<c>, new_<c>) pair per payload
+    column (old_* NULL for I, new_* NULL for D).
+
+    Scale shape: two as-of reads (each ONE associative max-seq fold —
+    read_merge_on_read's contract) full-outer-joined on the key; at
+    sane churn rates the joined frames are snapshot-sized but the diff
+    emitted is churn-sized.  A real consumer tails the raw deltas for
+    streaming; this is the reconciliation/backfill primitive."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    a = read_merge_on_read(spark, path, keys, op_col, seq_col,
+                           as_of=from_snap)
+    b = read_merge_on_read(spark, path, keys, op_col, seq_col,
+                           as_of=to_snap)
+    payload = [c for c in b.columns if c not in keys]
+    a2 = a.select(*keys, F.lit(True).alias("_in_a"),
+                  *[F.col(c).alias(f"old_{c}") for c in payload
+                    if c in a.columns])
+    b2 = b.select(*keys, F.lit(True).alias("_in_b"),
+                  *[F.col(c).alias(f"new_{c}") for c in payload])
+    j = a2.join(b2, keys, "full_outer")
+    ina, inb = F.col("_in_a").isNotNull(), F.col("_in_b").isNotNull()
+    changed = F.lit(False)
+    for c in payload:
+        old = (F.col(f"old_{c}") if f"old_{c}" in j.columns
+               else F.lit(None))
+        changed = changed | ~old.eqNullSafe(F.col(f"new_{c}"))
+    out_cols = ([F.col(c) for c in keys]
+                + [F.when(~ina, "I").when(~inb, "D").otherwise("U")
+                   .alias(op_col)]
+                + [x for c in payload for x in
+                   ((F.col(f"old_{c}") if f"old_{c}" in j.columns
+                     else F.lit(None).cast(b.schema[c].dataType))
+                    .alias(f"old_{c}"),
+                    F.col(f"new_{c}"))])
+    return (j.filter((~ina & inb) | (ina & ~inb) | (ina & inb & changed))
+            .select(*out_cols))

@@ -488,3 +488,33 @@ def test_partition_evolution_prunes_per_spec(spark, tmp_path):
         catalog.write_evolved_gen(df, tbl, 1, {"ts_day": F.col("d")})
     with pytest.raises(ValueError):
         catalog.read_evolved(spark, str(tmp_path / "nope"))
+
+
+def test_diff_snapshots_net_changelog(spark, tmp_path):
+    """diff_snapshots emits the NET change between two snapshots: I for
+    keys new at B, D for keys gone at B, U only when the payload really
+    changed — a key updated then restored to its A-state emits nothing;
+    schema-evolved columns appear as typed-NULL old_* for pre-evolution
+    rows."""
+    cols = ["k", "val", "op", "seq"]
+    b0 = spark.createDataFrame(
+        [(1, "a", "U", 1), (2, "b", "U", 2), (3, "c", "U", 3),
+         (4, "d", "U", 4)], cols)
+    b1 = spark.createDataFrame(
+        [(2, "b2", "U", 5),          # real update
+         (3, "x", "U", 6),           # updated ...
+         (5, "e", "I", 7)], cols)    # insert
+    b2 = spark.createDataFrame(
+        [(3, "c", "U", 8),           # ... then RESTORED to A-state
+         (4, "d", "D", 9)], cols)    # delete
+    tbl = str(tmp_path / "mor_diff")
+    catalog.write_cdc_delta(b0, tbl, 0, "k")     # snapshot 0
+    catalog.write_cdc_delta(b1, tbl, 1, "k")     # snapshot 1
+    catalog.write_cdc_delta(b2, tbl, 2, "k")     # snapshot 2 (head)
+    d = {r["k"]: (r["op"], r["old_val"], r["new_val"])
+         for r in catalog.diff_snapshots(spark, tbl, "k", 0).collect()}
+    assert d == {2: ("U", "b", "b2"), 4: ("D", "d", None),
+                 5: ("I", None, "e")}              # 1, 3 net-unchanged
+    mid = {r["k"]: r["op"]
+           for r in catalog.diff_snapshots(spark, tbl, "k", 1, 2).collect()}
+    assert mid == {3: "U", 4: "D"}
