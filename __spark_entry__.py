@@ -371,6 +371,131 @@ def q_tpch_q17(spark, sf_dir):
     """)
 
 
+def _tpch_sql(spark, sf_dir, tables, sql, prefix):
+    """Shared-text TPC-H runner: the SAME SQL string (with {table}
+    placeholders) runs on Spark temp views here and verbatim on DuckDB
+    as the oracle — dialect-common ANSI only."""
+    for t in tables:
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"{prefix}_{t}")
+    return spark.sql(sql.format(**{t: f"{prefix}_{t}" for t in tables}))
+
+
+_TPCH_Q7_SQL = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       year(l.l_shipdate) AS l_year,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM {lineitem} l
+JOIN {supplier} s ON s.s_suppkey = l.l_suppkey
+JOIN {orders} o ON o.o_orderkey = l.l_orderkey
+JOIN {customer} c ON c.c_custkey = o.o_custkey
+JOIN {nation} sn ON sn.n_nationkey = s.s_nationkey
+JOIN {nation} cn ON cn.n_nationkey = c.c_nationkey
+WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+GROUP BY sn.n_name, cn.n_name, year(l.l_shipdate)
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+_TPCH_Q9_SQL = """
+SELECT n.n_name AS nation, year(l.l_shipdate) AS o_year,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS profit,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM {lineitem} l
+JOIN {part} p ON p.p_partkey = l.l_partkey
+JOIN {supplier} s ON s.s_suppkey = l.l_suppkey
+JOIN {nation} n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE '%widget%'
+GROUP BY n.n_name, year(l.l_shipdate)
+ORDER BY nation, o_year
+"""
+
+_TPCH_Q10_SQL = """
+SELECT c.c_custkey, c.c_name,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents,
+       n.n_name AS nation
+FROM {customer} c
+JOIN {orders} o ON o.o_custkey = c.c_custkey
+JOIN {lineitem} l ON l.l_orderkey = o.o_orderkey
+JOIN {nation} n ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue_cents DESC, c.c_custkey
+LIMIT 20
+"""
+
+_TPCH_Q12_SQL = """
+SELECT l.l_returnflag,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM {orders} o JOIN {lineitem} l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l.l_returnflag
+ORDER BY l.l_returnflag
+"""
+
+_TPCH_Q14_SQL = """
+SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0.0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 6)
+         AS promo_revenue_pct,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM {lineitem} l JOIN {part} p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1996-07-01'
+"""
+
+
+def q_tpch_q7(spark, sf_dir):
+    """Q7 shape (volume shipping between two nations): the six-way join
+    with the SAME dimension (nation) entering twice under different join
+    keys and a symmetric nation-pair disjunction — round-6 float
+    contract on revenue, integer counts."""
+    return _tpch_sql(spark, sf_dir,
+                     ["lineitem", "supplier", "orders", "customer",
+                      "nation"], _TPCH_Q7_SQL, "tq7")
+
+
+def q_tpch_q9(spark, sf_dir):
+    """Q9 shape (product-line profit by nation and year): part-name LIKE
+    filter driving a 4-way join grouped on a derived year (synthetic
+    schema has no partsupp, so profit is discounted revenue — the join/
+    group shape is what's under test)."""
+    return _tpch_sql(spark, sf_dir,
+                     ["lineitem", "part", "supplier", "nation"],
+                     _TPCH_Q9_SQL, "tq9")
+
+
+def q_tpch_q10(spark, sf_dir):
+    """Q10 shape (returned-item revenue, top customers): revenue enters
+    as floor-cents int64 so the ORDER BY ... LIMIT 20 prefix is
+    bit-portable (floats could tie differently across engines; integers
+    cannot, and c_custkey breaks exact ties)."""
+    return _tpch_sql(spark, sf_dir,
+                     ["customer", "orders", "lineitem", "nation"],
+                     _TPCH_Q10_SQL, "tq10")
+
+
+def q_tpch_q12(spark, sf_dir):
+    """Q12 shape (priority CASE-aggregation over a join, date-windowed):
+    all-integer output, date window pushed to the lineitem scan."""
+    return _tpch_sql(spark, sf_dir, ["orders", "lineitem"],
+                     _TPCH_Q12_SQL, "tq12")
+
+
+def q_tpch_q14(spark, sf_dir):
+    """Q14 shape (promo revenue share): two conditional sums and one
+    division, round-6 contract; p_type='PROMO' exists verbatim in the
+    synthetic part table."""
+    return _tpch_sql(spark, sf_dir, ["lineitem", "part"],
+                     _TPCH_Q14_SQL, "tq14")
+
+
 def q_tpch_q19(spark, sf_dir):
     """TPC-H Q19 shape (discounted revenue under a DISJUNCTION of
     conjunctive bands): the one relational surface the suite hadn't
@@ -3071,6 +3196,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q21": q_tpch_q21,
         "tpch_q17": q_tpch_q17,
         "tpch_q2": q_tpch_q2,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q14": q_tpch_q14,
         "tpch_q19": q_tpch_q19,
         "tpch_q20": q_tpch_q20,
         "tpch_q22": q_tpch_q22,
@@ -6346,6 +6476,16 @@ GROUP BY c_mktsegment
         # Q17 shape: correlated SCALAR subquery (decorrelated to one
         # per-part aggregate on the Spark side; DuckDB runs it natively).
         # l_quantity is integer-valued so the correlated avg is exact.
+        "tpch_q7": _TPCH_Q7_SQL.format(**{t: t for t in
+            ["lineitem", "supplier", "orders", "customer", "nation"]}),
+        "tpch_q9": _TPCH_Q9_SQL.format(**{t: t for t in
+            ["lineitem", "part", "supplier", "nation"]}),
+        "tpch_q10": _TPCH_Q10_SQL.format(**{t: t for t in
+            ["customer", "orders", "lineitem", "nation"]}),
+        "tpch_q12": _TPCH_Q12_SQL.format(**{t: t for t in
+            ["orders", "lineitem"]}),
+        "tpch_q14": _TPCH_Q14_SQL.format(**{t: t for t in
+            ["lineitem", "part"]}),
         "tpch_q19": """
 SELECT round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
        CAST(count(*) AS BIGINT) AS n_rows
