@@ -451,6 +451,105 @@ WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
 """
 
 
+_TPCH_Q8_SQL = """
+SELECT year(o.o_orderdate) AS o_year,
+       round(sum(CASE WHEN sn.n_name = 'NATION_3'
+                      THEN l.l_extendedprice * (1 - l.l_discount)
+                      ELSE 0.0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS mkt_share,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM {lineitem} l
+JOIN {part} p ON p.p_partkey = l.l_partkey
+JOIN {supplier} s ON s.s_suppkey = l.l_suppkey
+JOIN {orders} o ON o.o_orderkey = l.l_orderkey
+JOIN {customer} c ON c.c_custkey = o.o_custkey
+JOIN {nation} cn ON cn.n_nationkey = c.c_nationkey
+JOIN {region} r ON r.r_regionkey = cn.n_regionkey
+JOIN {nation} sn ON sn.n_nationkey = s.s_nationkey
+WHERE r.r_name = 'EUROPE' AND p.p_type = 'STANDARD'
+GROUP BY year(o.o_orderdate) ORDER BY o_year
+"""
+
+_TPCH_Q11_SQL = """
+WITH pr AS (
+  SELECT l.l_partkey,
+         CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS val_cents
+  FROM {lineitem} l
+  JOIN {supplier} s ON s.s_suppkey = l.l_suppkey
+  JOIN {nation} n ON n.n_nationkey = s.s_nationkey
+  WHERE n.n_name = 'NATION_5' GROUP BY l.l_partkey)
+SELECT l_partkey AS p_partkey, val_cents FROM pr
+WHERE val_cents > (SELECT sum(val_cents) FROM pr) * 0.001
+ORDER BY val_cents DESC, p_partkey
+"""
+
+_TPCH_Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS total_cents
+  FROM {lineitem}
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s.s_suppkey, s.s_name, r.total_cents
+FROM {supplier} s JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_cents = (SELECT max(total_cents) FROM revenue)
+ORDER BY s.s_suppkey
+"""
+
+_TPCH_Q16_SQL = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM {lineitem} l JOIN {part} p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#1' AND p.p_size IN (1, 5, 9, 14, 20)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM {supplier}
+                          WHERE s_name LIKE '%7%')
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+"""
+
+
+def q_tpch_q8(spark, sf_dir):
+    """Q8 shape (national market share): an EIGHT-way join — nation
+    entering twice, region reached through the customer side only —
+    feeding a conditional-ratio aggregate per derived year; the widest
+    join tree in the suite, round-6 float contract."""
+    return _tpch_sql(spark, sf_dir,
+                     ["lineitem", "part", "supplier", "orders", "customer",
+                      "nation", "region"], _TPCH_Q8_SQL, "tq8")
+
+
+def q_tpch_q11(spark, sf_dir):
+    """Q11 shape (important stock): a grouped CTE filtered by an
+    uncorrelated scalar aggregate OVER ITSELF (share > 0.1% of the
+    total) — the self-referential scalar-threshold family; floor-cents
+    int64 sums make both sides of the comparison order-independent (the
+    0.001 multiply is one IEEE op on an exact integer, identical in both
+    engines)."""
+    return _tpch_sql(spark, sf_dir, ["lineitem", "supplier", "nation"],
+                     _TPCH_Q11_SQL, "tq11")
+
+
+def q_tpch_q15(spark, sf_dir):
+    """Q15 shape (top supplier via revenue view): the view is consumed
+    twice — once joined, once under max() as a scalar subquery; with
+    floor-cents int64 revenue the max and the equality predicate are
+    bit-portable, and ties (multiple top suppliers) would all emit,
+    deterministically ordered."""
+    return _tpch_sql(spark, sf_dir, ["lineitem", "supplier"],
+                     _TPCH_Q15_SQL, "tq15")
+
+
+def q_tpch_q16(spark, sf_dir):
+    """Q16 shape (supplier count by part attrs, excluded suppliers):
+    COUNT(DISTINCT) over a join with a NOT IN exclusion subquery —
+    all-integer output with a deterministic total order."""
+    return _tpch_sql(spark, sf_dir, ["lineitem", "part", "supplier"],
+                     _TPCH_Q16_SQL, "tq16")
+
+
 def q_tpch_q7(spark, sf_dir):
     """Q7 shape (volume shipping between two nations): the six-way join
     with the SAME dimension (nation) entering twice under different join
@@ -3196,6 +3295,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q21": q_tpch_q21,
         "tpch_q17": q_tpch_q17,
         "tpch_q2": q_tpch_q2,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q16": q_tpch_q16,
         "tpch_q7": q_tpch_q7,
         "tpch_q9": q_tpch_q9,
         "tpch_q10": q_tpch_q10,
@@ -6476,6 +6579,15 @@ GROUP BY c_mktsegment
         # Q17 shape: correlated SCALAR subquery (decorrelated to one
         # per-part aggregate on the Spark side; DuckDB runs it natively).
         # l_quantity is integer-valued so the correlated avg is exact.
+        "tpch_q8": _TPCH_Q8_SQL.format(**{t: t for t in
+            ["lineitem", "part", "supplier", "orders", "customer",
+             "nation", "region"]}),
+        "tpch_q11": _TPCH_Q11_SQL.format(**{t: t for t in
+            ["lineitem", "supplier", "nation"]}),
+        "tpch_q15": _TPCH_Q15_SQL.format(**{t: t for t in
+            ["lineitem", "supplier"]}),
+        "tpch_q16": _TPCH_Q16_SQL.format(**{t: t for t in
+            ["lineitem", "part", "supplier"]}),
         "tpch_q7": _TPCH_Q7_SQL.format(**{t: t for t in
             ["lineitem", "supplier", "orders", "customer", "nation"]}),
         "tpch_q9": _TPCH_Q9_SQL.format(**{t: t for t in
