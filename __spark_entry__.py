@@ -135,6 +135,28 @@ def q_j3_interval_binned(spark, sf_dir):
                     F.round("overlap_s", 6).alias("overlap_s"))
 
 
+def q_exact_quantiles(spark, sf_dir):
+    """EXACT per-group quantiles (p25/p50/p90) — the sorted-rank
+    complement to the GK sketch (which carries an error gate): Spark's
+    percentile() and DuckDB's quantile_cont() implement the same linear
+    interpolation on the sorted multiset (verified bit-identical incl.
+    fractional ranks), and floor-cents int64 inputs make the sorted
+    multiset itself engine-independent, so the whole row is value-hash
+    exact.  Exact percentile sorts within each group — fine at group
+    granularity; corpus-wide quantiles at 100 TB use the GK path."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    return (ev.groupBy("event_type")
+            .agg(F.expr("percentile(floor(value * 100), array(0.25, 0.5,"
+                        " 0.9))").alias("_q"),
+                 F.count(F.lit(1)).alias("n"))
+            .select("event_type",
+                    F.col("_q")[0].alias("p25"),
+                    F.col("_q")[1].alias("p50"),
+                    F.col("_q")[2].alias("p90"), "n")
+            .orderBy("event_type"))
+
+
 def q_a6_group_totals(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return (ev.groupBy("user_id", "event_type")
@@ -1766,6 +1788,27 @@ def q_fuzzy_pairs(spark, sf_dir):
             .orderBy("id_a", "id_b"))
 
 
+def q_entity_resolution(spark, sf_dir):
+    """Entity resolution end to end: PassJoin edit-distance pairs over
+    16-char title prefixes (d <= 2) -> pointer-jumping connected
+    components -> canonical representative (min id) per entity cluster —
+    the fuzzy-matching twin of dedup_clusters, proving the blocked
+    similarity join composes with the CC machinery.  Oracle: recursive-
+    CTE closure over the all-pairs levenshtein edge set (blocking is
+    lossless, so the edge sets are identical)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 16).alias("title"))
+    from engine.text import fuzzy_pairs
+    pairs = fuzzy_pairs(docs, text_col="title", max_dist=2) \
+        .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    comp = ops.min_label_components(docs.select("doc_id"), pairs,
+                                    id_col="doc_id")
+    return (comp.select(
+        "doc_id", F.col("component_id").alias("entity_rep"),
+        (F.col("doc_id") == F.col("component_id")).cast("long")
+        .alias("is_canonical")).orderBy("doc_id"))
+
+
 _BLOOM_M = 1 << 16
 _BLOOM_K = 4
 
@@ -3352,6 +3395,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "decontaminate_bloom": q_decontaminate_bloom,
         "fuzzy_pairs": q_fuzzy_pairs,
+        "entity_resolution": q_entity_resolution,
+        "exact_quantiles": q_exact_quantiles,
         "pca_power": q_pca_power,
         "curation_pipeline": q_curation_pipeline,
         "count_min": q_count_min,
@@ -5345,6 +5390,48 @@ FROM t a JOIN t b
   ON a.doc_id < b.doc_id AND abs(len(a.s) - len(b.s)) <= 2
 WHERE levenshtein(a.s, b.s) <= 2
 ORDER BY id_a, id_b
+""",
+        # exact quantiles: same linear interpolation on the same sorted
+        # integer multiset in both engines
+        "exact_quantiles": """
+SELECT event_type,
+       quantile_cont(floor(value * 100), 0.25) AS p25,
+       quantile_cont(floor(value * 100), 0.5) AS p50,
+       quantile_cont(floor(value * 100), 0.9) AS p90,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+        # entity-resolution replay: all-pairs levenshtein edges (lossless
+        # blocking) closed by a recursive CTE, min reachable id per node
+        "entity_resolution": """
+WITH RECURSIVE t AS (
+  SELECT doc_id, substr(text, 1, 16) AS s FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM t a JOIN t b ON a.doc_id < b.doc_id
+   AND abs(len(a.s) - len(b.s)) <= 2
+  WHERE levenshtein(a.s, b.s) <= 2
+),
+edges AS (
+  SELECT a AS s, b AS d FROM pairs
+  UNION ALL
+  SELECT b AS s, a AS d FROM pairs
+),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+),
+rep AS (
+  SELECT s AS doc_id, LEAST(s, MIN(d)) AS entity_rep FROM reach GROUP BY s
+)
+SELECT dd.doc_id,
+       COALESCE(r.entity_rep, dd.doc_id) AS entity_rep,
+       CAST(COALESCE(r.entity_rep, dd.doc_id) = dd.doc_id AS BIGINT)
+         AS is_canonical
+FROM documents dd LEFT JOIN rep r USING (doc_id)
+ORDER BY dd.doc_id
 """,
         # bloom decontamination replay: same md5_60 position family, bit
         # set as a distinct-position table, membership = all k positions
