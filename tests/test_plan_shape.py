@@ -587,3 +587,54 @@ def test_no_cartesian_or_rowwise_python_in_hot_plans(spark):
         if hits:
             bad[name] = hits
     assert not bad, bad
+
+
+def test_bloom_probe_stage_is_join_free(spark):
+    """decontaminate_bloom's scale claim: the corpus probe has NO join
+    build side at all — the bitmap rides as a literal array into codegen.
+    The plan's ONLY join is the final per-doc re-anchor (same as exact
+    decontaminate); the probe + hit-count subtree is join-free."""
+    from engine import text
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f g h") for i in range(40)], ["doc_id", "text"])
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    out = text.decontaminate_bloom(docs, bench, n=3, m_bits=4096, k=3)
+    plan = plan_str(out, "simple")
+    import re
+    assert len(re.findall(r"\wJoin", plan)) == 1, plan
+
+
+def test_binned_interval_join_has_no_distinct(spark):
+    """The canonical-first-bin filter replaces the distinct: the binned
+    range join's plan must contain exactly the ONE equi join and no
+    pair-dedup aggregate above it (dedup is a map-side filter)."""
+    from datetime import datetime, timezone
+
+    from engine import ops
+    u = lambda s: datetime.fromtimestamp(s, tz=timezone.utc)  # noqa: E731
+    a = spark.createDataFrame([(1, 1, u(0), u(7200))],
+                              ["k", "aid", "start_ts", "end_ts"])
+    b = spark.createDataFrame([(1, 2, u(100), u(9000))],
+                              ["k", "bid", "start_ts", "end_ts"])
+    out = ops.interval_overlap_join_binned(a, b, ["k"], bin_s=3600)
+    plan = plan_str(out, "simple")
+    import re
+    assert len(re.findall(r"\wJoin", plan)) == 1, plan
+    assert "HashAggregate" not in plan.split("Join")[0], plan
+
+
+def test_pca_projection_is_map_only(spark):
+    """PCA's projection claim: after the (tiny, driver-side) Gram solve,
+    scoring the corpus is MAP-ONLY — the final projection plan contains
+    no Exchange, no join, no Python; components are literals."""
+    import numpy as np
+
+    from engine import decomposition as dc
+    rng = np.random.RandomState(0)
+    rows = [(i, [float(x) for x in rng.randn(64)]) for i in range(50)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = dc.pca_power_quant(df)
+    plan = plan_str(out, "simple")
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan, plan
