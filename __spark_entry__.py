@@ -5431,7 +5431,7 @@ x AS (
                    regexp_replace(html, '(?is)<script[^>]*>.*?</script>',
                                   ' ', 'g'),
                    '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
-                 '(?is)<head[^>]*>.*?</head>', ' ', 'g'),
+                 '(?is)<head(\s[^>]*)?>.*?</head>', ' ', 'g'),
                '<[^>]*>', ' ', 'g'),
              '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
              '&nbsp;', ' '), '&amp;', '&'),
@@ -6672,7 +6672,7 @@ FROM r GROUP BY event_type
         "w6_range_frame": """
 SELECT event_id,
        count(*) OVER w AS n_trail_1h,
-       sum(event_id) OVER w AS sum_ids_1h
+       CAST(sum(event_id) OVER w AS BIGINT) AS sum_ids_1h
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
@@ -6796,7 +6796,8 @@ LIMIT 100
         # the uncorrelated scalar threshold, one IEEE division
         "tpch_q22": """
 SELECT c.c_nationkey AS cntry, CAST(count(*) AS BIGINT) AS numcust,
-       sum(CAST(floor(c.c_acctbal * 100) AS BIGINT)) AS totacctbal_cents
+       CAST(sum(CAST(floor(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS totacctbal_cents
 FROM customer c
 WHERE c.c_nationkey IN (0, 3, 7, 11, 14, 17, 21)
   AND CAST(floor(c.c_acctbal * 100) AS BIGINT) > (

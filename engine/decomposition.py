@@ -124,10 +124,23 @@ def pca_power_quant(emb: DataFrame, dim: int = 64,
     Returns (id_col, pc1_score) with score = sum_i y'_i * v_i, where v is
     the integer power-iteration state after `rounds` fixed rounds.
     The dim^2 Gram collect and the 64-long sums are the only driver
-    materializations — both sub-envelope constants, not data-sized."""
+    materializations — both sub-envelope constants, not data-sized.
+    Int64 safety is only provable for n < 2^23 rows (|G| <= n*2^40);
+    that envelope is ENFORCED with a raise below, mirroring the other
+    quant operators' guards."""
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
     n, sums = _quant_stats(emb, dim)
+    # Provable int64 envelope: each centered product |y'_i * y'_j| <= 2^40,
+    # so |G_ij| <= n * 2^40 only fits int64 for n < 2^23 (and the _fdiv
+    # exactness argument |n*qx - S| < 2^53 needs n << 2^32).  numpy int64
+    # matmul and Spark long sums both wrap SILENTLY past that, so enforce
+    # the envelope with a raise like every other quant operator.
+    if n >= (1 << 23):
+        raise ValueError(
+            f"pca_power_quant int64 envelope exceeded: n={n} >= 2^23 "
+            "(|G| <= n*2^40 no longer fits int64; Gram sums would wrap "
+            "silently). Use the float path (pca_power) or shard + merge.")
     cexpr = _centered_quant_expr(dim, n, sums)
     gr = _gram_blocks(emb, cexpr, dim, "long").collect()
     G = np.zeros((dim, dim), dtype=np.int64)

@@ -423,16 +423,26 @@ def interval_overlap_join_binned(a: DataFrame, b: DataFrame,
     def bin_of(x):
         return ((x - F.pmod(x, F.lit(binus))) / binus).cast("long")
 
+    # explode over the CLAMPED bin range (least..greatest): for inverted
+    # intervals (end < start) a bare sequence(bin(start), bin(end)) would
+    # generate a DESCENDING range and the canonical-bin filter could drop
+    # pairs the plain join's strict-overlap filter still emits (b spanning
+    # an inverted a).  Clamping keeps every bin either endpoint touches,
+    # so the canonical bin stays covered and output == plain join on ALL
+    # inputs, degenerate ones included (parity-tested).
+    def bin_range(s, e):
+        return F.sequence(bin_of(F.least(s, e)), bin_of(F.greatest(s, e)))
+
     aa = (a.withColumn("_a_s", us(a_start)).withColumn("_a_e", us(a_end))
-          .withColumn("_bin", F.explode(F.sequence(
-              bin_of(F.col("_a_s")), bin_of(F.col("_a_e"))))))
+          .withColumn("_bin", F.explode(
+              bin_range(F.col("_a_s"), F.col("_a_e")))))
     bb = b
     for c in (b_start, b_end):
         bb = bb.withColumnRenamed(c, f"b_{c}")
     bb = (bb.withColumn("_b_s", us(f"b_{b_start}"))
           .withColumn("_b_e", us(f"b_{b_end}"))
-          .withColumn("_bin", F.explode(F.sequence(
-              bin_of(F.col("_b_s")), bin_of(F.col("_b_e"))))))
+          .withColumn("_bin", F.explode(
+              bin_range(F.col("_b_s"), F.col("_b_e")))))
     joined = (aa.join(bb, [*keys, "_bin"], "inner")
               .filter((F.col("_a_s") < F.col("_b_e"))
                       & (F.col("_b_s") < F.col("_a_e")))

@@ -1300,7 +1300,8 @@ def pack_sequences(docs: DataFrame, capacity: int = 128,
 
 def dedup_paragraphs(docs: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id", delim: str = "\n",
-                     min_chars: int = 1) -> DataFrame:
+                     min_chars: int = 1,
+                     join_str: str | None = None) -> DataFrame:
     """Corpus-wide PARAGRAPH dedup (the C4/RefinedWeb 'remove duplicate
     lines across documents' pass): every paragraph (text split on
     `delim`) keeps only its globally FIRST occurrence — ordered by
@@ -1308,7 +1309,11 @@ def dedup_paragraphs(docs: DataFrame, text_col: str = "text",
     documents are reassembled in original paragraph order.  Returns
     (id_col, text, n_kept, n_dropped) — one row per input document
     (guaranteed: a doc whose every paragraph lost dedup still emits a
-    row with empty text), `delim` is a Spark split() REGEX.
+    row with empty text).  `delim` is a Spark split() REGEX; documents
+    are reassembled with `join_str` as a LITERAL separator.  When
+    `join_str` is omitted, `delim` must itself be regex-literal (no
+    metacharacters) so split and reassembly cannot disagree — a pattern
+    like '\\n+' or '\\.' raises and demands an explicit `join_str`.
 
     Paragraphs shorter than `min_chars` BYPASS dedup and are always kept
     (structure like empty lines survives; this is also the C4 rule of
@@ -1325,6 +1330,14 @@ def dedup_paragraphs(docs: DataFrame, text_col: str = "text",
     the two-hash-family + length triple (collision < 2^-190 per pair,
     dedup_exact's contract), so an oracle grouping by the raw text
     agrees on any real corpus."""
+    if join_str is None:
+        meta = set(".^$*+?{}[]\\|()")
+        if any(ch in meta for ch in delim):
+            raise ValueError(
+                f"delim {delim!r} contains regex metacharacters; split() "
+                "treats it as a REGEX but reassembly uses a LITERAL "
+                "separator — pass join_str explicitly to disambiguate")
+        join_str = delim
     h = [F.xxhash64(F.col("_para")).alias("_h64"),
          F.md5(F.col("_para").cast("binary")).alias("_hmd5"),
          F.length(F.col("_para")).alias("_hlen")]
@@ -1353,7 +1366,7 @@ def dedup_paragraphs(docs: DataFrame, text_col: str = "text",
                 F.sum(F.col("_is_cand").cast("long")).alias("n_kept"))
            .select(id_col,
                    F.array_join(F.transform("_ps", lambda s: s["t"]),
-                                delim).alias(text_col),
+                                join_str).alias(text_col),
                    "n_kept"))
     # re-anchor on the input ids: a doc whose every paragraph was a
     # dup-loser has NO row in `out` but must still appear (empty text).
@@ -1715,7 +1728,7 @@ def html_to_text(df: DataFrame, html_col: str = "html",
     t = F.decode(F.col(html_col), "UTF-8")
     for pat in (r"(?is)<script[^>]*>.*?</script>",
                 r"(?is)<style[^>]*>.*?</style>",
-                r"(?is)<head[^>]*>.*?</head>"):
+                r"(?is)<head(\s[^>]*)?>.*?</head>"):
         t = F.regexp_replace(t, pat, " ")
     t = F.regexp_replace(t, r"<[^>]*>", " ")
     for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),

@@ -1065,6 +1065,20 @@ def test_dedup_paragraphs_reassembly_property(spark):
         assert out.loc[i, "n_kept"] + out.loc[i, "n_dropped"] == 5
 
 
+def test_dedup_paragraphs_regex_delim_contract(spark):
+    """A regex delim (split pattern != literal join separator) must raise
+    unless join_str disambiguates; with an explicit join_str the split
+    pattern may be a real regex and reassembly uses the literal."""
+    df = spark.createDataFrame(
+        [(0, "a.b..a"), (1, "c.a")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        text.dedup_paragraphs(df, delim=r"\.+")
+    out = {r.doc_id: r.text
+           for r in text.dedup_paragraphs(
+               df, delim=r"\.+", join_str=".").collect()}
+    assert out == {0: "a.b", 1: "c"}
+
+
 def test_decontaminate_bloom_guarantees(spark):
     """Bloom decontamination structural guarantees: flags are a SUPERSET
     of exact decontaminate's on any corpus (no false negatives), exact
@@ -1177,12 +1191,16 @@ def test_html_to_text_extraction(spark):
         (2, b"<HTML><BODY>A&nbsp;&lt;tag&gt;  spaced\n lines</BODY></HTML>"),
         (3, b"<style type='text/css'>p{color:red}</style>plain"),
         (4, b"no markup at all"),
+        # <header> must NOT match the head-dropping pattern even when a
+        # later literal </head> exists (malformed multi-head document)
+        (5, b"<header>Visible banner</header><p>body</p></head>tail"),
     ]
     df = spark.createDataFrame(rows, ["id", "html"])
     got = {r.id: r.extracted_text
            for r in text.html_to_text(df).collect()}
     assert got == {1: "Hello &amp; world", 2: 'A <tag> spaced lines',
-                   3: "plain", 4: "no markup at all"}
+                   3: "plain", 4: "no markup at all",
+                   5: "Visible banner body tail"}
     from engine.datagen import web_pages_from_events
     ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     pages = text.html_to_text(web_pages_from_events(ev))

@@ -139,10 +139,13 @@ def test_interval_binned_equals_plain(spark):
     H = 3600
     a_rows = [(1, 1, u(0), u(2 * H)), (1, 2, u(2 * H), u(2 * H + 1)),
               (1, 3, u(5 * H), u(9 * H)), (2, 4, u(0), u(10)),
-              (2, 5, u(H), u(H))]                      # zero-length
+              (2, 5, u(H), u(H)),                      # zero-length
+              (1, 6, u(7 * H + 60), u(6 * H))]         # INVERTED (e < s)
     b_rows = [(1, 11, u(H), u(3 * H)), (1, 12, u(2 * H), u(4 * H)),
               (1, 13, u(8 * H + 1800), u(20 * H)),     # spans many bins
-              (2, 14, u(5), u(2 * H)), (3, 15, u(0), u(H))]
+              (2, 14, u(5), u(2 * H)), (3, 15, u(0), u(H)),
+              (1, 16, u(4 * H + 1800), u(30 * H)),     # spans inverted a
+              (2, 17, u(2 * H), u(30))]                # INVERTED (e < s)
     a = spark.createDataFrame(a_rows, ["k", "aid", "start_ts", "end_ts"])
     b = spark.createDataFrame(b_rows, ["k", "bid", "start_ts", "end_ts"])
     plain = sorted((r.k, r.aid, r.bid, r.overlap_s)

@@ -44,6 +44,16 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
         return problems
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
+        # dtype-strict: the driver's value hash is representation-sensitive
+        # (a DuckDB HUGEINT sum materializes as float64 while Spark returns
+        # int64 — the values compare equal but the driver flags the hash).
+        # Fail loudly on int-vs-float so the mimic predicts the driver.
+        kinds = {av.dtype.kind, bv.dtype.kind}
+        if kinds == {"i", "f"} or kinds == {"u", "f"}:
+            problems.append(
+                f"col {c}: dtype mismatch spark={av.dtype} oracle={bv.dtype} "
+                f"(driver hash is dtype-sensitive — CAST the oracle side)")
+            continue
         if av.dtype.kind == "f" or bv.dtype.kind == "f":
             av = av.astype(np.float64)
             bv = bv.astype(np.float64)
