@@ -7175,7 +7175,8 @@ w AS (
   FROM ch
 ),
 head AS (SELECT k, g, v FROM w WHERE rk = 1 AND op <> 'D')
-SELECT g, CAST(count(*) AS BIGINT) AS cnt, sum(v) AS total
+SELECT g, CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(v) AS BIGINT) AS total
 FROM head GROUP BY g
 """,
         "partition_evolution": """
