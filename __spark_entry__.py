@@ -1486,6 +1486,41 @@ def q_cdc_merge(spark, sf_dir):
     return merge_upsert(tgt, changes, key_cols="doc_id")
 
 
+def q_cdc_merge_pred(spark, sf_dir):
+    """Predicated MERGE INTO (engine/catalog.py::merge_predicated): the
+    Iceberg/Delta `WHEN MATCHED AND <pred> THEN UPDATE/DELETE, WHEN NOT
+    MATCHED AND <pred> THEN INSERT` shape over the documents snapshot.
+    Matched clauses in order: source rows relabeled 'zz' DELETE their
+    target; otherwise a cross-side predicate (t.n_chars < s.n_chars)
+    UPDATEs; everything else (including shrink proposals) falls through
+    and keeps the target row.  Unmatched source rows insert only when
+    their n_chars is even.  The oracle replays the clause CASE on a LEFT
+    JOIN plus an ANTI JOIN insert arm — all payloads deterministic
+    expressions on both engines."""
+    from engine.catalog import merge_predicated
+    docs = _t(spark, sf_dir, "documents")
+    tgt = docs.select("doc_id", "text", "lang", "source", "n_chars")
+    upd = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id",
+        F.concat(F.lit("M:"), F.col("lang")).alias("text"),
+        F.when(F.col("doc_id") % 10 == 0, F.lit("zz"))
+         .otherwise(F.col("lang")).alias("lang"),
+        F.lit("hot").alias("source"),
+        (F.col("n_chars") + F.when(F.col("doc_id") % 3 == 0, F.lit(1000))
+                             .otherwise(F.lit(-1000)))
+        .cast("long").alias("n_chars"))
+    new = docs.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 20000).cast("long").alias("doc_id"),
+        F.lit("NEW").alias("text"), F.lit("en").alias("lang"),
+        F.lit("ins").alias("source"),
+        F.col("doc_id").cast("long").alias("n_chars"))
+    return merge_predicated(
+        tgt, upd.unionByName(new), key_cols="doc_id",
+        matched=[("s.lang = 'zz'", "delete"),
+                 ("t.n_chars < s.n_chars", "update")],
+        not_matched="s.n_chars % 2 = 0")
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash LSH near-dup with an EXACT oracle: candidates are
     LSH-generated (engine hashing) but verification is exact shingle-set
@@ -2631,6 +2666,108 @@ def q_geo_float_parity(spark, sf_dir):
             df.unpersist()
 
 
+def q_geo_float_parity_sf01(spark, sf_dir):
+    """The sf0.1 extension of geo_float_parity — the one place the float
+    KDE kernel could previously drift UNOBSERVED was at scale factors
+    other than the driver's sf0.01, so this row pins measured sf0.1
+    margins regardless of the sf_dir the driver passes (the input is the
+    fixed sf0.1 lattice).  Oracle split: hosts 0150-0299 are a TRUE SQL
+    replay of the quant chains (per-host volume is constant across scale
+    factors, so that slice is sf0.01-sized; the unrestricted replay
+    spills ~100 GB of DuckDB temp), while the full-corpus counts and the
+    margin booleans are measured literals the Spark side must reproduce
+    from the data.  Measured at sf0.1:
+    locations key-aligned with 10/2750 n_cells flips (threshold-boundary
+    cells), |dlat| <= 7.66e-6 deg, |dlon| <= 1.57e-5 deg, rel dwell <=
+    5.23e-2; episodes BYTE-IDENTICAL (49937/49937), so day summaries and
+    agreement follow exactly and are not recomputed here.  Thresholds
+    carry ~4x slack; a float-kernel regression (flipped threshold cell,
+    wrong cluster, broken centroid/dwell scale) flips a boolean and the
+    value hash."""
+    from dataclasses import replace
+    from engine import locations as loc
+    from engine.episodes import build_episodes, knn_assign
+    ev = spark.read.parquet(f"{_SF01_DIR}/events.parquet")
+    gp = trace_prep.geopoints(web_pages_from_events(ev), DEFAULT).persist()
+    cfg = replace(DEFAULT, kde_time_threshold_s=_QUANT_THR_S)
+    lf = loc.detect_locations_wholehost(gp, cfg, quant=False).persist()
+    lq = loc.detect_locations_wholehost(gp, cfg, quant=True).persist()
+    ef = build_episodes(knn_assign(gp, lf, DEFAULT,
+                                   broadcast_locations=True),
+                        DEFAULT).persist()
+    eq = build_episodes(knn_assign(gp, lq, DEFAULT,
+                                   broadcast_locations=True),
+                        DEFAULT).persist()
+    try:
+        def metrics(stats, pairs):
+            arr = F.array(*[F.struct(F.lit(k).alias("metric"),
+                                     v.cast("double").alias("value"))
+                            for k, v in pairs])
+            return (stats.select(F.explode(arr).alias("m"))
+                    .select("m.metric", "m.value"))
+
+        fl = lf.select("host", "location_id",
+                       F.col("lat").alias("flat"), F.col("lon").alias("flon"),
+                       F.col("dwell_s").alias("fdw"),
+                       F.col("n_cells").alias("fnc"))
+        ql = lq.select("host", "location_id",
+                       F.col("lat").alias("qlat"), F.col("lon").alias("qlon"),
+                       F.col("dwell_s").alias("qdw"),
+                       F.col("n_cells").alias("qnc"))
+        lstat = fl.join(ql, ["host", "location_id"], "full").agg(
+            F.count("qdw").alias("n_q"),
+            F.sum((F.col("fdw").isNull() | F.col("qdw").isNull())
+                  .cast("long")).alias("n_un"),
+            F.sum((F.col("fnc") != F.col("qnc")).cast("long")).alias("n_nc"),
+            F.max(F.abs(F.col("flat") - F.col("qlat"))).alias("dlat"),
+            F.max(F.abs(F.col("flon") - F.col("qlon"))).alias("dlon"),
+            F.max(F.abs(F.col("fdw") - F.col("qdw")) / F.col("qdw"))
+             .alias("ddw"))
+        lm = metrics(lstat, [
+            ("sf01_n_locations_quant", F.col("n_q")),
+            ("sf01_locations_key_aligned", F.col("n_un") == 0),
+            ("sf01_locations_ncells_flips_max50",
+             F.coalesce(F.col("n_nc"), F.lit(0)) <= 50),
+            ("sf01_locations_latlon_tol_met",
+             (F.col("dlat") <= 3e-5) & (F.col("dlon") <= 6e-5)),
+            ("sf01_locations_dwell_rtol_0.2_met", F.col("ddw") <= 0.2)])
+
+        fe = ef.select("host", "seq", F.col("kind").alias("fk"),
+                       F.col("location_id").alias("fl"),
+                       F.col("start_ts").alias("fs"),
+                       F.col("end_ts").alias("fe_"))
+        qe = eq.select("host", "seq", F.col("kind").alias("qk"),
+                       F.col("location_id").alias("ql"),
+                       F.col("start_ts").alias("qs"),
+                       F.col("end_ts").alias("qe_"))
+        same = (F.col("fk").eqNullSafe(F.col("qk"))
+                & F.col("fl").eqNullSafe(F.col("ql"))
+                & F.col("fs").eqNullSafe(F.col("qs"))
+                & F.col("fe_").eqNullSafe(F.col("qe_")))
+        estat = fe.join(qe, ["host", "seq"], "full").agg(
+            F.count("qk").alias("n_q"),
+            F.count(F.lit(1)).alias("n_all"),
+            F.sum(same.cast("long")).alias("n_eq"))
+        em = metrics(estat, [
+            ("sf01_n_episodes_quant", F.col("n_q")),
+            ("sf01_episodes_equal_floor_0.999_met",
+             F.col("n_eq") >= 0.999 * F.col("n_all"))])
+        # subset anchors (hosts 0150-0299): the one slice the oracle can
+        # afford to replay as TRUE SQL — per-host volume is constant
+        # across scale factors (sf scales the HOST count), so this is an
+        # sf0.01-sized chain over hosts the sf0.01 sweep never sees
+        sub = F.substring(F.col("host"), 5, 4).cast("int").between(150, 299)
+        sm = metrics(
+            lq.filter(sub).agg(F.count(F.lit(1)).alias("nl")).crossJoin(
+                eq.filter(sub).agg(F.count(F.lit(1)).alias("ne"))),
+            [("sf01_sub_n_locations_quant", F.col("nl")),
+             ("sf01_sub_n_episodes_quant", F.col("ne"))])
+        return lm.unionAll(em).unionAll(sm).localCheckpoint(eager=True)
+    finally:
+        for df in (eq, ef, lq, lf, gp):
+            df.unpersist()
+
+
 def q_media_decode(spark, sf_dir):
     """Multimodal decode plumbing with an EXACT oracle: the deterministic
     fake decoder derives features from a sha-256 of the payload bytes, and
@@ -2921,6 +3058,49 @@ def q_stream_cdc_upsert(spark, sf_dir):
     q.awaitTermination()
     catalog.compact_cdc_table(spark, tbl, "k")
     return catalog.read_merge_on_read(spark, tbl, "k")
+
+
+def q_stream_curation(spark, sf_dir):
+    """END-TO-END streaming curation (the streaming twin of
+    curation_pipeline): documents become a 4-file stream drained with
+    availableNow + maxFilesPerTrigger=1 (multiple micro-batches), each
+    batch flows through engine/streaming.py::stream_curation (token-gate
+    -> watermarked exact dedup) into stream_upsert's exactly-once CDC
+    sink keyed by the text md5; the table is compacted and its final
+    state returned.  Output columns are text-determined (md5, char
+    length, token count), so WHICH duplicate arrived first —
+    batch-boundary-dependent — never reaches the hash compare, and the
+    arrival span (doc_id seconds, max ~5000 s) sits far inside the 4 h
+    watermark so no first-arrival can be late-dropped.  Oracle: the
+    batch replay — token gate + SELECT DISTINCT over the same
+    projection."""
+    import tempfile
+
+    from engine import catalog, streaming
+    from engine.text import tokens_col
+    docs = _t(spark, sf_dir, "documents")
+    src_df = docs.select(
+        F.timestamp_seconds(F.lit(1704067200).cast("long") + F.col("doc_id"))
+        .alias("warc_ts"), "text")
+    src = tempfile.mkdtemp(prefix="cur_src_")
+    tbl = tempfile.mkdtemp(prefix="cur_tbl_")
+    ck = tempfile.mkdtemp(prefix="cur_ck_")
+    src_df.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema(src_df.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    curated = streaming.stream_curation(stream, min_tokens=_CUR_MINTOK,
+                                        watermark=_STREAM_WM)
+    changes = curated.select(
+        F.md5(F.col("text").cast("binary")).alias("k"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(tokens_col(F.col("text"))).cast("long").alias("n_tok"),
+        F.lit("U").alias("op"),
+        F.length("text").cast("long").alias("seq"))
+    q = streaming.stream_upsert(changes, tbl, "k", ck)
+    q.awaitTermination()
+    catalog.compact_cdc_table(spark, tbl, "k")
+    return catalog.read_merge_on_read(spark, tbl, "k").select(
+        "k", "n_chars", "n_tok")
 
 
 def q_cdc_time_travel(spark, sf_dir):
@@ -3481,6 +3661,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_incr_minmax": q_cdc_incr_minmax,
         "cdc_schema_evolution": q_cdc_schema_evolution,
         "partition_evolution": q_partition_evolution,
+        # round-5 additions — APPENDED so existing driver rows keep their
+        # positions (the driver's sweep grows monotonically; renames or
+        # reorders would reset its green history)
+        "geo_float_parity_sf01": q_geo_float_parity_sf01,
+        "cdc_merge_pred": q_cdc_merge_pred,
+        "stream_curation": q_stream_curation,
     }
 
 
@@ -4414,6 +4600,11 @@ enc AS (
 # yields a multi-host multi-cluster result.  ONE constant feeds both the
 # Spark cfg and the oracle SQL.
 _QUANT_THR_S = 120.0
+
+# fixed input of the sf0.1 float-parity row (the row pins margins at a
+# DIFFERENT scale factor than the driver's sweep, so it ignores sf_dir);
+# the oracle reads the same parquet by absolute path.
+_SF01_DIR = "/root/testdata/sf0.1"
 
 # stream_* watermark: the 30x-compressed driver corpus spans ~24 h, so
 # the production 48 h default closes nothing; 4 h closes most
@@ -5391,6 +5582,21 @@ SELECT source, CAST(bin_id AS BIGINT) AS bin_id, doc_id,
 FROM b
 ORDER BY source, bin_id, doc_id
 """.replace("{MINTOK}", str(_CUR_MINTOK)).replace("{CAP}", str(_CUR_CAP))),
+        # streaming curation replay: the final CDC table equals the batch
+        # gate + DISTINCT because the sink's per-key fold is associative
+        # and every output column is text-determined (see q_stream_curation)
+        "stream_curation": r"""
+WITH t0 AS (
+  SELECT text,
+         list_filter(regexp_split_to_array(lower(text), '\W+'),
+                     x -> x <> '') AS toks
+  FROM documents
+)
+SELECT DISTINCT md5(text) AS k,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(toks) AS BIGINT) AS n_tok
+FROM t0 WHERE len(toks) >= {MINTOK}
+""".replace("{MINTOK}", str(_CUR_MINTOK)),
         # quant-PCA replay: all 8 power rounds + projection, value-exact
         "pca_power": "WITH " + _pca_chain_sql() + f"""
 SELECT y.vec_id,
@@ -5959,6 +6165,36 @@ UNION ALL SELECT 'episodes_equal_floor_0.999_met', 1.0
 UNION ALL SELECT 'day_summary_tol_1e-6_met', 1.0
 UNION ALL SELECT 'agreement_tol_1e-6_met', 1.0
 """,
+        # sf0.1 float-parity extension: a CTE named `events` shadows the
+        # sf0.01 view and reads the FIXED sf0.1 parquet by absolute path,
+        # restricted to hosts 0150-0299 — per-host volume is constant
+        # across scale factors, so this slice is an sf0.01-SIZED true SQL
+        # replay of the quant chains over hosts the sf0.01 sweep never
+        # touches (the unrestricted sf0.1 replay spills ~100 GB of DuckDB
+        # temp in the sites-x-stencil materialization and is not
+        # affordable as an oracle).  The full-corpus counts and the
+        # margin booleans are pinned as measured literals — the
+        # recall-gate pattern; the Spark side recomputes all of them from
+        # the data, so any drift flips the value hash.
+        "geo_float_parity_sf01": f"""
+WITH events AS (SELECT * FROM '{_SF01_DIR}/events.parquet'
+                WHERE user_id BETWEEN 150 AND 299),
+{_PAGES_CTE},
+{_prep_sites_sql()},
+{_kde_quant_cte()},
+{_knn_eps_cte("qlocs")}
+SELECT 'sf01_n_locations_quant' AS metric, 2750.0 AS value
+UNION ALL SELECT 'sf01_locations_key_aligned', 1.0
+UNION ALL SELECT 'sf01_locations_ncells_flips_max50', 1.0
+UNION ALL SELECT 'sf01_locations_latlon_tol_met', 1.0
+UNION ALL SELECT 'sf01_locations_dwell_rtol_0.2_met', 1.0
+UNION ALL SELECT 'sf01_n_episodes_quant', 49937.0
+UNION ALL SELECT 'sf01_episodes_equal_floor_0.999_met', 1.0
+UNION ALL SELECT 'sf01_sub_n_locations_quant',
+       CAST((SELECT COUNT(*) FROM qlocs) AS DOUBLE)
+UNION ALL SELECT 'sf01_sub_n_episodes_quant',
+       CAST((SELECT COUNT(*) FROM eps) AS DOUBLE)
+""",
         # Streaming emission replay: same fin rows as geo_episodes_quant,
         # filtered to watermark-closed subsets per the machine's exact rule
         # (see q_stream_episodes docstring).  Single-batch ingestion makes
@@ -6354,6 +6590,46 @@ SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
 FROM documents d ANTI JOIN latest l USING (doc_id)
 UNION ALL
 SELECT doc_id, text, lang, source, n_chars FROM latest WHERE op != 'D'
+""",
+        # predicated MERGE replay: clause CASE on a LEFT JOIN (first true
+        # clause wins; NULL source key = unmatched = keep) + ANTI JOIN
+        # insert arm gated by the NOT MATCHED predicate
+        "cdc_merge_pred": """
+WITH src AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, 'M:' || lang AS text,
+         CASE WHEN doc_id % 10 = 0 THEN 'zz' ELSE lang END AS lang,
+         'hot' AS source,
+         CAST(n_chars + CASE WHEN doc_id % 3 = 0 THEN 1000
+                             ELSE -1000 END AS BIGINT) AS n_chars
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT CAST(doc_id + 20000 AS BIGINT), 'NEW', 'en', 'ins',
+         CAST(doc_id AS BIGINT)
+  FROM documents WHERE doc_id % 9 = 0
+),
+m AS (
+  SELECT t.doc_id, t.text AS tt, t.lang AS tl, t.source AS tsrc,
+         t.n_chars AS tn, s.doc_id AS sk, s.text AS st, s.lang AS sl,
+         s.source AS ssrc, s.n_chars AS sn
+  FROM documents t LEFT JOIN src s USING (doc_id)
+),
+acted AS (
+  SELECT *, CASE WHEN sk IS NULL THEN 'keep'
+                 WHEN sl = 'zz' THEN 'delete'
+                 WHEN tn < sn THEN 'update'
+                 ELSE 'keep' END AS act
+  FROM m
+)
+SELECT doc_id,
+       CASE WHEN act = 'update' THEN st ELSE tt END AS text,
+       CASE WHEN act = 'update' THEN sl ELSE tl END AS lang,
+       CASE WHEN act = 'update' THEN ssrc ELSE tsrc END AS source,
+       CASE WHEN act = 'update' THEN sn ELSE tn END AS n_chars
+FROM acted WHERE act != 'delete'
+UNION ALL
+SELECT s.doc_id, s.text, s.lang, s.source, s.n_chars
+FROM src s ANTI JOIN documents t USING (doc_id)
+WHERE s.n_chars % 2 = 0
 """,
         # BPE trainer: all merge rounds replayed as chained CTEs
         "bpe_train": _bpe_train_sql(),

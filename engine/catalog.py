@@ -21,7 +21,7 @@ Swapping in real Iceberg is config-only: read_table/write_* keep a
 from __future__ import annotations
 
 import json
-from collections.abc import Callable
+from collections.abc import Callable, Sequence
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -139,6 +139,84 @@ def merge_upsert(target: DataFrame, changes: DataFrame,
     applied = (latest.filter(F.col(op_col) != "D")
                .select(*[c for c in target.columns if c in payload]))
     return kept.select(*applied.columns).unionByName(applied)
+
+
+def merge_predicated(target: DataFrame, source: DataFrame,
+                     key_cols: list[str] | str = "doc_id",
+                     matched: Sequence[tuple] = (),
+                     not_matched=None,
+                     enforce_unique_key: bool = True) -> DataFrame:
+    """MERGE INTO with arbitrary match predicates — the Iceberg/Delta
+    `MERGE INTO t USING s ON keys
+       WHEN MATCHED AND <pred> THEN UPDATE SET * / DELETE
+       WHEN NOT MATCHED [AND <pred>] THEN INSERT *`
+    shape that merge_upsert (keyed CDC apply) does not cover.
+
+    `matched` is an ORDERED sequence of (pred, action) with action in
+    {'update', 'delete'}; predicates are SQL strings or Columns over the
+    aliases `t` (target) and `s` (source) — e.g. "t.n_chars < s.n_chars".
+    Per matched row, clauses evaluate IN ORDER and the first true clause
+    applies (SQL MERGE semantics; a NULL predicate falls through);
+    matched rows with no true clause, and target rows with no source
+    match, are kept unchanged.  `not_matched` (over `s` only) gates which
+    unmatched source rows insert; None inserts all.  Payload is the full
+    row (UPDATE SET * / INSERT *): source must carry exactly the target's
+    columns.
+
+    Ambiguity: a target row matching >1 source row makes the outcome
+    order-dependent — like Delta, that RAISES (one source-sized agg),
+    disable via enforce_unique_key only if the producer guarantees it.
+
+    Scale shape: matched resolution is ONE left join — with a dim-sized
+    source the target streams through a BroadcastHashJoin and its full
+    rows NEVER cross an exchange (plan-pinned); the delete/update/keep
+    choice is a map-side CASE.  Insert detection is a left_anti of the
+    source against the target's KEY PROJECTION — the one unavoidable
+    exchange carries only the column-pruned key scan, never target
+    payloads.  At 100 TB of target and GBs of merge source both passes
+    are map-only over the big side."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    extra = [c for c in source.columns if c not in target.columns]
+    if extra:
+        raise ValueError(f"merge_predicated: source columns {extra} "
+                         "missing from target (full-row payload)")
+    missing = [c for c in target.columns if c not in source.columns]
+    if missing:
+        raise ValueError(f"merge_predicated: source lacks target columns "
+                         f"{missing} (UPDATE SET * / INSERT * contract)")
+    for _, action in matched:
+        if action not in ("update", "delete"):
+            raise ValueError(f"merge_predicated: unknown action {action!r}")
+    if enforce_unique_key:
+        dup = (source.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+               .filter(F.col("n") > 1).limit(1).collect())
+        if dup:
+            raise ValueError(
+                f"merge_predicated: ambiguous merge — duplicate source key "
+                f"(e.g. {dup[0]}); a target row would match >1 source row")
+
+    def _pred(p):
+        return F.expr(p) if isinstance(p, str) else p
+
+    t, s = target.alias("t"), source.alias("s")
+    cond = None
+    for k in keys:
+        c = F.col(f"t.{k}") == F.col(f"s.{k}")
+        cond = c if cond is None else (cond & c)
+    # first-true-clause-wins: build the CASE from the last clause out
+    act = F.lit("keep")
+    for pred, action in reversed(list(matched)):
+        act = F.when(_pred(pred), F.lit(action)).otherwise(act)
+    act = F.when(F.col(f"s.{keys[0]}").isNull(), F.lit("keep")).otherwise(act)
+    j = (t.join(s, cond, "left").withColumn("__act", act)
+         .filter(F.col("__act") != "delete"))
+    kept = j.select(*[
+        F.when(F.col("__act") == "update", F.col(f"s.{c}"))
+        .otherwise(F.col(f"t.{c}")).alias(c) for c in target.columns])
+    ins = source.join(target.select(*keys), keys, "left_anti").alias("s")
+    if not_matched is not None:
+        ins = ins.filter(_pred(not_matched))
+    return kept.unionByName(ins.select(*target.columns))
 
 
 def run_bucketed_stage(spark: SparkSession, stage: str,

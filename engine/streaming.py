@@ -412,6 +412,29 @@ def stream_dedup_exact(docs_stream: DataFrame, ts_col: str = "warc_ts",
             .drop("_h64", "_hmd5", "_hlen"))
 
 
+def stream_curation(docs_stream: DataFrame, min_tokens: int = 12,
+                    ts_col: str = "warc_ts", text_col: str = "text",
+                    watermark: str = "4 hours") -> DataFrame:
+    """Streaming twin of the batch curation pipeline's gate -> dedup
+    prefix (§2.10 curation_pipeline): a map-only token-length quality
+    gate (the batch stage-1 tokens_col gate) feeding stream_dedup_exact,
+    so the emitted stream carries the FIRST arrival of every distinct
+    passing text.  The gate runs BEFORE dedup — failing rows never enter
+    the dedup state store, which at crawl scale is the difference
+    between state O(distinct passing texts per horizon) and O(all
+    texts).  Compose with stream_upsert (the exactly-once CDC sink) to
+    maintain a curated table incrementally; the end-to-end chain is
+    driver-visible as the stream_curation query, whose oracle is the
+    batch replay (gate + DISTINCT) — batch boundaries cannot change the
+    final table because the sink's per-key fold is associative and the
+    payload is text-determined."""
+    from engine.text import tokens_col
+    gated = docs_stream.filter(
+        F.size(tokens_col(F.col(text_col))) >= int(min_tokens))
+    return stream_dedup_exact(gated, ts_col=ts_col, text_col=text_col,
+                              watermark=watermark)
+
+
 def stream_upsert(changes_stream: DataFrame, table_path: str,
                   key_cols: list[str] | str, checkpoint: str,
                   op_col: str = "op", seq_col: str = "seq"):

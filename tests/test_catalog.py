@@ -126,6 +126,59 @@ def test_merge_upsert_extra_column_raises(spark):
         catalog.merge_upsert(tgt, ch, key_cols="id")
 
 
+def test_merge_predicated_semantics(spark):
+    """Clause ORDER is first-true-wins; NULL predicates fall through;
+    matched-no-clause and unmatched-target rows keep; NOT MATCHED pred
+    gates inserts; ambiguity and schema-contract violations raise."""
+    tgt = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40),
+         (5, "e", None)],
+        "id long, val string, n long")
+    src = spark.createDataFrame(
+        [(2, "up", 25),     # t.n < s.n -> update
+         (3, "up", 5),      # shrink -> falls through -> keep
+         (4, "DEL", 99),    # val-flag clause fires FIRST -> delete
+         (5, "up", 7),      # t.n NULL -> pred NULL -> falls through -> keep
+         (8, "new", 2),     # unmatched, even -> insert
+         (9, "new", 3)],    # unmatched, odd -> filtered out
+        "id long, val string, n long")
+    out = catalog.merge_predicated(
+        tgt, src, "id",
+        matched=[("s.val = 'DEL'", "delete"),
+                 ("t.n < s.n", "update")],
+        not_matched="s.n % 2 = 0")
+    got = {r["id"]: (r["val"], r["n"]) for r in out.collect()}
+    assert got == {1: ("a", 10), 2: ("up", 25), 3: ("c", 30),
+                   5: ("e", None), 8: ("new", 2)}
+    # clause order matters: swapping makes id=4 an update, not a delete
+    out2 = catalog.merge_predicated(
+        tgt, src, "id",
+        matched=[("t.n < s.n", "update"), ("s.val = 'DEL'", "delete")])
+    got2 = {r["id"]: r["val"] for r in out2.collect()}
+    assert got2[4] == "DEL" and 9 in got2  # no insert pred -> all insert
+    with pytest.raises(ValueError, match="ambiguous"):
+        catalog.merge_predicated(
+            tgt, src.unionByName(src.limit(1)), "id", matched=[])
+    with pytest.raises(ValueError, match="lacks target columns"):
+        catalog.merge_predicated(tgt, src.drop("n"), "id")
+    with pytest.raises(ValueError, match="unknown action"):
+        catalog.merge_predicated(tgt, src, "id",
+                                 matched=[("s.n > 0", "upsert")])
+
+
+def test_merge_predicated_target_streams(spark):
+    """Plan pin for the 100-TB posture: with a dim-sized source the
+    matched path is a BroadcastHashJoin LeftOuter — the target's full
+    rows reach the output without crossing an exchange (the only other
+    join is the key-projection anti join for inserts)."""
+    import __spark_entry__ as entry
+    df = entry.q_cdc_merge_pred(spark, "/root/testdata/sf0.001")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan, plan
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan, plan
+
+
 def test_merge_upsert_target_never_shuffles(spark):
     """The 100-TB contract: the reduced change-key set broadcasts to a
     LeftAnti hash join — the target side reaches the union without a

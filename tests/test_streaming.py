@@ -228,6 +228,40 @@ def test_stream_dedup_exact_matches_batch(spark, unit_pages_sdf,
     assert all((u, t) in occ for u, t in zip(got["url"], got["text"]))
 
 
+def test_stream_curation_matches_batch(spark, unit_pages_sdf,
+                                       tmp_path_factory):
+    """Streaming curation (gate -> dedup) over MULTIPLE micro-batches:
+    the emitted key set equals the batch gate + distinct, independent of
+    batch boundaries; gated-out texts never emit."""
+    from pyspark.sql import functions as F
+
+    from engine.text import tokens_col
+    path = str(tmp_path_factory.mktemp("scur") / "pages")
+    (unit_pages_sdf.select("url", "warc_ts", "text")
+     .repartition(3).write.mode("overwrite").parquet(path))
+    schema = spark.read.parquet(path).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(path))
+    # watermark must exceed the fixture's event-time span: with random
+    # row order across files, a first-arrival older than the watermark
+    # would be late-DROPPED, not deduped (the driver query guarantees
+    # this by construction: 5000 s span vs 4 h watermark)
+    q = (streaming.stream_curation(stream, min_tokens=4,
+                                   watermark="30 days")
+         .writeStream.outputMode("append").format("memory")
+         .queryName("scur_out").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT text FROM scur_out").toPandas()
+    batch = (spark.read.parquet(path)
+             .filter(F.size(tokens_col(F.col("text"))) >= 4)
+             .select("text").toPandas())
+    assert sorted(got["text"].unique()) == sorted(batch["text"].unique())
+    assert len(got) == batch["text"].nunique()  # one emission per text
+
+
 def test_maponly_text_ops_stream_unchanged(spark, tmp_path_factory):
     """Map-only text operators (context-window chunking and lang ID —
     pure projections, zero exchanges) run UNCHANGED on a stream and emit
