@@ -80,3 +80,15 @@ def test_validation_raises(spark):
         "embedding", lambda _: F.lit(0.25)).alias("embedding"))
     with pytest.raises(ValueError):
         dc.pca_power_quant(zero)  # all-constant -> zero centered Gram
+
+
+def test_quant_int64_envelope_raises(spark, monkeypatch):
+    """The provable-int64 envelope (|G| <= n*2^40 fits int64 only for
+    n < 2^23) is ENFORCED: past it the Gram sums would wrap silently.
+    The guard fires on the row count alone, before any Gram work, so a
+    stats stub exercises it without 8.4M real rows."""
+    df, _, _ = _planted(spark, n=10)
+    monkeypatch.setattr(dc, "_quant_stats",
+                        lambda emb, dim: (1 << 23, [0] * dim))
+    with pytest.raises(ValueError, match="envelope"):
+        dc.pca_power_quant(df)
