@@ -3516,6 +3516,60 @@ def q_salted_join(spark, sf_dir):
         "event_id", "c_custkey", "c_mktsegment")
 
 
+def q_interval_coverage(spark, sf_dir):
+    """Sweep-line interval stabbing (ops.interval_max_concurrency): peak
+    number of simultaneously open user sessions per user-bucket — the
+    "max concurrent visitors" query every session store needs.  Each
+    session interval decomposes into a +1/-1 event pair, a running sum
+    over (ts, delta) is the live count (closings sort before openings at
+    the same instant, so touching sessions never count as concurrent),
+    and the per-bucket max is the answer.  Pure BIGINT arithmetic — the
+    oracle replays the identical decomposition."""
+    ev = _t(spark, sf_dir, "events")
+    ses = (_sessionized(ev).groupBy("user_id", "subset_id")
+           .agg(F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts")))
+    iv = ses.withColumn("bucket", (F.col("user_id") % 10).cast("long"))
+    return ops.interval_max_concurrency(iv, ["bucket"])
+
+
+def q_skyline_2d(spark, sf_dir):
+    """Pareto frontier (ops.skyline_2d): per event type, the set of
+    events not dominated on (recency, value) — no other event is both
+    newer and higher-valued.  The 2-D skyline is a staircase, so the
+    engine reduces to per-x max then one ordered prefix-max window pass
+    (no pairwise dominance join).  Axes are exact ints (event-time
+    micros, floor-cents value) so the frontier is bit-portable."""
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.floor(F.col("value") * 100).cast("long").alias("value_cents"))
+    return ops.skyline_2d(pts, ["event_type"], "ts_us", "value_cents")
+
+
+def q_w8_count_distinct_window(spark, sf_dir):
+    """COUNT(DISTINCT) as a windowed aggregate — the classic Spark gap
+    (SPARK-Distinct window functions are unsupported natively) closed
+    with size(collect_set() OVER w): per event, the total distinct users
+    of its event type AND the running distinct-user count up to it in
+    (ts, event_id) order.  DuckDB supports DISTINCT windowed aggregates
+    directly, so the oracle states the semantics declaratively while the
+    Spark side demonstrates the set-state implementation.  Scale note:
+    per-partition state is one hash set per window partition — bounded
+    by distinct users per type, not rows; for unbounded domains switch
+    to the HLL sketch gate (sketch_gates)."""
+    ev = _t(spark, sf_dir, "events")
+    wp = Window.partitionBy("event_type")
+    wr = (Window.partitionBy("event_type").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return ev.select(
+        "event_id",
+        F.size(F.collect_set("user_id").over(wp)).cast("long")
+        .alias("n_users_total"),
+        F.size(F.collect_set("user_id").over(wr)).cast("long")
+        .alias("n_users_seen"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "w2_sessionize": q_w2_sessionize,
@@ -3667,6 +3721,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_float_parity_sf01": q_geo_float_parity_sf01,
         "cdc_merge_pred": q_cdc_merge_pred,
         "stream_curation": q_stream_curation,
+        "interval_coverage": q_interval_coverage,
+        "skyline_2d": q_skyline_2d,
+        "w8_count_distinct_window": q_w8_count_distinct_window,
     }
 
 
@@ -7612,6 +7669,64 @@ FROM a FULL OUTER JOIN b ON a.k = b.k
 WHERE a.k IS NULL OR b.k IS NULL
    OR a.v IS DISTINCT FROM b.v OR a.etype IS DISTINCT FROM b.etype
 ORDER BY k
+""",
+        # sweep-line max concurrency: +1/-1 decomposition, closings sort
+        # before openings at the same instant (delta ASC)
+        "interval_coverage": f"""
+WITH {_SESSION_CTE.strip()},
+ses AS (
+  SELECT user_id % 10 AS bucket,
+         CAST(epoch_us(CAST(min(ts) AS TIMESTAMP)) AS BIGINT) AS s_us,
+         CAST(epoch_us(CAST(max(ts) AS TIMESTAMP)) AS BIGINT) AS e_us
+  FROM sess GROUP BY user_id, subset_id
+),
+pts AS (
+  SELECT bucket, s_us AS ts_us, CAST(1 AS BIGINT) AS delta FROM ses
+  UNION ALL
+  SELECT bucket, e_us AS ts_us, CAST(-1 AS BIGINT) AS delta FROM ses
+),
+run AS (
+  SELECT bucket,
+         CAST(sum(delta) OVER (PARTITION BY bucket ORDER BY ts_us, delta
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS live
+  FROM pts
+)
+SELECT bucket, CAST(max(live) AS BIGINT) AS max_concurrent
+FROM run GROUP BY bucket
+""",
+        # 2-D skyline: per-x max y staircase, strict prefix-max filter
+        "skyline_2d": """
+WITH pts AS (
+  SELECT event_type,
+         CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_us,
+         CAST(floor(value * 100) AS BIGINT) AS value_cents
+  FROM events
+),
+best AS (
+  SELECT event_type, ts_us, CAST(max(value_cents) AS BIGINT) AS value_cents
+  FROM pts GROUP BY event_type, ts_us
+),
+stair AS (
+  SELECT event_type, ts_us, value_cents,
+         max(value_cents) OVER (PARTITION BY event_type ORDER BY ts_us DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+  FROM best
+)
+SELECT event_type, ts_us, value_cents
+FROM stair WHERE prevmax IS NULL OR value_cents > prevmax
+""",
+        # DISTINCT windowed aggregates (native in DuckDB; the Spark side
+        # implements them via collect_set window state)
+        "w8_count_distinct_window": """
+SELECT event_id,
+       CAST(count(DISTINCT user_id) OVER (PARTITION BY event_type)
+            AS BIGINT) AS n_users_total,
+       CAST(count(DISTINCT user_id) OVER (PARTITION BY event_type
+            ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_users_seen
+FROM events
 """,
     }
 

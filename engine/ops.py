@@ -454,3 +454,63 @@ def interval_overlap_join_binned(a: DataFrame, b: DataFrame,
         - F.greatest(epoch_s(F.col(a_start)),
                      epoch_s(F.col(f"b_{b_start}"))))
         .drop("_a_s", "_a_e", "_b_s", "_b_e", "_bin"))
+
+
+def interval_max_concurrency(df: DataFrame, keys: Sequence[str],
+                             start: str = "start_ts",
+                             end: str = "end_ts") -> DataFrame:
+    """Sweep-line interval stabbing: the maximum number of simultaneously
+    open intervals per key group (peak concurrent sessions / stabbing
+    number).  The classic event-decomposition — each interval becomes a
+    +1 row at its start and a -1 row at its end, a running sum over the
+    (ts, delta) order is the live count, and the per-key max of that
+    running sum is the answer.
+
+    Exactness contract: ordering by (ts, delta ASC) puts closings before
+    openings at the same instant, so touching intervals [a,b] [b,c] never
+    count as concurrent — and because every tie block then holds a single
+    delta sign, the set of prefix sums inside a block is independent of
+    row order within it, making the max well-defined and engine-portable
+    (pure BIGINT arithmetic, no floats anywhere).
+
+    100-TB posture: 2 rows per interval, one hash exchange on the keys,
+    one per-key sort feeding a single Window + max agg — the same shape
+    as any per-host ordered traversal, so it scales exactly like W1/W2.
+    """
+    s = F.unix_micros(F.col(start).cast("timestamp"))
+    e = F.unix_micros(F.col(end).cast("timestamp"))
+    pts = (df.select(*keys, s.alias("_ts"), F.lit(1).cast("long")
+                     .alias("_delta"))
+           .unionByName(df.select(*keys, e.alias("_ts"),
+                                  F.lit(-1).cast("long").alias("_delta"))))
+    w = (Window.partitionBy(*keys).orderBy("_ts", "_delta")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    live = pts.withColumn("_live", F.sum("_delta").over(w))
+    return (live.groupBy(*keys)
+            .agg(F.max("_live").cast("long").alias("max_concurrent")))
+
+
+def skyline_2d(df: DataFrame, keys: Sequence[str], x: str, y: str) -> DataFrame:
+    """Pareto frontier (2-D skyline, maximize both axes) per key group —
+    the multi-objective "best tradeoff" query (BKS01): a point survives
+    iff no other point in its group is >= on both axes and > on at least
+    one.  Duplicate coordinates collapse to one frontier row.
+
+    Shape: the 2-D skyline is a staircase, so no pairwise dominance test
+    is needed — reduce to the per-x maximum of y (one partial-aggregated
+    groupBy), then a single ordered window pass keeps each x whose y
+    strictly exceeds the running max over all larger x.  Total cost: one
+    map-side-combinable agg + one per-key sort; per-key state is one
+    running max, never the point set.  Inputs must be exact (integer /
+    cents-quantized) for the cross-engine bit contract; floats would
+    still be correct but tie behavior becomes representation-sensitive.
+    """
+    best = df.groupBy(*keys, F.col(x).alias("_x")).agg(
+        F.max(F.col(y).cast("long")).alias("_y"))
+    w = (Window.partitionBy(*keys).orderBy(F.col("_x").desc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    return (best.withColumn("_prevmax", F.max("_y").over(w))
+            .filter(F.col("_prevmax").isNull()
+                    | (F.col("_y") > F.col("_prevmax")))
+            .select(*keys, F.col("_x").cast("long").alias(x),
+                    F.col("_y").alias(y)))

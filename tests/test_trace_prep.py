@@ -160,3 +160,45 @@ def test_interval_binned_equals_plain(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         ops.interval_overlap_join_binned(a, b, ["k"], bin_s=0)
+
+
+def test_interval_max_concurrency_sweep(spark):
+    """Sweep-line concurrency vs a brute-force stabbing check, including
+    the touch rule: [a,b] and [b,c] are NOT concurrent at b (closings
+    order before openings at the same instant)."""
+    from datetime import datetime, timezone
+
+    u = lambda s: datetime.fromtimestamp(s, tz=timezone.utc)  # noqa: E731
+    rows = [("g", u(0), u(10)), ("g", u(5), u(20)), ("g", u(10), u(30)),
+            ("g", u(10), u(12)),          # opens exactly as #1 closes
+            ("g", u(40), u(50)),
+            ("h", u(0), u(1)), ("h", u(1), u(2)), ("h", u(2), u(3))]
+    df = spark.createDataFrame(rows, ["k", "start_ts", "end_ts"])
+    out = {r.k: r.max_concurrent
+           for r in ops.interval_max_concurrency(df, ["k"]).collect()}
+    # brute force: stab at every start instant (max is attained at one)
+    for k, want in out.items():
+        ivs = [(s.timestamp(), e.timestamp())
+               for kk, s, e in rows if kk == k]
+        brute = max(sum(1 for s, e in ivs if s <= t < e)
+                    for t, _ in ivs)
+        assert want == brute, k
+    assert out["h"] == 1  # chained touches never overlap
+
+
+def test_skyline_2d_brute(spark):
+    """Staircase skyline equals the brute-force dominance filter, with
+    duplicate points and per-x ties collapsed to the frontier row."""
+    pts = [("a", 1, 5), ("a", 2, 4), ("a", 2, 9), ("a", 3, 4), ("a", 3, 4),
+           ("a", 5, 1), ("a", 4, 9),  # (2,9) dominated by (4,9)
+           ("b", 1, 1), ("b", 1, 1)]
+    df = spark.createDataFrame(pts, ["k", "x", "y"])
+    got = sorted((r.k, r.x, r.y)
+                 for r in ops.skyline_2d(df, ["k"], "x", "y").collect())
+    uniq = sorted(set(pts))
+    brute = sorted(
+        (k, x, y) for (k, x, y) in uniq
+        if not any(kk == k and (xx, yy) != (x, y) and xx >= x and yy >= y
+                   for (kk, xx, yy) in uniq))
+    assert got == brute
+    assert ("a", 4, 9) in got and ("a", 2, 9) not in got
