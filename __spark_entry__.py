@@ -3516,6 +3516,26 @@ def q_salted_join(spark, sf_dir):
         "event_id", "c_custkey", "c_mktsegment")
 
 
+_BFS_ROUNDS = 4
+
+
+def q_bfs_distances(spark, sf_dir):
+    """Multi-source BFS (engine/graph.py bfs_levels): shortest hop
+    distance from the seed hosts (node % 17 == 0) over the derived host
+    link graph, capped at _BFS_ROUNDS hops — crawl-depth labeling, the
+    traversal companion to pagerank.  Frontier rounds are co-located
+    joins against the once-partitioned edge table; the oracle replays the
+    traversal as a recursive CTE with UNION-distinct walk states and a
+    final min(dist), which equals first-reach round by induction."""
+    from engine.graph import bfs_levels
+    docs = _t(spark, sf_dir, "documents")
+    e = _pr_edges(docs)
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node"))).distinct())
+    return bfs_levels(e, nodes.filter(F.col("node") % 17 == 0),
+                      rounds=_BFS_ROUNDS)
+
+
 def q_interval_coverage(spark, sf_dir):
     """Sweep-line interval stabbing (ops.interval_max_concurrency): peak
     number of simultaneously open user sessions per user-bucket — the
@@ -3724,6 +3744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_coverage": q_interval_coverage,
         "skyline_2d": q_skyline_2d,
         "w8_count_distinct_window": q_w8_count_distinct_window,
+        "bfs_distances": q_bfs_distances,
     }
 
 
@@ -7727,6 +7748,29 @@ SELECT event_id,
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
             AS BIGINT) AS n_users_seen
 FROM events
+""",
+        # multi-source BFS: UNION-distinct recursive walk states capped at
+        # _BFS_ROUNDS hops; min(dist) over walk states == first-reach round
+        "bfs_distances": f"""
+WITH RECURSIVE e AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT CAST(doc_id AS BIGINT) % {_PR_NODES} AS src,
+           (CAST(doc_id AS BIGINT) * 48271) % 2147483647 % {_PR_NODES} AS dst
+    FROM documents
+  ) WHERE src != dst
+),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+),
+walk(node, dist) AS (
+  SELECT node, CAST(0 AS BIGINT) AS dist FROM nodes WHERE node % 17 = 0
+  UNION
+  SELECT e.dst AS node, w.dist + 1 AS dist
+  FROM walk w JOIN e ON e.src = w.node
+  WHERE w.dist < {_BFS_ROUNDS}
+)
+SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM walk GROUP BY node
 """,
     }
 

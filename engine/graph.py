@@ -105,3 +105,60 @@ def pagerank(edges: DataFrame, iters: int = PAGERANK_ITERS,
     nodes.unpersist()
     links.unpersist()
     return ranks
+
+
+BFS_ROUNDS = 4
+
+
+def bfs_levels(edges: DataFrame, sources: DataFrame,
+               rounds: int = BFS_ROUNDS,
+               src: str = "src", dst: str = "dst") -> DataFrame:
+    """Multi-source BFS over a directed edge table — shortest hop-distance
+    from any source, capped at `rounds` hops (the Pregel frontier pattern
+    on DataFrames; crawl-depth / link-distance labeling on the host
+    graph).  Returns (node long, dist long) for every node reached within
+    the cap; unreached nodes are absent.
+
+    Distributed shape (mirrors pagerank above): the edge table — the
+    100-TB side — is hash-partitioned by src ONCE and persisted; each
+    round is one co-located join of the (tiny) frontier against it, a
+    map-side-combinable distinct on the discovered nodes, and one
+    left-anti join against the assigned set, so the per-round exchanges
+    carry only node ids, never edges.  Frontiers are eagerly
+    localCheckpointed: each round's plan starts from materialized
+    partitions instead of re-deriving every prior round (lineage stays
+    O(1) per round), and the empty-frontier early stop is a count on an
+    already-materialized frame.
+
+    Exactness: BFS assigns each node the round at which it is FIRST
+    reached, which is the minimum hop distance by induction; pure integer
+    arithmetic, no tie-breaking anywhere (a node reached twice in the
+    same round is deduplicated before assignment), so any engine agrees.
+    The oracle twin replays it as a recursive CTE with UNION-distinct
+    walk states and a final min(dist) — equal because min over all
+    (node, dist<=cap) walk states IS first-reach round.
+    """
+    if rounds < 0:
+        raise ValueError("rounds must be >= 0")
+    e = (edges.select(F.col(src).cast("long").alias("src"),
+                      F.col(dst).cast("long").alias("dst"))
+         .distinct().repartition(F.col("src")).persist())
+    e.count()  # materialize before the loop so every round reuses it
+    dist = (sources.select(F.col("node").cast("long").alias("node"))
+            .distinct()
+            .select("node", F.lit(0).cast("long").alias("dist"))
+            .localCheckpoint(eager=True))
+    frontier = dist
+    for r in range(1, rounds + 1):
+        cand = (frontier.select(F.col("node").alias("src"))
+                .join(e, "src")
+                .select(F.col("dst").alias("node")).distinct())
+        new = (cand.join(dist.select("node"), "node", "left_anti")
+               .select("node", F.lit(r).cast("long").alias("dist"))
+               .localCheckpoint(eager=True))
+        if new.count() == 0:
+            break
+        dist = dist.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
+    e.unpersist()
+    return dist

@@ -6,7 +6,7 @@ import numpy as np
 import pandas as pd
 import pytest
 
-from engine.graph import DAMP_DEN, DAMP_NUM, RANK_SCALE, pagerank
+from engine.graph import DAMP_DEN, DAMP_NUM, RANK_SCALE, bfs_levels, pagerank
 
 
 def _numpy_pagerank(edges: list[tuple[int, int]], iters: int):
@@ -57,3 +57,57 @@ def test_pagerank_rejects_zero_iters(spark):
     df = spark.createDataFrame(pd.DataFrame({"src": [0], "dst": [1]}))
     with pytest.raises(ValueError):
         pagerank(df, iters=0)
+
+# ---------------------------------------------------------------- BFS
+
+
+def _python_bfs(edges, seeds, rounds):
+    """Independent level-synchronous BFS: dict node -> first-reach hop."""
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for r in range(1, rounds + 1):
+        nxt = {d for s in frontier for d in adj.get(s, ())} - dist.keys()
+        if not nxt:
+            break
+        dist.update({n: r for n in nxt})
+        frontier = nxt
+    return dist
+
+
+def _run_bfs(spark, edges, seeds, rounds):
+    e = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    s = spark.createDataFrame(pd.DataFrame({"node": sorted(seeds)}))
+    out = bfs_levels(e, s, rounds=rounds).collect()
+    return {r["node"]: r["dist"] for r in out}
+
+
+def test_bfs_matches_python_oracle(spark):
+    rng = np.random.default_rng(41)
+    n = 60
+    edges = sorted({(int(a), int(b))
+                    for a, b in rng.integers(0, n, size=(200, 2))
+                    if a != b})
+    seeds = [0, 7, 13]
+    for rounds in (0, 1, 3, 6):
+        assert _run_bfs(spark, edges, seeds, rounds) == \
+            _python_bfs(edges, seeds, rounds)
+
+
+def test_bfs_directed_chain_and_early_stop(spark):
+    # 0->1->2->3: distances follow the chain; rounds cap truncates; the
+    # reverse direction is never reached (directed semantics); a cap far
+    # past exhaustion early-stops at the same answer.
+    edges = [(0, 1), (1, 2), (2, 3)]
+    assert _run_bfs(spark, edges, [0], 2) == {0: 0, 1: 1, 2: 2}
+    assert _run_bfs(spark, edges, [0], 50) == {0: 0, 1: 1, 2: 2, 3: 3}
+    assert _run_bfs(spark, edges, [3], 50) == {3: 0}
+
+
+def test_bfs_rejects_negative_rounds(spark):
+    e = spark.createDataFrame(pd.DataFrame({"src": [0], "dst": [1]}))
+    s = spark.createDataFrame(pd.DataFrame({"node": [0]}))
+    with pytest.raises(ValueError):
+        bfs_levels(e, s, rounds=-1)
