@@ -3536,6 +3536,25 @@ def q_bfs_distances(spark, sf_dir):
                       rounds=_BFS_ROUNDS)
 
 
+_JPJ_TAU_PCT = 20
+
+
+def q_jaccard_prefix_join(spark, sf_dir):
+    """Exact set-similarity join via AllPairs prefix filtering
+    (text.jaccard_prefix_join): every doc pair with 3-gram-shingle
+    Jaccard >= 0.20, computed WITHOUT all-pairs — rarest-first global
+    token order, lossless prefix candidates, integer verify
+    (100*inter >= tau*union; no float Jaccard anywhere).  The oracle
+    computes the same pair set by the definition: token-join
+    intersection counts over every co-token pair + the identical integer
+    predicate.  Engine candidates are provably a superset (prefix-filter
+    theorem) and verification is exact, so the outputs agree row for
+    row."""
+    docs = _t(spark, sf_dir, "documents")
+    from engine.text import jaccard_prefix_join
+    return jaccard_prefix_join(docs, tau_pct=_JPJ_TAU_PCT)
+
+
 def q_interval_coverage(spark, sf_dir):
     """Sweep-line interval stabbing (ops.interval_max_concurrency): peak
     number of simultaneously open user sessions per user-bucket — the
@@ -3745,6 +3764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skyline_2d": q_skyline_2d,
         "w8_count_distinct_window": q_w8_count_distinct_window,
         "bfs_distances": q_bfs_distances,
+        "jaccard_prefix_join": q_jaccard_prefix_join,
     }
 
 
@@ -7771,6 +7791,36 @@ walk(node, dist) AS (
   WHERE w.dist < {_BFS_ROUNDS}
 )
 SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM walk GROUP BY node
+""",
+        # exact set-similarity by DEFINITION: intersection counts via the
+        # co-token pair join + the identical integer threshold predicate
+        # (prefix filtering is engine-side only; the pair SET is equal)
+        "jaccard_prefix_join": rf"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'),
+                             x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(t) - 2, 0) + 1),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+  FROM toks
+),
+sz AS (SELECT doc_id, len(s) AS n FROM sh WHERE len(s) > 0),
+e AS (SELECT doc_id, unnest(s) AS tok FROM sh),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+  FROM e x JOIN e y ON x.tok = y.tok AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.a, i.b, CAST(i.i AS BIGINT) AS inter_size,
+       CAST(sa.n + sb.n - i.i AS BIGINT) AS union_size
+FROM inter i
+JOIN sz sa ON sa.doc_id = i.a
+JOIN sz sb ON sb.doc_id = i.b
+WHERE 100 * i.i >= {_JPJ_TAU_PCT} * (sa.n + sb.n - i.i)
 """,
     }
 

@@ -1736,3 +1736,86 @@ def html_to_text(df: DataFrame, html_col: str = "html",
         t = F.replace(t, F.lit(ent), F.lit(ch))
     return df.withColumn(out_col,
                          F.trim(F.regexp_replace(t, r"\s+", " ")))
+
+
+# ---------------------------------------------------------------------------
+# exact set-similarity join (AllPairs / PPJoin prefix filtering)
+# ---------------------------------------------------------------------------
+
+def jaccard_prefix_join(df: DataFrame, tau_pct: int = 50,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        shingle_n: int = 3) -> DataFrame:
+    """EXACT Jaccard set-similarity join WITHOUT all-pairs: every doc pair
+    whose word n-gram shingle sets satisfy Jaccard >= tau_pct/100, via
+    prefix filtering (AllPairs, Bayardo et al. WWW'07; the SSJoin/PPJoin
+    family) — the scalable exact twin of ngram_jaccard_pairs, which stays
+    all-pairs BY DESIGN as the small-side oracle.
+
+    Lossless candidate generation: order all shingles by one global total
+    order — (corpus frequency asc, shingle asc); shingles are distinct
+    within a doc, so the tie-break makes it total.  A doc with n shingles
+    exposes only its first p = n - ceil(tau*n/100) + 1 tokens (rarest
+    first).  THEOREM (prefix filter): if |A∩B| >= t then the length
+    (|A|-t+1) and (|B|-t+1) prefixes under a COMMON total order share a
+    token — proof: if A's prefix held no common element, every common
+    element would sit among A's last t-1 tokens, so |A∩B| <= t-1.  With
+    J(A,B) >= tau/100 we get |A∩B| >= ceil(tau*|A|/100) (intersection >=
+    tau * union >= tau * |A|), so the chosen p is always >= the theorem's
+    requirement — every qualifying pair shares a PREFIX token and is
+    generated.  Verification then computes the exact intersection, so the
+    output equals the all-pairs definition row for row.
+
+    All arithmetic is integer (ceil(tau*n/100) = (tau*n + 99) DIV 100;
+    the predicate 100*inter >= tau*union) — bit-portable cross-engine,
+    no float Jaccard anywhere.
+
+    100-TB shape: the frequency table is vocab-sized (broadcast here;
+    falls back to a shuffle join when vocab outgrows the broadcast
+    threshold without changing semantics); per-doc ordering is ONE
+    (id, shingle, cnt) exchange into a sorted-struct collect; the
+    candidate join exchanges ONLY prefix tokens — and because prefixes
+    take the RAREST tokens first, the head of the frequency distribution
+    (the tokens that would explode a postings self-join) almost never
+    enters a prefix; a length filter (100*least(na,nb) >=
+    tau*greatest(na,nb), implied by J >= tau) prunes candidates before
+    the pair dedup; verification moves each candidate's shingle array
+    once per side through an equi-join.  Returns
+    (a, b, inter_size, union_size) — qualifying pairs only, a < b."""
+    if not (isinstance(tau_pct, int) and 1 <= tau_pct <= 100):
+        raise ValueError("tau_pct must be an int in 1..100")
+    sh = (df.select(F.col(id_col).alias("id"),
+                    shingles_col(F.col(text_col), shingle_n).alias("sh"))
+          .filter(F.size("sh") > 0))
+    toks = sh.select("id", F.explode("sh").alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    ordered = (toks.join(F.broadcast(freq), "tok")
+               .groupBy("id")
+               .agg(F.array_sort(
+                   F.collect_list(F.struct("cnt", "tok"))).alias("ot")))
+    docs_t = ordered.select(
+        "id",
+        F.transform("ot", lambda x: x["tok"]).alias("toks"),
+        F.size("ot").cast("long").alias("n"))
+    pref = docs_t.select(
+        "id", "n",
+        F.explode(F.slice(
+            "toks", F.lit(1),
+            (F.col("n") - F.expr(f"({tau_pct} * n + 99) DIV 100")
+             + F.lit(1)).cast("int"))).alias("tok"))
+    a, b = pref.alias("pa"), pref.alias("pb")
+    cand = (a.join(b, (F.col("pa.tok") == F.col("pb.tok"))
+                   & (F.col("pa.id") < F.col("pb.id"))
+                   & (100 * F.least("pa.n", "pb.n")
+                      >= tau_pct * F.greatest("pa.n", "pb.n")))
+            .select(F.col("pa.id").alias("a"), F.col("pb.id").alias("b"))
+            .distinct())
+    ta = docs_t.select(F.col("id").alias("a"), F.col("toks").alias("ta"),
+                       F.col("n").alias("na"))
+    tb = docs_t.select(F.col("id").alias("b"), F.col("toks").alias("tb"),
+                       F.col("n").alias("nb"))
+    inter = F.size(F.array_intersect("ta", "tb")).cast("long")
+    return (cand.join(ta, "a").join(tb, "b")
+            .select("a", "b", inter.alias("inter_size"),
+                    (F.col("na") + F.col("nb") - inter).alias("union_size"))
+            .filter(100 * F.col("inter_size")
+                    >= tau_pct * F.col("union_size")))

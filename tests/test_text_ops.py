@@ -1207,3 +1207,66 @@ def test_html_to_text_extraction(spark):
     n_bad = pages.filter(
         F.col("extracted_text") != F.col("text")).count()
     assert n_bad == 0
+
+
+# ------------------------------------------------- jaccard_prefix_join
+
+
+def _py_shingle_pairs(rows, tau_pct, n=3):
+    """Definition replay in pure Python: 3-gram shingle sets, every pair
+    with 100*inter >= tau*union."""
+    import re
+    sets = {}
+    for i, txt in rows:
+        t = [w for w in re.split(r"\W+", txt.lower()) if w]
+        sets[i] = {" ".join(t[j:j + n]) for j in range(len(t) - n + 1)}
+    ids = sorted(sets)
+    out = {}
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            if not sets[a] or not sets[b]:
+                continue
+            i = len(sets[a] & sets[b])
+            u = len(sets[a] | sets[b])
+            if 100 * i >= tau_pct * u:
+                out[(a, b)] = (i, u)
+    return out
+
+
+_JPJ_ROWS = [
+    (1, "the quick brown fox jumps over the lazy dog near the old barn"),
+    (2, "the quick brown fox jumps over the lazy dog near the new barn"),
+    (3, "the quick brown fox jumps over the lazy dog"),
+    (4, "a completely different sentence about spark shuffle exchanges"),
+    (5, "a completely different sentence about spark shuffle behavior"),
+    (6, "the quick brown fox jumps over the lazy dog near the old barn"),
+    (7, "short text"),            # < 3 tokens: empty shingle set, no pairs
+    (8, "the the the the the the the the the the the the the"),  # hot token
+    (9, "the the the the the the the the the the the the door"),
+]
+
+
+@pytest.mark.parametrize("tau", [20, 50, 80, 100])
+def test_jaccard_prefix_join_matches_definition(spark, tau):
+    df = spark.createDataFrame(_JPJ_ROWS, ["doc_id", "text"])
+    got = {(r["a"], r["b"]): (r["inter_size"], r["union_size"])
+           for r in text.jaccard_prefix_join(df, tau_pct=tau).collect()}
+    assert got == _py_shingle_pairs(_JPJ_ROWS, tau)
+
+
+def test_jaccard_prefix_join_agrees_with_allpairs_twin(spark):
+    # same pair set as the documented all-pairs twin at the same tau
+    df = spark.createDataFrame(_JPJ_ROWS, ["doc_id", "text"])
+    fast = {(r["a"], r["b"])
+            for r in text.jaccard_prefix_join(df, tau_pct=30).collect()}
+    brute = {(r["a"], r["b"])
+             for r in text.ngram_jaccard_pairs(df, threshold=0.3).collect()}
+    assert fast == brute
+
+
+def test_jaccard_prefix_join_validates_tau(spark):
+    df = spark.createDataFrame(_JPJ_ROWS[:2], ["doc_id", "text"])
+    for bad in (0, 101, 50.0, -3):
+        with pytest.raises(ValueError):
+            text.jaccard_prefix_join(df, tau_pct=bad)
