@@ -3536,6 +3536,22 @@ def q_bfs_distances(spark, sf_dir):
                       rounds=_BFS_ROUNDS)
 
 
+def q_triangle_counts(spark, sf_dir):
+    """Per-node triangle counts (engine/graph.py triangle_counts) over the
+    derived host link graph — the local-clustering primitive (spam-farm /
+    community signals on a web graph).  Engine uses the degree-ordered
+    orientation (Suri & Vassilvitskii WWW'11): each triangle has exactly
+    one two-out-edge corner, bounding wedge fan-out at O(m^1.5) where a
+    direction-free wedge join is unbounded on power-law degree skew.  Pure
+    integer set semantics, so the oracle replays the DEFINITION — the
+    canonical u<v<w three-way self-join — without orientation; the outputs
+    are equal because orientation only changes the order triangles are
+    found in, never the set."""
+    from engine.graph import triangle_counts
+    docs = _t(spark, sf_dir, "documents")
+    return triangle_counts(_pr_edges(docs))
+
+
 _JPJ_TAU_PCT = 20
 
 
@@ -3765,6 +3781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w8_count_distinct_window": q_w8_count_distinct_window,
         "bfs_distances": q_bfs_distances,
         "jaccard_prefix_join": q_jaccard_prefix_join,
+        "triangle_counts": q_triangle_counts,
     }
 
 
@@ -7821,6 +7838,40 @@ FROM inter i
 JOIN sz sa ON sa.doc_id = i.a
 JOIN sz sb ON sb.doc_id = i.b
 WHERE 100 * i.i >= {_JPJ_TAU_PCT} * (sa.n + sb.n - i.i)
+""",
+        # triangle counting by DEFINITION: canonical u<v<w three-way join
+        # over the deduped undirected edge set (the engine's degree-ordered
+        # orientation finds the identical triangle set)
+        "triangle_counts": f"""
+WITH raw AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT CAST(doc_id AS BIGINT) % {_PR_NODES} AS src,
+           (CAST(doc_id AS BIGINT) * 48271) % 2147483647 % {_PR_NODES} AS dst
+    FROM documents
+  ) WHERE src != dst
+),
+ec AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM raw
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM ec e1
+  JOIN ec e2 ON e2.u = e1.v
+  JOIN ec e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+cnt AS (
+  SELECT node, count(*) AS n FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY node
+),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT u AS node FROM ec UNION ALL SELECT v FROM ec)
+)
+SELECT nodes.node, CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_triangles
+FROM nodes LEFT JOIN cnt ON cnt.node = nodes.node
 """,
     }
 

@@ -162,3 +162,62 @@ def bfs_levels(edges: DataFrame, sources: DataFrame,
         frontier = new
     e.unpersist()
     return dist
+
+
+def triangle_counts(edges: DataFrame,
+                    src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle participation counts over the UNDIRECTED graph
+    induced by the edge table (direction and duplicates collapse; self
+    loops drop).  Returns (node long, n_triangles long) for every node of
+    the canonical edge set — 0 rows for isolated-by-dedup nodes only.
+
+    Distributed shape — degree-ordered orientation (the MapReduce
+    triangle-counting standard, Suri & Vassilvitskii WWW'11): every
+    canonical edge is oriented from the smaller to the larger endpoint
+    under the total order (degree, node).  Each triangle then has exactly
+    ONE node with two out-edges, so wedges (two out-edges of one node,
+    ordered) joined against the closing oriented edge count each triangle
+    exactly once — and out-degrees under this orientation are bounded by
+    O(sqrt(m)), which bounds the wedge fan-out at O(m^1.5) total where a
+    naive direction-free wedge join is unbounded on skewed (power-law
+    host) graphs.  Every exchange carries node ids + degrees only; the
+    degree table is node-count-sized.
+
+    Exactness: pure integer arithmetic on set semantics — any engine
+    agrees; the oracle twin replays the definition as a canonical
+    three-way join (u < v < w) without orientation.
+    """
+    e = (edges.select(F.least(F.col(src), F.col(dst)).cast("long")
+                      .alias("u"),
+                      F.greatest(F.col(src), F.col(dst)).cast("long")
+                      .alias("v"))
+         .filter(F.col("u") != F.col("v")).distinct())
+    deg = (e.select(F.col("u").alias("node"))
+           .unionAll(e.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count("*").alias("deg")))
+    # attach degrees, orient low -> high under (deg, node)
+    eu = e.join(deg.withColumnRenamed("node", "u")
+                .withColumnRenamed("deg", "du"), "u")
+    euv = eu.join(deg.withColumnRenamed("node", "v")
+                  .withColumnRenamed("deg", "dv"), "v")
+    fwd = (F.col("du") < F.col("dv")) | \
+          ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    o = euv.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("d"),
+        F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("dd"))
+    # wedges at the unique two-out-edge corner, ordered to count once
+    e1, e2 = o.alias("e1"), o.alias("e2")
+    lt = (F.col("e1.dd") < F.col("e2.dd")) | \
+         ((F.col("e1.dd") == F.col("e2.dd"))
+          & (F.col("e1.d") < F.col("e2.d")))
+    wedge = (e1.join(e2, (F.col("e1.s") == F.col("e2.s")) & lt)
+             .select(F.col("e1.s").alias("x"), F.col("e1.d").alias("y"),
+                     F.col("e2.d").alias("z")))
+    tri = wedge.join(o.select(F.col("s").alias("y"),
+                              F.col("d").alias("z")), ["y", "z"])
+    counts = (tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+              .groupBy("node").agg(F.count("*").alias("n_triangles")))
+    return (deg.select("node").join(counts, "node", "left")
+            .select("node", F.coalesce("n_triangles", F.lit(0))
+                    .cast("long").alias("n_triangles")))

@@ -6,7 +6,8 @@ import numpy as np
 import pandas as pd
 import pytest
 
-from engine.graph import DAMP_DEN, DAMP_NUM, RANK_SCALE, bfs_levels, pagerank
+from engine.graph import (DAMP_DEN, DAMP_NUM, RANK_SCALE, bfs_levels,
+                          pagerank, triangle_counts)
 
 
 def _numpy_pagerank(edges: list[tuple[int, int]], iters: int):
@@ -111,3 +112,62 @@ def test_bfs_rejects_negative_rounds(spark):
     s = spark.createDataFrame(pd.DataFrame({"node": [0]}))
     with pytest.raises(ValueError):
         bfs_levels(e, s, rounds=-1)
+
+
+# ------------------------------------------------------- triangle counts
+
+
+def _python_triangles(edges):
+    """Independent brute-force replay of the definition: canonicalize to
+    an undirected simple graph, enumerate u<v<w triples via adjacency
+    sets, count per-node participation."""
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    adj = {}
+    for u, v in und:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    counts = {n: 0 for n in adj}
+    for u, v in sorted(und):
+        for w in sorted(adj[u] & adj[v]):
+            if w > v:
+                counts[u] += 1
+                counts[v] += 1
+                counts[w] += 1
+    return counts
+
+
+def _run_tri(spark, edges):
+    df = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    out = triangle_counts(df).collect()
+    return {r["node"]: r["n_triangles"] for r in out}
+
+
+def test_triangles_match_python_oracle(spark):
+    rng = np.random.default_rng(7)
+    n = 30
+    edges = sorted({(int(a), int(b))
+                    for a, b in rng.integers(0, n, size=(260, 2))
+                    if a != b})
+    got = _run_tri(spark, edges)
+    want = _python_triangles(edges)
+    assert got == want
+    assert sum(got.values()) % 3 == 0  # each triangle counted thrice
+
+
+def test_triangles_direction_and_duplicates_collapse(spark):
+    # K3 stated with mixed directions + duplicates + a self loop: exactly
+    # one triangle; the pendant node 3 participates in none.
+    edges = [(0, 1), (1, 0), (1, 2), (2, 0), (0, 2), (2, 2), (0, 3)]
+    assert _run_tri(spark, edges) == {0: 1, 1: 1, 2: 1, 3: 0}
+
+
+def test_triangles_skewed_hub(spark):
+    # hub 0 linked to all spokes plus a spoke ring: triangles are exactly
+    # the (hub, i, i+1) wedges closed by the ring — the degree-ordered
+    # orientation must not double- or under-count around the hot hub.
+    n = 12
+    edges = [(0, i) for i in range(1, n)] + \
+            [(i, i + 1) for i in range(1, n - 1)]
+    got = _run_tri(spark, edges)
+    assert got == _python_triangles(edges)
+    assert got[0] == n - 2  # hub in every ring triangle
