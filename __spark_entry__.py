@@ -3625,6 +3625,22 @@ def q_w8_count_distinct_window(spark, sf_dir):
         .alias("n_users_seen"))
 
 
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def q_funnel_steps(spark, sf_dir):
+    """Ordered funnel depth (ops.funnel_prefix): per user, how deep into
+    view -> click -> purchase their event stream gets, with first/deepest
+    matched event times — the product-analytics conversion query.  Greedy
+    earliest subsequence matching == chained first-occurrence-after, so
+    the oracle states the same answer declaratively as one chained-min
+    CTE per step over a per-user row_number sequence; everything is
+    BIGINT (row numbers + unix micros), engine-portable."""
+    ev = _t(spark, sf_dir, "events")
+    return ops.funnel_prefix(ev, "user_id", "ts", "event_type",
+                             list(_FUNNEL_STEPS), tiebreak="event_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "w2_sessionize": q_w2_sessionize,
@@ -3782,6 +3798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_distances": q_bfs_distances,
         "jaccard_prefix_join": q_jaccard_prefix_join,
         "triangle_counts": q_triangle_counts,
+        "funnel_steps": q_funnel_steps,
     }
 
 
@@ -7872,6 +7889,47 @@ nodes AS (
 )
 SELECT nodes.node, CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_triangles
 FROM nodes LEFT JOIN cnt ON cnt.node = nodes.node
+""",
+        # funnel depth stated declaratively: r_{k+1} = first occurrence of
+        # step k+1 AFTER r_k (chained min over a per-user row_number
+        # sequence) == the engine's greedy earliest subsequence match
+        "funnel_steps": f"""
+WITH ev AS (
+  SELECT user_id,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              AS BIGINT) AS rn,
+         CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_us,
+         event_type
+  FROM events
+  WHERE event_type IN ('{_FUNNEL_STEPS[0]}', '{_FUNNEL_STEPS[1]}',
+                       '{_FUNNEL_STEPS[2]}')
+),
+s1 AS (SELECT user_id, min(rn) AS r1 FROM ev
+       WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.rn) AS r2 FROM ev e
+       JOIN s1 ON s1.user_id = e.user_id
+       WHERE e.event_type = '{_FUNNEL_STEPS[1]}' AND e.rn > s1.r1
+       GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.rn) AS r3 FROM ev e
+       JOIN s2 ON s2.user_id = e.user_id
+       WHERE e.event_type = '{_FUNNEL_STEPS[2]}' AND e.rn > s2.r2
+       GROUP BY e.user_id),
+u AS (SELECT DISTINCT user_id FROM ev),
+d AS (
+  SELECT u.user_id, s1.r1, coalesce(s3.r3, s2.r2, s1.r1) AS rlast,
+         CASE WHEN s3.r3 IS NOT NULL THEN 3
+              WHEN s2.r2 IS NOT NULL THEN 2
+              WHEN s1.r1 IS NOT NULL THEN 1 ELSE 0 END AS n_steps
+  FROM u
+  LEFT JOIN s1 ON s1.user_id = u.user_id
+  LEFT JOIN s2 ON s2.user_id = u.user_id
+  LEFT JOIN s3 ON s3.user_id = u.user_id
+)
+SELECT d.user_id, CAST(d.n_steps AS BIGINT) AS n_steps,
+       ef.ts_us AS first_us, el.ts_us AS last_us
+FROM d
+LEFT JOIN ev ef ON ef.user_id = d.user_id AND ef.rn = d.r1
+LEFT JOIN ev el ON el.user_id = d.user_id AND el.rn = d.rlast
 """,
     }
 

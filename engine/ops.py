@@ -514,3 +514,72 @@ def skyline_2d(df: DataFrame, keys: Sequence[str], x: str, y: str) -> DataFrame:
                     | (F.col("_y") > F.col("_prevmax")))
             .select(*keys, F.col("_x").cast("long").alias(x),
                     F.col("_y").alias(y)))
+
+
+def funnel_prefix(df: DataFrame, user_col: str, ts_col: str, type_col: str,
+                  steps: Sequence[str],
+                  tiebreak: str) -> DataFrame:
+    """Ordered funnel analysis: per user, the longest PREFIX of `steps`
+    that occurs as a subsequence of their event stream in (ts, tiebreak)
+    order — "how deep into signup -> view -> ... -> purchase did each
+    user get".  Returns one row per user having at least one
+    funnel-relevant event: (user_col, n_steps long, first_us long,
+    last_us long) where first_us/last_us are the event times (unix
+    micros) of the first and deepest matched steps (null when n_steps
+    is 0).
+
+    Semantics: greedy earliest matching — the canonical subsequence
+    algorithm, which provably reaches the maximum prefix depth (matching
+    any later occurrence of a step never allows a deeper prefix than
+    matching the earliest one).  Equivalent declarative form: r1 = first
+    occurrence of steps[0], r_{k+1} = first occurrence of steps[k+1]
+    AFTER r_k — which is exactly what the chained-min SQL oracle states.
+    No time-window constraint (a ClickHouse-windowFunnel variant would
+    need per-start re-scans); unwindowed prefix depth is the exact,
+    engine-portable contract here.
+
+    100-TB shape: events are filtered to the |steps| relevant types and
+    projected to three small ints BEFORE the exchange, so only
+    funnel-relevant (ts_us, tiebreak, step_idx) triples ride the one
+    hash shuffle; the per-user fold is a single native F.aggregate over
+    the sorted per-user array (JVM codegen, no Python) with O(1) state.
+    Per-user relevant-event volume must fit an array — the same
+    per-host envelope every W-family traversal in this engine carries.
+
+    Steps must be distinct (a repeated type would make the per-event
+    step index ambiguous) and non-empty — both raise.
+    """
+    steps = list(steps)
+    if not steps:
+        raise ValueError("funnel_prefix: steps must be non-empty")
+    if len(set(steps)) != len(steps):
+        raise ValueError("funnel_prefix: step types must be distinct")
+    idx = F.lit(None).cast("int")
+    for i in reversed(range(len(steps))):
+        idx = F.when(F.col(type_col) == steps[i], F.lit(i)).otherwise(idx)
+    ev = (df.filter(F.col(type_col).isin(steps))
+          .select(F.col(user_col).alias("_u"),
+                  F.struct(
+                      F.unix_micros(F.col(ts_col).cast("timestamp"))
+                      .alias("ts_us"),
+                      F.col(tiebreak).cast("long").alias("tb"),
+                      idx.alias("idx")).alias("_e")))
+    per_user = ev.groupBy("_u").agg(
+        F.sort_array(F.collect_list("_e")).alias("_evs"))
+    init = F.struct(F.lit(0).cast("int").alias("k"),
+                    F.lit(None).cast("long").alias("first_us"),
+                    F.lit(None).cast("long").alias("last_us"))
+    def _fold(acc, x):
+        hit = x["idx"] == acc["k"]
+        return F.struct(
+            (acc["k"] + F.when(hit, F.lit(1)).otherwise(F.lit(0)))
+            .cast("int").alias("k"),
+            F.when(hit & (acc["k"] == F.lit(0)), x["ts_us"])
+            .otherwise(acc["first_us"]).alias("first_us"),
+            F.when(hit, x["ts_us"]).otherwise(acc["last_us"])
+            .alias("last_us"))
+    out = per_user.select("_u", F.aggregate("_evs", init, _fold).alias("_r"))
+    return out.select(F.col("_u").alias(user_col),
+                      F.col("_r.k").cast("long").alias("n_steps"),
+                      F.col("_r.first_us").alias("first_us"),
+                      F.col("_r.last_us").alias("last_us"))

@@ -202,3 +202,71 @@ def test_skyline_2d_brute(spark):
                    for (kk, xx, yy) in uniq))
     assert got == brute
     assert ("a", 4, 9) in got and ("a", 2, 9) not in got
+
+
+def _python_funnel(events, steps):
+    """Independent greedy subsequence replay: events = [(user, ts_us, tb,
+    type)]; returns {user: (n_steps, first_us, last_us)} over users with
+    >= 1 relevant event."""
+    by_user = {}
+    for u, ts, tb, ty in events:
+        if ty in steps:
+            by_user.setdefault(u, []).append((ts, tb, ty))
+    out = {}
+    for u, evs in by_user.items():
+        k, first, last = 0, None, None
+        for ts, _tb, ty in sorted(evs):
+            if k < len(steps) and ty == steps[k]:
+                if k == 0:
+                    first = ts
+                last = ts
+                k += 1
+        out[u] = (k, first, last)
+    return out
+
+
+def _run_funnel(spark, events, steps):
+    df = spark.createDataFrame(
+        pd.DataFrame(events, columns=["user_id", "ts_us", "event_id",
+                                      "event_type"]))
+    df = df.withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+    got = ops.funnel_prefix(df, "user_id", "ts", "event_type",
+                            list(steps), tiebreak="event_id").collect()
+    return {r["user_id"]: (r["n_steps"], r["first_us"], r["last_us"])
+            for r in got}
+
+
+def test_funnel_matches_python_oracle(spark):
+    rng = np.random.default_rng(11)
+    types = ["view", "click", "purchase", "error", "signup"]
+    events = [(int(rng.integers(0, 12)), int(rng.integers(0, 10_000_000)),
+               i, types[int(rng.integers(0, len(types)))])
+              for i in range(400)]
+    steps = ("view", "click", "purchase")
+    assert _run_funnel(spark, events, steps) == _python_funnel(events, steps)
+
+
+def test_funnel_order_and_zero_depth(spark):
+    # purchase BEFORE the first view never counts; a user with only
+    # non-initial steps sits at depth 0 with null times; ties at one
+    # instant resolve by the tiebreak column.
+    ev = [(1, 100, 0, "purchase"), (1, 200, 1, "view"), (1, 300, 2, "click"),
+          (2, 100, 3, "click"), (2, 200, 4, "purchase"),
+          (3, 500, 6, "click"), (3, 500, 5, "view"),  # same ts: view first
+          (4, 100, 7, "error")]
+    got = _run_funnel(spark, ev, ("view", "click", "purchase"))
+    assert got == {1: (2, 200, 300), 2: (0, None, None), 3: (2, 500, 500)}
+    # user 4 has no funnel-relevant event -> absent from the output
+
+
+def test_funnel_validates_steps(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"user_id": [1], "ts": pd.to_datetime(["2024-01-01"]),
+                      "event_id": [1], "event_type": ["view"]}))
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ops.funnel_prefix(df, "user_id", "ts", "event_type", [],
+                          tiebreak="event_id")
+    with _pt.raises(ValueError):
+        ops.funnel_prefix(df, "user_id", "ts", "event_type",
+                          ["view", "view"], tiebreak="event_id")
