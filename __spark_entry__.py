@@ -3625,6 +3625,33 @@ def q_w8_count_distinct_window(spark, sf_dir):
         .alias("n_users_seen"))
 
 
+_COHORT_BUCKET_S = 86400
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention triangle (ops.cohort_retention): users bucketed
+    by first-active day, counted when active again k days later.  Pure
+    BIGINT bucketing (floor-division identity valid on both engines) and
+    counting; the oracle is the direct declarative statement."""
+    ev = _t(spark, sf_dir, "events")
+    return ops.cohort_retention(ev, "user_id", "ts",
+                                bucket_s=_COHORT_BUCKET_S)
+
+
+_PMI_MIN_COUNT = 5
+
+
+def q_pmi_collocations(spark, sf_dir):
+    """PMI collocation mining (text.pmi_collocations): adjacent-bigram
+    association strength as the exact integer evidence (c_ab, c_a, c_b)
+    plus the PMI-monotone probability ratio computed by ONE fixed IEEE
+    tree over those ints — the oracle replays identical counts and the
+    identical expression, so even the double column is bit-equal."""
+    docs = _t(spark, sf_dir, "documents")
+    from engine.text import pmi_collocations
+    return pmi_collocations(docs, min_count=_PMI_MIN_COUNT)
+
+
 _FUNNEL_STEPS = ("view", "click", "purchase")
 
 
@@ -3799,6 +3826,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_prefix_join": q_jaccard_prefix_join,
         "triangle_counts": q_triangle_counts,
         "funnel_steps": q_funnel_steps,
+        "cohort_retention": q_cohort_retention,
+        "pmi_collocations": q_pmi_collocations,
     }
 
 
@@ -7930,6 +7959,58 @@ SELECT d.user_id, CAST(d.n_steps AS BIGINT) AS n_steps,
 FROM d
 LEFT JOIN ev ef ON ef.user_id = d.user_id AND ef.rn = d.r1
 LEFT JOIN ev el ON el.user_id = d.user_id AND el.rn = d.rlast
+""",
+        # cohort retention stated declaratively: distinct (user, bucket)
+        # activity, cohort = first bucket, count per (cohort, offset)
+        "cohort_retention": f"""
+WITH act AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT)
+           // {_COHORT_BUCKET_S * 1_000_000} AS bk
+  FROM events
+),
+coh AS (SELECT user_id, min(bk) AS cw FROM act GROUP BY user_id)
+SELECT coh.cw AS cohort_bucket,
+       act.bk - coh.cw AS bucket_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM act JOIN coh ON coh.user_id = act.user_id
+GROUP BY 1, 2
+""",
+        # PMI collocations: identical integer counts + the identical
+        # left-assoc IEEE expression tree -> bit-equal double ratio
+        "pmi_collocations": rf"""
+WITH toks AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '\W+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+uni AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+    SELECT unnest(t) AS w FROM toks) GROUP BY w
+),
+bgp AS (
+  SELECT p[1] AS w1, p[2] AS w2 FROM (
+    SELECT unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                                 i -> [t[i], t[i+1]])) AS p
+    FROM toks)
+),
+bg AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_ab
+  FROM bgp GROUP BY w1, w2
+),
+tot AS (
+  SELECT CAST((SELECT sum(c) FROM uni) AS DOUBLE) AS nu,
+         CAST((SELECT sum(c_ab) FROM bg) AS DOUBLE) AS nb
+)
+SELECT bg.w1, bg.w2, bg.c_ab, ua.c AS c_a, ub.c AS c_b,
+       CAST(bg.c_ab AS DOUBLE) * tot.nu * tot.nu
+         / (CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE) * tot.nb)
+         AS pmi_ratio
+FROM bg
+JOIN uni ua ON ua.w = bg.w1
+JOIN uni ub ON ub.w = bg.w2
+CROSS JOIN tot
+WHERE bg.c_ab >= {_PMI_MIN_COUNT}
 """,
     }
 

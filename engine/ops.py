@@ -583,3 +583,39 @@ def funnel_prefix(df: DataFrame, user_col: str, ts_col: str, type_col: str,
                       F.col("_r.k").cast("long").alias("n_steps"),
                       F.col("_r.first_us").alias("first_us"),
                       F.col("_r.last_us").alias("last_us"))
+
+
+def cohort_retention(df: DataFrame, user_col: str, ts_col: str,
+                     bucket_s: int = 604800) -> DataFrame:
+    """Cohort retention matrix: bucket time into fixed windows (weekly by
+    default), assign each user to the cohort of their FIRST active
+    bucket, and count how many of each cohort are active again k buckets
+    later — the classic product-analytics retention triangle.  Returns
+    (cohort_bucket long, bucket_offset long, n_users long); offset 0 rows
+    carry each cohort's size.
+
+    Exactness: bucket = floor(ts_us / bucket_us) via the (a - pmod(a, n))
+    / n identity, which is true floor division on BOTH engines for any
+    sign (Spark pmod is non-negative; DuckDB // floors), and everything
+    downstream is BIGINT counting — bit-portable.
+
+    100-TB shape: one distinct over (user, bucket) projections (map-side
+    combinable, events collapse to at most users x buckets rows before
+    anything else), a min-agg for cohorts (combinable), one user-keyed
+    join of two user-sized tables, and a tiny final count.  The raw
+    event payload never rides an exchange.  Since (user, bucket) rows
+    are unique after the distinct, the final count(*) IS the distinct
+    user count — no count-distinct state anywhere.
+    """
+    if bucket_s <= 0:
+        raise ValueError("cohort_retention: bucket_s must be positive")
+    b = int(bucket_s) * 1_000_000
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    bucket = ((us - F.pmod(us, F.lit(b))) / F.lit(b)).cast("long")
+    act = (df.select(F.col(user_col).alias("_u"), bucket.alias("_bk"))
+           .distinct())
+    coh = act.groupBy("_u").agg(F.min("_bk").alias("_cw"))
+    return (act.join(coh, "_u")
+            .groupBy(F.col("_cw").alias("cohort_bucket"),
+                     (F.col("_bk") - F.col("_cw")).alias("bucket_offset"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_users")))

@@ -1819,3 +1819,62 @@ def jaccard_prefix_join(df: DataFrame, tau_pct: int = 50,
                     (F.col("na") + F.col("nb") - inter).alias("union_size"))
             .filter(100 * F.col("inter_size")
                     >= tau_pct * F.col("union_size")))
+
+
+def pmi_collocations(docs: DataFrame, text_col: str = "text",
+                     min_count: int = 5) -> DataFrame:
+    """Collocation extraction by pointwise mutual information over
+    adjacent token bigrams — the classic "new york"/"machine learning"
+    detector (Church & Hanks 1990).  For each bigram (a, b) with
+    positional count >= min_count, emits the exact integer evidence
+    (c_ab, c_a, c_b) plus pmi_ratio = p(ab) / (p(a) p(b)) as a double;
+    ln(pmi_ratio) is PMI, and the ratio is strictly monotone in it, so
+    ranking by the ratio IS ranking by PMI without a transcendental in
+    the contract.
+
+    Exactness contract: all counts are exact BIGINTs; pmi_ratio is ONE
+    fixed IEEE expression tree over those ints
+    ((c_ab * N_uni * N_uni) / (c_a * c_b * N_bg), doubles, left-assoc),
+    so any engine replaying the same tree on the same ints produces the
+    same bits — representation-deterministic rather than rational-exact.
+
+    100-TB shape: bigrams come from one zip_with over the per-doc token
+    array (map-only) into a two-stage count (map-side partial agg — the
+    exchange carries per-mapper bigram types, never token streams);
+    unigram counts are vocab-sized and broadcast onto the bigram table;
+    the two corpus totals are scalar aggregates collected to the driver
+    (two longs).  Nothing corpus-sized crosses the wire after the one
+    bigram-count exchange.
+    """
+    if min_count < 1:
+        raise ValueError("pmi_collocations: min_count must be >= 1")
+    toks = docs.select(tokens_col(F.col(text_col)).alias("_t"))
+    uni = (toks.select(F.explode("_t").alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+    n = F.size("_t")
+    pairs = F.when(n >= 2, F.zip_with(
+        F.slice("_t", 1, n - 1), F.slice("_t", 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = (toks.select(F.explode(pairs).alias("p"))
+          .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+          .agg(F.count(F.lit(1)).alias("c_ab")))
+    # two driver scalars (documented envelope: two longs)
+    n_uni = uni.agg(F.sum("c")).collect()[0][0] or 0
+    n_bg = bg.agg(F.sum("c_ab")).collect()[0][0] or 0
+    if n_uni == 0 or n_bg == 0:
+        raise ValueError("pmi_collocations: corpus has no bigrams")
+    out = (bg.filter(F.col("c_ab") >= min_count)
+           .join(F.broadcast(uni.select(F.col("w").alias("w1"),
+                                        F.col("c").alias("c_a"))), "w1")
+           .join(F.broadcast(uni.select(F.col("w").alias("w2"),
+                                        F.col("c").alias("c_b"))), "w2"))
+    ratio = (F.col("c_ab").cast("double") * F.lit(float(n_uni))
+             * F.lit(float(n_uni))
+             / (F.col("c_a").cast("double") * F.col("c_b").cast("double")
+                * F.lit(float(n_bg))))
+    return out.select("w1", "w2",
+                      F.col("c_ab").cast("long").alias("c_ab"),
+                      F.col("c_a").cast("long").alias("c_a"),
+                      F.col("c_b").cast("long").alias("c_b"),
+                      ratio.alias("pmi_ratio"))

@@ -1270,3 +1270,49 @@ def test_jaccard_prefix_join_validates_tau(spark):
     for bad in (0, 101, 50.0, -3):
         with pytest.raises(ValueError):
             text.jaccard_prefix_join(df, tau_pct=bad)
+
+
+# ------------------------------------------------------ PMI collocations
+
+
+def _python_pmi(texts, min_count):
+    """Independent replay: regex tokenize, positional bigram/unigram
+    counts, the identical left-assoc IEEE ratio tree in Python floats."""
+    import re
+    docs = [[t for t in re.split(r"\W+", s.lower()) if t] for s in texts]
+    uni, bg = {}, {}
+    for toks in docs:
+        for t in toks:
+            uni[t] = uni.get(t, 0) + 1
+        for a, b in zip(toks, toks[1:]):
+            bg[(a, b)] = bg.get((a, b), 0) + 1
+    nu, nb = float(sum(uni.values())), float(sum(bg.values()))
+    return {(a, b): (c, uni[a], uni[b],
+                     float(c) * nu * nu / (float(uni[a]) * float(uni[b]) * nb))
+            for (a, b), c in bg.items() if c >= min_count}
+
+
+def test_pmi_collocations_match_python(spark):
+    texts = ["new york is big big big", "new york new york",
+             "big apple in new york", "the apple is big",
+             "york new", "in in in new york"]
+    df = spark.createDataFrame(pd.DataFrame({"text": texts}))
+    got = {(r["w1"], r["w2"]): (r["c_ab"], r["c_a"], r["c_b"],
+                                r["pmi_ratio"])
+           for r in text.pmi_collocations(df, min_count=2).collect()}
+    want = _python_pmi(texts, 2)
+    assert got == want  # ratio compared bit-for-bit (identical IEEE tree)
+    # min_count prunes singleton bigrams; the planted collocation outranks
+    # a same-frequency pair of more common tokens ("in new": both frequent)
+    assert ("the", "apple") not in got
+    assert got[("new", "york")][0] == 5
+    assert got[("new", "york")][3] > got[("in", "new")][3]
+
+
+def test_pmi_collocations_validates(spark):
+    df = spark.createDataFrame(pd.DataFrame({"text": ["a b"]}))
+    with pytest.raises(ValueError):
+        text.pmi_collocations(df, min_count=0)
+    empty = spark.createDataFrame(pd.DataFrame({"text": ["single"]}))
+    with pytest.raises(ValueError):
+        text.pmi_collocations(empty, min_count=1)

@@ -270,3 +270,35 @@ def test_funnel_validates_steps(spark):
     with _pt.raises(ValueError):
         ops.funnel_prefix(df, "user_id", "ts", "event_type",
                           ["view", "view"], tiebreak="event_id")
+
+
+def test_cohort_retention_matches_python(spark):
+    rng = np.random.default_rng(3)
+    rows = [(int(rng.integers(0, 9)),
+             int(rng.integers(0, 20) * 86400_000_000
+                 + rng.integers(0, 86400_000_000)))
+            for _ in range(300)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "ts_us"]))
+    df = df.withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+    got = {(r["cohort_bucket"], r["bucket_offset"]): r["n_users"]
+           for r in ops.cohort_retention(df, "user_id", "ts",
+                                         bucket_s=86400).collect()}
+    act = {(u, us // 86400_000_000) for u, us in rows}
+    coh = {}
+    for u, bk in act:
+        coh[u] = min(coh.get(u, bk), bk)
+    want = {}
+    for u, bk in act:
+        key = (coh[u], bk - coh[u])
+        want[key] = want.get(key, 0) + 1
+    assert got == want
+    assert all(off >= 0 for _, off in got)
+
+
+def test_cohort_retention_validates_bucket(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"user_id": [1], "ts": pd.to_datetime(["2024-01-01"])}))
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ops.cohort_retention(df, "user_id", "ts", bucket_s=0)
