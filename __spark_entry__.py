@@ -3625,6 +3625,51 @@ def q_w8_count_distinct_window(spark, sf_dir):
         .alias("n_users_seen"))
 
 
+def q_transition_matrix(spark, sf_dir):
+    """Empirical Markov transition matrix (ops.transition_counts): per
+    user-ordered event stream, state -> next-state adjacency counts with
+    row totals — exact integer evidence; the MLE probability n_trans /
+    n_from stays with the consumer so no float enters the contract.
+    Oracle is the identical lead-window + two-count statement."""
+    ev = _t(spark, sf_dir, "events")
+    return ops.transition_counts(ev, ["user_id"], ["ts", "event_id"],
+                                 "event_type")
+
+
+_HIST_WIDTH = 250
+
+
+def q_histogram_values(spark, sf_dir):
+    """Equi-width histogram (ops.histogram_equiwidth): floor-cents event
+    values binned at width {_HIST_WIDTH} per event type with per-bin
+    count and exact observed range — floor-division identity portable
+    both engines, one combinable agg."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select("event_type",
+                  F.floor(F.col("value") * 100).cast("long")
+                  .alias("v_cents"))
+    return ops.histogram_equiwidth(d, ["event_type"], "v_cents",
+                                   width=_HIST_WIDTH)
+
+
+_ZS_K = 3
+
+
+def q_zscore_outliers(spark, sf_dir):
+    """Integer-exact k-sigma outlier flags (ops.zscore_outliers):
+    |x - mean| > k*sigma squared into (n*x - S)^2 > k^2(n*SS - S^2) so
+    the decision is pure int64 (envelope-enforced) and bit-portable;
+    the oracle replays the identical squared predicate."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select("event_type",
+                  (F.col("user_id") % 10).cast("long").alias("bucket"),
+                  "event_id",
+                  F.floor(F.col("value") * 100).cast("long")
+                  .alias("v_cents"))
+    return ops.zscore_outliers(d, ["event_type", "bucket"], "v_cents",
+                               ["event_id"], k=_ZS_K)
+
+
 _COHORT_BUCKET_S = 86400
 
 
@@ -3828,6 +3873,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_steps": q_funnel_steps,
         "cohort_retention": q_cohort_retention,
         "pmi_collocations": q_pmi_collocations,
+        "transition_matrix": q_transition_matrix,
+        "histogram_values": q_histogram_values,
+        "zscore_outliers": q_zscore_outliers,
     }
 
 
@@ -8011,6 +8059,57 @@ JOIN uni ua ON ua.w = bg.w1
 JOIN uni ub ON ub.w = bg.w2
 CROSS JOIN tot
 WHERE bg.c_ab >= {_PMI_MIN_COUNT}
+""",
+        # empirical Markov transition matrix: identical lead window +
+        # pair count + row total
+        "transition_matrix": """
+WITH p AS (
+  SELECT event_type AS from_state,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS to_state
+  FROM events
+),
+m AS (
+  SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS n_trans
+  FROM p WHERE to_state IS NOT NULL GROUP BY from_state, to_state
+),
+t AS (
+  SELECT from_state, CAST(sum(n_trans) AS BIGINT) AS n_from
+  FROM m GROUP BY from_state
+)
+SELECT m.from_state, m.to_state, m.n_trans, t.n_from
+FROM m JOIN t ON t.from_state = m.from_state
+""",
+        # equi-width histogram: DuckDB // is floor division, equal to the
+        # engine's (a - pmod)/n identity for any sign
+        "histogram_values": f"""
+WITH v AS (
+  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS vc FROM events
+)
+SELECT event_type, vc // {_HIST_WIDTH} AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       min(vc) AS v_min, max(vc) AS v_max
+FROM v GROUP BY event_type, bin
+""",
+        # integer-exact k-sigma outliers: the identical squared predicate
+        # over BIGINT count/sum/sum-of-squares
+        "zscore_outliers": f"""
+WITH d AS (
+  SELECT event_type, user_id % 10 AS bucket, event_id,
+         CAST(floor(value * 100) AS BIGINT) AS v
+  FROM events
+),
+st AS (
+  SELECT event_type, bucket,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(v) AS BIGINT) AS s,
+         CAST(sum(v * v) AS BIGINT) AS ss
+  FROM d GROUP BY event_type, bucket
+)
+SELECT d.event_type, d.bucket, d.event_id, d.v,
+       (st.n * d.v - st.s) * (st.n * d.v - st.s)
+         > {_ZS_K * _ZS_K} * (st.n * st.ss - st.s * st.s) AS is_outlier
+FROM d JOIN st ON st.event_type = d.event_type AND st.bucket = d.bucket
 """,
     }
 

@@ -619,3 +619,95 @@ def cohort_retention(df: DataFrame, user_col: str, ts_col: str,
             .groupBy(F.col("_cw").alias("cohort_bucket"),
                      (F.col("_bk") - F.col("_cw")).alias("bucket_offset"))
             .agg(F.count(F.lit(1)).cast("long").alias("n_users")))
+
+
+def transition_counts(df: DataFrame, seq_keys: Sequence[str],
+                      order: Sequence[str], state_col: str) -> DataFrame:
+    """First-order Markov transition counts: for each ordered stream
+    (one per seq_keys group), count state -> next-state adjacencies and
+    emit each transition with its row total — the empirical transition
+    matrix in exact integer evidence ((from_state, to_state, n_trans,
+    n_from); n_trans / n_from is the MLE probability, left to the
+    consumer so no float enters the contract).
+
+    100-TB shape: one per-stream window (the same exchange every
+    W-family traversal pays), then a map-side-combinable pair count on
+    (from, to) — states-squared rows at most; the row total is a second
+    tiny agg joined back (broadcast — the matrix is states² rows).
+    """
+    w = _w(seq_keys, list(order))
+    nxt = F.lead(F.col(state_col)).over(w)
+    pairs = (df.select(F.col(state_col).alias("from_state"),
+                       nxt.alias("to_state"))
+             .filter(F.col("to_state").isNotNull()))
+    m = pairs.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).cast("long").alias("n_trans"))
+    tot = m.groupBy("from_state").agg(
+        F.sum("n_trans").cast("long").alias("n_from"))
+    return m.join(F.broadcast(tot), "from_state").select(
+        "from_state", "to_state", "n_trans", "n_from")
+
+
+def histogram_equiwidth(df: DataFrame, keys: Sequence[str], val_col: str,
+                        width: int, origin: int = 0) -> DataFrame:
+    """Equi-width histogram per key group over an integer column: bin =
+    floor((v - origin) / width) via the (a - pmod)/n identity (true
+    floor both engines, any sign), with per-bin count and the exact
+    value range actually seen — the stats backbone of every optimizer
+    and data-profile pane.  Empty bins are absent (dense spines are
+    gapfill_locf's job).
+
+    100-TB shape: one map-side-combinable agg; the exchange carries
+    (keys, bin) partials only.
+    """
+    if width <= 0:
+        raise ValueError("histogram_equiwidth: width must be positive")
+    v = F.col(val_col).cast("long") - F.lit(int(origin))
+    bin_ = ((v - F.pmod(v, F.lit(int(width)))) / F.lit(int(width))) \
+        .cast("long")
+    return (df.groupBy(*keys, bin_.alias("bin"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.min(F.col(val_col).cast("long")).alias("v_min"),
+                 F.max(F.col(val_col).cast("long")).alias("v_max")))
+
+
+def zscore_outliers(df: DataFrame, keys: Sequence[str], val_col: str,
+                    id_cols: Sequence[str], k: int = 4,
+                    ) -> DataFrame:
+    """Per-group k-sigma outlier flags on integer (cents-quantized)
+    values WITHOUT any float: |x - mean| > k*sigma is squared into the
+    pure-integer predicate (n*x - S)^2 > k^2 * (n*SS - S^2) over the
+    per-group count/sum/sum-of-squares — so the flag is bit-portable
+    across engines (population sigma; groups of one row flag nothing
+    since both sides are 0).
+
+    Overflow envelope (ENFORCED with a raise, since int64 wraps
+    silently): requires k * n * max|x| < 2^31 for every group, which
+    bounds both squared sides below 2^62.  The check is one tiny
+    driver-scalar agg over the group-stats table.  For corpora past the
+    envelope, shrink groups or pre-scale the cents unit.
+
+    100-TB shape: one combinable stats agg (4 longs per group), stats
+    joined back on the group key (broadcast when the group count is
+    small — AQE decides), map-only predicate.  The data rows never
+    carry more than the one extra comparison.
+    """
+    if k < 1:
+        raise ValueError("zscore_outliers: k must be >= 1")
+    v = F.col(val_col).cast("long")
+    stats = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(v).cast("long").alias("_s"),
+        F.sum(v * v).cast("long").alias("_ss"),
+        F.max(F.abs(v)).cast("long").alias("_amax"))
+    env = stats.agg(F.max(F.col("_n") * F.col("_amax"))).collect()[0][0]
+    if env is not None and k * env >= (1 << 31):
+        raise ValueError(
+            f"zscore_outliers: k*n*max|x| = {k * env} breaches the int64 "
+            f"envelope (< 2^31); shrink groups or rescale values")
+    j = df.join(stats, list(keys))
+    lhs = F.col("_n") * v - F.col("_s")
+    rhs_var = F.col("_n") * F.col("_ss") - F.col("_s") * F.col("_s")
+    flag = (lhs * lhs) > (F.lit(k * k) * rhs_var)
+    return j.select(*keys, *id_cols, v.alias("v"),
+                    flag.alias("is_outlier"))

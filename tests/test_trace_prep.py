@@ -302,3 +302,80 @@ def test_cohort_retention_validates_bucket(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         ops.cohort_retention(df, "user_id", "ts", bucket_s=0)
+
+
+def test_transition_counts_matches_python(spark):
+    rng = np.random.default_rng(5)
+    states = list("abcd")
+    rows = [(int(rng.integers(0, 6)), i,
+             states[int(rng.integers(0, 4))])
+            for i in range(200)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["u", "seq", "st"]))
+    got = {(r["from_state"], r["to_state"]): (r["n_trans"], r["n_from"])
+           for r in ops.transition_counts(df, ["u"], ["seq"],
+                                          "st").collect()}
+    by_u = {}
+    for u, seq, st in sorted(rows):
+        by_u.setdefault(u, []).append(st)
+    cnt = {}
+    for sts in by_u.values():
+        for a, b in zip(sts, sts[1:]):
+            cnt[(a, b)] = cnt.get((a, b), 0) + 1
+    tot = {}
+    for (a, _b), c in cnt.items():
+        tot[a] = tot.get(a, 0) + c
+    assert got == {(a, b): (c, tot[a]) for (a, b), c in cnt.items()}
+
+
+def test_histogram_equiwidth_floor_and_range(spark):
+    # negative values must floor (not truncate toward zero): -1 at
+    # width 10 lands in bin -1, not bin 0.
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": ["a"] * 6 + ["b"],
+                      "v": [-11, -1, 0, 9, 10, 25, 7]}))
+    got = {(r["k"], r["bin"]): (r["n"], r["v_min"], r["v_max"])
+           for r in ops.histogram_equiwidth(df, ["k"], "v",
+                                            width=10).collect()}
+    assert got == {("a", -2): (1, -11, -11), ("a", -1): (1, -1, -1),
+                   ("a", 0): (2, 0, 9), ("a", 1): (1, 10, 10),
+                   ("a", 2): (1, 25, 25), ("b", 0): (1, 7, 7)}
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ops.histogram_equiwidth(df, ["k"], "v", width=0)
+
+
+def test_zscore_outliers_matches_python(spark):
+    rng = np.random.default_rng(9)
+    rows = [("g", i, int(rng.integers(90, 110))) for i in range(40)]
+    rows += [("g", 100, 900), ("g", 101, -700)]  # planted outliers
+    rows += [("h", 200, 5)]                      # singleton: never flags
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["k", "i", "v"]))
+    got = {r["i"]: r["is_outlier"]
+           for r in ops.zscore_outliers(df, ["k"], "v", ["i"],
+                                        k=3).collect()}
+    import math
+    by_k = {}
+    for k, i, v in rows:
+        by_k.setdefault(k, []).append((i, v))
+    want = {}
+    for k, pts in by_k.items():
+        n = len(pts)
+        s = sum(v for _, v in pts)
+        ss = sum(v * v for _, v in pts)
+        for i, v in pts:
+            want[i] = (n * v - s) ** 2 > 9 * (n * ss - s * s)
+    assert got == want
+    assert got[100] and got[101] and not got[200]
+    assert sum(got.values()) == 2
+
+
+def test_zscore_outliers_envelope_raises(spark):
+    big = 1 << 28
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": ["a"] * 32, "i": range(32), "v": [big] * 32}))
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ops.zscore_outliers(df, ["k"], "v", ["i"], k=4)
+    with _pt.raises(ValueError):
+        ops.zscore_outliers(df, ["k"], "v", ["i"], k=0)
