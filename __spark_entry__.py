@@ -3625,6 +3625,32 @@ def q_w8_count_distinct_window(spark, sf_dir):
         .alias("n_users_seen"))
 
 
+_PHRASE = ("table", "hash")
+
+
+def q_inverted_index(spark, sf_dir):
+    """Positional inverted index (text.build_inverted_index): per
+    (token, doc) posting with tf, canonical comma-joined ascending
+    positions, and document frequency — the text never rides a shuffle,
+    postings build in one combinable agg, df is vocab-sized broadcast.
+    All-integer evidence; positions string is canonical so the value
+    hash is engine-portable."""
+    docs = _t(spark, sf_dir, "documents")
+    from engine.text import build_inverted_index
+    return build_inverted_index(docs)
+
+
+def q_phrase_search(spark, sf_dir):
+    """Exact positional phrase search (text.phrase_search): documents
+    containing the ADJACENT token pair 'table hash' via the postings
+    zig-zag — corpus filtered to the two query tokens before any
+    explode, adjacency = one equi join on (doc, pos offset).  Oracle
+    replays the identical positional intersection."""
+    docs = _t(spark, sf_dir, "documents")
+    from engine.text import phrase_search
+    return phrase_search(docs, list(_PHRASE))
+
+
 def q_transition_matrix(spark, sf_dir):
     """Empirical Markov transition matrix (ops.transition_counts): per
     user-ordered event stream, state -> next-state adjacency counts with
@@ -3876,6 +3902,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transition_matrix": q_transition_matrix,
         "histogram_values": q_histogram_values,
         "zscore_outliers": q_zscore_outliers,
+        "inverted_index": q_inverted_index,
+        "phrase_search": q_phrase_search,
     }
 
 
@@ -8110,6 +8138,49 @@ SELECT d.event_type, d.bucket, d.event_id, d.v,
        (st.n * d.v - st.s) * (st.n * d.v - st.s)
          > {_ZS_K * _ZS_K} * (st.n * st.ss - st.s * st.s) AS is_outlier
 FROM d JOIN st ON st.event_type = d.event_type AND st.bucket = d.bucket
+""",
+        # positional inverted index: identical postings + canonical
+        # comma-joined ascending position strings
+        "inverted_index": r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'),
+                             x -> x <> '') AS t
+  FROM documents
+),
+pe AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, t[i] AS token
+  FROM toks, unnest(range(1, len(t) + 1)) u(i)
+),
+p AS (
+  SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf,
+         string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos) AS positions
+  FROM pe GROUP BY token, doc_id
+),
+d AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY token)
+SELECT p.token, p.doc_id, p.tf, p.positions, d.df
+FROM p JOIN d ON d.token = p.token
+""",
+        # positional phrase adjacency: phrase[i] at start + i for every i
+        "phrase_search": rf"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'),
+                             x -> x <> '') AS t
+  FROM documents
+),
+pe AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, t[i] AS token
+  FROM toks, unnest(range(1, len(t) + 1)) u(i)
+  WHERE t[i] IN ('{_PHRASE[0]}', '{_PHRASE[1]}')
+),
+s0 AS (SELECT doc_id, pos AS start FROM pe WHERE token = '{_PHRASE[0]}'),
+s1 AS (SELECT doc_id, pos - 1 AS start FROM pe WHERE token = '{_PHRASE[1]}'),
+m AS (
+  SELECT s0.doc_id, s0.start FROM s0
+  JOIN s1 ON s1.doc_id = s0.doc_id AND s1.start = s0.start
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+       min(start) AS first_pos
+FROM m GROUP BY doc_id
 """,
     }
 

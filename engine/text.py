@@ -1878,3 +1878,67 @@ def pmi_collocations(docs: DataFrame, text_col: str = "text",
                       F.col("c_a").cast("long").alias("c_a"),
                       F.col("c_b").cast("long").alias("c_b"),
                       ratio.alias("pmi_ratio"))
+
+
+def build_inverted_index(docs: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Positional inverted index — the IR storage primitive under every
+    keyword/phrase search: one posting row per (token, doc) carrying the
+    term frequency, the ascending token positions (emitted as a
+    comma-joined string so the representation is canonical and
+    engine-portable), and the token's document frequency.
+
+    100-TB shape: posexplode is map-only; postings build in ONE
+    (token, doc) combinable agg whose exchange carries (token, doc, pos)
+    triples — the text column itself never rides a shuffle; document
+    frequencies are a vocab-sized agg broadcast back onto the postings.
+    Positions are exact integers, so every column is bit-portable.
+    """
+    pe = docs.select(F.col(id_col).alias("doc_id"),
+                     F.posexplode(tokens_col(F.col(text_col)))
+                     .alias("pos", "token"))
+    postings = (pe.groupBy("token", "doc_id")
+                .agg(F.count(F.lit(1)).cast("long").alias("tf"),
+                     F.array_join(F.sort_array(F.collect_list(
+                         F.col("pos").cast("long"))), ",")
+                     .alias("positions")))
+    dfreq = postings.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df"))
+    return (postings.join(F.broadcast(dfreq), "token")
+            .select("token", "doc_id", "tf", "positions", "df"))
+
+
+def phrase_search(docs: DataFrame, phrase: Sequence[str],
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Exact positional phrase search ("new york" as ADJACENT tokens,
+    not substring): returns (doc_id, n_matches long, first_pos long) for
+    every document containing the phrase, by intersecting positional
+    postings — occurrence at position p requires phrase[i] at p+i for
+    every i.
+
+    100-TB shape: the corpus is filtered to the |phrase| query tokens
+    BEFORE the positional explode, so only matching-token (doc, pos)
+    pairs exist at all; the adjacency intersection is |phrase|-1 equi
+    joins on (doc_id, pos+i) between those tiny projections — the
+    standard postings zig-zag, never a scan-per-candidate.  All-integer
+    arithmetic, engine-portable.
+    """
+    phrase = [str(t) for t in phrase]
+    if not phrase:
+        raise ValueError("phrase_search: phrase must be non-empty")
+    pe = (docs.select(F.col(id_col).alias("doc_id"),
+                      F.posexplode(tokens_col(F.col(text_col)))
+                      .alias("pos", "token"))
+          .filter(F.col("token").isin(phrase))
+          .select("doc_id", F.col("pos").cast("long").alias("pos"),
+                  "token"))
+    cur = (pe.filter(F.col("token") == phrase[0])
+           .select("doc_id", F.col("pos").alias("start")))
+    for i, t in enumerate(phrase[1:], start=1):
+        nxt = (pe.filter(F.col("token") == t)
+               .select("doc_id", (F.col("pos") - F.lit(i)).alias("start")))
+        cur = cur.join(nxt, ["doc_id", "start"])
+    return cur.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        F.min("start").alias("first_pos"))

@@ -1316,3 +1316,50 @@ def test_pmi_collocations_validates(spark):
     empty = spark.createDataFrame(pd.DataFrame({"text": ["single"]}))
     with pytest.raises(ValueError):
         text.pmi_collocations(empty, min_count=1)
+
+
+# ----------------------------------------- inverted index / phrase search
+
+
+def _pytok(s):
+    import re
+    return [t for t in re.split(r"\W+", s.lower()) if t]
+
+
+def test_inverted_index_matches_python(spark):
+    texts = {1: "the cat sat on the mat", 2: "cat cat cat", 3: "dog",
+             4: ""}
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())}))
+    got = {(r["token"], r["doc_id"]): (r["tf"], r["positions"], r["df"])
+           for r in text.build_inverted_index(df).collect()}
+    post = {}
+    for d, s in texts.items():
+        for p, t in enumerate(_pytok(s)):
+            post.setdefault((t, d), []).append(p)
+    dfreq = {}
+    for (t, _d) in post:
+        dfreq[t] = dfreq.get(t, 0) + 1
+    want = {(t, d): (len(ps), ",".join(map(str, ps)), dfreq[t])
+            for (t, d), ps in post.items()}
+    assert got == want
+    assert got[("the", 1)] == (2, "0,4", 1)
+    assert got[("cat", 2)][0] == 3 and got[("cat", 2)][2] == 2
+
+
+def test_phrase_search_adjacency_and_overlap(spark):
+    texts = {1: "new york new york city", 2: "york new", 3: "new new york",
+             4: "newyork", 5: "a new york a"}
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())}))
+    got = {r["doc_id"]: (r["n_matches"], r["first_pos"])
+           for r in text.phrase_search(df, ["new", "york"]).collect()}
+    assert got == {1: (2, 0), 3: (1, 1), 5: (1, 1)}
+    # overlapping self-adjacency: "a a a" has TWO "a a" occurrences
+    df2 = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [9], "text": ["a a a"]}))
+    got2 = {r["doc_id"]: (r["n_matches"], r["first_pos"])
+            for r in text.phrase_search(df2, ["a", "a"]).collect()}
+    assert got2 == {9: (2, 0)}
+    with pytest.raises(ValueError):
+        text.phrase_search(df, [])
