@@ -3625,6 +3625,44 @@ def q_w8_count_distinct_window(spark, sf_dir):
         .alias("n_users_seen"))
 
 
+_FP_COLS = ("user_id", "event_id", "event_type")
+
+
+def q_table_fingerprint(spark, sf_dir):
+    """Order-independent table fingerprint (ops.table_fingerprint):
+    md5_60 row hashes folded by bit_xor + a mod-2^20 additive channel +
+    row count — the replica-validation scalar triple; one map-only hash
+    and one combinable agg, three longs to the driver.  Oracle replays
+    the identical canonicalization and folds."""
+    ev = _t(spark, sf_dir, "events")
+    return ops.table_fingerprint(ev, list(_FP_COLS))
+
+
+def q_profile_columns(spark, sf_dir):
+    """One-pass data profiling (ops.profile_columns): per column null /
+    distinct counts and native-ordered min/max rendered as strings, all
+    columns in ONE scan (multi-DISTINCT Expand) then unpivoted via
+    stack.  Oracle is the per-column UNION ALL of the same metrics."""
+    ev = _t(spark, sf_dir, "events")
+    return ops.profile_columns(ev, list(_FP_COLS))
+
+
+def q_global_ordinal(spark, sf_dir):
+    """Two-phase global row numbering (ops.global_ordinal): bucket
+    offsets from a tiny per-day count table + in-bucket row_number — a
+    global total-order rank with NO single-partition window; equals the
+    declarative row_number() OVER (ORDER BY ts, event_id), which is
+    exactly what the oracle states."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    b = 86_400_000_000
+    d = ev.select("event_id", "ts",
+                  ((us - F.pmod(us, F.lit(b))) / F.lit(b)).cast("long")
+                  .alias("day_bk"))
+    return (ops.global_ordinal(d, "day_bk", ["ts", "event_id"])
+            .select("event_id", "ordinal"))
+
+
 _PHRASE = ("table", "hash")
 
 
@@ -3904,6 +3942,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zscore_outliers": q_zscore_outliers,
         "inverted_index": q_inverted_index,
         "phrase_search": q_phrase_search,
+        "table_fingerprint": q_table_fingerprint,
+        "profile_columns": q_profile_columns,
+        "global_ordinal": q_global_ordinal,
     }
 
 
@@ -8181,6 +8222,52 @@ m AS (
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
        min(start) AS first_pos
 FROM m GROUP BY doc_id
+""",
+        # order-independent table fingerprint: identical md5_60 row hash
+        # (the repo's '0x'||substr(md5,1,15) == Spark conv gotcha) + the
+        # identical xor / mod-2^20-sum folds
+        "table_fingerprint": """
+WITH h AS (
+  SELECT CAST('0x' || substr(md5(concat_ws(chr(31),
+           coalesce(CAST(user_id AS VARCHAR), chr(1)),
+           coalesce(CAST(event_id AS VARCHAR), chr(1)),
+           coalesce(CAST(event_type AS VARCHAR), chr(1)))), 1, 15)
+         AS BIGINT) AS hh
+  FROM events
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(bit_xor(hh) AS BIGINT) AS fp_xor,
+       CAST(sum(hh % 1048576) AS BIGINT) AS fp_sum
+FROM h
+""",
+        # per-column profile: the same metrics stated per column
+        "profile_columns": """
+SELECT 'user_id' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct,
+       CAST(min(user_id) AS VARCHAR) AS min_s,
+       CAST(max(user_id) AS VARCHAR) AS max_s
+FROM events
+UNION ALL
+SELECT 'event_id', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT event_id) AS BIGINT),
+       CAST(min(event_id) AS VARCHAR), CAST(max(event_id) AS VARCHAR)
+FROM events
+UNION ALL
+SELECT 'event_type', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT event_type) AS BIGINT),
+       CAST(min(event_type) AS VARCHAR), CAST(max(event_type) AS VARCHAR)
+FROM events
+""",
+        # two-phase global ordinal == the declarative global row_number
+        "global_ordinal": """
+SELECT event_id,
+       CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT)
+         AS ordinal
+FROM events
 """,
     }
 

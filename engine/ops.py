@@ -711,3 +711,105 @@ def zscore_outliers(df: DataFrame, keys: Sequence[str], val_col: str,
     flag = (lhs * lhs) > (F.lit(k * k) * rhs_var)
     return j.select(*keys, *id_cols, v.alias("v"),
                     flag.alias("is_outlier"))
+
+
+def table_fingerprint(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Order-independent multiset fingerprint for cross-replica /
+    post-migration table validation: ONE row (n_rows, fp_xor, fp_sum)
+    such that two tables agree on all three iff (with hash confidence)
+    they hold the same multiset of rows over `cols` — partitioning,
+    row order, and storage layout are invisible to it.
+
+    Row hash: first 60 bits of md5 over the canonical row string
+    (columns cast to string, NULL as a \\x01 sentinel, \\x1f field
+    separator) — the repo's md5_60 portable-hash contract, identical on
+    any engine.  fp_xor = bit_xor(h) is fully order/duplicate-structure
+    independent but cancels EVEN multiplicities of identical rows, so
+    fp_sum = sum(h mod 2^20) rides along to catch exactly that class
+    (documented envelope: exact for n_rows < 2^43, far past any real
+    table).  Caveat: a literal \\x01 string value collides with NULL —
+    the standard canonicalization tradeoff, documented not hidden.
+
+    100-TB shape: map-only hash + one all-combinable scalar agg; three
+    longs reach the driver.
+    """
+    if not cols:
+        raise ValueError("table_fingerprint: cols must be non-empty")
+    parts = [F.coalesce(F.col(c).cast("string"), F.lit("\x01"))
+             for c in cols]
+    h = F.conv(F.substring(F.md5(F.concat_ws("\x1f", *parts)), 1, 15),
+               16, 10).cast("long")
+    return df.select(h.alias("_h")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.bit_xor("_h").alias("fp_xor"),
+        F.sum(F.pmod(F.col("_h"), F.lit(1 << 20))).cast("long")
+        .alias("fp_sum"))
+
+
+def profile_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Data-profiling pane: one row per column with row count, null
+    count, distinct (non-null) count, and min/max rendered as strings
+    (native-type comparison FIRST, string cast only on the two surviving
+    scalars — so numeric columns order numerically, and the string cast
+    is portable for int/string/date columns; float/timestamp rendering
+    is the caller's contract to avoid).
+
+    100-TB shape: ONE pass — a single agg computes every column's
+    metrics together (multiple DISTINCT aggregates plan as one Expand),
+    then the 1-row result unpivots driver-free via stack(); the table is
+    scanned once regardless of column count.
+    """
+    if not cols:
+        raise ValueError("profile_columns: cols must be non-empty")
+    aggs = [F.count(F.lit(1)).cast("long").alias("_n")]
+    for i, c in enumerate(cols):
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).cast("long")
+            .alias(f"_nn{i}"),
+            F.count_distinct(F.col(c)).cast("long").alias(f"_nd{i}"),
+            F.min(F.col(c)).cast("string").alias(f"_mi{i}"),
+            F.max(F.col(c)).cast("string").alias(f"_ma{i}"),
+        ]
+    row = df.agg(*aggs)
+    pieces = ", ".join(
+        f"'{c}', _nn{i}, _nd{i}, _mi{i}, _ma{i}"
+        for i, c in enumerate(cols))
+    stacked = F.expr(
+        f"stack({len(cols)}, {pieces}) AS (column, n_null, n_distinct, "
+        "min_s, max_s)")
+    return row.select(F.col("_n").alias("n_rows"), stacked) \
+        .select("column", "n_rows", "n_null", "n_distinct", "min_s",
+                "max_s")
+
+
+def global_ordinal(df: DataFrame, bucket_col: str, order: Sequence[str],
+                   out: str = "ordinal") -> DataFrame:
+    """Global 1-based ordinal over a total order WITHOUT the
+    single-partition global window (the classic zipWithIndex problem):
+    two-phase — per-bucket counts cumulate into bucket offsets on the
+    bucket-sized side table (the only globally-ordered window runs
+    there, over buckets not rows), offsets broadcast back, and the
+    per-row ordinal is offset + row_number inside the bucket.
+
+    Contract (caller's invariant): `bucket_col` must be a monotone
+    non-decreasing function of the leading `order` column (e.g. the day
+    of a timestamp ordered by (ts, id)) — then bucket blocks are
+    contiguous in the total order and the two-phase rank equals the
+    declarative row_number() OVER (ORDER BY order...) exactly.
+
+    100-TB shape: one combinable count agg, one window over the tiny
+    bucket table, one broadcast join, one per-bucket (not global) sort
+    for the row_number — the full table never funnels through a single
+    partition.
+    """
+    counts = df.groupBy(bucket_col).agg(F.count(F.lit(1)).alias("_bn"))
+    woff = (Window.orderBy(bucket_col)
+            .rowsBetween(Window.unboundedPreceding, -1))
+    offs = counts.select(
+        bucket_col,
+        F.coalesce(F.sum("_bn").over(woff), F.lit(0)).alias("_off"))
+    wrn = Window.partitionBy(bucket_col).orderBy(*order)
+    return (df.join(F.broadcast(offs), bucket_col)
+            .withColumn(out, (F.col("_off") + F.row_number().over(wrn))
+                        .cast("long"))
+            .drop("_off"))

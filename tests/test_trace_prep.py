@@ -379,3 +379,57 @@ def test_zscore_outliers_envelope_raises(spark):
         ops.zscore_outliers(df, ["k"], "v", ["i"], k=4)
     with _pt.raises(ValueError):
         ops.zscore_outliers(df, ["k"], "v", ["i"], k=0)
+
+
+def test_table_fingerprint_order_invariance_and_dups(spark):
+    rows = [(1, "a"), (2, "b"), (3, None)]
+    df1 = spark.createDataFrame(pd.DataFrame(rows, columns=["i", "s"]))
+    df2 = spark.createDataFrame(
+        pd.DataFrame(rows[::-1], columns=["i", "s"])).repartition(7)
+    f1 = ops.table_fingerprint(df1, ["i", "s"]).collect()[0]
+    f2 = ops.table_fingerprint(df2, ["i", "s"]).collect()[0]
+    assert (f1["n_rows"], f1["fp_xor"], f1["fp_sum"]) == \
+           (f2["n_rows"], f2["fp_xor"], f2["fp_sum"])
+    # doubling a row: xor cancels the pair back to the ORIGINAL xor of
+    # the remaining multiset — the additive channel + count catch it
+    df3 = spark.createDataFrame(
+        pd.DataFrame(rows + [rows[0]], columns=["i", "s"]))
+    f3 = ops.table_fingerprint(df3, ["i", "s"]).collect()[0]
+    assert f3["n_rows"] != f1["n_rows"] and f3["fp_sum"] != f1["fp_sum"]
+    # a changed value moves the xor
+    df4 = spark.createDataFrame(
+        pd.DataFrame([(1, "a"), (2, "b"), (3, "X")], columns=["i", "s"]))
+    assert ops.table_fingerprint(df4, ["i", "s"]).collect()[0]["fp_xor"] \
+        != f1["fp_xor"]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ops.table_fingerprint(df1, [])
+
+
+def test_profile_columns_known_values(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"a": [1, 2, 2, None], "b": ["x", None, None, "y"]})
+        .astype({"a": "Int64"}))
+    got = {r["column"]: (r["n_rows"], r["n_null"], r["n_distinct"],
+                         r["min_s"], r["max_s"])
+           for r in ops.profile_columns(df, ["a", "b"]).collect()}
+    assert got == {"a": (4, 1, 2, "1", "2"), "b": (4, 2, 2, "x", "y")}
+    # native-order min: 9 < 10 numerically even though "10" < "9" lexically
+    df2 = spark.createDataFrame(pd.DataFrame({"a": [9, 10]}))
+    got2 = ops.profile_columns(df2, ["a"]).collect()[0]
+    assert (got2["min_s"], got2["max_s"]) == ("9", "10")
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ops.profile_columns(df, [])
+
+
+def test_global_ordinal_matches_declarative(spark):
+    rng = np.random.default_rng(17)
+    rows = [(int(rng.integers(0, 5)), i) for i in range(300)]
+    # bucket = the leading order column itself (monotone by definition)
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["bk", "i"]))
+    got = {r["i"]: r["ordinal"]
+           for r in ops.global_ordinal(df, "bk", ["bk", "i"]).collect()}
+    want = {i: rank + 1
+            for rank, (_bk, i) in enumerate(sorted(rows))}
+    assert got == want
