@@ -3625,6 +3625,53 @@ def q_w8_count_distinct_window(spark, sf_dir):
         .alias("n_users_seen"))
 
 
+_EWMA_ALPHA = 0.25
+
+
+def q_ewma_values(spark, sf_dir):
+    """Per-user exponential smoothing (ops.ewma_per_key): the recurrence
+    s_t = a*x_t + (1-a)*s_{t-1} no window frame can state, as an aligned
+    fold — Spark F.aggregate seeded with the first element == DuckDB
+    list_reduce, same left-assoc IEEE tree, exactly-representable alpha,
+    exact cents inputs: the output double is bit-identical."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select("user_id", "ts", "event_id",
+                  F.floor(F.col("value") * 100).cast("long")
+                  .alias("v_cents"))
+    return ops.ewma_per_key(d, ["user_id"], "ts", "v_cents",
+                            alpha=_EWMA_ALPHA, order=["event_id"])
+
+
+def q_weighted_median(spark, sf_dir):
+    """Exact weighted median (ops.weighted_median): smallest value whose
+    cumulative weight reaches half the total, per event type — all
+    BIGINT; duplicates collapse in a combinable weight sum before the
+    one ordered window."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select("event_type",
+                  F.floor(F.col("value") * 100).cast("long").alias("v"),
+                  (F.col("user_id") % 5 + 1).cast("long").alias("w"))
+    return ops.weighted_median(d, ["event_type"], "v", "w")
+
+
+def q_linreg_trend(spark, sf_dir):
+    """Per-type OLS trend (ops.linreg_per_group): five exact int64
+    sufficient statistics + slope/intercept as fixed IEEE trees over
+    them (bit-portable); x = minutes since each group's first event
+    (rebased to honor the enforced overflow envelope), y = floor-cents
+    value.  Degenerate zero-variance groups yield NULL fits."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    d = ev.select("event_type", us.alias("_us"),
+                  F.floor(F.col("value") * 100).cast("long").alias("y"))
+    wmin = Window.partitionBy("event_type")
+    rel = F.col("_us") - F.min("_us").over(wmin)
+    b = 60_000_000
+    d = d.withColumn("x", ((rel - F.pmod(rel, F.lit(b))) / F.lit(b))
+                     .cast("long"))
+    return ops.linreg_per_group(d, ["event_type"], "x", "y")
+
+
 _FP_COLS = ("user_id", "event_id", "event_type")
 
 
@@ -3945,6 +3992,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_fingerprint": q_table_fingerprint,
         "profile_columns": q_profile_columns,
         "global_ordinal": q_global_ordinal,
+        "ewma_values": q_ewma_values,
+        "weighted_median": q_weighted_median,
+        "linreg_trend": q_linreg_trend,
     }
 
 
@@ -8268,6 +8318,85 @@ SELECT event_id,
        CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT)
          AS ordinal
 FROM events
+""",
+        # EWMA: list_reduce seeds its accumulator from the first element,
+        # exactly like the engine's F.aggregate(init=first) — identical
+        # fold order + identical IEEE tree = bit-equal double
+        "ewma_values": """
+WITH d AS (
+  SELECT user_id,
+         CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS tsu,
+         CAST(event_id AS BIGINT) AS eid,
+         CAST(CAST(floor(value * 100) AS BIGINT) AS DOUBLE) AS v
+  FROM events
+),
+l AS (
+  SELECT user_id, list(v ORDER BY tsu, eid) AS vs FROM d GROUP BY user_id
+)
+SELECT user_id, CAST(len(vs) AS BIGINT) AS n,
+       list_reduce(vs, (acc, x) -> acc * 0.75 + x * 0.25) AS ewma
+FROM l
+""",
+        # exact weighted median: collapse duplicate values, cumulative
+        # weight window, smallest value with 2*cum >= total
+        "weighted_median": """
+WITH d AS (
+  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v,
+         user_id % 5 + 1 AS w
+  FROM events
+),
+c AS (
+  SELECT event_type, v, CAST(sum(w) AS BIGINT) AS wv
+  FROM d GROUP BY event_type, v
+),
+x AS (
+  SELECT event_type, v,
+         CAST(sum(wv) OVER (PARTITION BY event_type ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum,
+         CAST(sum(wv) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+  FROM c
+)
+SELECT event_type, CAST(min(v) AS BIGINT) AS wmedian,
+       CAST(max(tot) AS BIGINT) AS w_total
+FROM x WHERE 2 * cum >= tot GROUP BY event_type
+""",
+        # OLS sufficient statistics as exact BIGINT sums + the identical
+        # slope/intercept IEEE trees
+        "linreg_trend": """
+WITH d AS (
+  SELECT event_type,
+         CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS us,
+         CAST(floor(value * 100) AS BIGINT) AS y
+  FROM events
+),
+r AS (
+  SELECT event_type,
+         (us - min(us) OVER (PARTITION BY event_type)) // 60000000 AS x,
+         y
+  FROM d
+),
+st AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM r GROUP BY event_type
+),
+f AS (
+  SELECT *,
+         CASE WHEN n * sxx - sx * sx != 0
+              THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope
+  FROM st
+)
+SELECT event_type, n, sx, sy, sxx, sxy, slope,
+       CASE WHEN n * sxx - sx * sx != 0
+            THEN (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE) END AS intercept
+FROM f
 """,
     }
 

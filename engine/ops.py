@@ -813,3 +813,123 @@ def global_ordinal(df: DataFrame, bucket_col: str, order: Sequence[str],
             .withColumn(out, (F.col("_off") + F.row_number().over(wrn))
                         .cast("long"))
             .drop("_off"))
+
+
+def ewma_per_key(df: DataFrame, keys: Sequence[str], ts_col: str,
+                 val_col: str, alpha: float,
+                 order: Sequence[str] | None = None) -> DataFrame:
+    """Exponential smoothing (EWMA) per key over the time-ordered value
+    stream: s_1 = x_1, s_t = alpha*x_t + (1-alpha)*s_{t-1}; returns one
+    row per key with (n long, ewma double) — the trend/level signal no
+    native Spark window can state (the recurrence isn't a frame
+    aggregate).
+
+    Exactness contract: alpha must be exactly representable (k/2^m —
+    enforced); the fold applies the SAME left-assoc IEEE tree
+    (acc*(1-alpha) + x*alpha) in the same element order on both engines
+    (Spark F.aggregate with init = first element == DuckDB list_reduce,
+    whose accumulator seeds from the first element), so the resulting
+    double is bit-identical cross-engine.  Inputs should be exact
+    (cents-quantized) so element doubles are exact to begin with.
+
+    100-TB shape: one (keys) exchange carrying (ts, tiebreak, value)
+    triples, a native sorted-array fold with O(1) state per key — the
+    same per-key envelope every W-family traversal carries.
+    """
+    m = alpha * (1 << 20)
+    if not (0.0 < alpha < 1.0) or m != int(m):
+        raise ValueError("ewma_per_key: alpha must be in (0,1) and "
+                         "exactly representable as k/2^20")
+    ob = [F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_ts")] + \
+         [F.col(c).cast("long").alias(f"_o{i}")
+          for i, c in enumerate(order or [])]
+    ev = df.select(*[F.col(k) for k in keys],
+                   F.struct(*ob, F.col(val_col).cast("double")
+                            .alias("v")).alias("_e"))
+    g = ev.groupBy(*keys).agg(
+        F.sort_array(F.collect_list("_e")).alias("_evs"))
+    vs = F.transform("_evs", lambda e: e["v"])
+    rest = F.slice(vs, 2, F.greatest(F.size(vs) - 1, F.lit(0)))
+    folded = F.aggregate(
+        rest, F.element_at(vs, 1),
+        lambda acc, x: acc * F.lit(1.0 - alpha) + x * F.lit(alpha))
+    return g.select(*keys, F.size("_evs").cast("long").alias("n"),
+                    folded.alias("ewma"))
+
+
+def weighted_median(df: DataFrame, keys: Sequence[str], val_col: str,
+                    weight_col: str) -> DataFrame:
+    """Exact weighted median per key over integer values and positive
+    integer weights: the smallest value v whose cumulative weight
+    reaches half the total — 2*cumw(v) >= totw, all-BIGINT so any
+    engine agrees (the dwell-weighted location median shape).
+
+    100-TB shape: duplicates collapse in a combinable (keys, v) weight
+    sum FIRST (the exchange carries per-value partials, never rows),
+    then one per-key ordered window cumsum over the collapsed values
+    and a min-filter — per-key state is one running sum over distinct
+    values, not the row set.
+    """
+    v = F.col(val_col).cast("long")
+    w = F.col(weight_col).cast("long")
+    coll = (df.select(*keys, v.alias("_v"), w.alias("_w"))
+            .groupBy(*keys, "_v").agg(F.sum("_w").alias("_wv")))
+    wc = (Window.partitionBy(*keys).orderBy("_v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wt = Window.partitionBy(*keys)
+    c = (coll.withColumn("_cum", F.sum("_wv").over(wc))
+         .withColumn("_tot", F.sum("_wv").over(wt)))
+    return (c.filter(2 * F.col("_cum") >= F.col("_tot"))
+            .groupBy(*keys).agg(F.min("_v").alias("wmedian"),
+                                F.max("_tot").cast("long").alias("w_total")))
+
+
+def linreg_per_group(df: DataFrame, keys: Sequence[str], x_col: str,
+                     y_col: str) -> DataFrame:
+    """Per-group simple linear regression (OLS trend) with a bit-portable
+    contract: all five sufficient statistics (n, Sx, Sy, Sxx, Sxy) are
+    exact int64 sums over integer inputs, and slope / intercept are each
+    ONE fixed IEEE expression over those ints —
+    slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx*Sx),
+    intercept = (Sy - slope*Sx) / n — so any engine replaying the trees
+    produces the same bits.  Degenerate groups (zero x-variance) return
+    NULL slope/intercept rather than a fabricated fit.
+
+    Overflow envelope ENFORCED with a raise (int64 wraps silently):
+    requires n*max|x| < 2^31 AND n*max|y| < 2^31 per group, which bounds
+    every product above (n*Sxx <= (n*max|x|)^2, n*Sxy, Sx*Sx, Sx*Sy)
+    below 2^62 — one driver-scalar check over the group-stats table.
+    Rebase x to a small unit (minutes from the group start, not epoch
+    micros) to stay inside it.
+
+    100-TB shape: one combinable stats agg (5 longs per group); nothing
+    else moves.
+    """
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    st = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).cast("long").alias("sx"),
+        F.sum(y).cast("long").alias("sy"),
+        F.sum(x * x).cast("long").alias("sxx"),
+        F.sum(x * y).cast("long").alias("sxy"),
+        F.max(F.abs(x)).cast("long").alias("_ax"),
+        F.max(F.abs(y)).cast("long").alias("_ay"))
+    env = st.agg(F.max(
+        F.greatest(F.col("n") * F.col("_ax"),
+                   F.col("n") * F.col("_ay")))).collect()[0][0]
+    if env is not None and env >= (1 << 31):
+        raise ValueError(
+            f"linreg_per_group: max(n*max|x|, n*max|y|) = {env} breaches "
+            f"the int64 envelope (< 2^31); rebase/rescale x or y")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope = F.when(den != 0, num.cast("double") / den.cast("double"))
+    intercept = F.when(
+        den != 0,
+        (F.col("sy").cast("double") - F.col("_slope")
+         * F.col("sx").cast("double")) / F.col("n").cast("double"))
+    return (st.withColumn("_slope", slope)
+            .withColumn("intercept", intercept)
+            .select(*keys, "n", "sx", "sy", "sxx", "sxy",
+                    F.col("_slope").alias("slope"), "intercept"))

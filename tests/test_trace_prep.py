@@ -433,3 +433,91 @@ def test_global_ordinal_matches_declarative(spark):
     want = {i: rank + 1
             for rank, (_bk, i) in enumerate(sorted(rows))}
     assert got == want
+
+
+def test_ewma_matches_python_fold(spark):
+    rng = np.random.default_rng(21)
+    rows = [(int(rng.integers(0, 4)), i * 1_000_000, i,
+             int(rng.integers(-500, 500))) for i in range(120)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["k", "ts_us", "eid", "v"]))
+    df = df.withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+    got = {r["k"]: (r["n"], r["ewma"])
+           for r in ops.ewma_per_key(df, ["k"], "ts", "v", alpha=0.25,
+                                     order=["eid"]).collect()}
+    by_k = {}
+    for k, ts, eid, v in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+        by_k.setdefault(k, []).append(float(v))
+    want = {}
+    for k, vs in by_k.items():
+        s = vs[0]
+        for x in vs[1:]:
+            s = s * 0.75 + x * 0.25
+        want[k] = (len(vs), s)
+    assert got == want  # the double compared bit-for-bit
+    # singleton stream: ewma == the value
+    df1 = spark.createDataFrame(
+        pd.DataFrame({"k": [9], "ts_us": [0], "eid": [0], "v": [42]}))
+    df1 = df1.withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+    r1 = ops.ewma_per_key(df1, ["k"], "ts", "v", alpha=0.25,
+                          order=["eid"]).collect()[0]
+    assert (r1["n"], r1["ewma"]) == (1, 42.0)
+    import pytest as _pt
+    for bad in (0.0, 1.0, 0.1, -0.5):  # 0.1 is not k/2^20
+        with _pt.raises(ValueError):
+            ops.ewma_per_key(df1, ["k"], "ts", "v", alpha=bad)
+
+
+def test_weighted_median_brute(spark):
+    rng = np.random.default_rng(33)
+    rows = [("g", int(rng.integers(-20, 20)), int(rng.integers(1, 9)))
+            for _ in range(60)] + [("h", 5, 3), ("h", 7, 1)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["k", "v", "w"]))
+    got = {r["k"]: (r["wmedian"], r["w_total"])
+           for r in ops.weighted_median(df, ["k"], "v", "w").collect()}
+    want = {}
+    for k in {r[0] for r in rows}:
+        pts = sorted((v, w) for kk, v, w in rows if kk == k)
+        tot = sum(w for _, w in pts)
+        agg = {}
+        for v, w in pts:
+            agg[v] = agg.get(v, 0) + w
+        cum = 0
+        med = None
+        for v in sorted(agg):
+            cum += agg[v]
+            if 2 * cum >= tot:
+                med = v
+                break
+        want[k] = (med, tot)
+    assert got == want
+    # "h": weights 3 vs 1 -> total 4, cum at 5 is 3, 2*3 >= 4 -> median 5
+    assert got["h"] == (5, 4)
+
+
+def test_linreg_matches_python_and_degenerate(spark):
+    rng = np.random.default_rng(29)
+    rows = [("a", int(x), int(3 * x + 7 + rng.integers(-2, 3)))
+            for x in rng.integers(0, 100, 50)]
+    rows += [("z", 4, 10), ("z", 4, 20)]  # zero x-variance group
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["k", "x", "y"]))
+    got = {r["k"]: r for r in
+           ops.linreg_per_group(df, ["k"], "x", "y").collect()}
+    pts = [(x, y) for k, x, y in rows if k == "a"]
+    n = len(pts)
+    sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts); sxy = sum(x * y for x, y in pts)
+    slope = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+    intercept = (float(sy) - slope * float(sx)) / float(n)
+    ga = got["a"]
+    assert (ga["n"], ga["sx"], ga["sy"], ga["sxx"], ga["sxy"]) == \
+        (n, sx, sy, sxx, sxy)
+    assert ga["slope"] == slope and ga["intercept"] == intercept
+    assert 2.5 < ga["slope"] < 3.5
+    gz = got["z"]
+    assert gz["slope"] is None and gz["intercept"] is None
+    import pytest as _pt
+    big = spark.createDataFrame(
+        pd.DataFrame({"k": ["a"] * 4, "x": [1 << 40] * 4, "y": [1] * 4}))
+    with _pt.raises(ValueError):
+        ops.linreg_per_group(big, ["k"], "x", "y")
