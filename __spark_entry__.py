@@ -2785,6 +2785,65 @@ def q_media_decode(spark, sf_dir):
                         .alias("f0"), "decode_error")
 
 
+def _phash_oracle_sql() -> str:
+    """Replays perceptual_hash under the fake decoder from sha256 hex:
+    8 little-endian uint32 words (the 16-dim feature vector repeats its
+    8 digest words, so bits repeat with period 8 — contribution
+    (1<<i) + (1<<(i+8)) per set bit), /2^32 in DOUBLE, float32 round,
+    2^24 quantize, strict mean-threshold in pure BIGINTs."""
+    words = []
+    for i in range(8):
+        terms = " + ".join(
+            f"('0x' || substr(h, {2 * (4 * i + j) + 1}, 2))::BIGINT"
+            + (f" * {256 ** j}" if j else "")
+            for j in range(4))
+        words.append(f"({terms})")
+    qcols = ",\n         ".join(
+        f"CAST(floor(CAST(CAST(CAST({w} AS DOUBLE) / 4294967296.0 AS FLOAT)"
+        f" AS DOUBLE) * 16777216.0) AS BIGINT) AS q{i}"
+        for i, w in enumerate(words))
+    tot = " + ".join(f"q{i}" for i in range(8))
+    ph = " + ".join(
+        f"CASE WHEN 16 * q{i} > qtot THEN {(1 << i) + (1 << (i + 8))} "
+        f"ELSE 0 END" for i in range(8))
+    ns = " + ".join(
+        f"CASE WHEN 16 * q{i} > qtot THEN 2 ELSE 0 END" for i in range(8))
+    return f"""
+WITH {_PAGES_CTE},
+med AS (
+  SELECT url,
+         sha256('<html><head><meta charset="utf-8"/></head><body><p>' || text
+                || '</p></body></html>') AS h
+  FROM pages
+  WHERE CAST(substr(url, length(url) - 8, 9) AS BIGINT) % 20 = 0
+),
+qv AS (
+  SELECT url,
+         {qcols}
+  FROM med
+),
+qt AS (SELECT *, 2 * ({tot}) AS qtot FROM qv)
+SELECT url, CAST({ph} AS BIGINT) AS phash, CAST({ns} AS BIGINT) AS n_set,
+       CAST(NULL AS VARCHAR) AS decode_error
+FROM qt
+"""
+
+
+def q_media_phash(spark, sf_dir):
+    """Perceptual-hash plumbing (multimodal.perceptual_hash): aHash
+    mean-threshold bit signature over decoded features, quantized to
+    integers so the bit rule dim*q_i > sum(q) is exact; under the
+    deterministic fake decoder the chain is arithmetic-reproducible
+    from sha256 of the payload bytes, which the oracle replays word by
+    word (little-endian parse, float32 round, 2^24 quantize) bit for
+    bit."""
+    from engine import multimodal
+    ev = _t(spark, sf_dir, "events")
+    pages = web_pages_from_events(ev).filter(
+        F.substring("url", -9, 9).cast("long") % 20 == 0)
+    return multimodal.perceptual_hash(pages)
+
+
 def q_media_frame_sample(spark, sf_dir):
     """Multimodal frame/chunk sampling (deterministic offsets from payload
     size — pure native arithmetic, so DuckDB replays it exactly; payload
@@ -3995,6 +4054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_values": q_ewma_values,
         "weighted_median": q_weighted_median,
         "linreg_trend": q_linreg_trend,
+        "media_phash": q_media_phash,
     }
 
 
@@ -6800,6 +6860,7 @@ SELECT url,
        CAST(NULL AS VARCHAR) AS decode_error
 FROM med
 """,
+        "media_phash": _phash_oracle_sql(),
         "w5_episodes": f"""
 WITH {_PAGES_CTE},
 {_w5_episodes_cte()}

@@ -110,3 +110,58 @@ def frame_sample(df: DataFrame, n_bytes_col: str = "media_meta.n_bytes",
                           lambda i: (i * (n / n_frames.cast("double")))
                           .cast("long"))
     return df.withColumn("frame_offsets", offsets)
+
+
+def perceptual_hash(df: DataFrame, binary_col: str = "html",
+                    id_col: str = "url",
+                    batch_rows: int = 1024) -> DataFrame:
+    """aHash-style perceptual fingerprint over decoded media features —
+    the image near-dup primitive (mean-threshold bit signature, one bit
+    per feature dimension, Hamming distance == visual distance under a
+    real decoder).  Emits (id, phash long, n_set long, decode_error).
+
+    Bit rule, integer-exact by construction: quantize each feature to
+    q_i = floor(float64(f_i) * 2^24) (exact for f in [0,1) — the scale
+    is a power of two, so no rounding enters), then set bit i iff
+    dim * q_i > sum(q) STRICTLY — the mean threshold without a float
+    division.  Under the deterministic fake decoder the whole chain is
+    arithmetic-reproducible from sha256 of the payload, which is what
+    the driver oracle replays bit for bit; under a real decoder the
+    same rule applies to real features.
+
+    100-TB shape: same contract as decode_features — one Arrow-batched
+    mapInPandas pass, per-row error capture (corrupt payloads flag, not
+    fail), binary never outlives the kernel projection.
+    """
+    schema = T.StructType([
+        T.StructField(id_col, T.StringType()),
+        T.StructField("phash", T.LongType()),
+        T.StructField("n_set", T.LongType()),
+        T.StructField("decode_error", T.StringType()),
+    ])
+
+    def hash_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start:start + batch_rows]
+                ph, ns, errs = [], [], []
+                for payload in chunk[binary_col]:
+                    try:
+                        f = _decoder(bytes(payload))
+                        q = np.floor(f.astype(np.float64)
+                                     * (1 << 24)).astype(np.int64)
+                        bits = (len(q) * q) > int(q.sum())
+                        ph.append(int(sum(1 << i
+                                          for i, b in enumerate(bits) if b)))
+                        ns.append(int(bits.sum()))
+                        errs.append(None)
+                    except Exception as exc:  # noqa: BLE001
+                        ph.append(None)
+                        ns.append(None)
+                        errs.append(f"{type(exc).__name__}: {exc}")
+                yield pd.DataFrame({id_col: chunk[id_col].to_numpy(),
+                                    "phash": pd.array(ph, dtype="Int64"),
+                                    "n_set": pd.array(ns, dtype="Int64"),
+                                    "decode_error": errs})
+
+    return df.select(id_col, binary_col).mapInPandas(hash_batches, schema)

@@ -1363,3 +1363,26 @@ def test_phrase_search_adjacency_and_overlap(spark):
     assert got2 == {9: (2, 0)}
     with pytest.raises(ValueError):
         text.phrase_search(df, [])
+
+
+def test_perceptual_hash_properties(spark):
+    rows = [("u1", bytearray(b"<html>alpha</html>")),
+            ("u2", bytearray(b"<html>beta</html>")),
+            ("u3", bytearray(b"<html>alpha</html>")),  # dup of u1
+            ("u4", bytearray(b""))]                    # decode error
+    df = spark.createDataFrame(rows, ["url", "html"])
+    out = {r["url"]: r for r in
+           multimodal.perceptual_hash(df).collect()}
+    # determinism: identical payloads -> identical signature
+    assert out["u1"]["phash"] == out["u3"]["phash"]
+    assert out["u1"]["phash"] != out["u2"]["phash"]
+    # the fake decoder's 16-dim vector repeats its 8 digest words, so
+    # the bit pattern repeats with period 8: phash = low_byte * 257
+    for u in ("u1", "u2"):
+        p = out[u]["phash"]
+        assert p == (p & 0xFF) * 257
+        assert out[u]["n_set"] == bin(p).count("1")
+        assert out[u]["decode_error"] is None
+    # corrupt payload flags, never fails the job
+    assert out["u4"]["phash"] is None
+    assert "empty media payload" in out["u4"]["decode_error"]
