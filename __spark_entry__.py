@@ -1709,6 +1709,38 @@ def q_stream_count_min(spark, sf_dir):
             .orderBy("token"))
 
 
+def q_stream_histogram(spark, sf_dir):
+    """STREAMING equi-width histogram: like the CMS twin, the value of
+    the op on a stream is its STRUCTURAL state bound — per-(key, bin)
+    counters + running min/max, bins-many rows whatever the corpus — so
+    ops.histogram_equiwidth runs UNCHANGED on readStream in complete
+    mode with no watermark.  The corpus arrives as three micro-batches;
+    count/min/max are all merge-associative, so the accumulated result
+    equals the one-shot batch build and the final table shares
+    q_histogram_values' exact oracle verbatim."""
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="shist_")
+    ev.repartition(3).write.mode("overwrite").parquet(path)
+    schema = spark.read.parquet(path).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(path))
+    d = stream.select("event_type",
+                      F.floor(F.col("value") * 100).cast("long")
+                      .alias("v_cents"))
+    spark.sql("DROP TABLE IF EXISTS shist_bins")
+    q = (ops.histogram_equiwidth(d, ["event_type"], "v_cents",
+                                 width=_HIST_WIDTH)
+         .writeStream.outputMode("complete").format("memory")
+         .queryName("shist_bins").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table("shist_bins")
+
+
 _CUR_MINTOK = 12
 _CUR_CAP = 128
 _CUR_FRACS = {f"src{i}": (1.0 if i % 2 == 0 else 0.5) for i in range(20)}
@@ -3808,6 +3840,16 @@ def q_transition_matrix(spark, sf_dir):
 
 _HIST_WIDTH = 250
 
+_HIST_SQL = f"""
+WITH v AS (
+  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS vc FROM events
+)
+SELECT event_type, vc // {_HIST_WIDTH} AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       min(vc) AS v_min, max(vc) AS v_max
+FROM v GROUP BY event_type, bin
+"""
+
 
 def q_histogram_values(spark, sf_dir):
     """Equi-width histogram (ops.histogram_equiwidth): floor-cents event
@@ -4055,6 +4097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_median": q_weighted_median,
         "linreg_trend": q_linreg_trend,
         "media_phash": q_media_phash,
+        "stream_histogram": q_stream_histogram,
     }
 
 
@@ -8262,15 +8305,10 @@ FROM m JOIN t ON t.from_state = m.from_state
 """,
         # equi-width histogram: DuckDB // is floor division, equal to the
         # engine's (a - pmod)/n identity for any sign
-        "histogram_values": f"""
-WITH v AS (
-  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS vc FROM events
-)
-SELECT event_type, vc // {_HIST_WIDTH} AS bin,
-       CAST(count(*) AS BIGINT) AS n,
-       min(vc) AS v_min, max(vc) AS v_max
-FROM v GROUP BY event_type, bin
-""",
+        "histogram_values": _HIST_SQL,
+        # streaming histogram shares the batch oracle (count/min/max are
+        # merge-associative, so micro-batch accumulation == one-shot)
+        "stream_histogram": _HIST_SQL,
         # integer-exact k-sigma outliers: the identical squared predicate
         # over BIGINT count/sum/sum-of-squares
         "zscore_outliers": f"""

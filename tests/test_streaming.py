@@ -407,3 +407,35 @@ def test_stream_interval_join_validation(spark):
         streaming.stream_interval_join(l, r, how="full_outer")
     with pytest.raises(ValueError, match="no key column"):
         streaming.stream_interval_join(l, r, right_key="nope")
+
+
+def test_stream_histogram_matches_batch(spark, tmp_path_factory):
+    """histogram_equiwidth runs UNCHANGED on a stream in complete mode
+    (state = bins, structurally bounded) and micro-batch accumulation
+    equals the one-shot batch build — count/min/max merge-associativity
+    made visible across three triggers."""
+    rng = np.random.default_rng(13)
+    pdf = pd.DataFrame({
+        "k": [("a", "b")[i % 2] for i in range(90)],
+        "v": rng.integers(-500, 500, 90)})
+    path = str(tmp_path_factory.mktemp("shist") / "ev")
+    sdf = spark.createDataFrame(pdf)
+    sdf.repartition(3).write.mode("overwrite").parquet(path)
+
+    batch = sorted(
+        tuple(r) for r in
+        ops.histogram_equiwidth(sdf, ["k"], "v", width=100).collect())
+
+    schema = sdf.schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(path))
+    spark.sql("DROP TABLE IF EXISTS t_shist")
+    q = (ops.histogram_equiwidth(stream, ["k"], "v", width=100)
+         .writeStream.outputMode("complete").format("memory")
+         .queryName("t_shist").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(tuple(r) for r in spark.table("t_shist").collect())
+    assert got == batch and len(got) > 4
