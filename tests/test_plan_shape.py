@@ -576,7 +576,15 @@ def test_no_cartesian_or_rowwise_python_in_hot_plans(spark):
            "fuzzy_pairs", "vocab_topk", "bm25_topk", "quality_buckets",
            "chunk_documents", "pack_sequences", "sample_stratified",
            "count_min", "curation_pipeline", "a7_daily_summary",
-           "a9_distinct", "w2_sessionize", "o2_topk"]
+           "a9_distinct", "w2_sessionize", "o2_topk",
+           # round-5 operators
+           "funnel_steps", "cohort_retention", "transition_matrix",
+           "histogram_values", "zscore_outliers", "inverted_index",
+           "phrase_search", "table_fingerprint", "profile_columns",
+           "global_ordinal", "ewma_values", "weighted_median",
+           "linreg_trend", "triangle_counts", "jaccard_prefix_join",
+           "interval_coverage", "skyline_2d", "bfs_distances",
+           "pmi_collocations"]
     sf = "/root/testdata/sf0.001"
     bad = {}
     for name in hot:
