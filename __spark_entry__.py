@@ -3716,6 +3716,63 @@ def q_w8_count_distinct_window(spark, sf_dir):
         .alias("n_users_seen"))
 
 
+def q_asof_nearest(spark, sf_dir):
+    """Nearest-event as-of join (ops.asof_nearest): each purchase
+    matched to the temporally CLOSEST view by the same user, either
+    direction, ties to the earlier side — two ordered window passes
+    over one union, never a join against the right table.  The oracle
+    states the definition: per-key arg-min over (|diff|, matched_ts
+    asc, payload desc) — all integer micros."""
+    ev = _t(spark, sf_dir, "events")
+    left = (ev.filter(F.col("event_type") == "purchase")
+            .select("user_id", "event_id", "ts"))
+    right = (ev.filter(F.col("event_type") == "view")
+             .select("user_id", F.col("ts").alias("rts"),
+                     F.col("event_id").alias("view_event_id")))
+    out = ops.asof_nearest(left, right, ["user_id"], "ts", "rts",
+                           ["view_event_id"])
+    return out.select("user_id", "event_id", "matched_ts_us", "diff_us",
+                      "view_event_id")
+
+
+def q_running_median(spark, sf_dir):
+    """Windowed exact medians (percentile over frames): per event in
+    (ts, event_id) order, the median of the last five values and the
+    running median — Spark percentile() and DuckDB quantile_cont()
+    share the (n−1)·p interpolation (bit-identical, the
+    exact_quantiles precedent) and floor-cents inputs make the sorted
+    frame multiset engine-independent."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.floor(F.col("value") * 100).cast("long")
+    w5 = (Window.partitionBy("event_type").orderBy("ts", "event_id")
+          .rowsBetween(-4, 0))
+    wr = (Window.partitionBy("event_type").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    return ev.select(
+        "event_id",
+        F.percentile(v, F.lit(0.5)).over(w5).alias("med5"),
+        F.percentile(v, F.lit(0.5)).over(wr).alias("med_run"))
+
+
+def q_polygon_stats(spark, sf_dir):
+    """Shoelace signed area + centroid (ops.polygon_area_centroid) over
+    deterministic integer vertex rings (each user's first six events as
+    (event_id mod 1000, cents mod 1000) vertices): area2 exact int64
+    after per-ring rebasing, centroid = min + moment/(3·area2) as one
+    IEEE division per axis — the oracle replays the identical windows,
+    moments and trees."""
+    ev = _t(spark, sf_dir, "events")
+    wrn = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = (ev.withColumn("_rn", F.row_number().over(wrn))
+         .filter(F.col("_rn") <= 6)
+         .select(F.col("user_id").alias("poly"),
+                 F.col("_rn").alias("seq"),
+                 (F.col("event_id") % 1000).cast("long").alias("x"),
+                 (F.floor(F.col("value") * 100).cast("long") % 1000)
+                 .alias("y")))
+    return ops.polygon_area_centroid(d, ["poly"], "seq", "x", "y")
+
+
 _EWMA_ALPHA = 0.25
 
 
@@ -4098,6 +4155,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linreg_trend": q_linreg_trend,
         "media_phash": q_media_phash,
         "stream_histogram": q_stream_histogram,
+        "asof_nearest": q_asof_nearest,
+        "running_median": q_running_median,
+        "polygon_stats": q_polygon_stats,
     }
 
 
@@ -8309,6 +8369,94 @@ FROM m JOIN t ON t.from_state = m.from_state
         # streaming histogram shares the batch oracle (count/min/max are
         # merge-associative, so micro-batch accumulation == one-shot)
         "stream_histogram": _HIST_SQL,
+        # nearest as-of stated as the definition: per-left-row arg-min
+        # over (|diff|, matched_ts asc, payload desc) — a documented
+        # all-pairs-per-key oracle twin of the window-merge engine path
+        "asof_nearest": """
+WITH l AS (
+  SELECT user_id, event_id,
+         CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS lts
+  FROM events WHERE event_type = 'purchase'
+),
+r AS (
+  SELECT user_id, event_id AS view_event_id,
+         CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS rts
+  FROM events WHERE event_type = 'view'
+),
+p AS (
+  SELECT l.user_id, l.event_id, l.lts, r.rts, r.view_event_id,
+         row_number() OVER (PARTITION BY l.user_id, l.event_id
+             ORDER BY abs(r.rts - l.lts), r.rts, r.view_event_id DESC)
+           AS rk
+  FROM l JOIN r ON r.user_id = l.user_id
+),
+best AS (SELECT * FROM p WHERE rk = 1)
+SELECT l.user_id, l.event_id,
+       b.rts AS matched_ts_us,
+       b.rts - l.lts AS diff_us,
+       b.view_event_id
+FROM l LEFT JOIN best b
+  ON b.user_id = l.user_id AND b.event_id = l.event_id
+""",
+        # exact windowed medians: quantile_cont == percentile (same
+        # (n-1)p interpolation, bit-identical on floor-cents ints)
+        "running_median": """
+SELECT event_id,
+       quantile_cont(CAST(floor(value * 100) AS BIGINT), 0.5)
+         OVER (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med5,
+       quantile_cont(CAST(floor(value * 100) AS BIGINT), 0.5)
+         OVER (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS med_run
+FROM events
+""",
+        # shoelace area + centroid: identical rebased integer moments +
+        # identical IEEE centroid trees
+        "polygon_stats": """
+WITH d AS (
+  SELECT user_id AS poly,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS seq,
+         CAST(event_id % 1000 AS BIGINT) AS x,
+         CAST(floor(value * 100) AS BIGINT) % 1000 AS y
+  FROM events
+  QUALIFY seq <= 6
+),
+r AS (
+  SELECT poly, seq,
+         x - min(x) OVER (PARTITION BY poly) AS xr,
+         y - min(y) OVER (PARTITION BY poly) AS yr,
+         min(x) OVER (PARTITION BY poly) AS mx,
+         min(y) OVER (PARTITION BY poly) AS my
+  FROM d
+),
+e AS (
+  SELECT poly, mx, my, xr, yr,
+         coalesce(lead(xr) OVER w, first_value(xr) OVER w2) AS x2,
+         coalesce(lead(yr) OVER w, first_value(yr) OVER w2) AS y2
+  FROM r
+  WINDOW w AS (PARTITION BY poly ORDER BY seq),
+         w2 AS (PARTITION BY poly ORDER BY seq
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+),
+g AS (
+  SELECT poly, CAST(count(*) AS BIGINT) AS n_verts,
+         CAST(sum(xr * y2 - x2 * yr) AS BIGINT) AS area2,
+         CAST(sum((xr + x2) * (xr * y2 - x2 * yr)) AS BIGINT) AS msx,
+         CAST(sum((yr + y2) * (xr * y2 - x2 * yr)) AS BIGINT) AS msy,
+         min(mx) AS mx, min(my) AS my
+  FROM e GROUP BY poly
+)
+SELECT poly, n_verts, area2,
+       CASE WHEN area2 != 0 THEN CAST(mx AS DOUBLE)
+            + CAST(msx AS DOUBLE) / (3.0 * CAST(area2 AS DOUBLE)) END
+         AS cx,
+       CASE WHEN area2 != 0 THEN CAST(my AS DOUBLE)
+            + CAST(msy AS DOUBLE) / (3.0 * CAST(area2 AS DOUBLE)) END
+         AS cy
+FROM g
+""",
         # integer-exact k-sigma outliers: the identical squared predicate
         # over BIGINT count/sum/sum-of-squares
         "zscore_outliers": f"""

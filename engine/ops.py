@@ -933,3 +933,120 @@ def linreg_per_group(df: DataFrame, keys: Sequence[str], x_col: str,
             .withColumn("intercept", intercept)
             .select(*keys, "n", "sx", "sy", "sxx", "sxy",
                     F.col("_slope").alias("slope"), "intercept"))
+
+
+def asof_nearest(left: DataFrame, right: DataFrame, keys: Sequence[str],
+                 left_ts: str, right_ts: str,
+                 value_cols: Sequence[str]) -> DataFrame:
+    """Nearest-event as-of join: for each left row, the right row (per
+    key) with the MINIMUM absolute time distance, ties to the earlier
+    side — J6's backward scan generalized to both directions (sensor
+    alignment / nearest-snapshot attribution).  Adds `matched_ts_us`
+    (long, null when the key has no right rows) and a signed `diff_us`
+    (matched − left; negative = matched earlier) plus the right value
+    columns.
+
+    Shape: the same union-merge trick as asof_join run in BOTH
+    directions — one shuffle on (keys), two ordered window passes (asc
+    and desc) carrying a packed payload struct, then an integer
+    distance compare picks the side.  A right row at the exact left
+    timestamp is visible to both passes (side orders right before left
+    at ts ties) and wins with diff 0.  No join against the right table
+    at all, so right-side skew cannot create a hot build side.
+    """
+    pay = F.struct(
+        F.unix_micros(F.col(right_ts).cast("timestamp")).alias("_mts"),
+        *[F.col(c) for c in value_cols])
+    rt = (right.select(*keys, pay.alias("_pay"))
+          .withColumn("_ats", F.col("_pay._mts"))
+          .withColumn("_side", F.lit(0)))
+    pay_type = dict(rt.dtypes)["_pay"]
+    lt = (left.withColumn(
+        "_ats", F.unix_micros(F.col(left_ts).cast("timestamp")))
+        .withColumn("_side", F.lit(1))
+        .withColumn("_pay", F.lit(None).cast(pay_type)))
+    u = lt.unionByName(rt.select(*keys, "_ats", "_side", "_pay"),
+                       allowMissingColumns=True)
+    wb = (Window.partitionBy(*keys).orderBy("_ats", "_side")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wf = (Window.partitionBy(*keys)
+          .orderBy(F.col("_ats").desc(), "_side")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    u = (u.withColumn("_prev", F.last("_pay", ignorenulls=True).over(wb))
+         .withColumn("_next", F.last("_pay", ignorenulls=True).over(wf)))
+    res = u.filter(F.col("_side") == 1)
+    dp = F.col("_ats") - F.col("_prev._mts")
+    dn = F.col("_next._mts") - F.col("_ats")
+    pick_prev = F.col("_next").isNull() | \
+        (F.col("_prev").isNotNull() & (dp <= dn))
+    m = F.when(pick_prev, F.col("_prev")).otherwise(F.col("_next"))
+    out_cols = [c for c in left.columns]
+    return res.select(
+        *out_cols,
+        m["_mts"].alias("matched_ts_us"),
+        (m["_mts"] - F.col("_ats")).alias("diff_us"),
+        *[m[c].alias(c) for c in value_cols])
+
+
+def polygon_area_centroid(df: DataFrame, poly_keys: Sequence[str],
+                          seq_col: str, x_col: str, y_col: str,
+                          ) -> DataFrame:
+    """Shoelace signed area and centroid per polygon (vertex table in
+    integer coordinates, one row per vertex, ring closed implicitly):
+    returns (poly_keys..., n_verts long, area2 long — TWICE the signed
+    area, CCW positive, exact — cx double, cy double).  Degenerate
+    rings (area2 == 0) return NULL centroid.
+
+    Exactness: vertices are rebased to the per-polygon minimum corner
+    FIRST (area/centroid are translation-equivariant), so every cross
+    product and centroid moment is small-int64 exact; the centroid is
+    min + moment / (3·area2) — one IEEE division per axis over exact
+    ints, bit-portable.  Overflow envelope ENFORCED with a raise:
+    rebased extent < 2^14 and ring length < 2^16 bound the summed
+    moments below 2^62.
+
+    100-TB shape: one (poly) exchange for the ordered window (lead +
+    wrap via first_value), one combinable moment agg — per-ring state
+    is a handful of longs, rings never collect to the driver.
+    """
+    wp = Window.partitionBy(*poly_keys)
+    wo = Window.partitionBy(*poly_keys).orderBy("_seq")
+    wfull = wo.rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing)
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    d = df.select(*poly_keys, F.col(seq_col).alias("_seq"),
+                  (x - F.min(x).over(wp)).alias("_xr"),
+                  (y - F.min(y).over(wp)).alias("_yr"),
+                  F.min(x).over(wp).alias("_mx"),
+                  F.min(y).over(wp).alias("_my"))
+    env = (d.groupBy(*poly_keys)
+           .agg(F.max(F.greatest("_xr", "_yr")).alias("_ext"),
+                F.count(F.lit(1)).alias("_len"))
+           .agg(F.max("_ext"), F.max("_len")).collect()[0])
+    if env[0] is not None and (env[0] >= (1 << 14) or env[1] >= (1 << 16)):
+        raise ValueError(
+            f"polygon_area_centroid: rebased extent {env[0]} / ring "
+            f"length {env[1]} breach the int64 envelope "
+            f"(extent < 2^14, length < 2^16); rescale coordinates")
+    x2 = F.coalesce(F.lead("_xr").over(wo), F.first("_xr").over(wfull))
+    y2 = F.coalesce(F.lead("_yr").over(wo), F.first("_yr").over(wfull))
+    cross = F.col("_xr") * y2 - x2 * F.col("_yr")
+    e = d.select(*poly_keys, "_mx", "_my", cross.alias("_c"),
+                 ((F.col("_xr") + x2) * cross).alias("_sx"),
+                 ((F.col("_yr") + y2) * cross).alias("_sy"))
+    g = e.groupBy(*poly_keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_verts"),
+        F.sum("_c").cast("long").alias("area2"),
+        F.sum("_sx").cast("long").alias("_msx"),
+        F.sum("_sy").cast("long").alias("_msy"),
+        F.min("_mx").alias("_mx"), F.min("_my").alias("_my"))
+    nz = F.col("area2") != 0
+    cx = F.when(nz, F.col("_mx").cast("double")
+                + F.col("_msx").cast("double")
+                / (F.lit(3.0) * F.col("area2").cast("double")))
+    cy = F.when(nz, F.col("_my").cast("double")
+                + F.col("_msy").cast("double")
+                / (F.lit(3.0) * F.col("area2").cast("double")))
+    return g.select(*poly_keys, "n_verts", "area2",
+                    cx.alias("cx"), cy.alias("cy"))

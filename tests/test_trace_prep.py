@@ -521,3 +521,79 @@ def test_linreg_matches_python_and_degenerate(spark):
         pd.DataFrame({"k": ["a"] * 4, "x": [1 << 40] * 4, "y": [1] * 4}))
     with _pt.raises(ValueError):
         ops.linreg_per_group(big, ["k"], "x", "y")
+
+
+def _brute_nearest(left, right):
+    """Definition replay: per left row the right row minimizing
+    (|diff|, rts asc, payload desc); None when no right rows."""
+    out = {}
+    for (u, eid, lts) in left:
+        cands = [(abs(rts - lts), rts, -veid, veid)
+                 for (ru, veid, rts) in right if ru == u]
+        if not cands:
+            out[(u, eid)] = (None, None, None)
+        else:
+            _d, rts, _nv, veid = min(cands)
+            out[(u, eid)] = (rts, rts - lts, veid)
+    return out
+
+
+def test_asof_nearest_matches_brute(spark):
+    rng = np.random.default_rng(41)
+    left = [(int(rng.integers(0, 5)), 1000 + i,
+             int(rng.integers(0, 10_000)) * 1_000_000) for i in range(60)]
+    right = [(int(rng.integers(0, 4)), 2000 + i,   # user 4 has NO rights
+              int(rng.integers(0, 10_000)) * 1_000_000) for i in range(50)]
+    # planted exact-timestamp hit and an equidistant tie
+    left += [(0, 9001, 77_000_000), (1, 9002, 500_000_000)]
+    right += [(0, 9501, 77_000_000),
+              (1, 9502, 400_000_000), (1, 9503, 600_000_000)]
+    ldf = spark.createDataFrame(
+        pd.DataFrame(left, columns=["user_id", "event_id", "ts_us"])) \
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+    rdf = spark.createDataFrame(
+        pd.DataFrame(right, columns=["user_id", "view_event_id", "rts_us"])) \
+        .withColumn("rts", F.timestamp_micros(F.col("rts_us")))
+    got = {(r["user_id"], r["event_id"]):
+           (r["matched_ts_us"], r["diff_us"], r["view_event_id"])
+           for r in ops.asof_nearest(
+               ldf.select("user_id", "event_id", "ts"),
+               rdf.select("user_id", "rts", "view_event_id"),
+               ["user_id"], "ts", "rts", ["view_event_id"]).collect()}
+    want = _brute_nearest([(u, e, t) for u, e, t in left],
+                          [(u, v, t) for u, v, t in right])
+    assert got == want
+    assert got[(0, 9001)][1] == 0                 # exact-ts hit
+    assert got[(1, 9002)][0] == 400_000_000       # tie -> earlier side
+
+
+def test_polygon_area_centroid_known_shapes(spark):
+    # CCW unit square scaled by 10: area2 = 200, centroid (5, 5);
+    # CW triangle: negative area2; degenerate segment: NULL centroid.
+    rows = [("sq", 1, 0, 0), ("sq", 2, 10, 0), ("sq", 3, 10, 10),
+            ("sq", 4, 0, 10),
+            ("tr", 1, 0, 0), ("tr", 2, 0, 6), ("tr", 3, 6, 0),
+            ("seg", 1, 1, 1), ("seg", 2, 5, 5)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["poly", "seq", "x", "y"]))
+    got = {r["poly"]: r for r in ops.polygon_area_centroid(
+        df, ["poly"], "seq", "x", "y").collect()}
+    assert (got["sq"]["area2"], got["sq"]["cx"], got["sq"]["cy"]) == \
+        (200, 5.0, 5.0)
+    assert got["tr"]["area2"] == -36  # CW orientation -> negative
+    assert (got["tr"]["cx"], got["tr"]["cy"]) == (2.0, 2.0)
+    assert got["seg"]["area2"] == 0
+    assert got["seg"]["cx"] is None and got["seg"]["cy"] is None
+    # translation equivariance: shifting by a constant shifts the centroid
+    df2 = df.withColumn("x", F.col("x") + 1000) \
+            .withColumn("y", F.col("y") + 2000)
+    g2 = {r["poly"]: r for r in ops.polygon_area_centroid(
+        df2, ["poly"], "seq", "x", "y").collect()}
+    assert g2["sq"]["area2"] == 200
+    assert (g2["sq"]["cx"], g2["sq"]["cy"]) == (1005.0, 2005.0)
+    import pytest as _pt
+    big = spark.createDataFrame(
+        pd.DataFrame({"poly": ["a"] * 3, "seq": [1, 2, 3],
+                      "x": [0, 1 << 20, 5], "y": [0, 1, 2]}))
+    with _pt.raises(ValueError):
+        ops.polygon_area_centroid(big, ["poly"], "seq", "x", "y")
