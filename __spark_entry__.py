@@ -3773,6 +3773,54 @@ def q_polygon_stats(spark, sf_dir):
     return ops.polygon_area_centroid(d, ["poly"], "seq", "x", "y")
 
 
+_CUSUM_K = 1100
+_CUSUM_H = 5000
+
+
+def q_cusum_alarm(spark, sf_dir):
+    """CUSUM drift detection (ops.cusum_alarm): the recurrence
+    s_t = max(0, s_{t-1} + x_t - k) solved in closed form as two running
+    windows (s = P - least(0, runmin P)) — all-integer, bit-portable;
+    per user: peak CUSUM and first alarm position."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select("user_id", "ts", "event_id",
+                  F.floor(F.col("value") * 100).cast("long")
+                  .alias("v_cents"))
+    return ops.cusum_alarm(d, ["user_id"], "ts", "v_cents",
+                           drift_k=_CUSUM_K, threshold=_CUSUM_H,
+                           order=["event_id"])
+
+
+_PATH_DEPTH = 3
+_PATH_K = 40
+
+
+def q_top_paths(spark, sf_dir):
+    """Top-k session paths (ops.top_paths): each gap session reduced to
+    its first {_PATH_DEPTH} event types joined with '>', counted and
+    ranked with a deterministic path tie-break — the Sankey/user-flow
+    aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    s = _sessionized(ev).withColumn(
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
+    return ops.top_paths(s, ["user_id", "subset_id"],
+                         ["ts_us", "event_id"],
+                         "event_type", depth=_PATH_DEPTH, k=_PATH_K)
+
+
+def q_trimmed_mean(spark, sf_dir):
+    """Exact interquartile mean (ops.trimmed_mean): rank-band keep rule
+    100(r−1) ∈ [lo, hi]·(n−1) over ordered positions — all-integer, and
+    value-ties at the band edge cannot change the kept MULTISET (equal
+    rank swaps carry equal values), so n_kept/sum_kept are
+    engine-independent; mean is one IEEE division."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select("event_type",
+                  F.floor(F.col("value") * 100).cast("long")
+                  .alias("v_cents"))
+    return ops.trimmed_mean(d, ["event_type"], "v_cents")
+
+
 _EWMA_ALPHA = 0.25
 
 
@@ -4158,6 +4206,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_nearest": q_asof_nearest,
         "running_median": q_running_median,
         "polygon_stats": q_polygon_stats,
+        "cusum_alarm": q_cusum_alarm,
+        "top_paths": q_top_paths,
+        "trimmed_mean": q_trimmed_mean,
     }
 
 
@@ -8455,6 +8506,76 @@ SELECT poly, n_verts, area2,
        CASE WHEN area2 != 0 THEN CAST(my AS DOUBLE)
             + CAST(msy AS DOUBLE) / (3.0 * CAST(area2 AS DOUBLE)) END
          AS cy
+FROM g
+""",
+        # CUSUM closed form: s = P - least(0, running min of P), pure
+        # integer prefix sums
+        "cusum_alarm": f"""
+WITH d AS (
+  SELECT user_id,
+         row_number() OVER w AS rn,
+         CAST(sum(CAST(floor(value * 100) AS BIGINT) - {_CUSUM_K})
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS p
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, rn,
+         p - least(0, CAST(min(p) OVER (PARTITION BY user_id ORDER BY rn
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT)) AS s
+  FROM d
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+       CAST(max(s) AS BIGINT) AS max_cusum,
+       CAST(min(CASE WHEN s >= {_CUSUM_H} THEN rn END) AS BIGINT)
+         AS alarm_pos
+FROM s GROUP BY user_id
+""",
+        # top session paths: ordered list agg -> prefix -> count -> rank
+        "top_paths": f"""
+WITH {{SESSION}},
+pth AS (
+  SELECT user_id, subset_id,
+         array_to_string(list(event_type ORDER BY ts, event_id)
+                         [1:{_PATH_DEPTH}], '>') AS path
+  FROM sess GROUP BY user_id, subset_id
+),
+c AS (SELECT path, CAST(count(*) AS BIGINT) AS n_sess FROM pth
+      GROUP BY path),
+r AS (SELECT path, n_sess,
+             CAST(row_number() OVER (ORDER BY n_sess DESC, path)
+                  AS BIGINT) AS rank
+      FROM c)
+SELECT path, n_sess, rank FROM r WHERE rank <= {_PATH_K}
+""".replace("{SESSION}", _SESSION_CTE),
+        # exact interquartile mean: rank-band keep rule, integer evidence
+        "trimmed_mean": """
+WITH d AS (
+  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v,
+         row_number() OVER (PARTITION BY event_type
+             ORDER BY CAST(floor(value * 100) AS BIGINT)) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+k AS (
+  SELECT event_type, v, n,
+         (100 * (rn - 1) >= 25 * (n - 1)
+          AND 100 * (rn - 1) <= 75 * (n - 1)) AS keep
+  FROM d
+),
+g AS (
+  SELECT event_type, CAST(max(n) AS BIGINT) AS n_total,
+         CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         CAST(sum(CASE WHEN keep THEN v ELSE 0 END) AS BIGINT) AS sum_kept
+  FROM k GROUP BY event_type
+)
+SELECT event_type, n_total, n_kept, sum_kept,
+       CASE WHEN n_kept > 0
+            THEN CAST(sum_kept AS DOUBLE) / CAST(n_kept AS DOUBLE) END
+         AS trimmed_mean
 FROM g
 """,
         # integer-exact k-sigma outliers: the identical squared predicate

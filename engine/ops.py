@@ -1050,3 +1050,127 @@ def polygon_area_centroid(df: DataFrame, poly_keys: Sequence[str],
                 / (F.lit(3.0) * F.col("area2").cast("double")))
     return g.select(*poly_keys, "n_verts", "area2",
                     cx.alias("cx"), cy.alias("cy"))
+
+
+def cusum_alarm(df: DataFrame, keys: Sequence[str], ts_col: str,
+                val_col: str, drift_k: int, threshold: int,
+                order: Sequence[str] | None = None) -> DataFrame:
+    """One-sided CUSUM change-point detection per key, ALL-INTEGER: the
+    classic drift alarm s_t = max(0, s_{t-1} + (x_t - k)) with an alarm
+    when s_t >= h — upward level-shift detection on metrics/QPS/error
+    counts.  Returns one row per key: (n long, max_cusum long,
+    alarm_pos long nullable — 1-based index of the FIRST alarm in
+    (ts, order) sequence, null if never).
+
+    Spark-first shape: instead of a stateful fold, the recurrence is
+    solved in closed form — with y_t = x_t - k and prefix sums P_t
+    (P_0 = 0), s_t = P_t - min(P_j, j <= t) = P_t - least(0, running
+    min of P) — so the whole operator is two running windows + one
+    combinable agg, O(1) per-key window state and NO per-key array.
+    Pure integer (max, +) arithmetic: any engine agrees bit for bit.
+
+    Overflow envelope ENFORCED with a raise: |P_t| <= n * max|x - k|
+    must stay below 2^62 (checked by one tiny pre-agg; int64 wraps
+    silently otherwise).
+    """
+    if threshold <= 0:
+        raise ValueError("cusum_alarm: threshold must be positive")
+    y = F.col(val_col).cast("long") - F.lit(int(drift_k))
+    ob = [F.unix_micros(F.col(ts_col).cast("timestamp"))] + \
+         [F.col(c) for c in (order or [])]
+    env = (df.groupBy(*keys)
+           .agg((F.count(F.lit(1)) * F.max(F.abs(y))).alias("_b"))
+           .agg(F.max("_b")).collect()[0][0])
+    if env is not None and env >= (1 << 62):
+        raise ValueError(
+            f"cusum_alarm: n*max|x-k| = {env} breaches the int64 "
+            f"envelope (< 2^62); rescale values")
+    d = (df.select(*keys, *[o.alias(f"_ob{i}") for i, o in enumerate(ob)],
+                   y.alias("_y"))
+         .withColumn("_p", F.sum("_y").over(
+             _w(keys, [f"_ob{i}" for i in range(len(ob))])
+             .rowsBetween(Window.unboundedPreceding, 0)))
+         .withColumn("_rn", F.row_number().over(
+             _w(keys, [f"_ob{i}" for i in range(len(ob))]))))
+    runmin = F.min("_p").over(
+        _w(keys, [f"_ob{i}" for i in range(len(ob))])
+        .rowsBetween(Window.unboundedPreceding, 0))
+    d = d.withColumn(
+        "_s", F.col("_p") - F.least(F.lit(0).cast("long"), runmin))
+    return (d.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max("_s").cast("long").alias("max_cusum"),
+        F.min(F.when(F.col("_s") >= F.lit(int(threshold)),
+                     F.col("_rn"))).cast("long").alias("alarm_pos")))
+
+
+def top_paths(df: DataFrame, session_keys: Sequence[str],
+              order: Sequence[str], state_col: str, depth: int,
+              k: int) -> DataFrame:
+    """Top-k session paths — the Sankey/user-flow aggregation: each
+    session reduced to the '>'-joined sequence of its first `depth`
+    states in event order, then counted and ranked (ties broken by path
+    string for a deterministic prefix).  Returns (path string, n_sess
+    long, rank long).
+
+    100-TB shape: one (session) exchange to assemble ordered prefixes
+    (slice caps the payload at `depth` states per session BEFORE the
+    count exchange), a combinable path count (paths-vocabulary-sized),
+    and a TakeOrderedAndProject-style top-k on the tiny count table.
+    """
+    if depth < 1 or k < 1:
+        raise ValueError("top_paths: depth and k must be >= 1")
+    ob = [F.col(c).cast("long").alias(f"_o{i}")
+          for i, c in enumerate(order)]
+    ev = df.select(*[F.col(c) for c in session_keys],
+                   F.struct(*ob, F.col(state_col).cast("string")
+                            .alias("s")).alias("_e"))
+    paths = (ev.groupBy(*session_keys)
+             .agg(F.array_join(
+                 F.slice(F.transform(
+                     F.sort_array(F.collect_list("_e")),
+                     lambda e: e["s"]), 1, depth), ">").alias("path")))
+    cnt = paths.groupBy("path").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sess"))
+    w = Window.orderBy(F.col("n_sess").desc(), "path")
+    return (cnt.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k))
+
+
+def trimmed_mean(df: DataFrame, keys: Sequence[str], val_col: str,
+                 lo_pct: int = 25, hi_pct: int = 75) -> DataFrame:
+    """Exact interquartile (trimmed) mean per key over integer values —
+    the robust location estimate: keep rows whose rank falls strictly
+    inside the [lo, hi] percentile band by position (rank-based, so the
+    kept multiset is engine-independent on any input with ties), emit
+    the exact integer evidence (n_total, n_kept, sum_kept) plus the
+    mean as ONE IEEE division.  Keep rule: 100*(r-1) >= lo*(n-1) and
+    100*(r-1) <= hi*(n-1) over dense ordinal positions r = 1..n in
+    (value, arrival-free deterministic) order — all-integer, no float
+    percentile anywhere.
+
+    100-TB shape: one (keys) ordered window for positions + a
+    combinable filtered agg; per-key state is a row counter.
+    """
+    if not (0 <= lo_pct <= hi_pct <= 100):
+        raise ValueError("trimmed_mean: need 0 <= lo <= hi <= 100")
+    v = F.col(val_col).cast("long")
+    w = Window.partitionBy(*keys).orderBy("_v")
+    wt = Window.partitionBy(*keys)
+    d = df.select(*keys, v.alias("_v")) \
+          .withColumn("_r", F.row_number().over(w)) \
+          .withColumn("_n", F.count(F.lit(1)).over(wt))
+    keep = (F.lit(100) * (F.col("_r") - 1) >= F.lit(lo_pct)
+            * (F.col("_n") - 1)) & \
+           (F.lit(100) * (F.col("_r") - 1) <= F.lit(hi_pct)
+            * (F.col("_n") - 1))
+    g = d.groupBy(*keys).agg(
+        F.max("_n").cast("long").alias("n_total"),
+        F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(keep, F.col("_v")).otherwise(0)).cast("long")
+        .alias("sum_kept"))
+    mean = F.when(F.col("n_kept") > 0,
+                  F.col("sum_kept").cast("double")
+                  / F.col("n_kept").cast("double"))
+    return g.select(*keys, "n_total", "n_kept", "sum_kept",
+                    mean.alias("trimmed_mean"))

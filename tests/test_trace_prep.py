@@ -597,3 +597,72 @@ def test_polygon_area_centroid_known_shapes(spark):
                       "x": [0, 1 << 20, 5], "y": [0, 1, 2]}))
     with _pt.raises(ValueError):
         ops.polygon_area_centroid(big, ["poly"], "seq", "x", "y")
+
+
+def test_cusum_matches_recurrence(spark):
+    rng = np.random.default_rng(7)
+    rows = [(int(rng.integers(0, 4)), i * 1_000_000, i,
+             int(rng.integers(0, 20))) for i in range(200)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["k", "ts_us", "eid", "v"]))
+    df = df.withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+    K, H = 9, 25
+    got = {r["k"]: (r["n"], r["max_cusum"], r["alarm_pos"])
+           for r in ops.cusum_alarm(df, ["k"], "ts", "v", drift_k=K,
+                                    threshold=H,
+                                    order=["eid"]).collect()}
+    by_k = {}
+    for k, ts, eid, v in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+        by_k.setdefault(k, []).append(v)
+    want = {}
+    for k, vs in by_k.items():
+        s = mx = 0
+        alarm = None
+        for i, x in enumerate(vs, start=1):
+            s = max(0, s + x - K)          # the literal recurrence
+            mx = max(mx, s)
+            if alarm is None and s >= H:
+                alarm = i
+        want[k] = (len(vs), mx, alarm)
+    assert got == want
+    assert any(a is not None for _, _, a in got.values())
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ops.cusum_alarm(df, ["k"], "ts", "v", drift_k=K, threshold=0)
+
+
+def test_top_paths_known(spark):
+    rows = [(1, 1, "a"), (1, 2, "b"), (1, 3, "c"), (1, 4, "d"),
+            (2, 1, "a"), (2, 2, "b"), (2, 3, "c"),
+            (3, 1, "a"), (3, 2, "b"),
+            (4, 1, "x")]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["sess", "seq", "st"]))
+    got = [(r["path"], r["n_sess"], r["rank"]) for r in
+           ops.top_paths(df, ["sess"], ["seq"], "st", depth=3, k=2)
+           .orderBy("rank").collect()]
+    # sessions 1 and 2 share prefix a>b>c; session 3 truncates; k=2 cuts x
+    assert got == [("a>b>c", 2, 1), ("a>b", 1, 2)]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ops.top_paths(df, ["sess"], ["seq"], "st", depth=0, k=2)
+
+
+def test_trimmed_mean_matches_python(spark):
+    rng = np.random.default_rng(31)
+    rows = [("g", int(rng.integers(-50, 50))) for _ in range(37)] + \
+           [("h", 5)]  # singleton: kept (band covers rank 1 when n=1)
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["k", "v"]))
+    got = {r["k"]: (r["n_total"], r["n_kept"], r["sum_kept"],
+                    r["trimmed_mean"])
+           for r in ops.trimmed_mean(df, ["k"], "v").collect()}
+    want = {}
+    for k in ("g", "h"):
+        vs = sorted(v for kk, v in rows if kk == k)
+        n = len(vs)
+        kept = [v for r, v in enumerate(vs)
+                if 100 * r >= 25 * (n - 1) and 100 * r <= 75 * (n - 1)]
+        want[k] = (n, len(kept), sum(kept),
+                   float(sum(kept)) / float(len(kept)))
+    assert got == want
+    assert got["h"] == (1, 1, 5, 5.0)
