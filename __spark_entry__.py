@@ -3773,6 +3773,47 @@ def q_polygon_stats(spark, sf_dir):
     return ops.polygon_area_centroid(d, ["poly"], "seq", "x", "y")
 
 
+_SIMP_EPS = 40
+
+
+def q_simplify_radial(spark, sf_dir):
+    """Radial-distance trajectory simplification (ops.simplify_radial):
+    keep a point iff its squared integer distance from the LAST KEPT
+    point reaches eps² — the sequential decision no prefix form can
+    state, as an exact integer fold; the oracle replays the fold with
+    DuckDB list_reduce over state-lifted elements."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select("user_id", "ts", "event_id",
+                  (F.col("event_id") % 200).cast("long").alias("x"),
+                  (F.floor(F.col("value") * 100).cast("long") % 200)
+                  .alias("y"))
+    return ops.simplify_radial(d, ["user_id"], ["ts", "event_id"],
+                               "x", "y", eps=_SIMP_EPS)
+
+
+_NEG_K = 3
+
+
+def q_negative_sampling(spark, sf_dir):
+    """Deterministic negative sampling (ops.negative_sampling): per
+    anchor doc, {_NEG_K} hash-stepped other doc ids — retry-stable pure
+    function of (salt, anchor, rank), never the anchor itself (step ≢ 0
+    mod n by construction); ordinals come from the two-phase
+    global_ordinal so no single-partition window exists even at id
+    scale.  All md5_60 + modular arithmetic — exact."""
+    docs = _t(spark, sf_dir, "documents")
+    return ops.negative_sampling(docs, "doc_id", k=_NEG_K)
+
+
+def q_audience_overlap(spark, sf_dir):
+    """Segment-overlap matrix (ops.audience_overlap): exact distinct
+    user intersections for every unordered event-type pair plus both
+    segment sizes — membership collapses map-side before the per-user
+    self-join, so each user contributes only their own pairs."""
+    ev = _t(spark, sf_dir, "events")
+    return ops.audience_overlap(ev, "event_type", "user_id")
+
+
 _CUSUM_K = 1100
 _CUSUM_H = 5000
 
@@ -4209,6 +4250,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_alarm": q_cusum_alarm,
         "top_paths": q_top_paths,
         "trimmed_mean": q_trimmed_mean,
+        "simplify_radial": q_simplify_radial,
+        "negative_sampling": q_negative_sampling,
+        "audience_overlap": q_audience_overlap,
     }
 
 
@@ -8577,6 +8621,72 @@ SELECT event_type, n_total, n_kept, sum_kept,
             THEN CAST(sum_kept AS DOUBLE) / CAST(n_kept AS DOUBLE) END
          AS trimmed_mean
 FROM g
+""",
+        # radial simplification: the identical integer fold replayed PER
+        # PREFIX with a scalar struct state (DuckDB 1.0's list_reduce
+        # does not thread list-growing accumulators — verified — so the
+        # oracle asks, for each position p, whether the fold over the
+        # first p points ends by TAKING point p; quadratic, oracle-only)
+        "simplify_radial": f"""
+WITH d AS (
+  SELECT user_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn,
+         CAST(event_id % 200 AS BIGINT) AS x,
+         CAST(floor(value * 100) AS BIGINT) % 200 AS y
+  FROM events
+),
+l AS (
+  SELECT user_id,
+         list(struct_pack(lx := x, ly := y, took := true)
+              ORDER BY rn) AS pts
+  FROM d GROUP BY user_id
+),
+p AS (
+  SELECT d.user_id, d.rn, d.x, d.y,
+         list_reduce(l.pts[1:d.rn], (acc, e) -> CASE
+           WHEN (e.lx - acc.lx) * (e.lx - acc.lx)
+                + (e.ly - acc.ly) * (e.ly - acc.ly)
+                >= {_SIMP_EPS * _SIMP_EPS}
+           THEN struct_pack(lx := e.lx, ly := e.ly, took := true)
+           ELSE struct_pack(lx := acc.lx, ly := acc.ly, took := false)
+           END) AS st
+  FROM d JOIN l ON l.user_id = d.user_id
+)
+SELECT user_id, CAST(rn AS BIGINT) AS pos, x, y
+FROM p WHERE st.took
+""",
+        # deterministic negative sampling: identical md5_60 hash-step
+        # over dense ordinals
+        "negative_sampling": f"""
+WITH ids AS (SELECT DISTINCT CAST(doc_id AS BIGINT) AS id FROM documents),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ids),
+o AS (SELECT id, CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS r
+      FROM ids),
+a AS (SELECT o.id AS anchor_id, o.r AS ar, CAST(j AS BIGINT) AS neg_rank
+      FROM o, unnest(range(1, {_NEG_K} + 1)) t(j)),
+h AS (SELECT *,
+             CAST('0x' || substr(md5('ns|' || CAST(anchor_id AS VARCHAR)
+                  || '|' || CAST(neg_rank AS VARCHAR)), 1, 15) AS BIGINT)
+               AS hh
+      FROM a),
+s AS (SELECT anchor_id, neg_rank,
+             (ar + 1 + (hh % (nn.n - 1))) % nn.n AS tr
+      FROM h CROSS JOIN nn)
+SELECT s.anchor_id, s.neg_rank, o.id AS neg_id
+FROM s JOIN o ON o.r = s.tr
+""",
+        # segment overlap: distinct membership self-join + sizes
+        "audience_overlap": """
+WITH m AS (SELECT DISTINCT event_type AS s, user_id AS u FROM events),
+sz AS (SELECT s, CAST(count(*) AS BIGINT) AS n FROM m GROUP BY s),
+i AS (
+  SELECT a.s AS seg_a, b.s AS seg_b, CAST(count(*) AS BIGINT) AS n_common
+  FROM m a JOIN m b ON a.u = b.u AND a.s < b.s
+  GROUP BY a.s, b.s
+)
+SELECT i.seg_a, i.seg_b, i.n_common, sa.n AS n_a, sb.n AS n_b
+FROM i JOIN sz sa ON sa.s = i.seg_a JOIN sz sb ON sb.s = i.seg_b
 """,
         # integer-exact k-sigma outliers: the identical squared predicate
         # over BIGINT count/sum/sum-of-squares

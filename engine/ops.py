@@ -1174,3 +1174,149 @@ def trimmed_mean(df: DataFrame, keys: Sequence[str], val_col: str,
                   / F.col("n_kept").cast("double"))
     return g.select(*keys, "n_total", "n_kept", "sum_kept",
                     mean.alias("trimmed_mean"))
+
+
+def simplify_radial(df: DataFrame, keys: Sequence[str],
+                    order: Sequence[str], x_col: str, y_col: str,
+                    eps: int) -> DataFrame:
+    """Radial-distance trajectory simplification per key — the standard
+    pre-pass of every polyline simplifier (and the cheap alternative to
+    Douglas-Peucker): walk the ordered points and KEEP a point iff its
+    squared planar distance from the LAST KEPT point is >= eps²; the
+    first point is always kept.  Returns the kept points as rows
+    (keys..., pos long 1-based original position, x long, y long).
+
+    Exactness: all-integer squared distances — the decision sequence is
+    a deterministic fold any engine replays bit for bit.  State is
+    inherently sequential (each decision depends on the last KEPT
+    point, not the previous point), so unlike CUSUM there is no
+    prefix-sum closed form; this is the fold contract (same as
+    ewma_per_key) with per-key O(kept) state.  Envelope: |coords| <
+    2^30 enforced (squared deltas must fit int64).
+
+    100-TB shape: one (keys) exchange of (order, x, y) triples; the
+    fold emits only kept points, so heavy oversampled traces shrink
+    in-operator before anything else sees them.
+    """
+    if eps <= 0:
+        raise ValueError("simplify_radial: eps must be positive")
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    env = df.agg(F.max(F.greatest(F.abs(x), F.abs(y)))).collect()[0][0]
+    if env is not None and env >= (1 << 30):
+        raise ValueError(
+            f"simplify_radial: max |coord| = {env} breaches the int64 "
+            f"envelope (< 2^30); rescale coordinates")
+    dts = dict(df.dtypes)
+    ob = [(F.unix_micros(F.col(c).cast("timestamp"))
+           if dts.get(c, "").startswith("timestamp")
+           else F.col(c).cast("long")).alias(f"_o{i}")
+          for i, c in enumerate(order)]
+    ev = df.select(*[F.col(k) for k in keys],
+                   F.struct(*ob, x.alias("x"), y.alias("y")).alias("_e"))
+    g = ev.groupBy(*keys).agg(
+        F.sort_array(F.collect_list("_e")).alias("_evs"))
+    kept_t = "array<struct<pos:bigint,x:bigint,y:bigint>>"
+    init = F.struct(
+        F.lit(0).cast("long").alias("lx"),
+        F.lit(0).cast("long").alias("ly"),
+        F.lit(0).cast("long").alias("i"),
+        F.array().cast(kept_t).alias("kept"))
+
+    def _fold(acc, e):
+        i = acc["i"] + F.lit(1)
+        dx = e["x"] - acc["lx"]
+        dy = e["y"] - acc["ly"]
+        take = (acc["i"] == 0) | \
+            (dx * dx + dy * dy >= F.lit(int(eps) * int(eps)))
+        rec = F.struct(i.alias("pos"), e["x"].alias("x"),
+                       e["y"].alias("y"))
+        return F.struct(
+            F.when(take, e["x"]).otherwise(acc["lx"]).alias("lx"),
+            F.when(take, e["y"]).otherwise(acc["ly"]).alias("ly"),
+            i.alias("i"),
+            F.when(take, F.array_append(acc["kept"], rec))
+            .otherwise(acc["kept"]).alias("kept"))
+
+    folded = g.select(*keys,
+                      F.aggregate("_evs", init, _fold)["kept"]
+                      .alias("_kept"))
+    ex = folded.select(*keys, F.explode("_kept").alias("_k"))
+    return ex.select(*keys, F.col("_k.pos").alias("pos"),
+                     F.col("_k.x").alias("x"), F.col("_k.y").alias("y"))
+
+
+def negative_sampling(df: DataFrame, id_col: str, k: int,
+                      salt: str = "ns") -> DataFrame:
+    """Deterministic negative sampling for contrastive pretraining: for
+    every anchor row, k pseudo-random OTHER ids drawn by hash-stepping
+    over the id space — (anchor_id, neg_rank 1..k, neg_id), retry-stable
+    (pure function of ids + salt, no RNG state) and self-exclusive.
+
+    Construction, exact on any engine: n = count of distinct ids,
+    ranked 0..n-1 by a dense ordinal; negative j of anchor with ordinal
+    r is the id at ordinal (r + step_j) mod n where step_j =
+    1 + (md5_60(salt‖anchor‖j) mod (n-1)) — step is never 0 mod n, so a
+    negative NEVER equals its anchor, and for fixed j the map r -> r +
+    step_j is a bijection only per-anchor (anchors draw independent
+    steps).  All arithmetic int64; needs n >= 2.
+
+    100-TB shape: the ordinal table is one distinct + a TWO-PHASE
+    global ordinal (global_ordinal with the id's high bits as the
+    monotone bucket — no single-partition window even when the id
+    space itself is huge); negatives join back to ids by ordinal —
+    one equi join against the id-sized table, no corpus shuffle at all.
+    """
+    if k < 1:
+        raise ValueError("negative_sampling: k must be >= 1")
+    ids = df.select(F.col(id_col).cast("long").alias("_id")).distinct()
+    n = ids.count()
+    if n < 2:
+        raise ValueError("negative_sampling: need at least 2 distinct ids")
+    ord_ = (global_ordinal(
+        ids.withColumn("_bk", F.shiftright("_id", 16)), "_bk", ["_id"])
+        .withColumn("_r", F.col("ordinal") - 1)
+        .select("_id", "_r"))
+    ks = F.explode(F.sequence(F.lit(1), F.lit(int(k)))).alias("neg_rank")
+    a = ord_.select(F.col("_id").alias("anchor_id"),
+                    F.col("_r").alias("_ar")).select("*", ks)
+    h = F.conv(F.substring(F.md5(F.concat_ws(
+        "|", F.lit(salt), F.col("anchor_id").cast("string"),
+        F.col("neg_rank").cast("string"))), 1, 15), 16, 10).cast("long")
+    step = F.lit(1) + F.pmod(h, F.lit(n - 1))
+    tgt = F.pmod(F.col("_ar") + step, F.lit(n))
+    pick = a.withColumn("_tr", tgt)
+    out = pick.join(ord_.select(F.col("_id").alias("neg_id"),
+                                F.col("_r").alias("_tr")), "_tr")
+    return out.select("anchor_id", F.col("neg_rank").cast("long")
+                      .alias("neg_rank"), "neg_id")
+
+
+def audience_overlap(df: DataFrame, seg_col: str, user_col: str,
+                     ) -> DataFrame:
+    """Segment-overlap matrix — the audience/cohort intersection query:
+    for every unordered pair of segments (a < b), the exact distinct
+    user intersection |A ∩ B| plus |A| and |B| (Jaccard/containment left
+    to the consumer as exact integer evidence).
+
+    100-TB shape: the corpus collapses to distinct (segment, user)
+    memberships FIRST (map-side combinable), sizes are a tiny per-seg
+    count, and the intersection is a self-join on user over the
+    membership table — each user contributes only their own segment
+    pairs (deg²/2 per user), never a corpus-wide cross.
+    """
+    m = (df.select(F.col(seg_col).alias("_s"),
+                   F.col(user_col).alias("_u")).distinct())
+    sz = m.groupBy("_s").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a, b = m.alias("a"), m.alias("b")
+    inter = (a.join(b, (F.col("a._u") == F.col("b._u"))
+                    & (F.col("a._s") < F.col("b._s")))
+             .groupBy(F.col("a._s").alias("seg_a"),
+                      F.col("b._s").alias("seg_b"))
+             .agg(F.count(F.lit(1)).cast("long").alias("n_common")))
+    return (inter
+            .join(F.broadcast(sz.select(F.col("_s").alias("seg_a"),
+                                        F.col("n").alias("n_a"))), "seg_a")
+            .join(F.broadcast(sz.select(F.col("_s").alias("seg_b"),
+                                        F.col("n").alias("n_b"))), "seg_b")
+            .select("seg_a", "seg_b", "n_common", "n_a", "n_b"))

@@ -666,3 +666,62 @@ def test_trimmed_mean_matches_python(spark):
                    float(sum(kept)) / float(len(kept)))
     assert got == want
     assert got["h"] == (1, 1, 5, 5.0)
+
+
+def test_simplify_radial_matches_python(spark):
+    rng = np.random.default_rng(3)
+    rows = [(int(rng.integers(0, 3)), i * 1_000_000, i,
+             int(rng.integers(0, 100)), int(rng.integers(0, 100)))
+            for i in range(150)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["k", "ts_us", "eid", "x", "y"]))
+    df = df.withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+    got = sorted((r["k"], r["pos"], r["x"], r["y"]) for r in
+                 ops.simplify_radial(df, ["k"], ["ts", "eid"],
+                                     "x", "y", eps=30).collect())
+    by_k = {}
+    for k, ts, eid, x, y in sorted(rows):
+        by_k.setdefault(k, []).append((x, y))
+    want = []
+    for k, pts in by_k.items():
+        lx = ly = None
+        for i, (x, y) in enumerate(pts, start=1):
+            if i == 1 or (x - lx) ** 2 + (y - ly) ** 2 >= 900:
+                want.append((k, i, x, y))
+                lx, ly = x, y
+    assert got == sorted(want)
+    assert 0 < len(got) < len(rows)  # something kept, something dropped
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ops.simplify_radial(df, ["k"], ["ts", "eid"], "x", "y", eps=0)
+    big = df.withColumn("x", F.col("x") + (1 << 31))
+    with _pt.raises(ValueError):
+        ops.simplify_radial(big, ["k"], ["ts", "eid"], "x", "y", eps=30)
+
+
+def test_negative_sampling_properties(spark):
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": range(17)}))
+    out = ops.negative_sampling(df, "doc_id", k=4).collect()
+    assert len(out) == 17 * 4
+    for r in out:
+        assert r["neg_id"] != r["anchor_id"]        # never the anchor
+        assert 0 <= r["neg_id"] < 17
+    # retry-stability: identical output on a re-run with repartition
+    out2 = ops.negative_sampling(df.repartition(5), "doc_id", k=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ops.negative_sampling(df, "doc_id", k=0)
+    one = spark.createDataFrame(pd.DataFrame({"doc_id": [7]}))
+    with _pt.raises(ValueError):
+        ops.negative_sampling(one, "doc_id", k=1)
+
+
+def test_audience_overlap_known(spark):
+    rows = [("a", 1), ("a", 2), ("a", 3), ("a", 3),  # dup membership
+            ("b", 2), ("b", 3), ("c", 9)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["s", "u"]))
+    got = {(r["seg_a"], r["seg_b"]): (r["n_common"], r["n_a"], r["n_b"])
+           for r in ops.audience_overlap(df, "s", "u").collect()}
+    # only intersecting pairs appear; duplicates collapse
+    assert got == {("a", "b"): (2, 3, 2)}
