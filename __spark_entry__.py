@@ -1741,6 +1741,40 @@ def q_stream_histogram(spark, sf_dir):
     return spark.table("shist_bins")
 
 
+def q_stream_static_join(spark, sf_dir):
+    """STREAM-STATIC join — the canonical Structured Streaming
+    enrichment pattern this suite hadn't pinned yet: the event stream
+    joins the static customer dimension (stateless — the dim is just a
+    batch side Spark broadcasts per micro-batch, no join state at all)
+    and feeds a complete-mode aggregate whose state is bounded at one
+    row per market segment.  Three micro-batches accumulate to exactly
+    the batch join + group-by, which is what the oracle states."""
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer")
+    path = tempfile.mkdtemp(prefix="ssj_")
+    ev.repartition(3).write.mode("overwrite").parquet(path)
+    schema = spark.read.parquet(path).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(path))
+    j = stream.join(
+        F.broadcast(cust.select(F.col("c_custkey").alias("user_id"),
+                                "c_mktsegment")), "user_id")
+    agg = (j.groupBy("c_mktsegment")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.sum(F.floor(F.col("value") * 100).cast("long"))
+                .cast("long").alias("sum_cents")))
+    spark.sql("DROP TABLE IF EXISTS ssj_out")
+    q = (agg.writeStream.outputMode("complete").format("memory")
+         .queryName("ssj_out").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table("ssj_out")
+
+
 _CUR_MINTOK = 12
 _CUR_CAP = 128
 _CUR_FRACS = {f"src{i}": (1.0 if i % 2 == 0 else 0.5) for i in range(20)}
@@ -3643,6 +3677,79 @@ def q_triangle_counts(spark, sf_dir):
     return triangle_counts(_pr_edges(docs))
 
 
+_KCORE_K = 28
+_KCORE_ROUNDS = 8
+
+
+def _kcore_edges(ev):
+    """Deterministic dense-hub graph for the peeling query: integer
+    DIVISION inside the generator breaks the mod-N ring homomorphism
+    (a pure polynomial mod N collapses to a functional graph — every
+    residue class maps to ONE dst), and routing every 4th event into a
+    96-node block plants a dense subgraph that survives peeling while
+    the 512-node periphery dies.  Pure integer arithmetic — DuckDB
+    derives the identical edge set."""
+    eid = F.col("event_id").cast("long")
+    mixed = (eid * 48271 - F.pmod(eid * 48271, F.lit(97))) / F.lit(97)
+    hub = F.pmod(eid, F.lit(4)) == 0
+    src = F.when(hub, F.pmod(eid, F.lit(96))).otherwise(
+        F.pmod(eid, F.lit(512)))
+    dst = F.when(hub, F.pmod(mixed.cast("long"), F.lit(96))).otherwise(
+        F.pmod(mixed.cast("long"), F.lit(512)))
+    return (ev.select(src.alias("src"), dst.alias("dst"))
+            .filter(F.col("src") != F.col("dst")).distinct())
+
+
+def q_k_core(spark, sf_dir):
+    """k-core decomposition (engine/graph.py k_core): iterative peeling
+    of nodes under degree {_KCORE_K} — the dense-subgraph / spam-cluster
+    primitive; at this k the planted 96-node hub block survives while
+    the periphery peels away over ~5 passes.  The oracle replays the
+    EXACT contract — {_KCORE_ROUNDS} chained edge-peeling rounds then
+    the final degree filter — as generated CTEs."""
+    from engine.graph import k_core
+    ev = _t(spark, sf_dir, "events")
+    return k_core(_kcore_edges(ev), k=_KCORE_K, rounds=_KCORE_ROUNDS)
+
+
+def _kcore_oracle_sql() -> str:
+    rounds = []
+    for i in range(_KCORE_ROUNDS):
+        rounds.append(f"""
+d{i} AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT u AS node FROM e{i} UNION ALL SELECT v FROM e{i}) GROUP BY node
+),
+k{i} AS (SELECT node FROM d{i} WHERE deg >= {_KCORE_K}),
+e{i + 1} AS MATERIALIZED (
+  SELECT e.u, e.v FROM e{i} e
+  JOIN k{i} a ON a.node = e.u
+  JOIN k{i} b ON b.node = e.v
+)""")
+    last = _KCORE_ROUNDS
+    return f"""
+WITH raw AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT CASE WHEN event_id % 4 = 0 THEN CAST(event_id AS BIGINT) % 96
+                ELSE CAST(event_id AS BIGINT) % 512 END AS src,
+           CASE WHEN event_id % 4 = 0
+                THEN ((CAST(event_id AS BIGINT) * 48271) // 97) % 96
+                ELSE ((CAST(event_id AS BIGINT) * 48271) // 97) % 512 END
+             AS dst
+    FROM events
+  ) WHERE src != dst
+),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM raw),{",".join(rounds)}
+SELECT node, CAST(deg AS BIGINT) AS deg FROM (
+  SELECT node, count(*) AS deg FROM (
+    SELECT u AS node FROM e{last} UNION ALL SELECT v FROM e{last})
+  GROUP BY node
+) WHERE deg >= {_KCORE_K}
+"""
+
+
 _JPJ_TAU_PCT = 20
 
 
@@ -4253,6 +4360,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simplify_radial": q_simplify_radial,
         "negative_sampling": q_negative_sampling,
         "audience_overlap": q_audience_overlap,
+        "stream_static_join": q_stream_static_join,
+        "k_core": q_k_core,
     }
 
 
@@ -8314,6 +8423,7 @@ WHERE 100 * i.i >= {_JPJ_TAU_PCT} * (sa.n + sb.n - i.i)
         # triangle counting by DEFINITION: canonical u<v<w three-way join
         # over the deduped undirected edge set (the engine's degree-ordered
         # orientation finds the identical triangle set)
+        "k_core": _kcore_oracle_sql(),
         "triangle_counts": f"""
 WITH raw AS (
   SELECT DISTINCT src, dst FROM (
@@ -8675,6 +8785,15 @@ s AS (SELECT anchor_id, neg_rank,
       FROM h CROSS JOIN nn)
 SELECT s.anchor_id, s.neg_rank, o.id AS neg_id
 FROM s JOIN o ON o.r = s.tr
+""",
+        # stream-static join + bounded agg == the batch join + group-by
+        "stream_static_join": """
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(e.value * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM events e JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY c.c_mktsegment
 """,
         # segment overlap: distinct membership self-join + sizes
         "audience_overlap": """

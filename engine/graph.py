@@ -221,3 +221,64 @@ def triangle_counts(edges: DataFrame,
     return (deg.select("node").join(counts, "node", "left")
             .select("node", F.coalesce("n_triangles", F.lit(0))
                     .cast("long").alias("n_triangles")))
+
+
+def k_core(edges: DataFrame, k: int, rounds: int,
+           src: str = "src", dst: str = "dst") -> DataFrame:
+    """k-core decomposition by iterative peeling over the UNDIRECTED
+    simple graph (direction/duplicates collapse, self loops drop):
+    repeatedly delete nodes of degree < k together with their incident
+    edges, up to `rounds` passes with an early stop when a pass deletes
+    nothing.  Returns the surviving nodes with their within-core degree
+    (node long, deg long) — the dense-subgraph / spam-cluster primitive.
+
+    Semantics contract (what an oracle must replay): EXACTLY `rounds`
+    edge-peeling passes (early stop only skips provably-identical
+    passes — an unchanged edge COUNT implies an unchanged edge SET
+    since each pass only deletes), then one final degree->=k node
+    selection over the surviving edge set.  At the fixpoint this equals
+    the classical k-core; before it, both engines compute the identical
+    intermediate state.
+
+    100-TB shape: the canonical edge set is hash-partitioned once and
+    re-persisted per round; each pass is one combinable degree count
+    (node-sized), a filter, and two semi joins of the edge table
+    against the (tiny) surviving-node set; localCheckpoint truncates
+    lineage so the loop stays O(1) plan-depth per round — the same
+    driver-loop cadence as pagerank/bfs (SURVEY O4 posture).  Pure
+    integer arithmetic throughout.
+    """
+    if k < 1:
+        raise ValueError("k_core: k must be >= 1")
+    if rounds < 0:
+        raise ValueError("k_core: rounds must be >= 0")
+    e = (edges.select(F.least(F.col(src), F.col(dst)).cast("long")
+                      .alias("u"),
+                      F.greatest(F.col(src), F.col(dst)).cast("long")
+                      .alias("v"))
+         .filter(F.col("u") != F.col("v")).distinct()
+         .repartition("u").localCheckpoint(eager=True))
+
+    def _deg(ed):
+        return (ed.select(F.col("u").alias("node"))
+                .unionAll(ed.select(F.col("v").alias("node")))
+                .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+
+    n_edges = e.count()
+    for _ in range(rounds):
+        keep = _deg(e).filter(F.col("deg") >= k).select("node")
+        ne = (e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+              .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+              .select("u", "v").localCheckpoint(eager=True))
+        n_new = ne.count()
+        old = e
+        e = ne
+        old.unpersist()
+        if n_new == n_edges:
+            break
+        n_edges = n_new
+    out = _deg(e).filter(F.col("deg") >= k).select(
+        "node", F.col("deg").cast("long").alias("deg"))
+    res = out.localCheckpoint(eager=True)
+    e.unpersist()
+    return res

@@ -7,7 +7,7 @@ import pandas as pd
 import pytest
 
 from engine.graph import (DAMP_DEN, DAMP_NUM, RANK_SCALE, bfs_levels,
-                          pagerank, triangle_counts)
+                          k_core, pagerank, triangle_counts)
 
 
 def _numpy_pagerank(edges: list[tuple[int, int]], iters: int):
@@ -171,3 +171,61 @@ def test_triangles_skewed_hub(spark):
     got = _run_tri(spark, edges)
     assert got == _python_triangles(edges)
     assert got[0] == n - 2  # hub in every ring triangle
+
+
+# -------------------------------------------------------------- k-core
+
+
+def _python_kcore(edges, k, rounds):
+    """Independent replay of the exact contract: `rounds` edge-peeling
+    passes (early stop on no change), then the final degree>=k node
+    selection over surviving edges."""
+    e = {tuple(sorted(p)) for p in edges if p[0] != p[1]}
+    for _ in range(rounds):
+        deg = {}
+        for u, v in e:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        ne = {(u, v) for u, v in e if u in keep and v in keep}
+        if ne == e:
+            break
+        e = ne
+    deg = {}
+    for u, v in e:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    return {n: d for n, d in deg.items() if d >= k}
+
+
+def _run_kcore(spark, edges, k, rounds):
+    df = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    return {r["node"]: r["deg"]
+            for r in k_core(df, k=k, rounds=rounds).collect()}
+
+
+def test_kcore_matches_python(spark):
+    rng = np.random.default_rng(19)
+    n = 40
+    edges = sorted({(int(a), int(b))
+                    for a, b in rng.integers(0, n, size=(260, 2))
+                    if a != b})
+    for k in (3, 6, 9):
+        for rounds in (0, 1, 2, 10):
+            assert _run_kcore(spark, edges, k, rounds) == \
+                _python_kcore(edges, k, rounds)
+
+
+def test_kcore_planted_clique_survives(spark):
+    # K6 clique (every node degree 5) + a pendant chain: at k=3 the
+    # chain peels away completely, the clique survives intact.
+    clique = [(i, j) for i in range(6) for j in range(i + 1, 6)]
+    chain = [(5, 10), (10, 11), (11, 12)]
+    got = _run_kcore(spark, clique + chain, 3, 10)
+    assert got == {i: 5 for i in range(6)}
+    import pytest as _pt
+    df = spark.createDataFrame(pd.DataFrame(clique, columns=["src", "dst"]))
+    with _pt.raises(ValueError):
+        k_core(df, k=0, rounds=3)
+    with _pt.raises(ValueError):
+        k_core(df, k=2, rounds=-1)

@@ -584,7 +584,9 @@ def test_no_cartesian_or_rowwise_python_in_hot_plans(spark):
            "global_ordinal", "ewma_values", "weighted_median",
            "linreg_trend", "triangle_counts", "jaccard_prefix_join",
            "interval_coverage", "skyline_2d", "bfs_distances",
-           "pmi_collocations"]
+           "pmi_collocations", "asof_nearest", "running_median",
+           "polygon_stats", "cusum_alarm", "top_paths", "trimmed_mean",
+           "simplify_radial", "negative_sampling", "audience_overlap"]
     sf = "/root/testdata/sf0.001"
     bad = {}
     for name in hot:
