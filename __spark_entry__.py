@@ -3750,6 +3750,105 @@ SELECT node, CAST(deg AS BIGINT) AS deg FROM (
 """
 
 
+_BK_K = 5
+
+
+def q_sample_bottomk(spark, sf_dir):
+    """Deterministic per-group bottom-k sample (ops.sample_bottomk):
+    five events per type by smallest portable hash — the mergeable
+    bottom-k sketch / uniform-without-replacement sample that stays
+    identical under retries and repartitioning (Spark's own sample() is
+    partition-seeded RNG and is neither)."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select("event_type", "event_id")
+    return ops.sample_bottomk(d, ["event_type"], "event_id", k=_BK_K)
+
+
+_LPA_ROUNDS = 4
+
+
+def q_label_propagation(spark, sf_dir):
+    """Deterministic synchronous label propagation (engine/graph.py
+    label_propagation): every node adopts the min label among its
+    neighbors' most frequent labels each round — the async-LPA
+    nondeterminism traded for a total tie order so a fixed-round
+    declarative replay is a true oracle; run on the dense-hub peeling
+    graph for {_LPA_ROUNDS} rounds."""
+    from engine.graph import label_propagation
+    ev = _t(spark, sf_dir, "events")
+    return label_propagation(_kcore_edges(ev), rounds=_LPA_ROUNDS)
+
+
+def _lpa_oracle_sql() -> str:
+    rounds = []
+    for i in range(_LPA_ROUNDS):
+        rounds.append(f"""
+c{i} AS (
+  SELECT a.node, l.label, count(*) AS cnt
+  FROM adj a JOIN l{i} l ON l.node = a.nbr
+  GROUP BY a.node, l.label
+),
+l{i + 1} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+               ORDER BY cnt DESC, label ASC) AS rk
+    FROM c{i}) WHERE rk = 1
+)""")
+    return f"""
+WITH raw AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT CASE WHEN event_id % 4 = 0 THEN CAST(event_id AS BIGINT) % 96
+                ELSE CAST(event_id AS BIGINT) % 512 END AS src,
+           CASE WHEN event_id % 4 = 0
+                THEN ((CAST(event_id AS BIGINT) * 48271) // 97) % 96
+                ELSE ((CAST(event_id AS BIGINT) * 48271) // 97) % 512 END
+             AS dst
+    FROM events
+  ) WHERE src != dst
+),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM raw
+),
+adj AS MATERIALIZED (
+  SELECT u AS node, v AS nbr FROM e0
+  UNION ALL SELECT v AS node, u AS nbr FROM e0
+),
+l0 AS MATERIALIZED (SELECT DISTINCT node, node AS label FROM adj),{",".join(rounds)}
+SELECT node, CAST(label AS BIGINT) AS label FROM l{_LPA_ROUNDS}
+"""
+
+
+def q_a9_rollup(spark, sf_dir):
+    """ROLLUP completes the grouping family next to a9_cube /
+    a9_grouping_sets: hierarchical (event_type, bucket) subtotals with
+    grouping() flags — one Expand, all-integer aggregates."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select("event_type",
+                  (F.col("user_id") % 10).cast("long").alias("bucket"),
+                  F.floor(F.col("value") * 100).cast("long")
+                  .alias("v_cents"))
+    return (d.rollup("event_type", "bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum("v_cents").cast("long").alias("sum_cents"),
+                 F.grouping("event_type").cast("long").alias("g_type"),
+                 F.grouping("bucket").cast("long").alias("g_bucket"))
+            .select("event_type", "bucket", "n", "sum_cents",
+                    "g_type", "g_bucket"))
+
+
+def q_w10_ratio_to_report(spark, sf_dir):
+    """ratio_to_report — the classic OLAP window Spark has no named
+    function for: each event's share of its type's total value, ONE
+    IEEE division over exact integer sums (bit-portable)."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.floor(F.col("value") * 100).cast("long")
+    tot = F.sum(v).over(Window.partitionBy("event_type"))
+    return ev.select(
+        "event_id", v.alias("v_cents"),
+        (v.cast("double") / tot.cast("double")).alias("share"))
+
+
 _JPJ_TAU_PCT = 20
 
 
@@ -4362,6 +4461,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audience_overlap": q_audience_overlap,
         "stream_static_join": q_stream_static_join,
         "k_core": q_k_core,
+        "label_propagation": q_label_propagation,
+        "a9_rollup": q_a9_rollup,
+        "sample_bottomk": q_sample_bottomk,
+        "w10_ratio_to_report": q_w10_ratio_to_report,
     }
 
 
@@ -8424,6 +8527,45 @@ WHERE 100 * i.i >= {_JPJ_TAU_PCT} * (sa.n + sb.n - i.i)
         # over the deduped undirected edge set (the engine's degree-ordered
         # orientation finds the identical triangle set)
         "k_core": _kcore_oracle_sql(),
+        "label_propagation": _lpa_oracle_sql(),
+        # bottom-k by portable hash: identical rank + filter
+        "sample_bottomk": """
+WITH h AS (
+  SELECT event_type, event_id,
+         CAST('0x' || substr(md5('bk|' || CAST(event_id AS VARCHAR)),
+              1, 15) AS BIGINT) AS hh
+  FROM events
+),
+r AS (
+  SELECT event_type, event_id,
+         CAST(row_number() OVER (PARTITION BY event_type
+              ORDER BY hh, event_id) AS BIGINT) AS sample_rank
+  FROM h
+)
+SELECT event_type, event_id, sample_rank FROM r WHERE sample_rank <= 5
+""",
+        # ROLLUP completes the grouping family
+        "a9_rollup": """
+SELECT event_type, bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(v_cents) AS BIGINT) AS sum_cents,
+       CAST(grouping(event_type) AS BIGINT) AS g_type,
+       CAST(grouping(bucket) AS BIGINT) AS g_bucket
+FROM (SELECT event_type, user_id % 10 AS bucket,
+             CAST(floor(value * 100) AS BIGINT) AS v_cents
+      FROM events)
+GROUP BY ROLLUP (event_type, bucket)
+""",
+        # ratio_to_report: one IEEE division over exact integer sums
+        "w10_ratio_to_report": """
+SELECT event_id,
+       CAST(floor(value * 100) AS BIGINT) AS v_cents,
+       CAST(CAST(floor(value * 100) AS BIGINT) AS DOUBLE)
+         / CAST(CAST(sum(CAST(floor(value * 100) AS BIGINT))
+                OVER (PARTITION BY event_type) AS BIGINT) AS DOUBLE)
+         AS share
+FROM events
+""",
         "triangle_counts": f"""
 WITH raw AS (
   SELECT DISTINCT src, dst FROM (

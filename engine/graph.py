@@ -282,3 +282,56 @@ def k_core(edges: DataFrame, k: int, rounds: int,
     res = out.localCheckpoint(eager=True)
     e.unpersist()
     return res
+
+
+def label_propagation(edges: DataFrame, rounds: int,
+                      src: str = "src", dst: str = "dst") -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation over the
+    undirected simple graph, made fully deterministic: labels start as
+    node ids; each round every node adopts the minimum label among the
+    most frequent labels of its neighbors (ties on frequency break to
+    the smaller label; isolated-by-dedup nodes don't exist, and a node
+    with no neighbors after canonicalization keeps its own label, which
+    cannot happen here since every canonical edge yields two
+    adjacencies).  Returns (node long, label long) after EXACTLY
+    `rounds` synchronous updates — pure integer arithmetic with a total
+    tie order, so a fixed-round declarative replay is a true oracle
+    (classic async LPA is nondeterministic BY DESIGN; the synchronous
+    min-tie variant trades a little convergence speed for an exactness
+    contract).
+
+    100-TB shape: the canonical adjacency is materialized once, hash-
+    partitioned by node and persisted; each round is one co-located
+    join of the (node, label) table against it, a combinable
+    (node, label) count, and one min-struct agg per node —
+    label-table-sized exchanges only; localCheckpoint truncates lineage
+    per round (the pagerank/BFS O4 cadence).
+    """
+    if rounds < 0:
+        raise ValueError("label_propagation: rounds must be >= 0")
+    e = (edges.select(F.least(F.col(src), F.col(dst)).cast("long")
+                      .alias("u"),
+                      F.greatest(F.col(src), F.col(dst)).cast("long")
+                      .alias("v"))
+         .filter(F.col("u") != F.col("v")).distinct())
+    adj = (e.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+           .unionAll(e.select(F.col("v").alias("node"),
+                              F.col("u").alias("nbr")))
+           .repartition("node").localCheckpoint(eager=True))
+    labels = (adj.select("node").distinct()
+              .select("node", F.col("node").alias("label"))
+              .localCheckpoint(eager=True))
+    for _ in range(rounds):
+        nl = (adj.join(labels.withColumnRenamed("node", "nbr"), "nbr")
+              .groupBy("node", "label")
+              .agg(F.count(F.lit(1)).alias("cnt")))
+        pick = (nl.groupBy("node")
+                .agg(F.min(F.struct((-F.col("cnt")).alias("nc"),
+                                    F.col("label").alias("l")))
+                     .alias("_b"))
+                .select("node", F.col("_b.l").alias("label")))
+        new = pick.localCheckpoint(eager=True)
+        labels.unpersist()
+        labels = new
+    return labels.select("node", F.col("label").cast("long")
+                         .alias("label"))

@@ -1320,3 +1320,30 @@ def audience_overlap(df: DataFrame, seg_col: str, user_col: str,
             .join(F.broadcast(sz.select(F.col("_s").alias("seg_b"),
                                         F.col("n").alias("n_b"))), "seg_b")
             .select("seg_a", "seg_b", "n_common", "n_a", "n_b"))
+
+
+def sample_bottomk(df: DataFrame, keys: Sequence[str], id_col: str,
+                   k: int, salt: str = "bk") -> DataFrame:
+    """Deterministic uniform without-replacement sample of k rows per
+    group — bottom-k by portable hash: rank rows by (md5_60(salt‖id),
+    id) and keep the k smallest.  The classic distinct-sampling
+    primitive (a mergeable bottom-k sketch: the union's bottom-k is the
+    bottom-k of the parts' bottom-k's), retry-stable and
+    partitioning-independent where Spark's sample()/sampleBy() are
+    partition-seeded RNG.
+
+    100-TB shape: one (keys) exchange + per-key TOP-K window (rank
+    window with a k filter plans as WindowGroupLimit — per-partition
+    heaps, map-side partial limit, never a full per-key sort spill).
+    """
+    if k < 1:
+        raise ValueError("sample_bottomk: k must be >= 1")
+    h = F.conv(F.substring(F.md5(F.concat_ws(
+        "|", F.lit(salt), F.col(id_col).cast("string"))), 1, 15),
+        16, 10).cast("long")
+    w = Window.partitionBy(*keys).orderBy("_h", id_col)
+    return (df.withColumn("_h", h)
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= k)
+            .select(*df.columns, F.col("_rk").cast("long")
+                    .alias("sample_rank")))

@@ -7,7 +7,8 @@ import pandas as pd
 import pytest
 
 from engine.graph import (DAMP_DEN, DAMP_NUM, RANK_SCALE, bfs_levels,
-                          k_core, pagerank, triangle_counts)
+                          k_core, label_propagation, pagerank,
+                          triangle_counts)
 
 
 def _numpy_pagerank(edges: list[tuple[int, int]], iters: int):
@@ -229,3 +230,58 @@ def test_kcore_planted_clique_survives(spark):
         k_core(df, k=0, rounds=3)
     with _pt.raises(ValueError):
         k_core(df, k=2, rounds=-1)
+
+
+# ------------------------------------------------- label propagation
+
+
+def _python_lpa(edges, rounds):
+    """Independent synchronous min-tie LPA replay."""
+    und = {tuple(sorted(p)) for p in edges if p[0] != p[1]}
+    adj = {}
+    for u, v in und:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    lab = {n: n for n in adj}
+    for _ in range(rounds):
+        new = {}
+        for n, nbrs in adj.items():
+            freq = {}
+            for m in nbrs:
+                freq[lab[m]] = freq.get(lab[m], 0) + 1
+            best = min(freq.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            new[n] = best
+        lab = new
+    return lab
+
+
+def test_lpa_matches_python(spark):
+    rng = np.random.default_rng(47)
+    n = 36
+    edges = sorted({(int(a), int(b))
+                    for a, b in rng.integers(0, n, size=(180, 2))
+                    if a != b})
+    for rounds in (0, 1, 3, 5):
+        df = spark.createDataFrame(
+            pd.DataFrame(edges, columns=["src", "dst"]))
+        got = {r["node"]: r["label"]
+               for r in label_propagation(df, rounds=rounds).collect()}
+        assert got == _python_lpa(edges, rounds)
+
+
+def test_lpa_two_cliques_bridge(spark):
+    # two K4 cliques joined by one bridge: after a few rounds each
+    # clique converges to its min node id; labels never cross the bridge
+    # enough to merge under the min-frequency-tie rule.
+    c1 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    c2 = [(i, j) for i in range(10, 14) for j in range(i + 1, 14)]
+    edges = c1 + c2 + [(3, 10)]
+    df = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    got = {r["node"]: r["label"]
+           for r in label_propagation(df, rounds=6).collect()}
+    assert got == _python_lpa(edges, 6)
+    assert all(got[i] == 0 for i in range(4))
+    assert len({got[i] for i in range(10, 14)}) == 1
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        label_propagation(df, rounds=-1)

@@ -586,7 +586,8 @@ def test_no_cartesian_or_rowwise_python_in_hot_plans(spark):
            "interval_coverage", "skyline_2d", "bfs_distances",
            "pmi_collocations", "asof_nearest", "running_median",
            "polygon_stats", "cusum_alarm", "top_paths", "trimmed_mean",
-           "simplify_radial", "negative_sampling", "audience_overlap"]
+           "simplify_radial", "negative_sampling", "audience_overlap",
+           "a9_rollup", "w10_ratio_to_report", "sample_bottomk"]
     sf = "/root/testdata/sf0.001"
     bad = {}
     for name in hot:

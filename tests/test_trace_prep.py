@@ -725,3 +725,29 @@ def test_audience_overlap_known(spark):
            for r in ops.audience_overlap(df, "s", "u").collect()}
     # only intersecting pairs appear; duplicates collapse
     assert got == {("a", "b"): (2, 3, 2)}
+
+
+def test_sample_bottomk_deterministic_and_mergeable(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": ["a"] * 30 + ["b"] * 3,
+                      "i": list(range(30)) + [100, 101, 102]}))
+    got = sorted((r["k"], r["i"], r["sample_rank"]) for r in
+                 ops.sample_bottomk(df, ["k"], "i", k=5).collect())
+    # repartition-stability (Spark's own sample() fails this)
+    got2 = sorted((r["k"], r["i"], r["sample_rank"]) for r in
+                  ops.sample_bottomk(df.repartition(7), ["k"], "i",
+                                     k=5).collect())
+    assert got == got2
+    assert sum(1 for k, _, _ in got if k == "a") == 5
+    assert sum(1 for k, _, _ in got if k == "b") == 3  # fewer rows than k
+    # mergeability: bottom-k of the union == bottom-k of parts' bottom-k
+    half1 = df.filter(F.col("i") % 2 == 0)
+    half2 = df.filter(F.col("i") % 2 == 1)
+    parts = ops.sample_bottomk(half1, ["k"], "i", k=5).unionByName(
+        ops.sample_bottomk(half2, ["k"], "i", k=5)).drop("sample_rank")
+    merged = sorted((r["k"], r["i"], r["sample_rank"]) for r in
+                    ops.sample_bottomk(parts, ["k"], "i", k=5).collect())
+    assert merged == got
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ops.sample_bottomk(df, ["k"], "i", k=0)
