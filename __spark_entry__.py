@@ -3750,6 +3750,30 @@ SELECT node, CAST(deg AS BIGINT) AS deg FROM (
 """
 
 
+def q_gini_concentration(spark, sf_dir):
+    """Exact Gini coefficient (ops.gini_coefficient): value
+    concentration per event type via the rank formula over the
+    ascending sort — integer evidence (n, Σx, Σi·x) plus one IEEE
+    division; tie order provably cannot change the sum."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select("event_type",
+                  F.floor(F.col("value") * 100).cast("long")
+                  .alias("v_cents"))
+    return ops.gini_coefficient(d, ["event_type"], "v_cents")
+
+
+def q_lift_table(spark, sf_dir):
+    """Model-eval lift/gains table (ops.lift_table): events ranked by
+    value descending, cut into deciles, per-bucket positives
+    (purchases) with cumulative lift — exact integer evidence + fixed
+    IEEE trees; ntile semantics identical across engines (first n mod b
+    buckets take the extra row)."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select("event_id", "value",
+                  (F.col("event_type") == "purchase").alias("is_pos"))
+    return ops.lift_table(d, "value", "is_pos", "event_id", n_buckets=10)
+
+
 _BK_K = 5
 
 
@@ -4465,6 +4489,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a9_rollup": q_a9_rollup,
         "sample_bottomk": q_sample_bottomk,
         "w10_ratio_to_report": q_w10_ratio_to_report,
+        "gini_concentration": q_gini_concentration,
+        "lift_table": q_lift_table,
     }
 
 
@@ -8555,6 +8581,61 @@ FROM (SELECT event_type, user_id % 10 AS bucket,
              CAST(floor(value * 100) AS BIGINT) AS v_cents
       FROM events)
 GROUP BY ROLLUP (event_type, bucket)
+""",
+        # exact Gini: rank formula, integer evidence + one IEEE division
+        "gini_concentration": """
+WITH d AS (
+  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v FROM events
+),
+r AS (
+  SELECT event_type, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn
+  FROM d
+),
+g AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(v) AS BIGINT) AS sum_v,
+         CAST(sum(rn * v) AS BIGINT) AS wrs
+  FROM r GROUP BY event_type
+)
+SELECT event_type, n, sum_v, wrs,
+       CASE WHEN sum_v > 0
+            THEN CAST(2 * wrs - (n + 1) * sum_v AS DOUBLE)
+                 / CAST(n * sum_v AS DOUBLE) END AS gini
+FROM g
+""",
+        # lift table: identical ntile cut + cumulative integer evidence
+        "lift_table": """
+WITH d AS (
+  SELECT event_id, value,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+),
+b AS (
+  SELECT *, CAST(ntile(10) OVER (ORDER BY value DESC, event_id)
+                 AS BIGINT) AS bkt
+  FROM d
+),
+g AS (
+  SELECT bkt, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS n_pos
+  FROM b GROUP BY bkt
+),
+c AS (
+  SELECT bkt, n, n_pos,
+         CAST(sum(n) OVER (ORDER BY bkt ROWS BETWEEN UNBOUNDED PRECEDING
+              AND CURRENT ROW) AS BIGINT) AS cum_n,
+         CAST(sum(n_pos) OVER (ORDER BY bkt ROWS BETWEEN UNBOUNDED
+              PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos,
+         CAST(sum(n) OVER () AS BIGINT) AS tn,
+         CAST(sum(n_pos) OVER () AS BIGINT) AS tp
+  FROM g
+)
+SELECT bkt AS bucket, n, n_pos, cum_n, cum_pos,
+       CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS pos_rate,
+       CASE WHEN tp > 0 THEN CAST(cum_pos * tn AS DOUBLE)
+            / CAST(cum_n * tp AS DOUBLE) END AS cum_lift
+FROM c
 """,
         # ratio_to_report: one IEEE division over exact integer sums
         "w10_ratio_to_report": """

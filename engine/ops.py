@@ -1347,3 +1347,89 @@ def sample_bottomk(df: DataFrame, keys: Sequence[str], id_col: str,
             .filter(F.col("_rk") <= k)
             .select(*df.columns, F.col("_rk").cast("long")
                     .alias("sample_rank")))
+
+
+def gini_coefficient(df: DataFrame, keys: Sequence[str],
+                     val_col: str) -> DataFrame:
+    """Exact Gini concentration coefficient per key over non-negative
+    integer values — "how unequal is traffic/volume across hosts", the
+    standard skew KPI.  Uses the rank formula over the ascending sort:
+    G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx), emitted as exact integer
+    evidence (n, sum_v, weighted_rank_sum) plus gini = ONE IEEE division
+    of the two exact int64 sides.  Tied values contribute identically
+    under any tie order (equal x swaps change nothing), so the result is
+    engine-independent; groups with Σx = 0 return NULL.
+
+    Overflow envelope ENFORCED: n·max(x) < 2³¹ bounds Σ i·x ≤ n·n·max(x)
+    below 2⁶² (one tiny pre-agg check; negative values also raise —
+    Gini is defined on non-negative quantities).
+
+    100-TB shape: one per-key ordered window (rank) + one combinable
+    agg; per-key state is a row counter.
+    """
+    v = F.col(val_col).cast("long")
+    pre = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("_n"), F.max(v).alias("_mx"),
+        F.min(v).alias("_mn"))
+    env = pre.agg(F.max(F.col("_n") * F.col("_mx")),
+                  F.min("_mn")).collect()[0]
+    if env[1] is not None and env[1] < 0:
+        raise ValueError("gini_coefficient: values must be non-negative")
+    if env[0] is not None and env[0] >= (1 << 31):
+        raise ValueError(
+            f"gini_coefficient: n*max(x) = {env[0]} breaches the int64 "
+            f"envelope (< 2^31); rescale values")
+    w = Window.partitionBy(*keys).orderBy("_v")
+    d = df.select(*keys, v.alias("_v")) \
+          .withColumn("_r", F.row_number().over(w))
+    g = d.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_v").cast("long").alias("sum_v"),
+        F.sum(F.col("_r") * F.col("_v")).cast("long").alias("wrs"))
+    num = 2 * F.col("wrs") - (F.col("n") + 1) * F.col("sum_v")
+    den = F.col("n") * F.col("sum_v")
+    gini = F.when(F.col("sum_v") > 0,
+                  num.cast("double") / den.cast("double"))
+    return g.select(*keys, "n", "sum_v", "wrs", gini.alias("gini"))
+
+
+def lift_table(df: DataFrame, score_col: str, label_col: str,
+               id_col: str, n_buckets: int = 10) -> DataFrame:
+    """Model-evaluation lift/gains table: rank rows by score DESCENDING
+    (ties broken by id for a total order), cut into n_buckets equal-ish
+    ntiles, and emit per bucket the exact integer evidence (n, n_pos,
+    cum_n, cum_pos) plus rate and cumulative lift as fixed IEEE trees
+    over those ints — "does the top decile capture the positives".
+
+    lift_k = (cum_pos/cum_n) / (total_pos/total_n), computed as
+    (cum_pos·total_n) / (cum_n·total_pos) in exact int64 then ONE
+    division — bit-portable; NULL when total_pos = 0.
+
+    100-TB shape: one global ordered rank — by design over the SCORED
+    table (model-eval sized, not corpus-sized); for corpus-scale inputs
+    compose with global_ordinal's two-phase bucket trick; then one
+    combinable bucket agg + a running window over n_buckets rows.
+    """
+    if n_buckets < 1:
+        raise ValueError("lift_table: n_buckets must be >= 1")
+    w = Window.orderBy(F.col(score_col).desc(), F.col(id_col))
+    d = df.select(F.col(score_col), F.col(id_col),
+                  F.col(label_col).cast("long").alias("_y")) \
+          .withColumn("_b", F.ntile(n_buckets).over(w).cast("long"))
+    g = d.groupBy("_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_y").cast("long").alias("n_pos"))
+    wc = (Window.orderBy("_b")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wt = Window.partitionBy()
+    c = (g.withColumn("cum_n", F.sum("n").over(wc).cast("long"))
+         .withColumn("cum_pos", F.sum("n_pos").over(wc).cast("long"))
+         .withColumn("_tn", F.sum("n").over(wt).cast("long"))
+         .withColumn("_tp", F.sum("n_pos").over(wt).cast("long")))
+    rate = F.col("n_pos").cast("double") / F.col("n").cast("double")
+    lift = F.when(F.col("_tp") > 0,
+                  (F.col("cum_pos") * F.col("_tn")).cast("double")
+                  / (F.col("cum_n") * F.col("_tp")).cast("double"))
+    return c.select(F.col("_b").alias("bucket"), "n", "n_pos",
+                    "cum_n", "cum_pos", rate.alias("pos_rate"),
+                    lift.alias("cum_lift"))

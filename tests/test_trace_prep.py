@@ -751,3 +751,46 @@ def test_sample_bottomk_deterministic_and_mergeable(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         ops.sample_bottomk(df, ["k"], "i", k=0)
+
+
+def test_gini_known_values(spark):
+    # perfectly equal values -> gini (n-1-ish formula) near 0 exactly:
+    # for x = const, 2*wrs = 2c*n(n+1)/2 = c*n*(n+1) -> num = 0
+    eq = spark.createDataFrame(
+        pd.DataFrame({"k": ["a"] * 6, "v": [10] * 6}))
+    g = ops.gini_coefficient(eq, ["k"], "v").collect()[0]
+    assert g["gini"] == 0.0
+    # one host owns everything: gini -> (n-1)/n
+    sk = spark.createDataFrame(
+        pd.DataFrame({"k": ["b"] * 5, "v": [0, 0, 0, 0, 100]}))
+    g2 = ops.gini_coefficient(sk, ["k"], "v").collect()[0]
+    assert g2["gini"] == (5 - 1) / 5
+    # exact evidence replay on random data
+    rng = np.random.default_rng(3)
+    vs = [int(x) for x in rng.integers(0, 50, 40)]
+    df = spark.createDataFrame(pd.DataFrame({"k": ["c"] * 40, "v": vs}))
+    got = ops.gini_coefficient(df, ["k"], "v").collect()[0]
+    sv = sorted(vs)
+    wrs = sum((i + 1) * x for i, x in enumerate(sv))
+    assert (got["n"], got["sum_v"], got["wrs"]) == (40, sum(vs), wrs)
+    assert got["gini"] == float(2 * wrs - 41 * sum(vs)) / float(40 * sum(vs))
+    import pytest as _pt
+    neg = spark.createDataFrame(pd.DataFrame({"k": ["d"], "v": [-1]}))
+    with _pt.raises(ValueError):
+        ops.gini_coefficient(neg, ["k"], "v")
+
+
+def test_lift_table_ranks_planted_signal(spark):
+    # positives concentrated at the top scores -> bucket 1 lift >> 1,
+    # final cumulative lift == 1 by construction
+    rows = [(i, 1000 - i, 1 if i < 20 else 0) for i in range(200)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["i", "score", "y"]))
+    got = {r["bucket"]: r for r in
+           ops.lift_table(df, "score", "y", "i", n_buckets=10).collect()}
+    assert got[1]["n_pos"] == 20 and got[1]["cum_lift"] == 10.0
+    assert got[10]["cum_lift"] == 1.0
+    assert got[10]["cum_n"] == 200 and got[10]["cum_pos"] == 20
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ops.lift_table(df, "score", "y", "i", n_buckets=0)
