@@ -3750,6 +3750,39 @@ SELECT node, CAST(deg AS BIGINT) AS deg FROM (
 """
 
 
+def q_max_drawdown(spark, sf_dir):
+    """Peak-to-trough drawdown (ops.max_drawdown): per user, the
+    largest running-max-minus-current drop of the cents series plus the
+    peak at that trough — pure integer windows, the CUSUM closed-form
+    shape; tie rule (max dd, then max peak) replayed by the oracle as a
+    two-level agg since DuckDB arg_max lacks struct tie-breakers."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select("user_id", "ts", "event_id",
+                  F.floor(F.col("value") * 100).cast("long")
+                  .alias("v_cents"))
+    return ops.max_drawdown(d, ["user_id"], "ts", "v_cents",
+                            order=["event_id"])
+
+
+_DIV_K = 25
+_DIV_PER = 3
+
+
+def q_diversified_topk(spark, sf_dir):
+    """Diversified global top-k (ops.diversified_topk): best
+    {_DIV_K} events by value with at most {_DIV_PER} per user-bucket —
+    the search-results diversity rule; the per-group heap filter kills
+    all but per_group rows per group BEFORE the global rank, so the
+    global window never sees the corpus."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select((F.col("user_id") % 20).cast("long").alias("bucket"),
+                  "event_id",
+                  F.floor(F.col("value") * 100).cast("long")
+                  .alias("v_cents"))
+    return ops.diversified_topk(d, "bucket", "v_cents", "event_id",
+                                k=_DIV_K, per_group=_DIV_PER)
+
+
 def q_gini_concentration(spark, sf_dir):
     """Exact Gini coefficient (ops.gini_coefficient): value
     concentration per event type via the rank formula over the
@@ -4491,6 +4524,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w10_ratio_to_report": q_w10_ratio_to_report,
         "gini_concentration": q_gini_concentration,
         "lift_table": q_lift_table,
+        "max_drawdown": q_max_drawdown,
+        "diversified_topk": q_diversified_topk,
     }
 
 
@@ -8581,6 +8616,51 @@ FROM (SELECT event_type, user_id % 10 AS bucket,
              CAST(floor(value * 100) AS BIGINT) AS v_cents
       FROM events)
 GROUP BY ROLLUP (event_type, bucket)
+""",
+        # max drawdown: runmax window + two-level tie agg (max dd, then
+        # max peak among rows attaining it)
+        "max_drawdown": """
+WITH d AS (
+  SELECT user_id,
+         CAST(max(CAST(floor(value * 100) AS BIGINT))
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS pk,
+         CAST(floor(value * 100) AS BIGINT) AS v
+  FROM events
+),
+dd AS (SELECT user_id, pk, pk - v AS dd FROM d),
+g AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(max(dd) AS BIGINT) AS max_dd
+  FROM dd GROUP BY user_id
+)
+SELECT g.user_id, g.n, g.max_dd,
+       CAST(max(dd.pk) AS BIGINT) AS peak
+FROM g JOIN dd ON dd.user_id = g.user_id AND dd.dd = g.max_dd
+GROUP BY g.user_id, g.n, g.max_dd
+""",
+        # diversified top-k: per-group rank filter then global rank
+        "diversified_topk": f"""
+WITH d AS (
+  SELECT user_id % 20 AS bucket, event_id,
+         CAST(floor(value * 100) AS BIGINT) AS v_cents
+  FROM events
+),
+r AS (
+  SELECT bucket, event_id, v_cents,
+         CAST(row_number() OVER (PARTITION BY bucket
+              ORDER BY v_cents DESC, event_id) AS BIGINT) AS group_rank
+  FROM d
+),
+f AS (SELECT * FROM r WHERE group_rank <= {_DIV_PER}),
+gr AS (
+  SELECT *, CAST(row_number() OVER (ORDER BY v_cents DESC, event_id)
+                 AS BIGINT) AS global_rank
+  FROM f
+)
+SELECT bucket, event_id, v_cents, group_rank, global_rank
+FROM gr WHERE global_rank <= {_DIV_K}
 """,
         # exact Gini: rank formula, integer evidence + one IEEE division
         "gini_concentration": """

@@ -1433,3 +1433,56 @@ def lift_table(df: DataFrame, score_col: str, label_col: str,
     return c.select(F.col("_b").alias("bucket"), "n", "n_pos",
                     "cum_n", "cum_pos", rate.alias("pos_rate"),
                     lift.alias("cum_lift"))
+
+
+def max_drawdown(df: DataFrame, keys: Sequence[str], ts_col: str,
+                 val_col: str,
+                 order: Sequence[str] | None = None) -> DataFrame:
+    """Maximum drawdown per key over the time-ordered integer series —
+    the classic peak-to-trough risk statistic: dd_t = runmax(x) − x_t,
+    answer = max_t dd_t, plus the running peak at that trough.  Returns
+    (keys..., n long, max_dd long, peak long) — all-integer windows
+    (runmax + a combinable max), the same closed-form-over-windows shape
+    as CUSUM: no fold, O(1) per-key window state, bit-portable.
+    """
+    ob = [F.unix_micros(F.col(ts_col).cast("timestamp"))] + \
+         [F.col(c) for c in (order or [])]
+    obn = [o.alias(f"_ob{i}") for i, o in enumerate(ob)]
+    v = F.col(val_col).cast("long")
+    d = df.select(*keys, *obn, v.alias("_v"))
+    wrun = (_w(keys, [f"_ob{i}" for i in range(len(ob))])
+            .rowsBetween(Window.unboundedPreceding, 0))
+    d = d.withColumn("_pk", F.max("_v").over(wrun))
+    d = d.withColumn("_dd", F.col("_pk") - F.col("_v"))
+    return (d.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max("_dd").cast("long").alias("max_dd"),
+        F.max_by(F.col("_pk"), F.struct(F.col("_dd"), F.col("_pk")))
+        .cast("long").alias("peak")))
+
+
+def diversified_topk(df: DataFrame, group_col: str, order_col: str,
+                     id_col: str, k: int, per_group: int) -> DataFrame:
+    """Diversified global top-k — the search-results rule "at most m per
+    domain": rank rows inside each group by (order desc, id), keep the
+    best `per_group` per group, then take the global top k by the same
+    order.  Returns the surviving rows + (group_rank long, global_rank
+    long).  All-integer ranking with id tiebreaks — deterministic and
+    engine-portable.
+
+    100-TB shape: the per-group window + filter plans as per-partition
+    heaps (WindowGroupLimit) and kills all but per_group rows per group
+    BEFORE the global rank, which then runs over at most
+    per_group·|groups| rows — the global ordered window never sees the
+    corpus.
+    """
+    if k < 1 or per_group < 1:
+        raise ValueError("diversified_topk: k and per_group must be >= 1")
+    wg = Window.partitionBy(group_col).orderBy(
+        F.col(order_col).desc(), F.col(id_col))
+    d = (df.withColumn("group_rank", F.row_number().over(wg).cast("long"))
+         .filter(F.col("group_rank") <= per_group))
+    wglob = Window.orderBy(F.col(order_col).desc(), F.col(id_col))
+    return (d.withColumn("global_rank",
+                         F.row_number().over(wglob).cast("long"))
+            .filter(F.col("global_rank") <= k))

@@ -794,3 +794,53 @@ def test_lift_table_ranks_planted_signal(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         ops.lift_table(df, "score", "y", "i", n_buckets=0)
+
+
+def test_max_drawdown_matches_python(spark):
+    rng = np.random.default_rng(23)
+    rows = [(int(rng.integers(0, 4)), i * 1_000_000, i,
+             int(rng.integers(0, 100))) for i in range(160)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["k", "ts_us", "eid", "v"]))
+    df = df.withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+    got = {r["k"]: (r["n"], r["max_dd"], r["peak"]) for r in
+           ops.max_drawdown(df, ["k"], "ts", "v",
+                            order=["eid"]).collect()}
+    by_k = {}
+    for k, ts, eid, v in sorted(rows):
+        by_k.setdefault(k, []).append(v)
+    want = {}
+    for k, vs in by_k.items():
+        pk = dd = None
+        best = (-1, -1)
+        run = vs[0]
+        for v in vs:
+            run = max(run, v)
+            best = max(best, (run - v, run))
+        want[k] = (len(vs), best[0], best[1])
+    assert got == want
+    # monotone series never draws down
+    mono = spark.createDataFrame(
+        pd.DataFrame({"k": [9] * 5, "ts_us": range(5), "eid": range(5),
+                      "v": [1, 2, 3, 4, 5]}))
+    mono = mono.withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+    r = ops.max_drawdown(mono, ["k"], "ts", "v", order=["eid"]).collect()[0]
+    assert (r["max_dd"], r["peak"]) == (0, 5)
+
+
+def test_diversified_topk_quota(spark):
+    # bucket 0 holds the 6 best scores but only 3 may survive
+    rows = [(0, i, 1000 - i) for i in range(6)] + \
+           [(1, 10 + i, 500 - i) for i in range(4)] + \
+           [(2, 20, 400)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["g", "i", "s"]))
+    got = [(r["g"], r["i"], r["group_rank"], r["global_rank"]) for r in
+           ops.diversified_topk(df, "g", "s", "i", k=5, per_group=3)
+           .orderBy("global_rank").collect()]
+    assert [x[0] for x in got] == [0, 0, 0, 1, 1]  # quota enforced
+    assert [x[3] for x in got] == [1, 2, 3, 4, 5]
+    assert all(x[2] <= 3 for x in got)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ops.diversified_topk(df, "g", "s", "i", k=0, per_group=3)
