@@ -3750,6 +3750,47 @@ SELECT node, CAST(deg AS BIGINT) AS deg FROM (
 """
 
 
+def q_golden_record(spark, sf_dir):
+    """MDM survivorship (ops.golden_record): one row per user where
+    each profile column independently keeps its most recent NON-NULL
+    value — a newer record with a null field must not erase an older
+    known value; sparse profile columns derived deterministically from
+    the event stream so both engines see identical nulls."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id", "ts", "event_id",
+        F.when(F.col("event_id") % 3 == 0,
+               F.concat(F.lit("e"), F.col("event_id").cast("string")))
+        .alias("email"),
+        F.when(F.col("event_id") % 5 == 0, F.col("event_type"))
+        .alias("segment"))
+    return ops.golden_record(d, "user_id", "ts", ["email", "segment"],
+                             order=["event_id"])
+
+
+def q_mad_scale(spark, sf_dir):
+    """Robust scale (ops.mad_scale): median absolute deviation per
+    event type — two shared-interpolation percentile passes over exact
+    integers with one IEEE subtract between them, so both doubles are
+    representation-deterministic cross-engine."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select("event_type",
+                  F.floor(F.col("value") * 100).cast("long")
+                  .alias("v_cents"))
+    return ops.mad_scale(d, ["event_type"], "v_cents")
+
+
+def q_benford_digits(spark, sf_dir):
+    """Benford first-digit audit profile (ops.benford_digits): exact
+    leading-digit counts per event type via string heads — no float log
+    anywhere; observed frequency as one IEEE division."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select("event_type",
+                  F.floor(F.col("value") * 100).cast("long")
+                  .alias("v_cents"))
+    return ops.benford_digits(d, ["event_type"], "v_cents")
+
+
 def q_max_drawdown(spark, sf_dir):
     """Peak-to-trough drawdown (ops.max_drawdown): per user, the
     largest running-max-minus-current drop of the cents series plus the
@@ -4526,6 +4567,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lift_table": q_lift_table,
         "max_drawdown": q_max_drawdown,
         "diversified_topk": q_diversified_topk,
+        "golden_record": q_golden_record,
+        "mad_scale": q_mad_scale,
+        "benford_digits": q_benford_digits,
     }
 
 
@@ -8616,6 +8660,68 @@ FROM (SELECT event_type, user_id % 10 AS bucket,
              CAST(floor(value * 100) AS BIGINT) AS v_cents
       FROM events)
 GROUP BY ROLLUP (event_type, bucket)
+""",
+        # MDM survivorship: per-column last-non-null windows + final row
+        "golden_record": """
+WITH d AS (
+  SELECT user_id,
+         CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS tsu,
+         CAST(event_id AS BIGINT) AS eid,
+         CASE WHEN event_id % 3 = 0
+              THEN 'e' || CAST(event_id AS VARCHAR) END AS email,
+         CASE WHEN event_id % 5 = 0 THEN event_type END AS segment
+  FROM events
+),
+f AS (
+  SELECT user_id, tsu,
+         last_value(email IGNORE NULLS) OVER w AS email,
+         last_value(segment IGNORE NULLS) OVER w AS segment,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY tsu DESC, eid DESC) AS rk
+  FROM d
+  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, eid
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, email, segment, tsu AS last_ts_us FROM f WHERE rk = 1
+""",
+        # MAD: two shared-interpolation percentile passes
+        "mad_scale": """
+WITH d AS (
+  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v FROM events
+),
+m AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         quantile_cont(v, 0.5) AS med
+  FROM d GROUP BY event_type
+)
+SELECT m.event_type, m.n, m.med,
+       quantile_cont(abs(CAST(d.v AS DOUBLE) - m.med), 0.5) AS mad
+FROM d JOIN m ON m.event_type = d.event_type
+GROUP BY m.event_type, m.n, m.med
+""",
+        # Benford profile: string-head digits, exact counts
+        "benford_digits": """
+WITH d AS (
+  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v FROM events
+),
+p AS (
+  SELECT event_type,
+         CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM d WHERE v > 0
+),
+c AS (SELECT event_type, digit, CAST(count(*) AS BIGINT) AS n_d
+      FROM p GROUP BY event_type, digit),
+t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_total
+      FROM p GROUP BY event_type),
+x AS (SELECT event_type,
+             CAST(sum(CASE WHEN v <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_excluded
+      FROM d GROUP BY event_type)
+SELECT c.event_type, c.digit, c.n_d, t.n_total, x.n_excluded,
+       CAST(c.n_d AS DOUBLE) / CAST(t.n_total AS DOUBLE) AS obs_freq
+FROM c
+JOIN t ON t.event_type = c.event_type
+JOIN x ON x.event_type = c.event_type
 """,
         # max drawdown: runmax window + two-level tie agg (max dd, then
         # max peak among rows attaining it)

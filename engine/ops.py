@@ -1486,3 +1486,89 @@ def diversified_topk(df: DataFrame, group_col: str, order_col: str,
     return (d.withColumn("global_rank",
                          F.row_number().over(wglob).cast("long"))
             .filter(F.col("global_rank") <= k))
+
+
+def golden_record(df: DataFrame, key: str, ts_col: str,
+                  value_cols: Sequence[str],
+                  order: Sequence[str] | None = None) -> DataFrame:
+    """Survivorship / golden-record consolidation — the MDM primitive:
+    one row per key where EACH column independently takes its most
+    recent NON-NULL value across the key's records (a newer record with
+    a null field must not erase an older known value).  Returns
+    (key, *value_cols, last_ts_us long).
+
+    Shape: one ordered window per key with last(col, ignorenulls) per
+    column + keep the final row — a single (key) exchange however many
+    columns consolidate; pure column operations, engine-portable.
+    """
+    ob = [F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_ts")] + \
+         [F.col(c).cast("long").alias(f"_o{i}")
+          for i, c in enumerate(order or [])]
+    d = df.select(F.col(key), *ob, *[F.col(c) for c in value_cols])
+    ocols = ["_ts"] + [f"_o{i}" for i in range(len(order or []))]
+    w = (Window.partitionBy(key).orderBy(*ocols)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    for c in value_cols:
+        d = d.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+    wr = Window.partitionBy(key).orderBy(*[F.col(c).desc() for c in ocols])
+    return (d.withColumn("_rk", F.row_number().over(wr))
+            .filter(F.col("_rk") == 1)
+            .select(key, *value_cols, F.col("_ts").alias("last_ts_us")))
+
+
+def mad_scale(df: DataFrame, keys: Sequence[str],
+              val_col: str) -> DataFrame:
+    """Median absolute deviation per key — the robust scale estimate
+    (breakdown point 50% where sigma's is 0): m = median(x),
+    mad = median(|x − m|).  Returns (keys..., n long, med double,
+    mad double).
+
+    Exactness: both medians are percentile(·, 0.5) with the (n−1)·p
+    interpolation Spark and DuckDB share bit-for-bit; x are exact
+    integers so m is exact-int-or-half, |x − m| is one IEEE subtract
+    per row (identical operands → identical doubles), and the second
+    percentile interpolates the identical sorted multiset — the whole
+    chain is representation-deterministic.
+
+    100-TB shape: two combinable percentile aggs over one (keys)
+    partitioning; the deviation column is map-only between them.
+    """
+    v = F.col(val_col).cast("long")
+    med = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.percentile(v, F.lit(0.5)).alias("med"))
+    j = df.select(*keys, v.alias("_v")).join(F.broadcast(med), list(keys))
+    dev = F.abs(F.col("_v").cast("double") - F.col("med"))
+    return (j.groupBy(*keys).agg(
+        F.max("n").alias("n"), F.max("med").alias("med"),
+        F.percentile(dev, F.lit(0.5)).alias("mad"))
+        .select(*keys, F.col("n").cast("long").alias("n"), "med", "mad"))
+
+
+def benford_digits(df: DataFrame, keys: Sequence[str],
+                   val_col: str) -> DataFrame:
+    """Benford first-digit profile per key — the audit/fraud screen:
+    distribution of leading digits of positive integer values, with the
+    exact observed counts and the observed-vs-Benford evidence left in
+    integer/fixed-IEEE form (digit, n_d, n_total, obs_freq = n_d/n).
+    Leading digit via string head (CAST long AS STRING has no sign/
+    exponent for positives on either engine) — no float log anywhere.
+    Zero/negative values are excluded (Benford is defined on positive
+    magnitudes) but counted in n_excluded on every row.
+    """
+    v = F.col(val_col).cast("long")
+    d = df.select(*keys, v.alias("_v"))
+    pos = d.filter(F.col("_v") > 0).withColumn(
+        "digit", F.substring(F.col("_v").cast("string"), 1, 1)
+        .cast("long"))
+    cnt = pos.groupBy(*keys, "digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n_d"))
+    tot = pos.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"))
+    exc = d.groupBy(*keys).agg(
+        F.sum(F.when(F.col("_v") <= 0, 1).otherwise(0)).cast("long")
+        .alias("n_excluded"))
+    return (cnt.join(tot, list(keys)).join(exc, list(keys))
+            .select(*keys, "digit", "n_d", "n_total", "n_excluded",
+                    (F.col("n_d").cast("double")
+                     / F.col("n_total").cast("double")).alias("obs_freq")))

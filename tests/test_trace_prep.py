@@ -844,3 +844,36 @@ def test_diversified_topk_quota(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         ops.diversified_topk(df, "g", "s", "i", k=0, per_group=3)
+
+
+def test_golden_record_nulls_never_erase(spark):
+    rows = [  # (user, ts_us, eid, email, seg)
+        (1, 100, 1, "a@x", None),
+        (1, 200, 2, None, "s1"),     # null email must NOT erase a@x
+        (1, 300, 3, "b@x", None),    # newer email wins; seg stays s1
+        (2, 100, 4, None, None)]     # all-null user: nulls survive
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["u", "ts_us", "eid", "email", "seg"]))
+    df = df.withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+    got = {r["u"]: (r["email"], r["seg"], r["last_ts_us"]) for r in
+           ops.golden_record(df, "u", "ts", ["email", "seg"],
+                             order=["eid"]).collect()}
+    assert got == {1: ("b@x", "s1", 300), 2: (None, None, 100)}
+
+
+def test_mad_scale_known_and_robust(spark):
+    # odd count: med exact int; deviations symmetric
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": ["a"] * 5, "v": [1, 2, 3, 4, 100]}))
+    r = ops.mad_scale(df, ["k"], "v").collect()[0]
+    assert (r["n"], r["med"], r["mad"]) == (5, 3.0, 1.0)
+    # the outlier moved the mean wildly but MAD stayed at 1
+
+
+def test_benford_digits_known(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": ["a"] * 7,
+                      "v": [1, 19, 123, 2, 29, 0, -5]}))
+    got = {(r["digit"]): (r["n_d"], r["n_total"], r["n_excluded"])
+           for r in ops.benford_digits(df, ["k"], "v").collect()}
+    assert got == {1: (3, 5, 2), 2: (2, 5, 2)}
