@@ -587,7 +587,10 @@ def test_no_cartesian_or_rowwise_python_in_hot_plans(spark):
            "pmi_collocations", "asof_nearest", "running_median",
            "polygon_stats", "cusum_alarm", "top_paths", "trimmed_mean",
            "simplify_radial", "negative_sampling", "audience_overlap",
-           "a9_rollup", "w10_ratio_to_report", "sample_bottomk"]
+           "a9_rollup", "w10_ratio_to_report", "sample_bottomk",
+           "gini_concentration", "lift_table", "max_drawdown",
+           "diversified_topk", "golden_record", "mad_scale",
+           "benford_digits", "label_propagation", "k_core"]
     sf = "/root/testdata/sf0.001"
     bad = {}
     for name in hot:
