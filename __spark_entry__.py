@@ -3750,6 +3750,69 @@ SELECT node, CAST(deg AS BIGINT) AS deg FROM (
 """
 
 
+def q_multiformat_source(spark, sf_dir):
+    """Multi-format source parity (S-family): the same integer rows
+    staged once as JSONL and once as headered CSV, read back through
+    spark.read.json / spark.read.csv with EXPLICIT schemas (schema
+    inference is banned at 100 TB — it double-scans), unioned and
+    aggregated per (source_format, event_type).  Counts/sums must agree
+    with the parquet-derived oracle exactly; only integer columns ride
+    the text round-trip (float repr across text formats is not part of
+    any cross-engine contract)."""
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select("event_id", "user_id", "event_type",
+                  F.floor(F.col("value") * 100).cast("long")
+                  .alias("v_cents"))
+    base = tempfile.mkdtemp(prefix="mfs_")
+    d.coalesce(2).write.mode("overwrite").json(base + "/j")
+    d.coalesce(2).write.mode("overwrite").option("header", "true") \
+        .csv(base + "/c")
+    schema = ("event_id long, user_id long, event_type string, "
+              "v_cents long")
+    j = (spark.read.schema(schema).json(base + "/j")
+         .withColumn("source_format", F.lit("json")))
+    c = (spark.read.schema(schema).option("header", "true")
+         .csv(base + "/c")
+         .withColumn("source_format", F.lit("csv")))
+    return (j.unionByName(c)
+            .groupBy("source_format", "event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum("v_cents").cast("long").alias("sum_cents"),
+                 F.sum("event_id").cast("long").alias("sum_ids")))
+
+
+def q_dq_checks(spark, sf_dir):
+    """Data-quality suite (the Great-Expectations shape): one row per
+    check with exact violation counts — primary-key uniqueness
+    (event_id), referential integrity (user_id -> customer, anti-join
+    orphans), null rate (event_type), range rule (value <= 0), and
+    cross-field rule (purchase events must carry positive value).  Each
+    check is a tiny combinable aggregate or anti join; all-integer."""
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer")
+    n_total = ev.count()
+    pk_dup = (ev.groupBy("event_id").agg(F.count(F.lit(1)).alias("c"))
+              .filter(F.col("c") > 1)
+              .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long"))
+              .collect()[0][0])
+    orphans = (ev.join(cust.select(F.col("c_custkey").alias("user_id")),
+                       "user_id", "left_anti").count())
+    nulls = ev.filter(F.col("event_type").isNull()).count()
+    rng = ev.filter(F.col("value") <= 0).count()
+    cross = ev.filter((F.col("event_type") == "purchase")
+                      & (F.col("value") <= 0)).count()
+    rows = [("pk_unique_event_id", int(pk_dup)),
+            ("fk_user_in_customer", int(orphans)),
+            ("not_null_event_type", int(nulls)),
+            ("range_value_positive", int(rng)),
+            ("purchase_has_value", int(cross))]
+    pdf = [(name, viol, int(n_total)) for name, viol in rows]
+    return spark.createDataFrame(
+        pdf, "check string, n_violations long, n_total long")
+
+
 def q_golden_record(spark, sf_dir):
     """MDM survivorship (ops.golden_record): one row per user where
     each profile column independently keeps its most recent NON-NULL
@@ -4570,6 +4633,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "golden_record": q_golden_record,
         "mad_scale": q_mad_scale,
         "benford_digits": q_benford_digits,
+        "multiformat_source": q_multiformat_source,
+        "dq_checks": q_dq_checks,
     }
 
 
@@ -8660,6 +8725,46 @@ FROM (SELECT event_type, user_id % 10 AS bucket,
              CAST(floor(value * 100) AS BIGINT) AS v_cents
       FROM events)
 GROUP BY ROLLUP (event_type, bucket)
+""",
+        # multi-format staging parity: json/csv reads must equal parquet
+        "multiformat_source": """
+WITH g AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+           AS sum_cents,
+         CAST(sum(event_id) AS BIGINT) AS sum_ids
+  FROM events GROUP BY event_type
+)
+SELECT f.source_format, g.event_type, g.n, g.sum_cents, g.sum_ids
+FROM g CROSS JOIN (SELECT unnest(['json', 'csv']) AS source_format) f
+""",
+        # data-quality suite: one row per check, exact violation counts
+        "dq_checks": """
+SELECT 'pk_unique_event_id' AS "check",
+       CAST(coalesce((SELECT sum(c) FROM (
+          SELECT count(*) AS c FROM events GROUP BY event_id) WHERE c > 1),
+          0) AS BIGINT) AS n_violations,
+       (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_total
+UNION ALL
+SELECT 'fk_user_in_customer',
+       CAST((SELECT count(*) FROM events e
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = e.user_id)) AS BIGINT),
+       (SELECT CAST(count(*) AS BIGINT) FROM events)
+UNION ALL
+SELECT 'not_null_event_type',
+       CAST((SELECT count(*) FROM events WHERE event_type IS NULL)
+            AS BIGINT),
+       (SELECT CAST(count(*) AS BIGINT) FROM events)
+UNION ALL
+SELECT 'range_value_positive',
+       CAST((SELECT count(*) FROM events WHERE value <= 0) AS BIGINT),
+       (SELECT CAST(count(*) AS BIGINT) FROM events)
+UNION ALL
+SELECT 'purchase_has_value',
+       CAST((SELECT count(*) FROM events
+             WHERE event_type = 'purchase' AND value <= 0) AS BIGINT),
+       (SELECT CAST(count(*) AS BIGINT) FROM events)
 """,
         # MDM survivorship: per-column last-non-null windows + final row
         "golden_record": """
