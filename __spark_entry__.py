@@ -3750,6 +3750,39 @@ SELECT node, CAST(deg AS BIGINT) AS deg FROM (
 """
 
 
+def q_engagement_report(spark, sf_dir):
+    """END-TO-END analytics composition — the product-analytics report
+    a team actually ships, proving the round's operators chain: per-user
+    EARLY funnel depth (ops.funnel_prefix over each user's first six
+    relevant events, greedy == chained-min) joined to the user's
+    acquisition-hour cohort (first active hour, floor-division
+    bucketing) and rolled up to (cohort_bucket, n_steps, n_users) — how
+    early conversion depth varies by signup vintage.  Every stage is
+    individually oracle-exact, so the chain is too; the oracle replays
+    prefix-funnel + cohort + rollup as one CTE pipeline (QUALIFY rn<=6
+    mirrors the engine's per-user relevant-event prefix)."""
+    ev = _t(spark, sf_dir, "events")
+    wrel = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    rel = (ev.filter(F.col("event_type").isin(list(_FUNNEL_STEPS)))
+           .withColumn("_rn", F.row_number().over(wrel))
+           .filter(F.col("_rn") <= 6))
+    fun = ops.funnel_prefix(rel, "user_id", "ts", "event_type",
+                            list(_FUNNEL_STEPS), tiebreak="event_id") \
+        .select("user_id", "n_steps")
+    b = 3600 * 1_000_000
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    coh = (ev.select("user_id",
+                     ((us - F.pmod(us, F.lit(b))) / F.lit(b)).cast("long")
+                     .alias("bk"))
+           .groupBy("user_id").agg(F.min("bk").alias("cohort_bucket")))
+    return (coh.join(fun, "user_id", "left")
+            .select("cohort_bucket",
+                    F.coalesce("n_steps", F.lit(0)).cast("long")
+                    .alias("n_steps"))
+            .groupBy("cohort_bucket", "n_steps")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_users")))
+
+
 def q_multiformat_source(spark, sf_dir):
     """Multi-format source parity (S-family): the same integer rows
     staged once as JSONL and once as headered CSV, read back through
@@ -4635,6 +4668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_digits": q_benford_digits,
         "multiformat_source": q_multiformat_source,
         "dq_checks": q_dq_checks,
+        "engagement_report": q_engagement_report,
     }
 
 
@@ -8725,6 +8759,54 @@ FROM (SELECT event_type, user_id % 10 AS bucket,
              CAST(floor(value * 100) AS BIGINT) AS v_cents
       FROM events)
 GROUP BY ROLLUP (event_type, bucket)
+""",
+        # analytics composition: funnel + cohort + rollup as one pipeline
+        "engagement_report": f"""
+WITH ev AS (
+  SELECT user_id,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              AS BIGINT) AS rn,
+         event_type
+  FROM events
+  WHERE event_type IN ('{_FUNNEL_STEPS[0]}', '{_FUNNEL_STEPS[1]}',
+                       '{_FUNNEL_STEPS[2]}')
+  QUALIFY rn <= 6
+),
+s1 AS (SELECT user_id, min(rn) AS r1 FROM ev
+       WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.rn) AS r2 FROM ev e
+       JOIN s1 ON s1.user_id = e.user_id
+       WHERE e.event_type = '{_FUNNEL_STEPS[1]}' AND e.rn > s1.r1
+       GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.rn) AS r3 FROM ev e
+       JOIN s2 ON s2.user_id = e.user_id
+       WHERE e.event_type = '{_FUNNEL_STEPS[2]}' AND e.rn > s2.r2
+       GROUP BY e.user_id),
+u AS (SELECT DISTINCT user_id FROM ev),
+fun AS (
+  SELECT u.user_id,
+         CASE WHEN s3.r3 IS NOT NULL THEN 3
+              WHEN s2.r2 IS NOT NULL THEN 2
+              WHEN s1.r1 IS NOT NULL THEN 1 ELSE 0 END AS n_steps
+  FROM u
+  LEFT JOIN s1 ON s1.user_id = u.user_id
+  LEFT JOIN s2 ON s2.user_id = u.user_id
+  LEFT JOIN s3 ON s3.user_id = u.user_id
+),
+coh AS (
+  SELECT user_id,
+         min(CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT)
+             // {3600 * 1_000_000}) AS cohort_bucket
+  FROM events GROUP BY user_id
+),
+j AS (
+  SELECT coh.cohort_bucket,
+         coalesce(fun.n_steps, 0) AS n_steps
+  FROM coh LEFT JOIN fun ON fun.user_id = coh.user_id
+)
+SELECT cohort_bucket, CAST(n_steps AS BIGINT) AS n_steps,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM j GROUP BY cohort_bucket, n_steps
 """,
         # multi-format staging parity: json/csv reads must equal parquet
         "multiformat_source": """
