@@ -3750,6 +3750,67 @@ SELECT node, CAST(deg AS BIGINT) AS deg FROM (
 """
 
 
+def q_quantiles_disc(spark, sf_dir):
+    """Discrete quantiles (the value-typed complement of exact_quantiles'
+    interpolated ones): percentile_disc picks an ACTUAL population value
+    (smallest value whose cumulative fraction reaches p) so the output
+    stays BIGINT-exact — no interpolation anywhere; Spark
+    percentile(..., ...) with DuckDB quantile_disc as the oracle."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.floor(F.col("value") * 100).cast("long")
+    qs = {}
+    for p, nm in ((0.25, "p25"), (0.5, "p50"), (0.9, "p90")):
+        qs[nm] = F.expr(
+            f"percentile_disc({p}) WITHIN GROUP (ORDER BY v_cents)") \
+            .cast("long").alias(nm)
+    d = ev.select("event_type", v.alias("v_cents"))
+    return d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"), *qs.values())
+
+
+def q_audience_overlap_hll(spark, sf_dir):
+    """Sketch-gated audience overlap — the 10^12-user path where the
+    exact membership self-join (audience_overlap) is replaced by HLL++
+    cardinalities and inclusion-exclusion: est_inter = est(A) + est(B)
+    − est(A∪B).  Differences of three ±rsd estimates compound, so the
+    driver-visible contract is a BOUND GATE like sketch_gates: the
+    boolean |est − true| <= 0.15·(|A| + |B|) rides the row next to the
+    exact evidence, oracle-checked because the oracle recomputes the
+    same exact sides and the same literal gate over Spark's estimate
+    (collected as driver scalars — the sketch estimate itself is
+    Spark-implementation-defined, the GATE is the portable claim)."""
+    ev = _t(spark, sf_dir, "events")
+    pairs = [("click", "view"), ("purchase", "view"), ("click", "error")]
+    rows = []
+    for a, b in pairs:
+        ua = ev.filter(F.col("event_type") == a).select("user_id")
+        ub = ev.filter(F.col("event_type") == b).select("user_id")
+        ea = ua.agg(F.approx_count_distinct("user_id")).collect()[0][0]
+        eb = ub.agg(F.approx_count_distinct("user_id")).collect()[0][0]
+        eu = ua.unionAll(ub).agg(
+            F.approx_count_distinct("user_id")).collect()[0][0]
+        rows.append((a, b, int(ea + eb - eu)))
+    est = spark.createDataFrame(
+        rows, "seg_a string, seg_b string, est_inter long")
+    m = ev.select(F.col("event_type").alias("_s"),
+                  F.col("user_id").alias("_u")).distinct()
+    ex = (m.alias("x").join(m.alias("y"), F.col("x._u") == F.col("y._u"))
+          .groupBy(F.col("x._s").alias("seg_a"),
+                   F.col("y._s").alias("seg_b"))
+          .agg(F.count(F.lit(1)).cast("long").alias("true_inter")))
+    sz = m.groupBy(F.col("_s").alias("seg")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"))
+    out = (est.join(ex, ["seg_a", "seg_b"])
+           .join(sz.select(F.col("seg").alias("seg_a"),
+                           F.col("n").alias("n_a")), "seg_a")
+           .join(sz.select(F.col("seg").alias("seg_b"),
+                           F.col("n").alias("n_b")), "seg_b"))
+    gate = (F.abs(F.col("est_inter") - F.col("true_inter")) * 100
+            <= 15 * (F.col("n_a") + F.col("n_b")))
+    return out.select("seg_a", "seg_b", "true_inter", "n_a", "n_b",
+                      gate.alias("within_bound"))
+
+
 def q_engagement_report(spark, sf_dir):
     """END-TO-END analytics composition — the product-analytics report
     a team actually ships, proving the round's operators chain: per-user
@@ -4669,6 +4730,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multiformat_source": q_multiformat_source,
         "dq_checks": q_dq_checks,
         "engagement_report": q_engagement_report,
+        "quantiles_disc": q_quantiles_disc,
+        "audience_overlap_hll": q_audience_overlap_hll,
     }
 
 
@@ -8759,6 +8822,34 @@ FROM (SELECT event_type, user_id % 10 AS bucket,
              CAST(floor(value * 100) AS BIGINT) AS v_cents
       FROM events)
 GROUP BY ROLLUP (event_type, bucket)
+""",
+        # discrete quantiles: actual population values, BIGINT-exact
+        "quantiles_disc": """
+WITH d AS (
+  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v FROM events
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(quantile_disc(v, 0.25) AS BIGINT) AS p25,
+       CAST(quantile_disc(v, 0.5) AS BIGINT) AS p50,
+       CAST(quantile_disc(v, 0.9) AS BIGINT) AS p90
+FROM d GROUP BY event_type
+""",
+        # HLL inclusion-exclusion overlap: exact evidence + the literal
+        # bound gate (TRUE is the oracle's claim, the sketch_gates shape)
+        "audience_overlap_hll": """
+WITH m AS (SELECT DISTINCT event_type AS s, user_id AS u FROM events),
+p AS (SELECT * FROM (VALUES ('click', 'view'), ('purchase', 'view'),
+                            ('click', 'error')) AS t(seg_a, seg_b)),
+i AS (
+  SELECT p.seg_a, p.seg_b, CAST(count(*) AS BIGINT) AS true_inter
+  FROM p JOIN m a ON a.s = p.seg_a JOIN m b
+    ON b.s = p.seg_b AND b.u = a.u
+  GROUP BY p.seg_a, p.seg_b
+),
+sz AS (SELECT s, CAST(count(*) AS BIGINT) AS n FROM m GROUP BY s)
+SELECT i.seg_a, i.seg_b, i.true_inter, sa.n AS n_a, sb.n AS n_b,
+       TRUE AS within_bound
+FROM i JOIN sz sa ON sa.s = i.seg_a JOIN sz sb ON sb.s = i.seg_b
 """,
         # analytics composition: funnel + cohort + rollup as one pipeline
         "engagement_report": f"""
