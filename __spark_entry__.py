@@ -3750,6 +3750,30 @@ SELECT node, CAST(deg AS BIGINT) AS deg FROM (
 """
 
 
+_BAND_DELTA = 3
+
+
+def q_band_join(spark, sf_dir):
+    """Band join (ops.band_join): same-type event pairs whose floor-cent
+    values differ by at most {_BAND_DELTA} — the value-proximity join
+    next to J3's range overlap and J6/J8's as-of family; banding makes
+    each candidate pair land exactly once in a (keys, bin) equi join
+    (no dedup exchange) before the exact |diff| filter; a.id < b.id
+    keeps each unordered pair once.  Oracle replays the DEFINITION as
+    the per-key inequality join."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select("event_type", F.col("event_id"),
+                  F.floor(F.col("value") * 100).cast("long")
+                  .alias("v_cents"))
+    a = d.select("event_type", F.col("event_id").alias("a_id"),
+                 F.col("v_cents").alias("av"))
+    b = d.select("event_type", F.col("event_id").alias("b_id"),
+                 F.col("v_cents").alias("bv"))
+    out = ops.band_join(a, b, ["event_type"], "av", "bv",
+                        delta=_BAND_DELTA)
+    return out.filter(F.col("a_id") < F.col("b_id"))
+
+
 def q_quantiles_disc(spark, sf_dir):
     """Discrete quantiles (the value-typed complement of exact_quantiles'
     interpolated ones): percentile_disc picks an ACTUAL population value
@@ -4732,6 +4756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engagement_report": q_engagement_report,
         "quantiles_disc": q_quantiles_disc,
         "audience_overlap_hll": q_audience_overlap_hll,
+        "band_join": q_band_join,
     }
 
 
@@ -8822,6 +8847,21 @@ FROM (SELECT event_type, user_id % 10 AS bucket,
              CAST(floor(value * 100) AS BIGINT) AS v_cents
       FROM events)
 GROUP BY ROLLUP (event_type, bucket)
+""",
+        # band join by DEFINITION: per-key inequality join (the banding
+        # rewrite is engine-side only; the pair set is equal)
+        "band_join": f"""
+WITH d AS (
+  SELECT event_type, event_id,
+         CAST(floor(value * 100) AS BIGINT) AS v
+  FROM events
+)
+SELECT a.event_type, a.event_id AS a_id, b.event_id AS b_id,
+       a.v AS a_v, b.v AS b_v, b.v - a.v AS diff
+FROM d a JOIN d b
+  ON b.event_type = a.event_type
+ AND abs(b.v - a.v) <= {_BAND_DELTA}
+ AND a.event_id < b.event_id
 """,
         # discrete quantiles: actual population values, BIGINT-exact
         "quantiles_disc": """

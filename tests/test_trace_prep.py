@@ -877,3 +877,24 @@ def test_benford_digits_known(spark):
     got = {(r["digit"]): (r["n_d"], r["n_total"], r["n_excluded"])
            for r in ops.benford_digits(df, ["k"], "v").collect()}
     assert got == {1: (3, 5, 2), 2: (2, 5, 2)}
+
+
+def test_band_join_matches_brute(spark):
+    rng = np.random.default_rng(37)
+    rows = [("k", i, int(rng.integers(0, 60))) for i in range(80)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["g", "i", "v"]))
+    a = df.select("g", F.col("i").alias("a_id"), F.col("v").alias("av"))
+    b = df.select("g", F.col("i").alias("b_id"), F.col("v").alias("bv"))
+    got = sorted((r["a_id"], r["b_id"], r["diff"]) for r in
+                 ops.band_join(a, b, ["g"], "av", "bv", delta=4)
+                 .collect())
+    vals = {i: v for _g, i, v in rows}
+    brute = sorted((i, j, vals[j] - vals[i])
+                   for i in vals for j in vals
+                   if abs(vals[i] - vals[j]) <= 4)
+    assert got == brute
+    # boundary: exactly delta apart is IN; delta+1 is OUT
+    assert any(abs(d) == 4 for _a, _b, d in got)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ops.band_join(a, b, ["g"], "av", "bv", delta=0)
