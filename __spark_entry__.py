@@ -4556,6 +4556,57 @@ def q_funnel_steps(spark, sf_dir):
                              list(_FUNNEL_STEPS), tiebreak="event_id")
 
 
+_RADIUS_R = 25
+_DBSCAN_EPS, _DBSCAN_MINPTS = 30, 6
+
+
+def _grid_points(ev: DataFrame) -> DataFrame:
+    """Deterministic integer 2-D points derived from event ids — two
+    INDEPENDENT LCG multipliers (48271 / 16807) so x and y are not the
+    same 1-D lattice shifted (a shared multiplier puts every point on
+    one diagonal line)."""
+    e = F.col("event_id").cast("long")
+    return ev.select(
+        "event_type", "event_id",
+        F.pmod(e * 48271 + 11, F.lit(1000)).alias("x"),
+        F.pmod(e * 16807 + 523, F.lit(1000)).alias("y"))
+
+
+def q_radius_join_2d(spark, sf_dir):
+    """2-D radius join (ops.radius_join_2d): same-type event pairs whose
+    derived integer grid points lie within euclidean distance
+    {_RADIUS_R} — the planar generalization of band_join's banding
+    rewrite (3x3 cell neighborhood explode on one side, single true cell
+    on the other, so each candidate pair is generated exactly once with
+    no dedup exchange) ahead of the exact integer dist² filter.  Oracle
+    replays the DEFINITION as the per-key inequality join; a_id < b_id
+    keeps each unordered pair once."""
+    d = _grid_points(_t(spark, sf_dir, "events"))
+    a = d.select("event_type", F.col("event_id").alias("a_id"),
+                 F.col("x").alias("ax"), F.col("y").alias("ay"))
+    b = d.select("event_type", F.col("event_id").alias("b_id"),
+                 F.col("x").alias("bx"), F.col("y").alias("by"))
+    out = ops.radius_join_2d(a, b, ["event_type"], "ax", "ay", "bx", "by",
+                             _RADIUS_R)
+    return out.filter(F.col("a_id") < F.col("b_id"))
+
+
+def q_dbscan_clusters(spark, sf_dir):
+    """Grid DBSCAN (clustering.dbscan_grid) over the click events'
+    derived grid points: closed eps-neighborhood counts, core iff
+    n >= {_DBSCAN_MINPTS}, clusters = components of the core-core
+    eps-graph labeled by min core id, border -> min neighboring core's
+    cluster (the deterministic refinement of classic DBSCAN's
+    scan-order border rule), noise NULL.  Engine path is the grid-cell
+    radius self-join + pointer-jumping components; the oracle restates
+    the definition with an all-pairs join and a recursive-CTE closure."""
+    from engine import clustering
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    pts = _grid_points(ev).select("event_id", "x", "y")
+    return clustering.dbscan_grid(pts, "event_id", "x", "y",
+                                  eps=_DBSCAN_EPS, min_pts=_DBSCAN_MINPTS)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "w2_sessionize": q_w2_sessionize,
@@ -4757,6 +4808,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles_disc": q_quantiles_disc,
         "audience_overlap_hll": q_audience_overlap_hll,
         "band_join": q_band_join,
+        "radius_join_2d": q_radius_join_2d,
+        "dbscan_clusters": q_dbscan_clusters,
     }
 
 
@@ -9721,6 +9774,66 @@ SELECT event_type, n, sx, sy, sxx, sxy, slope,
             THEN (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
                  / CAST(n AS DOUBLE) END AS intercept
 FROM f
+""",
+        # 2-D radius join: the by-definition per-key inequality join
+        "radius_join_2d": f"""
+WITH d AS (
+  SELECT event_type, event_id,
+         (CAST(event_id AS BIGINT) * 48271 + 11) % 1000 AS x,
+         (CAST(event_id AS BIGINT) * 16807 + 523) % 1000 AS y
+  FROM events
+)
+SELECT a.event_type, a.event_id AS a_id, b.event_id AS b_id,
+       a.x AS a_x, a.y AS a_y, b.x AS b_x, b.y AS b_y,
+       (b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y) AS dist2
+FROM d a JOIN d b
+  ON b.event_type = a.event_type AND a.event_id < b.event_id
+ AND (b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y)
+     <= {_RADIUS_R * _RADIUS_R}
+""",
+        # DBSCAN: definition replay — all-pairs neighborhood, core rule,
+        # recursive-CTE closure over core-core edges, min-label border
+        "dbscan_clusters": f"""
+WITH RECURSIVE d AS (
+  SELECT event_id AS id,
+         (CAST(event_id AS BIGINT) * 48271 + 11) % 1000 AS x,
+         (CAST(event_id AS BIGINT) * 16807 + 523) % 1000 AS y
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT a.id AS a, b.id AS b FROM d a JOIN d b
+  ON (b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y)
+     <= {_DBSCAN_EPS * _DBSCAN_EPS}
+),
+cnt AS (SELECT a AS id, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY a),
+core AS (SELECT id FROM cnt WHERE n >= {_DBSCAN_MINPTS}),
+ce AS (
+  SELECT p.a AS s, p.b AS d FROM p
+  JOIN core x ON x.id = p.a JOIN core y ON y.id = p.b
+  WHERE p.a <> p.b
+),
+reach(s, d) AS (
+  SELECT s, d FROM ce
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN ce e ON r.d = e.s
+),
+comp AS (
+  SELECT c.id, LEAST(c.id, COALESCE(MIN(r.d), c.id)) AS cl
+  FROM core c LEFT JOIN reach r ON r.s = c.id GROUP BY c.id
+),
+border AS (
+  SELECT p.a AS id, MIN(comp.cl) AS cl
+  FROM p JOIN comp ON comp.id = p.b
+  WHERE p.a <> p.b AND p.a NOT IN (SELECT id FROM core)
+  GROUP BY p.a
+)
+SELECT cnt.id AS event_id, cnt.n AS n_neighbors,
+       CASE WHEN comp.id IS NOT NULL THEN 'core'
+            WHEN border.id IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       COALESCE(comp.cl, border.cl) AS cluster
+FROM cnt LEFT JOIN comp ON comp.id = cnt.id
+         LEFT JOIN border ON border.id = cnt.id
 """,
     }
 

@@ -258,3 +258,77 @@ def kmeans_prune(df: DataFrame, k: int = 8, iters: int = 4,
         F.col("rk") <= F.ceil(F.lit(float(keep_frac)) * F.col("n_cl"))
                         .cast("long"))
     return keep.select("vec_id", "cl", "rk")
+
+
+def dbscan_grid(pts: DataFrame, id_col: str, x_col: str, y_col: str,
+                eps: int, min_pts: int, max_iters: int = 16) -> DataFrame:
+    """Grid-accelerated DBSCAN over integer 2-D points — the density
+    clustering primitive (stop/POI detection over geotagged traces, hot
+    spot discovery) the KDE/k-means pair doesn't cover.  Returns one row
+    per input point: (id, n_neighbors long, role string in
+    {'core','border','noise'}, cluster long NULLABLE).
+
+    Semantics (deterministic, oracle-able — classic DBSCAN's one
+    nondeterminism is removed):
+      * n_neighbors = |{q : dist(p,q) <= eps}| including p itself (the
+        closed eps-neighborhood, as in the original DBSCAN paper);
+      * core iff n_neighbors >= min_pts;
+      * clusters are connected components of the core-core eps-graph;
+        cluster label = MIN core id in the component;
+      * a border point (non-core with >= 1 core neighbor) joins the
+        MINIMUM cluster label among its core neighbors — classic DBSCAN
+        assigns it to whichever cluster scanned it first (order-
+        dependent); the min rule is the deterministic refinement;
+      * noise: cluster NULL.
+
+    100-TB shape: ONE grid-cell radius self-join (radius_join_2d — 9x
+    cell-occupancy fan-out, never quadratic) materialized once via
+    localCheckpoint because three consumers read it (counts, core-core
+    edges, border probe); components via pointer-jumping min-label
+    propagation (O(log diameter) rounds, (id,label)-only exchanges).
+    Every exchange after the radius join carries ids only.
+    """
+    if min_pts < 1:
+        raise ValueError("dbscan_grid: min_pts must be >= 1")
+    base = pts.select(F.col(id_col).cast("long").alias("_id"),
+                      F.col(x_col).cast("long").alias("_x"),
+                      F.col(y_col).cast("long").alias("_y"))
+    from . import ops
+    a = base.select(F.col("_id").alias("p_id"), F.col("_x").alias("px"),
+                    F.col("_y").alias("py"))
+    b = base.select(F.col("_id").alias("q_id"), F.col("_x").alias("qx"),
+                    F.col("_y").alias("qy"))
+    pairs = (ops.radius_join_2d(a, b, [], "px", "py", "qx", "qy", eps,
+                                a_id="p_id", b_id="q_id")
+             .select("p_id", "q_id")
+             .localCheckpoint(eager=True))
+    counts = pairs.groupBy("p_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_neighbors"))
+    core = counts.filter(F.col("n_neighbors") >= min_pts).select("p_id")
+    core_edges = (pairs.filter(F.col("p_id") < F.col("q_id"))
+                  .join(core, "p_id", "left_semi")
+                  .join(core.select(F.col("p_id").alias("q_id")), "q_id",
+                        "left_semi"))
+    comp = ops.min_label_components(
+        core.select(F.col("p_id").alias("id")),
+        core_edges.select(F.col("p_id").alias("a"),
+                          F.col("q_id").alias("b")),
+        max_iters=max_iters)
+    core_lbl = comp.select(F.col("id").alias("p_id"),
+                           F.col("component_id").alias("_core_cl"))
+    nbr_core = (pairs.filter(F.col("p_id") != F.col("q_id"))
+                .join(comp.select(F.col("id").alias("q_id"),
+                                  F.col("component_id").alias("_ncl")),
+                      "q_id")
+                .groupBy("p_id")
+                .agg(F.min("_ncl").alias("_border_cl")))
+    out = (counts.join(core_lbl, "p_id", "left")
+           .join(nbr_core, "p_id", "left"))
+    role = (F.when(F.col("_core_cl").isNotNull(), F.lit("core"))
+            .when(F.col("_border_cl").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise")))
+    cluster = F.when(F.col("_core_cl").isNotNull(), F.col("_core_cl")) \
+               .otherwise(F.when(F.col("_border_cl").isNotNull(),
+                                 F.col("_border_cl")))
+    return out.select(F.col("p_id").alias(id_col), "n_neighbors",
+                      role.alias("role"), cluster.alias("cluster"))

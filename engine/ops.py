@@ -198,13 +198,24 @@ def min_label_components(nodes: DataFrame, edges: DataFrame,
     Returns (id_col, component_id) for EVERY node; isolated nodes are their
     own component.  Raises RuntimeError on non-convergence rather than
     silently splitting components.
+
+    Lineage discipline: each round builds `nxt` from TWO references to
+    `cur` (the neighbor-min join and the pointer-jump join), so the
+    logical plan DOUBLES per round — with plain .cache() the analyzer
+    still walks the full 2^rounds tree (measured: a 16-round run
+    produced a 2 GiB plan string and pinned the driver in
+    ExplainUtils.generateOperatorIDs for tens of minutes).  Eager
+    localCheckpoint truncates the plan to a LogicalRDD each round —
+    the same discipline pagerank/bfs/k_core use; checkpoint blocks are
+    (id, label) pairs only and are reclaimed by the ContextCleaner once
+    the previous round's reference drops.
     """
     e = (edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
          .unionByName(edges.select(F.col(b_col).alias("src"),
                                    F.col(a_col).alias("dst"))).cache())
     cur = (nodes.select(F.col(id_col).alias("_nid"))
-           .withColumn("label", F.col("_nid")))
-    prev_cached: DataFrame | None = None
+           .withColumn("label", F.col("_nid"))
+           .localCheckpoint(eager=True))
     converged = False
     for _ in range(max_iters):
         nbr_min = (e.join(cur.select(F.col("_nid").alias("dst"),
@@ -222,12 +233,9 @@ def min_label_components(nodes: DataFrame, edges: DataFrame,
                .select("_nid",
                        F.least(F.col("label"),
                                F.coalesce(F.col("_jlabel"), F.col("label")))
-                       .alias("label"))).cache()
+                       .alias("label"))).localCheckpoint(eager=True)
         changed = (nxt.join(cur.withColumnRenamed("label", "_old"), "_nid")
                    .filter(F.col("label") != F.col("_old")).count())
-        if prev_cached is not None:
-            prev_cached.unpersist()
-        prev_cached = nxt
         cur = nxt
         if changed == 0:
             converged = True
@@ -1610,3 +1618,64 @@ def band_join(a: DataFrame, b: DataFrame, keys: Sequence[str],
     return (j.filter(F.abs(F.col("b_v") - F.col("a_v")) <= d)
             .select(*keys, a_id, b_id, "a_v", "b_v",
                     (F.col("b_v") - F.col("a_v")).alias("diff")))
+
+
+def radius_join_2d(a: DataFrame, b: DataFrame, keys: Sequence[str],
+                   a_x: str, a_y: str, b_x: str, b_y: str, r: int,
+                   a_id: str = "a_id", b_id: str = "b_id") -> DataFrame:
+    """2-D radius (distance) join — the planar sibling of `band_join`
+    and the core spatial primitive under DBSCAN / proximity analytics:
+    all (a, b) pairs per key with euclidean distance <= r over INTEGER
+    coordinates, i.e. dx² + dy² <= r² exactly (no float distance
+    anywhere).  Returns (keys..., a_id, b_id, a_x/a_y/b_x/b_y longs,
+    dist2 long = dx² + dy²).
+
+    Shape (grid-cell banding, the 2-D generalization of band_join's
+    rewrite): bin both axes at cell width r; a within-radius pair ALWAYS
+    lands in the same or an adjacent cell on each axis (|dx| <= r bounds
+    the floor-div difference to one), so exploding the a-side over its
+    3x3 cell neighborhood and equi-joining on (keys, cell_x, cell_y)
+    generates a candidate superset with each pair generated EXACTLY
+    ONCE — the b-side keeps its single true cell, so no dedup exchange
+    exists — ahead of the exact integer dist² filter.  Hot-spot skew
+    spreads across cells; candidate fan-out per row is bounded by 9x the
+    cell occupancy, never the key's population (the naive per-key
+    self-join is quadratic in the densest key).
+
+    Envelope: r <= 2^29 is ENFORCED — candidates share-or-neighbor a
+    cell so |dx|, |dy| <= 2r and dist² <= 8r² < 2^62; coordinates
+    themselves may be any long (the cell id is coord/r, magnitude-
+    reduced).  Self-join usage (a is b) yields both orientations plus
+    the (i, i) self pair at dist² = 0 — filter a_id < b_id for unordered
+    pairs, or keep the self pair for closed-neighborhood counts (DBSCAN
+    counts it).
+    """
+    if r <= 0:
+        raise ValueError("radius_join_2d: r must be positive")
+    if r > (1 << 29):
+        raise ValueError(
+            f"radius_join_2d: r={r} breaches the int64 envelope "
+            f"(dist² bound 8r² must stay < 2^62; r <= 2^29)")
+    r = int(r)
+
+    def cell(c: Column) -> Column:
+        return ((c - F.pmod(c, F.lit(r))) / F.lit(r)).cast("long")
+
+    axc, ayc = F.col(a_x).cast("long"), F.col(a_y).cast("long")
+    bxc, byc = F.col(b_x).cast("long"), F.col(b_y).cast("long")
+    nbr = F.explode(F.array(*[
+        F.struct((cell(axc) + i).alias("cx"), (cell(ayc) + j).alias("cy"))
+        for i in (-1, 0, 1) for j in (-1, 0, 1)])).alias("_c")
+    aa = (a.select(*keys, F.col(a_id), axc.alias("a_x"), ayc.alias("a_y"),
+                   nbr)
+           .select(*keys, a_id, "a_x", "a_y",
+                   F.col("_c.cx").alias("_cx"), F.col("_c.cy").alias("_cy")))
+    bb = b.select(*keys, F.col(b_id), bxc.alias("b_x"), byc.alias("b_y"),
+                  cell(bxc).alias("_cx"), cell(byc).alias("_cy"))
+    j = aa.join(bb, [*keys, "_cx", "_cy"])
+    dx = F.col("b_x") - F.col("a_x")
+    dy = F.col("b_y") - F.col("a_y")
+    d2 = (dx * dx + dy * dy)
+    return (j.filter(d2 <= F.lit(r * r))
+            .select(*keys, a_id, b_id, "a_x", "a_y", "b_x", "b_y",
+                    d2.alias("dist2")))

@@ -117,3 +117,76 @@ def test_kmeans_prune_matches_numpy(spark):
             want[int(vid)] = (j, rk)
     got = {r["vec_id"]: (r["cl"], r["rk"]) for r in out}
     assert got == want
+
+
+def _brute_dbscan(pts, eps, min_pts):
+    """Independent DBSCAN replay with the engine's deterministic rules:
+    closed neighborhood, min-core-id cluster label, border -> min
+    neighboring core cluster."""
+    ids = [p[0] for p in pts]
+    xy = {i: (x, y) for i, x, y in pts}
+    nbr = {i: [j for j in ids
+               if (xy[j][0] - xy[i][0]) ** 2
+               + (xy[j][1] - xy[i][1]) ** 2 <= eps * eps]
+           for i in ids}
+    core = {i for i in ids if len(nbr[i]) >= min_pts}
+    # components over core-core eps edges (BFS), label = min core id
+    label = {}
+    for s in sorted(core):
+        if s in label:
+            continue
+        comp, stack = [], [s]
+        seen = {s}
+        while stack:
+            u = stack.pop()
+            comp.append(u)
+            for v in nbr[u]:
+                if v in core and v not in seen:
+                    seen.add(v)
+                    stack.append(v)
+        m = min(comp)
+        for u in comp:
+            label[u] = m
+    out = {}
+    for i in ids:
+        if i in core:
+            out[i] = (len(nbr[i]), "core", label[i])
+        else:
+            cand = [label[j] for j in nbr[i] if j in core and j != i]
+            if cand:
+                out[i] = (len(nbr[i]), "border", min(cand))
+            else:
+                out[i] = (len(nbr[i]), "noise", None)
+    return out
+
+
+def test_dbscan_grid_matches_brute(spark):
+    rng = np.random.default_rng(7)
+    # two planted blobs + uniform noise
+    pts = []
+    k = 0
+    for cx, cy in ((10, 10), (60, 55)):
+        for _ in range(25):
+            pts.append((k, cx + int(rng.integers(-4, 5)),
+                        cy + int(rng.integers(-4, 5))))
+            k += 1
+    for _ in range(30):
+        pts.append((k, int(rng.integers(0, 100)), int(rng.integers(0, 100))))
+        k += 1
+    # planted chain: 7 stacked cores, a bridge core, and a guaranteed
+    # border point that sees only the bridge (n=2 < min_pts)
+    for x, y in [(200, 200)] * 7 + [(205, 200), (210, 200)]:
+        pts.append((k, x, y))
+        k += 1
+    df = spark.createDataFrame(pd.DataFrame(pts, columns=["i", "x", "y"]))
+    out = clustering.dbscan_grid(df, "i", "x", "y", eps=5, min_pts=6)
+    got = {r["i"]: (r["n_neighbors"], r["role"], r["cluster"])
+           for r in out.collect()}
+    want = _brute_dbscan(pts, 5, 6)
+    assert got == want
+    roles = {v[1] for v in got.values()}
+    assert roles == {"core", "border", "noise"}
+    # the two blobs land in (at least) two distinct clusters
+    assert len({v[2] for v in got.values() if v[2] is not None}) >= 2
+    with pytest.raises(ValueError):
+        clustering.dbscan_grid(df, "i", "x", "y", eps=5, min_pts=0)

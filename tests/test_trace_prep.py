@@ -898,3 +898,30 @@ def test_band_join_matches_brute(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         ops.band_join(a, b, ["g"], "av", "bv", delta=0)
+
+
+def test_radius_join_2d_matches_brute(spark):
+    rng = np.random.default_rng(91)
+    pts = [(int(i), int(rng.integers(-40, 40)), int(rng.integers(-40, 40)))
+           for i in range(70)]
+    df = spark.createDataFrame(pd.DataFrame(pts, columns=["i", "x", "y"]))
+    a = df.select(F.col("i").alias("a_id"), F.col("x").alias("ax"),
+                  F.col("y").alias("ay"))
+    b = df.select(F.col("i").alias("b_id"), F.col("x").alias("bx"),
+                  F.col("y").alias("by"))
+    got = sorted((r["a_id"], r["b_id"], r["dist2"]) for r in
+                 ops.radius_join_2d(a, b, [], "ax", "ay", "bx", "by", 9)
+                 .collect())
+    brute = sorted(
+        (i, j, (xj - xi) ** 2 + (yj - yi) ** 2)
+        for i, xi, yi in pts for j, xj, yj in pts
+        if (xj - xi) ** 2 + (yj - yi) ** 2 <= 81)
+    assert got == brute
+    # self pairs present at dist2 = 0; boundary exactly r is IN
+    assert all(any(p == (i, i, 0) for p in got) for i, _x, _y in pts[:3])
+    assert any(d == 81 for _a, _b, d in got)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ops.radius_join_2d(a, b, [], "ax", "ay", "bx", "by", 0)
+    with _pt.raises(ValueError):
+        ops.radius_join_2d(a, b, [], "ax", "ay", "bx", "by", (1 << 29) + 1)
