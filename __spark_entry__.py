@@ -4607,6 +4607,65 @@ def q_dbscan_clusters(spark, sf_dir):
                                   eps=_DBSCAN_EPS, min_pts=_DBSCAN_MINPTS)
 
 
+_ATTR_LOOKBACK_S = 3600
+_BASKET_MIN_PAIR = 2
+
+
+def q_autocorr_lag1(spark, sf_dir):
+    """Lag-1 autocorrelation (ops.autocorr_lag) of floor-cent event
+    values per type, ordered by (ts, event_id): six exact int64
+    sufficient statistics over the lead-aligned pairs plus Pearson r as
+    one fixed IEEE tree (num / (sqrt(vx) * sqrt(vy))) — bit-portable
+    because sqrt is correctly rounded.  Oracle replays lead + the same
+    stats + the same tree."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select("event_type", "ts", "event_id",
+                  F.floor(F.col("value") * 100).cast("long")
+                  .alias("v_cents"))
+    return ops.autocorr_lag(d, ["event_type"], "ts", "v_cents", k=1,
+                            tiebreak="event_id")
+
+
+def q_basket_pairs(spark, sf_dir):
+    """Market-basket pair mining (ops.basket_pairs) over lineitem:
+    parts co-purchased within an order, support >= {_BASKET_MIN_PAIR},
+    with item supports, basket total, confidence both ways and lift —
+    each float one fixed IEEE expression over exact BIGINT evidence.
+    Membership collapses to distinct (order, part) map-side; the only
+    quadratic surface is within-basket pair fan-out, bounded by the
+    enforced max-basket envelope."""
+    li = _t(spark, sf_dir, "lineitem")
+    return ops.basket_pairs(li, "l_orderkey", "l_partkey",
+                            min_pair=_BASKET_MIN_PAIR)
+
+
+def q_attribution_last_touch(spark, sf_dir):
+    """Last-touch attribution (ops.last_touch_attribution): each
+    purchase credits the latest view/click by the same user at-or-before
+    it within {_ATTR_LOOKBACK_S} s — no join, one per-user ordered
+    window carrying the last-touch payload struct, lookback as a
+    map-side null-out (the latest touch is the minimum-delay touch).
+    Oracle restates the definition declaratively: rank-1 qualifying
+    touch under ORDER BY ts DESC, id DESC per conversion."""
+    ev = _t(spark, sf_dir, "events")
+    return ops.last_touch_attribution(
+        ev, ["user_id"], "ts", "event_type", "event_id",
+        ["view", "click"], "purchase", lookback_s=_ATTR_LOOKBACK_S)
+
+
+def q_link_pred_cn(spark, sf_dir):
+    """Common-neighbor link prediction (graph.link_prediction_cn) over
+    the derived host link graph: every non-adjacent pair at distance 2
+    with its shared-neighbor count and endpoint degrees — all-BIGINT
+    evidence for CN/Jaccard/PA scoring.  One wedge self-join (each
+    wedge generated exactly once, u < w), combinable count, one
+    anti-join against the canonical edge set; Sigma C(deg,2) enforced.
+    Oracle replays the definition over the identical derived edges."""
+    from engine.graph import link_prediction_cn
+    docs = _t(spark, sf_dir, "documents")
+    return link_prediction_cn(_pr_edges(docs))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "w2_sessionize": q_w2_sessionize,
@@ -4810,6 +4869,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "band_join": q_band_join,
         "radius_join_2d": q_radius_join_2d,
         "dbscan_clusters": q_dbscan_clusters,
+        "autocorr_lag1": q_autocorr_lag1,
+        "basket_pairs": q_basket_pairs,
+        "attribution_last_touch": q_attribution_last_touch,
+        "link_pred_cn": q_link_pred_cn,
     }
 
 
@@ -9834,6 +9897,112 @@ SELECT cnt.id AS event_id, cnt.n AS n_neighbors,
        COALESCE(comp.cl, border.cl) AS cluster
 FROM cnt LEFT JOIN comp ON comp.id = cnt.id
          LEFT JOIN border ON border.id = cnt.id
+""",
+        # lag-1 autocorrelation: lead + exact stats + the same IEEE tree
+        "autocorr_lag1": """
+WITH d AS (
+  SELECT event_type, ts, event_id,
+         CAST(floor(value * 100) AS BIGINT) AS v
+  FROM events
+),
+l AS (
+  SELECT event_type, v AS x,
+         lead(v) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS y
+  FROM d
+),
+p AS (SELECT event_type, x, y FROM l WHERE y IS NOT NULL),
+st AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM p GROUP BY event_type
+)
+SELECT event_type, n, sx, sy, sxx, syy, sxy,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) END AS r
+FROM st
+""",
+        # market-basket pairs: distinct membership, pair/item supports,
+        # confidence + lift as single IEEE divisions over exact ints
+        "basket_pairs": f"""
+WITH m AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n_baskets FROM m),
+s AS (SELECT i, CAST(count(*) AS BIGINT) AS n FROM m GROUP BY i),
+p AS (
+  SELECT a.i AS item_a, b.i AS item_b, CAST(count(*) AS BIGINT) AS n_pair
+  FROM m a JOIN m b ON b.b = a.b AND a.i < b.i
+  GROUP BY 1, 2 HAVING count(*) >= {_BASKET_MIN_PAIR}
+)
+SELECT p.item_a, p.item_b, p.n_pair, sa.n AS n_a, sb.n AS n_b,
+       nb.n_baskets,
+       CAST(p.n_pair AS DOUBLE) / CAST(sa.n AS DOUBLE) AS conf_a_b,
+       CAST(p.n_pair AS DOUBLE) / CAST(sb.n AS DOUBLE) AS conf_b_a,
+       CAST(nb.n_baskets * p.n_pair AS DOUBLE)
+         / CAST(sa.n * sb.n AS DOUBLE) AS lift
+FROM p JOIN s sa ON sa.i = p.item_a JOIN s sb ON sb.i = p.item_b
+CROSS JOIN nb
+""",
+        # last-touch attribution: rank-1 qualifying touch per conversion
+        "attribution_last_touch": f"""
+WITH conv AS (
+  SELECT user_id, event_id AS conv_id, ts AS conv_ts
+  FROM events WHERE event_type = 'purchase'
+),
+t AS (
+  SELECT user_id, event_id, event_type, ts
+  FROM events WHERE event_type IN ('view', 'click')
+),
+j AS (
+  SELECT c.conv_id, t.event_id AS touch_id, t.event_type AS touch_type,
+         t.ts AS touch_ts,
+         epoch_us(c.conv_ts) - epoch_us(t.ts) AS delay_us,
+         row_number() OVER (PARTITION BY c.conv_id
+                            ORDER BY t.ts DESC, t.event_id DESC) AS rk
+  FROM conv c JOIN t
+    ON t.user_id = c.user_id AND t.ts <= c.conv_ts
+   AND epoch_us(c.conv_ts) - epoch_us(t.ts)
+       <= CAST({_ATTR_LOOKBACK_S} AS BIGINT) * 1000000
+)
+SELECT c.user_id, c.conv_id, c.conv_ts, j.touch_id, j.touch_type,
+       j.touch_ts, j.delay_us
+FROM conv c LEFT JOIN (SELECT * FROM j WHERE rk = 1) j
+  ON j.conv_id = c.conv_id
+""",
+        # common-neighbor link prediction: definition replay over the
+        # identical derived canonical edge set
+        "link_pred_cn": f"""
+WITH e0 AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM (
+    SELECT CAST(doc_id AS BIGINT) % {_PR_NODES} AS src,
+           (CAST(doc_id AS BIGINT) * 48271) % 2147483647 % {_PR_NODES}
+             AS dst
+    FROM documents
+  ) WHERE src != dst
+),
+adj AS (
+  SELECT a AS c, b AS n FROM e0
+  UNION ALL
+  SELECT b AS c, a AS n FROM e0
+),
+deg AS (SELECT c, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY c),
+cn AS (
+  SELECT l.n AS u, r.n AS w, CAST(count(*) AS BIGINT) AS cn
+  FROM adj l JOIN adj r ON r.c = l.c AND l.n < r.n
+  GROUP BY 1, 2
+),
+na AS (
+  SELECT cn.* FROM cn
+  LEFT JOIN e0 ON e0.a = cn.u AND e0.b = cn.w
+  WHERE e0.a IS NULL
+)
+SELECT na.u, na.w, na.cn, du.deg AS deg_u, dw.deg AS deg_w
+FROM na JOIN deg du ON du.c = na.u JOIN deg dw ON dw.c = na.w
 """,
     }
 

@@ -335,3 +335,59 @@ def label_propagation(edges: DataFrame, rounds: int,
         labels = new
     return labels.select("node", F.col("label").cast("long")
                          .alias("label"))
+
+
+def link_prediction_cn(edges: DataFrame, src: str = "src",
+                       dst: str = "dst", min_common: int = 1,
+                       max_wedges: int = 200_000_000) -> DataFrame:
+    """Common-neighbor link prediction over the UNDIRECTED canonical
+    graph (direction and duplicates collapse; self loops drop): for
+    every NON-adjacent pair (u < w) sharing at least `min_common`
+    neighbors, the shared-neighbor count plus both endpoint degrees —
+    the exact integer evidence behind CN / Jaccard
+    (cn / (deg_u + deg_w − cn)) / preferential-attachment scores, left
+    to the consumer so the row stays all-BIGINT and engine-portable.
+    Returns (u, w, cn, deg_u, deg_w).
+
+    Distributed shape: one adjacency self-join on the wedge center
+    generates each candidate wedge exactly once (neighbor pair ordered
+    u < w), then a combinable (u, w) count and ONE anti-join against the
+    canonical edge set removes already-linked pairs.  Wedge fan-out is
+    Σ C(deg, 2) — inherent to the statistic (unlike triangles, every
+    wedge matters, so degree-ordering cannot prune) — and a degenerate
+    hub would go quadratic silently, so the total is ENFORCED with a
+    raise from the node-count-sized degree table before the join runs.
+    Every exchange carries node ids only.
+    """
+    if min_common < 1:
+        raise ValueError("link_prediction_cn: min_common must be >= 1")
+    ce = (edges.select(
+            F.least(F.col(src), F.col(dst)).cast("long").alias("a"),
+            F.greatest(F.col(src), F.col(dst)).cast("long").alias("b"))
+          .filter(F.col("a") != F.col("b")).distinct())
+    adj = (ce.select(F.col("a").alias("c"), F.col("b").alias("n"))
+           .unionByName(ce.select(F.col("b").alias("c"),
+                                  F.col("a").alias("n"))))
+    deg = adj.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    total = deg.agg(
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2)).collect()[0][0]
+    if total is not None and total > max_wedges:
+        raise ValueError(
+            f"link_prediction_cn: Sigma C(deg,2) = {int(total)} wedges "
+            f"exceeds max_wedges={max_wedges}; cap hub degrees upstream")
+    l = adj.select(F.col("c"), F.col("n").alias("u"))
+    r = adj.select(F.col("c"), F.col("n").alias("w"))
+    cn = (l.join(r, "c")
+          .filter(F.col("u") < F.col("w"))
+          .groupBy("u", "w")
+          .agg(F.count(F.lit(1)).cast("long").alias("cn"))
+          .filter(F.col("cn") >= min_common))
+    nonadj = cn.join(ce.select(F.col("a").alias("u"),
+                               F.col("b").alias("w")),
+                     ["u", "w"], "left_anti")
+    return (nonadj
+            .join(deg.select(F.col("c").alias("u"),
+                             F.col("deg").alias("deg_u")), "u")
+            .join(deg.select(F.col("c").alias("w"),
+                             F.col("deg").alias("deg_w")), "w")
+            .select("u", "w", "cn", "deg_u", "deg_w"))

@@ -1679,3 +1679,163 @@ def radius_join_2d(a: DataFrame, b: DataFrame, keys: Sequence[str],
     return (j.filter(d2 <= F.lit(r * r))
             .select(*keys, a_id, b_id, "a_x", "a_y", "b_x", "b_y",
                     d2.alias("dist2")))
+
+
+def autocorr_lag(df: DataFrame, keys: Sequence[str], ts_col: str,
+                 val_col: str, k: int = 1,
+                 tiebreak: str | None = None) -> DataFrame:
+    """Per-key lag-k autocorrelation with the linreg bit-portable
+    contract: align each value with the value k rows later (ordered by
+    ts, then `tiebreak`), reduce the aligned pairs to six EXACT int64
+    sufficient statistics (n, sx, sy, sxx, syy, sxy), and emit Pearson r
+    as one fixed IEEE tree over them —
+    r = (n*sxy − sx*sy) / (sqrt(n*sxx − sx²) * sqrt(n*syy − sy²)) —
+    so any engine replaying the tree produces the same bits (sqrt is
+    correctly rounded by IEEE-754).  A zero-variance side returns NULL r
+    (the exact integer evidence still rides the row); keys with fewer
+    than k+1 rows have no aligned pairs and emit no row at all.
+
+    Overflow envelope ENFORCED with a raise: n·max|x| < 2^31 per key
+    bounds every product (n·sxx ≤ (n·max|x|)², sx·sy, n·sxy) below 2^62.
+
+    100-TB shape: one per-key ordered window (lead) + one combinable
+    stats agg — 6 longs per key cross the exchange; nothing else moves.
+    """
+    if k < 1:
+        raise ValueError("autocorr_lag: k must be >= 1")
+    order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(*keys).orderBy(*order)
+    x = F.col(val_col).cast("long")
+    d = (df.select(*keys, *([ts_col] + ([tiebreak] if tiebreak else [])),
+                   x.alias("_x"))
+         .withColumn("_y", F.lead("_x", k).over(w))
+         .filter(F.col("_y").isNotNull()))
+    st = d.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_x").cast("long").alias("sx"),
+        F.sum("_y").cast("long").alias("sy"),
+        F.sum(F.col("_x") * F.col("_x")).cast("long").alias("sxx"),
+        F.sum(F.col("_y") * F.col("_y")).cast("long").alias("syy"),
+        F.sum(F.col("_x") * F.col("_y")).cast("long").alias("sxy"),
+        F.max(F.greatest(F.abs(F.col("_x")), F.abs(F.col("_y"))))
+         .cast("long").alias("_am"))
+    env = st.agg(F.max(F.col("n") * F.col("_am"))).collect()[0][0]
+    if env is not None and env >= (1 << 31):
+        raise ValueError(
+            f"autocorr_lag: n*max|x| = {env} breaches the int64 envelope "
+            f"(< 2^31); rescale values")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    r = F.when((vx > 0) & (vy > 0),
+               num.cast("double")
+               / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))))
+    return st.select(*keys, "n", "sx", "sy", "sxx", "syy", "sxy",
+                     r.alias("r"))
+
+
+def basket_pairs(df: DataFrame, basket_col: str, item_col: str,
+                 min_pair: int = 1,
+                 max_basket: int = 10_000) -> DataFrame:
+    """Market-basket pair mining (the co-occurrence / association-rule
+    base table): distinct items per basket, support count for every
+    unordered item pair, both item supports, and the basket total — so
+    confidence (n_pair/n_a, n_pair/n_b) and lift
+    (n_baskets·n_pair / (n_a·n_b)) ride the row, each as ONE fixed IEEE
+    expression over exact int64 evidence.  Returns (item_a, item_b,
+    n_pair, n_a, n_b, n_baskets, conf_a_b, conf_b_a, lift) with
+    item_a < item_b and n_pair >= min_pair.
+
+    100-TB shape: membership collapses to distinct (basket, item)
+    map-side before anything else; pairs come from ONE self-equi-join on
+    basket (fan-out C(|basket|, 2) — inherent to the statistic, and
+    bounded by the ENFORCED max_basket raise because a single degenerate
+    mega-basket would otherwise go quadratic); item supports are a
+    vocab-sized agg broadcast back; n_baskets is a driver scalar.
+    """
+    if min_pair < 1:
+        raise ValueError("basket_pairs: min_pair must be >= 1")
+    m = df.select(F.col(basket_col).alias("_b"),
+                  F.col(item_col).alias("_i")).distinct()
+    sizes = m.groupBy("_b").agg(F.count(F.lit(1)).alias("_sz"))
+    top = sizes.agg(F.max("_sz"), F.count(F.lit(1))).collect()[0]
+    if top[0] is not None and top[0] > max_basket:
+        raise ValueError(
+            f"basket_pairs: largest basket has {top[0]} items "
+            f"(> max_basket={max_basket}); pair fan-out is quadratic in "
+            f"basket size — cap or pre-filter degenerate baskets")
+    n_baskets = int(top[1])
+    supp = m.groupBy("_i").agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    a = m.select(F.col("_b"), F.col("_i").alias("item_a"))
+    b = m.select(F.col("_b"), F.col("_i").alias("item_b"))
+    pairs = (a.join(b, "_b")
+             .filter(F.col("item_a") < F.col("item_b"))
+             .groupBy("item_a", "item_b")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+             .filter(F.col("n_pair") >= min_pair))
+    out = (pairs
+           .join(F.broadcast(supp.select(F.col("_i").alias("item_a"),
+                                         F.col("_n").alias("n_a"))),
+                 "item_a")
+           .join(F.broadcast(supp.select(F.col("_i").alias("item_b"),
+                                         F.col("_n").alias("n_b"))),
+                 "item_b")
+           .withColumn("n_baskets", F.lit(n_baskets).cast("long")))
+    conf_ab = F.col("n_pair").cast("double") / F.col("n_a").cast("double")
+    conf_ba = F.col("n_pair").cast("double") / F.col("n_b").cast("double")
+    lift = ((F.col("n_baskets") * F.col("n_pair")).cast("double")
+            / (F.col("n_a") * F.col("n_b")).cast("double"))
+    return out.select("item_a", "item_b", "n_pair", "n_a", "n_b",
+                      "n_baskets", conf_ab.alias("conf_a_b"),
+                      conf_ba.alias("conf_b_a"), lift.alias("lift"))
+
+
+def last_touch_attribution(df: DataFrame, keys: Sequence[str], ts_col: str,
+                           type_col: str, id_col: str,
+                           touch_types: Sequence[str], conv_type: str,
+                           lookback_s: int) -> DataFrame:
+    """Last-touch marketing attribution: each conversion event is
+    credited to the LATEST touch event (per key) at or before it and
+    within `lookback_s` seconds; conversions with no qualifying touch
+    keep NULL attribution.  Ties: a touch at the conversion's exact
+    instant qualifies; among same-instant touches the one with the
+    larger id wins (latest-by-(ts, id), stated declaratively by the
+    oracle as the rank-1 row under ORDER BY ts DESC, id DESC).  Returns
+    (keys..., conv_id, conv_ts, touch_id, touch_type, touch_ts,
+    delay_us) — delay in exact integer microseconds.
+
+    100-TB shape: NO join — touches and conversions ride ONE per-key
+    ordered window (order ts, then kind with touches first so an
+    equal-instant touch is visible to the conversion, then id); the
+    last-touch payload is a single last_value(ignorenulls) struct, and
+    the lookback becomes a map-side null-out because the latest touch is
+    also the minimum-delay touch (delay decreases monotonically with
+    touch ts, so if the latest is out of window every touch is).
+    """
+    if lookback_s <= 0:
+        raise ValueError("last_touch_attribution: lookback_s must be > 0")
+    kind = F.when(F.col(type_col).isin(*touch_types), F.lit(0)) \
+            .when(F.col(type_col) == conv_type, F.lit(1))
+    d = (df.select(*keys, F.col(ts_col).alias("_ts"),
+                   F.col(type_col).alias("_ty"),
+                   F.col(id_col).alias("_id"), kind.alias("_k"))
+         .filter(F.col("_k").isNotNull()))
+    w = (Window.partitionBy(*keys)
+         .orderBy("_ts", "_k", "_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    payload = F.when(F.col("_k") == 0,
+                     F.struct(F.col("_ts").alias("ts"),
+                              F.col("_id").alias("id"),
+                              F.col("_ty").alias("ty")))
+    t = (d.withColumn("_last", F.last(payload, ignorenulls=True).over(w))
+         .filter(F.col("_k") == 1))
+    delay = (F.unix_micros(F.col("_ts").cast("timestamp"))
+             - F.unix_micros(F.col("_last.ts").cast("timestamp")))
+    ok = F.col("_last").isNotNull() & \
+        (delay <= F.lit(int(lookback_s) * 1_000_000))
+    return t.select(
+        *keys, F.col("_id").alias("conv_id"), F.col("_ts").alias("conv_ts"),
+        F.when(ok, F.col("_last.id")).alias("touch_id"),
+        F.when(ok, F.col("_last.ty")).alias("touch_type"),
+        F.when(ok, F.col("_last.ts")).alias("touch_ts"),
+        F.when(ok, delay).alias("delay_us"))

@@ -285,3 +285,37 @@ def test_lpa_two_cliques_bridge(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         label_propagation(df, rounds=-1)
+
+
+def test_link_prediction_cn_matches_brute(spark):
+    from engine.graph import link_prediction_cn
+    rng = np.random.default_rng(11)
+    raw = {(int(rng.integers(0, 30)), int(rng.integers(0, 30)))
+           for _ in range(120)}
+    df = spark.createDataFrame(pd.DataFrame(list(raw),
+                                            columns=["src", "dst"]))
+    got = {(r["u"], r["w"]): (r["cn"], r["deg_u"], r["deg_w"])
+           for r in link_prediction_cn(df, min_common=1).collect()}
+    # brute: canonical undirected simple graph
+    ce = {(min(a, b), max(a, b)) for a, b in raw if a != b}
+    nbr = {}
+    for a, b in ce:
+        nbr.setdefault(a, set()).add(b)
+        nbr.setdefault(b, set()).add(a)
+    want = {}
+    nodes = sorted(nbr)
+    for i, u in enumerate(nodes):
+        for w in nodes[i + 1:]:
+            if (u, w) in ce:
+                continue
+            cn = len(nbr[u] & nbr[w])
+            if cn >= 1:
+                want[(u, w)] = (cn, len(nbr[u]), len(nbr[w]))
+    assert got == want
+    # min_common filters; envelope raises on tiny cap
+    got2 = link_prediction_cn(df, min_common=3).collect()
+    assert all(r["cn"] >= 3 for r in got2)
+    assert {(r["u"], r["w"]) for r in got2} == \
+        {k for k, v in want.items() if v[0] >= 3}
+    with pytest.raises(ValueError):
+        link_prediction_cn(df, max_wedges=1)

@@ -925,3 +925,116 @@ def test_radius_join_2d_matches_brute(spark):
         ops.radius_join_2d(a, b, [], "ax", "ay", "bx", "by", 0)
     with _pt.raises(ValueError):
         ops.radius_join_2d(a, b, [], "ax", "ay", "bx", "by", (1 << 29) + 1)
+
+
+def test_autocorr_lag_matches_numpy(spark):
+    rng = np.random.default_rng(5)
+    rows = [(g, i, int(rng.integers(-50, 50)))
+            for g in ("a", "b") for i in range(40)]
+    rows += [("const", i, 7) for i in range(10)]  # zero variance -> NULL
+    rows += [("tiny", 0, 3)]                      # < k+1 rows -> no row
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["g", "i", "v"]))
+    out = {r["g"]: r for r in
+           ops.autocorr_lag(df, ["g"], "i", "v", k=2).collect()}
+    assert "tiny" not in out
+    assert out["const"]["r"] is None and out["const"]["n"] == 8
+    for g in ("a", "b"):
+        vs = np.array([v for gg, _i, v in rows if gg == g], dtype=np.int64)
+        x, y = vs[:-2], vs[2:]
+        n = len(x)
+        sx, sy = x.sum(), y.sum()
+        sxx, syy, sxy = (x * x).sum(), (y * y).sum(), (x * y).sum()
+        r = out[g]
+        assert (r["n"], r["sx"], r["sy"], r["sxx"], r["syy"], r["sxy"]) \
+            == (n, sx, sy, sxx, syy, sxy)
+        want = float((n * sxy - sx * sy)
+                     / (np.sqrt(float(n * sxx - sx * sx))
+                        * np.sqrt(float(n * syy - sy * sy))))
+        assert r["r"] == want  # bit-identical fixed IEEE tree
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ops.autocorr_lag(df, ["g"], "i", "v", k=0)
+    big = spark.createDataFrame(
+        pd.DataFrame([("x", i, (1 << 30)) for i in range(4)],
+                     columns=["g", "i", "v"]))
+    with _pt.raises(ValueError):
+        ops.autocorr_lag(big, ["g"], "i", "v", k=1)
+
+
+def test_basket_pairs_matches_brute(spark):
+    baskets = {1: {"a", "b", "c"}, 2: {"a", "b"}, 3: {"b", "c", "d"},
+               4: {"a"}, 5: {"a", "b", "c", "d"}}
+    rows = [(b, i) for b, items in baskets.items() for i in items]
+    rows.append((1, "a"))  # duplicate membership collapses
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["b", "i"]))
+    out = {(r["item_a"], r["item_b"]): r
+           for r in ops.basket_pairs(df, "b", "i").collect()}
+    supp = {}
+    for items in baskets.values():
+        for i in items:
+            supp[i] = supp.get(i, 0) + 1
+    want = {}
+    for items in baskets.values():
+        s = sorted(items)
+        for ix, a in enumerate(s):
+            for b in s[ix + 1:]:
+                want[(a, b)] = want.get((a, b), 0) + 1
+    assert {k: v["n_pair"] for k, v in out.items()} == want
+    for (a, b), r in out.items():
+        assert (r["n_a"], r["n_b"], r["n_baskets"]) == (supp[a], supp[b], 5)
+        assert r["conf_a_b"] == r["n_pair"] / supp[a]
+        assert r["lift"] == (5 * r["n_pair"]) / (supp[a] * supp[b])
+    # min_pair filter
+    out2 = ops.basket_pairs(df, "b", "i", min_pair=2).collect()
+    assert {(r["item_a"], r["item_b"]) for r in out2} == \
+        {k for k, v in want.items() if v >= 2}
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ops.basket_pairs(df, "b", "i", max_basket=3)
+
+
+def test_last_touch_attribution_matches_brute(spark):
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1)
+    ev = [
+        # user 1: touch, touch, conv (credits latest touch)
+        (1, base + dt.timedelta(seconds=10), "view", 100),
+        (1, base + dt.timedelta(seconds=20), "click", 101),
+        (1, base + dt.timedelta(seconds=25), "purchase", 102),
+        # user 1: second conv, same last touch still within window
+        (1, base + dt.timedelta(seconds=40), "purchase", 103),
+        # user 2: conv with NO prior touch
+        (2, base + dt.timedelta(seconds=5), "purchase", 200),
+        # user 2: touch AFTER the conv must not attribute backwards
+        (2, base + dt.timedelta(seconds=9), "view", 201),
+        # user 3: touch exactly AT the conv instant qualifies
+        (3, base + dt.timedelta(seconds=7), "click", 300),
+        (3, base + dt.timedelta(seconds=7), "purchase", 301),
+        # user 4: touch outside the lookback window -> NULL
+        (4, base, "view", 400),
+        (4, base + dt.timedelta(seconds=120), "purchase", 401),
+        # user 5: two touches at the SAME instant -> larger id wins
+        (5, base + dt.timedelta(seconds=3), "view", 500),
+        (5, base + dt.timedelta(seconds=3), "click", 501),
+        (5, base + dt.timedelta(seconds=8), "purchase", 502),
+        # irrelevant event types are ignored entirely
+        (1, base + dt.timedelta(seconds=24), "error", 900),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(ev, columns=["u", "ts", "ty", "eid"]))
+    out = {r["conv_id"]: (r["touch_id"], r["touch_type"], r["delay_us"])
+           for r in ops.last_touch_attribution(
+               df, ["u"], "ts", "ty", "eid",
+               ["view", "click"], "purchase", lookback_s=60).collect()}
+    assert out == {
+        102: (101, "click", 5_000_000),
+        103: (101, "click", 20_000_000),
+        200: (None, None, None),
+        301: (300, "click", 0),
+        401: (None, None, None),
+        502: (501, "click", 5_000_000),
+    }
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ops.last_touch_attribution(df, ["u"], "ts", "ty", "eid",
+                                   ["view"], "purchase", lookback_s=0)
