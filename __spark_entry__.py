@@ -4666,6 +4666,52 @@ def q_link_pred_cn(spark, sf_dir):
     return link_prediction_cn(_pr_edges(docs))
 
 
+_OD_CELL = 100
+_GI_CELL = 50
+
+
+def q_rfm_segments(spark, sf_dir):
+    """RFM segmentation (ops.rfm_segments): per-user recency (whole days
+    from the population's latest purchase, exact micros floor-div),
+    frequency, floor-cent monetary total, and quartile scores via ntile
+    over TOTAL orders (metric, user) — Spark and DuckDB share the
+    first-buckets-take-the-extra-row ntile rule (pinned by lift_table),
+    so the scores are engine-portable BIGINTs."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select("user_id", "ts", "event_type",
+                  F.floor(F.col("value") * 100).cast("long")
+                  .alias("v_cents"))
+    return ops.rfm_segments(d, "user_id", "ts", "event_type", "purchase",
+                            "v_cents")
+
+
+def q_od_flows(spark, sf_dir):
+    """Origin-destination flow matrix (ops.od_flows): each user's
+    event-derived grid trace reduced to consecutive cell transitions
+    (same-cell steps drop) at cell size {_OD_CELL}, aggregated to
+    (origin, dest, n_trips, n_movers) — one ordered window carrying two
+    cell longs, one combinable count + count-distinct agg."""
+    ev = _t(spark, sf_dir, "events")
+    e = F.col("event_id").cast("long")
+    d = ev.select("user_id", "ts", "event_id",
+                  F.pmod(e * 48271 + 11, F.lit(1000)).alias("x"),
+                  F.pmod(e * 16807 + 523, F.lit(1000)).alias("y"))
+    return ops.od_flows(d, ["user_id"], "ts", "x", "y", _OD_CELL,
+                        tiebreak="event_id")
+
+
+def q_hotspot_gi(spark, sf_dir):
+    """Getis–Ord Gi* hotspot z-scores (tiles.hotspot_gi) over the
+    occupied-cell lattice of all event grid points at cell size
+    {_GI_CELL}: exact int64 evidence (v, W, w_sum, with n/S/SS as
+    driver-scalar literals) and z as one fixed IEEE tree — the oracle
+    replays the identical fraction-cleared formula, so even the double
+    hashes identically."""
+    d = _grid_points(_t(spark, sf_dir, "events"))
+    from engine import tiles as _tiles
+    return _tiles.hotspot_gi(d, "x", "y", _GI_CELL)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "w2_sessionize": q_w2_sessionize,
@@ -4873,6 +4919,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "basket_pairs": q_basket_pairs,
         "attribution_last_touch": q_attribution_last_touch,
         "link_pred_cn": q_link_pred_cn,
+        "rfm_segments": q_rfm_segments,
+        "od_flows": q_od_flows,
+        "hotspot_gi": q_hotspot_gi,
     }
 
 
@@ -10003,6 +10052,91 @@ na AS (
 )
 SELECT na.u, na.w, na.cn, du.deg AS deg_u, dw.deg AS deg_w
 FROM na JOIN deg du ON du.c = na.u JOIN deg dw ON dw.c = na.w
+""",
+        # RFM: per-user aggregates + deterministic ntile quartiles
+        "rfm_segments": """
+WITH g AS (
+  SELECT user_id AS "user",
+         max(epoch_us(ts)) AS last_us,
+         CAST(count(*) AS BIGINT) AS f,
+         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS m
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id
+),
+ref AS (SELECT max(last_us) AS ref_us FROM g),
+d AS (
+  SELECT g."user", g.f, g.m,
+         CAST((ref.ref_us - g.last_us) // 86400000000 AS BIGINT) AS r_days
+  FROM g CROSS JOIN ref
+)
+SELECT "user", r_days, f, m,
+       CAST(ntile(4) OVER (ORDER BY r_days ASC, "user" ASC) AS BIGINT)
+         AS r_score,
+       CAST(ntile(4) OVER (ORDER BY f DESC, "user" ASC) AS BIGINT)
+         AS f_score,
+       CAST(ntile(4) OVER (ORDER BY m DESC, "user" ASC) AS BIGINT)
+         AS m_score
+FROM d
+""",
+        # OD flows: lead-window transitions, same-cell steps dropped
+        "od_flows": f"""
+WITH d AS (
+  SELECT user_id, ts, event_id,
+         ((CAST(event_id AS BIGINT) * 48271 + 11) % 1000) // {_OD_CELL}
+           AS o_cx,
+         ((CAST(event_id AS BIGINT) * 16807 + 523) % 1000) // {_OD_CELL}
+           AS o_cy
+  FROM events
+),
+l AS (
+  SELECT user_id, o_cx, o_cy,
+         lead(o_cx) OVER w AS d_cx, lead(o_cy) OVER w AS d_cy
+  FROM d WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT o_cx, o_cy, d_cx, d_cy,
+       CAST(count(*) AS BIGINT) AS n_trips,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_movers
+FROM l
+WHERE d_cx IS NOT NULL AND (o_cx != d_cx OR o_cy != d_cy)
+GROUP BY 1, 2, 3, 4
+""",
+        # Gi* hotspots: occupied-cell counts, 3x3 binary-weight stencil,
+        # the identical fraction-cleared z tree
+        "hotspot_gi": f"""
+WITH pts AS (
+  SELECT (CAST(event_id AS BIGINT) * 48271 + 11) % 1000 AS x,
+         (CAST(event_id AS BIGINT) * 16807 + 523) % 1000 AS y
+  FROM events
+),
+cnt AS (
+  SELECT x // {_GI_CELL} AS cx, y // {_GI_CELL} AS cy,
+         CAST(count(*) AS BIGINT) AS v
+  FROM pts GROUP BY 1, 2
+),
+gl AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS s,
+         CAST(sum(v * v) AS BIGINT) AS ss
+  FROM cnt
+),
+nbr AS (
+  SELECT a.cx, a.cy,
+         CAST(sum(b.v) AS BIGINT) AS w_sum,
+         CAST(count(*) AS BIGINT) AS w_cnt
+  FROM cnt a JOIN cnt b
+    ON abs(b.cx - a.cx) <= 1 AND abs(b.cy - a.cy) <= 1
+  GROUP BY a.cx, a.cy
+)
+SELECT c.cx, c.cy, c.v, nbr.w_cnt, nbr.w_sum,
+       CASE WHEN g.n > 1 AND g.n * g.ss - g.s * g.s > 0
+                 AND nbr.w_cnt < g.n
+            THEN CAST(g.n * nbr.w_sum - nbr.w_cnt * g.s AS DOUBLE)
+                 / (sqrt(CAST(g.n * g.ss - g.s * g.s AS DOUBLE))
+                    * sqrt(CAST(g.n * nbr.w_cnt
+                                - nbr.w_cnt * nbr.w_cnt AS DOUBLE)
+                           / CAST(g.n - 1 AS DOUBLE))) END AS z
+FROM cnt c
+JOIN nbr ON nbr.cx = c.cx AND nbr.cy = c.cy
+CROSS JOIN gl g
 """,
     }
 

@@ -1839,3 +1839,90 @@ def last_touch_attribution(df: DataFrame, keys: Sequence[str], ts_col: str,
         F.when(ok, F.col("_last.ty")).alias("touch_type"),
         F.when(ok, F.col("_last.ts")).alias("touch_ts"),
         F.when(ok, delay).alias("delay_us"))
+
+
+def rfm_segments(df: DataFrame, user_col: str, ts_col: str, type_col: str,
+                 conv_type: str, val_col: str,
+                 n_tiles: int = 4) -> DataFrame:
+    """RFM customer segmentation: per user over their `conv_type` events,
+    recency in whole days from the population's most recent conversion
+    (floor of the exact microsecond difference), frequency, and monetary
+    total — then an n_tiles score per dimension via ntile over a TOTAL
+    order (metric, then user id), so the cut is deterministic and Spark
+    and DuckDB share the first-buckets-take-the-extra-row rule (pinned
+    by lift_table).  Score 1 is the BEST tier on every axis (most
+    recent / most frequent / highest spend).  Returns (user, r_days, f,
+    m, r_score, f_score, m_score) — all BIGINT.
+
+    100-TB shape: one combinable per-user agg, the reference instant as
+    one driver scalar, then three global ordered ntile windows — by
+    design over the USER table; for corpus-scale user counts compose
+    with global_ordinal's two-phase bucket trick (same documented
+    posture as lift_table).
+    """
+    if n_tiles < 1:
+        raise ValueError("rfm_segments: n_tiles must be >= 1")
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    g = (df.filter(F.col(type_col) == conv_type)
+         .groupBy(F.col(user_col).alias("user"))
+         .agg(F.max(us).alias("_last_us"),
+              F.count(F.lit(1)).cast("long").alias("f"),
+              F.sum(F.col(val_col).cast("long")).cast("long").alias("m")))
+    ref = g.agg(F.max("_last_us")).collect()[0][0]
+    if ref is None:
+        return g.select("user", F.lit(None).cast("long").alias("r_days"),
+                        "f", "m",
+                        *[F.lit(None).cast("long").alias(c)
+                          for c in ("r_score", "f_score", "m_score")])
+    d = g.withColumn(
+        "r_days",
+        ((F.lit(int(ref)) - F.col("_last_us"))
+         - F.pmod(F.lit(int(ref)) - F.col("_last_us"),
+                  F.lit(86_400_000_000))) / F.lit(86_400_000_000)) \
+        .withColumn("r_days", F.col("r_days").cast("long"))
+    wr = Window.orderBy(F.col("r_days").asc(), F.col("user").asc())
+    wf = Window.orderBy(F.col("f").desc(), F.col("user").asc())
+    wm = Window.orderBy(F.col("m").desc(), F.col("user").asc())
+    return (d.withColumn("r_score", F.ntile(n_tiles).over(wr).cast("long"))
+            .withColumn("f_score", F.ntile(n_tiles).over(wf).cast("long"))
+            .withColumn("m_score", F.ntile(n_tiles).over(wm).cast("long"))
+            .select("user", "r_days", "f", "m",
+                    "r_score", "f_score", "m_score"))
+
+
+def od_flows(df: DataFrame, keys: Sequence[str], ts_col: str,
+             x_col: str, y_col: str, cell_size: int,
+             tiebreak: str | None = None) -> DataFrame:
+    """Origin-destination flow matrix over grid cells: each mover's
+    ordered trace is reduced to consecutive cell transitions (same-cell
+    steps drop — a flow is a MOVE), aggregated to (origin cell, dest
+    cell, n_trips, n_movers) — the OD matrix under every mobility /
+    migration analysis.  Cells are floor-division bins via the exact
+    (a − pmod)/n identity, so negative coordinates bin correctly.
+
+    100-TB shape: one per-mover ordered window (the standard W-family
+    exchange) carrying only the two cell longs, then one combinable
+    count + count-distinct agg on the four cell coordinates; hot cell
+    pairs are combinable partials, never row explosions.
+    """
+    if cell_size <= 0:
+        raise ValueError("od_flows: cell_size must be positive")
+    cs = int(cell_size)
+
+    def cell(c: Column) -> Column:
+        return ((c - F.pmod(c, F.lit(cs))) / F.lit(cs)).cast("long")
+
+    order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(*keys).orderBy(*order)
+    d = (df.select(*keys, *([ts_col] + ([tiebreak] if tiebreak else [])),
+                   cell(F.col(x_col).cast("long")).alias("o_cx"),
+                   cell(F.col(y_col).cast("long")).alias("o_cy"))
+         .withColumn("d_cx", F.lead("o_cx").over(w))
+         .withColumn("d_cy", F.lead("o_cy").over(w))
+         .filter(F.col("d_cx").isNotNull()
+                 & ((F.col("o_cx") != F.col("d_cx"))
+                    | (F.col("o_cy") != F.col("d_cy")))))
+    return (d.groupBy("o_cx", "o_cy", "d_cx", "d_cy")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_trips"),
+                 F.countDistinct(*[F.col(k) for k in keys]).cast("long")
+                 .alias("n_movers")))

@@ -279,3 +279,77 @@ def salted_cell_density(sites: DataFrame, cfg: EngineConfig = DEFAULT,
                         level: int | None = None) -> DataFrame:
     """Back-compat alias for cell_density(..., salted=True)."""
     return cell_density(sites, cfg, level, salted=True)
+
+
+def hotspot_gi(pts: DataFrame, x_col: str, y_col: str,
+               cell_size: int) -> DataFrame:
+    """Getis–Ord Gi*-style hotspot statistic over the OCCUPIED-cell
+    lattice (the sparse variant: the population is the set of occupied
+    cells, weights are binary over each cell's 3x3 neighborhood
+    INCLUDING itself — the * in Gi*).  For each occupied cell: its point
+    count v, the neighborhood size W (occupied cells among the 9), the
+    neighborhood sum w_sum, and the z-score
+
+        z = (n·w_sum − W·S) /
+            ( sqrt(n·SS − S²) · sqrt((n·W − W²) / (n − 1)) )
+
+    — the classic Gi* formula cleared of fractions so every inner term
+    is an EXACT int64 (n = occupied cells, S = Σv, SS = Σv²) and z is
+    one fixed IEEE tree over them (sqrt correctly rounded → the double
+    is bit-portable; the oracle replays the identical tree).  NULL z
+    when n < 2, when the population is constant (n·SS = S²), or when a
+    cell's neighborhood covers the whole population (W = n, zero
+    selection variance).
+
+    Overflow envelope ENFORCED: n·SS < 2^62 and S² < 2^62 (driver-scalar
+    check — these are global aggregates the formula needs anyway);
+    n·w_sum ≤ n·S and W·S ≤ 9·S are then bounded too.
+
+    100-TB shape: points fold into occupied-cell counts map-side first
+    (ONE combinable exchange, the corpus never rides further); the
+    neighborhood sum is the tile-stencil trick — each occupied cell
+    donates its count to its 9 neighbor cells (a 9x explode of the
+    CELL table, not the points) and one combinable agg re-collects
+    them; globals are three driver scalars riding back as literals, so
+    the z computation is map-only.
+    """
+    if cell_size <= 0:
+        raise ValueError("hotspot_gi: cell_size must be positive")
+    cs = int(cell_size)
+
+    def cell(c):
+        return ((c - F.pmod(c, F.lit(cs))) / F.lit(cs)).cast("long")
+
+    cnt = (pts.select(cell(F.col(x_col).cast("long")).alias("cx"),
+                      cell(F.col(y_col).cast("long")).alias("cy"))
+           .groupBy("cx", "cy")
+           .agg(F.count(F.lit(1)).cast("long").alias("v")))
+    glob = cnt.agg(F.count(F.lit(1)).cast("long"),
+                   F.sum("v").cast("long"),
+                   F.sum(F.col("v") * F.col("v")).cast("long")).collect()[0]
+    n, s, ss = (int(glob[0] or 0), int(glob[1] or 0), int(glob[2] or 0))
+    if n * ss >= (1 << 62) or s * s >= (1 << 62):
+        raise ValueError(
+            f"hotspot_gi: n*SS = {n * ss} or S^2 = {s * s} breaches the "
+            f"int64 envelope (< 2^62); rescale counts")
+    donate = (cnt.select(
+        F.explode(F.array(*[
+            F.struct((F.col("cx") + i).alias("cx"),
+                     (F.col("cy") + j).alias("cy"))
+            for i in (-1, 0, 1) for j in (-1, 0, 1)])).alias("_c"),
+        F.col("v"))
+        .select(F.col("_c.cx").alias("cx"), F.col("_c.cy").alias("cy"),
+                "v"))
+    nbr = donate.groupBy("cx", "cy").agg(
+        F.sum("v").cast("long").alias("w_sum"),
+        F.count(F.lit(1)).cast("long").alias("w_cnt"))
+    out = cnt.join(nbr, ["cx", "cy"])
+    num = (F.lit(n) * F.col("w_sum") - F.col("w_cnt") * F.lit(s))
+    d1 = F.sqrt(F.lit(float(n * ss - s * s)))
+    d2 = F.sqrt((F.lit(n) * F.col("w_cnt")
+                 - F.col("w_cnt") * F.col("w_cnt")).cast("double")
+                / F.lit(float(n - 1 if n > 1 else 1)))
+    z = F.when(F.lit(n > 1) & F.lit(n * ss - s * s > 0)
+               & (F.col("w_cnt") < F.lit(n)),
+               num.cast("double") / (d1 * d2))
+    return out.select("cx", "cy", "v", "w_cnt", "w_sum", z.alias("z"))

@@ -590,7 +590,10 @@ def test_no_cartesian_or_rowwise_python_in_hot_plans(spark):
            "a9_rollup", "w10_ratio_to_report", "sample_bottomk",
            "gini_concentration", "lift_table", "max_drawdown",
            "diversified_topk", "golden_record", "mad_scale",
-           "benford_digits", "label_propagation", "k_core"]
+           "benford_digits", "label_propagation", "k_core",
+           "band_join", "quantiles_disc", "radius_join_2d",
+           "autocorr_lag1", "basket_pairs", "attribution_last_touch",
+           "link_pred_cn", "rfm_segments", "od_flows", "hotspot_gi"]
     sf = "/root/testdata/sf0.001"
     bad = {}
     for name in hot:

@@ -171,3 +171,43 @@ def test_salted_cell_density_equals_plain(sites):
     assert len(a) == len(b)
     np.testing.assert_array_equal(a["cell_id"], b["cell_id"])
     np.testing.assert_allclose(a["mass_s"], b["mass_s"], atol=1e-6)
+
+
+def test_hotspot_gi_matches_numpy(spark):
+    rng = np.random.default_rng(23)
+    # dense blob + sparse background over a small lattice
+    xs = list(rng.integers(0, 100, 200)) + list(rng.integers(40, 60, 300))
+    ys = list(rng.integers(0, 100, 200)) + list(rng.integers(40, 60, 300))
+    df = spark.createDataFrame(
+        pd.DataFrame({"x": [int(v) for v in xs],
+                      "y": [int(v) for v in ys]}))
+    got = {(r["cx"], r["cy"]): r
+           for r in tiles.hotspot_gi(df, "x", "y", 10).collect()}
+    # independent replay
+    cells = {}
+    for x, y in zip(xs, ys):
+        c = (x // 10, y // 10)
+        cells[c] = cells.get(c, 0) + 1
+    n = len(cells)
+    s = sum(cells.values())
+    ss = sum(v * v for v in cells.values())
+    import math
+    for (cx, cy), v in cells.items():
+        nb = [(cx + i, cy + j) for i in (-1, 0, 1) for j in (-1, 0, 1)]
+        occ = [c for c in nb if c in cells]
+        w_cnt = len(occ)
+        w_sum = sum(cells[c] for c in occ)
+        r = got[(cx, cy)]
+        assert (r["v"], r["w_cnt"], r["w_sum"]) == (v, w_cnt, w_sum)
+        if n > 1 and n * ss - s * s > 0 and w_cnt < n:
+            want = (float(n * w_sum - w_cnt * s)
+                    / (math.sqrt(float(n * ss - s * s))
+                       * math.sqrt(float(n * w_cnt - w_cnt * w_cnt)
+                                   / float(n - 1))))
+            assert r["z"] == want
+    # the planted blob's center cell scores hotter than the background
+    hot = got[(4, 4)]["z"] if (4, 4) in got else got[(5, 5)]["z"]
+    cold = min(r["z"] for r in got.values() if r["z"] is not None)
+    assert hot > 0 > cold
+    with pytest.raises(ValueError):
+        tiles.hotspot_gi(df, "x", "y", 0)

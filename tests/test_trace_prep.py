@@ -1038,3 +1038,84 @@ def test_last_touch_attribution_matches_brute(spark):
     with _pt.raises(ValueError):
         ops.last_touch_attribution(df, ["u"], "ts", "ty", "eid",
                                    ["view"], "purchase", lookback_s=0)
+
+
+def test_rfm_segments_matches_brute(spark):
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    rng = np.random.default_rng(3)
+    for u in range(20):
+        for _ in range(int(rng.integers(1, 6))):
+            rows.append((u, base + dt.timedelta(
+                days=int(rng.integers(0, 30)),
+                seconds=int(rng.integers(0, 86400))),
+                "purchase", int(rng.integers(1, 500))))
+        rows.append((u, base, "view", 999))  # non-conv rows ignored
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["u", "ts", "ty", "cents"]))
+    out = {r["user"]: r for r in ops.rfm_segments(
+        df, "u", "ts", "ty", "purchase", "cents").collect()}
+    # brute replay
+    per = {}
+    for u, ts, ty, c in rows:
+        if ty != "purchase":
+            continue
+        st = per.setdefault(u, [0, 0, None])
+        st[0] += 1
+        st[1] += c
+        if st[2] is None or ts > st[2]:
+            st[2] = ts
+    ref = max(v[2] for v in per.values())
+    rd = {u: int((ref - v[2]).total_seconds() * 1_000_000
+                 // 86_400_000_000) for u, v in per.items()}
+
+    def ntile4(order):
+        n = len(order)
+        q, r = divmod(n, 4)
+        sizes = [q + (1 if i < r else 0) for i in range(4)]
+        scores, i = {}, 0
+        for b, sz in enumerate(sizes, start=1):
+            for u in order[i:i + sz]:
+                scores[u] = b
+            i += sz
+        return scores
+
+    rs = ntile4(sorted(per, key=lambda u: (rd[u], u)))
+    fs = ntile4(sorted(per, key=lambda u: (-per[u][0], u)))
+    ms = ntile4(sorted(per, key=lambda u: (-per[u][1], u)))
+    for u, v in per.items():
+        r = out[u]
+        assert (r["r_days"], r["f"], r["m"]) == (rd[u], v[0], v[1])
+        assert (r["r_score"], r["f_score"], r["m_score"]) == \
+            (rs[u], fs[u], ms[u])
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ops.rfm_segments(df, "u", "ts", "ty", "purchase", "cents",
+                         n_tiles=0)
+
+
+def test_od_flows_matches_brute(spark):
+    rows = [
+        # user 1 walks cells (0,0) -> (0,0) -> (1,0) -> (1,1)
+        (1, 1, 2, 3), (1, 2, 8, 4), (1, 3, 15, 9), (1, 4, 12, 17),
+        # user 2 repeats the (0,0) -> (1,0) hop
+        (2, 1, 5, 5), (2, 2, 19, 1),
+        # user 3 never moves cells -> contributes nothing
+        (3, 1, 31, 31), (3, 2, 33, 39),
+        # negative coordinates bin by floor, not truncation
+        (4, 1, -1, -1), (4, 2, 1, 1),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["u", "t", "x", "y"]))
+    got = {(r["o_cx"], r["o_cy"], r["d_cx"], r["d_cy"]):
+           (r["n_trips"], r["n_movers"])
+           for r in ops.od_flows(df, ["u"], "t", "x", "y", 10).collect()}
+    assert got == {
+        (0, 0, 1, 0): (2, 2),
+        (1, 0, 1, 1): (1, 1),
+        (-1, -1, 0, 0): (1, 1),
+    }
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ops.od_flows(df, ["u"], "t", "x", "y", 0)
