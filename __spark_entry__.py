@@ -4712,6 +4712,53 @@ def q_hotspot_gi(spark, sf_dir):
     return _tiles.hotspot_gi(d, "x", "y", _GI_CELL)
 
 
+def q_ab_test_2prop(spark, sf_dir):
+    """Pooled two-proportion z-test (stats.two_proportion_ztest): events
+    split into 3 experiment groups (user_id mod 3) with arms by user
+    parity, success = purchase; evidence (n, x per arm) is exact BIGINT
+    and z is one fixed IEEE tree over it — the oracle replays the tree,
+    so even the doubles hash identically."""
+    ev = _t(spark, sf_dir, "events")
+    from engine import stats as _stats
+    d = ev.select(
+        F.pmod(F.col("user_id"), F.lit(3)).cast("long").alias("exp_grp"),
+        F.when(F.pmod(F.col("user_id"), F.lit(2)) == 0, F.lit("A"))
+        .otherwise(F.lit("B")).alias("variant"),
+        (F.col("event_type") == "purchase").cast("int").alias("conv"))
+    return _stats.two_proportion_ztest(d, ["exp_grp"], "variant", "conv",
+                                       "A", "B")
+
+
+def q_chi2_independence(spark, sf_dir):
+    """Chi-square independence cells (stats.chi2_independence) over the
+    (event_type, user_id mod 4) contingency table: exact BIGINT
+    observed/marginal evidence, expected and the fraction-cleared
+    per-cell contribution (o*N - R*C)^2 / (N*R*C) as fixed IEEE trees
+    with N < 2^26 enforced so the numerator root is double-exact."""
+    ev = _t(spark, sf_dir, "events")
+    from engine import stats as _stats
+    d = ev.select(F.col("event_type").alias("et"),
+                  F.pmod(F.col("user_id"), F.lit(4)).cast("long")
+                  .alias("ub"))
+    return _stats.chi2_independence(d, "et", "ub")
+
+
+def q_welch_ttest(spark, sf_dir):
+    """Welch's t-test per event_type (stats.welch_ttest) on floor-cent
+    values with arms by user parity: per-arm (n, sum, sum-of-squares)
+    exact BIGINTs under the enforced n*max|x| < 2^31 envelope, t and
+    the Welch degrees of freedom as fixed IEEE trees the oracle replays
+    subtree-for-subtree."""
+    ev = _t(spark, sf_dir, "events")
+    from engine import stats as _stats
+    d = ev.select(F.col("event_type").alias("et"),
+                  F.when(F.pmod(F.col("user_id"), F.lit(2)) == 0,
+                         F.lit("A")).otherwise(F.lit("B")).alias("variant"),
+                  F.floor(F.col("value") * 100).cast("long")
+                  .alias("cents"))
+    return _stats.welch_ttest(d, ["et"], "variant", "cents", "A", "B")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "w2_sessionize": q_w2_sessionize,
@@ -4922,6 +4969,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_segments": q_rfm_segments,
         "od_flows": q_od_flows,
         "hotspot_gi": q_hotspot_gi,
+        "ab_test_2prop": q_ab_test_2prop,
+        "chi2_independence": q_chi2_independence,
+        "welch_ttest": q_welch_ttest,
     }
 
 
@@ -10137,6 +10187,128 @@ SELECT c.cx, c.cy, c.v, nbr.w_cnt, nbr.w_sum,
 FROM cnt c
 JOIN nbr ON nbr.cx = c.cx AND nbr.cy = c.cy
 CROSS JOIN gl g
+""",
+        # pooled two-proportion z: exact arm counts, one fixed IEEE tree
+        "ab_test_2prop": """
+WITH d AS (
+  SELECT user_id % 3 AS exp_grp,
+         CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+  FROM events
+),
+g AS (
+  SELECT exp_grp,
+         CAST(count(*) FILTER (WHERE variant = 'A') AS BIGINT) AS n_a,
+         CAST(coalesce(sum(conv) FILTER (WHERE variant = 'A'), 0)
+              AS BIGINT) AS x_a,
+         CAST(count(*) FILTER (WHERE variant = 'B') AS BIGINT) AS n_b,
+         CAST(coalesce(sum(conv) FILTER (WHERE variant = 'B'), 0)
+              AS BIGINT) AS x_b
+  FROM d WHERE variant IN ('A', 'B') GROUP BY exp_grp
+),
+p AS (
+  SELECT *,
+         CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS pool
+  FROM g
+),
+s AS (
+  SELECT *,
+         sqrt(pool * (CAST(1.0 AS DOUBLE) - pool)
+              * (CAST(1.0 AS DOUBLE) / CAST(n_a AS DOUBLE)
+                 + CAST(1.0 AS DOUBLE) / CAST(n_b AS DOUBLE))) AS se
+  FROM p
+)
+SELECT exp_grp, n_a, x_a, n_b, x_b,
+       CASE WHEN n_a > 0
+            THEN CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) END AS p_a,
+       CASE WHEN n_b > 0
+            THEN CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) END AS p_b,
+       CASE WHEN n_a > 0 AND n_b > 0 AND se > 0
+            THEN (CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                  - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE)) / se
+       END AS z
+FROM s
+""",
+        # chi-square cells: exact marginals, fraction-cleared contrib
+        "chi2_independence": """
+WITH d AS (
+  SELECT event_type AS et, user_id % 4 AS ub FROM events
+),
+cnt AS (
+  SELECT et AS r, ub AS c, CAST(count(*) AS BIGINT) AS o
+  FROM d GROUP BY 1, 2
+),
+tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cnt),
+rowt AS (SELECT r, CAST(sum(o) AS BIGINT) AS rt FROM cnt GROUP BY r),
+colt AS (SELECT c, CAST(sum(o) AS BIGINT) AS ct FROM cnt GROUP BY c)
+SELECT cnt.r, cnt.c, cnt.o,
+       rowt.rt AS row_total, colt.ct AS col_total,
+       (CAST(rowt.rt AS DOUBLE) * CAST(colt.ct AS DOUBLE))
+         / CAST(tot.n AS DOUBLE) AS expected,
+       CASE WHEN CAST(tot.n AS DOUBLE) * CAST(rowt.rt AS DOUBLE)
+                 * CAST(colt.ct AS DOUBLE) > 0
+            THEN CAST(cnt.o * tot.n - rowt.rt * colt.ct AS DOUBLE)
+                 * CAST(cnt.o * tot.n - rowt.rt * colt.ct AS DOUBLE)
+                 / (CAST(tot.n AS DOUBLE) * CAST(rowt.rt AS DOUBLE)
+                    * CAST(colt.ct AS DOUBLE))
+       END AS contrib
+FROM cnt
+JOIN rowt ON rowt.r = cnt.r
+JOIN colt ON colt.c = cnt.c
+CROSS JOIN tot
+""",
+        # Welch t: exact per-arm (n, s, ss), subtree-identical IEEE trees
+        "welch_ttest": """
+WITH d AS (
+  SELECT event_type AS et,
+         CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+g AS (
+  SELECT et,
+         CAST(count(*) FILTER (WHERE variant = 'A') AS BIGINT) AS n_a,
+         CAST(coalesce(sum(cents) FILTER (WHERE variant = 'A'), 0)
+              AS BIGINT) AS s_a,
+         CAST(coalesce(sum(cents * cents) FILTER (WHERE variant = 'A'), 0)
+              AS BIGINT) AS ss_a,
+         CAST(count(*) FILTER (WHERE variant = 'B') AS BIGINT) AS n_b,
+         CAST(coalesce(sum(cents) FILTER (WHERE variant = 'B'), 0)
+              AS BIGINT) AS s_b,
+         CAST(coalesce(sum(cents * cents) FILTER (WHERE variant = 'B'), 0)
+              AS BIGINT) AS ss_b
+  FROM d WHERE variant IN ('A', 'B') GROUP BY et
+),
+v AS (
+  SELECT *,
+         CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS m_a,
+         CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS m_b,
+         (CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE)
+            * (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)))
+           / CAST(n_a - 1 AS DOUBLE) AS v_a,
+         (CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE)
+            * (CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)))
+           / CAST(n_b - 1 AS DOUBLE) AS v_b
+  FROM g
+),
+q AS (
+  SELECT *,
+         v_a / CAST(n_a AS DOUBLE) AS q_a,
+         v_b / CAST(n_b AS DOUBLE) AS q_b,
+         v_a / CAST(n_a AS DOUBLE) + v_b / CAST(n_b AS DOUBLE) AS qq
+  FROM v
+)
+SELECT et, n_a, s_a, ss_a, n_b, s_b, ss_b,
+       CASE WHEN n_a >= 2 AND n_b >= 2 AND qq > 0
+            THEN (m_a - m_b) / sqrt(qq) END AS t,
+       CASE WHEN n_a >= 2 AND n_b >= 2 AND qq > 0
+                 AND q_a * q_a / CAST(n_a - 1 AS DOUBLE)
+                     + q_b * q_b / CAST(n_b - 1 AS DOUBLE) > 0
+            THEN qq * qq
+                 / (q_a * q_a / CAST(n_a - 1 AS DOUBLE)
+                    + q_b * q_b / CAST(n_b - 1 AS DOUBLE))
+       END AS df_welch
+FROM q
 """,
     }
 
