@@ -4712,6 +4712,28 @@ def q_hotspot_gi(spark, sf_dir):
     return _tiles.hotspot_gi(d, "x", "y", _GI_CELL)
 
 
+_KNN_K = 3
+_KNN_CELL = 25
+
+
+def q_knn_join_2d(spark, sf_dir):
+    """Exact k-nearest-neighbor join (ops.knn_join_2d): per event_type,
+    each probe point (event_id divisible by 7) gets its {_KNN_K} nearest
+    build points under the total order (exact int64 dist², b_id) via the
+    expanding-ring grid search — ring r resolves a probe when its k-th
+    candidate sits within (r·cell)², since integer coords put every
+    unscanned point STRICTLY beyond r·cell.  The oracle states the
+    definition as the all-pairs rank; the engine never materializes
+    all-pairs."""
+    g = _grid_points(_t(spark, sf_dir, "events"))
+    p = (g.filter(F.pmod(F.col("event_id"), F.lit(7)) == 0)
+         .select("event_type", F.col("event_id").alias("p_id"), "x", "y"))
+    b = (g.filter(F.pmod(F.col("event_id"), F.lit(7)) != 0)
+         .select("event_type", F.col("event_id").alias("b_id"), "x", "y"))
+    return ops.knn_join_2d(p, b, ["event_type"], "x", "y", "x", "y",
+                           _KNN_K, _KNN_CELL, max_rings=45)
+
+
 def q_ab_test_2prop(spark, sf_dir):
     """Pooled two-proportion z-test (stats.two_proportion_ztest): events
     split into 3 experiment groups (user_id mod 3) with arms by user
@@ -4969,6 +4991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_segments": q_rfm_segments,
         "od_flows": q_od_flows,
         "hotspot_gi": q_hotspot_gi,
+        "knn_join_2d": q_knn_join_2d,
         "ab_test_2prop": q_ab_test_2prop,
         "chi2_independence": q_chi2_independence,
         "welch_ttest": q_welch_ttest,
@@ -10187,6 +10210,34 @@ SELECT c.cx, c.cy, c.v, nbr.w_cnt, nbr.w_sum,
 FROM cnt c
 JOIN nbr ON nbr.cx = c.cx AND nbr.cy = c.cy
 CROSS JOIN gl g
+""",
+        # kNN join: the definition as the all-pairs (dist2, b_id) rank
+        "knn_join_2d": f"""
+WITH g AS (
+  SELECT event_type, event_id,
+         (CAST(event_id AS BIGINT) * 48271 + 11) % 1000 AS x,
+         (CAST(event_id AS BIGINT) * 16807 + 523) % 1000 AS y
+  FROM events
+),
+p AS (
+  SELECT event_type, event_id AS p_id, x AS px, y AS py
+  FROM g WHERE event_id % 7 = 0
+),
+b AS (
+  SELECT event_type, event_id AS b_id, x AS bx, y AS by
+  FROM g WHERE event_id % 7 <> 0
+),
+j AS (
+  SELECT p.event_type, p.p_id, b.b_id,
+         (b.bx - p.px) * (b.bx - p.px)
+           + (b.by - p.py) * (b.by - p.py) AS dist2
+  FROM p JOIN b ON b.event_type = p.event_type
+)
+SELECT event_type, p_id, b_id, dist2,
+       CAST(row_number() OVER (PARTITION BY event_type, p_id
+                               ORDER BY dist2, b_id) AS BIGINT) AS rnk
+FROM j
+QUALIFY rnk <= {_KNN_K}
 """,
         # pooled two-proportion z: exact arm counts, one fixed IEEE tree
         "ab_test_2prop": """

@@ -1926,3 +1926,135 @@ def od_flows(df: DataFrame, keys: Sequence[str], ts_col: str,
             .agg(F.count(F.lit(1)).cast("long").alias("n_trips"),
                  F.countDistinct(*[F.col(k) for k in keys]).cast("long")
                  .alias("n_movers")))
+
+
+def knn_join_2d(probe: DataFrame, build: DataFrame, keys: Sequence[str],
+                p_x: str, p_y: str, b_x: str, b_y: str, k: int,
+                cell: int, p_id: str = "p_id", b_id: str = "b_id",
+                max_rings: int = 8) -> DataFrame:
+    """2-D k-nearest-neighbor join — the top-k sibling of radius_join_2d
+    and the primitive under geocoding, spatial feature enrichment, and
+    store/POI assignment: for every probe point, its k nearest build
+    points per key under the TOTAL order (dist², b_id), with dist² the
+    exact int64 squared euclidean distance (no float anywhere in the
+    decision).  Returns (keys..., p_id, b_id, dist2 long, rnk 1..k).
+    A key with fewer than k build points yields all of them; a key with
+    no build points yields nothing (resolved immediately, documented).
+
+    Shape (expanding-ring grid search, driver-loop fixpoint — the
+    pagerank/k_core/O4 cadence): both sides binned at `cell`; round r
+    explodes each UNRESOLVED probe over its (2r+1)² cell box and
+    equi-joins on (keys, cx, cy) against the build side's single true
+    cell — so candidates are box-bounded, hot keys spread across the
+    lattice, and the quadratic per-key self-join never exists.  A probe
+    RESOLVES at ring r when its k-th candidate distance satisfies
+    d² ≤ (r·cell)² — any point outside the scanned box is strictly
+    farther than r·cell (the probe lies somewhere in its center cell,
+    so an unscanned cell at Chebyshev cell-distance r+1 starts beyond
+    r·cell), hence the seen top-k is the true top-k and even its tie
+    order is safe (outside points are STRICTLY farther) — or when it
+    has seen its key's whole build population.  Unresolved probes ride
+    to ring r+1 (the box is re-scanned from scratch: no carry-over
+    state, at the cost of re-finding inner candidates — resolved probes
+    leave the loop, so stragglers are few by construction).  Rings
+    beyond `max_rings` raise (the resolution guarantee is the caller's
+    density contract).
+
+    Envelope ENFORCED: (2·max_rings+1)·cell ≤ 2³⁰, so every candidate
+    dist² ≤ 2·((2r+1)·cell)² < 2⁶² stays exact int64.
+
+    100-TB shape: the build side is projected, binned and persisted
+    ONCE; each round is one cell equi-join + one per-probe ordered
+    window (the exchange carries ids and two longs) + one tiny
+    resolved-id anti-join; per-round outputs and the shrinking
+    unresolved set are eagerly localCheckpointed so plan depth stays
+    O(1) at any ring count.
+    """
+    if k < 1:
+        raise ValueError("knn_join_2d: k must be >= 1")
+    if cell <= 0:
+        raise ValueError("knn_join_2d: cell must be positive")
+    if max_rings < 1:
+        raise ValueError("knn_join_2d: max_rings must be >= 1")
+    if (2 * max_rings + 1) * cell > (1 << 30):
+        raise ValueError(
+            f"knn_join_2d: (2*max_rings+1)*cell = "
+            f"{(2 * max_rings + 1) * cell} breaches the int64 envelope "
+            f"(must be <= 2^30 so dist^2 < 2^62)")
+    cs = int(cell)
+    keys = list(keys)
+
+    def cellc(c: Column) -> Column:
+        return ((c - F.pmod(c, F.lit(cs))) / F.lit(cs)).cast("long")
+
+    bb = (build.select(*keys, F.col(b_id),
+                       F.col(b_x).cast("long").alias("_bx"),
+                       F.col(b_y).cast("long").alias("_by"))
+          .withColumn("_cx", cellc(F.col("_bx")))
+          .withColumn("_cy", cellc(F.col("_by")))).persist()
+    totals = bb.groupBy(*keys).agg(F.count(F.lit(1)).cast("long")
+                                   .alias("_nb"))
+    # probes whose key has no build rows resolve immediately (emit
+    # nothing); the semi join also drops them from the loop
+    un = (probe.select(*keys, F.col(p_id),
+                       F.col(p_x).cast("long").alias("_px"),
+                       F.col(p_y).cast("long").alias("_py"))
+          .join(bb.select(*keys).distinct(), keys, "left_semi")
+          .localCheckpoint(eager=True))
+    outs = []
+    try:
+        r = 1
+        while True:
+            if un.isEmpty():
+                break
+            if r > max_rings:
+                n_left = un.count()
+                raise ValueError(
+                    f"knn_join_2d: {n_left} probes unresolved after "
+                    f"{max_rings} rings — raise max_rings or shrink cell")
+            box = F.explode(F.array(*[
+                F.struct((cellc(F.col("_px")) + i).alias("cx"),
+                         (cellc(F.col("_py")) + j).alias("cy"))
+                for i in range(-r, r + 1) for j in range(-r, r + 1)
+            ])).alias("_c")
+            cand = (un.select(*keys, p_id, "_px", "_py", box)
+                    .select(*keys, p_id, "_px", "_py",
+                            F.col("_c.cx").alias("_cx"),
+                            F.col("_c.cy").alias("_cy"))
+                    .join(bb, [*keys, "_cx", "_cy"]))
+            dx = F.col("_bx") - F.col("_px")
+            dy = F.col("_by") - F.col("_py")
+            cand = cand.select(*keys, p_id, b_id,
+                               (dx * dx + dy * dy).alias("dist2"))
+            wo = Window.partitionBy(*keys, p_id).orderBy("dist2", b_id)
+            wp = Window.partitionBy(*keys, p_id)
+            sc = (cand.withColumn("rnk", F.row_number().over(wo))
+                  .withColumn("_cnt", F.count(F.lit(1)).over(wp))
+                  .withColumn("_kth", F.max(F.when(
+                      F.col("rnk") <= k, F.col("dist2"))).over(wp))
+                  .join(totals, keys))
+            resolved = ((F.col("_cnt") == F.col("_nb"))
+                        | ((F.col("_cnt") >= k)
+                           & (F.col("_kth") <= F.lit((r * cs) ** 2))))
+            out_r = (sc.filter(resolved & (F.col("rnk") <= k))
+                     .select(*keys, p_id, b_id, "dist2",
+                             F.col("rnk").cast("long").alias("rnk"))
+                     .localCheckpoint(eager=True))
+            outs.append(out_r)
+            res_ids = out_r.select(*keys, p_id).distinct()
+            un = (un.join(res_ids, [*keys, p_id], "left_anti")
+                  .localCheckpoint(eager=True))
+            r += 1
+        if not outs:
+            schema = un.select(*keys, p_id).schema
+            empty = un.sparkSession.createDataFrame([], schema)
+            return (empty.withColumn(b_id, F.lit(None).cast("long"))
+                    .withColumn("dist2", F.lit(None).cast("long"))
+                    .withColumn("rnk", F.lit(None).cast("long"))
+                    .filter(F.lit(False)))
+        out = outs[0]
+        for o in outs[1:]:
+            out = out.unionByName(o)
+    finally:
+        bb.unpersist()
+    return out

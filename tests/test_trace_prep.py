@@ -1119,3 +1119,60 @@ def test_od_flows_matches_brute(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         ops.od_flows(df, ["u"], "t", "x", "y", 0)
+
+
+def test_knn_join_2d_matches_brute(spark):
+    rng = np.random.default_rng(31)
+    # two keys with different densities + one probe-only key
+    pb, bd = [], []
+    for key, n_b in (("dense", 120), ("sparse", 4)):
+        for i in range(n_b):
+            bd.append((key, i, int(rng.integers(0, 200)),
+                       int(rng.integers(0, 200))))
+        for i in range(25):
+            pb.append((key, i, int(rng.integers(0, 200)),
+                       int(rng.integers(0, 200))))
+    pb.append(("emptykey", 0, 5, 5))  # no build rows -> emits nothing
+    # duplicate build coords to exercise the (dist2, b_id) tie rule
+    bd.append(("dense", 900, bd[0][2], bd[0][3]))
+    bd.append(("dense", 901, bd[0][2], bd[0][3]))
+    p = spark.createDataFrame(
+        pd.DataFrame(pb, columns=["k", "pid", "x", "y"]))
+    b = spark.createDataFrame(
+        pd.DataFrame(bd, columns=["k", "bid", "x", "y"]))
+    K = 6
+    got = {}
+    out = ops.knn_join_2d(p, b, ["k"], "x", "y", "x", "y", K, 30,
+                          p_id="pid", b_id="bid", max_rings=12)
+    for r in out.collect():
+        got.setdefault((r["k"], r["pid"]), []).append(
+            (r["rnk"], r["bid"], r["dist2"]))
+    # brute replay
+    for key, pid, px, py in pb:
+        cands = sorted(
+            ((bx - px) ** 2 + (by - py) ** 2, bid)
+            for bk, bid, bx, by in bd if bk == key)
+        want = [(i + 1, bid, d2) for i, (d2, bid) in
+                enumerate(cands[:K])]
+        have = sorted(got.get((key, pid), []))
+        assert have == want, (key, pid)
+    # sparse key has only 4+0 build rows < K -> all of them returned
+    assert all(len(v) == 4 for (kk, _), v in got.items()
+               if kk == "sparse")
+    assert not any(kk == "emptykey" for kk, _ in got)
+    # unresolvable within max_rings raises
+    far = spark.createDataFrame(
+        pd.DataFrame([("k", 0, 0, 0)], columns=["k", "pid", "x", "y"]))
+    farb = spark.createDataFrame(
+        pd.DataFrame([("k", 1, 10 ** 6, 10 ** 6)],
+                     columns=["k", "bid", "x", "y"]))
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ops.knn_join_2d(far, farb, ["k"], "x", "y", "x", "y", 1, 10,
+                        p_id="pid", b_id="bid", max_rings=2)
+    with _pt.raises(ValueError):
+        ops.knn_join_2d(p, b, ["k"], "x", "y", "x", "y", 0, 30,
+                        p_id="pid", b_id="bid")
+    with _pt.raises(ValueError):
+        ops.knn_join_2d(p, b, ["k"], "x", "y", "x", "y", 1, 1 << 29,
+                        p_id="pid", b_id="bid", max_rings=8)
