@@ -4714,6 +4714,40 @@ def q_hotspot_gi(spark, sf_dir):
 
 _KNN_K = 3
 _KNN_CELL = 25
+_SSSP_ROUNDS = 6
+
+
+def q_merge_intervals(spark, sf_dir):
+    """Merge overlapping-or-touching intervals (ops.merge_intervals):
+    per-user event intervals [epoch_us, epoch_us + (1+|floor-cents|)*0.1s]
+    collapse to their coverage union — one per-key ordered exchange
+    shared by the prefix-runmax flag and the group-id running sum, then
+    one combinable agg; the oracle replays the identical two windows."""
+    ev = _t(spark, sf_dir, "events")
+    s = F.unix_micros(F.col("ts").cast("timestamp"))
+    dur = (F.lit(1) + F.abs(F.floor(F.col("value") * 100).cast("long"))) \
+        * F.lit(100000)
+    d = ev.select("user_id", s.alias("s"), (s + dur).alias("e"))
+    return ops.merge_intervals(d, ["user_id"], "s", "e")
+
+
+def q_sssp_weighted(spark, sf_dir):
+    """Weighted SSSP, Bellman-Ford rounds (graph.sssp_rounds): min-cost
+    distance from the seed hosts (node % 17 == 0) over the derived host
+    graph with deterministic integer weights 1 + (7*src + 13*dst) % 20,
+    capped at {_SSSP_ROUNDS} relaxation rounds — the <=R-edge minimum is
+    a well-defined engine-independent quantity (k_core's fixed-round
+    contract), replayed by the oracle as chained MATERIALIZED CTE
+    rounds of union + min."""
+    from engine.graph import sssp_rounds
+    docs = _t(spark, sf_dir, "documents")
+    e = _pr_edges(docs).withColumn(
+        "w", (F.lit(1) + F.pmod(F.col("src") * 7 + F.col("dst") * 13,
+                                F.lit(20))).cast("long"))
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node"))).distinct())
+    return sssp_rounds(e, nodes.filter(F.col("node") % 17 == 0),
+                       rounds=_SSSP_ROUNDS)
 
 
 def q_knn_join_2d(spark, sf_dir):
@@ -4732,6 +4766,41 @@ def q_knn_join_2d(spark, sf_dir):
          .select("event_type", F.col("event_id").alias("b_id"), "x", "y"))
     return ops.knn_join_2d(p, b, ["event_type"], "x", "y", "x", "y",
                            _KNN_K, _KNN_CELL, max_rings=45)
+
+
+def _sssp_oracle_sql() -> str:
+    rounds = []
+    for i in range(_SSSP_ROUNDS):
+        rounds.append(f"""
+d{i + 1} AS MATERIALIZED (
+  SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+    SELECT node, dist FROM d{i}
+    UNION ALL
+    SELECT e.dst AS node, d.dist + e.w AS dist
+    FROM d{i} d JOIN e ON e.src = d.node
+  ) GROUP BY node
+)""")
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT src, dst, CAST(1 + (src * 7 + dst * 13) % 20 AS BIGINT) AS w
+  FROM (
+    SELECT DISTINCT src, dst FROM (
+      SELECT CAST(doc_id AS BIGINT) % {_PR_NODES} AS src,
+             (CAST(doc_id AS BIGINT) * 48271) % 2147483647 % {_PR_NODES}
+               AS dst
+      FROM documents
+    ) WHERE src != dst
+  )
+),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+),
+d0 AS (
+  SELECT node, CAST(0 AS BIGINT) AS dist FROM nodes WHERE node % 17 = 0
+),{",".join(rounds)}
+SELECT node, dist FROM d{_SSSP_ROUNDS}
+"""
 
 
 def q_ab_test_2prop(spark, sf_dir):
@@ -4992,6 +5061,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "od_flows": q_od_flows,
         "hotspot_gi": q_hotspot_gi,
         "knn_join_2d": q_knn_join_2d,
+        "merge_intervals": q_merge_intervals,
+        "sssp_weighted": q_sssp_weighted,
         "ab_test_2prop": q_ab_test_2prop,
         "chi2_independence": q_chi2_independence,
         "welch_ttest": q_welch_ttest,
@@ -10211,6 +10282,38 @@ FROM cnt c
 JOIN nbr ON nbr.cx = c.cx AND nbr.cy = c.cy
 CROSS JOIN gl g
 """,
+        # interval union: the identical prefix-runmax flag + running-sum
+        # group id windows, then the merged agg
+        "merge_intervals": """
+WITH d AS (
+  SELECT user_id,
+         epoch_us(ts) AS s,
+         epoch_us(ts)
+           + (1 + abs(CAST(floor(value * 100) AS BIGINT))) * 100000 AS e
+  FROM events
+),
+f AS (
+  SELECT user_id, s, e,
+         CASE WHEN max(e) OVER wprev IS NULL OR s > max(e) OVER wprev
+              THEN 1 ELSE 0 END AS flag
+  FROM d
+  WINDOW wprev AS (PARTITION BY user_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+g AS (
+  SELECT *, sum(flag) OVER (PARTITION BY user_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS grp
+  FROM f
+)
+SELECT user_id,
+       CAST(min(s) AS BIGINT) AS m_start,
+       CAST(max(e) AS BIGINT) AS m_end,
+       CAST(count(*) AS BIGINT) AS n_src
+FROM g GROUP BY user_id, grp
+""",
+        # weighted SSSP: chained MATERIALIZED union+min rounds
+        "sssp_weighted": _sssp_oracle_sql(),
         # kNN join: the definition as the all-pairs (dist2, b_id) rank
         "knn_join_2d": f"""
 WITH g AS (

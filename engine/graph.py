@@ -391,3 +391,58 @@ def link_prediction_cn(edges: DataFrame, src: str = "src",
             .join(deg.select(F.col("c").alias("w"),
                              F.col("deg").alias("deg_w")), "w")
             .select("u", "w", "cn", "deg_u", "deg_w"))
+
+
+def sssp_rounds(edges: DataFrame, sources: DataFrame, rounds: int,
+                src: str = "src", dst: str = "dst",
+                w: str = "w") -> DataFrame:
+    """Weighted single-source(-set) shortest paths via Bellman-Ford
+    rounds — the weighted generalization of bfs_levels (latency-weighted
+    link distance, cost-to-reach labeling).  Returns (node long, dist
+    long): the MINIMUM total weight over paths from any source using at
+    most `rounds` edges — a well-defined engine-independent quantity
+    even before convergence, so a fixed-round declarative replay is a
+    true oracle (the k_core fixed-round contract); rounds >= the graph
+    diameter gives the true shortest paths.  Non-negative integer
+    weights ENFORCED (negative weights would need V-1 rounds and cycle
+    detection); parallel edges collapse to their min weight map-side
+    (provably distance-preserving).  Overflow envelope ENFORCED:
+    rounds * max_w < 2^62 bounds every path sum.
+
+    Distributed shape (the pagerank/bfs cadence): the edge table is
+    min-collapsed, hash-partitioned by src ONCE and persisted; each
+    round is one co-located join of the (node-sized) distance table
+    against it plus one map-side-combinable min agg — only (node, dist)
+    pairs cross the per-round exchange.  The distance table is eagerly
+    localCheckpointed every round so plan depth stays O(1).
+    """
+    if rounds < 0:
+        raise ValueError("sssp_rounds: rounds must be >= 0")
+    e = (edges.select(F.col(src).cast("long").alias("src"),
+                      F.col(dst).cast("long").alias("dst"),
+                      F.col(w).cast("long").alias("w"))
+         .groupBy("src", "dst").agg(F.min("w").alias("w"))
+         .repartition(F.col("src")).persist())
+    try:
+        lim = e.agg(F.min("w"), F.max("w")).collect()[0]
+        wmin, wmax = lim[0], lim[1]
+        if wmin is not None and int(wmin) < 0:
+            raise ValueError("sssp_rounds: negative edge weight present")
+        if wmax is not None and rounds * int(wmax) >= (1 << 62):
+            raise ValueError(
+                f"sssp_rounds: rounds*max_w = {rounds * int(wmax)} "
+                f"breaches the int64 envelope (< 2^62)")
+        dist = (sources.select(F.col("node").cast("long").alias("node"))
+                .distinct()
+                .select("node", F.lit(0).cast("long").alias("dist"))
+                .localCheckpoint(eager=True))
+        for _ in range(rounds):
+            relax = (dist.join(e, dist["node"] == e["src"])
+                     .select(F.col("dst").alias("node"),
+                             (dist["dist"] + F.col("w")).alias("dist")))
+            dist = (dist.unionByName(relax)
+                    .groupBy("node").agg(F.min("dist").alias("dist"))
+                    .localCheckpoint(eager=True))
+    finally:
+        e.unpersist()
+    return dist

@@ -2058,3 +2058,48 @@ def knn_join_2d(probe: DataFrame, build: DataFrame, keys: Sequence[str],
     finally:
         bb.unpersist()
     return out
+
+
+def merge_intervals(df: DataFrame, keys: Sequence[str], start_col: str,
+                    end_col: str) -> DataFrame:
+    """A44 — merge overlapping-or-touching intervals per key (the union
+    of a key's time coverage: dedup of overlapping sessions, ad-break
+    consolidation, machine-uptime stitching).  Intervals are CLOSED
+    integer pairs [start, end]; a row opens a NEW merged group iff its
+    start strictly exceeds the running max end of all preceding rows in
+    (start, end) order — otherwise it extends the current group.
+    Returns (keys..., m_start, m_end, n_src) with m_start = min start,
+    m_end = max end, n_src = source-interval count, all exact BIGINTs.
+
+    Determinism under ties: ordering is (start, end); rows equal on both
+    are interchangeable (identical flag outcome since start <= end makes
+    the second of two equal rows always extend), so the merged set is
+    engine-independent — the oracle replays the identical two windows.
+
+    Inverted rows (end < start) are REJECTED with a raise (one driver
+    scalar off a combinable agg): a negative-length interval would make
+    the running-max rule silently disagree with any sane definition.
+
+    100-TB shape: ONE per-key ordered exchange shared by both window
+    passes (same partition+order spec -> one sort), then one combinable
+    group agg; only (keys, start, end) ride the exchange.
+    """
+    s, e = F.col(start_col).cast("long"), F.col(end_col).cast("long")
+    bad = df.agg(F.max(F.when(e < s, 1).otherwise(0))).collect()[0][0]
+    if bad:
+        raise ValueError(
+            "merge_intervals: inverted interval (end < start) present — "
+            "fix or filter upstream")
+    d = df.select(*keys, s.alias("_s"), e.alias("_e"))
+    wprev = (Window.partitionBy(*keys).orderBy("_s", "_e")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    wrun = (Window.partitionBy(*keys).orderBy("_s", "_e")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    runmax = F.max("_e").over(wprev)
+    flag = F.when(runmax.isNull() | (F.col("_s") > runmax), 1).otherwise(0)
+    g = d.withColumn("_grp", F.sum(flag).over(wrun))
+    return (g.groupBy(*keys, "_grp")
+            .agg(F.min("_s").cast("long").alias("m_start"),
+                 F.max("_e").cast("long").alias("m_end"),
+                 F.count(F.lit(1)).cast("long").alias("n_src"))
+            .select(*keys, "m_start", "m_end", "n_src"))

@@ -594,7 +594,8 @@ def test_no_cartesian_or_rowwise_python_in_hot_plans(spark):
            "band_join", "quantiles_disc", "radius_join_2d",
            "autocorr_lag1", "basket_pairs", "attribution_last_touch",
            "link_pred_cn", "rfm_segments", "od_flows", "hotspot_gi",
-           "ab_test_2prop", "chi2_independence", "welch_ttest"]
+           "ab_test_2prop", "chi2_independence", "welch_ttest",
+           "merge_intervals"]
     sf = "/root/testdata/sf0.001"
     bad = {}
     for name in hot:

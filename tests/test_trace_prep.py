@@ -1176,3 +1176,64 @@ def test_knn_join_2d_matches_brute(spark):
     with _pt.raises(ValueError):
         ops.knn_join_2d(p, b, ["k"], "x", "y", "x", "y", 1, 1 << 29,
                         p_id="pid", b_id="bid", max_rings=8)
+
+
+def test_merge_intervals_matches_brute(spark):
+    rows = [
+        # key a: [0,10] [5,20] overlap; [20,25] touches (merges);
+        # [30,35] disjoint; [31,32] nested; duplicate row
+        ("a", 0, 10), ("a", 5, 20), ("a", 20, 25), ("a", 30, 35),
+        ("a", 31, 32), ("a", 31, 32),
+        # key b: single point interval and a chain
+        ("b", 7, 7), ("b", 1, 2), ("b", 2, 3), ("b", 4, 5),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["k", "s", "e"]))
+    got = sorted((r["k"], r["m_start"], r["m_end"], r["n_src"])
+                 for r in ops.merge_intervals(
+                     df, ["k"], "s", "e").collect())
+    assert got == [
+        ("a", 0, 25, 3), ("a", 30, 35, 3),
+        ("b", 1, 3, 2), ("b", 4, 5, 1), ("b", 7, 7, 1),
+    ]
+    import pytest as _pt
+    bad = spark.createDataFrame(
+        pd.DataFrame([("a", 5, 4)], columns=["k", "s", "e"]))
+    with _pt.raises(ValueError):
+        ops.merge_intervals(bad, ["k"], "s", "e")
+
+
+def test_sssp_rounds_matches_brute(spark):
+    from engine.graph import sssp_rounds
+    rng = np.random.default_rng(17)
+    n = 24
+    edges = []
+    for _ in range(70):
+        u, v = int(rng.integers(0, n)), int(rng.integers(0, n))
+        if u != v:
+            edges.append((u, v, int(rng.integers(1, 15))))
+    edges.append((0, 1, 3))
+    edges.append((0, 1, 1))  # parallel edge: min wins
+    e = spark.createDataFrame(
+        pd.DataFrame(edges, columns=["src", "dst", "w"]))
+    seeds = [0, 5]
+    s = spark.createDataFrame(pd.DataFrame({"node": seeds}))
+    for rounds in (0, 1, 3, 8):
+        got = {r["node"]: r["dist"] for r in
+               sssp_rounds(e, s, rounds=rounds).collect()}
+        # brute <=R-edge DP
+        d = {x: 0 for x in seeds}
+        for _ in range(rounds):
+            nd = dict(d)
+            for u, v, w in edges:
+                if u in d and d[u] + w < nd.get(v, float("inf")):
+                    nd[v] = d[u] + w
+            d = nd
+        assert got == d, rounds
+    import pytest as _pt
+    neg = spark.createDataFrame(
+        pd.DataFrame([(0, 1, -2)], columns=["src", "dst", "w"]))
+    with _pt.raises(ValueError):
+        sssp_rounds(neg, s, rounds=2)
+    with _pt.raises(ValueError):
+        sssp_rounds(e, s, rounds=-1)
