@@ -4768,6 +4768,37 @@ def q_knn_join_2d(spark, sf_dir):
                            _KNN_K, _KNN_CELL, max_rings=45)
 
 
+_GEO_RJ_M = 100000.0
+
+
+def _sphere_points(ev: DataFrame) -> DataFrame:
+    """Deterministic lat/lon points from event ids on a 0.1-degree
+    lattice, lat in [-60, 60), lon in [-180, 180) — the two independent
+    LCG multipliers of _grid_points, so no diagonal collapse."""
+    e = F.col("event_id").cast("long")
+    return ev.select(
+        "event_id",
+        (F.pmod(e * 48271 + 11, F.lit(1200)).cast("double")
+         / F.lit(10.0) - F.lit(60.0)).alias("lat"),
+        (F.pmod(e * 16807 + 523, F.lit(3600)).cast("double")
+         / F.lit(10.0) - F.lit(180.0)).alias("lon"))
+
+
+def q_geo_radius_join(spark, sf_dir):
+    """Geodesic radius join (ops.geo_radius_join): probe points (event_id
+    divisible by 5) against all points within {_GEO_RJ_M} m great-circle
+    distance — candidates via chord-space 3-D binning (bins are
+    engine-internal and only gate candidates), the decision via the
+    engine's fixed haversine IEEE tree, which the oracle replays over
+    the by-definition all-pairs join."""
+    pts = _sphere_points(_t(spark, sf_dir, "events"))
+    p = (pts.filter(F.pmod(F.col("event_id"), F.lit(5)) == 0)
+         .select(F.col("event_id").alias("a_id"), "lat", "lon"))
+    b = pts.select(F.col("event_id").alias("b_id"), "lat", "lon")
+    out = ops.geo_radius_join(p, b, "lat", "lon", "lat", "lon", _GEO_RJ_M)
+    return out.filter(F.col("a_id") != F.col("b_id"))
+
+
 def _sssp_oracle_sql() -> str:
     rounds = []
     for i in range(_SSSP_ROUNDS):
@@ -5063,6 +5094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_2d": q_knn_join_2d,
         "merge_intervals": q_merge_intervals,
         "sssp_weighted": q_sssp_weighted,
+        "geo_radius_join": q_geo_radius_join,
         "ab_test_2prop": q_ab_test_2prop,
         "chi2_independence": q_chi2_independence,
         "welch_ttest": q_welch_ttest,
@@ -10314,6 +10346,25 @@ FROM g GROUP BY user_id, grp
 """,
         # weighted SSSP: chained MATERIALIZED union+min rounds
         "sssp_weighted": _sssp_oracle_sql(),
+        # geodesic radius join: the DEFINITION (all-pairs haversine) —
+        # the engine's 3-D chord bins are internal candidate gating only
+        "geo_radius_join": f"""
+WITH pts AS (
+  SELECT event_id,
+         CAST((CAST(event_id AS BIGINT) * 48271 + 11) % 1200 AS DOUBLE)
+           / CAST(10.0 AS DOUBLE) - CAST(60.0 AS DOUBLE) AS lat,
+         CAST((CAST(event_id AS BIGINT) * 16807 + 523) % 3600 AS DOUBLE)
+           / CAST(10.0 AS DOUBLE) - CAST(180.0 AS DOUBLE) AS lon
+  FROM events
+),
+p AS (SELECT event_id AS a_id, lat, lon FROM pts WHERE event_id % 5 = 0),
+j AS (
+  SELECT p.a_id, b.event_id AS b_id,
+         {_hav_sql('p.lat', 'p.lon', 'b.lat', 'b.lon')} AS dist_m
+  FROM p JOIN pts b ON p.a_id != b.event_id
+)
+SELECT a_id, b_id, dist_m FROM j WHERE dist_m <= {_GEO_RJ_M}
+""",
         # kNN join: the definition as the all-pairs (dist2, b_id) rank
         "knn_join_2d": f"""
 WITH g AS (

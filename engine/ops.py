@@ -2103,3 +2103,75 @@ def merge_intervals(df: DataFrame, keys: Sequence[str], start_col: str,
                  F.max("_e").cast("long").alias("m_end"),
                  F.count(F.lit(1)).cast("long").alias("n_src"))
             .select(*keys, "m_start", "m_end", "n_src"))
+
+
+def geo_radius_join(a: DataFrame, b: DataFrame, a_lat: str, a_lon: str,
+                    b_lat: str, b_lon: str, r_m: float,
+                    a_id: str = "a_id", b_id: str = "b_id") -> DataFrame:
+    """J12 — geodesic radius join: all (a, b) pairs within great-circle
+    distance r_m meters (haversine), the spherical sibling of
+    radius_join_2d and the primitive under geofencing / POI proximity /
+    near-site matching.  Returns (a_id, b_id, dist_m double) with dist_m
+    the engine's fixed haversine IEEE tree (the X2 op order/clamping the
+    oracles replay verbatim).
+
+    Candidate generation is CHORD-SPACE 3-D binning: both sides project
+    to the unit sphere (X = cosφcosλ, Y = cosφsinλ, Z = sinφ); a pair
+    within arc r has 3-D chord length ≤ c = 2·sin(r / 2R), and binning
+    each axis at width 2c guarantees same-or-adjacent bins per axis
+    with a full 1-bin safety margin (exact per-axis gap ≤ c = half the
+    bin width, so no IEEE boundary case can ever skip a bin).  The
+    a-side explodes over its 3×3×3 bin neighborhood while the b-side
+    keeps its single true bin — every candidate pair generated EXACTLY
+    ONCE (no dedup exchange) ahead of the exact haversine ≤ r filter.
+    The bins are ENGINE-INTERNAL: they only gate candidates, so the
+    oracle replays the DEFINITION (all-pairs haversine), not the bins,
+    and no cross-engine trig agreement is needed for binning — only the
+    final haversine tree, which both engines already share.
+
+    Self-join usage (a is b) yields both orientations plus the self
+    pair — filter a_id < b_id for unordered pairs.  Hot spots spread
+    across the 3-D lattice; fan-out is bounded by 27× bin occupancy,
+    never a key's population.
+
+    100-TB shape: one equi-join on three bin longs after a 27× explode
+    of the probe side only; no window, no all-pairs, no Python.
+    """
+    import math as _math
+
+    if not (r_m > 0):
+        raise ValueError("geo_radius_join: r_m must be positive")
+    R = 6371008.8
+    c = 2.0 * _math.sin(min(float(r_m) / (2.0 * R), _math.pi / 2.0))
+    w = 2.0 * c  # bin width: 2x the chord bound -> 1-bin safety margin
+
+    def xyz(lat: Column, lon: Column) -> tuple[Column, Column, Column]:
+        rlat, rlon = F.radians(lat), F.radians(lon)
+        return (F.cos(rlat) * F.cos(rlon), F.cos(rlat) * F.sin(rlon),
+                F.sin(rlat))
+
+    def binc(c_: Column) -> Column:
+        return F.floor(c_ / F.lit(w)).cast("long")
+
+    ax, ay, az = xyz(F.col(a_lat), F.col(a_lon))
+    bx, by, bz = xyz(F.col(b_lat), F.col(b_lon))
+    nbr = F.explode(F.array(*[
+        F.struct((binc(ax) + i).alias("bx"), (binc(ay) + j).alias("by"),
+                 (binc(az) + l).alias("bz"))
+        for i in (-1, 0, 1) for j in (-1, 0, 1) for l in (-1, 0, 1)
+    ])).alias("_c")
+    aa = (a.select(F.col(a_id), F.col(a_lat).alias("_alat"),
+                   F.col(a_lon).alias("_alon"), nbr)
+          .select(a_id, "_alat", "_alon",
+                  F.col("_c.bx").alias("_bx"), F.col("_c.by").alias("_by"),
+                  F.col("_c.bz").alias("_bz")))
+    bb = b.select(F.col(b_id), F.col(b_lat).alias("_blat"),
+                  F.col(b_lon).alias("_blon"),
+                  binc(bx).alias("_bx"), binc(by).alias("_by"),
+                  binc(bz).alias("_bz"))
+    j = aa.join(bb, ["_bx", "_by", "_bz"])
+    from .functions import haversine_m_col
+    d = haversine_m_col(F.col("_alat"), F.col("_alon"),
+                        F.col("_blat"), F.col("_blon"))
+    return (j.select(a_id, b_id, d.alias("dist_m"))
+            .filter(F.col("dist_m") <= F.lit(float(r_m))))

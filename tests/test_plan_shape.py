@@ -595,7 +595,7 @@ def test_no_cartesian_or_rowwise_python_in_hot_plans(spark):
            "autocorr_lag1", "basket_pairs", "attribution_last_touch",
            "link_pred_cn", "rfm_segments", "od_flows", "hotspot_gi",
            "ab_test_2prop", "chi2_independence", "welch_ttest",
-           "merge_intervals"]
+           "merge_intervals", "geo_radius_join"]
     sf = "/root/testdata/sf0.001"
     bad = {}
     for name in hot:

@@ -1237,3 +1237,47 @@ def test_sssp_rounds_matches_brute(spark):
         sssp_rounds(neg, s, rounds=2)
     with _pt.raises(ValueError):
         sssp_rounds(e, s, rounds=-1)
+
+
+def test_geo_radius_join_matches_brute(spark):
+    from engine.geo import haversine_m
+    rng = np.random.default_rng(41)
+    n = 150
+    lats = rng.uniform(-80, 80, n)
+    lons = rng.uniform(-180, 180, n)
+    # plant a tight cluster straddling the antimeridian and a pole-ward
+    # pair (chord bins must not be fooled by lon wraparound: XYZ is
+    # wrap-free by construction)
+    lats[:6] = [70.0, 70.2, 70.1, -85.0, -85.1, -85.05]
+    lons[:6] = [179.9, -179.9, 179.95, 10.0, 10.5, -170.0]
+    df = spark.createDataFrame(pd.DataFrame(
+        {"pid": range(n), "lat": lats, "lon": lons}))
+    R = 300_000.0
+    got = {(r["a_id"], r["b_id"]): r["dist_m"]
+           for r in ops.geo_radius_join(
+               df.selectExpr("pid as a_id", "lat", "lon"),
+               df.selectExpr("pid as b_id", "lat", "lon"),
+               "lat", "lon", "lat", "lon", R).collect()}
+    la = np.repeat(lats, n)
+    lo = np.repeat(lons, n)
+    lb = np.tile(lats, n)
+    lob = np.tile(lons, n)
+    d = haversine_m(la, lo, lb, lob).reshape(n, n)
+    want = {(i, j): d[i, j] for i in range(n) for j in range(n)
+            if d[i, j] <= R}
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert got[k] == v, k
+    assert (0, 0) in got and got[(0, 0)] == 0.0  # self pair rides
+    # giant radius degenerates to (correct) all-pairs
+    small = df.limit(8)
+    g2 = ops.geo_radius_join(
+        small.selectExpr("pid as a_id", "lat", "lon"),
+        small.selectExpr("pid as b_id", "lat", "lon"),
+        "lat", "lon", "lat", "lon", 2.5e7)
+    assert g2.count() == 64
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ops.geo_radius_join(df.selectExpr("pid as a_id", "lat", "lon"),
+                            df.selectExpr("pid as b_id", "lat", "lon"),
+                            "lat", "lon", "lat", "lon", 0.0)
