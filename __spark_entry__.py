@@ -4881,6 +4881,54 @@ def q_welch_ttest(spark, sf_dir):
     return _stats.welch_ttest(d, ["et"], "variant", "cents", "A", "B")
 
 
+def q_mannwhitney_u(spark, sf_dir):
+    """Mann-Whitney U (stats.mann_whitney_u) on floor-cent values per
+    event_type with arms by user parity: doubled-midrank arithmetic
+    keeps every rank quantity an exact BIGINT (u2_a = 2*U_A, tie term
+    sum(t^3 - t)), and the tie-corrected normal z is one fixed IEEE
+    tree over them — the oracle replays the same cumulative-count
+    window and tree, so even the doubles hash identically."""
+    ev = _t(spark, sf_dir, "events")
+    from engine import stats as _stats
+    d = ev.select(F.col("event_type").alias("et"),
+                  F.when(F.pmod(F.col("user_id"), F.lit(2)) == 0,
+                         F.lit("A")).otherwise(F.lit("B")).alias("variant"),
+                  F.floor(F.col("value") * 100).cast("long")
+                  .alias("cents"))
+    return _stats.mann_whitney_u(d, ["et"], "variant", "cents", "A", "B")
+
+
+def q_spearman_corr(spark, sf_dir):
+    """Spearman rank correlation (stats.spearman_rho) between floor-cent
+    value and user_id per event_type: centered doubled midranks make
+    the three moment sums exact BIGINTs (the cross terms vanish because
+    both rank vectors share the exact mean), rho is one fixed IEEE tree
+    over them."""
+    ev = _t(spark, sf_dir, "events")
+    from engine import stats as _stats
+    d = ev.select(F.col("event_type").alias("et"),
+                  F.floor(F.col("value") * 100).cast("long")
+                  .alias("cents"),
+                  F.col("user_id").alias("uid"))
+    return _stats.spearman_rho(d, ["et"], "cents", "uid")
+
+
+def q_ks_2samp(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov (stats.ks_2samp) on floor-cent
+    values per event_type with arms by user parity: the ECDF-gap
+    supremum is carried as the fraction-cleared exact BIGINT
+    d_num = max |n_b*cumA - n_a*cumB|, and D = d_num/(n_a*n_b) is a
+    single IEEE divide the oracle replays."""
+    ev = _t(spark, sf_dir, "events")
+    from engine import stats as _stats
+    d = ev.select(F.col("event_type").alias("et"),
+                  F.when(F.pmod(F.col("user_id"), F.lit(2)) == 0,
+                         F.lit("A")).otherwise(F.lit("B")).alias("variant"),
+                  F.floor(F.col("value") * 100).cast("long")
+                  .alias("cents"))
+    return _stats.ks_2samp(d, ["et"], "variant", "cents", "A", "B")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "w2_sessionize": q_w2_sessionize,
@@ -5098,6 +5146,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_test_2prop": q_ab_test_2prop,
         "chi2_independence": q_chi2_independence,
         "welch_ttest": q_welch_ttest,
+        "mannwhitney_u": q_mannwhitney_u,
+        "spearman_corr": q_spearman_corr,
+        "ks_2samp": q_ks_2samp,
     }
 
 
@@ -10514,6 +10565,125 @@ SELECT et, n_a, s_a, ss_a, n_b, s_b, ss_b,
                     + q_b * q_b / CAST(n_b - 1 AS DOUBLE))
        END AS df_welch
 FROM q
+""",
+        # Mann-Whitney U: doubled midranks, exact BIGINT evidence,
+        # tie-corrected z replayed subtree-for-subtree
+        "mannwhitney_u": """
+WITH d AS (
+  SELECT event_type AS et,
+         CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+         CAST(floor(value * 100) AS BIGINT) AS v
+  FROM events
+),
+cnt AS (
+  SELECT et, v,
+         CAST(count(*) FILTER (WHERE variant = 'A') AS BIGINT) AS c_a,
+         CAST(count(*) FILTER (WHERE variant = 'B') AS BIGINT) AS c_b
+  FROM d GROUP BY et, v
+),
+ranked AS (
+  SELECT et, c_a, c_b,
+         2 * CAST(coalesce(sum(c_a + c_b) OVER (
+               PARTITION BY et ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) + (c_a + c_b) + 1 AS mid2,
+         (c_a + c_b) * (c_a + c_b) * (c_a + c_b) - (c_a + c_b) AS tie3
+  FROM cnt
+),
+g AS (
+  SELECT et,
+         CAST(sum(c_a) AS BIGINT) AS n_a,
+         CAST(sum(c_b) AS BIGINT) AS n_b,
+         CAST(sum(c_a * mid2) AS BIGINT) AS r2_a,
+         CAST(sum(tie3) AS BIGINT) AS tie_term
+  FROM ranked GROUP BY et
+),
+s AS (
+  SELECT *,
+         CAST(r2_a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
+         CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+           * ((CAST(n_a + n_b AS DOUBLE) + 1.0)
+              - CAST(tie_term AS DOUBLE)
+                / CAST((n_a + n_b) * (n_a + n_b - 1) AS DOUBLE)) AS sig2
+  FROM g
+)
+SELECT et, n_a, n_b, u2_a, tie_term,
+       CASE WHEN n_a > 0 AND n_b > 0 AND sig2 > 0
+            THEN (CAST(u2_a AS DOUBLE) / 2.0
+                  - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)
+                 / sqrt(sig2)
+       END AS z
+FROM s
+""",
+        # Spearman rho: centered doubled midranks, exact BIGINT moments
+        "spearman_corr": """
+WITH d AS (
+  SELECT event_type AS et,
+         CAST(floor(value * 100) AS BIGINT) AS x,
+         user_id AS y
+  FROM events
+),
+r AS (
+  SELECT et,
+         CAST(2 * rank() OVER (PARTITION BY et ORDER BY x)
+              + count(*) OVER (PARTITION BY et, x) - 1
+              - (count(*) OVER (PARTITION BY et) + 1) AS BIGINT) AS dx,
+         CAST(2 * rank() OVER (PARTITION BY et ORDER BY y)
+              + count(*) OVER (PARTITION BY et, y) - 1
+              - (count(*) OVER (PARTITION BY et) + 1) AS BIGINT) AS dy
+  FROM d
+),
+g AS (
+  SELECT et, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(dx * dy) AS BIGINT) AS sxy,
+         CAST(sum(dx * dx) AS BIGINT) AS sxx,
+         CAST(sum(dy * dy) AS BIGINT) AS syy
+  FROM r GROUP BY et
+)
+SELECT et, n, sxy, sxx, syy,
+       CASE WHEN n >= 2
+                 AND CAST(sxx AS DOUBLE) * CAST(syy AS DOUBLE) > 0
+            THEN CAST(sxy AS DOUBLE)
+                 / sqrt(CAST(sxx AS DOUBLE) * CAST(syy AS DOUBLE))
+       END AS rho
+FROM g
+""",
+        # two-sample KS: fraction-cleared exact ECDF-gap supremum
+        "ks_2samp": """
+WITH d AS (
+  SELECT event_type AS et,
+         CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+         CAST(floor(value * 100) AS BIGINT) AS v
+  FROM events
+),
+cnt AS (
+  SELECT et, v,
+         CAST(count(*) FILTER (WHERE variant = 'A') AS BIGINT) AS c_a,
+         CAST(count(*) FILTER (WHERE variant = 'B') AS BIGINT) AS c_b
+  FROM d GROUP BY et, v
+),
+st AS (
+  SELECT et,
+         sum(c_a) OVER (PARTITION BY et ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca_cum,
+         sum(c_b) OVER (PARTITION BY et ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb_cum,
+         sum(c_a) OVER (PARTITION BY et) AS na,
+         sum(c_b) OVER (PARTITION BY et) AS nb
+  FROM cnt
+),
+g AS (
+  SELECT et,
+         CAST(max(na) AS BIGINT) AS n_a,
+         CAST(max(nb) AS BIGINT) AS n_b,
+         CAST(max(abs(nb * ca_cum - na * cb_cum)) AS BIGINT) AS d_num
+  FROM st GROUP BY et
+)
+SELECT et, n_a, n_b, d_num,
+       CASE WHEN n_a > 0 AND n_b > 0
+            THEN CAST(d_num AS DOUBLE) / CAST(n_a * n_b AS DOUBLE)
+       END AS d
+FROM g
 """,
     }
 

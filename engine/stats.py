@@ -20,10 +20,11 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["two_proportion_ztest", "chi2_independence", "welch_ttest"]
+__all__ = ["two_proportion_ztest", "chi2_independence", "welch_ttest",
+           "mann_whitney_u", "spearman_rho", "ks_2samp"]
 
 
 def _d(c: Column) -> Column:
@@ -209,6 +210,213 @@ def welch_ttest(df: DataFrame, keys: Sequence[str], variant_col: str,
         dfw = F.when(ok & (q > 0) & (dden > 0), q * q / safe_dden)
         out = g.select(*keys, "n_a", "s_a", "ss_a", "n_b", "s_b", "ss_b",
                        t.alias("t"), dfw.alias("df_welch"))
+        out = out.localCheckpoint(eager=True)
+    finally:
+        g.unpersist()
+    return out
+
+
+def mann_whitney_u(df: DataFrame, keys: Sequence[str], variant_col: str,
+                   val_col: str, variant_a: str,
+                   variant_b: str) -> DataFrame:
+    """A44 — Mann-Whitney U (Wilcoxon rank-sum) test per experiment key
+    over an INTEGER metric column.  The rank arithmetic is kept EXACT by
+    working in DOUBLED midranks: for a value v with c_lt strictly-smaller
+    rows and c_eq rows tied at v, midrank(v) = c_lt + (c_eq+1)/2, so
+
+        2·midrank(v) = 2·c_lt + c_eq + 1        (always an integer).
+
+    Emitted evidence per key (all exact BIGINT, engine-independent):
+    n_a, n_b, `u2_a` = 2·U_A = Σ_A 2·midrank − n_a·(n_a+1), and the tie
+    term T = Σ_ties (t³ − t).  The normal-approximation statistic
+
+        z = (U_A − n_a·n_b/2)
+            / sqrt( n_a·n_b/12 · ( (n+1) − T/(n·(n−1)) ) )
+
+    is ONE fixed IEEE tree over those integers (NULL when either arm is
+    empty or the tie-corrected variance is ≤ 0, e.g. all values equal).
+
+    Overflow envelope ENFORCED with a raise: n = n_a+n_b < 2²⁰ per key
+    ⇒ every doubled rank ≤ 2n+1 < 2²¹, Σ c·(2·midrank) ≤ n·(2n+1) < 2⁴²,
+    and T ≤ n³ < 2⁶⁰ — all int64-safe with room to spare.
+
+    100-TB shape: the corpus collapses to one (key, value)-grained count
+    aggregate (map-side combinable — raw rows never ride past it); the
+    cumulative-rank window and the final per-key reduction both run on
+    that distinct-value table, which for real metrics is orders of
+    magnitude smaller than the corpus.
+    """
+    v = F.col(variant_col)
+    x = F.col(val_col).cast("long")
+    is_a, is_b = v == F.lit(variant_a), v == F.lit(variant_b)
+    cnt = (df.filter(is_a | is_b)
+           .groupBy(*keys, x.alias("v"))
+           .agg(F.sum(F.when(is_a, 1).otherwise(0)).cast("long")
+                .alias("c_a"),
+                F.sum(F.when(is_b, 1).otherwise(0)).cast("long")
+                .alias("c_b")))
+    w_lt = (Window.partitionBy(*keys).orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    c = F.col("c_a") + F.col("c_b")
+    ranked = cnt.select(
+        *keys, "c_a", "c_b",
+        (F.lit(2) * F.coalesce(F.sum(c).over(w_lt), F.lit(0))
+         + c + F.lit(1)).alias("mid2"),
+        (c * c * c - c).alias("tie3"))
+    g = (ranked.groupBy(*keys)
+         .agg(F.sum("c_a").cast("long").alias("n_a"),
+              F.sum("c_b").cast("long").alias("n_b"),
+              F.sum(F.col("c_a") * F.col("mid2")).cast("long").alias("r2_a"),
+              F.sum("tie3").cast("long").alias("tie_term"))).persist()
+    try:
+        worst = g.agg(F.max(F.col("n_a") + F.col("n_b"))).collect()[0][0]
+        if int(worst or 0) >= (1 << 20):
+            raise ValueError(
+                f"mann_whitney_u: n={worst} rows in one key breaches the "
+                f"exact-rank envelope (n < 2^20 per key) — pre-aggregate "
+                f"or bucket the metric")
+        na, nb = F.col("n_a"), F.col("n_b")
+        u2a = (F.col("r2_a") - na * (na + 1)).alias("u2_a")
+        n = na + nb
+        dna, dnb, dn = _d(na), _d(nb), _d(n)
+        # divisors clamped with greatest(., 1) BEFORE use: ANSI mode
+        # raises DIVIDE_BY_ZERO even inside an un-taken when() branch
+        # once CSE hoists the division; the guards below only admit
+        # rows where the clamp is the identity (both arms non-empty ⇒
+        # n ≥ 2), so the emitted doubles are unchanged.
+        cnn1 = _d(F.greatest(n * (n - 1), F.lit(1)))
+        sig2 = (dna * dnb / F.lit(12.0)
+                * ((dn + F.lit(1.0)) - _d(F.col("tie_term")) / cnn1))
+        safe_sig = F.when(sig2 > 0, F.sqrt(sig2)).otherwise(F.lit(1.0))
+        z = F.when((na > 0) & (nb > 0) & (sig2 > 0),
+                   (_d(F.col("r2_a") - na * (na + 1)) / F.lit(2.0)
+                    - dna * dnb / F.lit(2.0)) / safe_sig)
+        out = g.select(*keys, "n_a", "n_b", u2a, "tie_term", z.alias("z"))
+        out = out.localCheckpoint(eager=True)
+    finally:
+        g.unpersist()
+    return out
+
+
+def spearman_rho(df: DataFrame, keys: Sequence[str], x_col: str,
+                 y_col: str) -> DataFrame:
+    """A45 — Spearman rank correlation per key over two INTEGER columns:
+    Pearson correlation of the midranks, computed EXACTLY by working in
+    CENTERED DOUBLED midranks.  With min_rank the ANSI rank() (1 + count
+    of strictly-smaller rows) and c_eq the tie-group size,
+
+        2·midrank = 2·min_rank + c_eq − 1,
+        d = 2·midrank − (n+1)          (centered: Σd = 0, |d| ≤ n−1),
+
+    so  rho = Σ d_x·d_y / sqrt( Σd_x² · Σd_y² )  — the (n·Σxy − ΣxΣy)
+    form with the cross-moment terms vanishing identically because both
+    rank vectors share the exact mean (n+1)/2.  Evidence per key: n and
+    the exact BIGINT moments sxy, sxx, syy; rho is one fixed IEEE tree
+    over them (NULL when n < 2 or either column is constant).
+
+    Overflow envelope ENFORCED with a raise: n < 2²⁰ per key ⇒
+    |d| ≤ n < 2²⁰, |Σ d_x·d_y| ≤ n³ < 2⁶⁰ — int64-safe.
+
+    100-TB shape: two rank windows + one tie-count window per axis over
+    the SAME per-key partitioning (a single exchange feeds all of them),
+    then one map-side-combinable moment aggregate; only (key, 4 longs)
+    rows survive.
+    """
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    base = df.select(*keys, x.alias("x"), y.alias("y"))
+    wk = Window.partitionBy(*keys)
+    n_w = F.count(F.lit(1)).over(wk)
+
+    def cdrank(col: str) -> Column:
+        mr = F.rank().over(wk.orderBy(col))
+        ceq = F.count(F.lit(1)).over(Window.partitionBy(*keys, col))
+        return F.lit(2) * mr + ceq - F.lit(1) - (n_w + F.lit(1))
+
+    r = base.select(*keys,
+                    cdrank("x").cast("long").alias("dx"),
+                    cdrank("y").cast("long").alias("dy"))
+    g = (r.groupBy(*keys)
+         .agg(F.count(F.lit(1)).cast("long").alias("n"),
+              F.sum(F.col("dx") * F.col("dy")).cast("long").alias("sxy"),
+              F.sum(F.col("dx") * F.col("dx")).cast("long").alias("sxx"),
+              F.sum(F.col("dy") * F.col("dy")).cast("long")
+              .alias("syy"))).persist()
+    try:
+        worst = g.agg(F.max("n")).collect()[0][0]
+        if int(worst or 0) >= (1 << 20):
+            raise ValueError(
+                f"spearman_rho: n={worst} rows in one key breaches the "
+                f"exact-rank envelope (n < 2^20 per key) — pre-aggregate "
+                f"or sample")
+        den2 = _d(F.col("sxx")) * _d(F.col("syy"))
+        safe_den = F.when(den2 > 0, F.sqrt(den2)).otherwise(F.lit(1.0))
+        rho = F.when((F.col("n") >= 2) & (den2 > 0),
+                     _d(F.col("sxy")) / safe_den)
+        out = g.select(*keys, "n", "sxy", "sxx", "syy", rho.alias("rho"))
+        out = out.localCheckpoint(eager=True)
+    finally:
+        g.unpersist()
+    return out
+
+
+def ks_2samp(df: DataFrame, keys: Sequence[str], variant_col: str,
+             val_col: str, variant_a: str, variant_b: str) -> DataFrame:
+    """A46 — two-sample Kolmogorov-Smirnov statistic per experiment key
+    over an INTEGER metric column:  D = max_v |F_A(v) − F_B(v)|, with
+    the supremum taken over the pooled distinct values (sufficient: the
+    ECDF difference is piecewise-constant between them).  The statistic
+    is computed as an EXACT RATIONAL with the fraction cleared:
+
+        d_num = max_v | n_b·cumA(v) − n_a·cumB(v) |   (exact BIGINT),
+        D     = d_num / (n_a·n_b)                     (one IEEE divide).
+
+    Evidence per key: n_a, n_b, d_num — engine-independent integers; D
+    is NULL when either arm is empty.
+
+    Overflow envelope ENFORCED with a raise: n_a, n_b < 2³¹ per key ⇒
+    |n_b·cumA − n_a·cumB| ≤ n_a·n_b < 2⁶² — int64-safe.  (This is the
+    loosest envelope in the suite: KS needs no rank powers.)
+
+    100-TB shape: the corpus collapses to one (key, value)-grained count
+    aggregate; the cumulative window and the final max both run on that
+    distinct-value table, and the max is map-side combinable.
+    """
+    v = F.col(variant_col)
+    x = F.col(val_col).cast("long")
+    is_a, is_b = v == F.lit(variant_a), v == F.lit(variant_b)
+    cnt = (df.filter(is_a | is_b)
+           .groupBy(*keys, x.alias("v"))
+           .agg(F.sum(F.when(is_a, 1).otherwise(0)).cast("long")
+                .alias("c_a"),
+                F.sum(F.when(is_b, 1).otherwise(0)).cast("long")
+                .alias("c_b")))
+    wk = Window.partitionBy(*keys)
+    w_cum = wk.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = wk.rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing)
+    stepped = cnt.select(
+        *keys,
+        F.sum("c_a").over(w_cum).alias("ca_cum"),
+        F.sum("c_b").over(w_cum).alias("cb_cum"),
+        F.sum("c_a").over(w_all).alias("na"),
+        F.sum("c_b").over(w_all).alias("nb"))
+    g = (stepped.groupBy(*keys)
+         .agg(F.max("na").cast("long").alias("n_a"),
+              F.max("nb").cast("long").alias("n_b"),
+              F.max(F.abs(F.col("nb") * F.col("ca_cum")
+                          - F.col("na") * F.col("cb_cum")))
+              .cast("long").alias("d_num"))).persist()
+    try:
+        worst = g.agg(F.max(F.greatest("n_a", "n_b"))).collect()[0][0]
+        if int(worst or 0) >= (1 << 31):
+            raise ValueError(
+                f"ks_2samp: arm size {worst} breaches the int64 envelope "
+                f"(n < 2^31 per key/arm) — pre-aggregate or sample")
+        prod = _d(F.greatest(F.col("n_a") * F.col("n_b"), F.lit(1)))
+        d = F.when((F.col("n_a") > 0) & (F.col("n_b") > 0),
+                   _d(F.col("d_num")) / prod)
+        out = g.select(*keys, "n_a", "n_b", "d_num", d.alias("d"))
         out = out.localCheckpoint(eager=True)
     finally:
         g.unpersist()

@@ -140,3 +140,154 @@ def test_welch_ttest_matches_brute(spark):
                      columns=["k", "v", "x"]))
     with pytest.raises(ValueError):
         stats.welch_ttest(big, ["k"], "v", "x", "A", "B")
+
+
+def _midranks(a):
+    """Average (mid) ranks, 1-based, ties share the mean rank."""
+    a = np.asarray(a)
+    order = np.argsort(a, kind="stable")
+    ranks = np.empty(len(a), dtype=float)
+    sa = a[order]
+    i, r = 0, 1
+    while i < len(a):
+        j = i
+        while j < len(a) and sa[j] == sa[i]:
+            j += 1
+        ranks[order[i:j]] = (r + (r + (j - i) - 1)) / 2.0
+        r += j - i
+        i = j
+    return ranks
+
+
+def test_mann_whitney_u_matches_brute(spark):
+    rng = np.random.default_rng(13)
+    rows = []
+    for key in ("k0", "k1", "k2"):
+        for variant, shift in (("A", 0), ("B", 3), ("C", 99)):
+            # coarse grid => heavy ties, the hard case for midranks
+            for _ in range(80):
+                rows.append((key, variant, int(rng.integers(0, 12)) + shift))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["k", "variant", "v"]))
+    got = {r["k"]: r for r in stats.mann_whitney_u(
+        df, ["k"], "variant", "v", "A", "B").collect()}
+    assert len(got) == 3
+    for key in ("k0", "k1", "k2"):
+        va = np.array([v for k, var, v in rows if k == key and var == "A"])
+        vb = np.array([v for k, var, v in rows if k == key and var == "B"])
+        pooled = np.concatenate([va, vb])
+        ranks = _midranks(pooled)
+        ra = ranks[: len(va)].sum()
+        na, nb = len(va), len(vb)
+        u_a = ra - na * (na + 1) / 2.0
+        _, counts = np.unique(pooled, return_counts=True)
+        tie = int((counts.astype(object) ** 3 - counts).sum())
+        r = got[key]
+        assert (r["n_a"], r["n_b"]) == (na, nb)
+        assert r["u2_a"] == int(round(2 * u_a))
+        assert r["tie_term"] == tie
+        n = na + nb
+        sig2 = (float(na) * float(nb) / 12.0
+                * ((float(n) + 1.0) - float(tie) / float(n * (n - 1))))
+        z = (float(r["u2_a"]) / 2.0
+             - float(na) * float(nb) / 2.0) / math.sqrt(sig2)
+        assert r["z"] == z
+    # all-tied values -> tie-corrected variance 0 -> NULL z
+    dg = spark.createDataFrame(
+        pd.DataFrame([("x", "A", 7)] * 4 + [("x", "B", 7)] * 4,
+                     columns=["k", "variant", "v"]))
+    row = stats.mann_whitney_u(dg, ["k"], "variant", "v", "A", "B"
+                               ).collect()[0]
+    assert row["z"] is None and row["u2_a"] == 4 * 9 - 4 * 5
+    # empty arm: evidence rides, z NULL
+    ea = spark.createDataFrame(
+        pd.DataFrame([("x", "A", 1), ("x", "A", 2)],
+                     columns=["k", "variant", "v"]))
+    row = stats.mann_whitney_u(ea, ["k"], "variant", "v", "A", "B"
+                               ).collect()[0]
+    assert row["n_b"] == 0 and row["z"] is None
+    # envelope raise: > 2^20 rows in one key
+    big = spark.range((1 << 20) + 8).selectExpr(
+        "'x' AS k",
+        "CASE WHEN id % 2 = 0 THEN 'A' ELSE 'B' END AS variant",
+        "CAST(id % 50 AS LONG) AS v")
+    with pytest.raises(ValueError, match="envelope"):
+        stats.mann_whitney_u(big, ["k"], "variant", "v", "A", "B")
+
+
+def test_spearman_rho_matches_brute(spark):
+    rng = np.random.default_rng(17)
+    rows = []
+    for key in ("k0", "k1"):
+        for _ in range(150):
+            x = int(rng.integers(0, 25))
+            # monotone-ish link + noise, with ties on both axes
+            y = x * 3 + int(rng.integers(0, 10))
+            rows.append((key, x, y))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["k", "x", "y"]))
+    got = {r["k"]: r for r in stats.spearman_rho(
+        df, ["k"], "x", "y").collect()}
+    for key in ("k0", "k1"):
+        xs = np.array([x for k, x, y in rows if k == key])
+        ys = np.array([y for k, x, y in rows if k == key])
+        n = len(xs)
+        dx = (2 * _midranks(xs) - (n + 1)).astype(np.int64)
+        dy = (2 * _midranks(ys) - (n + 1)).astype(np.int64)
+        sxy, sxx, syy = (int((dx * dy).sum()), int((dx * dx).sum()),
+                         int((dy * dy).sum()))
+        r = got[key]
+        assert (r["n"], r["sxy"], r["sxx"], r["syy"]) == (n, sxy, sxx, syy)
+        assert r["rho"] == float(sxy) / math.sqrt(float(sxx) * float(syy))
+        # sanity: strong positive monotone link
+        assert r["rho"] > 0.85
+    # constant column -> NULL rho, evidence rides
+    cg = spark.createDataFrame(
+        pd.DataFrame([("x", 5, 1), ("x", 5, 2), ("x", 5, 3)],
+                     columns=["k", "x", "y"]))
+    row = stats.spearman_rho(cg, ["k"], "x", "y").collect()[0]
+    assert row["sxx"] == 0 and row["rho"] is None
+    # perfect antitone permutation -> exactly -1.0
+    pg = spark.createDataFrame(
+        pd.DataFrame([("x", i, 10 - i) for i in range(10)],
+                     columns=["k", "x", "y"]))
+    row = stats.spearman_rho(pg, ["k"], "x", "y").collect()[0]
+    assert row["rho"] == -1.0
+
+
+def test_ks_2samp_matches_brute(spark):
+    rng = np.random.default_rng(19)
+    rows = []
+    for key in ("k0", "k1"):
+        for _ in range(120):
+            rows.append((key, "A", int(rng.integers(0, 30))))
+        for _ in range(90):   # unequal arms, shifted distribution
+            rows.append((key, "B", int(rng.integers(5, 40))))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["k", "variant", "v"]))
+    got = {r["k"]: r for r in stats.ks_2samp(
+        df, ["k"], "variant", "v", "A", "B").collect()}
+    for key in ("k0", "k1"):
+        va = np.array([v for k, var, v in rows if k == key and var == "A"])
+        vb = np.array([v for k, var, v in rows if k == key and var == "B"])
+        na, nb = len(va), len(vb)
+        grid = np.unique(np.concatenate([va, vb]))
+        cum_a = np.searchsorted(np.sort(va), grid, side="right")
+        cum_b = np.searchsorted(np.sort(vb), grid, side="right")
+        d_num = int(np.abs(nb * cum_a.astype(np.int64)
+                           - na * cum_b.astype(np.int64)).max())
+        r = got[key]
+        assert (r["n_a"], r["n_b"], r["d_num"]) == (na, nb, d_num)
+        assert r["d"] == float(d_num) / float(na * nb)
+        # scipy-free sanity: shifted distributions => detectable gap
+        assert r["d"] > 0.1
+    # identical single-point arms -> D = 0
+    dg = spark.createDataFrame(
+        pd.DataFrame([("x", "A", 3)] * 5 + [("x", "B", 3)] * 5,
+                     columns=["k", "variant", "v"]))
+    row = stats.ks_2samp(dg, ["k"], "variant", "v", "A", "B").collect()[0]
+    assert row["d_num"] == 0 and row["d"] == 0.0
+    # empty arm -> NULL D
+    ea = spark.createDataFrame(
+        pd.DataFrame([("x", "A", 1)], columns=["k", "variant", "v"]))
+    row = stats.ks_2samp(ea, ["k"], "variant", "v", "A", "B").collect()[0]
+    assert row["n_b"] == 0 and row["d"] is None
