@@ -4929,6 +4929,79 @@ def q_ks_2samp(spark, sf_dir):
     return _stats.ks_2samp(d, ["et"], "variant", "cents", "A", "B")
 
 
+_HULL_MOD = 13
+
+
+def q_convex_hull(spark, sf_dir):
+    """Per-type strict convex hull (spatial.convex_hull_2d) of sampled
+    derived grid points: the minimal bounding polygon under coverage /
+    service-area queries, emitted one row per hull VERTEX with its CCW
+    position from the lexicographic minimum plus the exact shoelace
+    doubled area.  Every geometric decision is an int64 cross product,
+    so the output is bit-portable; the engine pre-reduces map-side
+    (hull of per-partition hulls == hull) and only local-hull survivors
+    cross the one exchange.  The oracle replays the EXTREME-POINT
+    definition relationally: a point is a hull vertex iff some directed
+    edge from it keeps every other point strictly left (collinear
+    allowed only strictly beyond the edge endpoint), CCW position =
+    1 + count of hull vertices counter-clockwise-before it around the
+    start vertex, area via the idx-(idx+1 mod h) cyclic edge join.
+    Input sampled (event_id % {_HULL_MOD} == 0) to keep the oracle's
+    O(n^3) membership replay tiny; the engine path needs no sample."""
+    from engine import spatial
+    ev = _t(spark, sf_dir, "events").filter(
+        F.pmod(F.col("event_id"), F.lit(_HULL_MOD)) == 0)
+    pts = _grid_points(ev)
+    return spatial.convex_hull_2d(pts, ["event_type"], "x", "y")
+
+
+_ROLL_W_DAYS = 7
+
+
+def q_rolling_active(spark, sf_dir):
+    """Trailing-7-day distinct-user step function per event type
+    (ops.rolling_active_distinct) — the WAU curve as exact BIGINTs,
+    one row per day the count CHANGES including the closing drop to 0.
+    The engine never builds a day spine or a sliding COUNT(DISTINCT):
+    each user's covered days form merged intervals whose +1/-1
+    endpoints feed one per-key running sum.  The oracle states the
+    DEFINITION instead — a generate_series day spine, the trailing
+    window COUNT(DISTINCT) per day, kept where it differs from the
+    previous day — so the two sides meet only at the semantics."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select("event_type", "user_id",
+                  F.datediff(F.col("ts").cast("date"),
+                             F.lit("1970-01-01").cast("date"))
+                  .cast("long").alias("day"))
+    return ops.rolling_active_distinct(d, ["event_type"], "user_id",
+                                       "day", _ROLL_W_DAYS)
+
+
+_TS_MOD = 3
+
+
+def q_theil_sen(spark, sf_dir):
+    """Theil–Sen robust trend (ops.theil_sen_slope) of floor-cent event
+    value over event-time micros per type: the median pairwise slope
+    under the documented total order (slope_double, dy, dx) — one IEEE
+    divide per pair, (dy, dx) breaking any double collision, so the
+    lower-median row is engine-independent over the identical pair
+    multiset (pairs generated once each by event_id order, normalized
+    to dx > 0).  Input sampled (event_id % {_TS_MOD} == 0): the pair
+    fan-out is inherently quadratic and the envelope raise enforces it;
+    sampling per key is the estimator's own scale story.  Oracle
+    replays pair generation, normalization and the rank filter."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.pmod(F.col("event_id"), F.lit(_TS_MOD)) == 0)
+    d = ev.select("event_type", "event_id",
+                  F.unix_micros(F.col("ts").cast("timestamp"))
+                  .alias("x_us"),
+                  F.floor(F.col("value") * 100).cast("long")
+                  .alias("y_cents"))
+    return ops.theil_sen_slope(d, ["event_type"], "x_us", "y_cents",
+                               "event_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "w2_sessionize": q_w2_sessionize,
@@ -5149,6 +5222,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mannwhitney_u": q_mannwhitney_u,
         "spearman_corr": q_spearman_corr,
         "ks_2samp": q_ks_2samp,
+        "convex_hull": q_convex_hull,
+        "rolling_active": q_rolling_active,
+        "theil_sen": q_theil_sen,
     }
 
 
@@ -10684,6 +10760,154 @@ SELECT et, n_a, n_b, d_num,
             THEN CAST(d_num AS DOUBLE) / CAST(n_a * n_b AS DOUBLE)
        END AS d
 FROM g
+""",
+        # strict convex hull — the oracle replays the EXTREME-POINT
+        # definition, not the chain: p is a hull vertex iff some directed
+        # edge p->q keeps every other r strictly left (cross > 0), with
+        # collinear r admitted only strictly BEYOND q (dot test) so
+        # mid-edge points never qualify; n=1 groups are their own hull.
+        # CCW idx = 1 + |{u counter-clockwise-before v around p0}| (no
+        # two strict hull vertices are collinear with p0, so the count
+        # is total); doubled area via the idx->(idx+1 mod h) edge join.
+        "convex_hull": f"""
+WITH raw AS (
+  SELECT DISTINCT event_type,
+         (CAST(event_id AS BIGINT) * 48271 + 11) % 1000 AS x,
+         (CAST(event_id AS BIGINT) * 16807 + 523) % 1000 AS y
+  FROM events WHERE event_id % {_HULL_MOD} = 0
+),
+cnt AS (SELECT event_type, count(*) AS n FROM raw GROUP BY event_type),
+singl AS (
+  SELECT r.event_type, r.x, r.y
+  FROM raw r JOIN cnt c USING (event_type) WHERE c.n = 1
+),
+vert AS (
+  SELECT DISTINCT p.event_type, p.x, p.y
+  FROM raw p
+  JOIN raw q ON q.event_type = p.event_type
+            AND (q.x <> p.x OR q.y <> p.y)
+  WHERE NOT EXISTS (
+    SELECT 1 FROM raw r
+    WHERE r.event_type = p.event_type
+      AND (r.x <> p.x OR r.y <> p.y) AND (r.x <> q.x OR r.y <> q.y)
+      AND NOT (
+        (q.x - p.x) * (r.y - p.y) - (q.y - p.y) * (r.x - p.x) > 0
+        OR ((q.x - p.x) * (r.y - p.y) - (q.y - p.y) * (r.x - p.x) = 0
+            AND (r.x - p.x) * (q.x - p.x) + (r.y - p.y) * (q.y - p.y)
+                > (q.x - p.x) * (q.x - p.x) + (q.y - p.y) * (q.y - p.y))
+      )
+  )
+),
+hullv AS (SELECT * FROM vert UNION ALL SELECT * FROM singl),
+p0 AS (
+  SELECT event_type, x AS x0, y AS y0 FROM hullv
+  QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY x, y) = 1
+),
+nh AS (SELECT event_type, count(*) AS h FROM hullv GROUP BY event_type),
+ordv AS (
+  SELECT v.event_type, v.x, v.y,
+         CASE WHEN v.x = p.x0 AND v.y = p.y0 THEN 0
+              ELSE 1 + (SELECT count(*) FROM hullv u
+                        WHERE u.event_type = v.event_type
+                          AND (u.x <> p.x0 OR u.y <> p.y0)
+                          AND (u.x <> v.x OR u.y <> v.y)
+                          AND (u.x - p.x0) * (v.y - p.y0)
+                              - (u.y - p.y0) * (v.x - p.x0) > 0)
+         END AS idx
+  FROM hullv v JOIN p0 p USING (event_type)
+),
+area AS (
+  SELECT a.event_type,
+         CAST(sum(a.x * b.y - b.x * a.y) AS BIGINT) AS a2
+  FROM ordv a
+  JOIN nh n USING (event_type)
+  JOIN ordv b ON b.event_type = a.event_type
+             AND b.idx = (a.idx + 1) % n.h
+  GROUP BY a.event_type
+)
+SELECT v.event_type, CAST(v.idx AS BIGINT) AS idx,
+       CAST(v.x AS BIGINT) AS x, CAST(v.y AS BIGINT) AS y,
+       CAST(n.h AS BIGINT) AS n_hull, ar.a2 AS hull_2area
+FROM ordv v
+JOIN nh n USING (event_type)
+JOIN area ar USING (event_type)
+""",
+        # trailing-7-day distinct users — the oracle states the DEFINITION
+        # (day spine + windowed COUNT(DISTINCT), kept where it changes);
+        # the engine derives the same step function from merged coverage
+        # intervals without ever building the spine.
+        "rolling_active": f"""
+WITH ev AS (
+  SELECT DISTINCT event_type, user_id,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day
+  FROM events
+),
+bounds AS (
+  SELECT event_type, min(day) AS lo, max(day) AS hi
+  FROM ev GROUP BY event_type
+),
+spine AS (
+  SELECT event_type, unnest(generate_series(lo, hi + {_ROLL_W_DAYS}))
+           AS day
+  FROM bounds
+),
+cnt AS (
+  SELECT s.event_type, s.day, count(DISTINCT e.user_id) AS n
+  FROM spine s LEFT JOIN ev e
+    ON e.event_type = s.event_type
+   AND e.day BETWEEN s.day - {_ROLL_W_DAYS - 1} AND s.day
+  GROUP BY s.event_type, s.day
+),
+chg AS (
+  SELECT event_type, day, n,
+         lag(n, 1, 0) OVER (PARTITION BY event_type ORDER BY day) AS pn
+  FROM cnt
+)
+SELECT event_type, CAST(day AS BIGINT) AS day,
+       CAST(n AS BIGINT) AS n_active
+FROM chg WHERE n <> pn
+""",
+        # Theil–Sen: identical pair multiset (event_id order, dx > 0
+        # normalization), identical total order (slope double, dy, dx),
+        # lower median at rank (m+1)//2.
+        "theil_sen": f"""
+WITH d AS (
+  SELECT event_type, event_id,
+         CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS x,
+         CAST(floor(value * 100) AS BIGINT) AS y
+  FROM events WHERE event_id % {_TS_MOD} = 0
+),
+stats AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_pts
+  FROM d GROUP BY event_type
+),
+pr AS (
+  SELECT a.event_type,
+         CASE WHEN b.x - a.x < 0 THEN a.x - b.x ELSE b.x - a.x END AS dx,
+         CASE WHEN b.x - a.x < 0 THEN a.y - b.y ELSE b.y - a.y END AS dy
+  FROM d a JOIN d b ON b.event_type = a.event_type
+                   AND a.event_id < b.event_id
+  WHERE b.x <> a.x
+),
+sl AS (
+  SELECT event_type, dx, dy,
+         CAST(dy AS DOUBLE) / CAST(dx AS DOUBLE) AS slope,
+         row_number() OVER (PARTITION BY event_type
+             ORDER BY CAST(dy AS DOUBLE) / CAST(dx AS DOUBLE), dy, dx)
+           AS rn,
+         count(*) OVER (PARTITION BY event_type) AS m
+  FROM pr
+),
+med AS (
+  SELECT event_type, CAST(m AS BIGINT) AS n_pairs,
+         CAST(dy AS BIGINT) AS med_dy, CAST(dx AS BIGINT) AS med_dx,
+         slope
+  FROM sl WHERE rn = (m + 1) // 2
+)
+SELECT s.event_type, s.n_pts,
+       CAST(coalesce(med.n_pairs, 0) AS BIGINT) AS n_pairs,
+       med.med_dy AS med_dy, med.med_dx AS med_dx, med.slope AS slope
+FROM stats s LEFT JOIN med USING (event_type)
 """,
     }
 

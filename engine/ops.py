@@ -2175,3 +2175,121 @@ def geo_radius_join(a: DataFrame, b: DataFrame, a_lat: str, a_lon: str,
                         F.col("_blat"), F.col("_blon"))
     return (j.select(a_id, b_id, d.alias("dist_m"))
             .filter(F.col("dist_m") <= F.lit(float(r_m))))
+
+
+def rolling_active_distinct(df: DataFrame, keys: Sequence[str],
+                            user_col: str, day_col: str,
+                            window_days: int) -> DataFrame:
+    """A45 — trailing-window distinct-actor counts (the WAU/MAU step
+    function): for each key, the number of distinct users with at least
+    one event in the trailing `window_days`-day window, emitted as the
+    MINIMAL STEP FUNCTION — one row (keys..., day, n_active) per day
+    where the count CHANGES, implicitly constant until the next row,
+    including the closing drop (possibly to 0) `window_days` days after
+    the last activity.  Exact — no HLL; all BIGINT.
+
+    Shape (the interval-union trick — COUNT(DISTINCT) OVER a sliding
+    range never materializes): a user's contribution to day d is "has
+    an event in (d - W, d]", i.e. the user covers the day interval
+    [day, day + W - 1] for each event day; per (key, user) those
+    intervals merge with the merge_intervals runmax rule, each merged
+    interval decomposes into a +1 at m_start and a -1 at m_end + 1, and
+    the per-key running sum over net-nonzero event days IS the distinct
+    count — the count changes exactly at interval endpoints, so the
+    emitted set is provably {days where count != previous day's count}.
+
+    100-TB shape: one distinct on (keys, user, day) ~ tens of bytes a
+    row, one per-(key, user) ordered pass for the merge, one combinable
+    (keys, day) delta agg, then ONE per-key ordered prefix sum whose
+    input is endpoint-grained (2 rows per merged interval), not
+    row-grained.  No day spine ever explodes; sparse actors cost O(1).
+    """
+    if window_days < 1:
+        raise ValueError("rolling_active_distinct: window_days must be >= 1")
+    keys = list(keys)
+    d = (df.select(*keys, F.col(user_col).alias("_u"),
+                   F.col(day_col).cast("long").alias("_d"))
+         .distinct())
+    iv = d.select(*keys, "_u", F.col("_d").alias("_s"),
+                  (F.col("_d") + F.lit(window_days - 1)).alias("_e"))
+    merged = merge_intervals(iv, [*keys, "_u"], "_s", "_e")
+    ev = (merged.select(*keys, F.col("m_start").alias("day"),
+                        F.lit(1).cast("long").alias("_delta"))
+          .unionByName(
+              merged.select(*keys, (F.col("m_end") + 1).alias("day"),
+                            F.lit(-1).cast("long").alias("_delta"))))
+    net = (ev.groupBy(*keys, "day")
+           .agg(F.sum("_delta").cast("long").alias("_net"))
+           .filter(F.col("_net") != 0))
+    w = (Window.partitionBy(*keys).orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (net.withColumn("n_active", F.sum("_net").over(w).cast("long"))
+            .select(*keys, F.col("day").cast("long").alias("day"),
+                    "n_active"))
+
+
+def theil_sen_slope(df: DataFrame, keys: Sequence[str], x_col: str,
+                    y_col: str, id_col: str,
+                    max_points: int = 5000) -> DataFrame:
+    """A46 — Theil–Sen robust slope per key: the median of all pairwise
+    slopes (y_j - y_i) / (x_j - x_i), the classic 29%-breakdown robust
+    trend estimator.  Inputs are exact ints; vertical pairs (equal x)
+    are excluded, matching the standard estimator.
+
+    Median CONTRACT (engine-independent, stated so the oracle replays
+    it): pairs are generated once each (id_i < id_j), normalized to
+    dx > 0 by negating both components when needed, totally ordered by
+    (slope_double, dy, dx) — slope_double = dy/dx is ONE IEEE divide,
+    bit-identical cross-engine, and the (dy, dx) tiebreak makes the
+    order total even when two distinct rationals round to the same
+    double (the lower median at rank (m+1)/2 is then well-defined over
+    the identical pair multiset both engines build).  Emits
+    (keys..., n_pts, n_pairs, med_dy, med_dx, slope) with slope NULL
+    when no non-vertical pair exists.
+
+    Envelope ENFORCED with a raise: > max_points rows in any key group
+    (the pair fan-out is inherently quadratic — same posture as
+    basket_pairs' max-basket bound; at corpus scale, sample per key
+    upstream, which preserves the estimator's statistical contract).
+    """
+    keys = list(keys)
+    d = df.select(*keys, F.col(id_col).alias("_i"),
+                  F.col(x_col).cast("long").alias("_x"),
+                  F.col(y_col).cast("long").alias("_y"))
+    stats = d.groupBy(*keys).agg(F.count(F.lit(1)).cast("long")
+                                 .alias("n_pts"))
+    worst = stats.agg(F.max("n_pts")).collect()[0][0]
+    if worst is not None and worst > max_points:
+        raise ValueError(
+            f"theil_sen_slope: a key group has {worst} points "
+            f"(> max_points={max_points}) — the pairwise fan-out is "
+            f"quadratic; sample per key upstream")
+    a = d.select(*keys, F.col("_i").alias("_ia"), F.col("_x").alias("_xa"),
+                 F.col("_y").alias("_ya"))
+    b = d.select(*keys, F.col("_i").alias("_ib"), F.col("_x").alias("_xb"),
+                 F.col("_y").alias("_yb"))
+    pr = (a.join(b, keys).filter(F.col("_ia") < F.col("_ib"))
+          .select(*keys, (F.col("_xb") - F.col("_xa")).alias("_dx"),
+                  (F.col("_yb") - F.col("_ya")).alias("_dy"))
+          .filter(F.col("_dx") != 0)
+          .select(*keys,
+                  F.when(F.col("_dx") < 0, -F.col("_dx"))
+                  .otherwise(F.col("_dx")).alias("dx"),
+                  F.when(F.col("_dx") < 0, -F.col("_dy"))
+                  .otherwise(F.col("_dy")).alias("dy")))
+    pr = pr.withColumn(
+        "_slope", F.col("dy").cast("double") / F.col("dx").cast("double"))
+    wo = Window.partitionBy(*keys).orderBy("_slope", "dy", "dx")
+    wp = Window.partitionBy(*keys)
+    med = (pr.withColumn("_rn", F.row_number().over(wo))
+           .withColumn("_m", F.count(F.lit(1)).over(wp))
+           .filter(F.col("_rn") == F.floor((F.col("_m") + 1) / 2))
+           .select(*keys, F.col("_m").cast("long").alias("n_pairs"),
+                   F.col("dy").cast("long").alias("med_dy"),
+                   F.col("dx").cast("long").alias("med_dx"),
+                   F.col("_slope").alias("slope")))
+    return (stats.join(med, keys, "left")
+            .select(*keys, "n_pts",
+                    F.coalesce(F.col("n_pairs"), F.lit(0).cast("long"))
+                    .alias("n_pairs"),
+                    "med_dy", "med_dx", "slope"))

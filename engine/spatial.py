@@ -1,0 +1,151 @@
+"""Computational-geometry operators over integer-grid point sets.
+
+Planar point sets here are exact integer lattices (the same contract as
+ops.radius_join_2d / knn_join_2d): every geometric predicate is an int64
+cross product or dot product, so the outputs are bit-portable and the
+DuckDB oracles in __spark_entry__.py replay them term-for-term.  Floats
+never participate in any decision.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+# |coordinate| bound so every cross/dot product of coordinate differences
+# stays a provable int64: |dx|, |dy| <= 2^31, products <= 2^62, and the
+# one subtraction between them < 2^63.
+_COORD_LIM = 1 << 30
+
+
+def _hull_ccw(pts: np.ndarray) -> list[tuple[int, int]]:
+    """Strict convex hull of DISTINCT int points, counter-clockwise,
+    starting at the lexicographic minimum (Andrew monotone chain with
+    collinear points popped — only extreme vertices survive).  All
+    arithmetic in Python ints (the caller enforces |coord| <= 2^30, but
+    Python ints make the kernel unconditionally overflow-free)."""
+    order = np.lexsort((pts[:, 1], pts[:, 0]))
+    p = [(int(a), int(b)) for a, b in pts[order]]
+    n = len(p)
+    if n == 1:
+        return p
+
+    def chain(seq: list[tuple[int, int]]) -> list[tuple[int, int]]:
+        out: list[tuple[int, int]] = []
+        for qx, qy in seq:
+            while len(out) >= 2:
+                ox, oy = out[-2]
+                ax, ay = out[-1]
+                if (ax - ox) * (qy - oy) - (ay - oy) * (qx - ox) <= 0:
+                    out.pop()
+                else:
+                    break
+            out.append((qx, qy))
+        return out
+
+    lower = chain(p)
+    upper = chain(p[::-1])
+    return lower[:-1] + upper[:-1]
+
+
+def convex_hull_2d(df: DataFrame, keys: Sequence[str], x: str,
+                   y: str) -> DataFrame:
+    """X13 — per-key strict convex hull of an integer point set: the
+    minimal bounding polygon under every service-area / coverage-extent
+    / geofence-synthesis query.  Returns one row per hull VERTEX:
+    (keys..., idx, x, y, n_hull, hull_2area) where idx is the position
+    in counter-clockwise order starting at the lexicographically
+    smallest vertex (min x, then min y) and hull_2area is the exact
+    shoelace doubled area (BIGINT; 0 whenever the hull is degenerate —
+    a single point or a collinear set, which yields its two endpoints).
+
+    Vertex contract (what the oracle can replay relationally): a point
+    is a hull vertex iff it is EXTREME — not in the convex hull of the
+    others.  Collinear mid-edge points are NOT vertices (the chain pops
+    cross <= 0).  idx is relational too: no two hull vertices are
+    collinear with the start vertex p0 (three strict vertices can never
+    be collinear), so CCW position = 1 + count of hull vertices u with
+    cross(u - p0, v - p0) > 0 — the Graham-scan angular order stated as
+    a pairwise count, O(h^2) over hull vertices only.
+
+    Envelope ENFORCED with a raise: |x|, |y| <= 2^30 so every cross
+    product in the decision fits int64 (the kernels compute in Python
+    ints regardless — the envelope is the portability contract, not a
+    safety patch).
+
+    100-TB shape: extreme points of S are extreme in every subset that
+    contains them, so hull(S) = hull(union of per-partition hulls) —
+    stage 1 is a map-side mapInPandas pre-reduce (dedup + local hull
+    per key per Arrow batch, NO shuffle) whose output per batch is
+    bounded by hull sizes, and only those survivors ride the single
+    (keys)-hash exchange into the per-key final chain.  The point set
+    itself never shuffles.  Worst case (all points on a circle) the
+    pre-reduce passes everything through — same bound as the exact
+    problem demands; for that regime cap upstream or coarsen the grid.
+    """
+    keys = list(keys)
+    xc, yc = F.col(x).cast("long"), F.col(y).cast("long")
+    bad = df.agg(F.max(F.when(
+        (F.abs(xc) > _COORD_LIM) | (F.abs(yc) > _COORD_LIM), 1)
+        .otherwise(0))).collect()[0][0]
+    if bad:
+        raise ValueError(
+            f"convex_hull_2d: |coordinate| exceeds 2^30 — outside the "
+            f"exact-int64 cross-product envelope; rescale upstream")
+
+    d = df.select(*keys, xc.alias("_x"), yc.alias("_y"))
+    key_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in d.select(*keys).schema.fields)
+
+    def local_hulls(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if len(b) == 0:
+                continue
+            outs = []
+            for kv, g in b.groupby(keys, sort=False, dropna=False):
+                pts = np.unique(
+                    g[["_x", "_y"]].to_numpy(dtype=np.int64), axis=0)
+                hull = _hull_ccw(pts)
+                kv = kv if isinstance(kv, tuple) else (kv,)
+                outs.append(pd.DataFrame(
+                    {**{k: pd.Series([v] * len(hull))
+                        for k, v in zip(keys, kv)},
+                     "_x": np.fromiter((h[0] for h in hull), np.int64,
+                                       len(hull)),
+                     "_y": np.fromiter((h[1] for h in hull), np.int64,
+                                       len(hull))}))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    pre = d.mapInPandas(local_hulls, f"{key_schema}, _x long, _y long")
+
+    out_schema = (f"{key_schema}, idx long, x long, y long, "
+                  f"n_hull long, hull_2area long")
+
+    def final_hull(g: pd.DataFrame) -> pd.DataFrame:
+        pts = np.unique(g[["_x", "_y"]].to_numpy(dtype=np.int64), axis=0)
+        hull = _hull_ccw(pts)
+        h = len(hull)
+        a2 = 0
+        for i in range(h):
+            x0, y0 = hull[i]
+            x1, y1 = hull[(i + 1) % h]
+            a2 += x0 * y1 - x1 * y0
+        if not -(1 << 63) < a2 < (1 << 63):
+            raise ValueError("convex_hull_2d: doubled area overflows int64")
+        res = pd.DataFrame({
+            "idx": np.arange(h, dtype=np.int64),
+            "x": np.fromiter((v[0] for v in hull), np.int64, h),
+            "y": np.fromiter((v[1] for v in hull), np.int64, h),
+            "n_hull": np.full(h, h, dtype=np.int64),
+            "hull_2area": np.full(h, a2, dtype=np.int64)})
+        for k in keys:
+            res.insert(0, k, pd.Series([g[k].iloc[0]] * h))
+        return res[keys + ["idx", "x", "y", "n_hull", "hull_2area"]]
+
+    return pre.groupBy(*keys).applyInPandas(final_hull, out_schema)

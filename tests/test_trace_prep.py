@@ -1281,3 +1281,170 @@ def test_geo_radius_join_matches_brute(spark):
         ops.geo_radius_join(df.selectExpr("pid as a_id", "lat", "lon"),
                             df.selectExpr("pid as b_id", "lat", "lon"),
                             "lat", "lon", "lat", "lon", 0.0)
+
+
+def _brute_hull(pts):
+    """Independent hull oracle: extreme-point test (p is a vertex iff
+    some directed edge from p keeps all others strictly left, collinear
+    only beyond the endpoint), then CCW order by atan2 around the
+    lexicographic min, then shoelace."""
+    import math
+    s = sorted(set(pts))
+    if len(s) == 1:
+        return [(0, s[0][0], s[0][1], 1, 0)]
+    verts = []
+    for p in s:
+        for q in s:
+            if q == p:
+                continue
+            ok = True
+            for r in s:
+                if r in (p, q):
+                    continue
+                cr = ((q[0] - p[0]) * (r[1] - p[1])
+                      - (q[1] - p[1]) * (r[0] - p[0]))
+                if cr > 0:
+                    continue
+                if cr == 0 and ((r[0] - p[0]) * (q[0] - p[0])
+                                + (r[1] - p[1]) * (q[1] - p[1])
+                                > (q[0] - p[0]) ** 2 + (q[1] - p[1]) ** 2):
+                    continue
+                ok = False
+                break
+            if ok:
+                verts.append(p)
+                break
+    p0 = min(verts)
+    rest = sorted((v for v in verts if v != p0),
+                  key=lambda v: math.atan2(v[1] - p0[1], v[0] - p0[0]))
+    hull = [p0] + rest
+    h = len(hull)
+    a2 = sum(hull[i][0] * hull[(i + 1) % h][1]
+             - hull[(i + 1) % h][0] * hull[i][1] for i in range(h))
+    return [(i, v[0], v[1], h, a2) for i, v in enumerate(hull)]
+
+
+def test_convex_hull_2d_brute(spark):
+    """Per-key hull rows (idx CCW from lexicographic min, n_hull,
+    doubled shoelace area) match the independent extreme-point + atan2
+    oracle, across a random cloud, a collinear key, a duplicate-heavy
+    key and a singleton key; coordinates beyond 2^30 raise."""
+    import random
+    from engine import spatial
+    rng = random.Random(11)
+    rows = [("r", rng.randint(0, 60), rng.randint(0, 60))
+            for _ in range(120)]
+    rows += [("line", 2 * i, 3 * i + 1) for i in range(7)]
+    rows += [("dup", 5, 5)] * 4 + [("dup", 9, 5), ("dup", 5, 9)]
+    rows += [("one", 42, -17)]
+    df = spark.createDataFrame(rows, ["k", "x", "y"])
+    got = sorted((r.k, r.idx, r.x, r.y, r.n_hull, r.hull_2area)
+                 for r in spatial.convex_hull_2d(
+                     df, ["k"], "x", "y").collect())
+    want = []
+    for k in ("r", "line", "dup", "one"):
+        pts = [(x, y) for kk, x, y in rows if kk == k]
+        want += [(k, *t) for t in _brute_hull(pts)]
+    assert got == sorted(want)
+    line = [g for g in got if g[0] == "line"]
+    assert len(line) == 2 and all(g[5] == 0 for g in line)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        spatial.convex_hull_2d(
+            spark.createDataFrame([("a", 1 << 31, 0)], ["k", "x", "y"]),
+            ["k"], "x", "y").collect()
+
+
+def test_convex_hull_partition_invariance(spark):
+    """Hull of per-partition hulls == hull: the same cloud shuffled
+    into 1 vs 16 input partitions yields identical rows."""
+    import random
+    from engine import spatial
+    rng = random.Random(23)
+    rows = [("g", rng.randint(-500, 500), rng.randint(-500, 500))
+            for _ in range(400)]
+    a = spark.createDataFrame(rows, ["k", "x", "y"]).coalesce(1)
+    b = spark.createDataFrame(rows, ["k", "x", "y"]).repartition(16)
+    ra = sorted(map(tuple, spatial.convex_hull_2d(
+        a, ["k"], "x", "y").collect()))
+    rb = sorted(map(tuple, spatial.convex_hull_2d(
+        b, ["k"], "x", "y").collect()))
+    assert ra == rb and len(ra) >= 3
+
+
+def test_rolling_active_distinct_brute(spark):
+    """Step function equals the definitional day-spine replay: for every
+    day in [min, max + W], the trailing-W distinct-user count, emitted
+    exactly where it changes (including dips to and recoveries from 0);
+    W=1 degenerates to daily distinct counts."""
+    import random
+    rng = random.Random(5)
+    rows = [("t", rng.randint(1, 9), rng.randint(100, 130))
+            for _ in range(150)]
+    rows += [("sparse", 1, 100), ("sparse", 1, 125), ("sparse", 2, 125)]
+    df = spark.createDataFrame(rows, ["k", "u", "day"])
+    for W in (7, 1, 3):
+        got = sorted((r.k, r.day, r.n_active)
+                     for r in ops.rolling_active_distinct(
+                         df, ["k"], "u", "day", W).collect())
+        want = []
+        for k in ("t", "sparse"):
+            ev = {(u, d) for kk, u, d in rows if kk == k}
+            days = [d for _, d in ev]
+            lo, hi = min(days), max(days)
+            prev = 0
+            for d in range(lo, hi + W + 1):
+                n = len({u for u, dd in ev if d - W + 1 <= dd <= d})
+                if n != prev:
+                    want.append((k, d, n))
+                prev = n
+        assert got == sorted(want), W
+    # the sparse key dips to 0 between its two bursts at W=7
+    got7 = [(r.day, r.n_active)
+            for r in ops.rolling_active_distinct(
+                df.filter(F.col("k") == "sparse"), ["k"], "u", "day", 7)
+            .sort("day").collect()]
+    assert (107, 0) in got7 and got7[-1][1] == 0
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ops.rolling_active_distinct(df, ["k"], "u", "day", 0)
+
+
+def test_theil_sen_slope_brute(spark):
+    """Median pairwise slope under the documented total order
+    (slope_double, dy, dx) matches a pure-Python replay; all-equal-x
+    keys emit NULL slope with n_pairs=0; the max_points envelope
+    raises."""
+    import random
+    rng = random.Random(3)
+    rows = [("a", i, rng.randint(0, 50), rng.randint(-40, 40))
+            for i in range(25)]
+    rows += [("tie", 0, 10, 1), ("tie", 1, 10, 5), ("tie", 2, 20, 3),
+             ("tie", 3, 20, 7)]
+    rows += [("vert", 0, 4, 1), ("vert", 1, 4, 2), ("vert", 2, 4, 3)]
+    df = spark.createDataFrame(rows, ["k", "i", "x", "y"])
+    got = {r.k: (r.n_pts, r.n_pairs, r.med_dy, r.med_dx, r.slope)
+           for r in ops.theil_sen_slope(
+               df, ["k"], "x", "y", "i").collect()}
+    for k in ("a", "tie", "vert"):
+        pts = sorted((i, x, y) for kk, i, x, y in rows if kk == k)
+        pairs = []
+        for ii in range(len(pts)):
+            for jj in range(ii + 1, len(pts)):
+                dx = pts[jj][1] - pts[ii][1]
+                dy = pts[jj][2] - pts[ii][2]
+                if dx == 0:
+                    continue
+                if dx < 0:
+                    dx, dy = -dx, -dy
+                pairs.append((dy / dx, dy, dx))
+        if not pairs:
+            assert got[k] == (len(pts), 0, None, None, None)
+            continue
+        pairs.sort()
+        m = len(pairs)
+        sl, dy, dx = pairs[(m + 1) // 2 - 1]
+        assert got[k] == (len(pts), m, dy, dx, sl), k
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ops.theil_sen_slope(df, ["k"], "x", "y", "i", max_points=10)
