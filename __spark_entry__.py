@@ -5002,6 +5002,62 @@ def q_theil_sen(spark, sf_dir):
                                "event_id")
 
 
+_DBG_EPS_M = 500000.0
+_DBG_MINPTS = 4
+
+
+def q_dbscan_geo(spark, sf_dir):
+    """Geodesic DBSCAN (clustering.dbscan_geo) over the click events'
+    deterministic sphere points with a 500 km great-circle eps — the
+    stop/POI density clusterer run directly on lat/lon (no projection,
+    no antimeridian seam).  The eps decision is the engine's fixed
+    haversine IEEE tree, so the oracle's all-pairs + recursive-closure
+    replay agrees pair-for-pair; the engine's chord-space 3-D bins only
+    gate candidates.  Same deterministic semantics as dbscan_clusters
+    (min-id components, min-cluster border rule, noise NULL)."""
+    from engine import clustering
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    pts = _sphere_points(ev)
+    return clustering.dbscan_geo(pts, "event_id", "lat", "lon",
+                                 _DBG_EPS_M, _DBG_MINPTS)
+
+
+def q_trip_stats(spark, sf_dir):
+    """Per-user trip statistics (ops.trip_stats, metric="euclid") over
+    the derived planar grid trace in (ts, event_id) order: exact BIGINT
+    path length in floor-micrometers (each leg is sqrt(double(int64
+    dist2)) — int->double exact under the 2^25 envelope and
+    sqrt/multiply/floor all CORRECTLY ROUNDED, so unlike library trig
+    the whole tree is bit-identical cross-engine), net displacement as
+    a single first->last leg tree, straightness as a two-op fixed
+    tree.  The geodesic (haversine) mode is deliberately NOT the
+    driver contract: JVM and libm trig disagree by 1 ulp on ~2% of
+    large-angle arguments (measured), so it is golden-tested instead —
+    the float-twin posture.  Oracle replays lead + sqrt + floor +
+    BIGINT sum, first/last via rank-1 windows over the same order."""
+    ev = _t(spark, sf_dir, "events")
+    g = _grid_points(ev).select("event_id", "x", "y")
+    d = (ev.select("user_id", "ts", "event_id")
+         .join(g, "event_id"))
+    return ops.trip_stats(d, ["user_id"], "ts", "x", "y", "event_id",
+                          metric="euclid")
+
+
+def q_hull_diameter(spark, sf_dir):
+    """Per-type point-set diameter (spatial.hull_diameter) over the same
+    sampled grid points as convex_hull: the farthest pair under the
+    total order (dist2 DESC, x1, y1, x2, y2), normalized to
+    (x1,y1) <= (x2,y2).  The engine reduces O(n^2) to O(h^2) through
+    the hull (every diameter endpoint is an extreme point — strict
+    convexity of |q-p|^2 along a segment); the oracle ranks ALL pairs,
+    so the reduction itself is what the exact match certifies."""
+    from engine import spatial
+    ev = _t(spark, sf_dir, "events").filter(
+        F.pmod(F.col("event_id"), F.lit(_HULL_MOD)) == 0)
+    pts = _grid_points(ev)
+    return spatial.hull_diameter(pts, ["event_type"], "x", "y")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "w2_sessionize": q_w2_sessionize,
@@ -5225,6 +5281,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "convex_hull": q_convex_hull,
         "rolling_active": q_rolling_active,
         "theil_sen": q_theil_sen,
+        "dbscan_geo": q_dbscan_geo,
+        "trip_stats": q_trip_stats,
+        "hull_diameter": q_hull_diameter,
     }
 
 
@@ -10908,6 +10967,130 @@ SELECT s.event_type, s.n_pts,
        CAST(coalesce(med.n_pairs, 0) AS BIGINT) AS n_pairs,
        med.med_dy AS med_dy, med.med_dx AS med_dx, med.slope AS slope
 FROM stats s LEFT JOIN med USING (event_type)
+""",
+        # geodesic DBSCAN: the DEFINITION — all-pairs haversine eps graph
+        # + recursive closure; identical structure to dbscan_clusters with
+        # the int dist^2 predicate swapped for the shared haversine tree.
+        "dbscan_geo": f"""
+WITH RECURSIVE d AS (
+  SELECT event_id AS id,
+         CAST((CAST(event_id AS BIGINT) * 48271 + 11) % 1200 AS DOUBLE)
+           / CAST(10.0 AS DOUBLE) - CAST(60.0 AS DOUBLE) AS lat,
+         CAST((CAST(event_id AS BIGINT) * 16807 + 523) % 3600 AS DOUBLE)
+           / CAST(10.0 AS DOUBLE) - CAST(180.0 AS DOUBLE) AS lon
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT a.id AS a, b.id AS b FROM d a JOIN d b
+  ON {_hav_sql('a.lat', 'a.lon', 'b.lat', 'b.lon')} <= {_DBG_EPS_M}
+),
+cnt AS (SELECT a AS id, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY a),
+core AS (SELECT id FROM cnt WHERE n >= {_DBG_MINPTS}),
+ce AS (
+  SELECT p.a AS s, p.b AS d FROM p
+  JOIN core x ON x.id = p.a JOIN core y ON y.id = p.b
+  WHERE p.a <> p.b
+),
+reach(s, d) AS (
+  SELECT s, d FROM ce
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN ce e ON r.d = e.s
+),
+comp AS (
+  SELECT c.id, LEAST(c.id, COALESCE(MIN(r.d), c.id)) AS cl
+  FROM core c LEFT JOIN reach r ON r.s = c.id GROUP BY c.id
+),
+border AS (
+  SELECT p.a AS id, MIN(comp.cl) AS cl
+  FROM p JOIN comp ON comp.id = p.b
+  WHERE p.a <> p.b AND p.a NOT IN (SELECT id FROM core)
+  GROUP BY p.a
+)
+SELECT cnt.id AS event_id, cnt.n AS n_neighbors,
+       CASE WHEN comp.id IS NOT NULL THEN 'core'
+            WHEN border.id IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       COALESCE(comp.cl, border.cl) AS cluster
+FROM cnt LEFT JOIN comp ON comp.id = cnt.id
+         LEFT JOIN border ON border.id = cnt.id
+""",
+        # trip stats: lead legs + sqrt(double(int64 dist2)) + floor-um
+        # quantization + exact BIGINT sum; first/last via rank-1 windows.
+        # Every op in the tree is correctly rounded (no library trig),
+        # so even the doubles hash identically cross-engine.
+        "trip_stats": """
+WITH d AS (
+  SELECT user_id, ts, event_id,
+         (CAST(event_id AS BIGINT) * 48271 + 11) % 1000 AS x,
+         (CAST(event_id AS BIGINT) * 16807 + 523) % 1000 AS y
+  FROM events
+),
+l AS (
+  SELECT user_id, x, y,
+         lead(x) OVER w AS nx, lead(y) OVER w AS ny
+  FROM d WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+legs AS (
+  SELECT user_id,
+         CASE WHEN nx IS NOT NULL THEN CAST(floor(
+           sqrt(CAST((nx - x) * (nx - x) + (ny - y) * (ny - y)
+                AS DOUBLE)) * 1000000.0) AS BIGINT) END AS leg_um
+  FROM l
+),
+agg AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_points,
+         CAST(count(leg_um) AS BIGINT) AS n_legs,
+         CAST(coalesce(sum(leg_um), 0) AS BIGINT) AS path_um
+  FROM legs GROUP BY user_id
+),
+fp AS (
+  SELECT user_id, x AS fx, y AS fy FROM d
+  QUALIFY row_number() OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) = 1
+),
+lp AS (
+  SELECT user_id, x AS lx, y AS ly FROM d
+  QUALIFY row_number() OVER (PARTITION BY user_id
+                             ORDER BY ts DESC, event_id DESC) = 1
+),
+base AS (
+  SELECT a.user_id, a.n_points, a.n_legs, a.path_um,
+         CASE WHEN a.n_legs > 0 THEN
+           sqrt(CAST((lp.lx - fp.fx) * (lp.lx - fp.fx)
+                     + (lp.ly - fp.fy) * (lp.ly - fp.fy) AS DOUBLE))
+         END AS net_disp_m
+  FROM agg a JOIN fp USING (user_id) JOIN lp USING (user_id)
+)
+SELECT user_id, n_points, n_legs, path_um, net_disp_m,
+       CASE WHEN path_um > 0 THEN
+         net_disp_m / (CAST(path_um AS DOUBLE) / 1000000.0)
+       END AS straightness
+FROM base
+""",
+        # point-set diameter: the oracle ranks ALL pairs under the same
+        # total order the engine applies to hull-vertex pairs only — the
+        # exact match certifies the hull reduction itself.
+        "hull_diameter": f"""
+WITH raw AS (
+  SELECT DISTINCT event_type,
+         (CAST(event_id AS BIGINT) * 48271 + 11) % 1000 AS x,
+         (CAST(event_id AS BIGINT) * 16807 + 523) % 1000 AS y
+  FROM events WHERE event_id % {_HULL_MOD} = 0
+),
+p AS (
+  SELECT a.event_type,
+         CAST(a.x AS BIGINT) AS x1, CAST(a.y AS BIGINT) AS y1,
+         CAST(b.x AS BIGINT) AS x2, CAST(b.y AS BIGINT) AS y2,
+         CAST((b.x - a.x) * (b.x - a.x)
+              + (b.y - a.y) * (b.y - a.y) AS BIGINT) AS dist2
+  FROM raw a JOIN raw b
+    ON b.event_type = a.event_type
+   AND (a.x < b.x OR (a.x = b.x AND a.y <= b.y))
+)
+SELECT event_type, x1, y1, x2, y2, dist2
+FROM p
+QUALIFY row_number() OVER (PARTITION BY event_type
+    ORDER BY dist2 DESC, x1, y1, x2, y2) = 1
 """,
     }
 

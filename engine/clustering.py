@@ -332,3 +332,73 @@ def dbscan_grid(pts: DataFrame, id_col: str, x_col: str, y_col: str,
                                  F.col("_border_cl")))
     return out.select(F.col("p_id").alias(id_col), "n_neighbors",
                       role.alias("role"), cluster.alias("cluster"))
+
+
+def dbscan_geo(pts: DataFrame, id_col: str, lat_col: str, lon_col: str,
+               eps_m: float, min_pts: int, max_iters: int = 16) -> DataFrame:
+    """Geodesic DBSCAN — dbscan_grid's spherical sibling over lat/lon
+    points with a great-circle eps in meters: the stop/POI density
+    clusterer run directly on geotagged traces with no planar
+    projection (no distortion at high latitude, no antimeridian seam).
+    Same deterministic semantics as dbscan_grid: closed eps-
+    neighborhood counts (self included), core iff n >= min_pts,
+    clusters = min-id components of the core-core eps-graph, border ->
+    MIN neighboring core's cluster, noise NULL.
+
+    The eps decision is the engine's fixed haversine IEEE tree
+    (dist_m <= eps_m) — bit-portable, so the oracle replays the
+    DEFINITION (all-pairs haversine + recursive closure) and the
+    neighbor sets agree pair-for-pair cross-engine.  Candidates come
+    from geo_radius_join's chord-space 3-D binning (27x bin-occupancy
+    fan-out, wrap-free, never quadratic); the bins only gate
+    candidates and never affect the decision.
+
+    100-TB shape: identical to dbscan_grid — the radius join
+    materializes once (three consumers), components via pointer-
+    jumping min-label propagation, every exchange after the join
+    carries ids only.
+    """
+    if min_pts < 1:
+        raise ValueError("dbscan_geo: min_pts must be >= 1")
+    base = pts.select(F.col(id_col).cast("long").alias("_id"),
+                      F.col(lat_col).alias("_lat"),
+                      F.col(lon_col).alias("_lon"))
+    from . import ops
+    a = base.select(F.col("_id").alias("p_id"), F.col("_lat").alias("plat"),
+                    F.col("_lon").alias("plon"))
+    b = base.select(F.col("_id").alias("q_id"), F.col("_lat").alias("qlat"),
+                    F.col("_lon").alias("qlon"))
+    pairs = (ops.geo_radius_join(a, b, "plat", "plon", "qlat", "qlon",
+                                 eps_m, a_id="p_id", b_id="q_id")
+             .select("p_id", "q_id")
+             .localCheckpoint(eager=True))
+    counts = pairs.groupBy("p_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_neighbors"))
+    core = counts.filter(F.col("n_neighbors") >= min_pts).select("p_id")
+    core_edges = (pairs.filter(F.col("p_id") < F.col("q_id"))
+                  .join(core, "p_id", "left_semi")
+                  .join(core.select(F.col("p_id").alias("q_id")), "q_id",
+                        "left_semi"))
+    comp = ops.min_label_components(
+        core.select(F.col("p_id").alias("id")),
+        core_edges.select(F.col("p_id").alias("a"),
+                          F.col("q_id").alias("b")),
+        max_iters=max_iters)
+    core_lbl = comp.select(F.col("id").alias("p_id"),
+                           F.col("component_id").alias("_core_cl"))
+    nbr_core = (pairs.filter(F.col("p_id") != F.col("q_id"))
+                .join(comp.select(F.col("id").alias("q_id"),
+                                  F.col("component_id").alias("_ncl")),
+                      "q_id")
+                .groupBy("p_id")
+                .agg(F.min("_ncl").alias("_border_cl")))
+    out = (counts.join(core_lbl, "p_id", "left")
+           .join(nbr_core, "p_id", "left"))
+    role = (F.when(F.col("_core_cl").isNotNull(), F.lit("core"))
+            .when(F.col("_border_cl").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise")))
+    cluster = F.when(F.col("_core_cl").isNotNull(), F.col("_core_cl")) \
+               .otherwise(F.when(F.col("_border_cl").isNotNull(),
+                                 F.col("_border_cl")))
+    return out.select(F.col("p_id").alias(id_col), "n_neighbors",
+                      role.alias("role"), cluster.alias("cluster"))

@@ -2293,3 +2293,114 @@ def theil_sen_slope(df: DataFrame, keys: Sequence[str], x_col: str,
                     F.coalesce(F.col("n_pairs"), F.lit(0).cast("long"))
                     .alias("n_pairs"),
                     "med_dy", "med_dx", "slope"))
+
+
+def trip_stats(df: DataFrame, keys: Sequence[str], ts_col: str,
+               lat_col: str, lon_col: str, tiebreak: str,
+               metric: str = "haversine") -> DataFrame:
+    """X14 — per-trace trip statistics: total path length, net
+    displacement and straightness for each key's (ts, tiebreak)-ordered
+    point trace — the reference pipeline's trip-distance accounting as
+    one window + one combinable agg.
+
+    Float-sum portability: a SUM of leg doubles is order-dependent and
+    therefore no cross-engine contract, so each leg is one fixed IEEE
+    tree, quantized to floor-micrometers (one multiply + one floor,
+    both correctly-rounded ops) and summed as an exact BIGINT.
+    net_disp_m is a SINGLE leg tree (first point -> last point, both
+    selected by the total (ts, tiebreak) order via struct min/max) and
+    straightness = net_disp_m / (path_um / 1e6) a two-op fixed tree
+    (NULL when the path is empty or zero).  The caller's tiebreak must
+    make (ts, tiebreak) unique per key or first/last are ill-defined.
+
+    Two metrics, two PORTABILITY classes (measured, not assumed):
+      * metric="euclid" — lat/lon are planar integer x/y; leg =
+        sqrt(double(dx^2 + dy^2)).  dist2 is exact int64, int->double
+        is exact under the ENFORCED |coord| <= 2^25 envelope
+        (dist2 < 2^53), and sqrt/multiply/floor are all correctly
+        rounded — every emitted number is bit-identical cross-engine,
+        so this mode carries the exact oracle contract.
+      * metric="haversine" — true geodesic legs via the engine's X2
+        haversine tree.  CAVEAT (measured in this sandbox): JVM
+        Math.sin/cos/asin and C libm disagree by 1 ulp on ~2% of
+        large-angle arguments, so haversine doubles are NOT a
+        cross-engine bit contract at trace scale — this mode is for
+        production use and is golden-tested against the numpy twin
+        with tolerance, the same float-twin posture as the Gaussian
+        KDE outputs.
+
+    Envelope ENFORCED with a raise off the key-sized aggregate:
+    max_per_key(n_legs) * max_per_key(leg_um) <= 2^62, so no per-key
+    BIGINT sum can wrap (raise means split traces upstream).
+
+    100-TB shape: ONE per-key ordered exchange (the lead window), legs
+    never re-shuffled (the agg combines map-side), output is key-sized.
+    """
+    if metric not in ("haversine", "euclid"):
+        raise ValueError("trip_stats: metric must be haversine|euclid")
+    keys = list(keys)
+    from .functions import haversine_m_col
+    d = df.select(*keys, F.col(ts_col).alias("_ts"),
+                  F.col(tiebreak).alias("_tb"),
+                  F.col(lat_col).alias("_lat"), F.col(lon_col).alias("_lon"))
+    if metric == "euclid":
+        lim = 1 << 25
+        bad = d.agg(F.max(F.when(
+            (F.abs(F.col("_lat").cast("long")) > lim)
+            | (F.abs(F.col("_lon").cast("long")) > lim), 1)
+            .otherwise(0))).collect()[0][0]
+        if bad:
+            raise ValueError(
+                "trip_stats: euclid metric needs |coord| <= 2^25 so "
+                "dist2 -> double stays exact; rescale upstream")
+        d = d.select(*keys, "_ts", "_tb",
+                     F.col("_lat").cast("long").alias("_lat"),
+                     F.col("_lon").cast("long").alias("_lon"))
+
+    def leg_tree(lat1, lon1, lat2, lon2):
+        if metric == "haversine":
+            return haversine_m_col(lat1, lon1, lat2, lon2)
+        dx, dy = lat2 - lat1, lon2 - lon1
+        return F.sqrt((dx * dx + dy * dy).cast("double"))
+
+    w = Window.partitionBy(*keys).orderBy("_ts", "_tb")
+    legs = (d.withColumn("_nlat", F.lead("_lat").over(w))
+            .withColumn("_nlon", F.lead("_lon").over(w)))
+    leg_m = leg_tree(F.col("_lat"), F.col("_lon"),
+                     F.col("_nlat"), F.col("_nlon"))
+    leg_um = F.when(F.col("_nlat").isNotNull(),
+                    F.floor(leg_m * F.lit(1000000.0)).cast("long"))
+    agg = (legs.withColumn("_leg_um", leg_um)
+           .groupBy(*keys)
+           .agg(F.count(F.lit(1)).cast("long").alias("n_points"),
+                F.count("_leg_um").cast("long").alias("n_legs"),
+                F.coalesce(F.sum("_leg_um"), F.lit(0)).cast("long")
+                .alias("path_um"),
+                F.max("_leg_um").alias("_max_leg"),
+                F.min(F.struct("_ts", "_tb", "_lat", "_lon")).alias("_f"),
+                F.max(F.struct("_ts", "_tb", "_lat", "_lon")).alias("_l")))
+    agg = agg.persist()
+    try:
+        worst = agg.agg(F.max(F.col("n_legs") * F.col("_max_leg"))
+                        ).collect()[0][0]
+        if worst is not None and worst > (1 << 62):
+            raise ValueError(
+                "trip_stats: n_legs * max_leg_um exceeds 2^62 for some "
+                "key — the exact BIGINT path sum could wrap; split "
+                "traces upstream")
+        net = leg_tree(F.col("_f._lat"), F.col("_f._lon"),
+                       F.col("_l._lat"), F.col("_l._lon"))
+        out = (agg.withColumn("net_disp_m",
+                              F.when(F.col("n_legs") > 0, net))
+               .withColumn(
+                   "straightness",
+                   F.when(F.col("path_um") > 0,
+                          F.col("net_disp_m")
+                          / (F.col("path_um").cast("double")
+                             / F.lit(1000000.0))))
+               .select(*keys, "n_points", "n_legs", "path_um",
+                       "net_disp_m", "straightness"))
+        out = out.localCheckpoint(eager=True)
+    finally:
+        agg.unpersist()
+    return out

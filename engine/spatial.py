@@ -14,7 +14,7 @@ from collections.abc import Iterator, Sequence
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 # |coordinate| bound so every cross/dot product of coordinate differences
 # stays a provable int64: |dx|, |dy| <= 2^31, products <= 2^62, and the
@@ -149,3 +149,58 @@ def convex_hull_2d(df: DataFrame, keys: Sequence[str], x: str,
         return res[keys + ["idx", "x", "y", "n_hull", "hull_2area"]]
 
     return pre.groupBy(*keys).applyInPandas(final_hull, out_schema)
+
+
+def hull_diameter(df: DataFrame, keys: Sequence[str], x: str,
+                  y: str) -> DataFrame:
+    """X15 — per-key point-set diameter (farthest pair): the classic
+    O(n^2) -> O(h^2) reduction through the convex hull — both endpoints
+    of any diameter-achieving pair are EXTREME points (for p strictly
+    inside a segment [a, b], |q - p|^2 is strictly convex along the
+    segment, so it is strictly below max(|q - a|, |q - b|); interior
+    points can never achieve the max, ties included), so the engine
+    computes the hull first and takes the max over hull-vertex pairs
+    only, while the oracle ranks ALL pairs — the two candidate sets
+    provably share every maximal pair.
+
+    Returns one row per key: (keys..., x1, y1, x2, y2, dist2) with the
+    pair normalized to (x1, y1) <= (x2, y2) lexicographically and the
+    winner selected under the TOTAL order (dist2 DESC, x1, y1, x2, y2)
+    — deterministic across engines because dist2 is exact int64.  A
+    key whose points collapse to a single distinct coordinate emits the
+    self pair with dist2 = 0.
+
+    Envelope ENFORCED: |x|, |y| <= 2^30 - 1 (one tighter than
+    convex_hull_2d's bound) so dist2 = dx^2 + dy^2 < 2^63 exactly.
+
+    100-TB shape: the hull pre-reduce does all the shrinking (the point
+    set never shuffles — see convex_hull_2d); the pair join runs on
+    hull vertices only, per-key O(h^2) with h typically O(log n) on
+    random inputs, and the final pick is one per-key ordered window
+    over h^2 rows.
+    """
+    keys = list(keys)
+    xc, yc = F.col(x).cast("long"), F.col(y).cast("long")
+    lim = _COORD_LIM - 1
+    bad = df.agg(F.max(F.when(
+        (F.abs(xc) > lim) | (F.abs(yc) > lim), 1).otherwise(0))
+    ).collect()[0][0]
+    if bad:
+        raise ValueError(
+            "hull_diameter: |coordinate| exceeds 2^30 - 1 — dist2 could "
+            "overflow int64; rescale upstream")
+    hv = (convex_hull_2d(df, keys, x, y)
+          .select(*keys, F.col(x).alias("_hx"), F.col(y).alias("_hy")))
+    a = hv.select(*keys, F.col("_hx").alias("x1"), F.col("_hy").alias("y1"))
+    b = hv.select(*keys, F.col("_hx").alias("x2"), F.col("_hy").alias("y2"))
+    pairs = a.join(b, keys).filter(
+        (F.col("x1") < F.col("x2"))
+        | ((F.col("x1") == F.col("x2")) & (F.col("y1") <= F.col("y2"))))
+    dx = F.col("x2") - F.col("x1")
+    dy = F.col("y2") - F.col("y1")
+    scored = pairs.withColumn("dist2", dx * dx + dy * dy)
+    wo = Window.partitionBy(*keys).orderBy(
+        F.col("dist2").desc(), "x1", "y1", "x2", "y2")
+    return (scored.withColumn("_rn", F.row_number().over(wo))
+            .filter(F.col("_rn") == 1)
+            .select(*keys, "x1", "y1", "x2", "y2", "dist2"))

@@ -190,3 +190,84 @@ def test_dbscan_grid_matches_brute(spark):
     assert len({v[2] for v in got.values() if v[2] is not None}) >= 2
     with pytest.raises(ValueError):
         clustering.dbscan_grid(df, "i", "x", "y", eps=5, min_pts=0)
+
+
+def _brute_dbscan_geo(pts, eps_m, min_pts):
+    """Geodesic brute: same deterministic rules over numpy haversine."""
+    from engine.geo import haversine_m
+    ids = [p[0] for p in pts]
+    ll = {i: (la, lo) for i, la, lo in pts}
+    nbr = {i: [j for j in ids
+               if haversine_m(ll[i][0], ll[i][1],
+                              ll[j][0], ll[j][1]) <= eps_m]
+           for i in ids}
+    core = {i for i in ids if len(nbr[i]) >= min_pts}
+    label = {}
+    for s in sorted(core):
+        if s in label:
+            continue
+        comp, stack, seen = [], [s], {s}
+        while stack:
+            u = stack.pop()
+            comp.append(u)
+            for v in nbr[u]:
+                if v in core and v not in seen:
+                    seen.add(v)
+                    stack.append(v)
+        m = min(comp)
+        for u in comp:
+            label[u] = m
+    out = {}
+    for i in ids:
+        if i in core:
+            out[i] = (len(nbr[i]), "core", label[i])
+        else:
+            cand = [label[j] for j in nbr[i] if j in core and j != i]
+            out[i] = ((len(nbr[i]), "border", min(cand)) if cand
+                      else (len(nbr[i]), "noise", None))
+    return out
+
+
+def test_dbscan_geo_matches_brute(spark):
+    """Geodesic DBSCAN equals the numpy-haversine brute replay on a
+    layout the planar variant cannot handle: a cluster straddling the
+    antimeridian, a high-latitude blob, a core chain and noise.  All
+    planted distances sit far from the eps boundary, so the known
+    1-ulp JVM-vs-libm trig divergence cannot flip any decision."""
+    rng = np.random.default_rng(13)
+    pts, k = [], 0
+    # antimeridian blob: lons near +179.9 / -179.9 are ~20 km apart
+    for _ in range(8):
+        lon = 179.9 if rng.integers(2) else -179.9
+        pts.append((k, 0.0 + float(rng.integers(-5, 6)) / 100.0, lon))
+        k += 1
+    # high-latitude blob (lon spacing shrinks by cos(70 deg))
+    for _ in range(8):
+        pts.append((k, 70.0 + float(rng.integers(-5, 6)) / 100.0,
+                    10.0 + float(rng.integers(-5, 6)) / 10.0))
+        k += 1
+    # chain: cores every 50 km along the equator + a far border
+    for j in range(5):
+        pts.append((k, 0.0, 10.0 + 0.45 * j))
+        pts.append((k + 1, 0.05, 10.0 + 0.45 * j))
+        pts.append((k + 2, -0.05, 10.0 + 0.45 * j))
+        k += 3
+    # isolated noise
+    pts += [(k, -45.0, 60.0), (k + 1, 30.0, -120.0)]
+    k += 2
+    df = spark.createDataFrame(pd.DataFrame(pts, columns=["i", "lat",
+                                                          "lon"]))
+    out = clustering.dbscan_geo(df, "i", "lat", "lon",
+                                eps_m=60000.0, min_pts=3)
+    got = {r["i"]: (r["n_neighbors"], r["role"], r["cluster"])
+           for r in out.collect()}
+    want = _brute_dbscan_geo(pts, 60000.0, 3)
+    assert got == want
+    # the antimeridian blob is ONE cluster despite the lon seam
+    am = {got[i][2] for i in range(8)}
+    assert len(am) == 1 and None not in am
+    assert {v[1] for v in got.values()} == {"core", "border", "noise"} \
+        or {v[1] for v in got.values()} >= {"core", "noise"}
+    with pytest.raises(ValueError):
+        clustering.dbscan_geo(df, "i", "lat", "lon", eps_m=1000.0,
+                              min_pts=0)

@@ -1448,3 +1448,122 @@ def test_theil_sen_slope_brute(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         ops.theil_sen_slope(df, ["k"], "x", "y", "i", max_points=10)
+
+
+def test_trip_stats_euclid_brute(spark):
+    """Euclid-mode trip stats equal a pure-Python replay bit-for-bit
+    (sqrt/multiply/floor are correctly rounded, so even the doubles
+    must match exactly); single-point and duplicate-coordinate traces
+    covered; the coordinate envelope and bad metric raise."""
+    import math
+    rows = [("u1", 10, 1, 0, 0), ("u1", 20, 2, 3, 4), ("u1", 30, 3, 3, 4),
+            ("u1", 40, 4, -5, 12),
+            ("u2", 5, 9, 7, 7),
+            ("u3", 1, 5, 0, 0), ("u3", 2, 6, 1, 1)]
+    df = spark.createDataFrame(rows, ["k", "ts", "i", "x", "y"])
+    got = {r.k: (r.n_points, r.n_legs, r.path_um, r.net_disp_m,
+                 r.straightness)
+           for r in ops.trip_stats(df, ["k"], "ts", "x", "y", "i",
+                                   metric="euclid").collect()}
+    for k in ("u1", "u2", "u3"):
+        tr = sorted((ts, i, x, y) for kk, ts, i, x, y in rows if kk == k)
+        legs = [math.floor(math.sqrt(float(
+            (tr[j + 1][2] - tr[j][2]) ** 2
+            + (tr[j + 1][3] - tr[j][3]) ** 2)) * 1000000.0)
+            for j in range(len(tr) - 1)]
+        path = sum(legs)
+        if legs:
+            net = math.sqrt(float((tr[-1][2] - tr[0][2]) ** 2
+                                  + (tr[-1][3] - tr[0][3]) ** 2))
+            st = net / (path / 1000000.0) if path > 0 else None
+        else:
+            net, st = None, None
+        assert got[k] == (len(tr), len(legs), path, net, st), k
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ops.trip_stats(
+            spark.createDataFrame([("a", 1, 1, 1 << 26, 0)],
+                                  ["k", "ts", "i", "x", "y"]),
+            ["k"], "ts", "x", "y", "i", metric="euclid").collect()
+    with _pt.raises(ValueError):
+        ops.trip_stats(df, ["k"], "ts", "x", "y", "i", metric="nope")
+
+
+def test_trip_stats_haversine_golden(spark):
+    """Haversine-mode trip stats vs an independent numpy replay — with
+    TOLERANCE, not bit equality: JVM and libm trig disagree by 1 ulp on
+    ~2% of large-angle arguments (measured in this sandbox), which is
+    exactly why the geodesic mode is golden-tested while the euclid
+    mode carries the exact oracle contract.  The integer path_um may
+    therefore differ by at most 1 between replays on floor-boundary
+    legs; everything else agrees to 1e-9 relative."""
+    import math
+    from engine.geo import haversine_m
+    import random
+    rng = random.Random(17)
+    rows = []
+    for u in range(6):
+        for j in range(15):
+            rows.append((f"u{u}", j, j,
+                         float(rng.randint(-600, 600)) / 10.0,
+                         float(rng.randint(-1800, 1799)) / 10.0))
+    df = spark.createDataFrame(rows, ["k", "ts", "i", "lat", "lon"])
+    got = {r.k: r for r in ops.trip_stats(
+        df, ["k"], "ts", "lat", "lon", "i").collect()}
+    for u in range(6):
+        k = f"u{u}"
+        tr = sorted((ts, i, la, lo)
+                    for kk, ts, i, la, lo in rows if kk == k)
+        path = 0
+        for j in range(len(tr) - 1):
+            leg = float(haversine_m(tr[j][2], tr[j][3],
+                                    tr[j + 1][2], tr[j + 1][3]))
+            path += math.floor(leg * 1000000.0)
+        net = float(haversine_m(tr[0][2], tr[0][3], tr[-1][2], tr[-1][3]))
+        assert abs(got[k].path_um - path) <= len(tr)
+        assert got[k].net_disp_m == _pytest_approx(net)
+        assert got[k].n_legs == len(tr) - 1
+
+
+def _pytest_approx(v):
+    import pytest as _pt
+    return _pt.approx(v, rel=1e-9)
+
+
+def test_hull_diameter_brute(spark):
+    """Farthest pair equals the all-pairs rank under the total order
+    (dist2 DESC, x1, y1, x2, y2) — including the tie-break on a square
+    (two equal diagonals) and the degenerate single-point key; the
+    tightened coordinate envelope raises."""
+    import random
+    from engine import spatial
+    rng = random.Random(29)
+    rows = [("r", rng.randint(-80, 80), rng.randint(-80, 80))
+            for _ in range(200)]
+    rows += [("sq", 0, 0), ("sq", 0, 10), ("sq", 10, 0), ("sq", 10, 10),
+             ("sq", 5, 5)]
+    rows += [("one", 3, 3), ("one", 3, 3)]
+    df = spark.createDataFrame(rows, ["k", "x", "y"])
+    got = {r.k: (r.x1, r.y1, r.x2, r.y2, r.dist2)
+           for r in spatial.hull_diameter(df, ["k"], "x", "y").collect()}
+    for k in ("r", "sq", "one"):
+        pts = sorted({(x, y) for kk, x, y in rows if kk == k})
+        best = None
+        for a in pts:
+            for b in pts:
+                if a > b:
+                    continue
+                d2 = (b[0] - a[0]) ** 2 + (b[1] - a[1]) ** 2
+                cand = (-d2, a[0], a[1], b[0], b[1])
+                if best is None or cand < best:
+                    best = cand
+        want = (best[1], best[2], best[3], best[4], -best[0])
+        assert got[k] == want, k
+    # square tie-break: (0,0)-(10,10) beats (0,10)-(10,0) on (x1,y1)
+    assert got["sq"] == (0, 0, 10, 10, 200)
+    assert got["one"] == (3, 3, 3, 3, 0)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        spatial.hull_diameter(
+            spark.createDataFrame([("a", 1 << 30, 0)], ["k", "x", "y"]),
+            ["k"], "x", "y").collect()
