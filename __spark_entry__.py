@@ -5058,6 +5058,77 @@ def q_hull_diameter(spark, sf_dir):
     return spatial.hull_diameter(pts, ["event_type"], "x", "y")
 
 
+_BBOX_CELL = 32
+_SEG_CELL = 64
+
+
+def _rects(ev: DataFrame) -> DataFrame:
+    """Deterministic integer boxes from event ids: lower-left corner on
+    the _grid_points lattice, width/height from two more multipliers."""
+    e = F.col("event_id").cast("long")
+    x1 = F.pmod(e * 48271 + 11, F.lit(1000))
+    y1 = F.pmod(e * 16807 + 523, F.lit(1000))
+    return ev.select("event_type", "event_id",
+                     x1.alias("x1"), y1.alias("y1"),
+                     (x1 + F.pmod(e * 131 + 3, F.lit(30))).alias("x2"),
+                     (y1 + F.pmod(e * 137 + 5, F.lit(30))).alias("y2"))
+
+
+def q_bbox_join(spark, sf_dir):
+    """2-D rectangle overlap join (ops.bbox_overlap_join): sampled
+    boxes (event_id % 11 == 0) against all same-type boxes, emitting
+    the exact integer intersection box per pair.  Candidates via the
+    canonical-cell grid — each pair survives ONLY in the cell of its
+    intersection's lower-left corner, provably covered by both boxes,
+    so no dedup exchange exists; the oracle replays the DEFINITION as
+    the four-inequality join."""
+    r = _rects(_t(spark, sf_dir, "events"))
+    a = (r.filter(F.pmod(F.col("event_id"), F.lit(11)) == 0)
+         .select("event_type", F.col("event_id").alias("a_id"),
+                 "x1", "y1", "x2", "y2"))
+    b = r.select("event_type", F.col("event_id").alias("b_id"),
+                 F.col("x1").alias("u1"), F.col("y1").alias("v1"),
+                 F.col("x2").alias("u2"), F.col("y2").alias("v2"))
+    out = ops.bbox_overlap_join(a, b, ["event_type"],
+                                ("x1", "y1", "x2", "y2"),
+                                ("u1", "v1", "u2", "v2"), _BBOX_CELL)
+    return out.filter(F.col("a_id") != F.col("b_id"))
+
+
+def _segs(ev: DataFrame) -> DataFrame:
+    """Deterministic integer segments: one endpoint on the grid lattice,
+    the other displaced by hash-derived (dx, dy) in [-40, 40)."""
+    e = F.col("event_id").cast("long")
+    x1 = F.pmod(e * 48271 + 11, F.lit(1000))
+    y1 = F.pmod(e * 16807 + 523, F.lit(1000))
+    return ev.select(
+        "event_type", "event_id", x1.alias("x1"), y1.alias("y1"),
+        (x1 + F.pmod(e * 131 + 3, F.lit(80)) - 40).alias("x2"),
+        (y1 + F.pmod(e * 137 + 5, F.lit(80)) - 40).alias("y2"))
+
+
+def q_segment_join(spark, sf_dir):
+    """Segment intersection join (ops.segment_intersect_join): sampled
+    segments (event_id % 13 == 0) against all same-type segments under
+    the EXACT integer orientation predicate (CLRS 33.1 — proper
+    crossings via the d1..d4 sign tests, endpoint/collinear touches via
+    the on-segment box tests; every cross product a provable int64).
+    Candidates come from the canonical-cell bbox filter; the oracle
+    replays the identical predicate over the all-pairs join, so the
+    exact match certifies the filter-refine pipeline end to end."""
+    s = _segs(_t(spark, sf_dir, "events"))
+    a = (s.filter(F.pmod(F.col("event_id"), F.lit(13)) == 0)
+         .select("event_type", F.col("event_id").alias("a_id"),
+                 "x1", "y1", "x2", "y2"))
+    b = s.select("event_type", F.col("event_id").alias("b_id"),
+                 F.col("x1").alias("u1"), F.col("y1").alias("v1"),
+                 F.col("x2").alias("u2"), F.col("y2").alias("v2"))
+    out = ops.segment_intersect_join(a, b, ["event_type"],
+                                     ("x1", "y1", "x2", "y2"),
+                                     ("u1", "v1", "u2", "v2"), _SEG_CELL)
+    return out.filter(F.col("a_id") != F.col("b_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "w2_sessionize": q_w2_sessionize,
@@ -5284,6 +5355,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dbscan_geo": q_dbscan_geo,
         "trip_stats": q_trip_stats,
         "hull_diameter": q_hull_diameter,
+        "bbox_join": q_bbox_join,
+        "segment_join": q_segment_join,
     }
 
 
@@ -11091,6 +11164,85 @@ SELECT event_type, x1, y1, x2, y2, dist2
 FROM p
 QUALIFY row_number() OVER (PARTITION BY event_type
     ORDER BY dist2 DESC, x1, y1, x2, y2) = 1
+""",
+        # bbox overlap join: the DEFINITION — the four-inequality join;
+        # the engine's canonical-cell grid only gates candidates.
+        "bbox_join": """
+WITH r AS (
+  SELECT event_type, event_id,
+         (CAST(event_id AS BIGINT) * 48271 + 11) % 1000 AS x1,
+         (CAST(event_id AS BIGINT) * 16807 + 523) % 1000 AS y1,
+         (CAST(event_id AS BIGINT) * 48271 + 11) % 1000
+           + (CAST(event_id AS BIGINT) * 131 + 3) % 30 AS x2,
+         (CAST(event_id AS BIGINT) * 16807 + 523) % 1000
+           + (CAST(event_id AS BIGINT) * 137 + 5) % 30 AS y2
+  FROM events
+)
+SELECT a.event_type,
+       CAST(a.event_id AS BIGINT) AS a_id,
+       CAST(b.event_id AS BIGINT) AS b_id,
+       CAST(greatest(a.x1, b.x1) AS BIGINT) AS ix1,
+       CAST(greatest(a.y1, b.y1) AS BIGINT) AS iy1,
+       CAST(least(a.x2, b.x2) AS BIGINT) AS ix2,
+       CAST(least(a.y2, b.y2) AS BIGINT) AS iy2
+FROM r a JOIN r b
+  ON b.event_type = a.event_type
+ AND a.x1 <= b.x2 AND b.x1 <= a.x2
+ AND a.y1 <= b.y2 AND b.y1 <= a.y2
+WHERE a.event_id % 11 = 0 AND a.event_id <> b.event_id
+""",
+        # segment intersection: the identical exact integer predicate
+        # (d1..d4 orientation signs + on-segment touches) over all pairs
+        "segment_join": """
+WITH s AS (
+  SELECT event_type, event_id,
+         (CAST(event_id AS BIGINT) * 48271 + 11) % 1000 AS x1,
+         (CAST(event_id AS BIGINT) * 16807 + 523) % 1000 AS y1,
+         (CAST(event_id AS BIGINT) * 48271 + 11) % 1000
+           + (CAST(event_id AS BIGINT) * 131 + 3) % 80 - 40 AS x2,
+         (CAST(event_id AS BIGINT) * 16807 + 523) % 1000
+           + (CAST(event_id AS BIGINT) * 137 + 5) % 80 - 40 AS y2
+  FROM events
+),
+p AS (
+  SELECT a.event_type,
+         CAST(a.event_id AS BIGINT) AS a_id,
+         CAST(b.event_id AS BIGINT) AS b_id,
+         (b.x2 - b.x1) * (a.y1 - b.y1)
+           - (b.y2 - b.y1) * (a.x1 - b.x1) AS d1,
+         (b.x2 - b.x1) * (a.y2 - b.y1)
+           - (b.y2 - b.y1) * (a.x2 - b.x1) AS d2,
+         (a.x2 - a.x1) * (b.y1 - a.y1)
+           - (a.y2 - a.y1) * (b.x1 - a.x1) AS d3,
+         (a.x2 - a.x1) * (b.y2 - a.y1)
+           - (a.y2 - a.y1) * (b.x2 - a.x1) AS d4,
+         a.x1 AS ax1, a.y1 AS ay1, a.x2 AS ax2, a.y2 AS ay2,
+         b.x1 AS bx1, b.y1 AS by1, b.x2 AS bx2, b.y2 AS by2
+  FROM s a JOIN s b ON b.event_type = a.event_type
+  WHERE a.event_id % 13 = 0 AND a.event_id <> b.event_id
+),
+t AS (
+  SELECT event_type, a_id, b_id,
+         (((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0))
+          AND ((d3 > 0 AND d4 < 0) OR (d3 < 0 AND d4 > 0))) AS proper,
+         ((d1 = 0 AND ax1 >= least(bx1, bx2) AND ax1 <= greatest(bx1, bx2)
+                   AND ay1 >= least(by1, by2) AND ay1 <= greatest(by1, by2))
+          OR (d2 = 0 AND ax2 >= least(bx1, bx2)
+                   AND ax2 <= greatest(bx1, bx2)
+                   AND ay2 >= least(by1, by2)
+                   AND ay2 <= greatest(by1, by2))
+          OR (d3 = 0 AND bx1 >= least(ax1, ax2)
+                   AND bx1 <= greatest(ax1, ax2)
+                   AND by1 >= least(ay1, ay2)
+                   AND by1 <= greatest(ay1, ay2))
+          OR (d4 = 0 AND bx2 >= least(ax1, ax2)
+                   AND bx2 <= greatest(ax1, ax2)
+                   AND by2 >= least(ay1, ay2)
+                   AND by2 <= greatest(ay1, ay2))) AS touch
+  FROM p
+)
+SELECT event_type, a_id, b_id, proper
+FROM t WHERE proper OR touch
 """,
     }
 

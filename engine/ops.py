@@ -2404,3 +2404,189 @@ def trip_stats(df: DataFrame, keys: Sequence[str], ts_col: str,
     finally:
         agg.unpersist()
     return out
+
+
+def _bin_floor(c: Column, w: int) -> Column:
+    """Floor-division bin of a long column, correct for negatives."""
+    return ((c - F.pmod(c, F.lit(w))) / F.lit(w)).cast("long")
+
+
+def bbox_overlap_join(a: DataFrame, b: DataFrame, keys: Sequence[str],
+                      a_box: Sequence[str], b_box: Sequence[str],
+                      cell: int, a_id: str = "a_id", b_id: str = "b_id",
+                      max_cells: int = 4096,
+                      carry_a: Sequence[str] = (),
+                      carry_b: Sequence[str] = ()) -> DataFrame:
+    """J13 — 2-D rectangle (bounding-box) overlap join: all (a, b)
+    pairs whose CLOSED integer boxes intersect — the spatial-index
+    primitive under every geometry join (the filter step of the classic
+    filter-refine pipeline; segment_intersect_join builds its refine on
+    top).  a_box / b_box name (x1, y1, x2, y2) with x1 <= x2, y1 <= y2
+    ENFORCED (inverted boxes raise — J3's binned join taught us that
+    degenerate inputs silently diverge otherwise).  Emits
+    (keys..., a_id, b_id, ix1, iy1, ix2, iy2) — the exact intersection
+    box, all BIGINT.
+
+    Exactly-once generation with NO dedup exchange (the 2-D lift of
+    interval_overlap_join_binned's canonical-bin trick): each box
+    explodes over the grid cells it covers, pairs equi-join on
+    (keys, cx, cy), and a pair is kept ONLY in the canonical cell —
+    the cell of the intersection's lower-left corner
+    (max(ax1, bx1), max(ay1, by1)), provably covered by BOTH boxes
+    whenever they intersect, and unique.  Per-key work collapses from
+    |a_k| x |b_k| to the per-cell products; skew spreads across the
+    lattice.
+
+    Envelope ENFORCED with a raise: a box may cover at most max_cells
+    grid cells (fan-out bound — pick `cell` near the typical box size;
+    a raise means coarsen the grid or split giant boxes upstream).
+    carry_a / carry_b name extra columns to ride through the join
+    (must not collide across sides) — segment_intersect_join carries
+    its endpoints this way instead of paying two join-backs.
+
+    100-TB shape: one equi-join on (keys, cx, cy) after bounded
+    explodes; the overlap test and canonical filter are map-side; no
+    window, no distinct, no Python.
+    """
+    if cell <= 0:
+        raise ValueError("bbox_overlap_join: cell must be positive")
+    keys = list(keys)
+    cs = int(cell)
+
+    def prep(df: DataFrame, box: Sequence[str], ident: str,
+             px: str, carry: Sequence[str]) -> DataFrame:
+        x1, y1, x2, y2 = (F.col(c).cast("long") for c in box)
+        d = df.select(*keys, F.col(ident), *[F.col(c) for c in carry],
+                      x1.alias(f"{px}x1"), y1.alias(f"{px}y1"),
+                      x2.alias(f"{px}x2"), y2.alias(f"{px}y2"))
+        bad = d.agg(F.max(F.when(
+            (F.col(f"{px}x2") < F.col(f"{px}x1"))
+            | (F.col(f"{px}y2") < F.col(f"{px}y1")), 1).otherwise(0)
+        )).collect()[0][0]
+        if bad:
+            raise ValueError(
+                "bbox_overlap_join: inverted box (x2 < x1 or y2 < y1) "
+                "present — fix or filter upstream")
+        ncells = ((_bin_floor(F.col(f"{px}x2"), cs)
+                   - _bin_floor(F.col(f"{px}x1"), cs) + 1)
+                  * (_bin_floor(F.col(f"{px}y2"), cs)
+                     - _bin_floor(F.col(f"{px}y1"), cs) + 1))
+        worst = d.agg(F.max(ncells)).collect()[0][0]
+        if worst is not None and worst > max_cells:
+            raise ValueError(
+                f"bbox_overlap_join: a box covers {worst} grid cells "
+                f"(> max_cells={max_cells}) — coarsen `cell` or split "
+                f"giant boxes upstream")
+        return (d.withColumn("_cx", F.explode(F.sequence(
+                    _bin_floor(F.col(f"{px}x1"), cs),
+                    _bin_floor(F.col(f"{px}x2"), cs))))
+                .withColumn("_cy", F.explode(F.sequence(
+                    _bin_floor(F.col(f"{px}y1"), cs),
+                    _bin_floor(F.col(f"{px}y2"), cs)))))
+
+    aa = prep(a, a_box, a_id, "_a", carry_a)
+    bb = prep(b, b_box, b_id, "_b", carry_b)
+    ix1 = F.greatest("_ax1", "_bx1")
+    iy1 = F.greatest("_ay1", "_by1")
+    j = (aa.join(bb, [*keys, "_cx", "_cy"])
+         .filter((F.col("_ax1") <= F.col("_bx2"))
+                 & (F.col("_bx1") <= F.col("_ax2"))
+                 & (F.col("_ay1") <= F.col("_by2"))
+                 & (F.col("_by1") <= F.col("_ay2")))
+         .filter((F.col("_cx") == _bin_floor(ix1, cs))
+                 & (F.col("_cy") == _bin_floor(iy1, cs))))
+    return j.select(*keys, a_id, b_id,
+                    *[F.col(c) for c in (*carry_a, *carry_b)],
+                    ix1.alias("ix1"), iy1.alias("iy1"),
+                    F.least("_ax2", "_bx2").alias("ix2"),
+                    F.least("_ay2", "_by2").alias("iy2"))
+
+
+def segment_intersect_join(a: DataFrame, b: DataFrame,
+                           keys: Sequence[str],
+                           a_seg: Sequence[str], b_seg: Sequence[str],
+                           cell: int, a_id: str = "a_id",
+                           b_id: str = "b_id",
+                           max_cells: int = 4096) -> DataFrame:
+    """J14 — segment intersection join: all (a, b) pairs of CLOSED
+    integer line segments that share at least one point — the
+    computational-geometry core of road-network conflation, trajectory
+    crossing detection and polygon overlay.  a_seg / b_seg name the
+    endpoints (x1, y1, x2, y2) — NOT required to be ordered.
+
+    The decision is EXACT integer arithmetic only (the robust
+    orientation predicate, CLRS 33.1): with d1 = cross(CD, A),
+    d2 = cross(CD, B), d3 = cross(AB, C), d4 = cross(AB, D), segments
+    properly intersect iff d1·d2 < 0 and d3·d4 < 0; endpoint/collinear
+    touches are caught by the di == 0 on-segment (bounding-box) tests.
+    Under the ENFORCED |coord| <= 2^30 envelope every cross product is
+    a provable int64, so the decision is bit-portable and the oracle
+    replays the identical predicate over the by-definition all-pairs
+    join.  Emits (keys..., a_id, b_id, proper boolean).
+
+    Shape: filter-refine — bbox_overlap_join's canonical-cell grid
+    (exactly-once candidates, no dedup exchange, skew spread across the
+    lattice) generates candidates from the segments' bounding boxes;
+    the exact predicate refines map-side.  Same max_cells fan-out
+    envelope as the bbox join.
+    """
+    keys = list(keys)
+
+    def prep(df: DataFrame, seg: Sequence[str], ident: str,
+             px: str) -> DataFrame:
+        x1, y1, x2, y2 = (F.col(c).cast("long") for c in seg)
+        lim = 1 << 30
+        bad = df.agg(F.max(F.when(
+            (F.abs(x1) > lim) | (F.abs(y1) > lim)
+            | (F.abs(x2) > lim) | (F.abs(y2) > lim), 1).otherwise(0)
+        )).collect()[0][0]
+        if bad:
+            raise ValueError(
+                "segment_intersect_join: |coordinate| exceeds 2^30 — "
+                "cross products could overflow int64; rescale upstream")
+        return df.select(
+            *keys, F.col(ident),
+            x1.alias(f"{px}ex1"), y1.alias(f"{px}ey1"),
+            x2.alias(f"{px}ex2"), y2.alias(f"{px}ey2"),
+            F.least(x1, x2).alias(f"{px}bx1"),
+            F.least(y1, y2).alias(f"{px}by1"),
+            F.greatest(x1, x2).alias(f"{px}bx2"),
+            F.greatest(y1, y2).alias(f"{px}by2"))
+
+    aa = prep(a, a_seg, a_id, "_a")
+    bb = prep(b, b_seg, b_id, "_b")
+    cand = bbox_overlap_join(
+        aa, bb, keys, ("_abx1", "_aby1", "_abx2", "_aby2"),
+        ("_bbx1", "_bby1", "_bbx2", "_bby2"), cell,
+        a_id=a_id, b_id=b_id, max_cells=max_cells,
+        carry_a=("_aex1", "_aey1", "_aex2", "_aey2"),
+        carry_b=("_bex1", "_bey1", "_bex2", "_bey2"))
+
+    def cross(ox, oy, px_, py_, qx, qy):
+        return (px_ - ox) * (qy - oy) - (py_ - oy) * (qx - ox)
+
+    ax1, ay1 = F.col("_aex1"), F.col("_aey1")
+    ax2, ay2 = F.col("_aex2"), F.col("_aey2")
+    bx1, by1 = F.col("_bex1"), F.col("_bey1")
+    bx2, by2 = F.col("_bex2"), F.col("_bey2")
+    d1 = cross(bx1, by1, bx2, by2, ax1, ay1)
+    d2 = cross(bx1, by1, bx2, by2, ax2, ay2)
+    d3 = cross(ax1, ay1, ax2, ay2, bx1, by1)
+    d4 = cross(ax1, ay1, ax2, ay2, bx2, by2)
+
+    def on_seg(d, sx1, sy1, sx2, sy2, px_, py_):
+        return ((d == 0)
+                & (px_ >= F.least(sx1, sx2)) & (px_ <= F.greatest(sx1, sx2))
+                & (py_ >= F.least(sy1, sy2)) & (py_ <= F.greatest(sy1, sy2)))
+
+    proper = (((d1 > 0) & (d2 < 0)) | ((d1 < 0) & (d2 > 0))) \
+        & (((d3 > 0) & (d4 < 0)) | ((d3 < 0) & (d4 > 0)))
+    touch = (on_seg(d1, bx1, by1, bx2, by2, ax1, ay1)
+             | on_seg(d2, bx1, by1, bx2, by2, ax2, ay2)
+             | on_seg(d3, ax1, ay1, ax2, ay2, bx1, by1)
+             | on_seg(d4, ax1, ay1, ax2, ay2, bx2, by2))
+    return (cand.withColumn("_d1", d1).withColumn("_d2", d2)
+            .withColumn("_d3", d3).withColumn("_d4", d4)
+            .withColumn("proper", proper)
+            .filter(proper | touch)
+            .select(*keys, a_id, b_id, "proper"))

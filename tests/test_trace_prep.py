@@ -1567,3 +1567,119 @@ def test_hull_diameter_brute(spark):
         spatial.hull_diameter(
             spark.createDataFrame([("a", 1 << 30, 0)], ["k", "x", "y"]),
             ["k"], "x", "y").collect()
+
+
+def test_bbox_overlap_join_brute(spark):
+    """Canonical-cell bbox join equals the by-definition inequality
+    join on random boxes spanning negative coordinates and multiple
+    grid cells; inverted boxes and over-fanout boxes raise."""
+    import random
+    rng = random.Random(41)
+    A, B = [], []
+    for i in range(60):
+        x1, y1 = rng.randint(-100, 90), rng.randint(-100, 90)
+        A.append(("k", i, x1, y1, x1 + rng.randint(0, 25),
+                  y1 + rng.randint(0, 25)))
+    for j in range(80):
+        x1, y1 = rng.randint(-100, 90), rng.randint(-100, 90)
+        B.append(("k", j, x1, y1, x1 + rng.randint(0, 25),
+                  y1 + rng.randint(0, 25)))
+    a = spark.createDataFrame(A, ["k", "a_id", "x1", "y1", "x2", "y2"])
+    b = spark.createDataFrame(B, ["k", "b_id", "u1", "v1", "u2", "v2"])
+    for cell in (8, 16, 64):
+        got = sorted(
+            (r.a_id, r.b_id, r.ix1, r.iy1, r.ix2, r.iy2)
+            for r in ops.bbox_overlap_join(
+                a, b, ["k"], ("x1", "y1", "x2", "y2"),
+                ("u1", "v1", "u2", "v2"), cell).collect())
+        want = sorted(
+            (i, j, max(ax1, bx1), max(ay1, by1), min(ax2, bx2),
+             min(ay2, by2))
+            for _, i, ax1, ay1, ax2, ay2 in A
+            for _, j, bx1, by1, bx2, by2 in B
+            if ax1 <= bx2 and bx1 <= ax2 and ay1 <= by2 and by1 <= ay2)
+        assert got == want, cell
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ops.bbox_overlap_join(
+            spark.createDataFrame([("k", 1, 5, 0, 4, 9)],
+                                  ["k", "a_id", "x1", "y1", "x2", "y2"]),
+            b, ["k"], ("x1", "y1", "x2", "y2"),
+            ("u1", "v1", "u2", "v2"), 8).collect()
+    with _pt.raises(ValueError):
+        ops.bbox_overlap_join(a, b, ["k"], ("x1", "y1", "x2", "y2"),
+                              ("u1", "v1", "u2", "v2"), 2,
+                              max_cells=4).collect()
+
+
+def _seg_intersects(a, b):
+    """Pure-Python CLRS 33.1 replay: (proper, touches) for closed
+    integer segments a = (ax1, ay1, ax2, ay2), b likewise."""
+    ax1, ay1, ax2, ay2 = a
+    bx1, by1, bx2, by2 = b
+
+    def cross(ox, oy, px, py, qx, qy):
+        return (px - ox) * (qy - oy) - (py - oy) * (qx - ox)
+
+    d1 = cross(bx1, by1, bx2, by2, ax1, ay1)
+    d2 = cross(bx1, by1, bx2, by2, ax2, ay2)
+    d3 = cross(ax1, ay1, ax2, ay2, bx1, by1)
+    d4 = cross(ax1, ay1, ax2, ay2, bx2, by2)
+    proper = (((d1 > 0 and d2 < 0) or (d1 < 0 and d2 > 0))
+              and ((d3 > 0 and d4 < 0) or (d3 < 0 and d4 > 0)))
+
+    def on(d, sx1, sy1, sx2, sy2, px, py):
+        return (d == 0 and min(sx1, sx2) <= px <= max(sx1, sx2)
+                and min(sy1, sy2) <= py <= max(sy1, sy2))
+
+    touch = (on(d1, bx1, by1, bx2, by2, ax1, ay1)
+             or on(d2, bx1, by1, bx2, by2, ax2, ay2)
+             or on(d3, ax1, ay1, ax2, ay2, bx1, by1)
+             or on(d4, ax1, ay1, ax2, ay2, bx2, by2))
+    return proper, (proper or touch)
+
+
+def test_segment_intersect_join_brute(spark):
+    """Filter-refine segment join equals the pure predicate over all
+    pairs — random segments plus planted cases: proper X crossing,
+    endpoint T-touch, collinear overlap, collinear disjoint (must NOT
+    match), shared endpoint, zero-length segment on a segment."""
+    import random
+    rng = random.Random(43)
+    A = [("k", i, rng.randint(-60, 60), rng.randint(-60, 60),
+          rng.randint(-60, 60), rng.randint(-60, 60)) for i in range(40)]
+    B = [("k", j, rng.randint(-60, 60), rng.randint(-60, 60),
+          rng.randint(-60, 60), rng.randint(-60, 60)) for j in range(60)]
+    A += [("k", 100, 0, 0, 10, 10),    # proper X with B 200
+          ("k", 101, 20, 0, 30, 0),    # collinear overlap with B 201
+          ("k", 102, 40, 0, 50, 0),    # collinear DISJOINT from B 202
+          ("k", 103, -50, -50, -50, -50)]  # point on B 203
+    B += [("k", 200, 0, 10, 10, 0),
+          ("k", 201, 25, 0, 35, 0),
+          ("k", 202, 52, 0, 60, 0),
+          ("k", 203, -55, -55, -45, -45)]
+    a = spark.createDataFrame(A, ["k", "a_id", "x1", "y1", "x2", "y2"])
+    b = spark.createDataFrame(B, ["k", "b_id", "u1", "v1", "u2", "v2"])
+    got = sorted((r.a_id, r.b_id, r.proper)
+                 for r in ops.segment_intersect_join(
+                     a, b, ["k"], ("x1", "y1", "x2", "y2"),
+                     ("u1", "v1", "u2", "v2"), 16).collect())
+    want = []
+    for _, i, *sa in A:
+        for _, j, *sb in B:
+            proper, hit = _seg_intersects(tuple(sa), tuple(sb))
+            if hit:
+                want.append((i, j, proper))
+    assert got == sorted(want)
+    hits = {(i, j): p for i, j, p in got}
+    assert hits[(100, 200)] is True
+    assert hits[(101, 201)] is False   # collinear overlap: touch
+    assert (102, 202) not in hits
+    assert hits[(103, 203)] is False   # degenerate point touch
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ops.segment_intersect_join(
+            spark.createDataFrame([("k", 1, 1 << 31, 0, 0, 0)],
+                                  ["k", "a_id", "x1", "y1", "x2", "y2"]),
+            b, ["k"], ("x1", "y1", "x2", "y2"),
+            ("u1", "v1", "u2", "v2"), 16).collect()
