@@ -5129,6 +5129,25 @@ def q_segment_join(spark, sf_dir):
     return out.filter(F.col("a_id") != F.col("b_id"))
 
 
+_RUA_MOD = 7
+
+
+def q_rect_union_area(spark, sf_dir):
+    """Exact union-of-rectangles area per type (ops.rect_union_area)
+    over sampled derived boxes: the coverage-footprint measurement,
+    overlaps counted once, as the relational sweep — distinct x edges
+    cut strips, a J3-style interval join finds each strip's active
+    boxes, one A44 merge pass per strip unions the y-extents, and
+    union_area = sum(strip_width * y_len), all exact BIGINT.  The
+    oracle is fully DEFINITIONAL — explode every box into its unit
+    cells and COUNT(DISTINCT cell) — so the two sides share no
+    algorithmic structure at all, only the semantics."""
+    r = _rects(_t(spark, sf_dir, "events")).filter(
+        F.pmod(F.col("event_id"), F.lit(_RUA_MOD)) == 0)
+    return ops.rect_union_area(r, ["event_type"],
+                               ("x1", "y1", "x2", "y2"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "w2_sessionize": q_w2_sessionize,
@@ -5357,6 +5376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hull_diameter": q_hull_diameter,
         "bbox_join": q_bbox_join,
         "segment_join": q_segment_join,
+        "rect_union_area": q_rect_union_area,
     }
 
 
@@ -11243,6 +11263,40 @@ t AS (
 )
 SELECT event_type, a_id, b_id, proper
 FROM t WHERE proper OR touch
+""",
+        # union-of-rectangles area: the oracle is DEFINITIONAL — every
+        # box explodes to its unit cells, union area = COUNT(DISTINCT
+        # cell) — sharing no algorithmic structure with the engine's
+        # strip sweep.
+        "rect_union_area": f"""
+WITH r AS (
+  SELECT event_type, event_id,
+         (CAST(event_id AS BIGINT) * 48271 + 11) % 1000 AS x1,
+         (CAST(event_id AS BIGINT) * 16807 + 523) % 1000 AS y1,
+         (CAST(event_id AS BIGINT) * 48271 + 11) % 1000
+           + (CAST(event_id AS BIGINT) * 131 + 3) % 30 AS x2,
+         (CAST(event_id AS BIGINT) * 16807 + 523) % 1000
+           + (CAST(event_id AS BIGINT) * 137 + 5) % 30 AS y2
+  FROM events WHERE event_id % {_RUA_MOD} = 0
+),
+stats AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_rects
+  FROM r GROUP BY event_type
+),
+live AS (SELECT * FROM r WHERE x2 > x1 AND y2 > y1),
+cells AS (
+  SELECT DISTINCT event_type, cx, cy FROM (
+    SELECT event_type, unnest(generate_series(x1, x2 - 1)) AS cx, y1, y2
+    FROM live
+  ), LATERAL (SELECT unnest(generate_series(y1, y2 - 1)) AS cy)
+),
+area AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS union_area
+  FROM cells GROUP BY event_type
+)
+SELECT s.event_type, s.n_rects,
+       CAST(coalesce(a.union_area, 0) AS BIGINT) AS union_area
+FROM stats s LEFT JOIN area a USING (event_type)
 """,
     }
 

@@ -2590,3 +2590,87 @@ def segment_intersect_join(a: DataFrame, b: DataFrame,
             .withColumn("proper", proper)
             .filter(proper | touch)
             .select(*keys, a_id, b_id, "proper"))
+
+
+def rect_union_area(df: DataFrame, keys: Sequence[str],
+                    box: Sequence[str] = ("x1", "y1", "x2", "y2"),
+                    max_rects: int = 100_000) -> DataFrame:
+    """A47 — exact area of the UNION of axis-aligned rectangles per key
+    (coverage-footprint measurement: how much ground do a key's
+    half-open [x1, x2) x [y1, y2) boxes actually cover, overlaps
+    counted once) — the classic sweep-line union stated relationally.
+    Returns (keys..., n_rects, union_area) with union_area an exact
+    BIGINT; zero-width/height boxes contribute nothing; inverted boxes
+    (x2 < x1 or y2 < y1) are REJECTED with a raise, as is any
+    |coordinate| > 2^30 (union area <= bounding area < 2^62 stays a
+    provable int64).
+
+    Shape (strip decomposition — every stage a native join/window/agg):
+    the distinct x edges of a key's boxes cut the plane into vertical
+    strips; within one strip the covered y-extent is constant, so
+    union_area = sum over strips of strip_width * y_coverage(strip).
+    A box is active in a strip iff its x-range contains it (a J3
+    interval join: box x-interval vs strip, equi on keys), and the
+    strip's y-coverage is one merge_intervals pass (A44's runmax rule)
+    over the active boxes' y-intervals — all exact BIGINT.
+
+    Cost contract ENFORCED with a raise: > max_rects boxes in a key
+    group.  The strip-x-active surface is inherently Omega(n^2) in the
+    worst case (n overlapping boxes -> 2n strips x n active); this
+    operator is the exact small-key tool — for corpus-scale coverage,
+    rasterize to cells (X6/tiles) and count, trading exactness for
+    linearity.
+
+    100-TB shape note: strips and actives join via the binned interval
+    path when keys are few and fat; here the plain keyed join is used
+    because max_rects bounds the quadratic surface explicitly.
+    """
+    keys = list(keys)
+    x1, y1, x2, y2 = (F.col(c).cast("long") for c in box)
+    d = df.select(*keys, x1.alias("_x1"), y1.alias("_y1"),
+                  x2.alias("_x2"), y2.alias("_y2"))
+    lim = 1 << 30
+    bad = d.agg(F.max(F.when(
+        (F.col("_x2") < F.col("_x1")) | (F.col("_y2") < F.col("_y1"))
+        | (F.greatest(F.abs(F.col("_x1")), F.abs(F.col("_y1")),
+                      F.abs(F.col("_x2")), F.abs(F.col("_y2"))) > lim),
+        1).otherwise(0))).collect()[0][0]
+    if bad:
+        raise ValueError(
+            "rect_union_area: inverted box or |coord| > 2^30 present — "
+            "the union area must stay a provable int64; fix upstream")
+    stats = d.groupBy(*keys).agg(F.count(F.lit(1)).cast("long")
+                                 .alias("n_rects"))
+    worst = stats.agg(F.max("n_rects")).collect()[0][0]
+    if worst is not None and worst > max_rects:
+        raise ValueError(
+            f"rect_union_area: a key group has {worst} boxes "
+            f"(> max_rects={max_rects}) — the strip sweep is quadratic "
+            f"in the worst case; rasterize instead at this scale")
+    # drop degenerate (empty) boxes: they add no area and no strips
+    live = d.filter((F.col("_x2") > F.col("_x1"))
+                    & (F.col("_y2") > F.col("_y1")))
+    edges = (live.select(*keys, F.col("_x1").alias("_sx"))
+             .unionByName(live.select(*keys, F.col("_x2").alias("_sx")))
+             .distinct())
+    wnext = Window.partitionBy(*keys).orderBy("_sx")
+    strips = (edges.withColumn("_sxn", F.lead("_sx").over(wnext))
+              .filter(F.col("_sxn").isNotNull()))
+    active = strips.join(live, keys).filter(
+        (F.col("_x1") <= F.col("_sx")) & (F.col("_x2") >= F.col("_sxn")))
+    cov = merge_intervals(
+        active.select(*keys, "_sx", "_sxn", F.col("_y1").alias("_s"),
+                      (F.col("_y2") - 1).alias("_ee")),
+        [*keys, "_sx", "_sxn"], "_s", "_ee")
+    per_strip = (cov.groupBy(*keys, "_sx", "_sxn")
+                 .agg(F.sum(F.col("m_end") + 1 - F.col("m_start"))
+                      .alias("_ylen"))
+                 .withColumn("_area",
+                             (F.col("_sxn") - F.col("_sx"))
+                             * F.col("_ylen")))
+    area = (per_strip.groupBy(*keys)
+            .agg(F.sum("_area").cast("long").alias("union_area")))
+    return (stats.join(area, keys, "left")
+            .select(*keys, "n_rects",
+                    F.coalesce(F.col("union_area"), F.lit(0).cast("long"))
+                    .alias("union_area")))

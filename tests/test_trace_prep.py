@@ -1683,3 +1683,45 @@ def test_segment_intersect_join_brute(spark):
                                   ["k", "a_id", "x1", "y1", "x2", "y2"]),
             b, ["k"], ("x1", "y1", "x2", "y2"),
             ("u1", "v1", "u2", "v2"), 16).collect()
+
+
+def test_rect_union_area_brute(spark):
+    """Strip-sweep union area equals the definitional unit-cell count
+    on random overlapping boxes (negative coords included), with
+    planted full-containment, exact-touch (no double count, no gap),
+    disjoint islands, degenerate zero-width boxes and an all-degenerate
+    key; inverted/out-of-envelope boxes and over-large groups raise."""
+    import random
+    rng = random.Random(47)
+    rows = []
+    for _ in range(50):
+        x1, y1 = rng.randint(-40, 30), rng.randint(-40, 30)
+        rows.append(("r", x1, y1, x1 + rng.randint(0, 12),
+                     y1 + rng.randint(0, 12)))
+    rows += [("t", 0, 0, 5, 5), ("t", 5, 0, 10, 5),   # exact touch
+             ("t", 2, 2, 3, 3),                        # contained
+             ("t", 100, 100, 101, 101)]                # island
+    rows += [("z", 1, 1, 1, 9), ("z", 2, 2, 7, 2)]     # all degenerate
+    df = spark.createDataFrame(rows, ["k", "x1", "y1", "x2", "y2"])
+    got = {r.k: (r.n_rects, r.union_area)
+           for r in ops.rect_union_area(df, ["k"]).collect()}
+    for k in ("r", "t", "z"):
+        boxes = [b[1:] for b in rows if b[0] == k]
+        cells = {(cx, cy) for x1, y1, x2, y2 in boxes
+                 for cx in range(x1, x2) for cy in range(y1, y2)}
+        assert got[k] == (len(boxes), len(cells)), k
+    assert got["t"] == (4, 51)   # 25 + 25 + 0 + 1
+    assert got["z"][1] == 0
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ops.rect_union_area(
+            spark.createDataFrame([("a", 5, 0, 4, 9)],
+                                  ["k", "x1", "y1", "x2", "y2"]),
+            ["k"]).collect()
+    with _pt.raises(ValueError):
+        ops.rect_union_area(df, ["k"], max_rects=10).collect()
+    with _pt.raises(ValueError):
+        ops.rect_union_area(
+            spark.createDataFrame([("a", 0, 0, 1 << 31, 1)],
+                                  ["k", "x1", "y1", "x2", "y2"]),
+            ["k"]).collect()
