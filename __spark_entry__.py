@@ -5148,6 +5148,58 @@ def q_rect_union_area(spark, sf_dir):
                                ("x1", "y1", "x2", "y2"))
 
 
+_COMOVE_R = 150
+_COMOVE_K = 2
+
+
+def q_comovement(spark, sf_dir):
+    """Co-movement (flock) pairs (ops.comovement_pairs): movers on a
+    deterministic per-user drift walk (position advances (1 + u%3,
+    1 + u%5) per hour bucket, wrapping at the lattice edge), one
+    position per (user, hour) by construction; pairs within euclidean
+    {_COMOVE_R} for >= {_COMOVE_K} CONSECUTIVE hourly buckets.  The
+    proximity decision is the exact int64 dist² filter; runs compress
+    with the gaps-and-islands rule.  Oracle replays the definition —
+    per-bucket all-pairs dist filter + t - row_number() islands."""
+    ev = _t(spark, sf_dir, "events")
+    u = F.col("user_id").cast("long")
+    t = F.floor(F.unix_micros(F.col("ts").cast("timestamp"))
+                / F.lit(3600000000)).cast("long")
+    d = (ev.select(u.alias("uid"), t.alias("tb")).distinct()
+         .select("uid", "tb",
+                 F.pmod(F.col("uid") * 48271 + 11
+                        + F.col("tb") * (1 + F.pmod(F.col("uid"), F.lit(3))),
+                        F.lit(1000)).alias("x"),
+                 F.pmod(F.col("uid") * 16807 + 523
+                        + F.col("tb") * (1 + F.pmod(F.col("uid"), F.lit(5))),
+                        F.lit(1000)).alias("y")))
+    return ops.comovement_pairs(d, "uid", "tb", "x", "y",
+                                _COMOVE_R, _COMOVE_K)
+
+
+_EH_CELL = 50
+_EH_MIN = 5
+
+
+def q_emerging_hotspots(spark, sf_dir):
+    """Emerging hotspots (ops.emerging_hotspots): per occupied 50-cell,
+    the two-proportion pooled z comparing the cell's activity share in
+    the recent third of event time against the earlier baseline —
+    exact BIGINT evidence (n_recent, n_base) beside the one fixed IEEE
+    z tree (divides + one sqrt, all correctly rounded).  The split
+    instant is exact integer arithmetic (mn + 2*(mx-mn)//3 micros), so
+    both engines partition the windows identically."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    mn, mx = ev.agg(F.min(us), F.max(us)).collect()[0]
+    split = int(mn) + (2 * (int(mx) - int(mn))) // 3
+    pts = _grid_points(ev).join(
+        ev.select("event_id", (us >= F.lit(split)).alias("recent")),
+        "event_id")
+    return ops.emerging_hotspots(pts, "x", "y", "recent",
+                                 _EH_CELL, _EH_MIN)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "w2_sessionize": q_w2_sessionize,
@@ -5377,6 +5429,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bbox_join": q_bbox_join,
         "segment_join": q_segment_join,
         "rect_union_area": q_rect_union_area,
+        "comovement": q_comovement,
+        "emerging_hotspots": q_emerging_hotspots,
     }
 
 
@@ -11297,6 +11351,83 @@ area AS (
 SELECT s.event_type, s.n_rects,
        CAST(coalesce(a.union_area, 0) AS BIGINT) AS union_area
 FROM stats s LEFT JOIN area a USING (event_type)
+""",
+        # co-movement pairs: per-bucket all-pairs dist filter (the
+        # definition) + gaps-and-islands run compression
+        "comovement": f"""
+WITH d AS (
+  SELECT DISTINCT CAST(user_id AS BIGINT) AS uid,
+         epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS tb
+  FROM events
+),
+p AS (
+  SELECT uid, tb,
+         (uid * 48271 + 11 + tb * (1 + uid % 3)) % 1000 AS x,
+         (uid * 16807 + 523 + tb * (1 + uid % 5)) % 1000 AS y
+  FROM d
+),
+hits AS (
+  SELECT a.uid AS a_id, b.uid AS b_id, a.tb
+  FROM p a JOIN p b ON b.tb = a.tb AND a.uid < b.uid
+  WHERE (b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y)
+        <= {_COMOVE_R * _COMOVE_R}
+),
+runs AS (
+  SELECT a_id, b_id, tb,
+         tb - row_number() OVER (PARTITION BY a_id, b_id ORDER BY tb)
+           AS grp
+  FROM hits
+)
+SELECT a_id, b_id, CAST(min(tb) AS BIGINT) AS t_start,
+       CAST(max(tb) AS BIGINT) AS t_end,
+       CAST(count(*) AS BIGINT) AS n_steps
+FROM runs GROUP BY a_id, b_id, grp
+HAVING count(*) >= {_COMOVE_K}
+""",
+        # emerging hotspots: exact split instant, per-cell window counts,
+        # the same pooled-z IEEE tree
+        "emerging_hotspots": f"""
+WITH b AS (
+  SELECT CAST(min(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS mn,
+         CAST(max(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS mx
+  FROM events
+),
+pts AS (
+  SELECT ((CAST(event_id AS BIGINT) * 48271 + 11) % 1000)
+           // {_EH_CELL} AS cx,
+         ((CAST(event_id AS BIGINT) * 16807 + 523) % 1000)
+           // {_EH_CELL} AS cy,
+         CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                   >= b.mn + (2 * (b.mx - b.mn)) // 3
+              THEN 1 ELSE 0 END AS r
+  FROM events, b
+),
+per AS (
+  SELECT cx, cy, CAST(sum(r) AS BIGINT) AS n_recent,
+         CAST(sum(1 - r) AS BIGINT) AS n_base
+  FROM pts GROUP BY cx, cy
+),
+tot AS (
+  SELECT CAST(sum(n_recent) AS BIGINT) AS nr,
+         CAST(sum(n_base) AS BIGINT) AS nb
+  FROM per
+),
+f AS (
+  SELECT cx, cy, n_recent, n_base, nr, nb,
+         CAST(n_recent AS DOUBLE) / CAST(nr AS DOUBLE) AS p_r,
+         CAST(n_base AS DOUBLE) / CAST(nb AS DOUBLE) AS p_b,
+         CAST(n_recent + n_base AS DOUBLE) / CAST(nr + nb AS DOUBLE) AS p
+  FROM per, tot
+  WHERE n_recent + n_base >= {_EH_MIN}
+)
+SELECT cx, cy, n_recent, n_base,
+       CASE WHEN p * (1.0 - p) * (1.0 / CAST(nr AS DOUBLE)
+                                  + 1.0 / CAST(nb AS DOUBLE)) > 0
+            THEN (p_r - p_b)
+                 / sqrt(p * (1.0 - p) * (1.0 / CAST(nr AS DOUBLE)
+                                         + 1.0 / CAST(nb AS DOUBLE)))
+       END AS z
+FROM f
 """,
     }
 

@@ -2674,3 +2674,113 @@ def rect_union_area(df: DataFrame, keys: Sequence[str],
             .select(*keys, "n_rects",
                     F.coalesce(F.col("union_area"), F.lit(0).cast("long"))
                     .alias("union_area")))
+
+
+def comovement_pairs(df: DataFrame, id_col: str, t_col: str,
+                     x_col: str, y_col: str, radius: int,
+                     min_steps: int) -> DataFrame:
+    """X17 — co-movement (flock/convoy) pair detection: all mover pairs
+    that stay within euclidean `radius` for at least `min_steps`
+    CONSECUTIVE time buckets — the trajectory-mining primitive under
+    convoy discovery, contact tracing and ride-sharing detection.
+    Emits one row per maximal qualifying run:
+    (a_id, b_id, t_start, t_end, n_steps), a < b, all exact BIGINTs.
+
+    Input contract ENFORCED with a raise: exactly one position per
+    (id, t) — duplicate fixes would double-emit pairs and make run
+    lengths ill-defined.  Gaps break runs (present at t and t+2 but
+    not t+1 yields two runs); the proximity decision is the exact
+    int64 dist² <= radius² filter, so the output is bit-portable.
+
+    Shape: per-bucket proximity via radius_join_2d with t riding as a
+    join key — the banding rewrite spreads each bucket across the grid
+    lattice (never a per-bucket quadratic self-join) and buckets never
+    compare against each other; then one per-pair ordered pass turns
+    bucket hits into maximal consecutive runs with the gaps-and-islands
+    rule (t - row_number() is constant exactly on consecutive runs),
+    and one combinable agg emits (min t, max t, count).
+
+    100-TB shape: the radius join's exchange carries (t, cell) keys —
+    time-sliced AND space-sliced, so hot buckets and hot cells both
+    spread; the run pass exchanges only (a, b, t) triples.
+    """
+    if min_steps < 1:
+        raise ValueError("comovement_pairs: min_steps must be >= 1")
+    d = df.select(F.col(id_col).cast("long").alias("_id"),
+                  F.col(t_col).cast("long").alias("_t"),
+                  F.col(x_col).cast("long").alias("_x"),
+                  F.col(y_col).cast("long").alias("_y"))
+    dup = (d.groupBy("_id", "_t").agg(F.count(F.lit(1)).alias("_n"))
+           .agg(F.max("_n")).collect()[0][0])
+    if dup is not None and dup > 1:
+        raise ValueError(
+            "comovement_pairs: multiple positions for one (id, t) — "
+            "dedup or re-bucket upstream")
+    a = d.select(F.col("_t"), F.col("_id").alias("a_id"),
+                 F.col("_x").alias("ax"), F.col("_y").alias("ay"))
+    b = d.select(F.col("_t"), F.col("_id").alias("b_id"),
+                 F.col("_x").alias("bx"), F.col("_y").alias("by"))
+    hits = (radius_join_2d(a, b, ["_t"], "ax", "ay", "bx", "by", radius,
+                           a_id="a_id", b_id="b_id")
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id", "_t"))
+    wrn = Window.partitionBy("a_id", "b_id").orderBy("_t")
+    runs = hits.withColumn(
+        "_grp", F.col("_t") - F.row_number().over(wrn))
+    return (runs.groupBy("a_id", "b_id", "_grp")
+            .agg(F.min("_t").alias("t_start"),
+                 F.max("_t").alias("t_end"),
+                 F.count(F.lit(1)).cast("long").alias("n_steps"))
+            .filter(F.col("n_steps") >= min_steps)
+            .select("a_id", "b_id", "t_start", "t_end", "n_steps"))
+
+
+def emerging_hotspots(df: DataFrame, x_col: str, y_col: str,
+                      recent_col: str, cell: int,
+                      min_count: int = 5) -> DataFrame:
+    """X18 — emerging-hotspot detection: per occupied grid cell, is the
+    cell's SHARE of activity significantly different in the recent
+    window than in the baseline window?  The temporal sibling of the
+    Gi* hotspot test (X12): counts fold to cells map-side, the two
+    window totals ride back as driver-scalar literals, and the
+    two-proportion pooled z (the A33 tree) is evaluated map-only over
+    exact BIGINT evidence — emitted per cell alongside that evidence
+    (n_recent, n_base), cells below min_count total suppressed.
+
+    z is ONE fixed IEEE tree over exact ints (divides / multiplies /
+    one sqrt — all correctly rounded, bit-portable); every divisor is
+    clamped with greatest(., 1) BEFORE the guard-taken branch because
+    Spark ANSI mode raises DIVIDE_BY_ZERO even inside un-taken when()
+    branches once CSE hoists the division (the 2d5cc09 hazard) — the
+    clamp is the identity on every row the guards admit.  z is NULL
+    when either window is empty or the pooled variance vanishes.
+
+    100-TB shape: ONE combinable (cell, window) count agg; the z pass
+    is map-only with N_r / N_b as literals; nothing else shuffles.
+    """
+    if cell <= 0:
+        raise ValueError("emerging_hotspots: cell must be positive")
+    if min_count < 1:
+        raise ValueError("emerging_hotspots: min_count must be >= 1")
+    cs = int(cell)
+    d = df.select(
+        _bin_floor(F.col(x_col).cast("long"), cs).alias("cx"),
+        _bin_floor(F.col(y_col).cast("long"), cs).alias("cy"),
+        F.when(F.col(recent_col), 1).otherwise(0).alias("_r"))
+    per = (d.groupBy("cx", "cy")
+           .agg(F.sum("_r").cast("long").alias("n_recent"),
+                F.sum(F.lit(1) - F.col("_r")).cast("long")
+                .alias("n_base")))
+    tot = per.agg(F.sum("n_recent"), F.sum("n_base")).collect()[0]
+    n_r, n_b = int(tot[0] or 0), int(tot[1] or 0)
+    per = per.filter(F.col("n_recent") + F.col("n_base") >= min_count)
+    if n_r == 0 or n_b == 0:
+        return per.select("cx", "cy", "n_recent", "n_base",
+                          F.lit(None).cast("double").alias("z"))
+    dbl = lambda c: c.cast("double")  # noqa: E731
+    p_r = dbl(F.col("n_recent")) / F.lit(float(n_r))
+    p_b = dbl(F.col("n_base")) / F.lit(float(n_b))
+    p = dbl(F.col("n_recent") + F.col("n_base")) / F.lit(float(n_r + n_b))
+    var = p * (F.lit(1.0) - p) * F.lit(1.0 / n_r + 1.0 / n_b)
+    z = F.when(var > 0, (p_r - p_b) / F.sqrt(var))
+    return per.select("cx", "cy", "n_recent", "n_base", z.alias("z"))

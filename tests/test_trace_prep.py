@@ -1725,3 +1725,107 @@ def test_rect_union_area_brute(spark):
             spark.createDataFrame([("a", 0, 0, 1 << 31, 1)],
                                   ["k", "x1", "y1", "x2", "y2"]),
             ["k"]).collect()
+
+
+def test_comovement_pairs_brute(spark):
+    """Flock runs equal the per-bucket all-pairs + gaps-and-islands
+    replay on a planted scenario: two movers glued for 5 buckets, a
+    third joining mid-way, a presence gap splitting a run, and a pair
+    that drifts out of radius; duplicate (id, t) positions raise."""
+    rows = [
+        # movers 1 & 2 within r for t=0..4 (dist 5)
+        *[(1, t, 10, 10) for t in range(5)],
+        *[(2, t, 13, 14) for t in range(5)],
+        # mover 3 joins near them only at t=2,3
+        (3, 2, 11, 12), (3, 3, 12, 11),
+        # mover 4 meets 5 at t=0,1, gap at 2, again at 3,4 -> two runs
+        (4, 0, 500, 500), (4, 1, 500, 500), (4, 3, 500, 500),
+        (4, 4, 500, 500),
+        (5, 0, 503, 504), (5, 1, 503, 504), (5, 2, 900, 900),
+        (5, 3, 503, 504), (5, 4, 503, 504),
+        # mover 6 drifts away from 7: dist 5, 5, then 50
+        (6, 0, 100, 100), (6, 1, 101, 100), (6, 2, 100, 100),
+        (7, 0, 103, 104), (7, 1, 104, 104), (7, 2, 140, 130),
+    ]
+    df = spark.createDataFrame(rows, ["i", "t", "x", "y"])
+    got = sorted(map(tuple, ops.comovement_pairs(
+        df, "i", "t", "x", "y", radius=8, min_steps=2).collect()))
+    # brute replay
+    from collections import defaultdict
+    by_t = defaultdict(list)
+    for i, t, x, y in rows:
+        by_t[t].append((i, x, y))
+    hits = defaultdict(list)
+    for t, pts in by_t.items():
+        for ai, ax, ay in pts:
+            for bi, bx, by_ in pts:
+                if ai < bi and (bx - ax) ** 2 + (by_ - ay) ** 2 <= 64:
+                    hits[(ai, bi)].append(t)
+    want = []
+    for (ai, bi), ts in hits.items():
+        ts.sort()
+        start = prev = ts[0]
+        for t in ts[1:] + [None]:
+            if t is not None and t == prev + 1:
+                prev = t
+                continue
+            n = prev - start + 1
+            if n >= 2:
+                want.append((ai, bi, start, prev, n))
+            if t is not None:
+                start = prev = t
+    assert got == sorted(want)
+    assert (1, 2, 0, 4, 5) in got          # the glued pair, one run
+    assert (4, 5, 0, 1, 2) in got and (4, 5, 3, 4, 2) in got  # split
+    assert (6, 7, 0, 1, 2) in got          # drift-away truncates
+    # mover 3's two-bucket visit rides with both glued movers
+    assert (1, 3, 2, 3, 2) in got and (2, 3, 2, 3, 2) in got
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ops.comovement_pairs(
+            spark.createDataFrame([(1, 0, 0, 0), (1, 0, 5, 5)],
+                                  ["i", "t", "x", "y"]),
+            "i", "t", "x", "y", 8, 2).collect()
+    with _pt.raises(ValueError):
+        ops.comovement_pairs(df, "i", "t", "x", "y", 8, 0)
+
+
+def test_emerging_hotspots_brute(spark):
+    """Per-cell window counts and the pooled-z tree equal a pure-Python
+    replay, with a planted emerging cell (all-recent burst), a fading
+    cell (all-baseline), a balanced cell, and the min_count filter;
+    empty-window and validation paths covered."""
+    import math
+    rows = []
+    rows += [(105, 105, True)] * 30                 # emerging cell
+    rows += [(205, 205, False)] * 30                # fading cell
+    rows += [(305, 305, True)] * 10 + [(305, 305, False)] * 10
+    rows += [(405, 405, True)] * 2                  # below min_count
+    df = spark.createDataFrame(rows, ["x", "y", "recent"])
+    got = {(r.cx, r.cy): (r.n_recent, r.n_base, r.z)
+           for r in ops.emerging_hotspots(df, "x", "y", "recent",
+                                          cell=100, min_count=5)
+           .collect()}
+    assert (4, 4) not in got
+    nr = sum(1 for *_, rc in rows if rc)
+    nb = sum(1 for *_, rc in rows if not rc)
+    for (cx, cy), (gr, gb, gz) in got.items():
+        wr = sum(1 for x, y, rc in rows
+                 if rc and x // 100 == cx and y // 100 == cy)
+        wb = sum(1 for x, y, rc in rows
+                 if not rc and x // 100 == cx and y // 100 == cy)
+        assert (gr, gb) == (wr, wb)
+        p_r, p_b = wr / nr, wb / nb
+        p = (wr + wb) / (nr + nb)
+        var = p * (1.0 - p) * (1.0 / nr + 1.0 / nb)
+        assert gz == (p_r - p_b) / math.sqrt(var)
+    assert got[(1, 1)][2] > 0 and got[(2, 2)][2] < 0
+    # one-sided inputs -> z NULL everywhere
+    one = spark.createDataFrame([(5, 5, True)] * 6, ["x", "y", "recent"])
+    z0 = ops.emerging_hotspots(one, "x", "y", "recent", 100, 5).collect()
+    assert len(z0) == 1 and z0[0].z is None
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ops.emerging_hotspots(df, "x", "y", "recent", 0, 5)
+    with _pt.raises(ValueError):
+        ops.emerging_hotspots(df, "x", "y", "recent", 100, 0)
