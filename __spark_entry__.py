@@ -5200,6 +5200,66 @@ def q_emerging_hotspots(spark, sf_dir):
                                  _EH_CELL, _EH_MIN)
 
 
+_VW_ROUNDS = 6
+_VW_MAX2A = 50000
+
+
+def q_simplify_vw(spark, sf_dir):
+    """Visvalingam–Whyatt simplification (ops.simplify_vw_rounds) of
+    each user's grid trace in (ts, event_id) order: {_VW_ROUNDS} rounds,
+    each removing the single least-important interior vertex per key
+    (smallest exact int64 doubled triangle area, ties on seq) when that
+    area is <= {_VW_MAX2A}.  The <=R-removals survivor set is a
+    well-defined engine-independent quantity, so the chained-CTE oracle
+    replays every round exactly even for keys not yet converged — the
+    fixed-round contract pagerank/kmeans/sssp already use."""
+    ev = _t(spark, sf_dir, "events")
+    g = _grid_points(ev).select("event_id", "x", "y")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = (ev.select("user_id", "ts", "event_id")
+         .withColumn("seq", F.row_number().over(w).cast("long"))
+         .join(g, "event_id"))
+    return ops.simplify_vw_rounds(d, ["user_id"], "seq", "x", "y",
+                                  _VW_ROUNDS, _VW_MAX2A)
+
+
+def _vw_oracle_sql() -> str:
+    cross = ("abs((x - px) * (ny - py) - (y - py) * (nx - px))")
+    rounds = []
+    for i in range(_VW_ROUNDS):
+        rounds.append(f"""
+r{i + 1} AS (
+  SELECT user_id, seq, x, y FROM (
+    SELECT user_id, seq, x, y,
+           (px IS NOT NULL AND nx IS NOT NULL
+            AND {cross} <= {_VW_MAX2A}) AS cand,
+           CASE WHEN px IS NOT NULL AND nx IS NOT NULL
+                     AND {cross} <= {_VW_MAX2A}
+                THEN {cross} END AS a2
+    FROM (
+      SELECT user_id, seq, x, y,
+             lag(x) OVER w AS px, lag(y) OVER w AS py,
+             lead(x) OVER w AS nx, lead(y) OVER w AS ny
+      FROM r{i} WINDOW w AS (PARTITION BY user_id ORDER BY seq)
+    )
+  )
+  QUALIFY NOT (cand AND row_number() OVER (PARTITION BY user_id
+      ORDER BY cand DESC, a2 ASC NULLS LAST, seq) = 1)
+)""")
+    return f"""
+WITH r0 AS (
+  SELECT user_id,
+         CAST(row_number() OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS BIGINT) AS seq,
+         (CAST(event_id AS BIGINT) * 48271 + 11) % 1000 AS x,
+         (CAST(event_id AS BIGINT) * 16807 + 523) % 1000 AS y
+  FROM events
+),{','.join(rounds)}
+SELECT user_id, seq, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y
+FROM r{_VW_ROUNDS}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "w2_sessionize": q_w2_sessionize,
@@ -5431,6 +5491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rect_union_area": q_rect_union_area,
         "comovement": q_comovement,
         "emerging_hotspots": q_emerging_hotspots,
+        "simplify_vw": q_simplify_vw,
     }
 
 
@@ -11429,6 +11490,9 @@ SELECT cx, cy, n_recent, n_base,
        END AS z
 FROM f
 """,
+        # Visvalingam-Whyatt: chained-CTE per-round replay of the exact
+        # (2area, seq) argmin removal — the fixed-round O4 contract
+        "simplify_vw": _vw_oracle_sql(),
     }
 
 

@@ -2784,3 +2784,75 @@ def emerging_hotspots(df: DataFrame, x_col: str, y_col: str,
     var = p * (F.lit(1.0) - p) * F.lit(1.0 / n_r + 1.0 / n_b)
     z = F.when(var > 0, (p_r - p_b) / F.sqrt(var))
     return per.select("cx", "cy", "n_recent", "n_base", z.alias("z"))
+
+
+def simplify_vw_rounds(df: DataFrame, keys: Sequence[str], seq_col: str,
+                       x_col: str, y_col: str, rounds: int,
+                       max_2area: int) -> DataFrame:
+    """X19 — Visvalingam–Whyatt polyline simplification as a fixed-round
+    driver loop: each round removes, per key, THE single interior
+    vertex with the smallest effective-triangle doubled area (its
+    lag/lead neighbors' shoelace cross product, exact int64, abs) —
+    provided that area is <= max_2area; endpoints never leave, and a
+    key with no qualifying vertex is converged and rides unchanged.
+    Ties break on (2area, seq) — a total order, so each round's removal
+    is engine-independent, and the <=R-removals result is a
+    well-defined quantity the chained-CTE oracle replays round-for-
+    round EXACTLY even before convergence (the O4/kmeans/pagerank
+    fixed-round contract).  Returns the surviving (keys..., seq, x, y).
+
+    X19 complements X10/simplify_radial (distance-threshold, one pass):
+    VW is the quality-ranked simplifier cartographers use — it removes
+    the LEAST-important vertex first, so a budgeted `rounds` yields the
+    best R-vertex reduction under the triangle-area importance measure.
+
+    Envelopes ENFORCED with a raise: |coord| <= 2^30 (cross products
+    provable int64), duplicate (key, seq) rows rejected (neighbor
+    relations would be ill-defined).
+
+    100-TB shape: each round is ONE per-key ordered exchange shared by
+    the lag/lead pass and the removal-rank window (same partition
+    spec); per-round outputs are eagerly localCheckpointed so plan
+    depth stays O(1) in `rounds` (the established driver-loop cadence).
+    """
+    if rounds < 1:
+        raise ValueError("simplify_vw_rounds: rounds must be >= 1")
+    if max_2area < 0:
+        raise ValueError("simplify_vw_rounds: max_2area must be >= 0")
+    keys = list(keys)
+    d = df.select(*keys, F.col(seq_col).cast("long").alias("_seq"),
+                  F.col(x_col).cast("long").alias("_x"),
+                  F.col(y_col).cast("long").alias("_y"))
+    lim = 1 << 30
+    bad = d.agg(F.max(F.when(
+        (F.abs(F.col("_x")) > lim) | (F.abs(F.col("_y")) > lim), 1)
+        .otherwise(0))).collect()[0][0]
+    if bad:
+        raise ValueError(
+            "simplify_vw_rounds: |coordinate| exceeds 2^30 — outside "
+            "the exact cross-product envelope; rescale upstream")
+    dup = (d.groupBy(*keys, "_seq").agg(F.count(F.lit(1)).alias("_n"))
+           .agg(F.max("_n")).collect()[0][0])
+    if dup is not None and dup > 1:
+        raise ValueError(
+            "simplify_vw_rounds: duplicate (key, seq) rows — neighbor "
+            "relations are ill-defined; dedup upstream")
+    cur = d.localCheckpoint(eager=True)
+    for _ in range(rounds):
+        wo = Window.partitionBy(*keys).orderBy("_seq")
+        px, py = F.lag("_x").over(wo), F.lag("_y").over(wo)
+        nx, ny = F.lead("_x").over(wo), F.lead("_y").over(wo)
+        a2 = F.abs((F.col("_x") - px) * (ny - py)
+                   - (F.col("_y") - py) * (nx - px))
+        cand = (px.isNotNull() & nx.isNotNull()
+                & (a2 <= F.lit(int(max_2area))))
+        t = (cur.withColumn("_cand", cand)
+             .withColumn("_a2", F.when(cand, a2)))
+        wr = Window.partitionBy(*keys).orderBy(
+            F.col("_cand").desc(), F.col("_a2").asc_nulls_last(), "_seq")
+        t = t.withColumn("_rn", F.row_number().over(wr))
+        cur = (t.filter(~(F.col("_cand") & (F.col("_rn") == 1)))
+               .select(*keys, "_seq", "_x", "_y")
+               .localCheckpoint(eager=True))
+    return cur.select(*keys, F.col("_seq").alias("seq"),
+                      F.col("_x").alias("x"), F.col("_y").alias("y"))

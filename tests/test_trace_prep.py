@@ -1829,3 +1829,62 @@ def test_emerging_hotspots_brute(spark):
         ops.emerging_hotspots(df, "x", "y", "recent", 0, 5)
     with _pt.raises(ValueError):
         ops.emerging_hotspots(df, "x", "y", "recent", 100, 0)
+
+
+def test_simplify_vw_rounds_brute(spark):
+    """Fixed-round VW simplification equals a pure-Python replay of the
+    per-round (2area, seq) argmin removal: collinear vertices (area 0)
+    go first, ties break on seq, endpoints never leave, a key with no
+    qualifying vertex is converged; duplicate seq and envelope raise."""
+    import random
+    rng = random.Random(53)
+    rows = [("r", i, rng.randint(0, 100), rng.randint(0, 100))
+            for i in range(30)]
+    # collinear run: interior points have zero area -> removed first
+    rows += [("line", i, 10 * i, 5 * i) for i in range(6)]
+    # tie: two symmetric small bumps with EQUAL area -> lower seq goes
+    rows += [("tie", 0, 0, 0), ("tie", 1, 10, 1), ("tie", 2, 20, 0),
+             ("tie", 3, 30, 1), ("tie", 4, 40, 0)]
+    # converged: giant triangle areas, nothing <= threshold
+    rows += [("big", 0, 0, 0), ("big", 1, 500, 900), ("big", 2, 1000, 0)]
+    df = spark.createDataFrame(rows, ["k", "seq", "x", "y"])
+    R, THR = 4, 600
+    got = sorted((r.k, r.seq, r.x, r.y)
+                 for r in ops.simplify_vw_rounds(
+                     df, ["k"], "seq", "x", "y", R, THR).collect())
+    want = []
+    for k in ("r", "line", "tie", "big"):
+        pts = sorted([(s, x, y) for kk, s, x, y in rows if kk == k])
+        for _ in range(R):
+            best = None
+            for j in range(1, len(pts) - 1):
+                (ps, px, py), (s, x, y), (ns, nx, ny) = \
+                    pts[j - 1], pts[j], pts[j + 1]
+                a2 = abs((x - px) * (ny - py) - (y - py) * (nx - px))
+                if a2 <= THR and (best is None or (a2, s) < best[:2]):
+                    best = (a2, s, j)
+            if best is None:
+                break
+            pts.pop(best[2])
+        want += [(k, s, x, y) for s, x, y in pts]
+    assert got == sorted(want)
+    keep = {(k, s) for k, s, _, _ in got}
+    assert ("line", 0) in keep and ("line", 5) in keep  # endpoints stay
+    assert len([1 for k, *_ in got if k == "line"]) == 2  # interior gone
+    # tie key: all 3 small-area interiors go within 4 rounds (seq-tie
+    # order exercised by the got==want parity above); endpoints remain
+    assert sorted(s for k, s, _, _ in got if k == "tie") == [0, 4]
+    assert len([1 for k, *_ in got if k == "big"]) == 3   # converged
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ops.simplify_vw_rounds(
+            spark.createDataFrame([("a", 1, 0, 0), ("a", 1, 5, 5)],
+                                  ["k", "seq", "x", "y"]),
+            ["k"], "seq", "x", "y", 2, 100).collect()
+    with _pt.raises(ValueError):
+        ops.simplify_vw_rounds(
+            spark.createDataFrame([("a", 1, 1 << 31, 0)],
+                                  ["k", "seq", "x", "y"]),
+            ["k"], "seq", "x", "y", 2, 100).collect()
+    with _pt.raises(ValueError):
+        ops.simplify_vw_rounds(df, ["k"], "seq", "x", "y", 0, 100)
