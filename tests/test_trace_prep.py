@@ -1888,3 +1888,40 @@ def test_simplify_vw_rounds_brute(spark):
             ["k"], "seq", "x", "y", 2, 100).collect()
     with _pt.raises(ValueError):
         ops.simplify_vw_rounds(df, ["k"], "seq", "x", "y", 0, 100)
+
+
+def test_st_radius_join_matches_brute(spark):
+    rng = np.random.default_rng(92)
+    pts = [(int(i), int(rng.integers(-30, 30)), int(rng.integers(-30, 30)),
+            int(rng.integers(0, 500)))
+           for i in range(60)]
+    # planted boundaries: exactly r apart in space / exactly t_band in
+    # time (both IN), one past each (OUT)
+    pts += [(60, 100, 100, 1000), (61, 108, 100, 1000),
+            (62, 109, 100, 1000), (63, 100, 100, 1060),
+            (64, 100, 100, 1061)]
+    df = spark.createDataFrame(
+        pd.DataFrame(pts, columns=["i", "x", "y", "t"]))
+    a = df.select(F.col("i").alias("a_id"), F.col("x").alias("ax"),
+                  F.col("y").alias("ay"), F.col("t").alias("at"))
+    b = df.select(F.col("i").alias("b_id"), F.col("x").alias("bx"),
+                  F.col("y").alias("by"), F.col("t").alias("bt"))
+    got = sorted((r["a_id"], r["b_id"], r["dist2"], r["dt"]) for r in
+                 ops.st_radius_join(a, b, [], ("ax", "ay", "at"),
+                                    ("bx", "by", "bt"), 8, 60).collect())
+    brute = sorted(
+        (i, j, (xj - xi) ** 2 + (yj - yi) ** 2, tj - ti)
+        for i, xi, yi, ti in pts for j, xj, yj, tj in pts
+        if (xj - xi) ** 2 + (yj - yi) ** 2 <= 64 and abs(tj - ti) <= 60)
+    assert got == brute
+    # self pairs at (0, 0); spatial boundary r IN; temporal boundary IN
+    assert any(p[0] == p[1] and p[2] == 0 and p[3] == 0 for p in got)
+    assert any(d == 64 for _a, _b, d, _dt in got)
+    assert any(abs(dt) == 60 for _a, _b, _d, dt in got)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ops.st_radius_join(a, b, [], ("ax", "ay", "at"),
+                           ("bx", "by", "bt"), 0, 60)
+    with _pt.raises(ValueError):
+        ops.st_radius_join(a, b, [], ("ax", "ay", "at"),
+                           ("bx", "by", "bt"), 8, 0)
