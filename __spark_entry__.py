@@ -5315,6 +5315,84 @@ def q_st_dbscan(spark, sf_dir):
                                 min_pts=_STDB_MINPTS)
 
 
+_KNN_R, _KNN_K = 80, 3
+_GF_R_BASE, _GF_R_STEP = 40, 20
+_IDW_R, _IDW_WBITS = 50, 20
+
+
+def q_knn_join(spark, sf_dir):
+    """Bounded kNN join (ops.knn_join_bounded): for every 'view' event,
+    its {_KNN_K} nearest 'click' events within euclidean {_KNN_R} on the
+    derived grid, ranked under the total (dist2, b_id) order — grid-
+    banded candidates, one id-only rank exchange.  Oracle replays the
+    definition: all-pairs within-radius join + row_number window."""
+    d = _grid_points(_t(spark, sf_dir, "events"))
+    a = (d.filter(F.col("event_type") == "view")
+         .select(F.col("event_id").alias("a_id"),
+                 F.col("x").alias("ax"), F.col("y").alias("ay")))
+    b = (d.filter(F.col("event_type") == "click")
+         .select(F.col("event_id").alias("b_id"),
+                 F.col("x").alias("bx"), F.col("y").alias("by")))
+    return ops.knn_join_bounded(a, b, [], "ax", "ay", "bx", "by",
+                                _KNN_R, _KNN_K)
+
+
+def q_skyline_rows(spark, sf_dir):
+    """Row-preserving skyline (ops.skyline_min_rows): per event type,
+    the Pareto-minimal
+    derived grid points (no other same-type point with x <= AND y <=
+    and one strict), each surviving ROW carried through incl. exact
+    frontier duplicates — the selection-shaped complement of the
+    skyline_2d staircase aggregate.  The oracle is fully DEFINITIONAL
+    (NOT EXISTS dominance anti-join), sharing zero algorithmic
+    structure with the engine's running-min frames."""
+    return ops.skyline_min_rows(
+        _grid_points(_t(spark, sf_dir, "events")),
+        ["event_type"], "x", "y")
+
+
+def q_geofence_visits(spark, sf_dir):
+    """Geofence visits (ops.geofence_visits): per (user, circular fence
+    derived from the nation table) the maximal consecutive-in-trace
+    runs inside the fence, as (enter_ts, exit_ts, n_points) — fences
+    ride broadcast over <= 9 cover cells, the trace shuffles once for
+    seq and hits once for the island agg.  Oracle replays the chain:
+    row_number seq, exact dist² join, gaps-and-islands, agg."""
+    ev = _t(spark, sf_dir, "events")
+    pts = _grid_points(ev).join(
+        ev.select("event_id", "user_id", "ts"), "event_id")
+    n = F.col("n_nationkey").cast("long")
+    fences = _t(spark, sf_dir, "nation").select(
+        n.alias("fence_id"),
+        F.pmod(n * 317 + 41, F.lit(1000)).alias("cx"),
+        F.pmod(n * 631 + 97, F.lit(1000)).alias("cy"),
+        (F.lit(_GF_R_BASE) + F.pmod(n, F.lit(5)) * _GF_R_STEP)
+        .alias("r"))
+    return ops.geofence_visits(pts, fences, "user_id",
+                               ["ts", "event_id"], "x", "y", "ts")
+
+
+def q_idw_grid(spark, sf_dir):
+    """Quantized IDW interpolation (ops.idw_quantized): predict a
+    derived integer value surface at {100} supplier-derived target
+    points from all event grid points within {_IDW_R}, with the weight
+    2^{_IDW_WBITS} div (1+dist²) and the prediction sum(w·v) div
+    sum(w) — every intermediate an exact BIGINT so the surface hashes
+    identically cross-engine.  Oracle replays the definition with
+    DuckDB integer division."""
+    ev = _grid_points(_t(spark, sf_dir, "events"))
+    e = F.col("event_id").cast("long")
+    src = ev.select(F.col("event_id").alias("s_id"), "x", "y",
+                    F.pmod(e * 7919 + 3, F.lit(1000)).alias("v"))
+    s = F.col("s_suppkey").cast("long")
+    tgt = _t(spark, sf_dir, "supplier").select(
+        s.alias("t_id"),
+        F.pmod(s * 389 + 7, F.lit(1000)).alias("tx"),
+        F.pmod(s * 911 + 3, F.lit(1000)).alias("ty"))
+    return ops.idw_quantized(tgt, src, [], "tx", "ty", "x", "y", "v",
+                             _IDW_R, w_bits=_IDW_WBITS)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "w2_sessionize": q_w2_sessionize,
@@ -5549,6 +5627,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simplify_vw": q_simplify_vw,
         "st_radius_join": q_st_radius_join,
         "st_dbscan": q_st_dbscan,
+        "knn_join": q_knn_join,
+        "skyline_rows": q_skyline_rows,
+        "geofence_visits": q_geofence_visits,
+        "idw_grid": q_idw_grid,
     }
 
 
@@ -11614,6 +11696,125 @@ SELECT cnt.id AS event_id, cnt.n AS n_neighbors,
        COALESCE(comp.cl, border.cl) AS cluster
 FROM cnt LEFT JOIN comp ON comp.id = cnt.id
          LEFT JOIN border ON border.id = cnt.id
+""",
+        # bounded kNN join: definition replay — within-radius all-pairs
+        # + row_number under the total (dist2, b_id) order
+        "knn_join": f"""
+WITH d AS (
+  SELECT event_type, event_id,
+         (CAST(event_id AS BIGINT) * 48271 + 11) % 1000 AS x,
+         (CAST(event_id AS BIGINT) * 16807 + 523) % 1000 AS y
+  FROM events
+),
+a AS (SELECT event_id AS a_id, x AS ax, y AS ay FROM d
+      WHERE event_type = 'view'),
+b AS (SELECT event_id AS b_id, x AS bx, y AS by FROM d
+      WHERE event_type = 'click'),
+c AS (
+  SELECT a_id, b_id,
+         (bx - ax) * (bx - ax) + (by - ay) * (by - ay) AS dist2
+  FROM a JOIN b
+    ON (bx - ax) * (bx - ax) + (by - ay) * (by - ay)
+       <= {_KNN_R * _KNN_R}
+),
+r AS (
+  SELECT a_id, b_id, dist2,
+         CAST(row_number() OVER (PARTITION BY a_id
+                                 ORDER BY dist2, b_id) AS BIGINT) AS rk
+  FROM c
+)
+SELECT a_id, b_id, dist2, rk FROM r WHERE rk <= {_KNN_K}
+""",
+        # skyline: fully DEFINITIONAL — NOT EXISTS strict-dominance
+        # anti-join, zero shared structure with the running-min rewrite
+        "skyline_rows": """
+WITH d AS (
+  SELECT event_type, event_id,
+         (CAST(event_id AS BIGINT) * 48271 + 11) % 1000 AS x,
+         (CAST(event_id AS BIGINT) * 16807 + 523) % 1000 AS y
+  FROM events
+)
+SELECT p.event_type, p.event_id, p.x, p.y
+FROM d p
+WHERE NOT EXISTS (
+  SELECT 1 FROM d q
+  WHERE q.event_type = p.event_type
+    AND q.x <= p.x AND q.y <= p.y
+    AND (q.x < p.x OR q.y < p.y))
+""",
+        # geofence visits: chained replay — per-user seq, exact dist²
+        # fence join, gaps-and-islands run compression, visit agg
+        "geofence_visits": f"""
+WITH d AS (
+  SELECT user_id, event_id, ts,
+         (CAST(event_id AS BIGINT) * 48271 + 11) % 1000 AS x,
+         (CAST(event_id AS BIGINT) * 16807 + 523) % 1000 AS y
+  FROM events
+),
+p AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS BIGINT)
+            AS seq
+  FROM d
+),
+f AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS fence_id,
+         (CAST(n_nationkey AS BIGINT) * 317 + 41) % 1000 AS cx,
+         (CAST(n_nationkey AS BIGINT) * 631 + 97) % 1000 AS cy,
+         {_GF_R_BASE} + (CAST(n_nationkey AS BIGINT) % 5)
+                        * {_GF_R_STEP} AS r
+  FROM nation
+),
+h AS (
+  SELECT p.user_id, f.fence_id, p.seq, p.ts
+  FROM p JOIN f
+    ON (p.x - f.cx) * (p.x - f.cx) + (p.y - f.cy) * (p.y - f.cy)
+       <= f.r * f.r
+),
+i AS (
+  SELECT *, seq - row_number() OVER (PARTITION BY user_id, fence_id
+                                     ORDER BY seq) AS isl
+  FROM h
+)
+SELECT user_id, fence_id, min(ts) AS enter_ts, max(ts) AS exit_ts,
+       CAST(count(*) AS BIGINT) AS n_points
+FROM i GROUP BY user_id, fence_id, isl
+""",
+        # quantized IDW: definition replay — integer weights
+        # 2^wbits // (1+dist2), exact BIGINT sums, integer division
+        "idw_grid": f"""
+WITH s AS (
+  SELECT event_id AS s_id,
+         (CAST(event_id AS BIGINT) * 48271 + 11) % 1000 AS x,
+         (CAST(event_id AS BIGINT) * 16807 + 523) % 1000 AS y,
+         (CAST(event_id AS BIGINT) * 7919 + 3) % 1000 AS v
+  FROM events
+),
+t AS (
+  SELECT CAST(s_suppkey AS BIGINT) AS t_id,
+         (CAST(s_suppkey AS BIGINT) * 389 + 7) % 1000 AS tx,
+         (CAST(s_suppkey AS BIGINT) * 911 + 3) % 1000 AS ty
+  FROM supplier
+),
+c AS (
+  SELECT t.t_id,
+         {1 << _IDW_WBITS} // (1 + (s.x - t.tx) * (s.x - t.tx)
+                                 + (s.y - t.ty) * (s.y - t.ty)) AS w,
+         s.v
+  FROM t JOIN s
+    ON (s.x - t.tx) * (s.x - t.tx) + (s.y - t.ty) * (s.y - t.ty)
+       <= {_IDW_R * _IDW_R}
+),
+g AS (
+  SELECT t_id, CAST(count(*) AS BIGINT) AS n_src,
+         CAST(sum(w) AS BIGINT) AS sum_w,
+         CAST(sum(w * v) AS BIGINT) AS swv
+  FROM c GROUP BY t_id
+)
+SELECT t.t_id, g.swv // g.sum_w AS idw_q,
+       CAST(COALESCE(g.n_src, 0) AS BIGINT) AS n_src,
+       CAST(COALESCE(g.sum_w, 0) AS BIGINT) AS sum_w
+FROM t LEFT JOIN g ON g.t_id = t.t_id
 """,
     }
 

@@ -1622,13 +1622,15 @@ def band_join(a: DataFrame, b: DataFrame, keys: Sequence[str],
 
 def radius_join_2d(a: DataFrame, b: DataFrame, keys: Sequence[str],
                    a_x: str, a_y: str, b_x: str, b_y: str, r: int,
-                   a_id: str = "a_id", b_id: str = "b_id") -> DataFrame:
+                   a_id: str = "a_id", b_id: str = "b_id",
+                   carry_b: Sequence[str] = ()) -> DataFrame:
     """2-D radius (distance) join — the planar sibling of `band_join`
     and the core spatial primitive under DBSCAN / proximity analytics:
     all (a, b) pairs per key with euclidean distance <= r over INTEGER
     coordinates, i.e. dx² + dy² <= r² exactly (no float distance
     anywhere).  Returns (keys..., a_id, b_id, a_x/a_y/b_x/b_y longs,
-    dist2 long = dx² + dy²).
+    dist2 long = dx² + dy², carry_b... ridden from the b side so
+    consumers never pay an id-keyed join-back).
 
     Shape (grid-cell banding, the 2-D generalization of band_join's
     rewrite): bin both axes at cell width r; a within-radius pair ALWAYS
@@ -1657,6 +1659,7 @@ def radius_join_2d(a: DataFrame, b: DataFrame, keys: Sequence[str],
             f"radius_join_2d: r={r} breaches the int64 envelope "
             f"(dist² bound 8r² must stay < 2^62; r <= 2^29)")
     r = int(r)
+    carry_b = list(carry_b)
 
     def cell(c: Column) -> Column:
         return ((c - F.pmod(c, F.lit(r))) / F.lit(r)).cast("long")
@@ -1671,14 +1674,15 @@ def radius_join_2d(a: DataFrame, b: DataFrame, keys: Sequence[str],
            .select(*keys, a_id, "a_x", "a_y",
                    F.col("_c.cx").alias("_cx"), F.col("_c.cy").alias("_cy")))
     bb = b.select(*keys, F.col(b_id), bxc.alias("b_x"), byc.alias("b_y"),
-                  cell(bxc).alias("_cx"), cell(byc).alias("_cy"))
+                  cell(bxc).alias("_cx"), cell(byc).alias("_cy"),
+                  *[F.col(c) for c in carry_b])
     j = aa.join(bb, [*keys, "_cx", "_cy"])
     dx = F.col("b_x") - F.col("a_x")
     dy = F.col("b_y") - F.col("a_y")
     d2 = (dx * dx + dy * dy)
     return (j.filter(d2 <= F.lit(r * r))
             .select(*keys, a_id, b_id, "a_x", "a_y", "b_x", "b_y",
-                    d2.alias("dist2")))
+                    d2.alias("dist2"), *carry_b))
 
 
 def autocorr_lag(df: DataFrame, keys: Sequence[str], ts_col: str,
@@ -2917,3 +2921,223 @@ def st_radius_join(a: DataFrame, b: DataFrame, keys: Sequence[str],
             .filter((F.col("dist2") <= F.lit(r * r))
                     & (F.abs(F.col("dt")) <= F.lit(tb)))
             .select(*keys, a_id, b_id, "dist2", "dt"))
+
+
+def knn_join_bounded(a: DataFrame, b: DataFrame, keys: Sequence[str],
+                     a_x: str, a_y: str, b_x: str, b_y: str,
+                     r: int, k: int,
+                     a_id: str = "a_id", b_id: str = "b_id") -> DataFrame:
+    """J16 — bounded k-nearest-neighbor join: for every a-row, its k
+    nearest b-rows AMONG THOSE WITHIN euclidean `r`, ranked under the
+    total (dist2, b_id) order so ties at equal distance are
+    deterministic.  The radius bound is what makes the op relational
+    (and what every practical kNN deployment uses anyway — an unbounded
+    kNN over a sharded corpus needs ring-expansion retries; a bounded
+    one is one candidate join): candidates come from radius_join_2d's
+    grid banding (each pair generated exactly once, exact int64 dist²
+    decision), then one per-a-row rank window keeps k.  A-rows with no
+    b within `r` emit nothing — the caller distinguishes "no neighbor"
+    from "k found" by the row count per a_id.
+
+    100-TB shape: the rank exchange carries only (keys, a_id, b_id,
+    dist2) — never the payloads; k and r bound the output to k rows
+    per a-row.  Envelope: radius_join_2d's r <= 2^29 bound is
+    inherited; k >= 1 enforced.
+    """
+    if k < 1:
+        raise ValueError("knn_join_bounded: k must be >= 1")
+    keys = list(keys)
+    cand = radius_join_2d(a, b, keys, a_x, a_y, b_x, b_y, r,
+                          a_id=a_id, b_id=b_id)
+    w = Window.partitionBy(*keys, a_id).orderBy(
+        F.col("dist2").asc(), F.col(b_id).asc())
+    return (cand.select(*keys, a_id, b_id, "dist2")
+            .withColumn("rk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rk") <= F.lit(int(k))))
+
+
+def skyline_min_rows(df: DataFrame, keys: Sequence[str],
+                     x_col: str, y_col: str) -> DataFrame:
+    """A45 — ROW-preserving 2-D skyline (Pareto frontier), minimizing
+    BOTH axes — the selection-shaped complement of skyline_2d (which
+    MAXIMIZES and collapses to the coordinate-grain staircase): keep
+    the rows no other same-key row STRICTLY dominates (q dominates p
+    iff q.x <= p.x AND q.y <= p.y with at least one strict).  Exact
+    duplicates of a frontier point all survive (neither dominates the
+    other); every decision is exact integer comparison, so output is
+    bit-portable and the oracle can restate the NOT EXISTS definition
+    with zero shared structure.
+
+    Shape — the sort-based one-pass rewrite, NOT the quadratic
+    self-join: after one per-key sort by x, a row survives iff
+      (1) min y over x' <  x  is NULL or > y   (no dominator left of it)
+      (2) min y over x' <= x  equals y         (no same-x dominator)
+    both of which are ONE Window op (same partition, same sort, two
+    RANGE frames differing only in upper bound -1 vs 0), i.e. a single
+    ordered exchange regardless of key size, with all carried columns
+    riding untouched.
+    """
+    keys = list(keys)
+    d = (df.withColumn("_sx", F.col(x_col).cast("long"))
+         .withColumn("_sy", F.col(y_col).cast("long")))
+    base = Window.partitionBy(*keys).orderBy("_sx")
+    w_excl = base.rangeBetween(Window.unboundedPreceding, -1)
+    w_incl = base.rangeBetween(Window.unboundedPreceding, 0)
+    return (d.withColumn("_me", F.min("_sy").over(w_excl))
+            .withColumn("_mi", F.min("_sy").over(w_incl))
+            .filter((F.col("_me").isNull()
+                     | (F.col("_me") > F.col("_sy")))
+                    & (F.col("_sy") == F.col("_mi")))
+            .drop("_me", "_mi", "_sx", "_sy"))
+
+
+def geofence_visits(points: DataFrame, fences: DataFrame,
+                    user_col: str, order: Sequence[str],
+                    x_col: str, y_col: str, ts_col: str,
+                    fence_id: str = "fence_id", cx_col: str = "cx",
+                    cy_col: str = "cy", r_col: str = "r") -> DataFrame:
+    """G5 — geofence visit extraction: for each (user, circular fence)
+    pair, the maximal runs of CONSECUTIVE trace points inside the
+    fence (exact int64 dist² <= r² decision), emitted as one visit row
+    (enter_ts, exit_ts, n_points) per run — the enter/exit event
+    stream every location-analytics product derives.  "Consecutive"
+    means adjacent in the user's FULL trace under `order`'s total
+    order, so a single outside ping splits a visit (callers wanting
+    gap tolerance smooth upstream).
+
+    Shape: per-user seq is assigned BEFORE any fence logic (one
+    ordered exchange); fences are a broadcast dim exploded over the
+    <= 9 grid cells of width C = max fence radius that their bounding
+    box can cover (2r <= 2C spans at most 3 cells per axis), so the
+    candidate pass is a map-side equi-join on the point's single true
+    cell and the corpus never shuffles for it; inside-hits compress to
+    visits with the gaps-and-islands rule (seq - row_number constant
+    exactly on consecutive runs) — one more keyed exchange carrying
+    only hit rows.  Fence radii must be >= 1 (raise), r <= 2^29 keeps
+    dist² a provable int64; C is a driver scalar off the tiny fence
+    table.
+    """
+    fr = fences.select(F.col(fence_id).alias("_fid"),
+                       F.col(cx_col).cast("long").alias("_cx"),
+                       F.col(cy_col).cast("long").alias("_cy"),
+                       F.col(r_col).cast("long").alias("_r"))
+    lo, hi = fr.agg(F.min("_r"), F.max("_r")).collect()[0]
+    if lo is None:
+        raise ValueError("geofence_visits: fences is empty")
+    if lo < 1 or hi > (1 << 29):
+        raise ValueError(
+            "geofence_visits: fence radii must be in [1, 2^29] so "
+            "dist² stays a provable int64")
+    cw = int(hi)
+    fcells = fr.select(
+        "_fid", "_cx", "_cy", "_r",
+        F.explode(F.sequence(_bin_floor(F.col("_cx") - F.col("_r"),
+                                        cw),
+                             _bin_floor(F.col("_cx") + F.col("_r"),
+                                        cw))).alias("_gx")
+    ).select(
+        "_fid", "_cx", "_cy", "_r", "_gx",
+        F.explode(F.sequence(_bin_floor(F.col("_cy") - F.col("_r"),
+                                        cw),
+                             _bin_floor(F.col("_cy") + F.col("_r"),
+                                        cw))).alias("_gy"))
+    seqw = Window.partitionBy(user_col).orderBy(*order)
+    pts = (points.withColumn("_seq", F.row_number().over(seqw)
+                             .cast("long"))
+           .withColumn("_px", F.col(x_col).cast("long"))
+           .withColumn("_py", F.col(y_col).cast("long"))
+           .withColumn("_gx", _bin_floor(F.col("_px"), cw))
+           .withColumn("_gy", _bin_floor(F.col("_py"), cw)))
+    dx = F.col("_px") - F.col("_cx")
+    dy = F.col("_py") - F.col("_cy")
+    hits = (pts.join(F.broadcast(fcells), ["_gx", "_gy"])
+            .filter(dx * dx + dy * dy <= F.col("_r") * F.col("_r"))
+            .select(user_col, "_fid", "_seq", ts_col))
+    runw = Window.partitionBy(user_col, "_fid").orderBy("_seq")
+    isl = F.col("_seq") - F.row_number().over(runw)
+    return (hits.withColumn("_isl", isl)
+            .groupBy(user_col, "_fid", "_isl")
+            .agg(F.min(ts_col).alias("enter_ts"),
+                 F.max(ts_col).alias("exit_ts"),
+                 F.count(F.lit(1)).cast("long").alias("n_points"))
+            .select(F.col(user_col), F.col("_fid").alias(fence_id),
+                    "enter_ts", "exit_ts", "n_points"))
+
+
+def idw_quantized(targets: DataFrame, sources: DataFrame,
+                  keys: Sequence[str], t_x: str, t_y: str,
+                  s_x: str, s_y: str, val_col: str, r: int,
+                  t_id: str = "t_id", s_id: str = "s_id",
+                  w_bits: int = 20,
+                  max_neighbors: int = 1024) -> DataFrame:
+    """A46 — inverse-distance-weighted interpolation, fully exact: for
+    every target point, predict a value from the sources within
+    euclidean `r` with weight w = 2^w_bits div (1 + dist²) and
+    idw_q = sum(w·v) div sum(w) — the classic IDW surface with the
+    weight QUANTIZED to an exact int64 so every intermediate (weight,
+    products, both sums, the final division) is provably exact integer
+    arithmetic and the output hashes identically cross-engine (float
+    IDW's sum order is engine-dependent; this is the same quantized-
+    twin posture as the KDE quant mode).  Targets with no source in
+    range emit NULL idw_q with n_src = 0.
+
+    Envelope, all ENFORCED: 1 + r² <= 2^w_bits so every in-range
+    weight is >= 1 (sum(w) > 0 — the division is total); source
+    values integer in [0, 2^31) so w·v <= 2^(w_bits+31); per-target
+    neighbor count <= max_neighbors <= 2^(62-w_bits-31) so the sums
+    cannot wrap — checked off the key-sized agg with a raise, the
+    trip_stats wrap-guard cadence.
+
+    100-TB shape: one radius_join_2d candidate pass (grid banding,
+    exact-once pairs, the value riding as a carry_b column so there
+    is NO id-keyed join-back), one map-side-combinable agg keyed on
+    the target id, one left join back to targets to keep empty ones;
+    the sources table never shuffles beyond the banding exchange.
+    """
+    if not (0 < r and (1 + r * r) <= (1 << w_bits)):
+        raise ValueError(
+            f"idw_quantized: need 1 + r² <= 2^{w_bits} so every "
+            f"in-range weight is >= 1 (r={r})")
+    cap = 1 << (62 - w_bits - 31)
+    if not (1 <= max_neighbors <= cap):
+        raise ValueError(
+            f"idw_quantized: max_neighbors must be in [1, {cap}] so "
+            f"sum(w·v) stays a provable int64")
+    keys = list(keys)
+    src = sources.withColumn("_v", F.col(val_col).cast("long"))
+    vlo, vhi = src.agg(F.min("_v"), F.max("_v")).collect()[0]
+    if vlo is not None and (vlo < 0 or vhi >= (1 << 31)):
+        raise ValueError(
+            "idw_quantized: source values must be integers in "
+            "[0, 2^31) for the exact-sum envelope")
+    cand = radius_join_2d(targets, src, keys, t_x, t_y, s_x, s_y, r,
+                          a_id=t_id, b_id=s_id, carry_b=["_v"])
+    wq = F.lit(1 << w_bits).cast("long") - F.pmod(
+        F.lit(1 << w_bits).cast("long"), F.col("dist2") + F.lit(1))
+    wq = (wq / (F.col("dist2") + F.lit(1))).cast("long")
+    agg = (cand.withColumn("_w", wq)
+           .groupBy(*keys, t_id)
+           .agg(F.count(F.lit(1)).cast("long").alias("n_src"),
+                F.sum("_w").cast("long").alias("sum_w"),
+                F.sum(F.col("_w") * F.col("_v")).cast("long")
+                .alias("_swv")))
+    agg = agg.persist()
+    try:
+        worst = agg.agg(F.max("n_src")).collect()[0][0]
+        if worst is not None and worst > max_neighbors:
+            raise ValueError(
+                f"idw_quantized: a target has {worst} in-range "
+                f"sources (> max_neighbors={max_neighbors}); raise "
+                f"the cap or shrink r")
+        out = (targets.select(*keys, F.col(t_id))
+               .join(agg, [*keys, t_id], "left")
+               .select(*keys, t_id,
+                       F.expr("_swv div sum_w").alias("idw_q"),
+                       F.coalesce(F.col("n_src"), F.lit(0))
+                       .cast("long").alias("n_src"),
+                       F.coalesce(F.col("sum_w"), F.lit(0))
+                       .cast("long").alias("sum_w")))
+        out = out.localCheckpoint(eager=True)
+    finally:
+        agg.unpersist()
+    return out

@@ -1925,3 +1925,128 @@ def test_st_radius_join_matches_brute(spark):
     with _pt.raises(ValueError):
         ops.st_radius_join(a, b, [], ("ax", "ay", "at"),
                            ("bx", "by", "bt"), 8, 0)
+
+
+def test_knn_join_bounded_matches_brute(spark):
+    rng = np.random.default_rng(17)
+    apts = [(int(i), int(rng.integers(0, 60)), int(rng.integers(0, 60)))
+            for i in range(40)]
+    bpts = [(int(i), int(rng.integers(0, 60)), int(rng.integers(0, 60)))
+            for i in range(50)]
+    # planted tie: two b points at identical distance from a_id=40 —
+    # the (dist2, b_id) total order must keep the smaller id first
+    apts += [(40, 200, 200)]
+    bpts += [(50, 205, 200), (51, 200, 205), (52, 203, 204), (53, 290, 290)]
+    a = spark.createDataFrame(pd.DataFrame(apts, columns=["a_id", "ax", "ay"]))
+    b = spark.createDataFrame(pd.DataFrame(bpts, columns=["b_id", "bx", "by"]))
+    r, k = 10, 3
+    got = sorted((row["a_id"], row["b_id"], row["dist2"], row["rk"])
+                 for row in ops.knn_join_bounded(
+                     a, b, [], "ax", "ay", "bx", "by", r, k).collect())
+    brute = []
+    for ai, ax, ay in apts:
+        cands = sorted(
+            ((bx - ax) ** 2 + (by - ay) ** 2, bi)
+            for bi, bx, by in bpts
+            if (bx - ax) ** 2 + (by - ay) ** 2 <= r * r)
+        brute += [(ai, bi, d2, rk + 1)
+                  for rk, (d2, bi) in enumerate(cands[:k])]
+    assert got == sorted(brute)
+    # the planted tie resolved by id: b 50 (dist2=25) ranks before 51
+    tie = {(row[1], row[3]) for row in got if row[0] == 40}
+    assert (50, 1) in tie and (51, 2) in tie and (52, 3) in tie
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ops.knn_join_bounded(a, b, [], "ax", "ay", "bx", "by", r, 0)
+
+
+def test_skyline_min_rows_matches_brute(spark):
+    rng = np.random.default_rng(23)
+    pts = [(int(i), "g" if i % 2 else "h",
+            int(rng.integers(0, 40)), int(rng.integers(0, 40)))
+           for i in range(120)]
+    # planted: exact duplicate frontier points (both must survive),
+    # a same-x dominator (smaller y kills larger y at equal x)
+    pts += [(120, "z", 0, 5), (121, "z", 0, 5), (122, "z", 0, 9),
+            (123, "z", 3, 1), (124, "z", 3, 1), (125, "z", 9, 0)]
+    df = spark.createDataFrame(pd.DataFrame(pts, columns=["i", "k", "x", "y"]))
+    got = sorted((r["i"], r["k"], r["x"], r["y"]) for r in
+                 ops.skyline_min_rows(df, ["k"], "x", "y").collect())
+    brute = sorted(
+        (i, k, x, y) for i, k, x, y in pts
+        if not any(k2 == k and x2 <= x and y2 <= y and (x2 < x or y2 < y)
+                   for _i2, k2, x2, y2 in pts))
+    assert got == brute
+    zs = [p for p in got if p[1] == "z"]
+    assert {p[0] for p in zs} == {120, 121, 123, 124, 125}
+
+
+def test_geofence_visits_matches_brute(spark):
+    # user u walks: in fence A (3 pts) -> out (1 pt) -> in A again (2
+    # pts) -> into fence B; user v sits on fence A's exact boundary
+    fences = spark.createDataFrame(
+        pd.DataFrame([(1, 100, 100, 10), (2, 300, 300, 5)],
+                     columns=["fence_id", "cx", "cy", "r"]))
+    trace = [("u", 1, 100, 100), ("u", 2, 105, 100), ("u", 3, 108, 100),
+             ("u", 4, 150, 150), ("u", 5, 95, 100), ("u", 6, 100, 95),
+             ("u", 7, 300, 304), ("v", 1, 110, 100), ("v", 2, 104, 100)]
+    pts = spark.createDataFrame(
+        pd.DataFrame(trace, columns=["user", "ts", "x", "y"]))
+    got = sorted((r["user"], r["fence_id"], r["enter_ts"], r["exit_ts"],
+                  r["n_points"]) for r in
+                 ops.geofence_visits(pts, fences, "user", ["ts"],
+                                     "x", "y", "ts").collect())
+    # exact-boundary point (dist = r) is IN; one outside ping splits
+    assert got == [("u", 1, 1, 3, 3), ("u", 1, 5, 6, 2),
+                   ("u", 2, 7, 7, 1), ("v", 1, 1, 2, 2)]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ops.geofence_visits(pts, fences.limit(0), "user", ["ts"],
+                            "x", "y", "ts")
+    bad = spark.createDataFrame(
+        pd.DataFrame([(1, 0, 0, 0)], columns=["fence_id", "cx", "cy", "r"]))
+    with _pt.raises(ValueError):
+        ops.geofence_visits(pts, bad, "user", ["ts"], "x", "y", "ts")
+
+
+def test_idw_quantized_matches_brute(spark):
+    rng = np.random.default_rng(31)
+    src = [(int(i), int(rng.integers(0, 50)), int(rng.integers(0, 50)),
+            int(rng.integers(0, 1000)))
+           for i in range(80)]
+    # target 100 sits far from everything -> NULL prediction
+    tgt = [(int(i), int(rng.integers(0, 50)), int(rng.integers(0, 50)))
+           for i in range(30)] + [(100, 5000, 5000)]
+    sdf = spark.createDataFrame(
+        pd.DataFrame(src, columns=["s_id", "x", "y", "v"]))
+    tdf = spark.createDataFrame(
+        pd.DataFrame(tgt, columns=["t_id", "tx", "ty"]))
+    r, wb = 12, 20
+    got = {row["t_id"]: (row["idw_q"], row["n_src"], row["sum_w"])
+           for row in ops.idw_quantized(
+               tdf, sdf, [], "tx", "ty", "x", "y", "v", r,
+               w_bits=wb).collect()}
+    assert len(got) == len(tgt)
+    for ti, tx, ty in tgt:
+        ws = [((1 << wb) // (1 + d2), v) for d2, v in
+              (((sx - tx) ** 2 + (sy - ty) ** 2, v)
+               for _si, sx, sy, v in src)
+              if d2 <= r * r]
+        if not ws:
+            assert got[ti] == (None, 0, 0)
+        else:
+            sw = sum(w for w, _v in ws)
+            swv = sum(w * v for w, v in ws)
+            assert got[ti] == (swv // sw, len(ws), sw)
+    assert got[100] == (None, 0, 0)
+    import pytest as _pt
+    with _pt.raises(ValueError):  # 1 + r² > 2^w_bits
+        ops.idw_quantized(tdf, sdf, [], "tx", "ty", "x", "y", "v",
+                          2000, w_bits=20)
+    with _pt.raises(ValueError):  # neighbor cap breached
+        ops.idw_quantized(tdf, sdf, [], "tx", "ty", "x", "y", "v", r,
+                          w_bits=wb, max_neighbors=1).collect()
+    neg = sdf.withColumn("v", F.col("v") - 500)
+    with _pt.raises(ValueError):  # value envelope
+        ops.idw_quantized(tdf, neg, [], "tx", "ty", "x", "y", "v", r,
+                          w_bits=wb).collect()
