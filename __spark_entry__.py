@@ -5393,6 +5393,41 @@ def q_idw_grid(spark, sf_dir):
                              _IDW_R, w_bits=_IDW_WBITS)
 
 
+_RIPLEY_RADII, _RIPLEY_AREA = (10, 25, 50, 100), 1000 * 1000
+_KNOX_R, _KNOX_TBAND_US = 40, 6 * 3600 * 1000 * 1000
+
+
+def q_ripley_k(spark, sf_dir):
+    """Ripley's K ladder (ops.ripley_k): per event type, the exact
+    ordered within-radius pair count at each radius in
+    {_RIPLEY_RADII} over the derived grid points, plus the quantized
+    estimator k_q = (area·n_pairs) div (n(n−1)) — the classic
+    clustering-vs-dispersion diagnostic, every emitted number exact
+    BIGINT.  One banding candidate pass at max radius; each pair
+    explodes over only the ladder rungs that admit it.  Oracle is
+    DEFINITIONAL: all-pairs per-radius counts off a rung×pair join."""
+    return ops.ripley_k(_grid_points(_t(spark, sf_dir, "events")),
+                        ["event_type"], "event_id", "x", "y",
+                        _RIPLEY_RADII, _RIPLEY_AREA)
+
+
+def q_knox_test(spark, sf_dir):
+    """Knox space-time interaction test (ops.knox_test): per event
+    type, the exact unordered-pair evidence that spatially-close
+    events (dist <= {_KNOX_R} on the derived grid) are also
+    temporally close (|dt| <= 6h in exact micros) — X, the two
+    marginal counts, E[X] as an exact fraction, and the excess
+    x_st·n_den − ns·nt whose SIGN is the association with no float
+    anywhere.  Three banding joins (3-D/2-D/1-D), four key-sized
+    aggs.  Oracle replays the definition over the all-pairs join."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    d = _grid_points(ev).join(ev.select("event_id", us.alias("t")),
+                              "event_id")
+    return ops.knox_test(d, ["event_type"], "event_id", "x", "y", "t",
+                         _KNOX_R, _KNOX_TBAND_US)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "w2_sessionize": q_w2_sessionize,
@@ -5631,6 +5666,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skyline_rows": q_skyline_rows,
         "geofence_visits": q_geofence_visits,
         "idw_grid": q_idw_grid,
+        "ripley_k": q_ripley_k,
+        "knox_test": q_knox_test,
     }
 
 
@@ -11815,6 +11852,85 @@ SELECT t.t_id, g.swv // g.sum_w AS idw_q,
        CAST(COALESCE(g.n_src, 0) AS BIGINT) AS n_src,
        CAST(COALESCE(g.sum_w, 0) AS BIGINT) AS sum_w
 FROM t LEFT JOIN g ON g.t_id = t.t_id
+""",
+        # Ripley's K: definitional — all-pairs at max radius, then each
+        # pair joins the rung ladder it qualifies for; k_q replayed with
+        # DuckDB integer division
+        "ripley_k": f"""
+WITH d AS (
+  SELECT event_type, event_id,
+         (CAST(event_id AS BIGINT) * 48271 + 11) % 1000 AS x,
+         (CAST(event_id AS BIGINT) * 16807 + 523) % 1000 AS y
+  FROM events
+),
+rungs AS (SELECT CAST(unnest({list(_RIPLEY_RADII)}) AS BIGINT) AS r),
+pr AS (
+  SELECT a.event_type,
+         (b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y) AS dist2
+  FROM d a JOIN d b
+    ON b.event_type = a.event_type AND a.event_id <> b.event_id
+   AND (b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y)
+       <= {_RIPLEY_RADII[-1] ** 2}
+),
+p AS (
+  SELECT event_type, rungs.r, CAST(count(*) AS BIGINT) AS n_pairs
+  FROM pr JOIN rungs ON pr.dist2 <= rungs.r * rungs.r
+  GROUP BY event_type, rungs.r
+),
+n AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_pts
+  FROM d GROUP BY event_type
+)
+SELECT n.event_type, rungs.r, n.n_pts,
+       CAST(COALESCE(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CASE WHEN n.n_pts >= 2 THEN
+         ({_RIPLEY_AREA} * COALESCE(p.n_pairs, 0))
+         // (n.n_pts * (n.n_pts - 1)) END AS k_q
+FROM n CROSS JOIN rungs
+LEFT JOIN p ON p.event_type = n.event_type AND p.r = rungs.r
+""",
+        # Knox test: definitional — all unordered pairs per type, both
+        # axis flags, exact integer evidence tree
+        "knox_test": f"""
+WITH d AS (
+  SELECT event_type, event_id,
+         (CAST(event_id AS BIGINT) * 48271 + 11) % 1000 AS x,
+         (CAST(event_id AS BIGINT) * 16807 + 523) % 1000 AS y,
+         epoch_us(ts) AS t
+  FROM events
+),
+pairs AS (
+  SELECT a.event_type,
+         CASE WHEN (b.x - a.x) * (b.x - a.x)
+                 + (b.y - a.y) * (b.y - a.y)
+                <= {_KNOX_R * _KNOX_R} THEN 1 ELSE 0 END AS sp,
+         CASE WHEN abs(b.t - a.t) <= {_KNOX_TBAND_US}
+              THEN 1 ELSE 0 END AS tm
+  FROM d a JOIN d b
+    ON b.event_type = a.event_type AND a.event_id < b.event_id
+),
+m AS (
+  SELECT event_type, CAST(sum(sp) AS BIGINT) AS ns,
+         CAST(sum(tm) AS BIGINT) AS nt,
+         CAST(sum(sp * tm) AS BIGINT) AS x
+  FROM pairs GROUP BY event_type
+),
+n AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_pts
+  FROM d GROUP BY event_type
+)
+SELECT n.event_type, n.n_pts,
+       (n.n_pts * (n.n_pts - 1)) // 2 AS n_den,
+       CAST(COALESCE(m.ns, 0) AS BIGINT) AS ns_space,
+       CAST(COALESCE(m.nt, 0) AS BIGINT) AS nt_time,
+       CAST(COALESCE(m.x, 0) AS BIGINT) AS x_st,
+       COALESCE(m.ns, 0) * COALESCE(m.nt, 0) AS e_num,
+       CASE WHEN n.n_pts >= 2 THEN
+         (COALESCE(m.ns, 0) * COALESCE(m.nt, 0))
+         // ((n.n_pts * (n.n_pts - 1)) // 2) END AS eq_q,
+       COALESCE(m.x, 0) * ((n.n_pts * (n.n_pts - 1)) // 2)
+         - COALESCE(m.ns, 0) * COALESCE(m.nt, 0) AS excess
+FROM n LEFT JOIN m ON m.event_type = n.event_type
 """,
     }
 

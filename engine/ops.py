@@ -3141,3 +3141,163 @@ def idw_quantized(targets: DataFrame, sources: DataFrame,
     finally:
         agg.unpersist()
     return out
+
+
+def ripley_k(df: DataFrame, keys: Sequence[str], id_col: str,
+             x_col: str, y_col: str, radii: Sequence[int],
+             area: int) -> DataFrame:
+    """A48 — Ripley's K point-pattern statistic over an ascending
+    radius ladder: per key and per radius r, the exact ORDERED pair
+    count |{(i, j) : i != j, dist²(i, j) <= r²}| and the quantized
+    estimator k_q = (area · n_pairs) div (n · (n−1)) — the classic
+    clustering-vs-dispersion diagnostic (K above the CSR expectation
+    π·r² means clustered at that scale).  Every emitted number is an
+    exact BIGINT, so the surface hashes identically cross-engine
+    (float K̂'s edge corrections are engine-dependent; callers wanting
+    them divide downstream).  Keys with n < 2 emit NULL k_q; (key, r)
+    cells with zero pairs are PRESENT with n_pairs = 0 — the zero is
+    the signal (dispersion), not an absence.
+
+    Shape: ONE radius_join_2d candidate pass at max(radii) (grid
+    banding, exact-once pairs), then each surviving pair explodes over
+    only the ladder radii that admit it (a lambda-filtered literal
+    array — no second join, no per-radius rescan) into one map-side-
+    combinable count; the (key × ladder) skeleton rides an explode off
+    the key-sized count agg, so no crossJoin ever exists.  Envelope
+    ENFORCED off the key-sized agg: area · n_max² < 2⁶² (n_max the
+    largest per-key count), so area · n_pairs can never wrap.
+    """
+    radii = [int(r) for r in radii]
+    if not radii or any(r < 1 for r in radii) or radii != sorted(set(radii)):
+        raise ValueError(
+            "ripley_k: radii must be a non-empty strictly ascending "
+            "ladder of ints >= 1")
+    if area < 1:
+        raise ValueError("ripley_k: area must be >= 1")
+    keys = list(keys)
+    rmax = radii[-1]
+    pts = (df.select(*keys, F.col(id_col),
+                     F.col(x_col).cast("long").alias("_x"),
+                     F.col(y_col).cast("long").alias("_y")))
+    a = pts.select(*keys, F.col(id_col).alias("a_id"),
+                   F.col("_x").alias("_ax"), F.col("_y").alias("_ay"))
+    b = pts.select(*keys, F.col(id_col).alias("b_id"),
+                   F.col("_x").alias("_bx"), F.col("_y").alias("_by"))
+    rj = (radius_join_2d(a, b, keys, "_ax", "_ay", "_bx", "_by", rmax)
+          .filter(F.col("a_id") != F.col("b_id")))
+    ladder = F.array(*[F.lit(r).cast("long") for r in radii])
+    paircnt = (rj.select(
+        *keys,
+        F.explode(F.filter(ladder,
+                           lambda rr: F.col("dist2") <= rr * rr))
+        .alias("r"))
+        .groupBy(*keys, "r")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs")))
+    nagg = (df.groupBy(*keys)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pts")))
+    nagg = nagg.persist()
+    try:
+        nmax = nagg.agg(F.max("n_pts")).collect()[0][0] or 0
+        if int(area) * nmax * nmax >= (1 << 62):
+            raise ValueError(
+                f"ripley_k: area·n_max² breaches the int64 envelope "
+                f"(area={area}, n_max={nmax}); shrink area units or "
+                f"partition the keys")
+        skel = nagg.withColumn("r", F.explode(ladder))
+        n = F.col("n_pts")
+        out = (skel.join(paircnt, [*keys, "r"], "left")
+               .select(*keys, "r", "n_pts",
+                       F.coalesce(F.col("n_pairs"), F.lit(0))
+                       .cast("long").alias("n_pairs"))
+               .withColumn(
+                   "k_q",
+                   F.when(n >= 2,
+                          F.expr(f"({int(area)} * n_pairs) div "
+                                 "(n_pts * (n_pts - 1))"))))
+        out = out.localCheckpoint(eager=True)
+    finally:
+        nagg.unpersist()
+    return out
+
+
+def knox_test(df: DataFrame, keys: Sequence[str], id_col: str,
+              x_col: str, y_col: str, t_col: str,
+              r: int, t_band: int) -> DataFrame:
+    """A49 — Knox space-time interaction test: per key, the exact
+    unordered-pair evidence for whether points close in SPACE are also
+    disproportionately close in TIME — the classic epidemiology
+    statistic (disease outbreaks, crime series, contagion in event
+    streams).  Emits, all exact BIGINT:
+
+      n_pts, n_den = n(n−1)/2 (total pairs),
+      ns_space     = pairs with dist² <= r²,
+      nt_time      = pairs with |dt| <= t_band,
+      x_st         = pairs close in BOTH (the Knox statistic),
+      e_num        = ns_space · nt_time  (E[X] = e_num / n_den),
+      eq_q         = e_num div n_den (quantized expectation),
+      excess       = x_st · n_den − e_num  (> 0 iff X > E[X] — the
+                     association's exact SIGN, no float anywhere).
+
+    Keys with n < 2 emit NULL eq_q and zero counts.  The three pair
+    counts come from the three proven banding joins — st_radius_join
+    (3-D), radius_join_2d (2-D), band_join (1-D time) — each
+    exact-once with `a_id < b_id` halving to unordered pairs, each
+    collapsing to a key-sized count before anything is combined, so
+    the exchange volume is three id-pair streams and four key-sized
+    aggs; no quadratic surface exists on any axis.
+
+    Envelope ENFORCED off the key-sized agg: n_max <= 65535 per key so
+    x_st·n_den <= n⁴/4 < 2⁶² and e_num < 2⁶² are both provable;
+    larger populations must partition the key (e.g. by day or tile).
+    """
+    keys = list(keys)
+    pts = df.select(*keys, F.col(id_col),
+                    F.col(x_col).cast("long").alias("_x"),
+                    F.col(y_col).cast("long").alias("_y"),
+                    F.col(t_col).cast("long").alias("_t"))
+    a = pts.select(*keys, F.col(id_col).alias("a_id"),
+                   F.col("_x").alias("_ax"), F.col("_y").alias("_ay"),
+                   F.col("_t").alias("_at"))
+    b = pts.select(*keys, F.col(id_col).alias("b_id"),
+                   F.col("_x").alias("_bx"), F.col("_y").alias("_by"),
+                   F.col("_t").alias("_bt"))
+    lt = F.col("a_id") < F.col("b_id")
+
+    def cnt(pairs: DataFrame, name: str) -> DataFrame:
+        return (pairs.filter(lt).groupBy(*keys)
+                .agg(F.count(F.lit(1)).cast("long").alias(name)))
+
+    st = cnt(st_radius_join(a, b, keys, ("_ax", "_ay", "_at"),
+                            ("_bx", "_by", "_bt"), r, t_band), "x_st")
+    sp = cnt(radius_join_2d(a, b, keys, "_ax", "_ay", "_bx", "_by", r),
+             "ns_space")
+    tm = cnt(band_join(a, b, keys, "_at", "_bt", t_band), "nt_time")
+    nagg = (pts.groupBy(*keys)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pts")))
+    nagg = nagg.persist()
+    try:
+        nmax = nagg.agg(F.max("n_pts")).collect()[0][0] or 0
+        if nmax > 65535:
+            raise ValueError(
+                f"knox_test: a key holds {nmax} points (> 65535) — "
+                f"x_st·n_den would breach int64; partition the key")
+        base = nagg
+        for d in (sp, tm, st):
+            base = base.join(d, keys, "left")
+        n = F.col("n_pts")
+        z = F.lit(0).cast("long")
+        out = (base.select(
+            *keys, "n_pts",
+            F.expr("(n_pts * (n_pts - 1)) div 2").alias("n_den"),
+            F.coalesce(F.col("ns_space"), z).alias("ns_space"),
+            F.coalesce(F.col("nt_time"), z).alias("nt_time"),
+            F.coalesce(F.col("x_st"), z).alias("x_st"))
+            .withColumn("e_num", F.col("ns_space") * F.col("nt_time"))
+            .withColumn("eq_q", F.when(n >= 2,
+                                       F.expr("e_num div n_den")))
+            .withColumn("excess",
+                        F.col("x_st") * F.col("n_den") - F.col("e_num")))
+        out = out.localCheckpoint(eager=True)
+    finally:
+        nagg.unpersist()
+    return out

@@ -2050,3 +2050,79 @@ def test_idw_quantized_matches_brute(spark):
     with _pt.raises(ValueError):  # value envelope
         ops.idw_quantized(tdf, neg, [], "tx", "ty", "x", "y", "v", r,
                           w_bits=wb).collect()
+
+
+def test_ripley_k_matches_brute(spark):
+    rng = np.random.default_rng(41)
+    pts = [("g", int(i), int(rng.integers(0, 30)), int(rng.integers(0, 30)))
+           for i in range(50)]
+    # sparse key: far-apart points so the small rungs have ZERO pairs
+    # (the zero row must be PRESENT), singleton key -> NULL k_q
+    pts += [("s", 100, 0, 0), ("s", 101, 500, 500), ("one", 200, 7, 7)]
+    df = spark.createDataFrame(pd.DataFrame(pts, columns=["k", "i", "x", "y"]))
+    radii, area = [2, 5, 9], 900
+    got = {(r["k"], r["r"]): (r["n_pts"], r["n_pairs"], r["k_q"])
+           for r in ops.ripley_k(df, ["k"], "i", "x", "y",
+                                 radii, area).collect()}
+    assert len(got) == 3 * len(radii)
+    for k in ("g", "s", "one"):
+        kp = [(x, y) for kk, _i, x, y in pts if kk == k]
+        n = len(kp)
+        for r in radii:
+            cnt = sum(1 for i, (x1, y1) in enumerate(kp)
+                      for j, (x2, y2) in enumerate(kp) if i != j
+                      and (x2 - x1) ** 2 + (y2 - y1) ** 2 <= r * r)
+            kq = (area * cnt) // (n * (n - 1)) if n >= 2 else None
+            assert got[(k, r)] == (n, cnt, kq), (k, r)
+    assert got[("s", 2)] == (2, 0, 0)
+    assert got[("one", 9)][2] is None
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ops.ripley_k(df, ["k"], "i", "x", "y", [5, 2], area)
+    with _pt.raises(ValueError):
+        ops.ripley_k(df, ["k"], "i", "x", "y", radii, 0)
+    with _pt.raises(ValueError):
+        ops.ripley_k(df, ["k"], "i", "x", "y", radii, 1 << 61)
+
+
+def test_knox_test_matches_brute(spark):
+    rng = np.random.default_rng(43)
+    pts = [("g", int(i), int(rng.integers(0, 40)), int(rng.integers(0, 40)),
+            int(rng.integers(0, 1000)))
+           for i in range(60)]
+    # planted interacting key: two space-close pairs, one also
+    # time-close -> positive excess is checkable by hand; singleton key
+    pts += [("p", 100, 0, 0, 0), ("p", 101, 3, 0, 5),
+            ("p", 102, 0, 3, 900), ("p", 103, 500, 500, 10),
+            ("one", 200, 1, 1, 1)]
+    df = spark.createDataFrame(
+        pd.DataFrame(pts, columns=["k", "i", "x", "y", "t"]))
+    r, band = 6, 50
+    got = {row["k"]: (row["n_pts"], row["n_den"], row["ns_space"],
+                      row["nt_time"], row["x_st"], row["e_num"],
+                      row["eq_q"], row["excess"])
+           for row in ops.knox_test(df, ["k"], "i", "x", "y", "t",
+                                    r, band).collect()}
+    assert len(got) == 3
+    for k in ("g", "p", "one"):
+        kp = [(x, y, t) for kk, _i, x, y, t in pts if kk == k]
+        n = len(kp)
+        ns = nt = x = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                sp = ((kp[j][0] - kp[i][0]) ** 2
+                      + (kp[j][1] - kp[i][1]) ** 2) <= r * r
+                tm = abs(kp[j][2] - kp[i][2]) <= band
+                ns += sp
+                nt += tm
+                x += sp and tm
+        den = n * (n - 1) // 2
+        eq = (ns * nt) // den if n >= 2 else None
+        assert got[k] == (n, den, ns, nt, x, ns * nt, eq,
+                          x * den - ns * nt), k
+    # the planted key by hand: the 100/101/102 triangle is all
+    # space-close (d² 9/9/18 <= 36); times 0/5/10 give 3 time-close
+    # pairs; only (100,101) is close on BOTH axes
+    assert got["p"][2] == 3 and got["p"][3] == 3 and got["p"][4] == 1
+    assert got["p"][7] == 1 * 6 - 3 * 3  # excess = -3 exactly
+    assert got["one"] == (1, 0, 0, 0, 0, 0, None, 0)
