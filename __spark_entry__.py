@@ -5428,6 +5428,26 @@ def q_knox_test(spark, sf_dir):
                          _KNOX_R, _KNOX_TBAND_US)
 
 
+_JC_R = 30
+
+
+def q_join_counts(spark, sf_dir):
+    """Cliff–Ord join-count statistics (ops.join_count_stats): per
+    event type over the derived grid points with the binary mark
+    x < 500 (spatially clustered BY CONSTRUCTION — the west half is
+    all-black), the exact BB/WW/BW neighbor-pair counts within radius
+    {_JC_R} against their CSR expectations as exact fractions, plus
+    the three excesses whose sign IS the autocorrelation verdict —
+    dbb, dww > 0 here because the mark is a spatial half-plane.  One
+    radius join with both marks riding as carry columns, two key-sized
+    aggs.  Oracle is definitional: all unordered pairs, conditional
+    counts, the same integer products."""
+    d = _grid_points(_t(spark, sf_dir, "events")).withColumn(
+        "mark", (F.col("x") < 500).cast("long"))
+    return ops.join_count_stats(d, ["event_type"], "event_id",
+                                "x", "y", "mark", _JC_R)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "w2_sessionize": q_w2_sessionize,
@@ -5668,6 +5688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idw_grid": q_idw_grid,
         "ripley_k": q_ripley_k,
         "knox_test": q_knox_test,
+        "join_counts": q_join_counts,
     }
 
 
@@ -11931,6 +11952,58 @@ SELECT n.event_type, n.n_pts,
        COALESCE(m.x, 0) * ((n.n_pts * (n.n_pts - 1)) // 2)
          - COALESCE(m.ns, 0) * COALESCE(m.nt, 0) AS excess
 FROM n LEFT JOIN m ON m.event_type = n.event_type
+""",
+        # join counts: definitional — all unordered within-radius
+        # pairs, conditional mark counts, same integer product tree
+        "join_counts": f"""
+WITH d AS (
+  SELECT event_type, event_id,
+         (CAST(event_id AS BIGINT) * 48271 + 11) % 1000 AS x,
+         (CAST(event_id AS BIGINT) * 16807 + 523) % 1000 AS y
+  FROM events
+),
+dm AS (
+  SELECT *, CASE WHEN x < 500 THEN 1 ELSE 0 END AS m FROM d
+),
+p AS (
+  SELECT a.event_type, a.m AS ma, b.m AS mb
+  FROM dm a JOIN dm b
+    ON b.event_type = a.event_type AND a.event_id < b.event_id
+   AND (b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y)
+       <= {_JC_R * _JC_R}
+),
+pc AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS w_pairs,
+         CAST(sum(ma * mb) AS BIGINT) AS bb,
+         CAST(sum((1 - ma) * (1 - mb)) AS BIGINT) AS ww,
+         CAST(sum(ma + mb - 2 * ma * mb) AS BIGINT) AS bw
+  FROM p GROUP BY event_type
+),
+n AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_pts,
+         CAST(sum(m) AS BIGINT) AS n1
+  FROM dm GROUP BY event_type
+)
+SELECT n.event_type, n.n_pts, n.n1,
+       CAST(COALESCE(pc.w_pairs, 0) AS BIGINT) AS w_pairs,
+       CAST(COALESCE(pc.bb, 0) AS BIGINT) AS bb,
+       CAST(COALESCE(pc.ww, 0) AS BIGINT) AS ww,
+       CAST(COALESCE(pc.bw, 0) AS BIGINT) AS bw,
+       n.n_pts * (n.n_pts - 1) AS den,
+       COALESCE(pc.w_pairs, 0) * n.n1 * (n.n1 - 1) AS ebb_num,
+       COALESCE(pc.w_pairs, 0) * (n.n_pts - n.n1)
+         * (n.n_pts - n.n1 - 1) AS eww_num,
+       2 * COALESCE(pc.w_pairs, 0) * n.n1
+         * (n.n_pts - n.n1) AS ebw_num,
+       COALESCE(pc.bb, 0) * n.n_pts * (n.n_pts - 1)
+         - COALESCE(pc.w_pairs, 0) * n.n1 * (n.n1 - 1) AS dbb,
+       COALESCE(pc.ww, 0) * n.n_pts * (n.n_pts - 1)
+         - COALESCE(pc.w_pairs, 0) * (n.n_pts - n.n1)
+           * (n.n_pts - n.n1 - 1) AS dww,
+       COALESCE(pc.bw, 0) * n.n_pts * (n.n_pts - 1)
+         - 2 * COALESCE(pc.w_pairs, 0) * n.n1
+           * (n.n_pts - n.n1) AS dbw
+FROM n LEFT JOIN pc ON pc.event_type = n.event_type
 """,
     }
 

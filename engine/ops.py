@@ -1623,14 +1623,16 @@ def band_join(a: DataFrame, b: DataFrame, keys: Sequence[str],
 def radius_join_2d(a: DataFrame, b: DataFrame, keys: Sequence[str],
                    a_x: str, a_y: str, b_x: str, b_y: str, r: int,
                    a_id: str = "a_id", b_id: str = "b_id",
-                   carry_b: Sequence[str] = ()) -> DataFrame:
+                   carry_b: Sequence[str] = (),
+                   carry_a: Sequence[str] = ()) -> DataFrame:
     """2-D radius (distance) join — the planar sibling of `band_join`
     and the core spatial primitive under DBSCAN / proximity analytics:
     all (a, b) pairs per key with euclidean distance <= r over INTEGER
     coordinates, i.e. dx² + dy² <= r² exactly (no float distance
     anywhere).  Returns (keys..., a_id, b_id, a_x/a_y/b_x/b_y longs,
-    dist2 long = dx² + dy², carry_b... ridden from the b side so
-    consumers never pay an id-keyed join-back).
+    dist2 long = dx² + dy², carry_a.../carry_b... ridden from their
+    side so consumers never pay an id-keyed join-back; carry_a rides
+    the 9-cell explode, so keep it narrow).
 
     Shape (grid-cell banding, the 2-D generalization of band_join's
     rewrite): bin both axes at cell width r; a within-radius pair ALWAYS
@@ -1659,7 +1661,7 @@ def radius_join_2d(a: DataFrame, b: DataFrame, keys: Sequence[str],
             f"radius_join_2d: r={r} breaches the int64 envelope "
             f"(dist² bound 8r² must stay < 2^62; r <= 2^29)")
     r = int(r)
-    carry_b = list(carry_b)
+    carry_b, carry_a = list(carry_b), list(carry_a)
 
     def cell(c: Column) -> Column:
         return ((c - F.pmod(c, F.lit(r))) / F.lit(r)).cast("long")
@@ -1670,8 +1672,8 @@ def radius_join_2d(a: DataFrame, b: DataFrame, keys: Sequence[str],
         F.struct((cell(axc) + i).alias("cx"), (cell(ayc) + j).alias("cy"))
         for i in (-1, 0, 1) for j in (-1, 0, 1)])).alias("_c")
     aa = (a.select(*keys, F.col(a_id), axc.alias("a_x"), ayc.alias("a_y"),
-                   nbr)
-           .select(*keys, a_id, "a_x", "a_y",
+                   *[F.col(c) for c in carry_a], nbr)
+           .select(*keys, a_id, "a_x", "a_y", *carry_a,
                    F.col("_c.cx").alias("_cx"), F.col("_c.cy").alias("_cy")))
     bb = b.select(*keys, F.col(b_id), bxc.alias("b_x"), byc.alias("b_y"),
                   cell(bxc).alias("_cx"), cell(byc).alias("_cy"),
@@ -1682,7 +1684,7 @@ def radius_join_2d(a: DataFrame, b: DataFrame, keys: Sequence[str],
     d2 = (dx * dx + dy * dy)
     return (j.filter(d2 <= F.lit(r * r))
             .select(*keys, a_id, b_id, "a_x", "a_y", "b_x", "b_y",
-                    d2.alias("dist2"), *carry_b))
+                    d2.alias("dist2"), *carry_a, *carry_b))
 
 
 def autocorr_lag(df: DataFrame, keys: Sequence[str], ts_col: str,
@@ -3297,6 +3299,97 @@ def knox_test(df: DataFrame, keys: Sequence[str], id_col: str,
                                        F.expr("e_num div n_den")))
             .withColumn("excess",
                         F.col("x_st") * F.col("n_den") - F.col("e_num")))
+        out = out.localCheckpoint(eager=True)
+    finally:
+        nagg.unpersist()
+    return out
+
+
+def join_count_stats(df: DataFrame, keys: Sequence[str], id_col: str,
+                     x_col: str, y_col: str, mark_col: str,
+                     r: int) -> DataFrame:
+    """A50 — Cliff–Ord join-count statistics: per key, the exact
+    binary-mark spatial-autocorrelation evidence over the within-`r`
+    neighbor graph — the black/black, white/white and black/white
+    neighbor-pair counts against their complete-spatial-randomness
+    expectations (non-free sampling), all exact BIGINT so the surface
+    hashes identically cross-engine.  Emits per key:
+
+      n_pts, n1 (marks = 1), w_pairs (unordered neighbor pairs),
+      bb / ww / bw           (pair counts; bb + ww + bw = w_pairs),
+      den = n(n−1),
+      ebb_num = w·n1(n1−1), eww_num = w·n0(n0−1), ebw_num = 2w·n1·n0
+                             (E[·] = ·_num / den),
+      dbb = bb·den − ebb_num, dww, dbw — the excesses, whose exact
+      SIGN says clustered (dbb, dww > 0) vs dispersed/checkerboard
+      (dbw > 0) with no float anywhere.
+
+    Marks must be 0/1 (ENFORCED with a raise).  Shape: ONE
+    radius_join_2d pass with both marks riding as carry columns (no
+    id-keyed join-back), `a_id < b_id` halving to unordered pairs,
+    then one key-sized conditional agg; the mark totals are a second
+    key-sized agg.  Envelope ENFORCED off a driver scalar: n per key
+    <= 65535, which makes every product above provable int64 (the
+    largest, bb·den < n⁴/2, just fits at that bound).
+    """
+    keys = list(keys)
+    pts = df.select(*keys, F.col(id_col),
+                    F.col(x_col).cast("long").alias("_x"),
+                    F.col(y_col).cast("long").alias("_y"),
+                    F.col(mark_col).cast("long").alias("_m"))
+    a = pts.select(*keys, F.col(id_col).alias("a_id"),
+                   F.col("_x").alias("_ax"), F.col("_y").alias("_ay"),
+                   F.col("_m").alias("_ma"))
+    b = pts.select(*keys, F.col(id_col).alias("b_id"),
+                   F.col("_x").alias("_bx"), F.col("_y").alias("_by"),
+                   F.col("_m").alias("_mb"))
+    pairs = (radius_join_2d(a, b, keys, "_ax", "_ay", "_bx", "_by", r,
+                            carry_a=["_ma"], carry_b=["_mb"])
+             .filter(F.col("a_id") < F.col("b_id")))
+    ma, mb = F.col("_ma"), F.col("_mb")
+    pc = (pairs.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("w_pairs"),
+        F.sum((ma * mb)).cast("long").alias("bb"),
+        F.sum(((1 - ma) * (1 - mb))).cast("long").alias("ww"),
+        F.sum((ma + mb - 2 * ma * mb)).cast("long").alias("bw")))
+    nagg = (pts.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pts"),
+        F.sum("_m").cast("long").alias("n1"),
+        F.min("_m").alias("_lo"), F.max("_m").alias("_hi")))
+    nagg = nagg.persist()
+    try:
+        lo, hi, nmax = nagg.agg(F.min("_lo"), F.max("_hi"),
+                                F.max("n_pts")).collect()[0]
+        if lo is not None and (lo < 0 or hi > 1):
+            raise ValueError(
+                "join_count_stats: marks must be binary 0/1")
+        nmax = nmax or 0
+        if nmax > 65535:
+            raise ValueError(
+                f"join_count_stats: a key holds {nmax} points "
+                f"(> 65535) — w·n² would breach int64; partition "
+                f"the key")
+        z = F.lit(0).cast("long")
+        n, n1 = F.col("n_pts"), F.col("n1")
+        n0 = n - n1
+        w = F.coalesce(F.col("w_pairs"), z)
+        out = (nagg.drop("_lo", "_hi").join(pc, keys, "left")
+               .select(
+            *keys, "n_pts", "n1",
+            w.alias("w_pairs"),
+            F.coalesce(F.col("bb"), z).alias("bb"),
+            F.coalesce(F.col("ww"), z).alias("ww"),
+            F.coalesce(F.col("bw"), z).alias("bw"),
+            (n * (n - 1)).alias("den"),
+            (w * n1 * (n1 - 1)).alias("ebb_num"),
+            (w * n0 * (n0 - 1)).alias("eww_num"),
+            (F.lit(2) * w * n1 * n0).alias("ebw_num"))
+               .withColumn("dbb", F.col("bb") * F.col("den")
+                           - F.col("ebb_num"))
+               .withColumn("dww", F.col("ww") * F.col("den")
+                           - F.col("eww_num"))
+               .withColumn("dbw", F.col("bw") * F.col("den")
+                           - F.col("ebw_num")))
         out = out.localCheckpoint(eager=True)
     finally:
         nagg.unpersist()

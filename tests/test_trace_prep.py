@@ -2126,3 +2126,52 @@ def test_knox_test_matches_brute(spark):
     assert got["p"][2] == 3 and got["p"][3] == 3 and got["p"][4] == 1
     assert got["p"][7] == 1 * 6 - 3 * 3  # excess = -3 exactly
     assert got["one"] == (1, 0, 0, 0, 0, 0, None, 0)
+
+
+def test_join_count_stats_matches_brute(spark):
+    rng = np.random.default_rng(47)
+    pts = [("g", int(i), int(rng.integers(0, 30)), int(rng.integers(0, 30)),
+            int(rng.integers(0, 2)))
+           for i in range(60)]
+    # planted: a perfectly segregated key (black cluster far from the
+    # white cluster) -> bw = 0 and dbb, dww > 0; a singleton key
+    pts += [("seg", 100, 0, 0, 1), ("seg", 101, 3, 0, 1),
+            ("seg", 102, 0, 3, 1), ("seg", 103, 500, 500, 0),
+            ("seg", 104, 503, 500, 0), ("one", 200, 1, 1, 1)]
+    df = spark.createDataFrame(
+        pd.DataFrame(pts, columns=["k", "i", "x", "y", "m"]))
+    r = 6
+    cols = ("n_pts", "n1", "w_pairs", "bb", "ww", "bw", "den",
+            "ebb_num", "eww_num", "ebw_num", "dbb", "dww", "dbw")
+    got = {row["k"]: tuple(row[c] for c in cols)
+           for row in ops.join_count_stats(df, ["k"], "i", "x", "y",
+                                           "m", r).collect()}
+    assert len(got) == 3
+    for k in ("g", "seg", "one"):
+        kp = [(x, y, m) for kk, _i, x, y, m in pts if kk == k]
+        n, n1 = len(kp), sum(m for _x, _y, m in kp)
+        n0 = n - n1
+        w = bb = ww = bw = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                if ((kp[j][0] - kp[i][0]) ** 2
+                        + (kp[j][1] - kp[i][1]) ** 2) <= r * r:
+                    w += 1
+                    ma, mb = kp[i][2], kp[j][2]
+                    bb += ma * mb
+                    ww += (1 - ma) * (1 - mb)
+                    bw += ma + mb - 2 * ma * mb
+        den = n * (n - 1)
+        ebb, eww, ebw = w * n1 * (n1 - 1), w * n0 * (n0 - 1), 2 * w * n1 * n0
+        assert got[k] == (n, n1, w, bb, ww, bw, den, ebb, eww, ebw,
+                          bb * den - ebb, ww * den - eww,
+                          bw * den - ebw), k
+    # segregated key: 3 BB pairs + 1 WW pair, zero BW, both same-mark
+    # excesses positive, the cross excess negative
+    assert got["seg"][2:6] == (4, 3, 1, 0)
+    assert got["seg"][10] > 0 and got["seg"][11] > 0 and got["seg"][12] < 0
+    assert got["one"][:6] == (1, 1, 0, 0, 0, 0)
+    import pytest as _pt
+    bad = df.withColumn("m", F.col("m") + 1)
+    with _pt.raises(ValueError):
+        ops.join_count_stats(bad, ["k"], "i", "x", "y", "m", r).collect()
