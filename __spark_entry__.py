@@ -5448,6 +5448,33 @@ def q_join_counts(spark, sf_dir):
                                 "x", "y", "mark", _JC_R)
 
 
+def q_hausdorff_match(spark, sf_dir):
+    """Trajectory-to-template matching (spatial.hausdorff_to_templates):
+    for every user's trace point set (derived grid) against a 5-route
+    template library derived from the region table (5 points per
+    route via two LCGs), the SQUARED-exact symmetric Hausdorff
+    distance — h_ab = max_a min_b dist², h_ba the reverse, h_sym their
+    max — plus is_best under the total (h_sym, tpl_id) order.
+    Templates broadcast; both directions collapse through
+    (key, tpl, point)-grain combinable min aggs so the cross product
+    never rides an exchange.  Oracle restates the min/max definition
+    over the full cross join."""
+    from engine import spatial
+    ev = _t(spark, sf_dir, "events")
+    pts = _grid_points(ev).join(ev.select("event_id", "user_id"),
+                                "event_id")
+    rk = F.col("r_regionkey").cast("long")
+    j = F.explode(F.sequence(F.lit(0), F.lit(4))).alias("j")
+    tpl = (_t(spark, sf_dir, "region").select(rk.alias("tpl_id"), j)
+           .select("tpl_id",
+                   F.pmod(F.col("tpl_id") * 37 + F.col("j") * 101 + 13,
+                          F.lit(1000)).alias("tx"),
+                   F.pmod(F.col("tpl_id") * 59 + F.col("j") * 211 + 17,
+                          F.lit(1000)).alias("ty")))
+    return spatial.hausdorff_to_templates(pts, tpl, ["user_id"],
+                                          "x", "y")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "w2_sessionize": q_w2_sessionize,
@@ -5689,6 +5716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ripley_k": q_ripley_k,
         "knox_test": q_knox_test,
         "join_counts": q_join_counts,
+        "hausdorff_match": q_hausdorff_match,
     }
 
 
@@ -12004,6 +12032,53 @@ SELECT n.event_type, n.n_pts, n.n1,
          - 2 * COALESCE(pc.w_pairs, 0) * n.n1
            * (n.n_pts - n.n1) AS dbw
 FROM n LEFT JOIN pc ON pc.event_type = n.event_type
+""",
+        # Hausdorff template match: definitional — full cross join,
+        # min-then-max both directions, greatest, rank for is_best
+        "hausdorff_match": """
+WITH p AS (
+  SELECT e.user_id,
+         (CAST(e.event_id AS BIGINT) * 48271 + 11) % 1000 AS x,
+         (CAST(e.event_id AS BIGINT) * 16807 + 523) % 1000 AS y
+  FROM events e
+),
+t AS (
+  SELECT CAST(r_regionkey AS BIGINT) AS tpl_id,
+         (CAST(r_regionkey AS BIGINT) * 37 + g.j * 101 + 13) % 1000
+           AS tx,
+         (CAST(r_regionkey AS BIGINT) * 59 + g.j * 211 + 17) % 1000
+           AS ty
+  FROM region
+  CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS j) g
+),
+c AS (
+  SELECT p.user_id, t.tpl_id, p.x, p.y, t.tx, t.ty,
+         (p.x - t.tx) * (p.x - t.tx) + (p.y - t.ty) * (p.y - t.ty)
+           AS d2
+  FROM p CROSS JOIN t
+),
+ab AS (
+  SELECT user_id, tpl_id, CAST(max(m) AS BIGINT) AS h_ab
+  FROM (SELECT user_id, tpl_id, x, y, min(d2) AS m
+        FROM c GROUP BY user_id, tpl_id, x, y)
+  GROUP BY user_id, tpl_id
+),
+ba AS (
+  SELECT user_id, tpl_id, CAST(max(m) AS BIGINT) AS h_ba
+  FROM (SELECT user_id, tpl_id, tx, ty, min(d2) AS m
+        FROM c GROUP BY user_id, tpl_id, tx, ty)
+  GROUP BY user_id, tpl_id
+),
+j AS (
+  SELECT ab.user_id, ab.tpl_id, ab.h_ab, ba.h_ba,
+         greatest(ab.h_ab, ba.h_ba) AS h_sym
+  FROM ab JOIN ba ON ba.user_id = ab.user_id
+                 AND ba.tpl_id = ab.tpl_id
+)
+SELECT user_id, tpl_id, h_ab, h_ba, h_sym,
+       (row_number() OVER (PARTITION BY user_id
+                           ORDER BY h_sym, tpl_id) = 1) AS is_best
+FROM j
 """,
     }
 

@@ -204,3 +204,83 @@ def hull_diameter(df: DataFrame, keys: Sequence[str], x: str,
     return (scored.withColumn("_rn", F.row_number().over(wo))
             .filter(F.col("_rn") == 1)
             .select(*keys, "x1", "y1", "x2", "y2", "dist2"))
+
+
+def hausdorff_to_templates(points: DataFrame, templates: DataFrame,
+                           keys: Sequence[str], x: str, y: str,
+                           tpl_id: str = "tpl_id", tx: str = "tx",
+                           ty: str = "ty",
+                           max_template_pts: int = 4096) -> DataFrame:
+    """X16 — symmetric Hausdorff distance from every per-key point set
+    to every template point set, squared-exact: for key set A and
+    template set B,
+
+      h_ab  = max over a in A of  min over b in B  dist²(a, b)
+      h_ba  = max over b in B of  min over a in A  dist²(a, b)
+      h_sym = greatest(h_ab, h_ba)   — the Hausdorff distance SQUARED
+
+    plus is_best = whether this template minimizes the key's h_sym
+    under the total (h_sym, tpl_id) order — trajectory-to-route-
+    template matching (map snapping at the route grain, trace
+    classification, canonical-path assignment) with every decision an
+    exact int64, so the whole surface is bit-portable and the oracle
+    can restate the min/max definition with zero shared structure.
+
+    Shape: templates are a BROADCAST dim (enforced <= max_template_pts
+    rows with a raise — a route library, not a corpus); the one
+    map-side broadcast join forms all (point, template-point) rows,
+    then both directions collapse through map-side-combinable
+    (key, tpl, point)-grain min aggs before the (key, tpl)-grain max
+    — so the only exchanges after the broadcast carry one row per
+    (key, tpl, point), never the cross product.  The corpus shuffles
+    once per direction at the reduced grain; the best-template pick is
+    one per-key window over |templates| rows.  Coordinate envelope
+    |x|, |y| <= 2^30 − 1 ENFORCED on both sides (dist² < 2^63).
+    """
+    keys = list(keys)
+    lim = _COORD_LIM - 1
+    tp = templates.select(F.col(tpl_id).alias("_tid"),
+                          F.col(tx).cast("long").alias("_tx"),
+                          F.col(ty).cast("long").alias("_ty"))
+    trows = tp.limit(max_template_pts + 1).count()
+    if trows == 0:
+        raise ValueError("hausdorff_to_templates: templates is empty")
+    if trows > max_template_pts:
+        raise ValueError(
+            f"hausdorff_to_templates: templates exceed "
+            f"{max_template_pts} points — the template library must "
+            f"stay broadcastable; raise max_template_pts explicitly "
+            f"if intended")
+    tbad = tp.agg(F.max(F.when((F.abs(F.col("_tx")) > lim)
+                               | (F.abs(F.col("_ty")) > lim), 1)
+                        .otherwise(0))).collect()[0][0]
+    pts = points.select(*keys, F.col(x).cast("long").alias("_px"),
+                        F.col(y).cast("long").alias("_py"))
+    pbad = pts.agg(F.max(F.when((F.abs(F.col("_px")) > lim)
+                                | (F.abs(F.col("_py")) > lim), 1)
+                         .otherwise(0))).collect()[0][0]
+    if tbad or pbad:
+        raise ValueError(
+            "hausdorff_to_templates: |coordinate| exceeds 2^30 - 1 — "
+            "dist² could overflow int64; rescale upstream")
+    dx = F.col("_px") - F.col("_tx")
+    dy = F.col("_py") - F.col("_ty")
+    cross = (pts.join(F.broadcast(tp))
+             .withColumn("_d2", dx * dx + dy * dy))
+    ab = (cross.groupBy(*keys, "_tid", "_px", "_py")
+          .agg(F.min("_d2").alias("_m"))
+          .groupBy(*keys, "_tid")
+          .agg(F.max("_m").alias("h_ab")))
+    ba = (cross.groupBy(*keys, "_tid", "_tx", "_ty")
+          .agg(F.min("_d2").alias("_m"))
+          .groupBy(*keys, "_tid")
+          .agg(F.max("_m").alias("h_ba")))
+    both = (ab.join(ba, [*keys, "_tid"])
+            .withColumn("h_sym", F.greatest(F.col("h_ab"),
+                                            F.col("h_ba"))))
+    w = Window.partitionBy(*keys).orderBy(F.col("h_sym").asc(),
+                                          F.col("_tid").asc())
+    return (both.withColumn(
+        "is_best", (F.row_number().over(w) == 1))
+        .select(*keys, F.col("_tid").alias(tpl_id),
+                "h_ab", "h_ba", "h_sym", "is_best"))

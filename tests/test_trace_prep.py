@@ -2175,3 +2175,44 @@ def test_join_count_stats_matches_brute(spark):
     bad = df.withColumn("m", F.col("m") + 1)
     with _pt.raises(ValueError):
         ops.join_count_stats(bad, ["k"], "i", "x", "y", "m", r).collect()
+
+
+def test_hausdorff_to_templates_matches_brute(spark):
+    from engine import spatial
+    rng = np.random.default_rng(53)
+    pts = [(f"u{i % 4}", int(rng.integers(0, 100)),
+            int(rng.integers(0, 100))) for i in range(80)]
+    # planted: u9 sits EXACTLY on template 0 -> h_sym = 0 and is_best
+    tpls = [(0, 10, 10), (0, 20, 10), (1, 500, 500), (1, 510, 500)]
+    pts += [("u9", 10, 10), ("u9", 20, 10)]
+    pdf = spark.createDataFrame(pd.DataFrame(pts, columns=["u", "x", "y"]))
+    tdf = spark.createDataFrame(
+        pd.DataFrame(tpls, columns=["tpl_id", "tx", "ty"]))
+    got = {(r["u"], r["tpl_id"]): (r["h_ab"], r["h_ba"], r["h_sym"],
+                                   r["is_best"])
+           for r in spatial.hausdorff_to_templates(
+               pdf, tdf, ["u"], "x", "y").collect()}
+    users = sorted({u for u, _x, _y in pts})
+    assert len(got) == len(users) * 2
+    for u in users:
+        A = [(x, y) for uu, x, y in pts if uu == u]
+        hs = {}
+        for t in (0, 1):
+            B = [(tx, ty) for ti, tx, ty in tpls if ti == t]
+            d2 = lambda p, q: (p[0] - q[0]) ** 2 + (p[1] - q[1]) ** 2
+            h_ab = max(min(d2(a, b) for b in B) for a in A)
+            h_ba = max(min(d2(a, b) for a in A) for b in B)
+            hs[t] = (h_ab, h_ba, max(h_ab, h_ba))
+        best = min((hs[t][2], t) for t in (0, 1))[1]
+        for t in (0, 1):
+            assert got[(u, t)] == (*hs[t], t == best), (u, t)
+    assert got[("u9", 0)] == (0, 0, 0, True)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        spatial.hausdorff_to_templates(pdf, tdf.limit(0), ["u"], "x", "y")
+    with _pt.raises(ValueError):
+        spatial.hausdorff_to_templates(pdf, tdf, ["u"], "x", "y",
+                                       max_template_pts=2)
+    big = tdf.withColumn("tx", F.col("tx") + F.lit(1 << 31))
+    with _pt.raises(ValueError):
+        spatial.hausdorff_to_templates(pdf, big, ["u"], "x", "y")
