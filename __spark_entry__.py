@@ -5475,6 +5475,38 @@ def q_hausdorff_match(spark, sf_dir):
                                           "x", "y")
 
 
+def q_areal_interp(spark, sf_dir):
+    """Areal interpolation (ops.areal_interp): redistribute a derived
+    integer mass from 25 nation-derived source rectangles onto the
+    regular 5x5 / 200-cell target tiling of the grid, each piece
+    contributing (v·overlap_cells) div source_cells — exact int64
+    throughout, zero-coverage tiles present with zeros.  One
+    canonical-cell bbox overlap join with the value riding as carry,
+    one combinable tgt-keyed agg.  Oracle replays the definition with
+    greatest/least intersection boxes and DuckDB integer division."""
+    n = F.col("n_nationkey").cast("long")
+    src = _t(spark, sf_dir, "nation").select(
+        n.alias("src_id"),
+        F.pmod(n * 97 + 1, F.lit(900)).alias("x1"),
+        F.pmod(n * 131 + 7, F.lit(900)).alias("y1"),
+        (F.pmod(n * 97 + 1, F.lit(900)) + 40 + F.pmod(n, F.lit(60)))
+        .alias("x2"),
+        (F.pmod(n * 131 + 7, F.lit(900)) + 40
+         + F.pmod(n * 3, F.lit(60))).alias("y2"),
+        (F.lit(100) + F.pmod(n * 7919, F.lit(900))).alias("v"))
+    rk = F.col("r_regionkey").cast("long")
+    j = F.explode(F.sequence(F.lit(0), F.lit(4))).alias("j")
+    tgt = (_t(spark, sf_dir, "region").select(rk.alias("_r"), j)
+           .select((F.col("_r") * 5 + F.col("j")).alias("tgt_id"),
+                   (F.col("_r") * 200).alias("tx1"),
+                   (F.col("j") * 200).alias("ty1"),
+                   (F.col("_r") * 200 + 199).alias("tx2"),
+                   (F.col("j") * 200 + 199).alias("ty2")))
+    return ops.areal_interp(src, tgt, [], ("x1", "y1", "x2", "y2"),
+                            ("tx1", "ty1", "tx2", "ty2"), "v",
+                            cell=128)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "w2_sessionize": q_w2_sessionize,
@@ -5717,6 +5749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knox_test": q_knox_test,
         "join_counts": q_join_counts,
         "hausdorff_match": q_hausdorff_match,
+        "areal_interp": q_areal_interp,
     }
 
 
@@ -12079,6 +12112,52 @@ SELECT user_id, tpl_id, h_ab, h_ba, h_sym,
        (row_number() OVER (PARTITION BY user_id
                            ORDER BY h_sym, tpl_id) = 1) AS is_best
 FROM j
+""",
+        # areal interpolation: definitional — overlap via greatest/
+        # least, closed-box cell areas, quantized piece contributions
+        "areal_interp": """
+WITH s AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS src_id,
+         (CAST(n_nationkey AS BIGINT) * 97 + 1) % 900 AS x1,
+         (CAST(n_nationkey AS BIGINT) * 131 + 7) % 900 AS y1,
+         (CAST(n_nationkey AS BIGINT) * 97 + 1) % 900 + 40
+           + CAST(n_nationkey AS BIGINT) % 60 AS x2,
+         (CAST(n_nationkey AS BIGINT) * 131 + 7) % 900 + 40
+           + (CAST(n_nationkey AS BIGINT) * 3) % 60 AS y2,
+         100 + (CAST(n_nationkey AS BIGINT) * 7919) % 900 AS v
+  FROM nation
+),
+t AS (
+  SELECT CAST(r_regionkey AS BIGINT) * 5 + g.j AS tgt_id,
+         CAST(r_regionkey AS BIGINT) * 200 AS tx1,
+         g.j * 200 AS ty1,
+         CAST(r_regionkey AS BIGINT) * 200 + 199 AS tx2,
+         g.j * 200 + 199 AS ty2
+  FROM region
+  CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS j) g
+),
+p AS (
+  SELECT t.tgt_id,
+         (least(s.x2, t.tx2) - greatest(s.x1, t.tx1) + 1)
+         * (least(s.y2, t.ty2) - greatest(s.y1, t.ty1) + 1) AS ic,
+         (s.v * ((least(s.x2, t.tx2) - greatest(s.x1, t.tx1) + 1)
+                 * (least(s.y2, t.ty2) - greatest(s.y1, t.ty1) + 1)))
+         // ((s.x2 - s.x1 + 1) * (s.y2 - s.y1 + 1)) AS contrib
+  FROM s JOIN t
+    ON s.x1 <= t.tx2 AND t.tx1 <= s.x2
+   AND s.y1 <= t.ty2 AND t.ty1 <= s.y2
+),
+g AS (
+  SELECT tgt_id, CAST(sum(contrib) AS BIGINT) AS v_q,
+         CAST(count(*) AS BIGINT) AS n_src,
+         CAST(sum(ic) AS BIGINT) AS inter_cells
+  FROM p GROUP BY tgt_id
+)
+SELECT t.tgt_id,
+       CAST(COALESCE(g.v_q, 0) AS BIGINT) AS v_q,
+       CAST(COALESCE(g.n_src, 0) AS BIGINT) AS n_src,
+       CAST(COALESCE(g.inter_cells, 0) AS BIGINT) AS inter_cells
+FROM t LEFT JOIN g ON g.tgt_id = t.tgt_id
 """,
     }
 

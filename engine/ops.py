@@ -3394,3 +3394,76 @@ def join_count_stats(df: DataFrame, keys: Sequence[str], id_col: str,
     finally:
         nagg.unpersist()
     return out
+
+
+def areal_interp(src: DataFrame, tgt: DataFrame, keys: Sequence[str],
+                 src_box: Sequence[str], tgt_box: Sequence[str],
+                 val_col: str, cell: int,
+                 src_id: str = "src_id", tgt_id: str = "tgt_id",
+                 max_cells: int = 4096) -> DataFrame:
+    """A51 — areal interpolation (area-weighted reaggregation): move an
+    extensive variable (population, counts, mass) from SOURCE zones to
+    TARGET zones — both CLOSED integer rectangles — proportional to
+    overlap, the standard zone-system change operation in spatial
+    statistics.  Area is the exact unit-CELL count of a closed box
+    ((x2−x1+1)·(y2−y1+1), the rect_union_area semantic), and each
+    piece's contribution is QUANTIZED:
+
+        contrib(s, t) = (v_s · cells(s ∩ t)) div cells(s)
+
+    so every intermediate is a provable int64 and the surface hashes
+    identically cross-engine (floor per piece; a source overlapping k
+    targets can under-deliver at most k−1 units — the documented
+    quantization, same posture as idw_quantized).  Emits one row per
+    target: (keys..., tgt_id, v_q = Σ contrib, n_src pieces,
+    inter_cells = Σ overlap cells); zero-coverage targets are PRESENT
+    with all-zero measures.
+
+    Shape: ONE bbox_overlap_join pass (canonical-cell exactly-once
+    candidates, value riding as carry — no id-keyed join-back), the
+    piece arithmetic map-side, one combinable tgt-keyed agg, one left
+    join back to targets.  Envelope ENFORCED with raises: per-source
+    cells(s) < 2³¹ and 0 <= v_s < 2³¹ so v_s·cells(s ∩ t) <= v_s·
+    cells(s) < 2⁶² can never wrap (checked off a source-sized agg —
+    box validity itself is bbox_overlap_join's raise).
+    """
+    keys = list(keys)
+    sx1, sy1, sx2, sy2 = src_box
+    s = src.withColumn("_v", F.col(val_col).cast("long")).withColumn(
+        "_scells",
+        (F.col(sx2).cast("long") - F.col(sx1).cast("long") + 1)
+        * (F.col(sy2).cast("long") - F.col(sy1).cast("long") + 1))
+    chk = s.agg(F.min("_v"), F.max("_v"), F.max("_scells")).collect()[0]
+    vlo, vhi, cmax = chk
+    if vlo is not None:
+        if vlo < 0 or vhi >= (1 << 31):
+            raise ValueError(
+                "areal_interp: source values must be integers in "
+                "[0, 2^31) for the exact-product envelope")
+        if cmax >= (1 << 31):
+            raise ValueError(
+                f"areal_interp: a source box covers {cmax} cells "
+                f"(>= 2^31) — v·cells would breach int64; split "
+                f"giant zones upstream")
+    pieces = bbox_overlap_join(
+        s, tgt, keys, src_box, tgt_box, cell,
+        a_id=src_id, b_id=tgt_id, max_cells=max_cells,
+        carry_a=["_v", "_scells"])
+    icells = ((F.col("ix2") - F.col("ix1") + 1)
+              * (F.col("iy2") - F.col("iy1") + 1))
+    agg = (pieces
+           .withColumn("_ic", icells)
+           .withColumn("_contrib",
+                       F.expr("(_v * _ic) div _scells"))
+           .groupBy(*keys, tgt_id)
+           .agg(F.sum("_contrib").cast("long").alias("v_q"),
+                F.count(F.lit(1)).cast("long").alias("n_src"),
+                F.sum("_ic").cast("long").alias("inter_cells")))
+    z = F.lit(0).cast("long")
+    return (tgt.select(*keys, F.col(tgt_id))
+            .join(agg, [*keys, tgt_id], "left")
+            .select(*keys, tgt_id,
+                    F.coalesce(F.col("v_q"), z).alias("v_q"),
+                    F.coalesce(F.col("n_src"), z).alias("n_src"),
+                    F.coalesce(F.col("inter_cells"), z)
+                    .alias("inter_cells")))

@@ -2216,3 +2216,52 @@ def test_hausdorff_to_templates_matches_brute(spark):
     big = tdf.withColumn("tx", F.col("tx") + F.lit(1 << 31))
     with _pt.raises(ValueError):
         spatial.hausdorff_to_templates(pdf, big, ["u"], "x", "y")
+
+
+def test_areal_interp_matches_brute(spark):
+    rng = np.random.default_rng(59)
+    src = []
+    for i in range(20):
+        x1, y1 = int(rng.integers(0, 80)), int(rng.integers(0, 80))
+        src.append((int(i), x1, y1, x1 + int(rng.integers(0, 20)),
+                    y1 + int(rng.integers(0, 20)),
+                    int(rng.integers(1, 500))))
+    # planted: a source exactly straddling two tiles 50/50 -> each side
+    # gets exactly v//2; a degenerate 1-cell source; a value-0 source
+    src += [(20, 45, 10, 54, 19, 101), (21, 7, 7, 7, 7, 33),
+            (22, 60, 60, 69, 69, 0)]
+    # 4 target tiles of 50x50 covering [0,100)² plus one far empty tile
+    tgt = [(int(5 * a + b), 50 * a, 50 * b, 50 * a + 49, 50 * b + 49)
+           for a in range(2) for b in range(2)] + [(99, 900, 900, 949, 949)]
+    sdf = spark.createDataFrame(pd.DataFrame(
+        src, columns=["src_id", "x1", "y1", "x2", "y2", "v"]))
+    tdf = spark.createDataFrame(pd.DataFrame(
+        tgt, columns=["tgt_id", "tx1", "ty1", "tx2", "ty2"]))
+    got = {r["tgt_id"]: (r["v_q"], r["n_src"], r["inter_cells"])
+           for r in ops.areal_interp(
+               sdf, tdf, [], ("x1", "y1", "x2", "y2"),
+               ("tx1", "ty1", "tx2", "ty2"), "v", cell=32).collect()}
+    assert len(got) == len(tgt)
+    for ti, tx1, ty1, tx2, ty2 in tgt:
+        vq = ns = ic = 0
+        for _si, x1, y1, x2, y2, v in src:
+            if x1 <= tx2 and tx1 <= x2 and y1 <= ty2 and ty1 <= y2:
+                w = min(x2, tx2) - max(x1, tx1) + 1
+                h = min(y2, ty2) - max(y1, ty1) + 1
+                ns += 1
+                ic += w * h
+                vq += (v * w * h) // ((x2 - x1 + 1) * (y2 - y1 + 1))
+        assert got[ti] == (vq, ns, ic), ti
+    assert got[99] == (0, 0, 0)
+    # straddler by hand: 100 cells, 50 in each tile -> 101*50//100 = 50
+    assert all((101 * 50) // 100 == 50 for _ in [0])
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ops.areal_interp(sdf.withColumn("v", F.col("v") - 1000), tdf,
+                         [], ("x1", "y1", "x2", "y2"),
+                         ("tx1", "ty1", "tx2", "ty2"), "v", cell=32)
+    huge = sdf.withColumn("x2", F.col("x1") + F.lit(1 << 16)) \
+              .withColumn("y2", F.col("y1") + F.lit(1 << 16))
+    with _pt.raises(ValueError):
+        ops.areal_interp(huge, tdf, [], ("x1", "y1", "x2", "y2"),
+                         ("tx1", "ty1", "tx2", "ty2"), "v", cell=32)
