@@ -5507,6 +5507,38 @@ def q_areal_interp(spark, sf_dir):
                             cell=128)
 
 
+_SNAP_R = 50
+
+
+def q_snap_segments(spark, sf_dir):
+    """Map matching (spatial.snap_to_segments): snap every event grid
+    point to its nearest supplier-derived road segment within
+    {_SNAP_R}, under the deterministic total order (d2_floor,
+    d2_frac_q, seg_id) — floor of the true squared distance plus its
+    2^-20-quantized fraction, both exact integers (the interior-
+    projection case is the rational cross²/L2; endpoint regimes are
+    exact with rem 0).  Segments explode over their r-expanded bbox
+    cells while the CORPUS keeps its single true cell (exactly-once
+    candidates, no point-side explode); in-range membership is exact,
+    not quantized.  The oracle replays the same arithmetic over ALL
+    (point, segment) pairs — certifying the whole filter-refine
+    pipeline, not just the predicate."""
+    from engine import spatial
+    pts = _grid_points(_t(spark, sf_dir, "events"))
+    s = F.col("s_suppkey").cast("long")
+    segs = _t(spark, sf_dir, "supplier").select(
+        s.alias("seg_id"),
+        F.pmod(s * 211 + 5, F.lit(1000)).alias("x1"),
+        F.pmod(s * 499 + 11, F.lit(1000)).alias("y1"),
+        (F.pmod(s * 211 + 5, F.lit(1000))
+         + F.pmod(s * 53, F.lit(81)) - 40).alias("x2"),
+        (F.pmod(s * 499 + 11, F.lit(1000))
+         + F.pmod(s * 29, F.lit(81)) - 40).alias("y2"))
+    return spatial.snap_to_segments(pts, segs, [], "x", "y",
+                                    "x1", "y1", "x2", "y2", _SNAP_R,
+                                    p_id="event_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "w2_sessionize": q_w2_sessionize,
@@ -5750,6 +5782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_counts": q_join_counts,
         "hausdorff_match": q_hausdorff_match,
         "areal_interp": q_areal_interp,
+        "snap_segments": q_snap_segments,
     }
 
 
@@ -12158,6 +12191,70 @@ SELECT t.tgt_id,
        CAST(COALESCE(g.n_src, 0) AS BIGINT) AS n_src,
        CAST(COALESCE(g.inter_cells, 0) AS BIGINT) AS inter_cells
 FROM t LEFT JOIN g ON g.tgt_id = t.tgt_id
+""",
+        # map matching: definitional replay over ALL (point, segment)
+        # pairs — same regime CASE, same floor/rem/frac integers, same
+        # total order; the engine's grid candidates must agree exactly
+        "snap_segments": f"""
+WITH p AS (
+  SELECT event_id,
+         (CAST(event_id AS BIGINT) * 48271 + 11) % 1000 AS px,
+         (CAST(event_id AS BIGINT) * 16807 + 523) % 1000 AS py
+  FROM events
+),
+s AS (
+  SELECT CAST(s_suppkey AS BIGINT) AS seg_id,
+         (CAST(s_suppkey AS BIGINT) * 211 + 5) % 1000 AS x1,
+         (CAST(s_suppkey AS BIGINT) * 499 + 11) % 1000 AS y1,
+         (CAST(s_suppkey AS BIGINT) * 211 + 5) % 1000
+           + (CAST(s_suppkey AS BIGINT) * 53) % 81 - 40 AS x2,
+         (CAST(s_suppkey AS BIGINT) * 499 + 11) % 1000
+           + (CAST(s_suppkey AS BIGINT) * 29) % 81 - 40 AS y2
+  FROM supplier
+),
+c AS (
+  SELECT p.event_id, s.seg_id,
+         (s.x2 - s.x1) * (s.x2 - s.x1)
+           + (s.y2 - s.y1) * (s.y2 - s.y1) AS l2,
+         (p.px - s.x1) * (s.x2 - s.x1)
+           + (p.py - s.y1) * (s.y2 - s.y1) AS tnum,
+         ((s.x2 - s.x1) * (p.py - s.y1)
+           - (s.y2 - s.y1) * (p.px - s.x1))
+         * ((s.x2 - s.x1) * (p.py - s.y1)
+           - (s.y2 - s.y1) * (p.px - s.x1)) AS c2,
+         (p.px - s.x1) * (p.px - s.x1)
+           + (p.py - s.y1) * (p.py - s.y1) AS da2,
+         (p.px - s.x2) * (p.px - s.x2)
+           + (p.py - s.y2) * (p.py - s.y2) AS db2
+  FROM p CROSS JOIN s
+),
+d AS (
+  SELECT event_id, seg_id, l2,
+         CASE WHEN l2 = 0 OR tnum <= 0 THEN da2
+              WHEN tnum >= l2 THEN db2
+              ELSE c2 // l2 END AS d2_floor,
+         CASE WHEN l2 = 0 OR tnum <= 0 OR tnum >= l2 THEN 0
+              ELSE c2 % l2 END AS rem
+  FROM c
+),
+f AS (
+  SELECT event_id, seg_id, d2_floor,
+         CASE WHEN rem = 0 THEN 0
+              ELSE (rem * {1 << 20}) // l2 END AS d2_frac_q
+  FROM d
+  WHERE d2_floor < {_SNAP_R * _SNAP_R}
+     OR (d2_floor = {_SNAP_R * _SNAP_R} AND rem = 0)
+),
+r AS (
+  SELECT event_id, seg_id, d2_floor, d2_frac_q,
+         row_number() OVER (PARTITION BY event_id
+                            ORDER BY d2_floor, d2_frac_q, seg_id)
+           AS rk
+  FROM f
+)
+SELECT event_id, seg_id, CAST(d2_floor AS BIGINT) AS d2_floor,
+       CAST(d2_frac_q AS BIGINT) AS d2_frac_q
+FROM r WHERE rk = 1
 """,
     }
 

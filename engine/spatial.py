@@ -284,3 +284,138 @@ def hausdorff_to_templates(points: DataFrame, templates: DataFrame,
         "is_best", (F.row_number().over(w) == 1))
         .select(*keys, F.col("_tid").alias(tpl_id),
                 "h_ab", "h_ba", "h_sym", "is_best"))
+
+
+def snap_to_segments(points: DataFrame, segments: DataFrame,
+                     keys: Sequence[str], px: str, py: str,
+                     sx1: str, sy1: str, sx2: str, sy2: str, r: int,
+                     p_id: str = "p_id", seg_id: str = "seg_id",
+                     max_cells: int = 4096) -> DataFrame:
+    """X17 — map matching: snap every point to its nearest segment
+    within euclidean `r` — the road-network assignment primitive under
+    GPS-trace map matching, with a DETERMINISTIC, engine-independent
+    nearest rule and no float anywhere.
+
+    Point-to-segment distance² is rational (for the interior-
+    projection case it is cross²/L2 with L2 the segment's squared
+    length), so the op ranks candidates under the total order
+
+        (d2_floor, d2_frac_q, seg_id)
+
+    where d2_floor = floor(true d²) and d2_frac_q = (rem << 20) div L2
+    is the fractional part quantized to 2⁻²⁰ (rem = cross² mod L2;
+    both endpoint regimes and degenerate point-segments have rem = 0
+    and are EXACT).  Candidates whose true distances differ by
+    >= 2⁻²⁰ of one cell are ordered exactly; only closer ties fall to
+    the documented seg_id tiebreak.  In-range membership is EXACT, not
+    quantized: d² <= r² iff d2_floor < r² OR (= r² AND rem = 0).
+    Emits one row per matched point: (keys..., p_id, seg_id, d2_floor,
+    d2_frac_q); points with no segment within `r` emit nothing.
+
+    The projection regime is decided by exact sign tests (t_num =
+    (p−a)·(b−a) against 0 and L2, the CLRS-style integer predicates):
+    t <= 0 → |p−a|², t >= L2 → |p−b|², else the cross²/L2 rational.
+
+    Shape: segments explode over the grid cells (width r) of their
+    bbox EXPANDED by r — any point within r of the segment provably
+    lies in one of those cells — while the POINT side keeps its single
+    true cell, so each (point, segment) candidate arises exactly once
+    with no dedup exchange and the corpus never explodes; the distance
+    tree and range filter are map-side; one per-point rank window over
+    the candidate rows finishes.  Skewed road density spreads across
+    the lattice.
+
+    Envelope, all ENFORCED with raises: r in [1, 4096] and per-axis
+    segment extent <= 4096 — candidates then satisfy |p − a| <= extent
+    + 2r per axis, so |cross| <= 2·2^13·2^15 = 2^29, cross² <= 2^58,
+    rem << 20 < 2^45, every term provably int64 for ANY absolute
+    coordinates (only differences enter).  Fan-out per segment is
+    bounded by max_cells (raise — coarsen upstream or split long
+    roads).
+    """
+    if not (1 <= r <= 4096):
+        raise ValueError(
+            "snap_to_segments: r must be in [1, 4096] (the exact-"
+            "arithmetic envelope)")
+    keys = list(keys)
+    cs = int(r)
+    seg = segments.select(
+        *keys, F.col(seg_id),
+        F.col(sx1).cast("long").alias("_x1"),
+        F.col(sy1).cast("long").alias("_y1"),
+        F.col(sx2).cast("long").alias("_x2"),
+        F.col(sy2).cast("long").alias("_y2"))
+    ext = seg.agg(F.max(F.greatest(
+        F.abs(F.col("_x2") - F.col("_x1")),
+        F.abs(F.col("_y2") - F.col("_y1"))))).collect()[0][0]
+    if ext is not None and ext > 4096:
+        raise ValueError(
+            f"snap_to_segments: a segment spans {ext} (> 4096) per "
+            f"axis — split long roads upstream (the cross² envelope)")
+
+    def cell(c):
+        return ((c - F.pmod(c, F.lit(cs))) / F.lit(cs)).cast("long")
+
+    lox = F.least(F.col("_x1"), F.col("_x2")) - F.lit(cs)
+    hix = F.greatest(F.col("_x1"), F.col("_x2")) + F.lit(cs)
+    loy = F.least(F.col("_y1"), F.col("_y2")) - F.lit(cs)
+    hiy = F.greatest(F.col("_y1"), F.col("_y2")) + F.lit(cs)
+    ncell = ((cell(hix) - cell(lox) + 1)
+             * (cell(hiy) - cell(loy) + 1))
+    fan = seg.agg(F.max(ncell)).collect()[0][0]
+    if fan is not None and fan > max_cells:
+        raise ValueError(
+            f"snap_to_segments: a segment covers {fan} cells "
+            f"(> {max_cells}); coarsen the grid or split it")
+    segc = (seg.withColumn("_cx", F.explode(F.sequence(cell(lox),
+                                                       cell(hix))))
+            .withColumn("_cy", F.explode(F.sequence(cell(loy),
+                                                    cell(hiy)))))
+    pts = points.select(*keys, F.col(p_id),
+                        F.col(px).cast("long").alias("_px"),
+                        F.col(py).cast("long").alias("_py"))
+    pts = (pts.withColumn("_cx", cell(F.col("_px")))
+           .withColumn("_cy", cell(F.col("_py"))))
+    j = pts.join(segc, [*keys, "_cx", "_cy"])
+    ax, ay = F.col("_x1"), F.col("_y1")
+    bx, by = F.col("_x2"), F.col("_y2")
+    ppx, ppy = F.col("_px"), F.col("_py")
+    l2 = (bx - ax) * (bx - ax) + (by - ay) * (by - ay)
+    tnum = (ppx - ax) * (bx - ax) + (ppy - ay) * (by - ay)
+    cross = (bx - ax) * (ppy - ay) - (by - ay) * (ppx - ax)
+    da2 = (ppx - ax) * (ppx - ax) + (ppy - ay) * (ppy - ay)
+    db2 = (ppx - bx) * (ppx - bx) + (ppy - by) * (ppy - by)
+    c2 = cross * cross
+    # _l2s = max(l2, 1): a structurally non-zero divisor (ANSI mode
+    # raises on div-by-zero even in branches the CASE never takes at
+    # runtime under some plans; the guarded value is only READ when
+    # l2 > 0, so the clamp never changes a result)
+    d = (j.withColumn("_l2", l2)
+         .withColumn("_l2s", F.greatest(l2, F.lit(1)))
+         .withColumn(
+             "_q",
+             F.when((F.col("_l2") == 0) | (tnum <= 0), da2)
+             .when(tnum >= F.col("_l2"), db2)
+             .otherwise(F.expr("null")))
+         .withColumn("_c2", c2))
+    d = (d.withColumn("_floor",
+                      F.coalesce(F.col("_q"),
+                                 F.expr("_c2 div _l2s")))
+         .withColumn("_rem",
+                     F.when(F.col("_q").isNotNull(), F.lit(0))
+                     .otherwise(F.expr("_c2 % _l2s")).cast("long")))
+    rr = F.lit(int(r) * int(r))
+    d = d.filter((F.col("_floor") < rr)
+                 | ((F.col("_floor") == rr) & (F.col("_rem") == 0)))
+    d = d.withColumn(
+        "_frac",
+        F.when(F.col("_rem") == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr(f"(_rem * {1 << 20}) div _l2s")))
+    w = Window.partitionBy(*keys, p_id).orderBy(
+        F.col("_floor").asc(), F.col("_frac").asc(),
+        F.col(seg_id).asc())
+    return (d.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select(*keys, p_id, seg_id,
+                    F.col("_floor").alias("d2_floor"),
+                    F.col("_frac").alias("d2_frac_q")))

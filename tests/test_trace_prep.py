@@ -2265,3 +2265,76 @@ def test_areal_interp_matches_brute(spark):
     with _pt.raises(ValueError):
         ops.areal_interp(huge, tdf, [], ("x1", "y1", "x2", "y2"),
                          ("tx1", "ty1", "tx2", "ty2"), "v", cell=32)
+
+
+def _brute_snap(pts, segs, r):
+    out = {}
+    for pi, px, py in pts:
+        best = None
+        for si, x1, y1, x2, y2 in segs:
+            l2 = (x2 - x1) ** 2 + (y2 - y1) ** 2
+            tnum = (px - x1) * (x2 - x1) + (py - y1) * (y2 - y1)
+            if l2 == 0 or tnum <= 0:
+                fl, rem = (px - x1) ** 2 + (py - y1) ** 2, 0
+            elif tnum >= l2:
+                fl, rem = (px - x2) ** 2 + (py - y2) ** 2, 0
+            else:
+                c = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+                fl, rem = (c * c) // l2, (c * c) % l2
+            if fl < r * r or (fl == r * r and rem == 0):
+                fr = 0 if rem == 0 else (rem << 20) // l2
+                k = (fl, fr, si)
+                if best is None or k < best:
+                    best = k
+        if best is not None:
+            out[pi] = best
+    return out
+
+
+def test_snap_to_segments_matches_brute(spark):
+    from engine import spatial
+    rng = np.random.default_rng(61)
+    segs = []
+    for i in range(12):
+        x1, y1 = int(rng.integers(0, 80)), int(rng.integers(0, 80))
+        segs.append((int(i), x1, y1, x1 + int(rng.integers(-20, 21)),
+                     y1 + int(rng.integers(-20, 21))))
+    # planted: a degenerate point-segment; two horizontal twins
+    # equidistant from a probe point (tie -> smaller seg_id); a
+    # vertical segment with a probe at EXACTLY r (rem 0, IN) and a
+    # probe whose floor equals r² with rem > 0 (OUT of a lone segment)
+    segs += [(50, 200, 200, 200, 200),
+             (60, 300, 310, 320, 310), (61, 300, 290, 320, 290),
+             (70, 400, 0, 400, 100)]
+    pts = [(int(1000 + i), int(rng.integers(0, 100)),
+            int(rng.integers(0, 100))) for i in range(60)]
+    pts += [(2000, 205, 200),          # near the degenerate segment
+            (2001, 310, 300),          # exact midline tie: seg 60 wins
+            (2002, 405, 50),           # interior rational case
+            (2003, 410, 50),           # exactly r=10 from seg 70: IN
+            (2004, 997, 997)]          # far from everything: no row
+    r = 10
+    pdf = spark.createDataFrame(
+        pd.DataFrame(pts, columns=["p_id", "px", "py"]))
+    sdf = spark.createDataFrame(
+        pd.DataFrame(segs, columns=["seg_id", "x1", "y1", "x2", "y2"]))
+    got = {row["p_id"]: (row["d2_floor"], row["d2_frac_q"],
+                         row["seg_id"])
+           for row in spatial.snap_to_segments(
+               pdf, sdf, [], "px", "py", "x1", "y1", "x2", "y2",
+               r).collect()}
+    assert got == _brute_snap(pts, segs, r)
+    assert got[2001][2] == 60           # tie resolved by seg_id
+    assert got[2003] == (100, 0, 70)    # exact-boundary membership
+    assert 2004 not in got
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        spatial.snap_to_segments(pdf, sdf, [], "px", "py",
+                                 "x1", "y1", "x2", "y2", 0)
+    with _pt.raises(ValueError):
+        spatial.snap_to_segments(pdf, sdf, [], "px", "py",
+                                 "x1", "y1", "x2", "y2", 5000)
+    long = sdf.withColumn("x2", F.col("x1") + F.lit(5000))
+    with _pt.raises(ValueError):
+        spatial.snap_to_segments(pdf, long, [], "px", "py",
+                                 "x1", "y1", "x2", "y2", r)
