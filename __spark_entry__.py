@@ -5539,6 +5539,23 @@ def q_snap_segments(spark, sf_dir):
                                     p_id="event_id")
 
 
+def q_focal_stats(spark, sf_dir):
+    """Raster focal statistics (tiles.focal_stats): bin the derived
+    grid points into 40-unit cells per event type (the value is the
+    exact occupancy count), then compute each occupied cell's 3×3
+    neighborhood sum / occupied-count / min / max — the map-algebra
+    moving-window op, all exact BIGINT.  The engine SCATTERS every
+    cell to its 9 neighbors into one combinable agg; the oracle
+    GATHERS with an |dcx|<=1 AND |dcy|<=1 self-join — different
+    algorithmic shapes, same function."""
+    from engine import tiles
+    ras = (_grid_points(_t(spark, sf_dir, "events"))
+           .groupBy("event_type", F.expr("x div 40").alias("cx"),
+                    F.expr("y div 40").alias("cy"))
+           .agg(F.count(F.lit(1)).cast("long").alias("v")))
+    return tiles.focal_stats(ras, ["event_type"], "cx", "cy", "v")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "w2_sessionize": q_w2_sessionize,
@@ -5783,6 +5800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hausdorff_match": q_hausdorff_match,
         "areal_interp": q_areal_interp,
         "snap_segments": q_snap_segments,
+        "focal_stats": q_focal_stats,
     }
 
 
@@ -12255,6 +12273,36 @@ r AS (
 SELECT event_id, seg_id, CAST(d2_floor AS BIGINT) AS d2_floor,
        CAST(d2_frac_q AS BIGINT) AS d2_frac_q
 FROM r WHERE rk = 1
+""",
+        # focal stats: definitional GATHER — |dcx|<=1 AND |dcy|<=1
+        # self-join vs the engine's scatter+agg; same function
+        "focal_stats": """
+WITH d AS (
+  SELECT event_type,
+         (CAST(event_id AS BIGINT) * 48271 + 11) % 1000 AS x,
+         (CAST(event_id AS BIGINT) * 16807 + 523) % 1000 AS y
+  FROM events
+),
+ras AS (
+  SELECT event_type, x // 40 AS cx, y // 40 AS cy,
+         CAST(count(*) AS BIGINT) AS v
+  FROM d GROUP BY event_type, x // 40, y // 40
+),
+g AS (
+  SELECT a.event_type, a.cx, a.cy,
+         CAST(sum(b.v) AS BIGINT) AS f_sum,
+         CAST(count(*) AS BIGINT) AS f_cnt,
+         CAST(min(b.v) AS BIGINT) AS f_min,
+         CAST(max(b.v) AS BIGINT) AS f_max
+  FROM ras a JOIN ras b
+    ON b.event_type = a.event_type
+   AND abs(b.cx - a.cx) <= 1 AND abs(b.cy - a.cy) <= 1
+  GROUP BY a.event_type, a.cx, a.cy
+)
+SELECT r.event_type, r.cx, r.cy, r.v, g.f_sum, g.f_cnt, g.f_min,
+       g.f_max
+FROM ras r JOIN g
+  ON g.event_type = r.event_type AND g.cx = r.cx AND g.cy = r.cy
 """,
     }
 

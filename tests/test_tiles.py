@@ -211,3 +211,47 @@ def test_hotspot_gi_matches_numpy(spark):
     assert hot > 0 > cold
     with pytest.raises(ValueError):
         tiles.hotspot_gi(df, "x", "y", 0)
+
+
+def test_focal_stats_matches_brute(spark):
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from engine import tiles
+    rng = np.random.default_rng(67)
+    cells = {}
+    for _ in range(60):
+        cells[("g", int(rng.integers(0, 8)), int(rng.integers(0, 8)))] = \
+            int(rng.integers(-50, 50))
+    # isolated cell (annulus has NO neighbors), negative values, a
+    # second key that must not bleed into the first
+    cells[("g", 100, 100)] = 7
+    cells[("h", 0, 0)] = 1000
+    rows = [(k, cx, cy, v) for (k, cx, cy), v in cells.items()]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["k", "cx", "cy", "v"]))
+    for include_self in (True, False):
+        got = {(r["k"], r["cx"], r["cy"]):
+               (r["v"], r["f_sum"], r["f_cnt"], r["f_min"], r["f_max"])
+               for r in tiles.focal_stats(
+                   df, ["k"], "cx", "cy", "v",
+                   include_self=include_self).collect()}
+        assert len(got) == len(cells)
+        for (k, cx, cy), v in cells.items():
+            nb = [cells[(k, cx + i, cy + j)]
+                  for i in (-1, 0, 1) for j in (-1, 0, 1)
+                  if (include_self or (i, j) != (0, 0))
+                  and (k, cx + i, cy + j) in cells]
+            want = ((v, sum(nb), len(nb), min(nb), max(nb)) if nb
+                    else (v, 0, 0, None, None))
+            assert got[(k, cx, cy)] == want, (k, cx, cy, include_self)
+    # annulus of the isolated cell: zero neighbors, NULL min/max
+    got_ring = {(r["k"], r["cx"], r["cy"]): r["f_cnt"]
+                for r in tiles.focal_stats(
+                    df, ["k"], "cx", "cy", "v",
+                    include_self=False).collect()}
+    assert got_ring[("g", 100, 100)] == 0
+    import pytest as _pt
+    dup = df.union(df.limit(1))
+    with _pt.raises(ValueError):
+        tiles.focal_stats(dup, ["k"], "cx", "cy", "v")
