@@ -5556,6 +5556,45 @@ def q_focal_stats(spark, sf_dir):
     return tiles.focal_stats(ras, ["event_type"], "cx", "cy", "v")
 
 
+_SGF_GAP_S = 3 * 24 * 3600
+
+
+def q_stream_geofence(spark, sf_dir):
+    """Streaming geofence visits (streaming.stream_geofence) under the
+    exact-oracle gate: the event point stream hits the nation-derived
+    fence dim via a map-side broadcast cover-cell join (exact int64
+    dist² decision), then folds into per-(user, fence)
+    session_window({_SGF_GAP_S}s) visits, append mode, watermark
+    {{_STREAM_WM}} declared BEFORE the join so eviction tracks the
+    full stream's event-time high-water mark.  Oracle replays the
+    session rule in µs (merge while gap <= {_SGF_GAP_S}s, end = last
+    + gap, emit iff end <= floor(max_ts_ms)·1000 − delay) over the
+    definitional hit join — the streaming twin of geofence_visits
+    with the documented time-gap (not consecutive-trace) split."""
+    from engine import streaming
+    ev = _t(spark, sf_dir, "events")
+    pts = (_grid_points(ev)
+           .join(ev.select("event_id", "user_id", "ts"), "event_id")
+           .select("user_id", F.col("ts").cast("timestamp").alias("ts"),
+                   "x", "y"))
+    n = F.col("n_nationkey").cast("long")
+    fences = _t(spark, sf_dir, "nation").select(
+        n.alias("fence_id"),
+        F.pmod(n * 317 + 41, F.lit(1000)).alias("cx"),
+        F.pmod(n * 631 + 97, F.lit(1000)).alias("cy"),
+        (F.lit(_GF_R_BASE) + F.pmod(n, F.lit(5)) * _GF_R_STEP)
+        .alias("r"))
+    out = _run_stream(
+        spark, pts,
+        lambda s: streaming.stream_geofence(s, fences, _SGF_GAP_S,
+                                            watermark=_STREAM_WM),
+        "stream_geofence_out")
+    return out.select("user_id", "fence_id",
+                      epoch_s(F.col("enter_ts")).alias("enter_s"),
+                      epoch_s(F.col("exit_ts")).alias("exit_s"),
+                      F.col("n_points").cast("long").alias("n_points"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "w2_sessionize": q_w2_sessionize,
@@ -5801,6 +5840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "areal_interp": q_areal_interp,
         "snap_segments": q_snap_segments,
         "focal_stats": q_focal_stats,
+        "stream_geofence": q_stream_geofence,
     }
 
 
@@ -12303,6 +12343,62 @@ SELECT r.event_type, r.cx, r.cy, r.v, g.f_sum, g.f_cnt, g.f_min,
        g.f_max
 FROM ras r JOIN g
   ON g.event_type = r.event_type AND g.cx = r.cx AND g.cy = r.cy
+""",
+        # streaming geofence: definitional hit join + the proven
+        # session_window replay (merge while gap <= GAP, end = last +
+        # gap, append-mode eviction at the us-resolution watermark
+        # computed over the FULL point stream)
+        "stream_geofence": f"""
+WITH p AS (
+  SELECT user_id, epoch_us(ts) AS tu,
+         (CAST(event_id AS BIGINT) * 48271 + 11) % 1000 AS x,
+         (CAST(event_id AS BIGINT) * 16807 + 523) % 1000 AS y
+  FROM events
+),
+f AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS fence_id,
+         (CAST(n_nationkey AS BIGINT) * 317 + 41) % 1000 AS cx,
+         (CAST(n_nationkey AS BIGINT) * 631 + 97) % 1000 AS cy,
+         {_GF_R_BASE} + (CAST(n_nationkey AS BIGINT) % 5)
+           * {_GF_R_STEP} AS r
+  FROM nation
+),
+h AS (
+  SELECT p.user_id, f.fence_id, p.tu
+  FROM p JOIN f
+    ON (p.x - f.cx) * (p.x - f.cx) + (p.y - f.cy) * (p.y - f.cy)
+       <= f.r * f.r
+),
+sw AS (
+  SELECT user_id, fence_id, tu,
+         CASE WHEN ptu IS NULL
+                OR tu - ptu > {_SGF_GAP_S * 1_000_000}
+              THEN 1 ELSE 0 END AS nf
+  FROM (SELECT *, lag(tu) OVER (PARTITION BY user_id, fence_id
+                                ORDER BY tu) AS ptu
+        FROM h)
+),
+sid AS (
+  SELECT user_id, fence_id, tu,
+         SUM(nf) OVER (PARTITION BY user_id, fence_id ORDER BY tu
+                       ROWS UNBOUNDED PRECEDING) AS sid
+  FROM sw
+),
+agg AS (
+  SELECT user_id, fence_id, sid, MIN(tu) AS su, MAX(tu) AS eu,
+         CAST(COUNT(*) AS BIGINT) AS n_points
+  FROM sid GROUP BY user_id, fence_id, sid
+),
+wm AS (
+  SELECT (CAST(FLOOR(MAX(tu) / 1000) AS BIGINT) - {_STREAM_WM_MS})
+           * 1000 AS wm_us
+  FROM p
+)
+SELECT user_id, fence_id, su / 1000000.0 AS enter_s,
+       (eu + {_SGF_GAP_S * 1_000_000}) / 1000000.0 AS exit_s,
+       n_points
+FROM agg CROSS JOIN wm
+WHERE eu + {_SGF_GAP_S * 1_000_000} <= wm_us
 """,
     }
 

@@ -466,3 +466,82 @@ def stream_upsert(changes_stream: DataFrame, table_path: str,
     return (changes_stream.writeStream.foreachBatch(apply)
             .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True).start())
+
+
+def stream_geofence(points_stream: DataFrame, fences: DataFrame,
+                    gap_s: int, watermark: str = "4 hours",
+                    user_col: str = "user_id", ts_col: str = "ts",
+                    x_col: str = "x", y_col: str = "y",
+                    fence_id: str = "fence_id", cx_col: str = "cx",
+                    cy_col: str = "cy", r_col: str = "r") -> DataFrame:
+    """Streaming twin of ops.geofence_visits: per (user, circular
+    fence) session-window visits over the LIVE point stream — the
+    enter/exit event feed a geofencing product actually ships.  The
+    fence membership decision is the same exact int64 dist² <= r²
+    (fences ride broadcast over their <= 9 cover cells of width
+    max-radius, so the hit test is a map-side static join and the
+    stream never shuffles for it); hits then fold into
+    F.session_window(`gap_s`) per (user, fence) — two hits belong to
+    one visit iff separated by <= gap_s, a visit closes end = last +
+    gap when the watermark passes it (append mode).  NOTE the
+    documented semantic difference from the batch op: the batch rule
+    splits a visit on any CONSECUTIVE-trace outside ping (it can see
+    the whole trace); the streaming rule is time-gap-based, the only
+    bounded-state formulation — the oracle replays the session rule,
+    not the batch rule.
+
+    Returns one row per CLOSED visit: (user, fence_id, enter_ts =
+    session start, exit_ts = session end = last + gap, n_points).
+    The watermark is declared on the point stream BEFORE the join, so
+    eviction tracks the full input's event-time high-water mark (the
+    replayable contract), not just the hit substream's.
+
+    Fence radii must be in [1, 2^29] (raise; same envelope as the
+    batch op).  100-TB posture: state is one open session per active
+    (user, fence) — bounded by live keys, evicted by the watermark;
+    the broadcast side is fence cells, a dim table.
+    """
+    fr = fences.select(F.col(fence_id).alias("_fid"),
+                       F.col(cx_col).cast("long").alias("_cx"),
+                       F.col(cy_col).cast("long").alias("_cy"),
+                       F.col(r_col).cast("long").alias("_r"))
+    lo, hi = fr.agg(F.min("_r"), F.max("_r")).collect()[0]
+    if lo is None:
+        raise ValueError("stream_geofence: fences is empty")
+    if lo < 1 or hi > (1 << 29):
+        raise ValueError(
+            "stream_geofence: fence radii must be in [1, 2^29] so "
+            "dist² stays a provable int64")
+    cw = int(hi)
+
+    def binf(c, w):
+        return ((c - F.pmod(c, F.lit(w))) / F.lit(w)).cast("long")
+
+    fcells = fr.select(
+        "_fid", "_cx", "_cy", "_r",
+        F.explode(F.sequence(binf(F.col("_cx") - F.col("_r"), cw),
+                             binf(F.col("_cx") + F.col("_r"), cw)))
+        .alias("_gx")
+    ).select(
+        "_fid", "_cx", "_cy", "_r", "_gx",
+        F.explode(F.sequence(binf(F.col("_cy") - F.col("_r"), cw),
+                             binf(F.col("_cy") + F.col("_r"), cw)))
+        .alias("_gy"))
+    pts = (points_stream
+           .withWatermark(ts_col, watermark)
+           .withColumn("_px", F.col(x_col).cast("long"))
+           .withColumn("_py", F.col(y_col).cast("long"))
+           .withColumn("_gx", binf(F.col("_px"), cw))
+           .withColumn("_gy", binf(F.col("_py"), cw)))
+    dx = F.col("_px") - F.col("_cx")
+    dy = F.col("_py") - F.col("_cy")
+    hits = (pts.join(F.broadcast(fcells), ["_gx", "_gy"])
+            .filter(dx * dx + dy * dy <= F.col("_r") * F.col("_r")))
+    gap = f"{int(gap_s)} seconds"
+    return (hits.groupBy(F.col(user_col), F.col("_fid"),
+                         F.session_window(F.col(ts_col), gap))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_points"))
+            .select(F.col(user_col), F.col("_fid").alias(fence_id),
+                    F.col("session_window.start").alias("enter_ts"),
+                    F.col("session_window.end").alias("exit_ts"),
+                    "n_points"))

@@ -439,3 +439,59 @@ def test_stream_histogram_matches_batch(spark, tmp_path_factory):
         q.stop()
     got = sorted(tuple(r) for r in spark.table("t_shist").collect())
     assert got == batch and len(got) > 4
+
+
+def test_stream_geofence_matches_session_replay(spark, tmp_path_factory):
+    """Planted scenario: u1 visits fence 1 twice (runs split by a gap
+    > gap_s), the second visit's tail is inside the watermark horizon
+    and must be WITHHELD; u2 grazes the exact boundary (dist = r, IN);
+    an outside point never hits."""
+    path = str(tmp_path_factory.mktemp("sgf") / "pts")
+    base = 1_700_000_000
+    rows = [
+        # u1 inside fence 1 (center 100,100 r 10): visit A (2 pts,
+        # 60 s apart), gap 7200 s, visit B (1 pt) — then a far-future
+        # driver row pushes the watermark past visit B's close
+        ("u1", base + 0, 100, 100), ("u1", base + 60, 105, 100),
+        ("u1", base + 7260, 100, 95),
+        # u2: exact boundary hit (dist = 10 = r)
+        ("u2", base + 0, 110, 100),
+        # u3: outside every fence but supplies the max event time
+        # (watermark anchor) far ahead
+        ("u3", base + 100_000, 500, 500),
+    ]
+    pdf = pd.DataFrame(rows, columns=["user_id", "t", "x", "y"])
+    df = spark.createDataFrame(pdf).select(
+        "user_id", F.col("t").cast("timestamp").alias("ts"), "x", "y")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    fences = spark.createDataFrame(
+        pd.DataFrame([(1, 100, 100, 10)],
+                     columns=["fence_id", "cx", "cy", "r"]))
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    q = (streaming.stream_geofence(stream, fences, gap_s=600,
+                                   watermark="1 hour")
+         .writeStream.outputMode("append").format("memory")
+         .queryName("sgf_out").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        (r["user_id"], r["fence_id"],
+         int(r["enter_ts"].timestamp()), int(r["exit_ts"].timestamp()),
+         r["n_points"])
+        for r in spark.sql("SELECT * FROM sgf_out").collect())
+    # watermark = max_ts - 1 h = base + 100000 - 3600; visit A closes
+    # at base+60+600, u2's at base+600 — both evicted; visit B closes
+    # at base+7260+600 <= wm too (100000 - 3600 = 96400 > 7860) so it
+    # IS emitted as well
+    assert got == [("u1", 1, base + 0, base + 60 + 600, 2),
+                   ("u1", 1, base + 7260, base + 7260 + 600, 1),
+                   ("u2", 1, base + 0, base + 600, 1)]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        streaming.stream_geofence(stream, fences.limit(0), gap_s=600)
+    bad = fences.withColumn("r", F.lit(0))
+    with _pt.raises(ValueError):
+        streaming.stream_geofence(stream, bad, gap_s=600)
