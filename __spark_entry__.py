@@ -5595,6 +5595,38 @@ def q_stream_geofence(spark, sf_dir):
                       F.col("n_points").cast("long").alias("n_points"))
 
 
+def q_quadrat_test(spark, sf_dir):
+    """Quadrat-count CSR test (ops.quadrat_test): per event type over
+    the derived grid points, the exact chi²-of-dispersion evidence on
+    the 10×10 quadrat partition of [0,1000)² — n, occupied quadrats,
+    Σcount², and chi2_num = n_quadrats·Σc² − n² whose comparison
+    against (n_quadrats−1)·n is the clustered-vs-regular verdict with
+    no float anywhere.  Two shrinking exchanges.  Oracle replays the
+    definition: quadrat floor-div counts, the same integer tree."""
+    return ops.quadrat_test(_grid_points(_t(spark, sf_dir, "events")),
+                            ["event_type"], "x", "y",
+                            0, 0, 1000, 1000, 10, 10)
+
+
+def q_cross_k(spark, sf_dir):
+    """Bivariate Ripley cross-K (ops.ripley_cross_k): the attraction-
+    vs-repulsion diagnostic between the 'view' and 'click' point
+    classes over the rung ladder {_RIPLEY_RADII}, exact ordered
+    cross-pair counts plus k_q = (area·pairs) div (n_a·n_b).  Same
+    exact-BIGINT contract and banding shape as ripley_k.  Oracle:
+    definitional all-cross-pairs per rung."""
+    d = _grid_points(_t(spark, sf_dir, "events"))
+    a = (d.filter(F.col("event_type") == "view")
+         .select(F.col("event_id").alias("aid"),
+                 F.col("x").alias("ax"), F.col("y").alias("ay")))
+    b = (d.filter(F.col("event_type") == "click")
+         .select(F.col("event_id").alias("bid"),
+                 F.col("x").alias("bx"), F.col("y").alias("by")))
+    return ops.ripley_cross_k(a, b, [], "aid", "ax", "ay",
+                              "bid", "bx", "by",
+                              _RIPLEY_RADII, _RIPLEY_AREA)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "w2_sessionize": q_w2_sessionize,
@@ -5841,6 +5873,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snap_segments": q_snap_segments,
         "focal_stats": q_focal_stats,
         "stream_geofence": q_stream_geofence,
+        "quadrat_test": q_quadrat_test,
+        "cross_k": q_cross_k,
     }
 
 
@@ -12399,6 +12433,63 @@ SELECT user_id, fence_id, su / 1000000.0 AS enter_s,
        n_points
 FROM agg CROSS JOIN wm
 WHERE eu + {_SGF_GAP_S * 1_000_000} <= wm_us
+""",
+        # quadrat test: definitional — floor-div quadrat counts, the
+        # same integer evidence tree
+        "quadrat_test": """
+WITH d AS (
+  SELECT event_type,
+         (CAST(event_id AS BIGINT) * 48271 + 11) % 1000 AS x,
+         (CAST(event_id AS BIGINT) * 16807 + 523) % 1000 AS y
+  FROM events
+),
+q AS (
+  SELECT event_type, x // 100 AS qx, y // 100 AS qy,
+         CAST(count(*) AS BIGINT) AS c
+  FROM d GROUP BY event_type, x // 100, y // 100
+)
+SELECT event_type, CAST(sum(c) AS BIGINT) AS n_pts,
+       CAST(100 AS BIGINT) AS n_quadrats,
+       CAST(count(*) AS BIGINT) AS occ,
+       CAST(sum(c * c) AS BIGINT) AS sum_sq,
+       100 * CAST(sum(c * c) AS BIGINT)
+         - CAST(sum(c) AS BIGINT) * CAST(sum(c) AS BIGINT)
+         AS chi2_num
+FROM q GROUP BY event_type
+""",
+        # cross-K: definitional — all cross-type pairs per rung
+        "cross_k": f"""
+WITH d AS (
+  SELECT event_type, event_id,
+         (CAST(event_id AS BIGINT) * 48271 + 11) % 1000 AS x,
+         (CAST(event_id AS BIGINT) * 16807 + 523) % 1000 AS y
+  FROM events
+),
+a AS (SELECT event_id, x, y FROM d WHERE event_type = 'view'),
+b AS (SELECT event_id, x, y FROM d WHERE event_type = 'click'),
+rungs AS (SELECT CAST(unnest({list(_RIPLEY_RADII)}) AS BIGINT) AS r),
+pr AS (
+  SELECT (b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y)
+           AS dist2
+  FROM a JOIN b
+    ON (b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y)
+       <= {_RIPLEY_RADII[-1] ** 2}
+),
+p AS (
+  SELECT rungs.r, CAST(count(*) AS BIGINT) AS n_pairs
+  FROM pr JOIN rungs ON pr.dist2 <= rungs.r * rungs.r
+  GROUP BY rungs.r
+),
+n AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_a,
+         (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_b
+)
+SELECT rungs.r, n.n_a, n.n_b,
+       CAST(COALESCE(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CASE WHEN n.n_a > 0 AND n.n_b > 0 THEN
+         ({_RIPLEY_AREA} * COALESCE(p.n_pairs, 0)) // (n.n_a * n.n_b)
+       END AS k_q
+FROM rungs CROSS JOIN n LEFT JOIN p ON p.r = rungs.r
 """,
     }
 

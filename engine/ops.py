@@ -3467,3 +3467,158 @@ def areal_interp(src: DataFrame, tgt: DataFrame, keys: Sequence[str],
                     F.coalesce(F.col("n_src"), z).alias("n_src"),
                     F.coalesce(F.col("inter_cells"), z)
                     .alias("inter_cells")))
+
+
+def quadrat_test(df: DataFrame, keys: Sequence[str],
+                 x_col: str, y_col: str,
+                 x0: int, y0: int, w: int, h: int,
+                 gx: int, gy: int) -> DataFrame:
+    """A54 — quadrat-count CSR test: partition the declared extent
+    [x0, x0+w) × [y0, y0+h) into a gx × gy quadrat grid and emit, per
+    key, the exact integer evidence for the chi² test of complete
+    spatial randomness — the oldest point-pattern test there is:
+
+      n_pts, n_quadrats = gx·gy, occ (occupied quadrats),
+      sum_sq   = Σ over quadrats of count²  (empties add 0),
+      chi2_num = n_quadrats · sum_sq − n²   (chi² = chi2_num / n —
+                 the index-of-dispersion numerator, exact; its SIGN
+                 against (n_quadrats−1)·n says clustered vs regular
+                 with no float anywhere).
+
+    Points OUTSIDE the declared extent are REJECTED with a raise —
+    silently dropping them would bias n against sum_sq and corrupt
+    the statistic; w, h must divide by gx, gy exactly (raise) so
+    every quadrat has identical area and the uniform CSR expectation
+    n/n_quadrats is the true model.
+
+    Shape: one map-side quadrat assignment (pure integer floor-divs),
+    one combinable (key, quadrat) count, one key-sized agg — two
+    exchanges total, both shrinking.  Envelope ENFORCED off the
+    key-sized agg: n per key <= 2³⁰ and n_quadrats·sum_sq < 2⁶²
+    (sum_sq <= n² makes the check exact driver-side arithmetic).
+    """
+    gx, gy = int(gx), int(gy)
+    if gx < 1 or gy < 1:
+        raise ValueError("quadrat_test: gx, gy must be >= 1")
+    if w % gx or h % gy:
+        raise ValueError(
+            "quadrat_test: w, h must divide exactly by gx, gy — "
+            "unequal quadrats break the uniform CSR expectation")
+    cw, ch = w // gx, h // gy
+    keys = list(keys)
+    px = F.col(x_col).cast("long")
+    py = F.col(y_col).cast("long")
+    oob = df.agg(F.max(F.when(
+        (px < x0) | (px >= x0 + w) | (py < y0) | (py >= y0 + h), 1)
+        .otherwise(0))).collect()[0][0]
+    if oob:
+        raise ValueError(
+            "quadrat_test: a point lies outside the declared extent "
+            "— clip or widen upstream (silent drops would bias the "
+            "statistic)")
+    q = (df.select(*keys,
+                   ((px - F.lit(x0)) / F.lit(cw)).cast("long")
+                   .alias("_qx"),
+                   ((py - F.lit(y0)) / F.lit(ch)).cast("long")
+                   .alias("_qy"))
+         .groupBy(*keys, "_qx", "_qy")
+         .agg(F.count(F.lit(1)).cast("long").alias("_c")))
+    agg = (q.groupBy(*keys)
+           .agg(F.sum("_c").cast("long").alias("n_pts"),
+                F.count(F.lit(1)).cast("long").alias("occ"),
+                F.sum(F.col("_c") * F.col("_c")).cast("long")
+                .alias("sum_sq")))
+    agg = agg.persist()
+    try:
+        nmax = agg.agg(F.max("n_pts")).collect()[0][0] or 0
+        if nmax > (1 << 30) or gx * gy * nmax * nmax >= (1 << 62):
+            raise ValueError(
+                f"quadrat_test: n_quadrats·n² breaches int64 "
+                f"(n_max={nmax}, quadrats={gx * gy}); partition the "
+                f"key or coarsen the grid")
+        nq = F.lit(gx * gy).cast("long")
+        out = agg.select(
+            *keys, "n_pts", nq.alias("n_quadrats"), "occ", "sum_sq",
+            (nq * F.col("sum_sq") - F.col("n_pts") * F.col("n_pts"))
+            .alias("chi2_num"))
+        out = out.localCheckpoint(eager=True)
+    finally:
+        agg.unpersist()
+    return out
+
+
+def ripley_cross_k(a: DataFrame, b: DataFrame, keys: Sequence[str],
+                   a_id: str, a_x: str, a_y: str,
+                   b_id: str, b_x: str, b_y: str,
+                   radii: Sequence[int], area: int) -> DataFrame:
+    """A55 — bivariate (cross-type) Ripley's K: per key and radius
+    rung, the exact count of ORDERED (a, b) pairs with dist² <= r²
+    between two DIFFERENT point types, plus the quantized estimator
+    k_q = (area·n_pairs) div (n_a·n_b) — the attraction-vs-repulsion
+    diagnostic between event classes (stores vs incidents, views vs
+    clicks) that univariate K cannot express.  Same contract as A50:
+    every number exact BIGINT, zero-pair rungs PRESENT, keys with
+    n_a·n_b = 0 emit NULL k_q; same shape (ONE banding pass at max
+    rung, ladder explode via a lambda-filtered literal array, the
+    (key × ladder) skeleton off the key-sized count aggs, no
+    crossJoin); envelope area·n_a_max·n_b_max < 2⁶² ENFORCED.
+    """
+    radii = [int(r) for r in radii]
+    if not radii or any(r < 1 for r in radii) or radii != sorted(set(radii)):
+        raise ValueError(
+            "ripley_cross_k: radii must be a non-empty strictly "
+            "ascending ladder of ints >= 1")
+    if area < 1:
+        raise ValueError("ripley_cross_k: area must be >= 1")
+    keys = list(keys)
+    rmax = radii[-1]
+    aa = a.select(*keys, F.col(a_id).alias("_aid"),
+                  F.col(a_x).cast("long").alias("_ax"),
+                  F.col(a_y).cast("long").alias("_ay"))
+    bb = b.select(*keys, F.col(b_id).alias("_bid"),
+                  F.col(b_x).cast("long").alias("_bx"),
+                  F.col(b_y).cast("long").alias("_by"))
+    rj = radius_join_2d(aa, bb, keys, "_ax", "_ay", "_bx", "_by",
+                        rmax, a_id="_aid", b_id="_bid")
+    ladder = F.array(*[F.lit(r).cast("long") for r in radii])
+    paircnt = (rj.select(
+        *keys,
+        F.explode(F.filter(ladder,
+                           lambda rr: F.col("dist2") <= rr * rr))
+        .alias("r"))
+        .groupBy(*keys, "r")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs")))
+    na = (a.groupBy(*keys)
+          .agg(F.count(F.lit(1)).cast("long").alias("n_a")))
+    nb = (b.groupBy(*keys)
+          .agg(F.count(F.lit(1)).cast("long").alias("n_b")))
+    if keys:
+        nagg = na.join(nb, keys, "outer")
+    else:
+        nagg = na.crossJoin(nb)  # two 1-row global aggs
+    nagg = nagg.select(
+        *keys,
+        F.coalesce(F.col("n_a"), F.lit(0).cast("long")).alias("n_a"),
+        F.coalesce(F.col("n_b"), F.lit(0).cast("long")).alias("n_b"))
+    nagg = nagg.persist()
+    try:
+        mx = nagg.agg(F.max("n_a"), F.max("n_b")).collect()[0]
+        if int(area) * (mx[0] or 0) * (mx[1] or 0) >= (1 << 62):
+            raise ValueError(
+                f"ripley_cross_k: area·n_a_max·n_b_max breaches "
+                f"int64 (area={area}, n_a={mx[0]}, n_b={mx[1]})")
+        skel = nagg.withColumn("r", F.explode(ladder))
+        out = (skel.join(paircnt, [*keys, "r"], "left")
+               .select(*keys, "r", "n_a", "n_b",
+                       F.coalesce(F.col("n_pairs"),
+                                  F.lit(0).cast("long"))
+                       .alias("n_pairs"))
+               .withColumn(
+                   "k_q",
+                   F.when((F.col("n_a") > 0) & (F.col("n_b") > 0),
+                          F.expr(f"({int(area)} * n_pairs) div "
+                                 "(n_a * n_b)"))))
+        out = out.localCheckpoint(eager=True)
+    finally:
+        nagg.unpersist()
+    return out

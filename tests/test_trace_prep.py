@@ -2338,3 +2338,64 @@ def test_snap_to_segments_matches_brute(spark):
     with _pt.raises(ValueError):
         spatial.snap_to_segments(pdf, long, [], "px", "py",
                                  "x1", "y1", "x2", "y2", r)
+
+
+def test_quadrat_test_matches_brute(spark):
+    rng = np.random.default_rng(71)
+    # clustered key (everything in one corner) vs scattered key
+    pts = [("c", int(rng.integers(0, 10)), int(rng.integers(0, 10)))
+           for _ in range(40)]
+    pts += [("s", int(rng.integers(0, 100)), int(rng.integers(0, 100)))
+            for _ in range(40)]
+    df = spark.createDataFrame(pd.DataFrame(pts, columns=["k", "x", "y"]))
+    gx = gy = 5
+    got = {r["k"]: (r["n_pts"], r["n_quadrats"], r["occ"], r["sum_sq"],
+                    r["chi2_num"])
+           for r in ops.quadrat_test(df, ["k"], "x", "y",
+                                     0, 0, 100, 100, gx, gy).collect()}
+    for k in ("c", "s"):
+        cnt = {}
+        for kk, x, y in pts:
+            if kk == k:
+                cnt[(x // 20, y // 20)] = cnt.get((x // 20, y // 20), 0) + 1
+        n = sum(cnt.values())
+        ss = sum(c * c for c in cnt.values())
+        assert got[k] == (n, 25, len(cnt), ss, 25 * ss - n * n), k
+    # clustered key's dispersion index exceeds CSR, scattered one is low
+    assert got["c"][4] > got["s"][4]
+    import pytest as _pt
+    with _pt.raises(ValueError):  # out-of-extent point
+        ops.quadrat_test(df, ["k"], "x", "y", 0, 0, 50, 50, 5, 5)
+    with _pt.raises(ValueError):  # non-dividing grid
+        ops.quadrat_test(df, ["k"], "x", "y", 0, 0, 100, 100, 7, 5)
+
+
+def test_ripley_cross_k_matches_brute(spark):
+    rng = np.random.default_rng(73)
+    apts = [(int(i), int(rng.integers(0, 30)), int(rng.integers(0, 30)))
+            for i in range(25)]
+    bpts = [(int(i), int(rng.integers(0, 30)), int(rng.integers(0, 30)))
+            for i in range(35)]
+    a = spark.createDataFrame(pd.DataFrame(apts, columns=["aid", "ax", "ay"]))
+    b = spark.createDataFrame(pd.DataFrame(bpts, columns=["bid", "bx", "by"]))
+    radii, area = [3, 8], 900
+    got = {r["r"]: (r["n_a"], r["n_b"], r["n_pairs"], r["k_q"])
+           for r in ops.ripley_cross_k(a, b, [], "aid", "ax", "ay",
+                                       "bid", "bx", "by",
+                                       radii, area).collect()}
+    assert len(got) == 2
+    for r in radii:
+        cnt = sum(1 for _i, ax, ay in apts for _j, bx, by in bpts
+                  if (bx - ax) ** 2 + (by - ay) ** 2 <= r * r)
+        assert got[r] == (25, 35, cnt,
+                          (area * cnt) // (25 * 35)), r
+    # empty b side -> zero pairs, NULL k_q
+    none = {r["r"]: (r["n_pairs"], r["k_q"])
+            for r in ops.ripley_cross_k(
+                a, b.filter(F.col("bid") < 0), [], "aid", "ax", "ay",
+                "bid", "bx", "by", radii, area).collect()}
+    assert none == {3: (0, None), 8: (0, None)}
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ops.ripley_cross_k(a, b, [], "aid", "ax", "ay", "bid", "bx",
+                           "by", [8, 3], area)
