@@ -595,7 +595,16 @@ def test_no_cartesian_or_rowwise_python_in_hot_plans(spark):
            "autocorr_lag1", "basket_pairs", "attribution_last_touch",
            "link_pred_cn", "rfm_segments", "od_flows", "hotspot_gi",
            "ab_test_2prop", "chi2_independence", "welch_ttest",
-           "merge_intervals", "geo_radius_join"]
+           "merge_intervals", "geo_radius_join",
+           # round-5 spatial wave (hausdorff_match excluded: its
+           # broadcast cross is an intentional BroadcastNestedLoop
+           # against a dim-sized template library)
+           "st_radius_join", "knn_join", "skyline_rows",
+           "geofence_visits", "idw_grid", "ripley_k", "knox_test",
+           "join_counts", "areal_interp", "snap_segments",
+           "focal_stats", "quadrat_test", "cross_k",
+           "comovement", "emerging_hotspots", "rect_union_area",
+           "bbox_join", "segment_join"]
     sf = "/root/testdata/sf0.001"
     bad = {}
     for name in hot:
