@@ -5627,6 +5627,66 @@ def q_cross_k(spark, sf_dir):
                               _RIPLEY_RADII, _RIPLEY_AREA)
 
 
+def q_catchment(spark, sf_dir):
+    """Network-Voronoi catchment (graph.catchment_rounds): every host
+    node assigned to the seed (node % 17 == 0) that reaches it
+    cheapest within {_SSSP_ROUNDS} Bellman-Ford rounds over the same
+    weighted host graph as sssp_weighted, ties to the smaller seed id
+    — the lexicographic-min (dist, source) pair is a well-defined
+    fixed-round quantity, replayed by the oracle as chained
+    MATERIALIZED CTE rounds with a per-round (dist, org) rank."""
+    from engine.graph import catchment_rounds
+    docs = _t(spark, sf_dir, "documents")
+    e = _pr_edges(docs).withColumn(
+        "w", (F.lit(1) + F.pmod(F.col("src") * 7 + F.col("dst") * 13,
+                                F.lit(20))).cast("long"))
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node"))).distinct())
+    return catchment_rounds(e, nodes.filter(F.col("node") % 17 == 0),
+                            rounds=_SSSP_ROUNDS)
+
+
+def _catchment_oracle_sql() -> str:
+    rounds = []
+    for i in range(_SSSP_ROUNDS):
+        rounds.append(f"""
+c{i + 1} AS MATERIALIZED (
+  SELECT node, dist, catchment FROM (
+    SELECT node, dist, catchment,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY dist, catchment) AS rk
+    FROM (
+      SELECT node, dist, catchment FROM c{i}
+      UNION ALL
+      SELECT e.dst AS node, c.dist + e.w AS dist, c.catchment
+      FROM c{i} c JOIN e ON e.src = c.node
+    )
+  ) WHERE rk = 1
+)""")
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT src, dst, CAST(1 + (src * 7 + dst * 13) % 20 AS BIGINT) AS w
+  FROM (
+    SELECT DISTINCT src, dst FROM (
+      SELECT CAST(doc_id AS BIGINT) % {_PR_NODES} AS src,
+             (CAST(doc_id AS BIGINT) * 48271) % 2147483647 % {_PR_NODES}
+               AS dst
+      FROM documents
+    ) WHERE src != dst
+  )
+),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+),
+c0 AS (
+  SELECT node, CAST(0 AS BIGINT) AS dist, node AS catchment
+  FROM nodes WHERE node % 17 = 0
+),{",".join(rounds)}
+SELECT node, dist, catchment FROM c{_SSSP_ROUNDS}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "w2_sessionize": q_w2_sessionize,
@@ -5875,6 +5935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_geofence": q_stream_geofence,
         "quadrat_test": q_quadrat_test,
         "cross_k": q_cross_k,
+        "catchment": q_catchment,
     }
 
 
@@ -12491,6 +12552,9 @@ SELECT rungs.r, n.n_a, n.n_b,
        END AS k_q
 FROM rungs CROSS JOIN n LEFT JOIN p ON p.r = rungs.r
 """,
+        # network-Voronoi catchment: chained fixed-round replay with a
+        # per-round lexicographic (dist, catchment) rank
+        "catchment": _catchment_oracle_sql(),
     }
 
 

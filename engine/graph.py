@@ -446,3 +446,68 @@ def sssp_rounds(edges: DataFrame, sources: DataFrame, rounds: int,
     finally:
         e.unpersist()
     return dist
+
+
+def catchment_rounds(edges: DataFrame, sources: DataFrame, rounds: int,
+                     src: str = "src", dst: str = "dst",
+                     w: str = "w") -> DataFrame:
+    """Network-Voronoi catchment assignment — the multi-source argmin
+    sibling of sssp_rounds: every reachable node is assigned to the
+    SOURCE that reaches it with minimum total weight within `rounds`
+    edges, ties broken by the smaller source id — facility catchment
+    areas, nearest-depot routing, service-area partitioning over a road
+    or host graph.  Returns (node, dist, catchment) with the winning
+    (dist, catchment) pair the LEXICOGRAPHIC minimum over all
+    (<= rounds)-edge paths from any source — a well-defined
+    engine-independent quantity even before convergence (the k_core /
+    sssp fixed-round contract), so the chained-CTE oracle replays every
+    round exactly.
+
+    The per-round fold is min over the (dist, source) struct — Spark's
+    struct ordering IS the lexicographic order, and the fold is
+    associative + commutative, so map-side partial aggregation stays
+    correct and only (node, dist, src) triples cross the per-round
+    exchange.  Same distributed cadence as sssp_rounds: edge table
+    min-collapsed, hash-partitioned by src once and persisted; one
+    co-located join + one combinable agg per round; eager
+    localCheckpoint keeps plan depth O(1).  Non-negative weights and
+    the rounds·max_w < 2⁶² path-sum envelope ENFORCED as in
+    sssp_rounds.
+    """
+    if rounds < 0:
+        raise ValueError("catchment_rounds: rounds must be >= 0")
+    e = (edges.select(F.col(src).cast("long").alias("src"),
+                      F.col(dst).cast("long").alias("dst"),
+                      F.col(w).cast("long").alias("w"))
+         .groupBy("src", "dst").agg(F.min("w").alias("w"))
+         .repartition(F.col("src")).persist())
+    try:
+        lim = e.agg(F.min("w"), F.max("w")).collect()[0]
+        wmin, wmax = lim[0], lim[1]
+        if wmin is not None and int(wmin) < 0:
+            raise ValueError(
+                "catchment_rounds: negative edge weight present")
+        if wmax is not None and rounds * int(wmax) >= (1 << 62):
+            raise ValueError(
+                f"catchment_rounds: rounds*max_w = "
+                f"{rounds * int(wmax)} breaches the int64 envelope")
+        dist = (sources.select(F.col("node").cast("long").alias("node"))
+                .distinct()
+                .select("node", F.lit(0).cast("long").alias("dist"),
+                        F.col("node").alias("catchment"))
+                .localCheckpoint(eager=True))
+        for _ in range(rounds):
+            relax = (dist.join(e, dist["node"] == e["src"])
+                     .select(F.col("dst").alias("node"),
+                             (dist["dist"] + F.col("w")).alias("dist"),
+                             dist["catchment"].alias("catchment")))
+            dist = (dist.unionByName(relax)
+                    .groupBy("node")
+                    .agg(F.min(F.struct("dist", "catchment"))
+                         .alias("_s"))
+                    .select("node", F.col("_s.dist").alias("dist"),
+                            F.col("_s.catchment").alias("catchment"))
+                    .localCheckpoint(eager=True))
+    finally:
+        e.unpersist()
+    return dist

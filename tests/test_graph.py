@@ -319,3 +319,50 @@ def test_link_prediction_cn_matches_brute(spark):
         {k for k, v in want.items() if v[0] >= 3}
     with pytest.raises(ValueError):
         link_prediction_cn(df, max_wedges=1)
+
+
+def test_catchment_rounds_matches_brute(spark):
+    import pandas as pd
+    import pytest as _pt
+    from pyspark.sql import functions as F
+    from engine.graph import catchment_rounds
+    # planted: node 4 is equidistant (cost 2) from seeds 0 and 1 -> tie
+    # must go to catchment 0; node 5 only reachable in round 2; node 9
+    # unreachable
+    edges = [(0, 2, 1), (2, 4, 1), (1, 3, 1), (3, 4, 1),
+             (4, 5, 7), (1, 4, 9), (9, 9, 1)]
+    e = spark.createDataFrame(
+        pd.DataFrame(edges, columns=["src", "dst", "w"]))
+    seeds = spark.createDataFrame(pd.DataFrame({"node": [0, 1]}))
+
+    def brute(rounds):
+        best = {0: (0, 0), 1: (0, 1)}
+        cur = dict(best)
+        for _ in range(rounds):
+            nxt = dict(cur)
+            for s, d, w in edges:
+                if s in cur:
+                    cand = (cur[s][0] + w, cur[s][1])
+                    if d not in nxt or cand < nxt[d]:
+                        nxt[d] = cand
+            # the engine folds old ∪ relaxed, so keep the running min
+            for k, v in cur.items():
+                if k not in nxt or v < nxt[k]:
+                    nxt[k] = v
+            cur = nxt
+        return {n: v for n, v in cur.items()}
+
+    for rounds in (0, 1, 2, 3):
+        got = {r["node"]: (r["dist"], r["catchment"])
+               for r in catchment_rounds(e, seeds, rounds).collect()}
+        assert got == brute(rounds), rounds
+    got3 = {r["node"]: (r["dist"], r["catchment"])
+            for r in catchment_rounds(e, seeds, 3).collect()}
+    assert got3[4] == (2, 0)      # the planted tie -> smaller seed
+    assert got3[5] == (9, 0)      # via node 4's winning label
+    assert 9 not in got3          # unreachable from any seed
+    with _pt.raises(ValueError):
+        catchment_rounds(e, seeds, -1)
+    neg = e.withColumn("w", F.col("w") - 5)
+    with _pt.raises(ValueError):
+        catchment_rounds(neg, seeds, 2)
