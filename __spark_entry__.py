@@ -5687,6 +5687,23 @@ SELECT node, dist, catchment FROM c{_SSSP_ROUNDS}
 """
 
 
+_COLOC_R = 25
+
+
+def q_colocation(spark, sf_dir):
+    """Co-location participation (ops.colocation_participation): for
+    every ordered pair of event types, the exact count of points with
+    a neighbor of the other type within {_COLOC_R} on the derived
+    grid, the type total, and the 2^-20-quantized participation ratio
+    — the co-location pattern-mining interestingness measure.  One
+    radius join with both type labels riding as carry, a two-level
+    partial-distinct agg, a dim-sized type-pair skeleton.  Oracle is
+    definitional: all-pairs EXISTS per (a-point, type_b)."""
+    return ops.colocation_participation(
+        _grid_points(_t(spark, sf_dir, "events")), [], "event_id",
+        "event_type", "x", "y", _COLOC_R)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "w2_sessionize": q_w2_sessionize,
@@ -5936,6 +5953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quadrat_test": q_quadrat_test,
         "cross_k": q_cross_k,
         "catchment": q_catchment,
+        "colocation": q_colocation,
     }
 
 
@@ -12555,6 +12573,37 @@ FROM rungs CROSS JOIN n LEFT JOIN p ON p.r = rungs.r
         # network-Voronoi catchment: chained fixed-round replay with a
         # per-round lexicographic (dist, catchment) rank
         "catchment": _catchment_oracle_sql(),
+        # co-location participation: definitional — EXISTS a same-key
+        # neighbor of type_b within r, per (a-point, type_b), counted
+        # distinct; full type-pair skeleton
+        "colocation": f"""
+WITH d AS (
+  SELECT event_type AS t, event_id,
+         (CAST(event_id AS BIGINT) * 48271 + 11) % 1000 AS x,
+         (CAST(event_id AS BIGINT) * 16807 + 523) % 1000 AS y
+  FROM events
+),
+hit AS (
+  SELECT DISTINCT a.t AS type_a, b.t AS type_b, a.event_id
+  FROM d a JOIN d b
+    ON a.event_id <> b.event_id
+   AND (b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y)
+       <= {_COLOC_R * _COLOC_R}
+),
+part AS (
+  SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS pr_num
+  FROM hit GROUP BY type_a, type_b
+),
+tc AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY t
+)
+SELECT ta.t AS type_a, tb.t AS type_b,
+       CAST(COALESCE(p.pr_num, 0) AS BIGINT) AS pr_num,
+       ta.n AS n_type,
+       (COALESCE(p.pr_num, 0) * {1 << 20}) // ta.n AS pr_q
+FROM tc ta CROSS JOIN tc tb
+LEFT JOIN part p ON p.type_a = ta.t AND p.type_b = tb.t
+""",
     }
 
 

@@ -3622,3 +3622,83 @@ def ripley_cross_k(a: DataFrame, b: DataFrame, keys: Sequence[str],
     finally:
         nagg.unpersist()
     return out
+
+
+def colocation_participation(df: DataFrame, keys: Sequence[str],
+                             id_col: str, type_col: str,
+                             x_col: str, y_col: str, r: int,
+                             frac_bits: int = 20) -> DataFrame:
+    """A56 — co-location participation (Shekhar-style co-location
+    pattern mining): for every ORDERED pair of point types (ta, tb),
+    the participation ratio pr(ta→tb) = |{a of type ta with >= 1
+    tb-neighbor within r}| / n_ta — the standard interestingness
+    measure for "which event classes occur near each other", with the
+    participation INDEX of the unordered pair being the min of the two
+    directions (derivable row-wise downstream since both ordered rows
+    are emitted).  Every emitted number is exact: pr_num (the
+    participating count), n_type (the denominator), and pr_q =
+    (pr_num << frac_bits) div n_type — the ratio quantized to
+    2^-frac_bits, hash-identical cross-engine.  Same-type rows
+    (ta = tb, self-pairs excluded) are included — they measure
+    within-class clustering.  Type pairs with NO participating point
+    are PRESENT with pr_num = 0 whenever both types exist in the key
+    (the zero is the repulsion signal).
+
+    Shape: ONE radius_join_2d pass with both type labels riding as
+    carry columns, self-pairs dropped, then countDistinct(a_id) per
+    (key, ta, tb) — Spark plans distinct-aggregate as a two-level
+    partial distinct, so the exchange carries (key, ta, tb, a_id)
+    rows already deduplicated map-side; the (key × type-pair)
+    skeleton is the type-count agg joined to itself per key (a
+    dim-sized frame).  Envelope: pr_num <= n_type so the shift needs
+    n_type < 2^(62-frac_bits), ENFORCED off the key-sized agg.
+    """
+    if not (1 <= int(frac_bits) <= 40):
+        raise ValueError(
+            "colocation_participation: frac_bits must be in [1, 40]")
+    keys = list(keys)
+    pts = df.select(*keys, F.col(id_col),
+                    F.col(type_col).alias("_t"),
+                    F.col(x_col).cast("long").alias("_x"),
+                    F.col(y_col).cast("long").alias("_y"))
+    a = pts.select(*keys, F.col(id_col).alias("a_id"),
+                   F.col("_t").alias("_ta"),
+                   F.col("_x").alias("_ax"), F.col("_y").alias("_ay"))
+    b = pts.select(*keys, F.col(id_col).alias("b_id"),
+                   F.col("_t").alias("_tb"),
+                   F.col("_x").alias("_bx"), F.col("_y").alias("_by"))
+    hits = (radius_join_2d(a, b, keys, "_ax", "_ay", "_bx", "_by",
+                           int(r), carry_a=["_ta"], carry_b=["_tb"])
+            .filter(F.col("a_id") != F.col("b_id")))
+    part = (hits.groupBy(*keys, "_ta", "_tb")
+            .agg(F.countDistinct("a_id").cast("long").alias("pr_num")))
+    tc = (pts.groupBy(*keys, "_t")
+          .agg(F.count(F.lit(1)).cast("long").alias("_n")))
+    tc = tc.persist()
+    try:
+        nmax = tc.agg(F.max("_n")).collect()[0][0] or 0
+        if nmax >= (1 << (62 - int(frac_bits))):
+            raise ValueError(
+                f"colocation_participation: a type holds {nmax} "
+                f"points — the << {frac_bits} shift would breach "
+                f"int64; lower frac_bits or partition the key")
+        ta = tc.select(*keys, F.col("_t").alias("_ta"),
+                       F.col("_n").alias("n_type"))
+        tb = tc.select(*keys, F.col("_t").alias("_tb"))
+        skel = ta.join(tb, keys) if keys else ta.crossJoin(tb)
+        out = (skel.join(part, [*keys, "_ta", "_tb"], "left")
+               .select(*keys,
+                       F.col("_ta").alias("type_a"),
+                       F.col("_tb").alias("type_b"),
+                       F.coalesce(F.col("pr_num"),
+                                  F.lit(0).cast("long"))
+                       .alias("pr_num"),
+                       "n_type")
+               .withColumn(
+                   "pr_q",
+                   F.expr(f"(pr_num * {1 << int(frac_bits)}) div "
+                          "n_type")))
+        out = out.localCheckpoint(eager=True)
+    finally:
+        tc.unpersist()
+    return out

@@ -2399,3 +2399,40 @@ def test_ripley_cross_k_matches_brute(spark):
     with _pt.raises(ValueError):
         ops.ripley_cross_k(a, b, [], "aid", "ax", "ay", "bid", "bx",
                            "by", [8, 3], area)
+
+
+def test_colocation_participation_matches_brute(spark):
+    rng = np.random.default_rng(79)
+    pts = [(int(i), ["A", "B", "C"][int(rng.integers(0, 3))],
+            int(rng.integers(0, 40)), int(rng.integers(0, 40)))
+           for i in range(70)]
+    # planted: type Z far from everything -> every (Z, *) and (*, Z)
+    # row PRESENT with pr_num 0; a same-type twin pair
+    pts += [(100, "Z", 900, 900), (101, "Z", 990, 990),
+            (102, "A", 500, 500), (103, "A", 503, 500)]
+    df = spark.createDataFrame(
+        pd.DataFrame(pts, columns=["i", "t", "x", "y"]))
+    r, fb = 5, 20
+    got = {(row["type_a"], row["type_b"]):
+           (row["pr_num"], row["n_type"], row["pr_q"])
+           for row in ops.colocation_participation(
+               df, [], "i", "t", "x", "y", r, frac_bits=fb).collect()}
+    types = sorted({t for _i, t, _x, _y in pts})
+    assert len(got) == len(types) ** 2
+    for ta in types:
+        for tb in types:
+            num = sum(
+                1 for i, t, x, y in pts if t == ta and any(
+                    j != i and t2 == tb
+                    and (x2 - x) ** 2 + (y2 - y) ** 2 <= r * r
+                    for j, t2, x2, y2 in pts))
+            n = sum(1 for _i, t, _x, _y in pts if t == ta)
+            assert got[(ta, tb)] == (num, n, (num << fb) // n), (ta, tb)
+    assert got[("Z", "A")] == (0, 2, 0)
+    assert got[("A", "Z")][0] == 0
+    # the planted A-twins participate in (A, A)
+    assert got[("A", "A")][0] >= 2
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ops.colocation_participation(df, [], "i", "t", "x", "y", r,
+                                     frac_bits=50)
