@@ -5704,6 +5704,20 @@ def q_colocation(spark, sf_dir):
         "event_type", "x", "y", _COLOC_R)
 
 
+def q_gyration(spark, sf_dir):
+    """Radius of gyration (ops.radius_of_gyration): per user over the
+    derived grid points, the González-Hidalgo-Barabási mobility
+    statistic as exact integer evidence — n, the centroid sums, and
+    rg² = rg2_num / n² via the algebraic expansion n·Σ(x²+y²) − (Σx)²
+    − (Σy)², plus the quantized rg2_q — ONE combinable agg; the
+    exchange carries a 6-number row per user.  Oracle replays the
+    same sums and products."""
+    ev = _t(spark, sf_dir, "events")
+    pts = _grid_points(ev).join(ev.select("event_id", "user_id"),
+                                "event_id")
+    return ops.radius_of_gyration(pts, ["user_id"], "x", "y")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "w2_sessionize": q_w2_sessionize,
@@ -5954,6 +5968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_k": q_cross_k,
         "catchment": q_catchment,
         "colocation": q_colocation,
+        "gyration": q_gyration,
     }
 
 
@@ -12603,6 +12618,28 @@ SELECT ta.t AS type_a, tb.t AS type_b,
        (COALESCE(p.pr_num, 0) * {1 << 20}) // ta.n AS pr_q
 FROM tc ta CROSS JOIN tc tb
 LEFT JOIN part p ON p.type_a = ta.t AND p.type_b = tb.t
+""",
+        # radius of gyration: same sums, same algebraic expansion
+        "gyration": """
+WITH p AS (
+  SELECT e.user_id,
+         (CAST(e.event_id AS BIGINT) * 48271 + 11) % 1000 AS x,
+         (CAST(e.event_id AS BIGINT) * 16807 + 523) % 1000 AS y
+  FROM events e
+),
+a AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_pts,
+         CAST(sum(x) AS BIGINT) AS sum_x,
+         CAST(sum(y) AS BIGINT) AS sum_y,
+         CAST(sum(x * x + y * y) AS BIGINT) AS ssq
+  FROM p GROUP BY user_id
+)
+SELECT user_id, n_pts, sum_x, sum_y,
+       n_pts * ssq - sum_x * sum_x - sum_y * sum_y AS rg2_num,
+       n_pts * n_pts AS rg2_den,
+       (n_pts * ssq - sum_x * sum_x - sum_y * sum_y)
+         // (n_pts * n_pts) AS rg2_q
+FROM a
 """,
     }
 

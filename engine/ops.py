@@ -3702,3 +3702,63 @@ def colocation_participation(df: DataFrame, keys: Sequence[str],
     finally:
         tc.unpersist()
     return out
+
+
+def radius_of_gyration(df: DataFrame, keys: Sequence[str],
+                       x_col: str, y_col: str) -> DataFrame:
+    """A57 — radius of gyration per key, the standard human-mobility
+    statistic (González-Hidalgo-Barabási): rg² = (1/n)·Σ|rᵢ − r_cm|²,
+    the second moment of a mover's visited points about their centroid
+    — THE single-number summary of how far an entity ranges.  Emitted
+    as exact integer evidence with no float anywhere:
+
+      n_pts, sum_x, sum_y  (the centroid as an exact fraction),
+      rg2_num = n·Σ(x²+y²) − (Σx)² − (Σy)²,   rg2_den = n²
+                (rg² = rg2_num / rg2_den exactly — the standard
+                 algebraic expansion clears the centroid fraction),
+      rg2_q   = rg2_num div rg2_den  (quantized for direct compare).
+
+    100-TB shape: ONE map-side-combinable aggregation — five sums and
+    a count — so the exchange carries one 6-number row per key and the
+    corpus never moves; this is the cheapest per-entity mobility
+    signal there is, and the reason it is the first feature every
+    mobility pipeline computes.  Envelope ENFORCED with a raise:
+    |coord| < 2¹⁵ and n per key <= 2¹⁵ make every term provable int64
+    ((Σx)² < 2⁶⁰, n·Σ(x²+y²) < 2⁶¹) — rescale or sub-key (e.g. per
+    month) above that.
+    """
+    keys = list(keys)
+    px = F.col(x_col).cast("long")
+    py = F.col(y_col).cast("long")
+    lim = 1 << 15
+    bad = df.agg(F.max(F.when(
+        (F.abs(px) >= lim) | (F.abs(py) >= lim), 1).otherwise(0))
+    ).collect()[0][0]
+    if bad:
+        raise ValueError(
+            "radius_of_gyration: |coordinate| >= 2^15 — (Σx)² could "
+            "breach int64; rescale upstream")
+    agg = (df.groupBy(*keys)
+           .agg(F.count(F.lit(1)).cast("long").alias("n_pts"),
+                F.sum(px).cast("long").alias("sum_x"),
+                F.sum(py).cast("long").alias("sum_y"),
+                F.sum(px * px + py * py).cast("long").alias("_ssq")))
+    agg = agg.persist()
+    try:
+        nmax = agg.agg(F.max("n_pts")).collect()[0][0] or 0
+        if nmax > lim:
+            raise ValueError(
+                f"radius_of_gyration: a key holds {nmax} points "
+                f"(> 2^15) — n·Σ(x²+y²) could breach int64; sub-key "
+                f"the entity (e.g. per month)")
+        n = F.col("n_pts")
+        num = (n * F.col("_ssq") - F.col("sum_x") * F.col("sum_x")
+               - F.col("sum_y") * F.col("sum_y"))
+        out = (agg.select(*keys, "n_pts", "sum_x", "sum_y",
+                          num.alias("rg2_num"),
+                          (n * n).alias("rg2_den"))
+               .withColumn("rg2_q", F.expr("rg2_num div rg2_den")))
+        out = out.localCheckpoint(eager=True)
+    finally:
+        agg.unpersist()
+    return out

@@ -2436,3 +2436,32 @@ def test_colocation_participation_matches_brute(spark):
     with _pt.raises(ValueError):
         ops.colocation_participation(df, [], "i", "t", "x", "y", r,
                                      frac_bits=50)
+
+
+def test_radius_of_gyration_matches_brute(spark):
+    rng = np.random.default_rng(83)
+    pts = [("u%d" % (i % 5), int(rng.integers(-100, 100)),
+            int(rng.integers(-100, 100))) for i in range(100)]
+    # planted: a stationary user (rg² = 0 exactly) and a two-point
+    # user whose rg² = (d/2)² -> num = d²·n/2... checked by formula
+    pts += [("home", 7, -3)] * 4 + [("pair", 0, 0), ("pair", 10, 0)]
+    df = spark.createDataFrame(pd.DataFrame(pts, columns=["u", "x", "y"]))
+    got = {r["u"]: (r["n_pts"], r["sum_x"], r["sum_y"], r["rg2_num"],
+                    r["rg2_den"], r["rg2_q"])
+           for r in ops.radius_of_gyration(df, ["u"], "x", "y").collect()}
+    users = sorted({u for u, _x, _y in pts})
+    assert len(got) == len(users)
+    for u in users:
+        xs = [(x, y) for uu, x, y in pts if uu == u]
+        n = len(xs)
+        sx, sy = sum(x for x, _ in xs), sum(y for _, y in xs)
+        ssq = sum(x * x + y * y for x, y in xs)
+        num = n * ssq - sx * sx - sy * sy
+        assert got[u] == (n, sx, sy, num, n * n, num // (n * n)), u
+    assert got["home"][3] == 0            # stationary: rg² exactly 0
+    # two points distance 10 apart: rg² = 25 -> num/den = 100/4
+    assert got["pair"][3] / got["pair"][4] == 25.0
+    import pytest as _pt
+    big = df.withColumn("x", F.col("x") + F.lit(1 << 16))
+    with _pt.raises(ValueError):
+        ops.radius_of_gyration(big, ["u"], "x", "y")
