@@ -5718,6 +5718,40 @@ def q_gyration(spark, sf_dir):
     return ops.radius_of_gyration(pts, ["user_id"], "x", "y")
 
 
+_DISP_EDGES = (25, 2500, 62500, 250000)
+
+
+def q_displacement(spark, sf_dir):
+    """Jump-length histogram (ops.displacement_hist): per user, exact
+    counts of consecutive-step squared displacements (trace ordered by
+    ts, event_id) over the declared dist² edge ladder {_DISP_EDGES} +
+    open tail, plus exact step totals and Σdist² — the power-law-tail
+    distribution check, all BIGINT.  One ordered window, codegen bin
+    assignment, two shrinking aggs.  Oracle replays lag + the same
+    edge-count bin rule."""
+    ev = _t(spark, sf_dir, "events")
+    pts = _grid_points(ev).join(
+        ev.select("event_id", "user_id", "ts"), "event_id")
+    return ops.displacement_hist(pts, ["user_id"],
+                                 ["ts", "event_id"], "x", "y",
+                                 _DISP_EDGES)
+
+
+def q_location_diversity(spark, sf_dir):
+    """Location diversity (ops.location_diversity): per user over the
+    40-unit cells of the derived grid, exact ping count, distinct
+    cells, the top cell (ties to the lexicographically smallest cell
+    — one struct-min agg, not a window) and the 2^-20-quantized top
+    share — the entropy-free predictability proxy.  Oracle replays
+    the cell counts and the same deterministic top pick."""
+    ev = _t(spark, sf_dir, "events")
+    pts = (_grid_points(ev)
+           .join(ev.select("event_id", "user_id"), "event_id")
+           .withColumn("cx", F.expr("x div 40"))
+           .withColumn("cy", F.expr("y div 40")))
+    return ops.location_diversity(pts, ["user_id"], "cx", "cy")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "w2_sessionize": q_w2_sessionize,
@@ -5969,6 +6003,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "catchment": q_catchment,
         "colocation": q_colocation,
         "gyration": q_gyration,
+        "displacement": q_displacement,
+        "location_diversity": q_location_diversity,
     }
 
 
@@ -12640,6 +12676,67 @@ SELECT user_id, n_pts, sum_x, sum_y,
        (n_pts * ssq - sum_x * sum_x - sum_y * sum_y)
          // (n_pts * n_pts) AS rg2_q
 FROM a
+""",
+        # displacement histogram: lag + the same edge-count bin rule
+        "displacement": f"""
+WITH p AS (
+  SELECT e.user_id, epoch_us(e.ts) AS tu, e.event_id,
+         (CAST(e.event_id AS BIGINT) * 48271 + 11) % 1000 AS x,
+         (CAST(e.event_id AS BIGINT) * 16807 + 523) % 1000 AS y
+  FROM events e
+),
+st AS (
+  SELECT user_id,
+         (x - lag(x) OVER w) * (x - lag(x) OVER w)
+           + (y - lag(y) OVER w) * (y - lag(y) OVER w) AS d2
+  FROM p
+  WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)
+),
+s2 AS (SELECT user_id, d2 FROM st WHERE d2 IS NOT NULL),
+bc AS (
+  SELECT user_id,
+         CAST(({" + ".join(f"CASE WHEN {e} <= d2 THEN 1 ELSE 0 END" for e in _DISP_EDGES)}) AS BIGINT) AS bin,
+         CAST(count(*) AS BIGINT) AS n
+  FROM s2 GROUP BY 1, 2
+),
+tot AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_steps,
+         CAST(sum(d2) AS BIGINT) AS sum_d2
+  FROM s2 GROUP BY user_id
+),
+bins AS (SELECT CAST(unnest(generate_series(0, {len(_DISP_EDGES)})) AS BIGINT) AS bin)
+SELECT t.user_id, bins.bin, t.n_steps, t.sum_d2,
+       CAST(COALESCE(bc.n, 0) AS BIGINT) AS n
+FROM tot t CROSS JOIN bins
+LEFT JOIN bc ON bc.user_id = t.user_id AND bc.bin = bins.bin
+""",
+        # location diversity: cell counts + deterministic top pick
+        "location_diversity": """
+WITH p AS (
+  SELECT e.user_id,
+         ((CAST(e.event_id AS BIGINT) * 48271 + 11) % 1000) // 40
+           AS cx,
+         ((CAST(e.event_id AS BIGINT) * 16807 + 523) % 1000) // 40
+           AS cy
+  FROM events e
+),
+c AS (
+  SELECT user_id, cx, cy, CAST(count(*) AS BIGINT) AS n
+  FROM p GROUP BY user_id, cx, cy
+),
+r AS (
+  SELECT user_id, cx, cy, n,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY n DESC, cx, cy) AS rk,
+         CAST(sum(n) OVER (PARTITION BY user_id) AS BIGINT)
+           AS n_pings,
+         CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT)
+           AS n_cells
+  FROM c
+)
+SELECT user_id, n_pings, n_cells, n AS top_count, cx AS top_cx,
+       cy AS top_cy, (n * 1048576) // n_pings AS top_share_q
+FROM r WHERE rk = 1
 """,
     }
 

@@ -3762,3 +3762,131 @@ def radius_of_gyration(df: DataFrame, keys: Sequence[str],
     finally:
         agg.unpersist()
     return out
+
+
+def displacement_hist(df: DataFrame, keys: Sequence[str],
+                      order: Sequence[str], x_col: str, y_col: str,
+                      edges: Sequence[int]) -> DataFrame:
+    """A58 — jump-length (displacement) histogram, the second classic
+    mobility distribution (with A57's radius of gyration): per key,
+    the exact count of CONSECUTIVE-step squared displacements falling
+    in each bin of a declared ascending dist²-edge ladder — bin i
+    holds steps with edges[i-1] <= dist² < edges[i] (bin 0 is
+    [0, edges[0]), the last bin is [edges[-1], ∞)) — plus the exact
+    total step count and Σdist², all BIGINT, so the whole distribution
+    hashes identically cross-engine (the power-law tail check every
+    mobility paper runs).  Keys with < 2 points emit nothing (no
+    steps exist).  Empty bins are PRESENT with n 0.
+
+    Shape: one per-key ordered window (lag) produces the steps
+    map-side; bin assignment is a lambda-filtered literal-array size
+    (pure codegen, no join); one combinable (key, bin) count plus a
+    key-sized totals agg, joined back to the (key × bin) skeleton off
+    the totals agg's explode — no crossJoin.  Envelope: |coord| <
+    2³⁰ ENFORCED (dist² < 2⁶³ provable); Σdist² wraps only past 2⁶³
+    total displacement energy, enforced via n·max_step bound check.
+    """
+    edges = [int(e) for e in edges]
+    if not edges or any(e < 1 for e in edges) or edges != sorted(set(edges)):
+        raise ValueError(
+            "displacement_hist: edges must be a non-empty strictly "
+            "ascending ladder of ints >= 1")
+    keys = list(keys)
+    lim = (1 << 30) - 1
+    px = F.col(x_col).cast("long")
+    py = F.col(y_col).cast("long")
+    bad = df.agg(F.max(F.when(
+        (F.abs(px) > lim) | (F.abs(py) > lim), 1).otherwise(0))
+    ).collect()[0][0]
+    if bad:
+        raise ValueError(
+            "displacement_hist: |coordinate| > 2^30 - 1 — dist² "
+            "could overflow int64; rescale upstream")
+    w = Window.partitionBy(*keys).orderBy(*order)
+    dx = px - F.lag(px).over(w)
+    dy = py - F.lag(py).over(w)
+    steps = (df.select(*keys, (dx * dx + dy * dy).alias("_d2"))
+             .filter(F.col("_d2").isNotNull()))
+    ladder = F.array(*[F.lit(e).cast("long") for e in edges])
+    binc = F.size(F.filter(ladder, lambda e: e <= F.col("_d2"))) \
+        .cast("long")
+    bc = (steps.withColumn("_bin", binc)
+          .groupBy(*keys, "_bin")
+          .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    tot = (steps.groupBy(*keys)
+           .agg(F.count(F.lit(1)).cast("long").alias("n_steps"),
+                F.sum("_d2").cast("long").alias("sum_d2"),
+                F.max("_d2").alias("_mx")))
+    tot = tot.persist()
+    try:
+        chk = tot.agg(F.max(F.col("n_steps") * F.col("_mx"))) \
+            .collect()[0][0]
+        if chk is not None and chk < 0:
+            raise ValueError(
+                "displacement_hist: Σdist² overflow (n·max_step "
+                "wrapped int64); partition the key")
+        nb = len(edges) + 1
+        skel = (tot.drop("_mx")
+                .withColumn("bin", F.explode(F.array(
+                    *[F.lit(i).cast("long") for i in range(nb)]))))
+        out = (skel.join(bc.withColumnRenamed("_bin", "bin"),
+                         [*keys, "bin"], "left")
+               .select(*keys, "bin", "n_steps", "sum_d2",
+                       F.coalesce(F.col("n"), F.lit(0).cast("long"))
+                       .alias("n")))
+        out = out.localCheckpoint(eager=True)
+    finally:
+        tot.unpersist()
+    return out
+
+
+def location_diversity(df: DataFrame, keys: Sequence[str],
+                       cx_col: str, cy_col: str,
+                       frac_bits: int = 20) -> DataFrame:
+    """A59 — location diversity / predictability proxy: per entity,
+    the exact count of pings, distinct visited cells, the top cell's
+    visit count (ties to the lexicographically smallest (cx, cy) —
+    deterministic), and the 2^-frac_bits-quantized top-cell share —
+    the entropy-free regularity signal (a high top share = a
+    predictable entity) every mobility/fraud pipeline computes next
+    to A57/A58.  All numbers exact BIGINT.
+
+    Shape: one combinable (key, cell) count, then ONE per-key max
+    over a struct ordered (count DESC via negation, cx, cy) — an agg,
+    not a window — plus the distinct-cell count from the same
+    cell-grain frame; two shrinking exchanges.  Envelope: n per key
+    < 2^(62-frac_bits) ENFORCED for the shift.
+    """
+    if not (1 <= int(frac_bits) <= 40):
+        raise ValueError(
+            "location_diversity: frac_bits must be in [1, 40]")
+    keys = list(keys)
+    cells = (df.groupBy(*keys, F.col(cx_col).cast("long").alias("_cx"),
+                        F.col(cy_col).cast("long").alias("_cy"))
+             .agg(F.count(F.lit(1)).cast("long").alias("_c")))
+    agg = (cells.groupBy(*keys)
+           .agg(F.sum("_c").cast("long").alias("n_pings"),
+                F.count(F.lit(1)).cast("long").alias("n_cells"),
+                F.min(F.struct((-F.col("_c")).alias("_neg"),
+                               F.col("_cx"), F.col("_cy")))
+                .alias("_top")))
+    agg = agg.persist()
+    try:
+        nmax = agg.agg(F.max("n_pings")).collect()[0][0] or 0
+        if nmax >= (1 << (62 - int(frac_bits))):
+            raise ValueError(
+                f"location_diversity: an entity holds {nmax} pings "
+                f"— the << {frac_bits} shift would breach int64")
+        out = (agg.select(
+            *keys, "n_pings", "n_cells",
+            (-F.col("_top._neg")).alias("top_count"),
+            F.col("_top._cx").alias("top_cx"),
+            F.col("_top._cy").alias("top_cy"))
+            .withColumn(
+                "top_share_q",
+                F.expr(f"(top_count * {1 << int(frac_bits)}) div "
+                       "n_pings")))
+        out = out.localCheckpoint(eager=True)
+    finally:
+        agg.unpersist()
+    return out

@@ -2465,3 +2465,75 @@ def test_radius_of_gyration_matches_brute(spark):
     big = df.withColumn("x", F.col("x") + F.lit(1 << 16))
     with _pt.raises(ValueError):
         ops.radius_of_gyration(big, ["u"], "x", "y")
+
+
+def test_displacement_hist_matches_brute(spark):
+    rng = np.random.default_rng(89)
+    rows = [("u%d" % (i % 3), int(i), int(rng.integers(0, 200)),
+             int(rng.integers(0, 200))) for i in range(60)]
+    # planted: a single-point key emits NOTHING; exact edge boundary
+    # steps (d² = edge lands in the UPPER bin)
+    rows += [("one", 0, 5, 5),
+             ("edge", 0, 0, 0), ("edge", 1, 5, 0), ("edge", 2, 5, 10)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["u", "seq", "x", "y"]))
+    edges = [25, 100]
+    got = {(r["u"], r["bin"]): (r["n_steps"], r["sum_d2"], r["n"])
+           for r in ops.displacement_hist(
+               df, ["u"], ["seq"], "x", "y", edges).collect()}
+    users = {}
+    for u, seq, x, y in rows:
+        users.setdefault(u, []).append((seq, x, y))
+    expect_keys = 0
+    for u, pts in users.items():
+        pts.sort()
+        d2s = [(pts[i + 1][1] - pts[i][1]) ** 2
+               + (pts[i + 1][2] - pts[i][2]) ** 2
+               for i in range(len(pts) - 1)]
+        if not d2s:
+            assert not any(k[0] == u for k in got)
+            continue
+        expect_keys += len(edges) + 1
+        for b in range(len(edges) + 1):
+            n = sum(1 for d in d2s
+                    if sum(1 for e in edges if e <= d) == b)
+            assert got[(u, b)] == (len(d2s), sum(d2s), n), (u, b)
+    assert len(got) == expect_keys
+    # the exact-boundary steps: d²=25 -> bin 1, d²=100 -> bin 2
+    assert got[("edge", 1)][2] == 1 and got[("edge", 2)][2] == 1
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ops.displacement_hist(df, ["u"], ["seq"], "x", "y", [100, 25])
+    big = df.withColumn("x", F.col("x") + F.lit(1 << 31))
+    with _pt.raises(ValueError):
+        ops.displacement_hist(big, ["u"], ["seq"], "x", "y", edges)
+
+
+def test_location_diversity_matches_brute(spark):
+    rng = np.random.default_rng(97)
+    rows = [("u%d" % (i % 4), int(rng.integers(0, 5)),
+             int(rng.integers(0, 5))) for i in range(80)]
+    # planted: a tie between two cells with equal counts -> the
+    # lexicographically smaller (cx, cy) must win
+    rows += [("tie", 9, 9), ("tie", 9, 9), ("tie", 3, 7), ("tie", 3, 7)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["u", "cx", "cy"]))
+    got = {r["u"]: (r["n_pings"], r["n_cells"], r["top_count"],
+                    r["top_cx"], r["top_cy"], r["top_share_q"])
+           for r in ops.location_diversity(df, ["u"], "cx",
+                                           "cy").collect()}
+    users = {}
+    for u, cx, cy in rows:
+        users.setdefault(u, {}).setdefault((cx, cy), 0)
+        users[u][(cx, cy)] += 1
+    assert len(got) == len(users)
+    for u, cells in users.items():
+        n = sum(cells.values())
+        top = min(((-c, cx, cy) for (cx, cy), c in cells.items()))
+        tc = -top[0]
+        assert got[u] == (n, len(cells), tc, top[1], top[2],
+                          (tc << 20) // n), u
+    assert got["tie"][3:5] == (3, 7)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ops.location_diversity(df, ["u"], "cx", "cy", frac_bits=60)
