@@ -5752,6 +5752,27 @@ def q_location_diversity(spark, sf_dir):
     return ops.location_diversity(pts, ["user_id"], "cx", "cy")
 
 
+def q_dissolve(spark, sf_dir):
+    """Spatial dissolve (ops.rect_components): the 25 nation-derived
+    rectangles grouped into touch-or-overlap components (closed-box
+    rule — exact-touch seams merge), each rect labeled with its
+    component's min id plus the dissolved bbox and member count.
+    Edges from one canonical-cell bbox overlap pass; components via
+    min-label pointer jumping with id-only exchanges.  Oracle replays
+    the closure as a recursive CTE + the same component aggs."""
+    n = F.col("n_nationkey").cast("long")
+    src = _t(spark, sf_dir, "nation").select(
+        n.alias("rid"),
+        F.pmod(n * 97 + 1, F.lit(900)).alias("x1"),
+        F.pmod(n * 131 + 7, F.lit(900)).alias("y1"),
+        (F.pmod(n * 97 + 1, F.lit(900)) + 40 + F.pmod(n, F.lit(60)))
+        .alias("x2"),
+        (F.pmod(n * 131 + 7, F.lit(900)) + 40
+         + F.pmod(n * 3, F.lit(60))).alias("y2"))
+    return ops.rect_components(src, [], "rid",
+                               ("x1", "y1", "x2", "y2"), cell=128)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "w2_sessionize": q_w2_sessionize,
@@ -6005,6 +6026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gyration": q_gyration,
         "displacement": q_displacement,
         "location_diversity": q_location_diversity,
+        "dissolve": q_dissolve,
     }
 
 
@@ -12737,6 +12759,47 @@ r AS (
 SELECT user_id, n_pings, n_cells, n AS top_count, cx AS top_cx,
        cy AS top_cy, (n * 1048576) // n_pings AS top_share_q
 FROM r WHERE rk = 1
+""",
+        # dissolve: recursive-CTE min-label closure over the closed-box
+        # overlap graph + same component aggs
+        "dissolve": """
+WITH RECURSIVE r AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS rid,
+         (CAST(n_nationkey AS BIGINT) * 97 + 1) % 900 AS x1,
+         (CAST(n_nationkey AS BIGINT) * 131 + 7) % 900 AS y1,
+         (CAST(n_nationkey AS BIGINT) * 97 + 1) % 900 + 40
+           + CAST(n_nationkey AS BIGINT) % 60 AS x2,
+         (CAST(n_nationkey AS BIGINT) * 131 + 7) % 900 + 40
+           + (CAST(n_nationkey AS BIGINT) * 3) % 60 AS y2
+  FROM nation
+),
+e AS (
+  SELECT a.rid AS a, b.rid AS b FROM r a JOIN r b
+    ON a.x1 <= b.x2 AND b.x1 <= a.x2
+   AND a.y1 <= b.y2 AND b.y1 <= a.y2
+),
+reach AS (
+  SELECT rid AS id, rid AS lab FROM r
+  UNION
+  SELECT reach.id, e.b AS lab FROM reach JOIN e ON e.a = reach.lab
+),
+comp AS (
+  SELECT id, CAST(min(lab) AS BIGINT) AS component_id
+  FROM reach GROUP BY id
+),
+cagg AS (
+  SELECT c.component_id, CAST(count(*) AS BIGINT) AS n_rects,
+         CAST(min(r.x1) AS BIGINT) AS comp_x1,
+         CAST(min(r.y1) AS BIGINT) AS comp_y1,
+         CAST(max(r.x2) AS BIGINT) AS comp_x2,
+         CAST(max(r.y2) AS BIGINT) AS comp_y2
+  FROM comp c JOIN r ON r.rid = c.id
+  GROUP BY c.component_id
+)
+SELECT r.rid, c.component_id, g.n_rects, g.comp_x1, g.comp_y1,
+       g.comp_x2, g.comp_y2
+FROM r JOIN comp c ON c.id = r.rid
+JOIN cagg g ON g.component_id = c.component_id
 """,
     }
 

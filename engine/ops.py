@@ -3890,3 +3890,68 @@ def location_diversity(df: DataFrame, keys: Sequence[str],
     finally:
         agg.unpersist()
     return out
+
+
+def rect_components(df: DataFrame, keys: Sequence[str], id_col: str,
+                    box: Sequence[str], cell: int,
+                    max_cells: int = 4096,
+                    max_iters: int = 16) -> DataFrame:
+    """A60 — spatial dissolve: group CLOSED integer rectangles into
+    connected components under "touches or overlaps" (closed-box
+    intersection, exact-touch seams INCLUDED — the cadastral /
+    land-parcel dissolve rule) and emit per rectangle its component
+    label plus the component's exact dissolved bounding box and
+    member count — the GIS dissolve-by-contiguity operation.  The
+    label is the component's MINIMUM rect id (deterministic,
+    engine-independent), so the oracle can replay the closure with a
+    recursive CTE.
+
+    Shape: the adjacency edges come from ONE bbox_overlap_join pass
+    (canonical-cell exactly-once, a_id < b_id halves), components
+    from min-label pointer jumping (O(log diameter) rounds, id-only
+    exchanges — ops.min_label_components), then one combinable
+    component-grain agg for the dissolved bbox; the rect table
+    shuffles once for the edge pass and once keyed by label.
+    Envelope: inherited from bbox_overlap_join (inverted boxes raise,
+    per-box cell fan-out capped at max_cells).
+    """
+    keys = list(keys)
+    if keys:
+        # component labels are per-key: prefix ids by key hash is NOT
+        # sound (collisions) — run the generic CC on composite ids is
+        # overkill here; the driver surface uses global dissolve.
+        raise ValueError(
+            "rect_components: keyed dissolve not supported — "
+            "dissolve per key by filtering upstream")
+    x1, y1, x2, y2 = box
+    r = df.select(F.col(id_col).cast("long").alias("_id"),
+                  F.col(x1).cast("long").alias("_x1"),
+                  F.col(y1).cast("long").alias("_y1"),
+                  F.col(x2).cast("long").alias("_x2"),
+                  F.col(y2).cast("long").alias("_y2"))
+    a = r.select(F.col("_id").alias("a_id"), "_x1", "_y1", "_x2",
+                 "_y2")
+    b = r.select(F.col("_id").alias("b_id"),
+                 F.col("_x1").alias("_bx1"), F.col("_y1").alias("_by1"),
+                 F.col("_x2").alias("_bx2"), F.col("_y2").alias("_by2"))
+    edges = (bbox_overlap_join(a, b, [],
+                               ("_x1", "_y1", "_x2", "_y2"),
+                               ("_bx1", "_by1", "_bx2", "_by2"),
+                               cell, max_cells=max_cells)
+             .filter(F.col("a_id") < F.col("b_id"))
+             .select(F.col("a_id").alias("a"),
+                     F.col("b_id").alias("b")))
+    nodes = r.select(F.col("_id").alias("id"))
+    labels = min_label_components(nodes, edges, max_iters=max_iters)
+    lab = labels.withColumnRenamed("id", "_id")
+    joined = r.join(lab, "_id")
+    comp = (joined.groupBy("component_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rects"),
+                 F.min("_x1").alias("comp_x1"),
+                 F.min("_y1").alias("comp_y1"),
+                 F.max("_x2").alias("comp_x2"),
+                 F.max("_y2").alias("comp_y2")))
+    return (joined.join(comp, "component_id")
+            .select(F.col("_id").alias(id_col), "component_id",
+                    "n_rects", "comp_x1", "comp_y1", "comp_x2",
+                    "comp_y2"))

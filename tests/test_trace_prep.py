@@ -2537,3 +2537,34 @@ def test_location_diversity_matches_brute(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         ops.location_diversity(df, ["u"], "cx", "cy", frac_bits=60)
+
+
+def test_rect_components_matches_brute(spark):
+    # planted: 0-1 share an exact-touch seam (x2 == x1), 1-2 overlap,
+    # 3 is isolated, 4-5 touch only at a CORNER point (still closed-
+    # box intersection -> merge)
+    rects = [(0, 0, 0, 10, 10), (1, 10, 0, 20, 10), (2, 15, 5, 30, 8),
+             (3, 100, 100, 110, 110),
+             (4, 200, 200, 210, 210), (5, 210, 210, 220, 220)]
+    df = spark.createDataFrame(pd.DataFrame(
+        rects, columns=["rid", "x1", "y1", "x2", "y2"]))
+    got = {r["rid"]: (r["component_id"], r["n_rects"], r["comp_x1"],
+                      r["comp_y1"], r["comp_x2"], r["comp_y2"])
+           for r in ops.rect_components(
+               df, [], "rid", ("x1", "y1", "x2", "y2"),
+               cell=16).collect()}
+    assert len(got) == 6
+    assert got[0] == (0, 3, 0, 0, 30, 10)
+    assert got[1] == (0, 3, 0, 0, 30, 10)
+    assert got[2] == (0, 3, 0, 0, 30, 10)
+    assert got[3] == (3, 1, 100, 100, 110, 110)
+    assert got[4] == (4, 2, 200, 200, 220, 220)
+    assert got[5] == (4, 2, 200, 200, 220, 220)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ops.rect_components(df, ["rid"], "rid",
+                            ("x1", "y1", "x2", "y2"), cell=16)
+    inv = df.withColumn("x2", F.col("x1") - 1)
+    with _pt.raises(ValueError):
+        ops.rect_components(inv, [], "rid",
+                            ("x1", "y1", "x2", "y2"), cell=16).collect()
