@@ -5773,6 +5773,22 @@ def q_dissolve(spark, sf_dir):
                                ("x1", "y1", "x2", "y2"), cell=128)
 
 
+_NND_RMAX = 60
+
+
+def q_nn_distance(spark, sf_dir):
+    """Nearest-neighbor distance statistics (ops.nn_distance_stats):
+    per event type, exact Clark-Evans evidence — matched/isolated
+    counts within {_NND_RMAX}, Σdist², max dist², and Σ⌊√dist²⌋ via
+    the exact integer sqrt (float sqrt + ±1 correction, valid for
+    d² <= 2⁵²; both engines compute the identical integer).  One
+    bounded-kNN pass at k=1 (self-pair excluded), two key-sized aggs.
+    Oracle replays the all-pairs NN rank and the same isqrt tree."""
+    d = _grid_points(_t(spark, sf_dir, "events"))
+    return ops.nn_distance_stats(d, ["event_type"], "event_id",
+                                 "x", "y", _NND_RMAX)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "w2_sessionize": q_w2_sessionize,
@@ -6027,6 +6043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "displacement": q_displacement,
         "location_diversity": q_location_diversity,
         "dissolve": q_dissolve,
+        "nn_distance": q_nn_distance,
     }
 
 
@@ -12800,6 +12817,51 @@ SELECT r.rid, c.component_id, g.n_rects, g.comp_x1, g.comp_y1,
        g.comp_x2, g.comp_y2
 FROM r JOIN comp c ON c.id = r.rid
 JOIN cagg g ON g.component_id = c.component_id
+""",
+        # NN distance stats: all-pairs NN rank + the same isqrt tree
+        "nn_distance": f"""
+WITH d AS (
+  SELECT event_type, event_id,
+         (CAST(event_id AS BIGINT) * 48271 + 11) % 1000 AS x,
+         (CAST(event_id AS BIGINT) * 16807 + 523) % 1000 AS y
+  FROM events
+),
+nn AS (
+  SELECT a.event_type, a.event_id,
+         min((b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y))
+           AS d2
+  FROM d a JOIN d b
+    ON b.event_type = a.event_type AND b.event_id <> a.event_id
+   AND (b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y)
+       <= {_NND_RMAX * _NND_RMAX}
+  GROUP BY a.event_type, a.event_id
+),
+iq AS (
+  SELECT event_type, d2,
+         CASE WHEN (s + 1) * (s + 1) <= d2 THEN s + 1
+              WHEN s * s > d2 THEN s - 1 ELSE s END AS dd
+  FROM (SELECT event_type, d2,
+               CAST(FLOOR(SQRT(CAST(d2 AS DOUBLE))) AS BIGINT) AS s
+        FROM nn)
+),
+m AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_matched,
+         CAST(sum(d2) AS BIGINT) AS sum_d2,
+         CAST(max(d2) AS BIGINT) AS max_d2,
+         CAST(sum(dd) AS BIGINT) AS sum_d
+  FROM iq GROUP BY event_type
+),
+t AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_pts
+  FROM d GROUP BY event_type
+)
+SELECT t.event_type, t.n_pts,
+       CAST(COALESCE(m.n_matched, 0) AS BIGINT) AS n_matched,
+       t.n_pts - COALESCE(m.n_matched, 0) AS n_isolated,
+       CAST(COALESCE(m.sum_d2, 0) AS BIGINT) AS sum_d2,
+       CAST(COALESCE(m.max_d2, 0) AS BIGINT) AS max_d2,
+       CAST(COALESCE(m.sum_d, 0) AS BIGINT) AS sum_d
+FROM t LEFT JOIN m ON m.event_type = t.event_type
 """,
     }
 

@@ -3955,3 +3955,79 @@ def rect_components(df: DataFrame, keys: Sequence[str], id_col: str,
             .select(F.col("_id").alias(id_col), "component_id",
                     "n_rects", "comp_x1", "comp_y1", "comp_x2",
                     "comp_y2"))
+
+
+def nn_distance_stats(df: DataFrame, keys: Sequence[str], id_col: str,
+                      x_col: str, y_col: str, r_max: int) -> DataFrame:
+    """A61 — nearest-neighbor distance statistics (the Clark-Evans
+    aggregation): per key, exact evidence about the distribution of
+    each point's nearest-neighbor distance within `r_max` — mean NN
+    distance against the CSR expectation is the classic
+    clustered-vs-regular index, and the inputs here are all exact
+    BIGINT:
+
+      n_pts, n_matched (points with a neighbor within r_max),
+      n_isolated = n_pts − n_matched (the bounded-search honesty —
+                   a relational NN is radius-bounded; isolated counts
+                   are the signal, not an error),
+      sum_d2, max_d2  (over matched points' NN dist²),
+      sum_d           (Σ floor(√dist²) — EXACT integer sqrt: float
+                       sqrt then a ±1 correction step, valid for
+                       d² < 2⁵² where double sqrt is within one ulp;
+                       both engines compute the identical integer).
+
+    The NN choice itself is deterministic under knn_join_bounded's
+    (dist2, b_id) order.  Envelope ENFORCED: r_max <= 2²⁶ keeps
+    d² <= 2⁵² (the isqrt-correction validity bound).
+
+    Shape: one J16 pass at k=1 (grid banding, id-only rank exchange),
+    one key-sized agg, one left join against the per-key totals so
+    zero-matched keys emit zeros.
+    """
+    if not (1 <= int(r_max) <= (1 << 26)):
+        raise ValueError(
+            "nn_distance_stats: r_max must be in [1, 2^26] (the "
+            "exact-isqrt envelope d² <= 2^52)")
+    keys = list(keys)
+    pts = df.select(*keys, F.col(id_col),
+                    F.col(x_col).cast("long").alias("_x"),
+                    F.col(y_col).cast("long").alias("_y"))
+    a = pts.select(*keys, F.col(id_col).alias("a_id"),
+                   F.col("_x").alias("_ax"), F.col("_y").alias("_ay"))
+    b = pts.select(*keys, F.col(id_col).alias("b_id"),
+                   F.col("_x").alias("_bx"), F.col("_y").alias("_by"))
+    # self-pairs ride at dist2 = 0 and would always win rank 1: take
+    # k=2 and keep the first non-self row per a_id
+    nn = (knn_join_bounded(a, b, keys, "_ax", "_ay", "_bx", "_by",
+                           int(r_max), 2)
+          .filter(F.col("a_id") != F.col("b_id")))
+    w = Window.partitionBy(*keys, "a_id").orderBy(
+        F.col("dist2").asc(), F.col("b_id").asc())
+    best = (nn.withColumn("_r2", F.row_number().over(w))
+            .filter(F.col("_r2") == 1))
+    s = F.expr("CAST(FLOOR(SQRT(CAST(dist2 AS DOUBLE))) AS BIGINT)")
+    isq = (F.when((s + 1) * (s + 1) <= F.col("dist2"), s + 1)
+           .when(s * s > F.col("dist2"), s - 1).otherwise(s))
+    magg = (best.withColumn("_d", isq)
+            .groupBy(*keys)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_matched"),
+                 F.sum("dist2").cast("long").alias("sum_d2"),
+                 F.max("dist2").alias("max_d2"),
+                 F.sum("_d").cast("long").alias("sum_d")))
+    tot = (pts.groupBy(*keys)
+           .agg(F.count(F.lit(1)).cast("long").alias("n_pts")))
+    z = F.lit(0).cast("long")
+    # keys=[] needs a constant join key (a crossJoin would drop the
+    # totals row entirely when NO point has a neighbor)
+    jk = keys if keys else ["_k"]
+    if not keys:
+        tot = tot.withColumn("_k", F.lit(1))
+        magg = magg.withColumn("_k", F.lit(1))
+    return tot.join(magg, jk, "left").select(
+        *keys, "n_pts",
+        F.coalesce(F.col("n_matched"), z).alias("n_matched"),
+        (F.col("n_pts") - F.coalesce(F.col("n_matched"), z))
+        .alias("n_isolated"),
+        F.coalesce(F.col("sum_d2"), z).alias("sum_d2"),
+        F.coalesce(F.col("max_d2"), z).alias("max_d2"),
+        F.coalesce(F.col("sum_d"), z).alias("sum_d"))

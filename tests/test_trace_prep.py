@@ -2568,3 +2568,44 @@ def test_rect_components_matches_brute(spark):
     with _pt.raises(ValueError):
         ops.rect_components(inv, [], "rid",
                             ("x1", "y1", "x2", "y2"), cell=16).collect()
+
+
+def test_nn_distance_stats_matches_brute(spark):
+    import math
+    rng = np.random.default_rng(101)
+    pts = [("g", int(i), int(rng.integers(0, 60)), int(rng.integers(0, 60)))
+           for i in range(50)]
+    # planted: an isolated point, a perfect-square NN distance (d=5)
+    # and a non-square one (d²=2), plus a key with NO matches at all
+    pts += [("g", 100, 500, 500),
+            ("p", 200, 0, 0), ("p", 201, 3, 4), ("p", 202, 4, 5),
+            ("lone", 300, 0, 0), ("lone", 301, 900, 900)]
+    df = spark.createDataFrame(
+        pd.DataFrame(pts, columns=["k", "i", "x", "y"]))
+    r = 8
+    got = {row["k"]: (row["n_pts"], row["n_matched"], row["n_isolated"],
+                      row["sum_d2"], row["max_d2"], row["sum_d"])
+           for row in ops.nn_distance_stats(df, ["k"], "i", "x", "y",
+                                            r).collect()}
+    assert len(got) == 3
+    for k in ("g", "p", "lone"):
+        kp = [(i, x, y) for kk, i, x, y in pts if kk == k]
+        n = len(kp)
+        d2s = []
+        for i, x, y in kp:
+            cand = [(x2 - x) ** 2 + (y2 - y) ** 2
+                    for j, x2, y2 in kp if j != i]
+            best = min(cand) if cand else None
+            if best is not None and best <= r * r:
+                d2s.append(best)
+        sd = sum(math.isqrt(v) for v in d2s)
+        want = (n, len(d2s), n - len(d2s), sum(d2s),
+                max(d2s) if d2s else 0, sd)
+        assert got[k] == want, k
+    # planted key p: NN(200)=25 (d=5 exact), NN(201)=2 (isqrt 1),
+    # NN(202)=2
+    assert got["p"] == (3, 3, 0, 29, 25, 7)
+    assert got["lone"] == (2, 0, 2, 0, 0, 0)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ops.nn_distance_stats(df, ["k"], "i", "x", "y", 1 << 27)
