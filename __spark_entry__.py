@@ -5789,6 +5789,20 @@ def q_nn_distance(spark, sf_dir):
                                  "x", "y", _NND_RMAX)
 
 
+def q_directional(spark, sf_dir):
+    """Standard-deviational-ellipse evidence (ops.directional_stats):
+    per user, the exact centered second-moment tensor (sxx/syy/sxy
+    numerators over the common denominator n²) via the same
+    n²-clearing expansion as gyration — ONE combinable agg, an
+    8-number row per user on the exchange; the ellipse itself is a
+    driver-side 2×2 eigen-solve downstream.  Oracle replays the same
+    sums and products."""
+    ev = _t(spark, sf_dir, "events")
+    pts = _grid_points(ev).join(ev.select("event_id", "user_id"),
+                                "event_id")
+    return ops.directional_stats(pts, ["user_id"], "x", "y")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "w2_sessionize": q_w2_sessionize,
@@ -6044,6 +6058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "location_diversity": q_location_diversity,
         "dissolve": q_dissolve,
         "nn_distance": q_nn_distance,
+        "directional": q_directional,
     }
 
 
@@ -12862,6 +12877,29 @@ SELECT t.event_type, t.n_pts,
        CAST(COALESCE(m.max_d2, 0) AS BIGINT) AS max_d2,
        CAST(COALESCE(m.sum_d, 0) AS BIGINT) AS sum_d
 FROM t LEFT JOIN m ON m.event_type = t.event_type
+""",
+        # directional stats: same sums, same n²-clearing expansion
+        "directional": """
+WITH p AS (
+  SELECT e.user_id,
+         (CAST(e.event_id AS BIGINT) * 48271 + 11) % 1000 AS x,
+         (CAST(e.event_id AS BIGINT) * 16807 + 523) % 1000 AS y
+  FROM events e
+),
+a AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_pts,
+         CAST(sum(x) AS BIGINT) AS sum_x,
+         CAST(sum(y) AS BIGINT) AS sum_y,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM p GROUP BY user_id
+)
+SELECT user_id, n_pts, sum_x, sum_y,
+       n_pts * sxx - sum_x * sum_x AS sxx_num,
+       n_pts * syy - sum_y * sum_y AS syy_num,
+       n_pts * sxy - sum_x * sum_y AS sxy_num
+FROM a
 """,
     }
 

@@ -4031,3 +4031,71 @@ def nn_distance_stats(df: DataFrame, keys: Sequence[str], id_col: str,
         F.coalesce(F.col("sum_d2"), z).alias("sum_d2"),
         F.coalesce(F.col("max_d2"), z).alias("max_d2"),
         F.coalesce(F.col("sum_d"), z).alias("sum_d"))
+
+
+def directional_stats(df: DataFrame, keys: Sequence[str],
+                      x_col: str, y_col: str) -> DataFrame:
+    """A62 — directional distribution (standard deviational ellipse)
+    evidence: per key, the exact centered second-moment tensor of the
+    point set — the SDE every GIS draws is the eigensystem of this
+    tensor, and emitting the tensor as exact integers (the same
+    n²-clearing expansion as A57's radius of gyration) keeps the
+    surface float-free and bit-portable; the rotation/axes are one
+    driver-side 2×2 eigen-solve downstream:
+
+      n_pts, sum_x, sum_y       (the centroid as an exact fraction),
+      sxx_num = n·Σx² − (Σx)²,
+      syy_num = n·Σy² − (Σy)²,
+      sxy_num = n·Σxy − Σx·Σy   (common denominator n² for all
+                three — Sxx = sxx_num/n² etc. exactly).
+
+    The eigenvalue-gap / anisotropy comparison is deliberately NOT
+    emitted: it is fourth-order in the inputs ((sxx−syy)² + 4·sxy²)
+    and breaches int64 for any realistic extent; with the exact
+    tensor in hand the caller computes it at whatever precision they
+    need on a per-key scalar.
+
+    100-TB shape: ONE map-side-combinable agg (six sums + a count) —
+    an 8-number row per key on the exchange, the corpus never moves.
+    Envelope ENFORCED with raises (same as A57): |coord| < 2¹⁵ and
+    n <= 2¹⁵ per key make every emitted term provable int64
+    (n·Σx² <= 2⁶⁰, (Σx)² <= 2⁶⁰, |sxy_num| <= 2⁶¹).
+    """
+    keys = list(keys)
+    px = F.col(x_col).cast("long")
+    py = F.col(y_col).cast("long")
+    lim = 1 << 15
+    bad = df.agg(F.max(F.when(
+        (F.abs(px) >= lim) | (F.abs(py) >= lim), 1).otherwise(0))
+    ).collect()[0][0]
+    if bad:
+        raise ValueError(
+            "directional_stats: |coordinate| >= 2^15 — the second-"
+            "moment products could breach int64; rescale upstream")
+    agg = (df.groupBy(*keys)
+           .agg(F.count(F.lit(1)).cast("long").alias("n_pts"),
+                F.sum(px).cast("long").alias("sum_x"),
+                F.sum(py).cast("long").alias("sum_y"),
+                F.sum(px * px).cast("long").alias("_sxx"),
+                F.sum(py * py).cast("long").alias("_syy"),
+                F.sum(px * py).cast("long").alias("_sxy")))
+    agg = agg.persist()
+    try:
+        nmax = agg.agg(F.max("n_pts")).collect()[0][0] or 0
+        if nmax > (1 << 15):
+            raise ValueError(
+                f"directional_stats: a key holds {nmax} points "
+                f"(> 2^15); sub-key the entity")
+        n = F.col("n_pts")
+        out = agg.select(
+            *keys, "n_pts", "sum_x", "sum_y",
+            (n * F.col("_sxx") - F.col("sum_x") * F.col("sum_x"))
+            .alias("sxx_num"),
+            (n * F.col("_syy") - F.col("sum_y") * F.col("sum_y"))
+            .alias("syy_num"),
+            (n * F.col("_sxy") - F.col("sum_x") * F.col("sum_y"))
+            .alias("sxy_num"))
+        out = out.localCheckpoint(eager=True)
+    finally:
+        agg.unpersist()
+    return out

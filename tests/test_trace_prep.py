@@ -2609,3 +2609,36 @@ def test_nn_distance_stats_matches_brute(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         ops.nn_distance_stats(df, ["k"], "i", "x", "y", 1 << 27)
+
+
+def test_directional_stats_matches_brute(spark):
+    rng = np.random.default_rng(103)
+    pts = [("u%d" % (i % 3), int(rng.integers(-50, 50)),
+            int(rng.integers(-50, 50))) for i in range(90)]
+    # planted: a perfectly horizontal line (syy_num = 0, sxy_num = 0)
+    # and a perfect diagonal (sxx_num == syy_num == sxy_num)
+    pts += [("h", -4, 7), ("h", 0, 7), ("h", 9, 7),
+            ("diag", 0, 0), ("diag", 5, 5), ("diag", 9, 9)]
+    df = spark.createDataFrame(pd.DataFrame(pts, columns=["u", "x", "y"]))
+    got = {r["u"]: (r["n_pts"], r["sum_x"], r["sum_y"], r["sxx_num"],
+                    r["syy_num"], r["sxy_num"])
+           for r in ops.directional_stats(df, ["u"], "x", "y").collect()}
+    users = {}
+    for u, x, y in pts:
+        users.setdefault(u, []).append((x, y))
+    assert len(got) == len(users)
+    for u, kp in users.items():
+        n = len(kp)
+        sx = sum(x for x, _ in kp)
+        sy = sum(y for _, y in kp)
+        assert got[u] == (
+            n, sx, sy,
+            n * sum(x * x for x, _ in kp) - sx * sx,
+            n * sum(y * y for _, y in kp) - sy * sy,
+            n * sum(x * y for x, y in kp) - sx * sy), u
+    assert got["h"][4] == 0 and got["h"][5] == 0
+    assert got["diag"][3] == got["diag"][4] == got["diag"][5] > 0
+    import pytest as _pt
+    big = df.withColumn("x", F.col("x") + F.lit(1 << 16))
+    with _pt.raises(ValueError):
+        ops.directional_stats(big, ["u"], "x", "y")
