@@ -5803,6 +5803,48 @@ def q_directional(spark, sf_dir):
     return ops.directional_stats(pts, ["user_id"], "x", "y")
 
 
+def q_mobility_report(spark, sf_dir):
+    """END-TO-END mobility report — the geospatial composition
+    capstone (the mobility twin of curation_pipeline): per user, ONE
+    frame joining the exact mobility triple — radius-of-gyration
+    evidence (A57), location-diversity top-share (A59), and the
+    geofence visit count + total dwell points (G5) — every number
+    exact BIGINT, every stage one of the proven oracle-checked ops,
+    composed with two broadcast-sized joins on user_id.  Users with
+    zero fence visits are PRESENT with zeros.  The oracle chains the
+    three stage oracles as CTEs over the same base tables."""
+    ev = _t(spark, sf_dir, "events")
+    pts = _grid_points(ev).join(
+        ev.select("event_id", "user_id", "ts"), "event_id")
+    gy = ops.radius_of_gyration(pts, ["user_id"], "x", "y")
+    dv = ops.location_diversity(
+        pts.withColumn("cx", F.expr("x div 40"))
+           .withColumn("cy", F.expr("y div 40")),
+        ["user_id"], "cx", "cy")
+    n = F.col("n_nationkey").cast("long")
+    fences = _t(spark, sf_dir, "nation").select(
+        n.alias("fence_id"),
+        F.pmod(n * 317 + 41, F.lit(1000)).alias("cx"),
+        F.pmod(n * 631 + 97, F.lit(1000)).alias("cy"),
+        (F.lit(_GF_R_BASE) + F.pmod(n, F.lit(5)) * _GF_R_STEP)
+        .alias("r"))
+    vis = (ops.geofence_visits(pts, fences, "user_id",
+                               ["ts", "event_id"], "x", "y", "ts")
+           .groupBy("user_id")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_visits"),
+                F.sum("n_points").cast("long").alias("visit_points")))
+    z = F.lit(0).cast("long")
+    return (gy.select("user_id", "n_pts", "rg2_num", "rg2_den", "rg2_q")
+            .join(dv.select("user_id", "n_cells", "top_count",
+                            "top_share_q"), "user_id")
+            .join(vis, "user_id", "left")
+            .select("user_id", "n_pts", "rg2_num", "rg2_den", "rg2_q",
+                    "n_cells", "top_count", "top_share_q",
+                    F.coalesce(F.col("n_visits"), z).alias("n_visits"),
+                    F.coalesce(F.col("visit_points"), z)
+                    .alias("visit_points")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "w2_sessionize": q_w2_sessionize,
@@ -6059,6 +6101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dissolve": q_dissolve,
         "nn_distance": q_nn_distance,
         "directional": q_directional,
+        "mobility_report": q_mobility_report,
     }
 
 
@@ -12900,6 +12943,86 @@ SELECT user_id, n_pts, sum_x, sum_y,
        n_pts * syy - sum_y * sum_y AS syy_num,
        n_pts * sxy - sum_x * sum_y AS sxy_num
 FROM a
+""",
+        # mobility report: the three stage oracles chained as CTEs
+        "mobility_report": f"""
+WITH d AS (
+  SELECT user_id, event_id, ts,
+         (CAST(event_id AS BIGINT) * 48271 + 11) % 1000 AS x,
+         (CAST(event_id AS BIGINT) * 16807 + 523) % 1000 AS y
+  FROM events
+),
+gy AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_pts,
+         CAST(count(*) AS BIGINT)
+           * CAST(sum(x * x + y * y) AS BIGINT)
+           - CAST(sum(x) AS BIGINT) * CAST(sum(x) AS BIGINT)
+           - CAST(sum(y) AS BIGINT) * CAST(sum(y) AS BIGINT)
+           AS rg2_num,
+         CAST(count(*) AS BIGINT) * CAST(count(*) AS BIGINT)
+           AS rg2_den
+  FROM d GROUP BY user_id
+),
+cells AS (
+  SELECT user_id, x // 40 AS cx, y // 40 AS cy,
+         CAST(count(*) AS BIGINT) AS n
+  FROM d GROUP BY user_id, x // 40, y // 40
+),
+dv AS (
+  SELECT user_id, n_pings, n_cells, n AS top_count
+  FROM (
+    SELECT user_id, cx, cy, n,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY n DESC, cx, cy) AS rk,
+           CAST(sum(n) OVER (PARTITION BY user_id) AS BIGINT)
+             AS n_pings,
+           CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT)
+             AS n_cells
+    FROM cells
+  ) WHERE rk = 1
+),
+p AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS BIGINT)
+            AS seq
+  FROM d
+),
+f AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS fence_id,
+         (CAST(n_nationkey AS BIGINT) * 317 + 41) % 1000 AS cx,
+         (CAST(n_nationkey AS BIGINT) * 631 + 97) % 1000 AS cy,
+         {_GF_R_BASE} + (CAST(n_nationkey AS BIGINT) % 5)
+                        * {_GF_R_STEP} AS r
+  FROM nation
+),
+h AS (
+  SELECT p.user_id, f.fence_id, p.seq
+  FROM p JOIN f
+    ON (p.x - f.cx) * (p.x - f.cx) + (p.y - f.cy) * (p.y - f.cy)
+       <= f.r * f.r
+),
+i AS (
+  SELECT *, seq - row_number() OVER (PARTITION BY user_id, fence_id
+                                     ORDER BY seq) AS isl
+  FROM h
+),
+vr AS (
+  SELECT user_id, fence_id, isl, CAST(count(*) AS BIGINT) AS np
+  FROM i GROUP BY user_id, fence_id, isl
+),
+vis AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_visits,
+         CAST(sum(np) AS BIGINT) AS visit_points
+  FROM vr GROUP BY user_id
+)
+SELECT gy.user_id, gy.n_pts, gy.rg2_num, gy.rg2_den,
+       gy.rg2_num // gy.rg2_den AS rg2_q,
+       dv.n_cells, dv.top_count,
+       (dv.top_count * 1048576) // dv.n_pings AS top_share_q,
+       CAST(COALESCE(vis.n_visits, 0) AS BIGINT) AS n_visits,
+       CAST(COALESCE(vis.visit_points, 0) AS BIGINT) AS visit_points
+FROM gy JOIN dv ON dv.user_id = gy.user_id
+LEFT JOIN vis ON vis.user_id = gy.user_id
 """,
     }
 
