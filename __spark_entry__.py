@@ -5845,6 +5845,26 @@ def q_mobility_report(spark, sf_dir):
                     .alias("visit_points")))
 
 
+def q_mann_kendall(spark, sf_dir):
+    """Mann–Kendall trend test (ops.mann_kendall): per 100-unit grid
+    cell, the exact S statistic and tie-corrected variance numerator
+    over the cell's daily event-count series — the monotone-trend
+    significance companion of theil_sen, pairing with
+    emerging_hotspots for the space-time-statistics corner.  Every
+    number exact BIGINT; the per-key pair surface is bucket-sized by
+    design.  Oracle replays the sign pairs and the tie sum."""
+    ev = _t(spark, sf_dir, "events")
+    d = (_grid_points(ev)
+         .join(ev.select("event_id", "ts"), "event_id")
+         .select(F.expr("x div 100").alias("qx"),
+                 F.expr("y div 100").alias("qy"),
+                 F.date_trunc("DAY", F.col("ts")).alias("day"))
+         .groupBy("qx", "qy", "day")
+         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+         .withColumn("day_us", F.unix_micros(F.col("day"))))
+    return ops.mann_kendall(d, ["qx", "qy"], "day_us", "cnt")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "w2_sessionize": q_w2_sessionize,
@@ -6102,6 +6122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nn_distance": q_nn_distance,
         "directional": q_directional,
         "mobility_report": q_mobility_report,
+        "mann_kendall": q_mann_kendall,
     }
 
 
@@ -13023,6 +13044,48 @@ SELECT gy.user_id, gy.n_pts, gy.rg2_num, gy.rg2_den,
        CAST(COALESCE(vis.visit_points, 0) AS BIGINT) AS visit_points
 FROM gy JOIN dv ON dv.user_id = gy.user_id
 LEFT JOIN vis ON vis.user_id = gy.user_id
+""",
+        # Mann-Kendall: definitional sign-pair sum + tie-corrected
+        # variance numerator
+        "mann_kendall": """
+WITH d0 AS (
+  SELECT ((CAST(event_id AS BIGINT) * 48271 + 11) % 1000) // 100
+           AS qx,
+         ((CAST(event_id AS BIGINT) * 16807 + 523) % 1000) // 100
+           AS qy,
+         epoch_us(date_trunc('day', ts)) AS day_us
+  FROM events
+),
+d AS (
+  SELECT qx, qy, day_us, CAST(count(*) AS BIGINT) AS cnt
+  FROM d0 GROUP BY qx, qy, day_us
+),
+n AS (
+  SELECT qx, qy, CAST(count(*) AS BIGINT) AS n_pts
+  FROM d GROUP BY qx, qy
+),
+s AS (
+  SELECT a.qx, a.qy,
+         CAST(sum(CASE WHEN b.cnt > a.cnt THEN 1
+                       WHEN b.cnt < a.cnt THEN -1 ELSE 0 END)
+              AS BIGINT) AS s_stat
+  FROM d a JOIN d b
+    ON b.qx = a.qx AND b.qy = a.qy AND a.day_us < b.day_us
+  GROUP BY a.qx, a.qy
+),
+t AS (
+  SELECT qx, qy,
+         CAST(sum(tg * (tg - 1) * (2 * tg + 5)) AS BIGINT) AS tiesum
+  FROM (SELECT qx, qy, cnt, CAST(count(*) AS BIGINT) AS tg
+        FROM d GROUP BY qx, qy, cnt)
+  GROUP BY qx, qy
+)
+SELECT n.qx, n.qy, n.n_pts,
+       CAST(COALESCE(s.s_stat, 0) AS BIGINT) AS s_stat,
+       n.n_pts * (n.n_pts - 1) * (2 * n.n_pts + 5) - t.tiesum
+         AS var18_num
+FROM n LEFT JOIN s ON s.qx = n.qx AND s.qy = n.qy
+JOIN t ON t.qx = n.qx AND t.qy = n.qy
 """,
     }
 

@@ -4099,3 +4099,89 @@ def directional_stats(df: DataFrame, keys: Sequence[str],
     finally:
         agg.unpersist()
     return out
+
+
+def mann_kendall(df: DataFrame, keys: Sequence[str], t_col: str,
+                 v_col: str, max_n: int = 1024) -> DataFrame:
+    """A63 — Mann–Kendall trend test, exact: per key over the series
+    ordered by `t_col`, the S statistic Σ_{i<j} sign(v_j − v_i) and
+    the tie-corrected variance numerator
+
+      var18_num = n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)
+
+    (Var(S) = var18_num/18 exactly; z is a one-scalar driver-side
+    computation downstream) — the standard monotone-trend test in
+    environmental and spatial statistics, the significance companion
+    of A46's Theil–Sen slope, every emitted number an exact BIGINT.
+    Duplicate timestamps per key are REJECTED with a raise (sign
+    pairs between simultaneous observations are ill-defined in the
+    test's derivation).
+
+    Shape: the pair surface is PER-KEY O(n²) BY DESIGN — a trend
+    series is bucket-count-sized, not corpus-sized, and the honest
+    envelope is n <= max_n (default 1024, ENFORCED off the key-sized
+    count agg; 2^20 pair rows per key worst-case) — the same
+    documented small-key contract as A47's rect_union_area; series
+    longer than that should be re-bucketed upstream.  The pair join
+    is keyed, so distinct keys parallelize perfectly; tie groups come
+    from one (key, value) count agg.  n(n−1)(2n+5) < 2⁶² holds for
+    every n <= 2²⁰, far above the enforced cap.
+    """
+    keys = list(keys)
+    d = df.select(*keys, F.col(t_col).cast("long").alias("_t"),
+                  F.col(v_col).cast("long").alias("_v"))
+    nagg = (d.groupBy(*keys)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pts"),
+                 F.countDistinct("_t").alias("_nt")))
+    nagg = nagg.persist()
+    try:
+        chk = nagg.agg(F.max("n_pts"),
+                       F.max(F.col("n_pts") - F.col("_nt"))) \
+            .collect()[0]
+        nmax, dupt = chk[0] or 0, chk[1]
+        if dupt is not None and dupt > 0:
+            raise ValueError(
+                "mann_kendall: duplicate timestamps within a key — "
+                "sign pairs between simultaneous observations are "
+                "ill-defined; aggregate per bucket upstream")
+        if nmax > int(max_n):
+            raise ValueError(
+                f"mann_kendall: a key holds {nmax} observations "
+                f"(> max_n={max_n}) — the per-key pair surface is "
+                f"O(n²) by design; re-bucket the series upstream")
+        a = d.select(*keys, F.col("_t").alias("_ta"),
+                     F.col("_v").alias("_va"))
+        b = d.select(*keys, F.col("_t").alias("_tb"),
+                     F.col("_v").alias("_vb"))
+        pairs = (a.join(b, keys) if keys else a.crossJoin(b)) \
+            .filter(F.col("_ta") < F.col("_tb"))
+        sagg = (pairs.groupBy(*keys)
+                .agg(F.sum(F.signum(F.col("_vb") - F.col("_va"))
+                           .cast("long")).alias("s_stat")))
+        ties = (d.groupBy(*keys, "_v")
+                .agg(F.count(F.lit(1)).cast("long").alias("_tg"))
+                .groupBy(*keys)
+                .agg(F.sum(F.col("_tg") * (F.col("_tg") - 1)
+                           * (2 * F.col("_tg") + 5))
+                     .cast("long").alias("_tiesum")))
+        # left joins (a 1-observation key has NO pairs -> sagg misses
+        # it); keys=[] rides a constant join key so nothing is dropped
+        base = nagg.drop("_nt")
+        jk = keys if keys else ["_k"]
+        if not keys:
+            base = base.withColumn("_k", F.lit(1))
+            sagg = sagg.withColumn("_k", F.lit(1))
+            ties = ties.withColumn("_k", F.lit(1))
+        for x in (sagg, ties):
+            base = base.join(x, jk, "left")
+        n = F.col("n_pts")
+        out = base.select(
+            *keys, "n_pts",
+            F.coalesce(F.col("s_stat"), F.lit(0).cast("long"))
+            .alias("s_stat"),
+            (n * (n - 1) * (2 * n + 5) - F.col("_tiesum"))
+            .alias("var18_num"))
+        out = out.localCheckpoint(eager=True)
+    finally:
+        nagg.unpersist()
+    return out

@@ -2642,3 +2642,45 @@ def test_directional_stats_matches_brute(spark):
     big = df.withColumn("x", F.col("x") + F.lit(1 << 16))
     with _pt.raises(ValueError):
         ops.directional_stats(big, ["u"], "x", "y")
+
+
+def test_mann_kendall_matches_brute(spark):
+    rng = np.random.default_rng(107)
+    rows = []
+    for k, gen in (("up", lambda t: t * 2 + int(rng.integers(0, 2))),
+                   ("down", lambda t: 100 - 3 * t),
+                   ("flat", lambda t: 7),
+                   ("rand", lambda t: int(rng.integers(0, 10)))):
+        for t in range(12):
+            rows.append((k, t, gen(t)))
+    rows.append(("one", 0, 5))     # single observation: S = 0
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["k", "t", "v"]))
+    got = {r["k"]: (r["n_pts"], r["s_stat"], r["var18_num"])
+           for r in ops.mann_kendall(df, ["k"], "t", "v").collect()}
+    series = {}
+    for k, t, v in rows:
+        series.setdefault(k, []).append((t, v))
+    assert len(got) == len(series)
+    for k, sv in series.items():
+        sv.sort()
+        n = len(sv)
+        s = sum((sv[j][1] > sv[i][1]) - (sv[j][1] < sv[i][1])
+                for i in range(n) for j in range(i + 1, n))
+        ties = {}
+        for _t, v in sv:
+            ties[v] = ties.get(v, 0) + 1
+        tsum = sum(t * (t - 1) * (2 * t + 5) for t in ties.values())
+        assert got[k] == (n, s, n * (n - 1) * (2 * n + 5) - tsum), k
+    assert got["up"][1] == 66          # strictly increasing: n(n-1)/2
+    assert got["down"][1] == -66
+    assert got["flat"][1] == 0
+    # all-tied series: var18_num = 0 exactly
+    assert got["flat"][2] == 0
+    assert got["one"] == (1, 0, 0)
+    import pytest as _pt
+    dup = df.union(spark.createDataFrame(
+        pd.DataFrame([("up", 3, 99)], columns=["k", "t", "v"])))
+    with _pt.raises(ValueError):
+        ops.mann_kendall(dup, ["k"], "t", "v")
+    with _pt.raises(ValueError):
+        ops.mann_kendall(df, ["k"], "t", "v", max_n=5)
