@@ -604,7 +604,11 @@ def test_no_cartesian_or_rowwise_python_in_hot_plans(spark):
            "join_counts", "areal_interp", "snap_segments",
            "focal_stats", "quadrat_test", "cross_k",
            "comovement", "emerging_hotspots", "rect_union_area",
-           "bbox_join", "segment_join"]
+           "bbox_join", "segment_join",
+           "colocation", "gyration", "displacement",
+           "location_diversity", "dissolve", "nn_distance",
+           "directional", "mann_kendall", "catchment",
+           "mobility_report"]
     sf = "/root/testdata/sf0.001"
     bad = {}
     for name in hot:
