@@ -5865,6 +5865,59 @@ def q_mann_kendall(spark, sf_dir):
     return ops.mann_kendall(d, ["qx", "qy"], "day_us", "cnt")
 
 
+def q_cdc_incr_gyration(spark, sf_dir):
+    """Incremental mobility matview over the MOR CDC table
+    (catalog.incr_gyration_apply) — the lakehouse × geospatial
+    bridge: the per-event-type mobility state (count, Σx, Σy,
+    Σ(x²+y²)) is bootstrapped from the first CDC batch's folded
+    state, maintained DIFFERENTIALLY through two more batches of
+    position upserts and deletes (only batch + affected pre-batch
+    rows ever re-read), and the gyration numerators derived at read
+    time — incremental == full recompute is the contract.  The
+    oracle recomputes from the final folded state (max-seq winners,
+    deletes dropped) with the same expansion."""
+    import tempfile
+
+    from engine import catalog
+    ev = _t(spark, sf_dir, "events")
+    e = F.col("event_id").cast("long")
+    ch = ev.select(
+        F.col("event_id").alias("k"),
+        F.col("event_type").alias("g"),
+        F.pmod(e * 48271 + 11, F.lit(1000)).alias("x"),
+        F.pmod(e * 16807 + 523, F.lit(1000)).alias("y"),
+        F.when(F.pmod(F.col("user_id"), F.lit(11)) == 0, F.lit("D"))
+         .otherwise(F.lit("U")).alias("op"),
+        F.col("event_id").alias("seq"))
+    tbl = tempfile.mkdtemp(prefix="cdc_gyr_")
+    mx = int(ch.agg(F.max("seq")).collect()[0][0])
+    t1, t2 = mx // 3, 2 * mx // 3
+    b0 = ch.filter(F.col("seq") <= t1)
+    b1 = ch.filter((F.col("seq") > t1) & (F.col("seq") <= t2))
+    b2 = ch.filter(F.col("seq") > t2)
+    catalog.write_cdc_delta(b0, tbl, 0, "k")
+    xl = F.col("x").cast("long")
+    yl = F.col("y").cast("long")
+    agg = (catalog.read_merge_on_read(spark, tbl, "k")
+           .groupBy("g").agg(F.count(F.lit(1)).cast("long")
+                             .alias("cnt"),
+                             F.sum(xl).cast("long").alias("sx"),
+                             F.sum(yl).cast("long").alias("sy"),
+                             F.sum(xl * xl + yl * yl).cast("long")
+                             .alias("ssq")))
+    for i, b in ((1, b1), (2, b2)):
+        pre = catalog.read_merge_on_read(spark, tbl, "k")
+        agg = catalog.incr_gyration_apply(agg, pre, b, "k", "g",
+                                          "x", "y")
+        catalog.write_cdc_delta(b, tbl, i, "k")
+    n = F.col("cnt")
+    return agg.select(
+        "g", "cnt", "sx", "sy", "ssq",
+        (n * F.col("ssq") - F.col("sx") * F.col("sx")
+         - F.col("sy") * F.col("sy")).alias("rg2_num"),
+        (n * n).alias("rg2_den"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "w2_sessionize": q_w2_sessionize,
@@ -6123,6 +6176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "directional": q_directional,
         "mobility_report": q_mobility_report,
         "mann_kendall": q_mann_kendall,
+        "cdc_incr_gyration": q_cdc_incr_gyration,
     }
 
 
@@ -13086,6 +13140,36 @@ SELECT n.qx, n.qy, n.n_pts,
          AS var18_num
 FROM n LEFT JOIN s ON s.qx = n.qx AND s.qy = n.qy
 JOIN t ON t.qx = n.qx AND t.qy = n.qy
+""",
+        # incremental gyration matview: full recompute from the final
+        # folded state + the same expansion (incremental == recompute)
+        "cdc_incr_gyration": """
+WITH ch AS (
+  SELECT event_id AS k, event_type AS g,
+         (CAST(event_id AS BIGINT) * 48271 + 11) % 1000 AS x,
+         (CAST(event_id AS BIGINT) * 16807 + 523) % 1000 AS y,
+         CASE WHEN ((user_id % 11) + 11) % 11 = 0 THEN 'D'
+              ELSE 'U' END AS op,
+         event_id AS seq
+  FROM events
+),
+w AS (
+  SELECT k, g, x, y, op,
+         row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rk
+  FROM ch
+),
+head AS (SELECT k, g, x, y FROM w WHERE rk = 1 AND op <> 'D'),
+a AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x + y * y) AS BIGINT) AS ssq
+  FROM head GROUP BY g
+)
+SELECT g, cnt, sx, sy, ssq,
+       cnt * ssq - sx * sx - sy * sy AS rg2_num,
+       cnt * cnt AS rg2_den
+FROM a
 """,
     }
 

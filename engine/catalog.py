@@ -806,3 +806,78 @@ def diff_snapshots(spark: SparkSession, path: str | Path,
                     F.col(f"new_{c}"))])
     return (j.filter((~ina & inb) | (ina & ~inb) | (ina & inb & changed))
             .select(*out_cols))
+
+
+def incr_gyration_apply(agg: DataFrame, state: DataFrame,
+                        batch: DataFrame, key_cols: list[str] | str,
+                        group_col: str, x_col: str, y_col: str,
+                        op_col: str = "op",
+                        seq_col: str = "seq") -> DataFrame:
+    """Incrementally maintain the per-group MOBILITY STATE — count,
+    Σx, Σy, Σ(x²+y²), the sufficient statistics of A57's radius of
+    gyration — over a CDC-upserted positions table: the lakehouse ×
+    geospatial bridge.  All four measures are plain sums, so the view
+    is SELF-MAINTAINABLE under inserts, updates AND deletes exactly
+    like incr_agg_apply's (count, sum) pair:
+
+        agg'(g) = agg(g) − contrib(old rows of batch keys)
+                         + contrib(new non-delete batch rows)
+
+    and the contract incr == full-recompute is pytest-pinned.  The
+    gyration numerator rg2_num = n·Σ(x²+y²) − (Σx)² − (Σy)² and
+    rg2_den = n² ride as derived columns at read time (A57's
+    envelope applies to the derivation: keep |coord| < 2¹⁵ and group
+    sizes <= 2¹⁵ upstream — the maintenance itself is sums-only and
+    has no product envelope).
+
+    Scale shape identical to incr_agg_apply: batch reduces per key
+    (max_by seq), old contributions via a LEFT SEMI probe of the
+    state against the batch's broadcastable key set, view update an
+    outer join of two GROUP-cardinality tables; groups whose count
+    reaches zero drop out.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    payload = [c for c in batch.columns if c not in (op_col, seq_col)]
+    others = [c for c in payload if c not in keys]
+    latest = (batch.groupBy(*keys)
+              .agg(*[F.max_by(c, seq_col).alias(c) for c in others],
+                   F.max_by(op_col, seq_col).alias(op_col)))
+    xl = F.col(x_col).cast("long")
+    yl = F.col(y_col).cast("long")
+
+    def contrib(df: DataFrame, sign: int) -> DataFrame:
+        s = F.lit(sign)
+        return (df.groupBy(group_col)
+                .agg((s * F.count(F.lit(1))).alias("d_cnt"),
+                     (s * F.sum(xl)).alias("d_sx"),
+                     (s * F.sum(yl)).alias("d_sy"),
+                     (s * F.sum(xl * xl + yl * yl)).alias("d_ssq")))
+
+    old = state.join(latest.select(*keys), keys, "left_semi")
+    delta = (contrib(old, -1)
+             .unionByName(contrib(
+                 latest.filter(F.col(op_col) != "D"), 1))
+             .groupBy(group_col)
+             .agg(F.sum("d_cnt").alias("d_cnt"),
+                  F.sum("d_sx").alias("d_sx"),
+                  F.sum("d_sy").alias("d_sy"),
+                  F.sum("d_ssq").alias("d_ssq")))
+    z = F.lit(0).cast("long")
+    merged = (agg.join(delta, group_col, "full_outer")
+              .select(
+                  F.col(group_col),
+                  (F.coalesce(F.col("cnt"), z)
+                   + F.coalesce(F.col("d_cnt"), z)).alias("cnt"),
+                  (F.coalesce(F.col("sx"), z)
+                   + F.coalesce(F.col("d_sx"), z)).alias("sx"),
+                  (F.coalesce(F.col("sy"), z)
+                   + F.coalesce(F.col("d_sy"), z)).alias("sy"),
+                  (F.coalesce(F.col("ssq"), z)
+                   + F.coalesce(F.col("d_ssq"), z)).alias("ssq"))
+              .filter(F.col("cnt") > 0))
+    return merged.select(
+        group_col,
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("sx").cast("long").alias("sx"),
+        F.col("sy").cast("long").alias("sy"),
+        F.col("ssq").cast("long").alias("ssq"))

@@ -595,3 +595,46 @@ def test_diff_changelog_reconciles_consumer(spark, tmp_path):
     want = sorted(tuple(r) for r in
                   catalog.read_merge_on_read(spark, tbl, "k").collect())
     assert got == want
+
+
+def test_incr_gyration_apply_equals_full_recompute(spark, tmp_path):
+    """The mobility matview: position upserts that MOVE a mover across
+    groups, an in-batch supersede, and deletes that empty one group —
+    incremental == full recompute of (cnt, Σx, Σy, Σx²+y²) at every
+    batch boundary."""
+    def full(state):
+        xl = F.col("x").cast("long")
+        yl = F.col("y").cast("long")
+        return state.groupBy("g").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum(xl).cast("long").alias("sx"),
+            F.sum(yl).cast("long").alias("sy"),
+            F.sum(xl * xl + yl * yl).cast("long").alias("ssq"))
+    cols = ["k", "g", "x", "y", "op", "seq"]
+    b0 = spark.createDataFrame(
+        [(1, "a", 0, 0, "U", 1), (2, "a", 10, 0, "U", 2),
+         (3, "b", 5, 5, "U", 3), (4, "c", 7, -3, "U", 4)], cols)
+    b1 = spark.createDataFrame(
+        [(2, "b", 11, 1, "U", 5),            # mover 2 leaves group a
+         (5, "a", -4, 6, "I", 6),            # new mover
+         (4, "c", 0, 0, "D", 7)], cols)      # empties group c
+    b2 = spark.createDataFrame(
+        [(3, "b", 6, 6, "U", 8), (3, "b", 8, 8, "U", 9),  # supersede
+         (1, "a", 0, 0, "D", 10)], cols)
+    tbl = str(tmp_path / "mor_gyr")
+    catalog.write_cdc_delta(b0, tbl, 0, "k")
+    agg = full(catalog.read_merge_on_read(spark, tbl, "k"))
+    for i, b in ((1, b1), (2, b2)):
+        pre = catalog.read_merge_on_read(spark, tbl, "k")
+        agg = catalog.incr_gyration_apply(agg, pre, b, "k", "g",
+                                          "x", "y")
+        catalog.write_cdc_delta(b, tbl, i, "k")
+        post = catalog.read_merge_on_read(spark, tbl, "k")
+        want = sorted(tuple(r) for r in full(post).collect())
+        got = sorted(tuple(r) for r in agg.collect())
+        assert got == want, f"after batch {i}: {got} != {want}"
+    # c emptied in b1; a holds only mover 5 after b2's delete
+    fin = {r["g"]: (r["cnt"], r["sx"], r["sy"], r["ssq"])
+           for r in agg.collect()}
+    assert set(fin) == {"a", "b"}
+    assert fin["a"] == (1, -4, 6, 52)
