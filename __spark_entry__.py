@@ -5918,6 +5918,34 @@ def q_cdc_incr_gyration(spark, sf_dir):
         (n * n).alias("rg2_den"))
 
 
+def q_toponym_match(spark, sf_dir):
+    """Toponym resolution (text.fuzzy_lookup): event-derived place
+    mentions — the true nation name with a deterministic single-char
+    deletion typo on two of every three mentions — matched against
+    the nation gazetteer at levenshtein <= 2, with is_best under the
+    (dist, gaz_id) order.  The PassJoin pigeonhole points one way:
+    the gazetteer is segmented and BROADCAST, the corpus enumerates
+    substrings and never shuffles for candidates.  Oracle is
+    definitional: all (mention × gazetteer) pairs + levenshtein."""
+    from engine import text as _text
+    e = F.col("event_id").cast("long")
+    nm = F.concat(F.lit("NATION_"),
+                  F.pmod(e, F.lit(25)).cast("string"))
+    p = (F.pmod(F.expr("CAST(event_id AS LONG) div 3"),
+                F.length(nm)) + 1)
+    mention = F.when(F.pmod(e, F.lit(3)) == 0, nm).otherwise(
+        F.concat(nm.substr(F.lit(1), (p - 1).cast("int")),
+                 nm.substr((p + 1).cast("int"), F.lit(100))))
+    corpus = _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("mention_id"),
+        mention.alias("mention"))
+    gaz = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("gaz_id"),
+        F.col("n_name").alias("name"))
+    return _text.fuzzy_lookup(corpus, gaz, "mention", "mention_id",
+                              "name", "gaz_id", max_dist=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "w2_sessionize": q_w2_sessionize,
@@ -6177,6 +6205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mobility_report": q_mobility_report,
         "mann_kendall": q_mann_kendall,
         "cdc_incr_gyration": q_cdc_incr_gyration,
+        "toponym_match": q_toponym_match,
     }
 
 
@@ -13170,6 +13199,41 @@ SELECT g, cnt, sx, sy, ssq,
        cnt * ssq - sx * sx - sy * sy AS rg2_num,
        cnt * cnt AS rg2_den
 FROM a
+""",
+        # toponym resolution: definitional all-pairs levenshtein
+        "toponym_match": """
+WITH m0 AS (
+  SELECT event_id AS mention_id,
+         'NATION_' || CAST(CAST(event_id AS BIGINT) % 25 AS VARCHAR)
+           AS nm,
+         CAST(event_id AS BIGINT) AS e
+  FROM events
+),
+m AS (
+  SELECT mention_id,
+         CASE WHEN e % 3 = 0 THEN nm
+              ELSE substr(nm, 1,
+                          CAST((e // 3) % length(nm) AS INT))
+                   || substr(nm,
+                             CAST((e // 3) % length(nm) AS INT) + 2,
+                             100)
+         END AS mention
+  FROM m0
+),
+g AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS gaz_id, n_name AS name
+  FROM nation
+),
+j AS (
+  SELECT m.mention_id, g.gaz_id,
+         CAST(levenshtein(m.mention, g.name) AS BIGINT) AS dist
+  FROM m CROSS JOIN g
+),
+f AS (SELECT * FROM j WHERE dist <= 2)
+SELECT mention_id, gaz_id, dist,
+       (row_number() OVER (PARTITION BY mention_id
+                           ORDER BY dist, gaz_id) = 1) AS is_best
+FROM f
 """,
     }
 

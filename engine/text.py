@@ -1942,3 +1942,127 @@ def phrase_search(docs: DataFrame, phrase: Sequence[str],
     return cur.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_matches"),
         F.min("start").alias("first_pos"))
+
+
+def fuzzy_lookup(corpus: DataFrame, gazetteer: DataFrame,
+                 corpus_text: str = "text", corpus_id: str = "doc_id",
+                 gaz_text: str = "name", gaz_id: str = "gaz_id",
+                 max_dist: int = 2, max_len: int = 256,
+                 max_gaz: int = 65536,
+                 tiny_envelope: int = 4096) -> DataFrame:
+    """Dim-vs-corpus edit-distance lookup — toponym / gazetteer
+    resolution (place-name normalization, brand matching, entity
+    canonicalization): every corpus string matched against a SMALL
+    reference table with levenshtein <= max_dist, plus is_best under
+    the total (dist, gaz_id) order per corpus row.  The asymmetric
+    sibling of fuzzy_pairs, with the same lossless PassJoin pigeonhole
+    pointed one way: the GAZETTEER side is cut into the d+1 canonical
+    segments (if ED(q, g) <= d, at least one of g's segments survives
+    VERBATIM in q at a start shifted by at most d), and the CORPUS
+    side enumerates substrings only at its allowed length band — so
+    candidates come from one fragment equi-join whose build side is
+    the dim-sized segment table, BROADCAST: the corpus never shuffles
+    for candidate generation, only (corpus_id, gaz_id) candidate
+    pairs reach the dedup exchange, and the verify is one JVM
+    levenshtein per candidate pair.
+
+    Gazetteer entries with len <= max_dist match within a pure length
+    band and ride a dedicated broadcast branch (fan-out n_tiny per
+    corpus row — n_tiny enforced <= tiny_envelope with a raise).
+    Corpus strings longer than max_len raise (probe fan-out is O(len)
+    — the short-string contract shared with fuzzy_pairs); gazetteer
+    size is enforced <= max_gaz (broadcastability is the design
+    premise, not an accident).
+
+    Output: (corpus_id, gaz_id, dist, is_best); corpus rows with no
+    match within max_dist emit nothing.
+    """
+    d, B = int(max_dist), int(max_dist) + 1
+    if d < 1:
+        raise ValueError("fuzzy_lookup: max_dist must be >= 1")
+    g = gazetteer.select(F.col(gaz_id).alias("_gid"),
+                         F.col(gaz_text).alias("_gs"),
+                         F.length(gaz_text).alias("_glen"))
+    ng = g.limit(int(max_gaz) + 1).count()
+    if ng == 0:
+        raise ValueError("fuzzy_lookup: gazetteer is empty")
+    if ng > int(max_gaz):
+        raise ValueError(
+            f"fuzzy_lookup: gazetteer exceeds max_gaz={max_gaz} — "
+            f"broadcastability is the design premise; use "
+            f"fuzzy_pairs-style symmetric blocking instead")
+    ntiny = g.filter(F.col("_glen") <= d).count()
+    if ntiny > int(tiny_envelope):
+        raise ValueError(
+            f"fuzzy_lookup: {ntiny} gazetteer entries of len <= "
+            f"max_dist exceed tiny_envelope={tiny_envelope}")
+    c = corpus.select(F.col(corpus_id).alias("_pid"),
+                      F.col(corpus_text).alias("_ps"),
+                      F.length(corpus_text).alias("_plen"))
+    mx = c.agg(F.max("_plen")).collect()[0][0]
+    if (mx or 0) > int(max_len):
+        raise ValueError(
+            f"fuzzy_lookup: corpus max len {mx} exceeds "
+            f"max_len={max_len} — short-string contract")
+    blen = F.floor(F.col("_glen") / B).cast("int")
+    rem = (F.col("_glen") % B).cast("int")
+    segs = (g.filter(F.col("_glen") >= B)
+            .select("_gid", "_glen",
+                    F.explode(F.transform(
+                        F.sequence(F.lit(0), F.lit(d)),
+                        lambda j: F.struct(
+                            (j * blen + F.least(j, rem) + 1)
+                            .alias("st"),
+                            F.col("_gs").substr(
+                                j * blen + F.least(j, rem) + 1,
+                                blen + (j < rem).cast("int"))
+                            .alias("frag"))))
+                    .alias("_g"))
+            .select("_gid", "_glen", F.col("_g.st").alias("_gst"),
+                    F.col("_g.frag").alias("_gfrag")))
+    qmin = F.greatest(F.lit(1),
+                      F.floor((F.col("_plen") - d) / B).cast("int"))
+    qmax = F.least(F.col("_plen"),
+                   F.ceil((F.col("_plen") + d) / B).cast("int"))
+    probe = (c.select(
+        "_pid", "_plen",
+        F.explode(F.when(qmax >= qmin, F.flatten(F.transform(
+            F.sequence(qmin, qmax),
+            lambda q: F.transform(
+                F.sequence(F.lit(1),
+                           (F.col("_plen") - q + 1).cast("int")),
+                lambda i: F.struct(
+                    i.alias("st"),
+                    F.col("_ps").substr(i, q).alias("frag"))))))
+            .otherwise(F.array().cast(
+                "array<struct<st:int,frag:string>>"))).alias("_g"))
+        .select("_pid", "_plen", F.col("_g.st").alias("_pst"),
+                F.col("_g.frag").alias("_pfrag")))
+    cand = (probe.join(
+        F.broadcast(segs),
+        (F.col("_pfrag") == F.col("_gfrag"))
+        & (F.abs(F.col("_pst") - F.col("_gst")) <= d)
+        & (F.abs(F.col("_plen") - F.col("_glen")) <= d))
+        .select("_pid", "_gid").distinct())
+    main = (cand
+            .join(c.select("_pid", "_ps"), "_pid")
+            .join(F.broadcast(g.select("_gid", "_gs")), "_gid")
+            .withColumn("dist",
+                        F.levenshtein("_ps", "_gs").cast("long"))
+            .filter(F.col("dist") <= d)
+            .select("_pid", "_gid", "dist"))
+    if ntiny > 0:
+        tinyg = g.filter(F.col("_glen") <= d)
+        tiny = (c.join(F.broadcast(tinyg),
+                       F.abs(F.col("_plen") - F.col("_glen")) <= d)
+                .withColumn("dist",
+                            F.levenshtein("_ps", "_gs").cast("long"))
+                .filter(F.col("dist") <= d)
+                .select("_pid", "_gid", "dist"))
+        main = main.unionByName(tiny).distinct()
+    w = Window.partitionBy("_pid").orderBy(F.col("dist").asc(),
+                                           F.col("_gid").asc())
+    return (main.withColumn("is_best",
+                            F.row_number().over(w) == 1)
+            .select(F.col("_pid").alias(corpus_id),
+                    F.col("_gid").alias(gaz_id), "dist", "is_best"))

@@ -1386,3 +1386,52 @@ def test_perceptual_hash_properties(spark):
     # corrupt payload flags, never fails the job
     assert out["u4"]["phash"] is None
     assert "empty media payload" in out["u4"]["decode_error"]
+
+
+def test_fuzzy_lookup_matches_brute(spark):
+    import pandas as pd
+    import pytest as _pt
+    from pyspark.sql import functions as F
+    from engine import text
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[len(b)]
+
+    gaz = [(0, "springfield"), (1, "shelbyville"), (2, "ogdenville"),
+           (3, "np"), (4, "x")]          # two tiny entries (len <= 2)
+    corp = [(100, "springfeld"),          # deletion typo -> 0
+            (101, "shelbyvile"),          # -> 1
+            (102, "ogdenville"),          # exact -> 2
+            (103, "qq"),                  # within 2 of 'np' and 'x'
+            (104, "zzzzzzzzzz")]          # no match
+    gdf = spark.createDataFrame(pd.DataFrame(gaz, columns=["gaz_id", "name"]))
+    cdf = spark.createDataFrame(
+        pd.DataFrame(corp, columns=["doc_id", "text"]))
+    got = {(r["doc_id"], r["gaz_id"]): (r["dist"], r["is_best"])
+           for r in text.fuzzy_lookup(cdf, gdf, max_dist=2).collect()}
+    brute = {}
+    for did, t in corp:
+        ms = sorted((lev(t, n), gid) for gid, n in gaz
+                    if lev(t, n) <= 2)
+        for i, (dd, gid) in enumerate(ms):
+            brute[(did, gid)] = (dd, i == 0)
+    assert got == brute
+    assert got[(100, 0)] == (1, True)
+    assert got[(102, 2)] == (0, True)
+    assert (103, 3) in got              # tiny-gazetteer branch
+    assert not any(k[0] == 104 for k in got)
+    with _pt.raises(ValueError):
+        text.fuzzy_lookup(cdf, gdf.limit(0))
+    with _pt.raises(ValueError):
+        text.fuzzy_lookup(cdf, gdf, max_gaz=2)
+    with _pt.raises(ValueError):
+        text.fuzzy_lookup(cdf, gdf, tiny_envelope=1)
+    long = cdf.withColumn("text", F.rpad("text", 500, "a"))
+    with _pt.raises(ValueError):
+        text.fuzzy_lookup(long, gdf, max_len=256)
