@@ -5946,6 +5946,21 @@ def q_toponym_match(spark, sf_dir):
                               "name", "gaz_id", max_dist=2)
 
 
+def q_heading_sectors(spark, sf_dir):
+    """Heading-sector distribution (ops.heading_sectors): per user,
+    exact counts of consecutive-step compass headings under the
+    9-class integer rule (strict-dominant-axis cardinals, exact
+    |dx|=|dy| diagonals, stationary) plus the dominant sector — the
+    'which way' leg of the mobility profile, no atan2, no float.
+    Oracle replays the lag + the same CASE tree + the same
+    deterministic dominant pick."""
+    ev = _t(spark, sf_dir, "events")
+    pts = _grid_points(ev).join(
+        ev.select("event_id", "user_id", "ts"), "event_id")
+    return ops.heading_sectors(pts, ["user_id"], ["ts", "event_id"],
+                               "x", "y")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "w2_sessionize": q_w2_sessionize,
@@ -6206,6 +6221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mann_kendall": q_mann_kendall,
         "cdc_incr_gyration": q_cdc_incr_gyration,
         "toponym_match": q_toponym_match,
+        "heading_sectors": q_heading_sectors,
     }
 
 
@@ -13234,6 +13250,46 @@ SELECT mention_id, gaz_id, dist,
        (row_number() OVER (PARTITION BY mention_id
                            ORDER BY dist, gaz_id) = 1) AS is_best
 FROM f
+""",
+        # heading sectors: lag + the same 9-class integer CASE tree
+        "heading_sectors": """
+WITH p AS (
+  SELECT e.user_id, epoch_us(e.ts) AS tu, e.event_id,
+         (CAST(e.event_id AS BIGINT) * 48271 + 11) % 1000 AS x,
+         (CAST(e.event_id AS BIGINT) * 16807 + 523) % 1000 AS y
+  FROM events e
+),
+st AS (
+  SELECT user_id, x - lag(x) OVER w AS dx, y - lag(y) OVER w AS dy
+  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)
+),
+sec AS (
+  SELECT user_id,
+         CAST(CASE
+           WHEN dx = 0 AND dy = 0 THEN 0
+           WHEN abs(dx) = abs(dy) AND dx > 0 AND dy > 0 THEN 2
+           WHEN abs(dx) = abs(dy) AND dx < 0 AND dy > 0 THEN 4
+           WHEN abs(dx) = abs(dy) AND dx < 0 AND dy < 0 THEN 6
+           WHEN abs(dx) = abs(dy) AND dx > 0 AND dy < 0 THEN 8
+           WHEN abs(dx) > abs(dy) AND dx > 0 THEN 1
+           WHEN abs(dx) > abs(dy) AND dx < 0 THEN 5
+           WHEN dy > 0 THEN 3 ELSE 7 END AS BIGINT) AS sector
+  FROM st WHERE dx IS NOT NULL
+),
+c AS (
+  SELECT user_id, sector, CAST(count(*) AS BIGINT) AS n
+  FROM sec GROUP BY user_id, sector
+),
+d AS (
+  SELECT user_id, sector AS dom_sector,
+         CAST(sum(n) OVER (PARTITION BY user_id) AS BIGINT)
+           AS n_steps,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY n DESC, sector) AS rk
+  FROM c
+)
+SELECT c.user_id, c.sector, c.n, d.dom_sector, d.n_steps
+FROM c JOIN d ON d.user_id = c.user_id AND d.rk = 1
 """,
     }
 

@@ -4185,3 +4185,60 @@ def mann_kendall(df: DataFrame, keys: Sequence[str], t_col: str,
     finally:
         nagg.unpersist()
     return out
+
+
+def heading_sectors(df: DataFrame, keys: Sequence[str],
+                    order: Sequence[str], x_col: str,
+                    y_col: str) -> DataFrame:
+    """A64 — movement-direction distribution: classify every
+    consecutive step of each key's trace into one of NINE exact
+    heading classes — the 4 cardinal sectors (strict dominant axis),
+    the 4 exact diagonals (|dx| = |dy|), and stationary (dx = dy = 0)
+    — and emit per (key, sector) the exact step count plus per key
+    the dominant sector (max count, ties to the smallest sector id).
+    Every decision is an integer sign or magnitude comparison — no
+    atan2, no float, so the distribution is bit-portable; the
+    boundary rule (diagonal iff EXACTLY |dx| = |dy|) is part of the
+    contract, not an implementation accident.  Sector ids: 0 stay,
+    1 E, 2 NE, 3 N, 4 NW, 5 W, 6 SW, 7 S, 8 SE.
+
+    With A57 (how far), A58 (how long the jumps) and A59 (how
+    concentrated), this completes the per-entity movement profile:
+    which WAY.  Shape: one per-key ordered lag window, a map-side
+    CASE tree, one combinable (key, sector) count, and the dominant
+    pick as a struct-min agg over (-n, sector) — two shrinking
+    exchanges, no window beyond the lag.  Keys with < 2 points emit
+    nothing; sectors with zero steps are absent (the distribution is
+    sparse by nature; callers densify against the 9-row literal if
+    needed).
+    """
+    keys = list(keys)
+    w = Window.partitionBy(*keys).orderBy(*order)
+    px = F.col(x_col).cast("long")
+    py = F.col(y_col).cast("long")
+    dx = px - F.lag(px).over(w)
+    dy = py - F.lag(py).over(w)
+    adx, ady = F.abs(dx), F.abs(dy)
+    sector = (F.when(dx.isNull(), None)
+              .when((dx == 0) & (dy == 0), 0)
+              .when((adx == ady) & (dx > 0) & (dy > 0), 2)
+              .when((adx == ady) & (dx < 0) & (dy > 0), 4)
+              .when((adx == ady) & (dx < 0) & (dy < 0), 6)
+              .when((adx == ady) & (dx > 0) & (dy < 0), 8)
+              .when((adx > ady) & (dx > 0), 1)
+              .when((adx > ady) & (dx < 0), 5)
+              .when(dy > 0, 3)
+              .otherwise(7)).cast("long")
+    steps = (df.select(*keys, sector.alias("_sec"))
+             .filter(F.col("_sec").isNotNull()))
+    cnt = (steps.groupBy(*keys, "_sec")
+           .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    dom = (cnt.groupBy(*keys)
+           .agg(F.min(F.struct((-F.col("n")).alias("_neg"),
+                               F.col("_sec"))).alias("_d"),
+                F.sum("n").cast("long").alias("n_steps")))
+    dom = dom.select(*keys, F.col("_d._sec").alias("dom_sector"),
+                     "n_steps")
+    return (cnt.join(dom, keys) if keys else cnt.crossJoin(dom)) \
+        .select(*keys, F.col("_sec").alias("sector"), "n",
+                "dom_sector", "n_steps")

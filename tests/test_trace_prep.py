@@ -2684,3 +2684,55 @@ def test_mann_kendall_matches_brute(spark):
         ops.mann_kendall(dup, ["k"], "t", "v")
     with _pt.raises(ValueError):
         ops.mann_kendall(df, ["k"], "t", "v", max_n=5)
+
+
+def test_heading_sectors_matches_brute(spark):
+    # planted walk hitting every class: E, NE(exact diag), N, NW, W,
+    # SW, S, SE, stay
+    walk = [(0, 0), (5, 0), (8, 3), (8, 9), (5, 12), (0, 11),
+            (-4, 7), (-4, 0), (1, -5), (1, -5)]
+    rows = [("w", i, x, y) for i, (x, y) in enumerate(walk)]
+    rng = np.random.default_rng(109)
+    rows += [("r", int(i), int(rng.integers(-20, 20)),
+              int(rng.integers(-20, 20))) for i in range(40)]
+    rows += [("one", 0, 7, 7)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["u", "seq", "x", "y"]))
+    out = ops.heading_sectors(df, ["u"], ["seq"], "x", "y").collect()
+    got = {(r["u"], r["sector"]): (r["n"], r["dom_sector"],
+                                   r["n_steps"]) for r in out}
+
+    def classify(dx, dy):
+        if dx == 0 and dy == 0:
+            return 0
+        if abs(dx) == abs(dy):
+            return {(1, 1): 2, (-1, 1): 4, (-1, -1): 6,
+                    (1, -1): 8}[(dx > 0) - (dx < 0),
+                                (dy > 0) - (dy < 0)]
+        if abs(dx) > abs(dy):
+            return 1 if dx > 0 else 5
+        return 3 if dy > 0 else 7
+
+    users = {}
+    for u, seq, x, y in rows:
+        users.setdefault(u, []).append((seq, x, y))
+    for u, pts in users.items():
+        pts.sort()
+        secs = [classify(pts[i + 1][1] - pts[i][1],
+                         pts[i + 1][2] - pts[i][2])
+                for i in range(len(pts) - 1)]
+        if not secs:
+            assert not any(k[0] == u for k in got)
+            continue
+        cnt = {}
+        for s in secs:
+            cnt[s] = cnt.get(s, 0) + 1
+        dom = min((-n, s) for s, n in cnt.items())[1]
+        for s, n in cnt.items():
+            assert got[(u, s)] == (n, dom, len(secs)), (u, s)
+    # the planted walk visits all 9 classes exactly once each; the
+    # dominant tie across all nine resolves to the smallest id (0)
+    wrows = {k[1]: v for k, v in got.items() if k[0] == "w"}
+    assert set(wrows) == set(range(9))
+    assert all(v[0] == 1 and v[1] == 0 for v in wrows.values())
+    assert not any(k[0] == "one" for k in got)
