@@ -608,7 +608,8 @@ def test_no_cartesian_or_rowwise_python_in_hot_plans(spark):
            "colocation", "gyration", "displacement",
            "location_diversity", "dissolve", "nn_distance",
            "directional", "mann_kendall", "catchment",
-           "mobility_report"]
+           "mobility_report", "toponym_match", "heading_sectors",
+           "cdc_incr_gyration"]
     sf = "/root/testdata/sf0.001"
     bad = {}
     for name in hot:
