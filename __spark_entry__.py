@@ -5317,7 +5317,7 @@ def q_st_dbscan(spark, sf_dir):
 
 _KNN_R, _KNN_K = 80, 3
 _GF_R_BASE, _GF_R_STEP = 40, 20
-_IDW_R, _IDW_WBITS = 50, 20
+_IDW_R, _IDW_WBITS = 50, 12
 
 
 def q_knn_join(spark, sf_dir):
@@ -5390,7 +5390,8 @@ def q_idw_grid(spark, sf_dir):
         F.pmod(s * 389 + 7, F.lit(1000)).alias("tx"),
         F.pmod(s * 911 + 3, F.lit(1000)).alias("ty"))
     return ops.idw_quantized(tgt, src, [], "tx", "ty", "x", "y", "v",
-                             _IDW_R, w_bits=_IDW_WBITS)
+                             _IDW_R, w_bits=_IDW_WBITS,
+                             max_neighbors=1 << (62 - _IDW_WBITS - 31))
 
 
 _RIPLEY_RADII, _RIPLEY_AREA = (10, 25, 50, 100), 1000 * 1000
