@@ -5962,6 +5962,35 @@ def q_heading_sectors(spark, sf_dir):
                                "x", "y")
 
 
+def q_zonal_stats(spark, sf_dir):
+    """Zonal statistics (tiles.zonal_stats): the 40-unit occupancy
+    raster of the derived grid reduced over the 25 nation-derived
+    rectangle zones — exact count/sum/min/max per zone, overlapping
+    zones each counting shared cells, empty zones PRESENT with zero
+    count and NULL min/max.  Zones broadcast over their cover cells;
+    the raster never shuffles for containment.  Oracle is
+    definitional: raster build + box-containment join + same aggs."""
+    from engine import tiles
+    ras = (_grid_points(_t(spark, sf_dir, "events"))
+           .groupBy(F.expr("x div 40").alias("cx"),
+                    F.expr("y div 40").alias("cy"))
+           .agg(F.count(F.lit(1)).cast("long").alias("v")))
+    n = F.col("n_nationkey").cast("long")
+    zones = _t(spark, sf_dir, "nation").select(
+        n.alias("zone_id"),
+        F.expr("CAST((CAST(n_nationkey AS LONG) * 97 + 1) % 900 "
+               "div 40 AS LONG)").alias("zx1"),
+        F.expr("CAST((CAST(n_nationkey AS LONG) * 131 + 7) % 900 "
+               "div 40 AS LONG)").alias("zy1"),
+        (F.expr("CAST((CAST(n_nationkey AS LONG) * 97 + 1) % 900 "
+                "div 40 AS LONG)") + 1 + F.pmod(n, F.lit(4)))
+        .alias("zx2"),
+        (F.expr("CAST((CAST(n_nationkey AS LONG) * 131 + 7) % 900 "
+                "div 40 AS LONG)") + 1 + F.pmod(n * 3, F.lit(4)))
+        .alias("zy2"))
+    return tiles.zonal_stats(ras, zones, "cx", "cy", "v", cell=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "w2_sessionize": q_w2_sessionize,
@@ -6223,6 +6252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_incr_gyration": q_cdc_incr_gyration,
         "toponym_match": q_toponym_match,
         "heading_sectors": q_heading_sectors,
+        "zonal_stats": q_zonal_stats,
     }
 
 
@@ -13291,6 +13321,49 @@ d AS (
 )
 SELECT c.user_id, c.sector, c.n, d.dom_sector, d.n_steps
 FROM c JOIN d ON d.user_id = c.user_id AND d.rk = 1
+""",
+        # zonal stats: definitional — raster build + box containment
+        # join + same aggs; empty zones present
+        "zonal_stats": """
+WITH d AS (
+  SELECT (CAST(event_id AS BIGINT) * 48271 + 11) % 1000 AS x,
+         (CAST(event_id AS BIGINT) * 16807 + 523) % 1000 AS y
+  FROM events
+),
+ras AS (
+  SELECT x // 40 AS cx, y // 40 AS cy,
+         CAST(count(*) AS BIGINT) AS v
+  FROM d GROUP BY x // 40, y // 40
+),
+z AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS zone_id,
+         ((CAST(n_nationkey AS BIGINT) * 97 + 1) % 900) // 40 AS zx1,
+         ((CAST(n_nationkey AS BIGINT) * 131 + 7) % 900) // 40
+           AS zy1,
+         ((CAST(n_nationkey AS BIGINT) * 97 + 1) % 900) // 40 + 1
+           + CAST(n_nationkey AS BIGINT) % 4 AS zx2,
+         ((CAST(n_nationkey AS BIGINT) * 131 + 7) % 900) // 40 + 1
+           + (CAST(n_nationkey AS BIGINT) * 3) % 4 AS zy2
+  FROM nation
+),
+h AS (
+  SELECT z.zone_id, r.v
+  FROM ras r JOIN z
+    ON r.cx >= z.zx1 AND r.cx <= z.zx2
+   AND r.cy >= z.zy1 AND r.cy <= z.zy2
+),
+a AS (
+  SELECT zone_id, CAST(count(*) AS BIGINT) AS z_cnt,
+         CAST(sum(v) AS BIGINT) AS z_sum,
+         CAST(min(v) AS BIGINT) AS z_min,
+         CAST(max(v) AS BIGINT) AS z_max
+  FROM h GROUP BY zone_id
+)
+SELECT z.zone_id,
+       CAST(COALESCE(a.z_cnt, 0) AS BIGINT) AS z_cnt,
+       CAST(COALESCE(a.z_sum, 0) AS BIGINT) AS z_sum,
+       a.z_min, a.z_max
+FROM z LEFT JOIN a ON a.zone_id = z.zone_id
 """,
     }
 

@@ -418,3 +418,88 @@ def focal_stats(raster: DataFrame, keys: list[str] | tuple[str, ...],
                    .alias("f_cnt"),
                    "f_min", "f_max"))
     return out
+
+
+def zonal_stats(raster: DataFrame, zones: DataFrame,
+                cx_col: str, cy_col: str, val_col: str,
+                zone_id: str = "zone_id",
+                zone_box: tuple[str, str, str, str] =
+                ("zx1", "zy1", "zx2", "zy2"),
+                cell: int = 64, max_cells: int = 4096,
+                max_zones: int = 65536) -> DataFrame:
+    """X24 — zonal statistics, the canonical raster-GIS reduction:
+    for every zone (CLOSED integer rectangle), the exact count / sum
+    / min / max of the sparse value raster's cells inside it.  A cell
+    lying in several overlapping zones contributes to EACH (the
+    standard overlapping-zone semantics); zones containing no
+    occupied cell are PRESENT with zero count and NULL min/max — the
+    empty zone is a finding, not an absence.  All emitted numbers are
+    exact BIGINT.
+
+    Shape: zones are a BROADCAST dim (<= max_zones ENFORCED with a
+    raise — zone systems are administrative, not corpus-sized),
+    exploded over the width-`cell` grid cells their box covers
+    (<= max_cells per zone, raise) so the containment test is ONE
+    map-side equi-join on the raster cell's single true grid cell
+    followed by the exact box filter — the raster never shuffles for
+    candidate generation; one combinable zone-keyed agg and a left
+    join back to the zone skeleton finish.  Inverted boxes raise.
+    """
+    zx1, zy1, zx2, zy2 = zone_box
+    z = zones.select(F.col(zone_id).alias("_zid"),
+                     F.col(zx1).cast("long").alias("_x1"),
+                     F.col(zy1).cast("long").alias("_y1"),
+                     F.col(zx2).cast("long").alias("_x2"),
+                     F.col(zy2).cast("long").alias("_y2"))
+    nz = z.limit(int(max_zones) + 1).count()
+    if nz == 0:
+        raise ValueError("zonal_stats: zones is empty")
+    if nz > int(max_zones):
+        raise ValueError(
+            f"zonal_stats: {nz} zones exceed max_zones={max_zones} — "
+            f"broadcastability is the design premise")
+    bad = z.agg(F.max(F.when((F.col("_x2") < F.col("_x1"))
+                             | (F.col("_y2") < F.col("_y1")), 1)
+                      .otherwise(0))).collect()[0][0]
+    if bad:
+        raise ValueError("zonal_stats: inverted zone box present")
+    cs = int(cell)
+    if cs <= 0:
+        raise ValueError("zonal_stats: cell must be positive")
+
+    def g(c):
+        return ((c - F.pmod(c, F.lit(cs))) / F.lit(cs)).cast("long")
+
+    ncell = ((g(F.col("_x2")) - g(F.col("_x1")) + 1)
+             * (g(F.col("_y2")) - g(F.col("_y1")) + 1))
+    fan = z.agg(F.max(ncell)).collect()[0][0]
+    if fan is not None and fan > int(max_cells):
+        raise ValueError(
+            f"zonal_stats: a zone covers {fan} grid cells "
+            f"(> {max_cells}); coarsen `cell` or split the zone")
+    zc = (z.withColumn("_gx", F.explode(F.sequence(g(F.col("_x1")),
+                                                   g(F.col("_x2")))))
+          .withColumn("_gy", F.explode(F.sequence(g(F.col("_y1")),
+                                                  g(F.col("_y2"))))))
+    r = raster.select(F.col(cx_col).cast("long").alias("_cx"),
+                      F.col(cy_col).cast("long").alias("_cy"),
+                      F.col(val_col).cast("long").alias("_v"))
+    r = (r.withColumn("_gx", g(F.col("_cx")))
+         .withColumn("_gy", g(F.col("_cy"))))
+    hits = (r.join(F.broadcast(zc), ["_gx", "_gy"])
+            .filter((F.col("_cx") >= F.col("_x1"))
+                    & (F.col("_cx") <= F.col("_x2"))
+                    & (F.col("_cy") >= F.col("_y1"))
+                    & (F.col("_cy") <= F.col("_y2"))))
+    agg = (hits.groupBy("_zid")
+           .agg(F.count(F.lit(1)).cast("long").alias("z_cnt"),
+                F.sum("_v").cast("long").alias("z_sum"),
+                F.min("_v").alias("z_min"),
+                F.max("_v").alias("z_max")))
+    zl = F.lit(0).cast("long")
+    return (z.select(F.col("_zid"))
+            .join(agg, "_zid", "left")
+            .select(F.col("_zid").alias(zone_id),
+                    F.coalesce(F.col("z_cnt"), zl).alias("z_cnt"),
+                    F.coalesce(F.col("z_sum"), zl).alias("z_sum"),
+                    "z_min", "z_max"))

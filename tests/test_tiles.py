@@ -255,3 +255,43 @@ def test_focal_stats_matches_brute(spark):
     dup = df.union(df.limit(1))
     with _pt.raises(ValueError):
         tiles.focal_stats(dup, ["k"], "cx", "cy", "v")
+
+
+def test_zonal_stats_matches_brute(spark):
+    import numpy as np
+    import pandas as pd
+    import pytest as _pt
+    from pyspark.sql import functions as F
+    from engine import tiles
+    rng = np.random.default_rng(113)
+    cells = {}
+    for _ in range(80):
+        cells[(int(rng.integers(0, 20)), int(rng.integers(0, 20)))] = \
+            int(rng.integers(-30, 70))
+    ras = spark.createDataFrame(pd.DataFrame(
+        [(cx, cy, v) for (cx, cy), v in cells.items()],
+        columns=["cx", "cy", "v"]))
+    # zones: two OVERLAPPING, one empty far zone, one 1-cell zone
+    zones = [(0, 0, 0, 10, 10), (1, 5, 5, 15, 15),
+             (2, 500, 500, 510, 510), (3, 3, 3, 3, 3)]
+    zdf = spark.createDataFrame(pd.DataFrame(
+        zones, columns=["zone_id", "zx1", "zy1", "zx2", "zy2"]))
+    got = {r["zone_id"]: (r["z_cnt"], r["z_sum"], r["z_min"], r["z_max"])
+           for r in tiles.zonal_stats(ras, zdf, "cx", "cy", "v",
+                                      cell=4).collect()}
+    assert len(got) == len(zones)
+    for zid, x1, y1, x2, y2 in zones:
+        vs = [v for (cx, cy), v in cells.items()
+              if x1 <= cx <= x2 and y1 <= cy <= y2]
+        want = ((len(vs), sum(vs), min(vs), max(vs)) if vs
+                else (0, 0, None, None))
+        assert got[zid] == want, zid
+    assert got[2] == (0, 0, None, None)
+    with _pt.raises(ValueError):
+        tiles.zonal_stats(ras, zdf.limit(0), "cx", "cy", "v")
+    inv = zdf.withColumn("zx2", F.col("zx1") - 1)
+    with _pt.raises(ValueError):
+        tiles.zonal_stats(ras, inv, "cx", "cy", "v")
+    with _pt.raises(ValueError):
+        tiles.zonal_stats(ras, zdf, "cx", "cy", "v", cell=1,
+                          max_cells=3)
