@@ -5991,6 +5991,27 @@ def q_zonal_stats(spark, sf_dir):
     return tiles.zonal_stats(ras, zones, "cx", "cy", "v", cell=4)
 
 
+def q_stream_steps(spark, sf_dir):
+    """Online displacement extraction (streaming.stream_steps): the
+    stateful per-user step machine over the event point stream — each
+    consecutive (t_prev, t_curr, dist²) emitted the moment the next
+    point arrives, exact int64 dist² identical to the batch A58
+    contract.  With single-batch ingestion every step has both
+    endpoints in-batch, so the oracle is the plain lag replay over
+    (t, x, y)-sorted traces — value-exact, no eviction arithmetic
+    needed (the machine emits on arrival, not on watermark)."""
+    from engine import streaming
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    pts = (_grid_points(ev)
+           .join(ev.select("event_id", "user_id", "ts"), "event_id")
+           .select(F.col("user_id").cast("long").alias("user_id"),
+                   us.alias("t"), F.col("x").cast("long").alias("x"),
+                   F.col("y").cast("long").alias("y")))
+    return _run_stream(spark, pts, streaming.stream_steps,
+                       "stream_steps_out")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "w2_sessionize": q_w2_sessionize,
@@ -6253,6 +6274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "toponym_match": q_toponym_match,
         "heading_sectors": q_heading_sectors,
         "zonal_stats": q_zonal_stats,
+        "stream_steps": q_stream_steps,
     }
 
 
@@ -13364,6 +13386,24 @@ SELECT z.zone_id,
        CAST(COALESCE(a.z_sum, 0) AS BIGINT) AS z_sum,
        a.z_min, a.z_max
 FROM z LEFT JOIN a ON a.zone_id = z.zone_id
+""",
+        # stream steps: plain lag replay (emission on arrival — no
+        # eviction arithmetic; single-batch => all steps in-batch)
+        "stream_steps": """
+WITH p AS (
+  SELECT CAST(e.user_id AS BIGINT) AS user_id, epoch_us(e.ts) AS tu,
+         (CAST(e.event_id AS BIGINT) * 48271 + 11) % 1000 AS x,
+         (CAST(e.event_id AS BIGINT) * 16807 + 523) % 1000 AS y
+  FROM events e
+),
+s AS (
+  SELECT user_id, lag(tu) OVER w AS t_prev, tu AS t_curr,
+         (x - lag(x) OVER w) * (x - lag(x) OVER w)
+           + (y - lag(y) OVER w) * (y - lag(y) OVER w) AS dist2
+  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY tu, x, y)
+)
+SELECT user_id, t_prev, t_curr, dist2
+FROM s WHERE t_prev IS NOT NULL
 """,
     }
 

@@ -545,3 +545,76 @@ def stream_geofence(points_stream: DataFrame, fences: DataFrame,
                     F.col("session_window.start").alias("enter_ts"),
                     F.col("session_window.end").alias("exit_ts"),
                     "n_points"))
+
+
+_STEP_STATE_SCHEMA = "last_t long, last_x long, last_y long"
+_STEP_OUT_SCHEMA = ("user_id long, t_prev long, t_curr long, "
+                    "dist2 long")
+
+
+def _step_machine():
+    """Vectorized per batch: consecutive displacements via one numpy
+    diff pass; the last position rides in state so the first step of a
+    new batch closes against the previous batch's tail."""
+    import numpy as np
+
+    def fn(key, pdfs, state: GroupState):
+        uid = key[0]
+        if state.exists:
+            last_t, last_x, last_y = state.get
+        else:
+            last_t = last_x = last_y = None
+        outs = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["t", "x", "y"], kind="mergesort")
+            t = pdf["t"].astype("int64").to_numpy()
+            x = pdf["x"].astype("int64").to_numpy()
+            y = pdf["y"].astype("int64").to_numpy()
+            if last_t is not None:
+                t = np.concatenate(([last_t], t))
+                x = np.concatenate(([last_x], x))
+                y = np.concatenate(([last_y], y))
+            if len(t) >= 2:
+                dx = np.diff(x)
+                dy = np.diff(y)
+                outs.append(pd.DataFrame({
+                    "user_id": uid,
+                    "t_prev": t[:-1],
+                    "t_curr": t[1:],
+                    "dist2": dx * dx + dy * dy,
+                }))
+            last_t, last_x, last_y = int(t[-1]), int(x[-1]), int(y[-1])
+        state.update((last_t, last_x, last_y))
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
+
+    return fn
+
+
+def stream_steps(points_stream: DataFrame) -> DataFrame:
+    """A58's streaming twin — ONLINE consecutive-displacement
+    extraction: a stateful per-user machine (applyInPandasWithState,
+    NoTimeout) keeps each user's last position and emits one
+    (t_prev, t_curr, dist²) row the moment the NEXT point arrives —
+    the low-latency feed under live jump-length distributions,
+    speed/teleport anomaly alarms and online mobility features; the
+    open tail (each user's latest position) is withheld by
+    construction, exactly like the W3 low-latency machine withholds
+    the open run.  dist² is the same exact int64 the batch op emits,
+    so downstream binning matches A58 bit-for-bit.  Input: streaming
+    (user_id, t, x, y) with integer micros t.  Batch-boundary
+    contract: within a batch each user's frame is processed sorted by
+    (t, x, y); the cross-batch seam closes against the state, so with
+    single-batch ingestion the emission set is exactly the batch lag
+    replay minus nothing (every step has both endpoints in-batch).
+    State is 3 longs per active user — bounded by live keys.
+    """
+    return (points_stream
+            .groupBy("user_id")
+            .applyInPandasWithState(_step_machine(),
+                                    outputStructType=_STEP_OUT_SCHEMA,
+                                    stateStructType=_STEP_STATE_SCHEMA,
+                                    outputMode="append",
+                                    timeoutConf=GroupStateTimeout.NoTimeout))

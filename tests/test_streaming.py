@@ -495,3 +495,43 @@ def test_stream_geofence_matches_session_replay(spark, tmp_path_factory):
     bad = fences.withColumn("r", F.lit(0))
     with _pt.raises(ValueError):
         streaming.stream_geofence(stream, bad, gap_s=600)
+
+
+def test_stream_steps_matches_batch_lag(spark, tmp_path_factory):
+    """Multi-batch seam: the machine must close the FIRST step of a
+    later batch against the stored tail of the earlier one — exactly
+    what the batch lag computes over the union."""
+    path = str(tmp_path_factory.mktemp("steps") / "b")
+    rows = [(1, 10, 0, 0), (1, 20, 3, 4), (1, 30, 3, 4),
+            (2, 10, 100, 100), (3, 5, 7, 7)]
+    pd.DataFrame(rows, columns=["user_id", "t", "x", "y"]).pipe(
+        lambda d: spark.createDataFrame(d)).coalesce(1) \
+        .write.mode("overwrite").parquet(path + "0")
+    rows2 = [(1, 40, 0, 4), (2, 50, 103, 96), (4, 60, 1, 1)]
+    pd.DataFrame(rows2, columns=["user_id", "t", "x", "y"]).pipe(
+        lambda d: spark.createDataFrame(d)).coalesce(1) \
+        .write.mode("overwrite").parquet(path + "1")
+    import shutil, glob, os
+    merged = str(tmp_path_factory.mktemp("steps") / "m")
+    os.makedirs(merged)
+    for i, src in enumerate((path + "0", path + "1")):
+        for f in glob.glob(src + "/*.parquet"):
+            shutil.copy(f, f"{merged}/b{i}.parquet")
+    schema = spark.read.parquet(merged).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(merged))
+    q = (streaming.stream_steps(stream)
+         .writeStream.outputMode("append").format("memory")
+         .queryName("steps_out").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(tuple(r) for r in
+                 spark.sql("SELECT * FROM steps_out").collect())
+    # batch replay: lag over the union per user
+    want = sorted([(1, 10, 20, 25), (1, 20, 30, 0), (1, 30, 40, 9),
+                   (2, 10, 50, 25)])
+    assert got == want
+    # singletons 3 and 4 emit nothing (open tails withheld)
+    assert not any(r[0] in (3, 4) for r in got)
