@@ -48,6 +48,16 @@ from pyspark.sql import functions as F
 
 QUANT_SCALE = 1024.0
 
+# Driver-envelope for the Lloyd update loop (the classifier's
+# MAX_DRIVER_TRAIN_BYTES precedent): when the quantized vector table fits
+# this, the (iters-1) centroid updates run as numpy matvecs on ONE
+# driver collect instead of one assign-UDF scan + posexplode shuffle +
+# collect PER ROUND — bit-identical by the module's exactness contract
+# (assignment replicates _assign_arrow's op order; update sums are exact
+# order-free integer sums; centroid = one IEEE division either way).
+# Past the envelope the distributed rounds run unchanged.
+MAX_DRIVER_LLOYD_BYTES = 64 << 20
+
 
 def quantize_vec(vec: Column, scale: float = QUANT_SCALE) -> Column:
     """float vector -> integer-valued double vector (exact-sum domain)."""
@@ -171,11 +181,61 @@ def _assign_arrow(cents: list[list[float]], slices=None):
     return pq_assign_udf
 
 
+def _assign_driver(M, cents):
+    """Numpy twin of _assign_arrow's argmin for the driver Lloyd path —
+    IDENTICAL float op order (acc = acc + M[:,d]*c[d] left-to-right,
+    score = self_dot - 2.0*acc, strict-less argmin keeping the lowest
+    cluster id), so assignments match the distributed rounds bit-for-bit."""
+    import numpy as np
+    n = M.shape[0]
+    best_s = None
+    best_c = None
+    for j, c in enumerate(cents):
+        acc = np.zeros(n, dtype=np.float64)
+        for d in range(len(c)):
+            acc = acc + M[:, d] * c[d]
+        score = _self_dot(c) - 2.0 * acc
+        if best_s is None:
+            best_s, best_c = score, np.zeros(n, dtype=np.int64)
+        else:
+            lt = score < best_s
+            best_s = np.where(lt, score, best_s)
+            best_c = np.where(lt, j, best_c)
+    return best_c
+
+
+def _lloyd_driver_updates(q: DataFrame, cents: list[list[float]],
+                          iters: int, k: int) -> list[list[float]]:
+    """(iters-1) Lloyd updates on ONE driver collect of the quantized
+    table — value-identical to the distributed rounds (see
+    MAX_DRIVER_LLOYD_BYTES): assignment via _assign_driver (bit-equal op
+    order), per-(cluster, dim) sums are exact order-free integer sums
+    (< 2^53 by the module envelope), centroid = sum/count in one IEEE
+    division exactly as the driver fold of the collected stats did."""
+    import numpy as np
+    M = np.array(q.select("e").toPandas()["e"].tolist(), dtype=np.float64)
+    for _ in range(iters - 1):
+        assign = _assign_driver(M, cents)
+        nxt = []
+        for j in range(k):
+            members = M[assign == j]
+            if len(members):
+                s = members.sum(axis=0)
+                nxt.append([float(v) / len(members) for v in s])
+            else:
+                nxt.append(cents[j])
+        cents = nxt
+    return cents
+
+
 def _kmeans_core(df: DataFrame, k: int, iters: int, vec_col: str,
                  id_col: str, scale: float) -> DataFrame:
     """Shared Lloyd loop; returns ((vec_id, e, cl, score) DataFrame under
     the final centroids, final centroid lists) — score = dist^2 - dot(x,x)
-    (see _assign_expr)."""
+    (see _assign_expr).  Below MAX_DRIVER_LLOYD_BYTES the (iters-1)
+    centroid updates run on the driver (value-identical; one collect
+    replaces a per-round scan + shuffle + collect); the final assignment
+    is always the distributed map-only Arrow kernel."""
     if k < 1 or iters < 1:
         raise ValueError("k and iters must be >= 1")
     q = df.select(F.col(id_col).cast("long").alias("vec_id"),
@@ -188,26 +248,29 @@ def _kmeans_core(df: DataFrame, k: int, iters: int, vec_col: str,
             raise ValueError(f"k={k} exceeds {len(init)} input vectors")
         cents = [list(r["e"]) for r in init]
         dim = len(cents[0])
-        assigned = None
-        for it in range(iters):
-            best = _assign_arrow(cents)(F.col("e"))
-            assigned = q.withColumn("_b", best) \
-                        .withColumn("cl", F.col("_b.cl")) \
-                        .withColumn("score", F.col("_b.score")) \
-                        .drop("_b")
-            if it == iters - 1:
-                break
-            stats = (assigned
-                     .select("cl", F.posexplode("e").alias("dim", "x"))
-                     .groupBy("cl", "dim")
-                     .agg(F.sum("x").alias("s"),
-                          F.count(F.lit(1)).alias("n"))
-                     .collect())
-            upd: dict[int, list] = {}
-            for r in stats:
-                upd.setdefault(r["cl"], [None] * dim)[r["dim"]] = \
-                    r["s"] / r["n"]
-            cents = [upd[j] if j in upd else cents[j] for j in range(k)]
+        if iters > 1 and q.count() * dim * 8 <= MAX_DRIVER_LLOYD_BYTES:
+            cents = _lloyd_driver_updates(q, cents, iters, k)
+        else:
+            for it in range(iters - 1):
+                assigned_it = q.withColumn("_b",
+                                           _assign_arrow(cents)(F.col("e")))
+                stats = (assigned_it
+                         .select(F.col("_b.cl").alias("cl"),
+                                 F.posexplode("e").alias("dim", "x"))
+                         .groupBy("cl", "dim")
+                         .agg(F.sum("x").alias("s"),
+                              F.count(F.lit(1)).alias("n"))
+                         .collect())
+                upd: dict[int, list] = {}
+                for r in stats:
+                    upd.setdefault(r["cl"], [None] * dim)[r["dim"]] = \
+                        r["s"] / r["n"]
+                cents = [upd[j] if j in upd else cents[j] for j in range(k)]
+        best = _assign_arrow(cents)(F.col("e"))
+        assigned = q.withColumn("_b", best) \
+                    .withColumn("cl", F.col("_b.cl")) \
+                    .withColumn("score", F.col("_b.score")) \
+                    .drop("_b")
         return assigned, cents
     finally:
         q.unpersist()

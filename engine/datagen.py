@@ -229,7 +229,7 @@ def pages_to_spark(spark, pages: pd.DataFrame):
 # ---------------------------------------------------------------------------
 
 def web_pages_from_events(events, n_stops: int = 3, stop_switch_s: int = 21600,
-                          time_compress: int = 30):
+                          time_compress: int = 30, min_splits: int | None = None):
     """Deterministic `web_pages` built from the driver's events table with
     integer-arithmetic pseudo-randomness ONLY (no hash functions), so the
     exact same construction is expressible in DuckDB SQL for oracle parity.
@@ -247,6 +247,19 @@ def web_pages_from_events(events, n_stops: int = 3, stop_switch_s: int = 21600,
     episodes all get real work at any sf.
     """
     from pyspark.sql import functions as F
+    # The driver's events table arrives as ONE small parquet split, so the
+    # scan — and every downstream consumer of the (regex-heavy) generated
+    # text — would serialize on a single core.  Every expression below is
+    # row-local, so fan the input out first when it is under-split (the
+    # guide's unsplittable-input remedy).  Hash-partition on the unique
+    # event_id: deterministic under task retry (no round-robin sort) and
+    # uniform.  `min_splits` parameterizes the target (default 2x cluster
+    # parallelism); inputs already split at least that wide pass through
+    # untouched, so a real many-split corpus pays nothing.
+    if min_splits is None:
+        min_splits = 2 * events.sparkSession.sparkContext.defaultParallelism
+    if min_splits > 1 and events.rdd.getNumPartitions() < min_splits:
+        events = events.repartition(min_splits, F.col("event_id"))
     uid = F.col("user_id").cast("long")
     eid = F.col("event_id").cast("long")
     tsd = F.col("ts").cast("timestamp").cast("double")

@@ -258,7 +258,11 @@ def _kde_from_grid(uix, uiy, m0, lat0, lon0, cfg: EngineConfig,
             pos = np.searchsorted(ucb, nkey)
             pos = np.clip(pos, 0, len(ucb) - 1)
             hit = ucb[pos] == nkey
-            np.add.at(nbh, pos[hit], cmass[np.where(hit)[0]])
+            # bincount, not np.add.at (~10x on this VM): cmass entries are
+            # integer-valued doubles (integer-us masses), so the sum is
+            # exact and order-free — bit-identical accumulation.
+            nbh += np.bincount(pos[hit], weights=cmass[hit],
+                               minlength=len(ucb))
     cand = ucb[nbh >= thr]
     if len(cand) == 0:
         return (np.empty(0), np.empty(0), np.empty(0),
@@ -297,8 +301,11 @@ def _kde_from_grid(uix, uiy, m0, lat0, lon0, cfg: EngineConfig,
             hx, hy, hv = _sparse_smooth_threshold(
                 rix, riy, rm, cfg.kernel_bandwidth_m, cell, thr)
         else:
-            grid = np.zeros((h, w))
-            np.add.at(grid, (rix - x0, riy - y0), rm)
+            # bincount scatter, not np.add.at (~10x on this VM): rm is
+            # integer-valued (integer-us site masses), so the per-cell sum
+            # is exact and order-free — bit-identical accumulation.
+            grid = np.bincount((rix - x0) * w + (riy - y0), weights=rm,
+                               minlength=h * w).reshape(h, w)
             from numpy.lib.stride_tricks import sliding_window_view
             pad = np.pad(grid, ((r, r), (0, 0)))
             grid = np.ascontiguousarray(

@@ -129,21 +129,30 @@ def _lsh_candidate_sims(df: DataFrame, dim: int, bits: int, bands: int,
     """
     bk = lsh_sign_buckets(df.select(id_col, vec_col), dim, bits, bands,
                           id_col, vec_col, seed)
+    # Persist the NARROW (id, band, bucket) band rows: the self-join
+    # evaluates its subplan once per side, so without the cache the sign
+    # UDF (a full matmul over the corpus) runs TWICE.  Same for the
+    # normed-vector table both refine joins read.  The caller
+    # eager-materializes its (small) output and releases both caches —
+    # the ivf_cosine_topk hygiene pattern; callers pass `caches`.
     exploded = bk.select(
-        F.col(id_col), F.posexplode("_buckets").alias("band", "bucket"))
+        F.col(id_col), F.posexplode("_buckets").alias("band", "bucket")) \
+        .persist()
     l = exploded.select(F.col(id_col).alias("a"), "band", "bucket")
     r = exploded.select(F.col(id_col).alias("b"), "band", "bucket")
     pairs = (l.join(r, ["band", "bucket"]).filter(F.col("a") < F.col("b"))
              .select("a", "b").distinct())
-    nn = with_norm(df, vec_col).select(F.col(id_col), "_v", "_norm")
+    nn = with_norm(df, vec_col).select(F.col(id_col), "_v", "_norm") \
+        .persist()
     va = nn.select(F.col(id_col).alias("a"), F.col("_v").alias("va"),
                    F.col("_norm").alias("na"))
     vb = nn.select(F.col(id_col).alias("b"), F.col("_v").alias("vb"),
                    F.col("_norm").alias("nb"))
     cand = pairs.join(va, "a").join(vb, "b")
-    return (cand.withColumn("sim", _cosine_batch(F.col("va"), F.col("vb"),
+    sims = (cand.withColumn("sim", _cosine_batch(F.col("va"), F.col("vb"),
                                                  F.col("na"), F.col("nb")))
             .drop("va", "vb", "na", "nb"))
+    return sims, [exploded, nn]
 
 
 def ann_cosine_topk(df: DataFrame, k: int = 5, dim: int = 64,
@@ -156,13 +165,24 @@ def ann_cosine_topk(df: DataFrame, k: int = 5, dim: int = 64,
     The refine runs once per UNDIRECTED pair; both directions are emitted
     by mirroring the refined (a, b, sim) rows — not by re-joining vectors
     — before the per-query top-k window."""
-    sims = _lsh_candidate_sims(df, dim, bits, bands, id_col, vec_col, seed)
-    both = sims.unionByName(sims.select(
-        F.col("b").alias("a"), F.col("a").alias("b"), "sim"))
-    w = Window.partitionBy("a").orderBy(F.col("sim").desc(), F.col("b").asc())
-    return (both.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= k)
-            .select("a", "b", F.round("sim", 4).alias("sim"), "rk"))
+    sims, caches = _lsh_candidate_sims(df, dim, bits, bands, id_col,
+                                       vec_col, seed)
+    # the mirror union references `sims` twice; cache it so the refine
+    # (joins + Arrow cosine kernel) runs once, not once per direction
+    sims = sims.persist()
+    caches.append(sims)
+    try:
+        both = sims.unionByName(sims.select(
+            F.col("b").alias("a"), F.col("a").alias("b"), "sim"))
+        w = Window.partitionBy("a").orderBy(F.col("sim").desc(),
+                                            F.col("b").asc())
+        return (both.withColumn("rk", F.row_number().over(w))
+                .filter(F.col("rk") <= k)
+                .select("a", "b", F.round("sim", 4).alias("sim"), "rk")
+                .localCheckpoint(eager=True))
+    finally:
+        for c in caches:
+            c.unpersist()
 
 
 def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
@@ -171,9 +191,16 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                           seed: int = 42) -> DataFrame:
     """Embedding-cosine near-dup pairs (a < b, sim >= threshold) via LSH
     candidates + exact refine."""
-    sims = _lsh_candidate_sims(df, dim, bits, bands, id_col, vec_col, seed)
-    return (sims.filter((F.col("sim") >= threshold) & (F.col("a") < F.col("b")))
-            .select("a", "b", F.round("sim", 4).alias("sim")))
+    sims, caches = _lsh_candidate_sims(df, dim, bits, bands, id_col,
+                                       vec_col, seed)
+    try:
+        return (sims.filter((F.col("sim") >= threshold)
+                            & (F.col("a") < F.col("b")))
+                .select("a", "b", F.round("sim", 4).alias("sim"))
+                .localCheckpoint(eager=True))
+    finally:
+        for c in caches:
+            c.unpersist()
 
 
 # ---------------------------------------------------------------------------
@@ -361,8 +388,15 @@ def _pq_core(q: DataFrame, m: int, n_codes: int, iters: int, dim: int):
     """Shared PQ Lloyd loop over a prepared (..., vec_id, e) frame whose
     `e` holds integer-valued doubles (quantized vectors OR integer
     residuals — the IVFPQ path).  All non-`e` input columns pass through
-    to the coded output.  Returns (codes_df, cents[m][n_codes])."""
-    from .clustering import _assign_arrow
+    to the coded output.  Returns (codes_df, cents[m][n_codes]).
+
+    Below clustering.MAX_DRIVER_LLOYD_BYTES the (iters-1) codebook
+    updates run on ONE driver collect (value-identical: the numpy
+    per-subspace argmin replicates _assign_arrow's op order bit-for-bit
+    and the update sums are exact order-free integer sums); the final
+    encode is always the distributed map-only Arrow kernel."""
+    from .clustering import (MAX_DRIVER_LLOYD_BYTES, _assign_arrow,
+                             _self_dot)
     sub = dim // m
     init = sorted(q.select("vec_id", "e").orderBy("vec_id")
                    .limit(n_codes).collect(),
@@ -372,33 +406,69 @@ def _pq_core(q: DataFrame, m: int, n_codes: int, iters: int, dim: int):
     cents = [[list(r["e"][s * sub:(s + 1) * sub]) for r in init]
              for s in range(m)]
     passthrough = [c for c in q.columns if c != "e"]
-    assigned = None
-    for it in range(iters):
-        codes_struct = _assign_arrow(
-            cents, slices=[(s * sub, n_codes) for s in range(m)])(
-                F.col("e"))
-        assigned = (q.withColumn("_cs", codes_struct)
-                    .select(*passthrough, "e",
-                            *[F.col(f"_cs.c{s}").alias(f"c{s}")
-                              for s in range(m)]))
-        if it == iters - 1:
-            break
-        ex = (assigned.select(F.explode(F.array(*[
-                F.struct(F.lit(s).alias("s"),
-                         F.col(f"c{s}").alias("cl"),
-                         F.slice("e", s * sub + 1, sub).alias("v"))
-                for s in range(m)])).alias("z"))
-              .select(F.col("z.s").alias("s"), F.col("z.cl").alias("cl"),
-                      F.posexplode("z.v").alias("d", "x"))
-              .groupBy("s", "cl", "d")
-              .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"))
-              .collect())
-        upd: dict[tuple, list] = {}
-        for r in ex:
-            upd.setdefault((r["s"], r["cl"]), [None] * sub)[r["d"]] = \
-                r["sx"] / r["n"]
-        cents = [[upd.get((s, j), cents[s][j]) for j in range(n_codes)]
-                 for s in range(m)]
+    if iters > 1 and q.count() * dim * 8 <= MAX_DRIVER_LLOYD_BYTES:
+        M = np.array(q.select("e").toPandas()["e"].tolist(),
+                     dtype=np.float64)
+        for _ in range(iters - 1):
+            nxt = []
+            for s in range(m):
+                Ms = M[:, s * sub:(s + 1) * sub]
+                # numpy twin of _pq_block: identical fold order and
+                # strict-less argmin per subspace
+                best_s = None
+                best_c = None
+                for j, c in enumerate(cents[s]):
+                    acc = np.zeros(len(Ms), dtype=np.float64)
+                    for d in range(sub):
+                        acc = acc + Ms[:, d] * c[d]
+                    score = _self_dot(c) - 2.0 * acc
+                    if best_s is None:
+                        best_s = score
+                        best_c = np.zeros(len(Ms), dtype=np.int64)
+                    else:
+                        lt = score < best_s
+                        best_s = np.where(lt, score, best_s)
+                        best_c = np.where(lt, j, best_c)
+                cs = []
+                for j in range(n_codes):
+                    members = Ms[best_c == j]
+                    if len(members):
+                        t = members.sum(axis=0)
+                        cs.append([float(v) / len(members) for v in t])
+                    else:
+                        cs.append(cents[s][j])
+                nxt.append(cs)
+            cents = nxt
+    else:
+        for it in range(iters - 1):
+            codes_struct = _assign_arrow(
+                cents, slices=[(s * sub, n_codes) for s in range(m)])(
+                    F.col("e"))
+            it_codes = (q.withColumn("_cs", codes_struct)
+                        .select("e", *[F.col(f"_cs.c{s}").alias(f"c{s}")
+                                       for s in range(m)]))
+            ex = (it_codes.select(F.explode(F.array(*[
+                    F.struct(F.lit(s).alias("s"),
+                             F.col(f"c{s}").alias("cl"),
+                             F.slice("e", s * sub + 1, sub).alias("v"))
+                    for s in range(m)])).alias("z"))
+                  .select(F.col("z.s").alias("s"), F.col("z.cl").alias("cl"),
+                          F.posexplode("z.v").alias("d", "x"))
+                  .groupBy("s", "cl", "d")
+                  .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"))
+                  .collect())
+            upd: dict[tuple, list] = {}
+            for r in ex:
+                upd.setdefault((r["s"], r["cl"]), [None] * sub)[r["d"]] = \
+                    r["sx"] / r["n"]
+            cents = [[upd.get((s, j), cents[s][j]) for j in range(n_codes)]
+                     for s in range(m)]
+    codes_struct = _assign_arrow(
+        cents, slices=[(s * sub, n_codes) for s in range(m)])(F.col("e"))
+    assigned = (q.withColumn("_cs", codes_struct)
+                .select(*passthrough, "e",
+                        *[F.col(f"_cs.c{s}").alias(f"c{s}")
+                          for s in range(m)]))
     return assigned, cents
 
 

@@ -189,8 +189,11 @@ def hull_diameter(df: DataFrame, keys: Sequence[str], x: str,
         raise ValueError(
             "hull_diameter: |coordinate| exceeds 2^30 - 1 — dist2 could "
             "overflow int64; rescale upstream")
+    # convex_hull_2d's output schema names the coordinates literally
+    # "x"/"y" regardless of the caller's input column names — select
+    # those, not the caller's names (which need not exist on the hull).
     hv = (convex_hull_2d(df, keys, x, y)
-          .select(*keys, F.col(x).alias("_hx"), F.col(y).alias("_hy")))
+          .select(*keys, F.col("x").alias("_hx"), F.col("y").alias("_hy")))
     a = hv.select(*keys, F.col("_hx").alias("x1"), F.col("_hy").alias("y1"))
     b = hv.select(*keys, F.col("_hx").alias("x2"), F.col("_hy").alias("y2"))
     pairs = a.join(b, keys).filter(

@@ -555,7 +555,13 @@ _STEP_OUT_SCHEMA = ("user_id long, t_prev long, t_curr long, "
 def _step_machine():
     """Vectorized per batch: consecutive displacements via one numpy
     diff pass; the last position rides in state so the first step of a
-    new batch closes against the previous batch's tail."""
+    new batch closes against the previous batch's tail.
+
+    The group's WHOLE micro-batch is gathered and sorted ONCE before the
+    diff: applyInPandasWithState splits a large group into multiple Arrow
+    chunks delivered in unspecified order, so the previous per-chunk sort
+    silently diffed across unsorted chunk seams for users with more rows
+    than the Arrow batch size (could even emit t_prev > t_curr)."""
     import numpy as np
 
     def fn(key, pdfs, state: GroupState):
@@ -564,31 +570,31 @@ def _step_machine():
             last_t, last_x, last_y = state.get
         else:
             last_t = last_x = last_y = None
-        outs = []
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            pdf = pdf.sort_values(["t", "x", "y"], kind="mergesort")
-            t = pdf["t"].astype("int64").to_numpy()
-            x = pdf["x"].astype("int64").to_numpy()
-            y = pdf["y"].astype("int64").to_numpy()
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if not frames:
             if last_t is not None:
-                t = np.concatenate(([last_t], t))
-                x = np.concatenate(([last_x], x))
-                y = np.concatenate(([last_y], y))
-            if len(t) >= 2:
-                dx = np.diff(x)
-                dy = np.diff(y)
-                outs.append(pd.DataFrame({
-                    "user_id": uid,
-                    "t_prev": t[:-1],
-                    "t_curr": t[1:],
-                    "dist2": dx * dx + dy * dy,
-                }))
-            last_t, last_x, last_y = int(t[-1]), int(x[-1]), int(y[-1])
-        state.update((last_t, last_x, last_y))
-        if outs:
-            yield pd.concat(outs, ignore_index=True)
+                state.update((last_t, last_x, last_y))
+            return
+        pdf = (pd.concat(frames, ignore_index=True)
+               if len(frames) > 1 else frames[0])
+        pdf = pdf.sort_values(["t", "x", "y"], kind="mergesort")
+        t = pdf["t"].astype("int64").to_numpy()
+        x = pdf["x"].astype("int64").to_numpy()
+        y = pdf["y"].astype("int64").to_numpy()
+        if last_t is not None:
+            t = np.concatenate(([last_t], t))
+            x = np.concatenate(([last_x], x))
+            y = np.concatenate(([last_y], y))
+        state.update((int(t[-1]), int(x[-1]), int(y[-1])))
+        if len(t) >= 2:
+            dx = np.diff(x)
+            dy = np.diff(y)
+            yield pd.DataFrame({
+                "user_id": uid,
+                "t_prev": t[:-1],
+                "t_curr": t[1:],
+                "dist2": dx * dx + dy * dy,
+            })
 
     return fn
 

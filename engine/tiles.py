@@ -458,11 +458,6 @@ def zonal_stats(raster: DataFrame, zones: DataFrame,
         raise ValueError(
             f"zonal_stats: {nz} zones exceed max_zones={max_zones} — "
             f"broadcastability is the design premise")
-    bad = z.agg(F.max(F.when((F.col("_x2") < F.col("_x1"))
-                             | (F.col("_y2") < F.col("_y1")), 1)
-                      .otherwise(0))).collect()[0][0]
-    if bad:
-        raise ValueError("zonal_stats: inverted zone box present")
     cs = int(cell)
     if cs <= 0:
         raise ValueError("zonal_stats: cell must be positive")
@@ -472,11 +467,32 @@ def zonal_stats(raster: DataFrame, zones: DataFrame,
 
     ncell = ((g(F.col("_x2")) - g(F.col("_x1")) + 1)
              * (g(F.col("_y2")) - g(F.col("_y1")) + 1))
-    fan = z.agg(F.max(ncell)).collect()[0][0]
-    if fan is not None and fan > int(max_cells):
+    # ONE validation job over the (dim-sized) zone table for all three
+    # checks: inverted boxes, per-zone fan-out, and the COMBINED cover
+    # budget — max_zones and max_cells alone still admit a ~2.7e8-row
+    # exploded broadcast (an executor OOM); the total is what the
+    # broadcast premise actually depends on.  Inverted boxes yield a
+    # garbage ncell, so the fan/total checks only fire when boxes are
+    # sane.
+    chk = z.agg(
+        F.max(F.when((F.col("_x2") < F.col("_x1"))
+                     | (F.col("_y2") < F.col("_y1")), 1)
+              .otherwise(0)).alias("bad"),
+        F.max(ncell).alias("fan"),
+        F.sum(ncell).alias("total")).collect()[0]
+    if chk["bad"]:
+        raise ValueError("zonal_stats: inverted zone box present")
+    if chk["fan"] is not None and chk["fan"] > int(max_cells):
         raise ValueError(
-            f"zonal_stats: a zone covers {fan} grid cells "
+            f"zonal_stats: a zone covers {chk['fan']} grid cells "
             f"(> {max_cells}); coarsen `cell` or split the zone")
+    max_total = 1 << 22
+    if chk["total"] is not None and chk["total"] > max_total:
+        raise ValueError(
+            f"zonal_stats: zones cover {chk['total']} grid cells in total "
+            f"(> {max_total}) — the exploded broadcast cover table would "
+            f"blow the broadcast envelope; coarsen `cell` or shard the "
+            f"zone system")
     zc = (z.withColumn("_gx", F.explode(F.sequence(g(F.col("_x1")),
                                                    g(F.col("_x2")))))
           .withColumn("_gy", F.explode(F.sequence(g(F.col("_y1")),

@@ -101,6 +101,48 @@ def _pairs_col(seq: Column) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+#: Driver-envelope for merge learning (the classifier/k-means precedent):
+#: when the word-frequency table — which is what every merge decision is a
+#: function of — fits this many characters, all rounds run on one driver
+#: collect instead of one pair-count shuffle + one vocab rewrite job per
+#: round.  Value-identical: pair counts are exact int64 sums either way,
+#: the argmax tie-break (count desc, pair asc) compares UTF-8 byte order
+#: in Spark and code-point order in Python, which agree (UTF-8 is
+#: order-preserving), and Python str.replace is the same left-to-right
+#: non-overlapping literal replace as Spark's.  Past the envelope the
+#: distributed rounds run unchanged.
+BPE_DRIVER_MAX_CHARS = 16 << 20
+
+
+def _bpe_rounds_driver(vocab_rows: list[tuple[str, int]],
+                       rounds: int) -> list[tuple]:
+    """All merge rounds over a collected (word, cnt) vocabulary —
+    value-identical twin of the distributed loop (see
+    BPE_DRIVER_MAX_CHARS)."""
+    seqs = [SEP + "".join(c + SEP for c in w) + EOW + SEP
+            for w, _ in vocab_rows]
+    cnts = [int(c) for _, c in vocab_rows]
+    merges: list[tuple] = []
+    for r in range(1, rounds + 1):
+        pair_c: dict[str, int] = {}
+        for seq, cnt in zip(seqs, cnts):
+            arr = seq.strip(" ").split(SEP)
+            for i in range(len(arr) - 1):
+                p = arr[i] + " " + arr[i + 1]
+                pair_c[p] = pair_c.get(p, 0) + cnt
+        if not pair_c:
+            raise ValueError(
+                f"bpe_train: corpus exhausted after {r - 1} merges "
+                f"(asked for {rounds})")
+        best = min(pair_c.items(), key=lambda kv: (-kv[1], kv[0]))
+        pair, c = best
+        lhs, rhs = pair.split(" ")
+        merges.append((r, lhs, rhs, lhs + rhs, c))
+        pat, rep = f" {lhs}{SEP}{rhs} ", f" {lhs}{rhs} "
+        seqs = [s.replace(pat, rep) for s in seqs]
+    return merges
+
+
 def bpe_train(docs: DataFrame, rounds: int = 8,
               text_col: str = "text") -> tuple[list[tuple], DataFrame]:
     """Learn `rounds` BPE merges from the corpus.
@@ -110,37 +152,50 @@ def bpe_train(docs: DataFrame, rounds: int = 8,
     over — and merges_df the same rows as a DataFrame for oracle-checked
     output.  Raises ValueError on an empty corpus or if the corpus runs
     out of pairs before `rounds` merges (a contract violation, not a
-    silent truncation)."""
+    silent truncation).
+
+    The ONE corpus-wide pass (word frequencies) always runs distributed;
+    sub-envelope vocabularies then learn all merges on the driver
+    (value-identical — see BPE_DRIVER_MAX_CHARS), larger ones run the
+    per-round distributed loop."""
     spark = docs.sparkSession
     wf = word_frequencies(docs, text_col)
     vocab = (wf.select("word", "cnt",
                        _seq_col(F.col("word")).alias("seq"))
              .persist())
-    if vocab.count() == 0:
+    stats = vocab.agg(F.count(F.lit(1)).alias("n"),
+                      F.sum(F.length("word")).alias("chars")).collect()[0]
+    if int(stats["n"]) == 0:
         vocab.unpersist()
         raise ValueError("bpe_train: empty corpus")
     merges: list[tuple] = []
     try:
-        for r in range(1, rounds + 1):
-            best = (vocab.select("cnt", F.explode(_pairs_col(F.col("seq")))
-                                 .alias("pair"))
-                    .groupBy("pair").agg(F.sum("cnt").alias("c"))
-                    .orderBy(F.col("c").desc(), F.col("pair").asc())
-                    .limit(1).collect())
-            if not best:
-                raise ValueError(
-                    f"bpe_train: corpus exhausted after {r - 1} merges "
-                    f"(asked for {rounds})")
-            pair, c = best[0]["pair"], int(best[0]["c"])
-            lhs, rhs = pair.split(" ")
-            merges.append((r, lhs, rhs, lhs + rhs, c))
-            nxt = (vocab.select(
-                "word", "cnt",
-                _merge_expr(F.col("seq"), lhs, rhs).alias("seq"))
-                .persist())
-            nxt.count()          # materialize before dropping the parent
-            vocab.unpersist()
-            vocab = nxt
+        if int(stats["chars"] or 0) <= BPE_DRIVER_MAX_CHARS:
+            rows = vocab.select("word", "cnt").collect()
+            merges = _bpe_rounds_driver(
+                [(r["word"], r["cnt"]) for r in rows], rounds)
+        else:
+            for r in range(1, rounds + 1):
+                best = (vocab.select("cnt",
+                                     F.explode(_pairs_col(F.col("seq")))
+                                     .alias("pair"))
+                        .groupBy("pair").agg(F.sum("cnt").alias("c"))
+                        .orderBy(F.col("c").desc(), F.col("pair").asc())
+                        .limit(1).collect())
+                if not best:
+                    raise ValueError(
+                        f"bpe_train: corpus exhausted after {r - 1} merges "
+                        f"(asked for {rounds})")
+                pair, c = best[0]["pair"], int(best[0]["c"])
+                lhs, rhs = pair.split(" ")
+                merges.append((r, lhs, rhs, lhs + rhs, c))
+                nxt = (vocab.select(
+                    "word", "cnt",
+                    _merge_expr(F.col("seq"), lhs, rhs).alias("seq"))
+                    .persist())
+                nxt.count()      # materialize before dropping the parent
+                vocab.unpersist()
+                vocab = nxt
     finally:
         vocab.unpersist()
     merges_df = spark.createDataFrame(

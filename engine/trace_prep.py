@@ -65,8 +65,19 @@ def extract_points(pages: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
             # corpus.  Semantics unchanged (asserted by the x5 oracle,
             # which has no prefilter).
             .filter(F.col("text").contains("[geo:"))
+            # The token rides through a one-element explode — a Generate
+            # is an optimizer BARRIER that materializes `_tok` as a real
+            # attribute.  A plain alias is not: predicate pushdown
+            # substitutes alias definitions into pushed filters and the
+            # downstream parse references `_tok` seven times, so when
+            # `text` is itself an expression (the events-derived pages
+            # view) the regex — and the whole text-generation chain under
+            # it — was re-evaluated per reference (measured 8x the entire
+            # extract stage).  Exactly one row out per row in; stays in
+            # whole-stage codegen (GenerateExec); no exchange.
             .select(host_from_url(F.col("url")).alias("host"),
-                    "url", "warc_ts", tok.alias("_tok"))
+                    "url", "warc_ts",
+                    F.explode(F.array(tok)).alias("_tok"))
             .filter(F.col("_tok") != "")                              # F5 (token)
             .select("host", "url", "warc_ts",
                     *[c.alias(n) for c, n in

@@ -535,3 +535,47 @@ def test_stream_steps_matches_batch_lag(spark, tmp_path_factory):
     assert got == want
     # singletons 3 and 4 emit nothing (open tails withheld)
     assert not any(r[0] in (3, 4) for r in got)
+
+
+def test_step_machine_multi_chunk_group_sorted():
+    """A group split into multiple Arrow chunks (rows > the Arrow batch
+    size) must be sorted as a WHOLE before the diff: chunks arrive in
+    unspecified order, and the old per-chunk sort diffed across unsorted
+    chunk seams (even emitting t_prev > t_curr)."""
+    import numpy as np
+    import pandas as pd
+    from engine.streaming import _step_machine
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    fn = _step_machine()
+    # chunk 2 holds EARLIER timestamps than chunk 1
+    c1 = pd.DataFrame({"t": [30, 40], "x": [3, 6], "y": [4, 8]})
+    c2 = pd.DataFrame({"t": [10, 20], "x": [0, 3], "y": [0, 4]})
+    st = FakeState()
+    out = pd.concat(list(fn((7,), iter([c1, c2]), st)), ignore_index=True)
+    got = sorted(map(tuple, out[["t_prev", "t_curr", "dist2"]]
+                     .itertuples(index=False)))
+    assert got == [(10, 20, 25), (20, 30, 0), (30, 40, 25)]
+    assert (out["t_prev"] < out["t_curr"]).all()
+    assert st.get == (40, 6, 8)
+    # next micro-batch closes against the stored tail
+    out2 = pd.concat(list(fn((7,), iter([pd.DataFrame(
+        {"t": [50], "x": [9], "y": [12]})]), st)), ignore_index=True)
+    assert list(map(tuple, out2[["t_prev", "t_curr", "dist2"]]
+                    .itertuples(index=False))) == [(40, 50, 25)]
+    # empty micro-batch: state survives untouched
+    assert list(fn((7,), iter([pd.DataFrame({"t": [], "x": [], "y": []})]),
+                   st)) == []
+    assert st.get == (50, 9, 12)

@@ -295,3 +295,20 @@ def test_zonal_stats_matches_brute(spark):
     with _pt.raises(ValueError):
         tiles.zonal_stats(ras, zdf, "cx", "cy", "v", cell=1,
                           max_cells=3)
+
+
+def test_zonal_stats_combined_budget_raises(spark):
+    """max_zones and max_cells alone admit a huge exploded broadcast;
+    the COMBINED cover budget must raise before exploding."""
+    import pandas as pd
+    import pytest as _pt
+    from engine import tiles
+    ras = spark.createDataFrame(pd.DataFrame(
+        [(0, 0, 1)], columns=["cx", "cy", "v"]))
+    # 2048 zones x 41*41 = 1681 cover cells each (cell=1) > 2^22 total,
+    # while each zone stays under max_cells=4096
+    zones = [(i, i * 100, 0, i * 100 + 40, 40) for i in range(2048)]
+    zdf = spark.createDataFrame(pd.DataFrame(
+        zones, columns=["zone_id", "zx1", "zy1", "zx2", "zy2"]))
+    with _pt.raises(ValueError, match="in total"):
+        tiles.zonal_stats(ras, zdf, "cx", "cy", "v", cell=1)

@@ -2736,3 +2736,16 @@ def test_heading_sectors_matches_brute(spark):
     assert set(wrows) == set(range(9))
     assert all(v[0] == 1 and v[1] == 0 for v in wrows.values())
     assert not any(k[0] == "one" for k in got)
+
+
+def test_hull_diameter_renamed_columns(spark):
+    """hull_diameter must work when the coordinate columns are not
+    literally named x/y (convex_hull_2d's output schema hard-codes
+    x/y; the selection must use those, not the caller's names)."""
+    from engine import spatial
+    rows = [("k", 0, 0), ("k", 3, 4), ("k", 1, 1)]
+    df = spark.createDataFrame(rows, ["k", "px", "py"])
+    got = spatial.hull_diameter(df, ["k"], "px", "py").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.x1, r.y1, r.x2, r.y2, r.dist2) == (0, 0, 3, 4, 25)
