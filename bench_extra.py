@@ -222,6 +222,21 @@ def main() -> int:
             text.pack_sequences(docs, capacity=512)))
 
     gp.unpersist()
+
+    if want("spatial_wave"):
+        # round-5 spatial/mobility operators, timed via their declared
+        # query builders at the bench sf (BENCH_r05's observability gap:
+        # none of these is in the frozen bench.py stage list)
+        import __spark_entry__ as entrymod
+        qs = entrymod.queries()
+        for name in ("radius_join_2d", "knn_join_2d", "geo_radius_join",
+                     "dbscan_geo", "st_dbscan", "geofence_visits",
+                     "snap_segments", "zonal_stats", "focal_stats",
+                     "gyration", "displacement", "mobility_report"):
+            sc.setJobDescription(f"profile {name}")
+            timed(spark, "spatial_wave", name,
+                  lambda n=name: noop(qs[n](spark, sf_dir)))
+
     return 0
 
 

@@ -94,23 +94,33 @@ def _gram_blocks(emb: DataFrame, centered_expr, dim: int,
 def _centered_quant_expr(dim: int, n: int, sums: list[int]):
     """y'_i = floordiv(n * qx_i - S_i, n) as a native expression (the
     integral centering: centered value times n, divided back with exact
-    floor division — bit-identical in Spark and DuckDB)."""
-    s_lit = F.lit(sums)
+    floor division — bit-identical in Spark and DuckDB).
+
+    zip_with, not transform+element_at: element_at(qx, i) inlines the
+    whole quantize transform per extracted element, so the sequence form
+    evaluated it dim times per row (O(dim^2) interpreted HOF work); the
+    zip references qx ONCE.  Per-element arithmetic is unchanged."""
+    s_lit = F.lit([int(v) for v in sums])
     qx = quantize_col(F.col("embedding"))
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda i: _fdiv(F.lit(n) * F.element_at(qx, i + 1)
-                        - F.element_at(s_lit, i + 1), F.lit(n)))
+    return F.zip_with(qx, s_lit,
+                      lambda x, s: _fdiv(F.lit(n) * x - s, F.lit(n)))
 
 
 def _quant_stats(emb: DataFrame, dim: int) -> tuple[int, list[int]]:
     """Driver scalars for centering: row count + per-dim quantized sums
     (one tiny aggregate; 64 longs cross the wire)."""
+    # materialize qx as an attribute through a one-element explode (the
+    # extract_points Generate-barrier trick): each of the dim per-dim sums
+    # references element_at(qx, i), and on a bare alias the optimizer
+    # inlines the whole quantize transform into every reference —
+    # O(dim^2) interpreted HOF work per row.
     qx = quantize_col(F.col("embedding"))
-    row = emb.agg(
+    row = (emb.select(F.explode(F.array(qx)).alias("_qx"))
+           .agg(
         F.count(F.lit(1)).alias("n"),
-        F.array(*[F.sum(F.element_at(qx, i + 1)) for i in range(dim)])
-        .alias("s")).collect()[0]
+        F.array(*[F.sum(F.element_at(F.col("_qx"), i + 1))
+                  for i in range(dim)])
+        .alias("s")).collect()[0])
     n = int(row["n"])
     if n == 0:
         raise ValueError("empty input")

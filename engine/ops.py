@@ -2465,19 +2465,23 @@ def bbox_overlap_join(a: DataFrame, b: DataFrame, keys: Sequence[str],
         d = df.select(*keys, F.col(ident), *[F.col(c) for c in carry],
                       x1.alias(f"{px}x1"), y1.alias(f"{px}y1"),
                       x2.alias(f"{px}x2"), y2.alias(f"{px}y2"))
-        bad = d.agg(F.max(F.when(
-            (F.col(f"{px}x2") < F.col(f"{px}x1"))
-            | (F.col(f"{px}y2") < F.col(f"{px}y1")), 1).otherwise(0)
-        )).collect()[0][0]
-        if bad:
-            raise ValueError(
-                "bbox_overlap_join: inverted box (x2 < x1 or y2 < y1) "
-                "present — fix or filter upstream")
+        inv = ((F.col(f"{px}x2") < F.col(f"{px}x1"))
+               | (F.col(f"{px}y2") < F.col(f"{px}y1")))
         ncells = ((_bin_floor(F.col(f"{px}x2"), cs)
                    - _bin_floor(F.col(f"{px}x1"), cs) + 1)
                   * (_bin_floor(F.col(f"{px}y2"), cs)
                      - _bin_floor(F.col(f"{px}y1"), cs) + 1))
-        worst = d.agg(F.max(ncells)).collect()[0][0]
+        # inverted-box and worst-fanout checks fused into ONE scan
+        # (was two); ncells guarded so it is never evaluated on an
+        # inverted box
+        chk = d.agg(F.max(F.when(inv, 1).otherwise(0)).alias("bad"),
+                    F.max(F.when(~inv, ncells)).alias("worst")) \
+            .collect()[0]
+        if chk["bad"]:
+            raise ValueError(
+                "bbox_overlap_join: inverted box (x2 < x1 or y2 < y1) "
+                "present — fix or filter upstream")
+        worst = chk["worst"]
         if worst is not None and worst > max_cells:
             raise ValueError(
                 f"bbox_overlap_join: a box covers {worst} grid cells "
@@ -2636,18 +2640,23 @@ def rect_union_area(df: DataFrame, keys: Sequence[str],
     d = df.select(*keys, x1.alias("_x1"), y1.alias("_y1"),
                   x2.alias("_x2"), y2.alias("_y2"))
     lim = 1 << 30
-    bad = d.agg(F.max(F.when(
-        (F.col("_x2") < F.col("_x1")) | (F.col("_y2") < F.col("_y1"))
-        | (F.greatest(F.abs(F.col("_x1")), F.abs(F.col("_y1")),
-                      F.abs(F.col("_x2")), F.abs(F.col("_y2"))) > lim),
-        1).otherwise(0))).collect()[0][0]
-    if bad:
+    # envelope + group-size checks fused into the one key-sized
+    # validation aggregation (one scan, was two)
+    badrow = ((F.col("_x2") < F.col("_x1")) | (F.col("_y2") < F.col("_y1"))
+              | (F.greatest(F.abs(F.col("_x1")), F.abs(F.col("_y1")),
+                            F.abs(F.col("_x2")), F.abs(F.col("_y2")))
+                 > lim))
+    stats = (d.groupBy(*keys)
+             .agg(F.count(F.lit(1)).cast("long").alias("n_rects"),
+                  F.max(F.when(badrow, 1).otherwise(0)).alias("_b")))
+    chk = stats.agg(F.max("_b").alias("bad"),
+                    F.max("n_rects").alias("worst")).collect()[0]
+    stats = stats.select(*keys, "n_rects")
+    if chk["bad"]:
         raise ValueError(
             "rect_union_area: inverted box or |coord| > 2^30 present — "
             "the union area must stay a provable int64; fix upstream")
-    stats = d.groupBy(*keys).agg(F.count(F.lit(1)).cast("long")
-                                 .alias("n_rects"))
-    worst = stats.agg(F.max("n_rects")).collect()[0][0]
+    worst = chk["worst"]
     if worst is not None and worst > max_rects:
         raise ValueError(
             f"rect_union_area: a key group has {worst} boxes "
@@ -2830,16 +2839,21 @@ def simplify_vw_rounds(df: DataFrame, keys: Sequence[str], seq_col: str,
                   F.col(x_col).cast("long").alias("_x"),
                   F.col(y_col).cast("long").alias("_y"))
     lim = 1 << 30
-    bad = d.agg(F.max(F.when(
-        (F.abs(F.col("_x")) > lim) | (F.abs(F.col("_y")) > lim), 1)
-        .otherwise(0))).collect()[0][0]
-    if bad:
+    # coordinate-envelope and duplicate-seq checks fused into ONE
+    # validation job (one scan + a seq-sized agg, was two full scans);
+    # raise order (coords first) preserved
+    chk = (d.groupBy(*keys, "_seq")
+           .agg(F.count(F.lit(1)).alias("_n"),
+                F.max(F.when((F.abs(F.col("_x")) > lim)
+                             | (F.abs(F.col("_y")) > lim), 1)
+                      .otherwise(0)).alias("_b"))
+           .agg(F.max("_b").alias("bad"), F.max("_n").alias("dup"))
+           .collect()[0])
+    if chk["bad"]:
         raise ValueError(
             "simplify_vw_rounds: |coordinate| exceeds 2^30 — outside "
             "the exact cross-product envelope; rescale upstream")
-    dup = (d.groupBy(*keys, "_seq").agg(F.count(F.lit(1)).alias("_n"))
-           .agg(F.max("_n")).collect()[0][0])
-    if dup is not None and dup > 1:
+    if chk["dup"] is not None and chk["dup"] > 1:
         raise ValueError(
             "simplify_vw_rounds: duplicate (key, seq) rows — neighbor "
             "relations are ill-defined; dedup upstream")
@@ -3731,21 +3745,29 @@ def radius_of_gyration(df: DataFrame, keys: Sequence[str],
     px = F.col(x_col).cast("long")
     py = F.col(y_col).cast("long")
     lim = 1 << 15
-    bad = df.agg(F.max(F.when(
-        (F.abs(px) >= lim) | (F.abs(py) >= lim), 1).otherwise(0))
-    ).collect()[0][0]
-    if bad:
-        raise ValueError(
-            "radius_of_gyration: |coordinate| >= 2^15 — (Σx)² could "
-            "breach int64; rescale upstream")
+    # Envelope check FUSED into the one aggregation the op runs anyway
+    # (one corpus scan, not two): sums are when()-guarded so no
+    # overflow-capable product is evaluated on an out-of-envelope row
+    # (ANSI mode would throw before our ValueError), and the per-key
+    # max-abs flag rides the same exchange as the sums.  On in-envelope
+    # data every guarded sum equals the unguarded one.
+    ok = (F.abs(px) < lim) & (F.abs(py) < lim)
     agg = (df.groupBy(*keys)
            .agg(F.count(F.lit(1)).cast("long").alias("n_pts"),
-                F.sum(px).cast("long").alias("sum_x"),
-                F.sum(py).cast("long").alias("sum_y"),
-                F.sum(px * px + py * py).cast("long").alias("_ssq")))
+                F.sum(F.when(ok, px)).cast("long").alias("sum_x"),
+                F.sum(F.when(ok, py)).cast("long").alias("sum_y"),
+                F.sum(F.when(ok, px * px + py * py)).cast("long")
+                .alias("_ssq"),
+                F.max(F.when(ok, 0).otherwise(1)).alias("_oob")))
     agg = agg.persist()
     try:
-        nmax = agg.agg(F.max("n_pts")).collect()[0][0] or 0
+        chk = agg.agg(F.max("n_pts").alias("nmax"),
+                      F.max("_oob").alias("oob")).collect()[0]
+        if chk["oob"]:
+            raise ValueError(
+                "radius_of_gyration: |coordinate| >= 2^15 — (Σx)² could "
+                "breach int64; rescale upstream")
+        nmax = chk["nmax"] or 0
         if nmax > lim:
             raise ValueError(
                 f"radius_of_gyration: a key holds {nmax} points "
@@ -4065,23 +4087,28 @@ def directional_stats(df: DataFrame, keys: Sequence[str],
     px = F.col(x_col).cast("long")
     py = F.col(y_col).cast("long")
     lim = 1 << 15
-    bad = df.agg(F.max(F.when(
-        (F.abs(px) >= lim) | (F.abs(py) >= lim), 1).otherwise(0))
-    ).collect()[0][0]
-    if bad:
-        raise ValueError(
-            "directional_stats: |coordinate| >= 2^15 — the second-"
-            "moment products could breach int64; rescale upstream")
+    # Envelope check fused into the op's own aggregation (the A57
+    # pattern): when()-guarded moment sums + a per-key out-of-envelope
+    # flag — one corpus scan, identical sums on in-envelope data, no
+    # ANSI overflow on the guarded rows.
+    ok = (F.abs(px) < lim) & (F.abs(py) < lim)
     agg = (df.groupBy(*keys)
            .agg(F.count(F.lit(1)).cast("long").alias("n_pts"),
-                F.sum(px).cast("long").alias("sum_x"),
-                F.sum(py).cast("long").alias("sum_y"),
-                F.sum(px * px).cast("long").alias("_sxx"),
-                F.sum(py * py).cast("long").alias("_syy"),
-                F.sum(px * py).cast("long").alias("_sxy")))
+                F.sum(F.when(ok, px)).cast("long").alias("sum_x"),
+                F.sum(F.when(ok, py)).cast("long").alias("sum_y"),
+                F.sum(F.when(ok, px * px)).cast("long").alias("_sxx"),
+                F.sum(F.when(ok, py * py)).cast("long").alias("_syy"),
+                F.sum(F.when(ok, px * py)).cast("long").alias("_sxy"),
+                F.max(F.when(ok, 0).otherwise(1)).alias("_oob")))
     agg = agg.persist()
     try:
-        nmax = agg.agg(F.max("n_pts")).collect()[0][0] or 0
+        chk = agg.agg(F.max("n_pts").alias("nmax"),
+                      F.max("_oob").alias("oob")).collect()[0]
+        if chk["oob"]:
+            raise ValueError(
+                "directional_stats: |coordinate| >= 2^15 — the second-"
+                "moment products could breach int64; rescale upstream")
+        nmax = chk["nmax"] or 0
         if nmax > (1 << 15):
             raise ValueError(
                 f"directional_stats: a key holds {nmax} points "

@@ -106,6 +106,19 @@ def _cosine_batch(va: pd.Series, vb: pd.Series, na: pd.Series,
                      / (na.to_numpy(np.float64) * nb.to_numpy(np.float64)))
 
 
+# Closure-gather refine envelope (the knn_assign_collected / classifier
+# driver-envelope precedent): when the normed vector table fits this many
+# bytes, the exact-cosine refine gathers both endpoints' vectors from a
+# collected closure matrix inside ONE map-only Arrow kernel instead of
+# two shuffle/broadcast join-backs — the candidate-pair stream then
+# carries 16 B/pair, never vectors.  Values are bit-identical: the
+# vectors AND the norms are collected from the same Spark-computed
+# `with_norm` projection the join path reads, and the kernel runs the
+# identical einsum/divide.  Past the envelope the join-back runs
+# unchanged.
+ANN_REFINE_CLOSURE_MAX_BYTES = 64 << 20
+
+
 def _lsh_candidate_sims(df: DataFrame, dim: int, bits: int, bands: int,
                         id_col: str, vec_col: str, seed: int) -> DataFrame:
     """LSH candidate pairs (shared >= 1 band bucket) with exact cosine —
@@ -144,6 +157,28 @@ def _lsh_candidate_sims(df: DataFrame, dim: int, bits: int, bands: int,
              .select("a", "b").distinct())
     nn = with_norm(df, vec_col).select(F.col(id_col), "_v", "_norm") \
         .persist()
+    if nn.count() * dim * 8 <= ANN_REFINE_CLOSURE_MAX_BYTES:
+        rows = nn.collect()
+        nn.unpersist()
+        ids = np.array([r[0] for r in rows], dtype=np.int64)
+        V = np.array([list(r[1]) for r in rows], dtype=np.float64)
+        Nm = np.array([r[2] for r in rows], dtype=np.float64)
+        order = np.argsort(ids, kind="stable")
+        ids, V, Nm = ids[order], V[order], Nm[order]
+
+        def refine(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                ia = np.searchsorted(ids, pdf["a"].to_numpy(np.int64))
+                ib = np.searchsorted(ids, pdf["b"].to_numpy(np.int64))
+                sim = (np.einsum("ij,ij->i", V[ia], V[ib])
+                       / (Nm[ia] * Nm[ib]))
+                yield pd.DataFrame({"a": pdf["a"], "b": pdf["b"],
+                                    "sim": sim})
+
+        sims = pairs.mapInPandas(refine, "a long, b long, sim double")
+        return sims, [exploded]
     va = nn.select(F.col(id_col).alias("a"), F.col("_v").alias("va"),
                    F.col("_norm").alias("na"))
     vb = nn.select(F.col(id_col).alias("b"), F.col("_v").alias("vb"),

@@ -305,9 +305,9 @@ def test_zonal_stats_combined_budget_raises(spark):
     from engine import tiles
     ras = spark.createDataFrame(pd.DataFrame(
         [(0, 0, 1)], columns=["cx", "cy", "v"]))
-    # 2048 zones x 41*41 = 1681 cover cells each (cell=1) > 2^22 total,
-    # while each zone stays under max_cells=4096
-    zones = [(i, i * 100, 0, i * 100 + 40, 40) for i in range(2048)]
+    # 2048 zones x 51*51 = 2601 cover cells each (cell=1) -> 5.3M > 2^22
+    # total, while each zone stays under max_cells=4096
+    zones = [(i, i * 100, 0, i * 100 + 50, 50) for i in range(2048)]
     zdf = spark.createDataFrame(pd.DataFrame(
         zones, columns=["zone_id", "zx1", "zy1", "zx2", "zy2"]))
     with _pt.raises(ValueError, match="in total"):
