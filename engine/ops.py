@@ -184,6 +184,12 @@ def sample_stratified(df: DataFrame, fractions: dict[str, float] | float,
     return df.filter(h < (frac * mod))
 
 
+# Contracted-label-graph driver envelope for min_label_components: once
+# the distinct cross-label edge set fits this many rows, the remaining
+# merges run as one driver union-find + one broadcast map join.
+CC_DRIVER_MAX_EDGES = 1 << 20
+
+
 def min_label_components(nodes: DataFrame, edges: DataFrame,
                          id_col: str = "id", a_col: str = "a",
                          b_col: str = "b", max_iters: int = 16) -> DataFrame:
@@ -218,33 +224,104 @@ def min_label_components(nodes: DataFrame, edges: DataFrame,
            .localCheckpoint(eager=True))
     converged = False
     for _ in range(max_iters):
-        nbr_min = (e.join(cur.select(F.col("_nid").alias("dst"),
-                                     F.col("label").alias("nlabel")), "dst")
-                   .groupBy("src").agg(F.min("nlabel").alias("nbr_label"))
-                   .withColumnRenamed("src", "_nid"))
-        mined = (cur.join(nbr_min, "_nid", "left")
-                 .select("_nid",
-                         F.least(F.col("label"),
-                                 F.coalesce(F.col("nbr_label"),
-                                            F.col("label"))).alias("label")))
-        jump = cur.select(F.col("_nid").alias("label"),
-                          F.col("label").alias("_jlabel"))
-        nxt = (mined.join(jump, "label", "left")
-               .select("_nid",
-                       F.least(F.col("label"),
-                               F.coalesce(F.col("_jlabel"), F.col("label")))
-                       .alias("label"))).localCheckpoint(eager=True)
-        changed = (nxt.join(cur.withColumnRenamed("label", "_old"), "_nid")
-                   .filter(F.col("label") != F.col("_old")).count())
-        cur = nxt
-        if changed == 0:
+        # CONTRACTED label graph under the current labeling: distinct
+        # cross-label edges only — shrinks every round.  The previous
+        # node-level neighbor-min + single pointer jump propagated the
+        # min INTO a region only from its boundary (one mesh hop per
+        # round plus tree compression), which failed to converge within
+        # max_iters on mesh-shaped components (inherited: dbscan_geo's
+        # 500 km blob at sf0.1, a sphere mesh of graph diameter ~40).
+        # On the contracted graph every non-locally-min region adopts a
+        # strictly smaller neighboring region's label, so the region
+        # count at least halves per round — O(log regions) rounds
+        # guaranteed, with whole regions relabeled via one map join
+        # (no interior creep).  Fixpoint unchanged: labels are always
+        # component-member ids, monotone non-increasing, and the min
+        # member keeps its own label, so the uniform fixpoint label is
+        # the component min — identical output, schedule-independent.
+        le = (e.join(cur.select(F.col("_nid").alias("src"),
+                                F.col("label").alias("_ls")), "src")
+              .join(cur.select(F.col("_nid").alias("dst"),
+                               F.col("label").alias("_ld")), "dst")
+              .filter(F.col("_ls") != F.col("_ld"))
+              .select("_ls", "_ld").distinct()
+              .localCheckpoint(eager=True))
+        n_le = le.count()
+        if n_le == 0:
             converged = True
             break
+        if n_le <= CC_DRIVER_MAX_EDGES:
+            # the contracted label graph fits the driver envelope (the
+            # repo's standard auto-strategy): finish with one union-find
+            # pass — min-root semantics, identical fixpoint — and ONE
+            # map join, instead of O(log regions) further rounds of
+            # several jobs each
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent.get(r, r) != r:
+                    r = parent[r]
+                while parent.get(x, x) != x:
+                    parent[x], x = r, parent[x]
+                return r
+
+            for row in le.collect():
+                ra, rb = find(row["_ls"]), find(row["_ld"])
+                if ra != rb:
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+            mp = [(k, find(k)) for k in list(parent)]
+            spark = nodes.sparkSession
+            if mp:
+                from pyspark.sql import types as T
+                lt = cur.schema["label"].dataType
+                mdf = spark.createDataFrame(
+                    mp, T.StructType([T.StructField("label", lt),
+                                      T.StructField("_lt", lt)]))
+            else:
+                mdf = None
+            if mdf is not None:
+                cur = (cur.join(F.broadcast(mdf), "label", "left")
+                       .select("_nid",
+                               F.coalesce(F.col("_lt"), F.col("label"))
+                               .alias("label"))
+                       .localCheckpoint(eager=True))
+            converged = True
+            break
+        lmin = le.groupBy("_ls").agg(F.min("_ld").alias("_lm"))
+        m = (lmin.select(
+            F.col("_ls"),
+            F.least(F.col("_ls"), F.col("_lm")).alias("_lt"))
+            .localCheckpoint(eager=True))
+        # path-compress the (label-sized, tiny) map to its fixpoint so
+        # chains of merges collapse within the round
+        for _j in range(max_iters):
+            m2 = (m.join(m.select(F.col("_ls").alias("_lt"),
+                                  F.col("_lt").alias("_lt2")),
+                         "_lt", "left")
+                  .select("_ls",
+                          F.least(F.col("_lt"),
+                                  F.coalesce(F.col("_lt2"), F.col("_lt")))
+                          .alias("_lt"))
+                  .localCheckpoint(eager=True))
+            moved = (m2.join(m.withColumnRenamed("_lt", "_old"), "_ls")
+                     .filter(F.col("_lt") != F.col("_old")).count())
+            m = m2
+            if moved == 0:
+                break
+        cur = (cur.join(m.withColumnRenamed("_ls", "label"), "label",
+                        "left")
+               .select("_nid",
+                       F.coalesce(F.col("_lt"), F.col("label"))
+                       .alias("label"))
+               .localCheckpoint(eager=True))
     e.unpersist()
     if not converged:
         raise RuntimeError(
-            f"min_label_components: no fixpoint after {max_iters} pointer-"
-            f"jumping rounds (component diameter > 2^{max_iters})")
+            f"min_label_components: no fixpoint after {max_iters} "
+            f"label-contraction rounds (> 2^{max_iters} regions)")
     return cur.select(F.col("_nid").alias(id_col),
                       F.col("label").alias("component_id"))
 

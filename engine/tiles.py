@@ -187,9 +187,10 @@ def extract_components(density: DataFrame, threshold_s: float,
                          F.least(F.col("label"),
                                  F.coalesce(F.col("nbr_label"), F.col("label")))
                          .alias("label")))
-        # pointer jump: label <- label(label) via the pre-round label table
-        jump = cur.select(F.col("cell_id").alias("label"),
-                          F.col("label").alias("_jlabel"))
+        # pointer jump: label <- mined(mined(.)) via the POST-neighbor-min
+        # table — true doubling per round (see ops.min_label_components)
+        jump = mined.select(F.col("cell_id").alias("label"),
+                            F.col("label").alias("_jlabel"))
         nxt = (mined.join(jump, "label", "left")
                .select("cell_id",
                        F.least(F.col("label"),
