@@ -157,7 +157,8 @@ def _lsh_candidate_sims(df: DataFrame, dim: int, bits: int, bands: int,
              .select("a", "b").distinct())
     nn = with_norm(df, vec_col).select(F.col(id_col), "_v", "_norm") \
         .persist()
-    if nn.count() * dim * 8 <= ANN_REFINE_CLOSURE_MAX_BYTES:
+    id_is_long = isinstance(nn.schema[0].dataType, T.LongType)
+    if id_is_long and nn.count() * dim * 8 <= ANN_REFINE_CLOSURE_MAX_BYTES:
         rows = nn.collect()
         nn.unpersist()
         ids = np.array([r[0] for r in rows], dtype=np.int64)
