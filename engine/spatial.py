@@ -348,14 +348,6 @@ def snap_to_segments(points: DataFrame, segments: DataFrame,
         F.col(sy1).cast("long").alias("_y1"),
         F.col(sx2).cast("long").alias("_x2"),
         F.col(sy2).cast("long").alias("_y2"))
-    ext = seg.agg(F.max(F.greatest(
-        F.abs(F.col("_x2") - F.col("_x1")),
-        F.abs(F.col("_y2") - F.col("_y1"))))).collect()[0][0]
-    if ext is not None and ext > 4096:
-        raise ValueError(
-            f"snap_to_segments: a segment spans {ext} (> 4096) per "
-            f"axis — split long roads upstream (the cross² envelope)")
-
     def cell(c):
         return ((c - F.pmod(c, F.lit(cs))) / F.lit(cs)).cast("long")
 
@@ -365,10 +357,19 @@ def snap_to_segments(points: DataFrame, segments: DataFrame,
     hiy = F.greatest(F.col("_y1"), F.col("_y2")) + F.lit(cs)
     ncell = ((cell(hix) - cell(lox) + 1)
              * (cell(hiy) - cell(loy) + 1))
-    fan = seg.agg(F.max(ncell)).collect()[0][0]
-    if fan is not None and fan > max_cells:
+    # extent + fan-out envelope checks fused into ONE segment-dim scan
+    # (was two); raise order (extent first) preserved
+    chk = seg.agg(
+        F.max(F.greatest(F.abs(F.col("_x2") - F.col("_x1")),
+                         F.abs(F.col("_y2") - F.col("_y1")))).alias("ext"),
+        F.max(ncell).alias("fan")).collect()[0]
+    if chk["ext"] is not None and chk["ext"] > 4096:
         raise ValueError(
-            f"snap_to_segments: a segment covers {fan} cells "
+            f"snap_to_segments: a segment spans {chk['ext']} (> 4096) per "
+            f"axis — split long roads upstream (the cross² envelope)")
+    if chk["fan"] is not None and chk["fan"] > max_cells:
+        raise ValueError(
+            f"snap_to_segments: a segment covers {chk['fan']} cells "
             f"(> {max_cells}); coarsen the grid or split it")
     segc = (seg.withColumn("_cx", F.explode(F.sequence(cell(lox),
                                                        cell(hix))))
